@@ -1,0 +1,7 @@
+package graft.queries
+
+/** All declared queries, one place. Modules register themselves here. */
+object Registry {
+  def all: Seq[QueryDef] =
+    RelationalQueries.all
+}
