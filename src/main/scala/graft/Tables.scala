@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -20,7 +21,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long and convert to a
+    * microsecond timestamp with integer division (`DIV` — a double
+    * division would lose precision above 2^53 ns). The generator emits
+    * µs-precision instants, so the truncation is lossless.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,117 @@
+package graft.check
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint algebra — the Spark-native form
+  * of the reference's Great Expectations suite and dbt schema tests.
+  *
+  * Reference semantics:
+  *  - `expect_column_values_to_not_be_null` / dbt `not_null` →
+  *    [[NotNull]] (great_expectations/expectations/
+  *    bundesliga_match_scores_data_expectations.json:56-96,
+  *    models/example/schema.yml:11,20).
+  *  - `expect_column_values_to_be_in_set` → [[InSet]] (json:28-54).
+  *  - `expect_table_columns_to_match_ordered_list` →
+  *    [[ColumnsMatchOrdered]] (json:6-26) — pure metadata, no scan.
+  *  - dbt `unique` → [[Unique]] (schema.yml:10,19).
+  *
+  * Where GE runs one warehouse query per expectation
+  * (include/scripts/file_services/data_validator.py:29-37), this
+  * evaluator fuses every row-level check into ONE aggregation pass —
+  * a single scan regardless of suite size, which is what makes the
+  * suite viable on a 100 TB table.
+  */
+sealed trait Check {
+  /** Stable identifier used as the result column name. */
+  def id: String
+}
+
+/** Row-level checks compile to a violation-counting aggregate column. */
+sealed trait RowCheck extends Check {
+  def violationExpr: Column
+  final def agg: Column =
+    sum(when(violationExpr, 1L).otherwise(0L)).as(id)
+}
+
+final case class NotNull(column: String) extends RowCheck {
+  val id = s"notnull_$column"
+  def violationExpr: Column = col(column).isNull
+}
+
+final case class InSet(column: String, values: Seq[String]) extends RowCheck {
+  val id = s"inset_$column"
+  def violationExpr: Column =
+    !col(column).isin(values: _*) || col(column).isNull
+}
+
+final case class NonNegative(column: String) extends RowCheck {
+  val id = s"nonneg_$column"
+  def violationExpr: Column = col(column) < 0
+}
+
+final case class MatchesRegex(column: String, regex: String) extends RowCheck {
+  val id = s"regex_$column"
+  def violationExpr: Column = !col(column).rlike(regex) || col(column).isNull
+}
+
+/** Uniqueness over a key: violations = count(*) - count(distinct key).
+  * Evaluated in the same single pass via a distinct aggregate.
+  */
+final case class Unique(columns: Seq[String]) extends Check {
+  val id = s"unique_${columns.mkString("_")}"
+}
+
+/** Schema-order assertion — metadata only, never scans data. */
+final case class ColumnsMatchOrdered(expected: Seq[String]) extends Check {
+  val id = "columns_match_ordered"
+}
+
+final case class CheckResult(check: String, violations: Long) {
+  def passed: Boolean = violations == 0
+}
+
+object CheckRunner {
+
+  /** Evaluate a suite against a DataFrame in a single aggregation pass
+    * (plus zero-cost metadata checks). Returns one result per check.
+    */
+  def run(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+    val metaResults = checks.collect { case c @ ColumnsMatchOrdered(exp) =>
+      CheckResult(c.id, if (df.schema.fieldNames.sameElements(exp)) 0L else 1L)
+    }
+    val aggCols = checks.collect {
+      case rc: RowCheck => rc.agg
+      case u: Unique =>
+        (count(lit(1)) - count_distinct(struct(u.columns.map(col): _*)))
+          .as(u.id)
+    }
+    val aggResults =
+      if (aggCols.isEmpty) Seq.empty
+      else {
+        val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+        row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+          CheckResult(n, if (row.isNullAt(i)) 0L else row.getLong(i))
+        }.toSeq
+      }
+    // preserve suite order
+    val byId = (metaResults ++ aggResults).map(r => r.check -> r).toMap
+    checks.map(c => byId(c.id))
+  }
+
+  /** The fused violation-count row as a DataFrame (checkpoint report
+    * analog of data_validator.py:29-39) — used by declared queries.
+    */
+  def reportDf(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggCols = checks.collect {
+      case rc: RowCheck => rc.agg
+      case u: Unique =>
+        (count(lit(1)) - count_distinct(struct(u.columns.map(col): _*)))
+          .as(u.id)
+    }
+    require(aggCols.nonEmpty, "no aggregable checks in suite")
+    df.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  def success(results: Seq[CheckResult]): Boolean = results.forall(_.passed)
+}

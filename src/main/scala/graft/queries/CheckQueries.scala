@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.Tables._
+import graft.check._
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the constraint/validation surface (SURVEY.md
+  * §2.7): the Check algebra fused into one aggregation pass, and the
+  * dbt-style uniqueness test.
+  */
+object CheckQueries {
+
+  /** The suite mirrors the reference's expectation shapes on orders:
+    * in-set membership, not-null, plus a deliberately-failing strict
+    * set (counts 'P' rows) so the query proves non-zero counting too.
+    */
+  val ordersSuite: Seq[Check] = Seq(
+    InSet("o_orderstatus", Seq("F", "O", "P")),
+    InSet("o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+    NotNull("o_orderdate"),
+    NonNegative("o_totalprice"),
+    MatchesRegex("o_orderstatus", "^[FO]$"))
+
+  val all: Seq[QueryDef] = Seq(
+    // GE checkpoint analog: every expectation evaluated in ONE scan.
+    QueryDef(
+      "q20_check_suite",
+      (s, d) => CheckRunner.reportDf(orders(s, d), ordersSuite),
+      Some("""SELECT
+             |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+             |    OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS inset_o_orderstatus,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN
+             |    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+             |    OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS inset_o_orderpriority,
+             |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS notnull_o_orderdate,
+             |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS nonneg_o_totalprice,
+             |  CAST(SUM(CASE WHEN NOT regexp_matches(o_orderstatus, '^[FO]$')
+             |    OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS regex_o_orderstatus
+             |FROM orders""".stripMargin)),
+
+    // dbt `unique` test analog (schema.yml:10-12): duplicate counts via
+    // count(*) - count(distinct key). o_orderkey is unique (0);
+    // lineitem l_orderkey is not (>0); the composite lineitem key is.
+    QueryDef(
+      "q21_unique_check",
+      (s, d) => {
+        val o = orders(s, d).agg(
+          (count(lit(1)) - count_distinct(col("o_orderkey")))
+            .as("dup_o_orderkey"))
+        val l = lineitem(s, d).agg(
+          (count(lit(1)) - count_distinct(col("l_orderkey")))
+            .as("dup_l_orderkey"),
+          (count(lit(1)) -
+            count_distinct(struct(col("l_orderkey"), col("l_linenumber"))))
+            .as("dup_l_composite"))
+        o.crossJoin(l)
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+             |    AS dup_o_orderkey,
+             |  (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+             |    FROM lineitem) AS dup_l_composite,
+             |  (SELECT COUNT(*) - COUNT(DISTINCT l_orderkey) FROM lineitem)
+             |    AS dup_l_orderkey""".stripMargin))
+  )
+}

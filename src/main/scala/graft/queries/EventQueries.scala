@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operator coverage computed in batch (SURVEY.md §2.10,
+  * §7.4): JSON extraction, tumbling/sliding/session time windows, and
+  * an as-of join. The same transforms run under Structured Streaming
+  * (see graft.streaming); batch keeps them DuckDB-checkable.
+  */
+object EventQueries {
+  import Exact._
+
+  val all: Seq[QueryDef] = Seq(
+    // JSON scalar extraction from the events.props string column.
+    QueryDef(
+      "q24_json_extract",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Tumbling 1-hour window aggregation. Spark `window()` is
+    // epoch-aligned, so the start equals date_trunc('hour', ts).
+    QueryDef(
+      "q25_tumbling_window",
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_events"), col("sum_value"))
+          .orderBy("window_start", "event_type"),
+      Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+              |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+              |FROM events
+              |GROUP BY date_trunc('hour', ts), event_type
+              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Sliding window: 1 hour wide, sliding every 30 minutes — each
+    // event lands in exactly two windows (starts at bucket and
+    // bucket-30min, epoch-aligned).
+    QueryDef(
+      "q26_sliding_window",
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("window_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy("window_start"),
+      Some(s"""WITH b AS (
+              |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS b0, value
+              |  FROM events
+              |), w AS (
+              |  SELECT unnest([b0, b0 - INTERVAL '30 minutes']) AS window_start,
+              |         value
+              |  FROM b
+              |)
+              |SELECT window_start, COUNT(*) AS n_events,
+              |  ${sqlDsum("value")} AS sum_value
+              |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin)),
+
+    // Session window per user with a 5-minute inactivity gap. Oracle is
+    // the classic gaps-and-islands rewrite: a new session starts when
+    // ts >= prev_ts + gap (Spark merges [ts, ts+gap) intervals that
+    // overlap).
+    QueryDef(
+      "q27_session_window",
+      (s, d) =>
+        events(s, d)
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("user_id"), col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start"),
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, ts, value, event_id,
+              |    CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              |                 + INTERVAL '5 minutes'
+              |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM events
+              |), sessions AS (
+              |  SELECT user_id, ts, value, event_id,
+              |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM flagged
+              |)
+              |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+              |  CAST(max(ts) + INTERVAL '5 minutes' AS TIMESTAMP) AS session_end,
+              |  user_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+              |FROM sessions GROUP BY user_id, session_id
+              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // As-of join: each purchase matched to the user's latest click at
+    // or before it. Spark has no built-in as-of join; the idiomatic
+    // rewrite is a union + last(_, ignoreNulls) running window — one
+    // shuffle on user_id, no range explosion, scales linearly.
+    QueryDef(
+      "q28_asof_join",
+      (s, d) => {
+        val e = events(s, d).filter(col("event_type").isin("click", "purchase"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("click_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY purchase_id""".stripMargin))
+  )
+}

@@ -3,5 +3,5 @@ package graft.queries
 /** All declared queries, one place. Modules register themselves here. */
 object Registry {
   def all: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ CheckQueries.all
 }
