@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Column-level text-pipeline primitives (tokenize, shingle, MinHash,
+  * SimHash, fingerprint) used by both the declared queries and the
+  * graft.llm dedup operators.
+  *
+  * Everything here is built from codegen'd Spark built-ins (split /
+  * transform / aggregate / md5 …) — no Scala UDFs — so the expressions
+  * stay inside whole-stage codegen and are reproducible in any SQL
+  * engine with md5 (which is how the DuckDB oracles check them).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (documents.text is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word 3-gram shingles (1-based slice; empty when < 3 words). */
+  def trigrams(ws: Column): Column =
+    when(size(ws) < 3, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - lit(2)),
+        i => array_join(slice(ws, i, lit(3)), " ")))
+
+  /** Normalized-text fingerprint: lowercase, collapse whitespace, md5.
+    * The "document fingerprinting" primitive for exact/near-exact
+    * dedup at scale — grouping on a 32-char key instead of the full
+    * document body.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** One MinHash signature component: the lexicographic minimum of
+    * md5("<seed>:" + shingle) over the document's shingles. md5 acts
+    * as the member of the hash family selected by `seed` — fully
+    * deterministic and engine-portable (strings compare bytewise).
+    * Computed as a plain `min` aggregate over exploded shingles: one
+    * shuffle of (doc, gram) pairs, partial min map-side.
+    */
+  def minhashAgg(gram: Column, seed: Int): Column =
+    min(md5(concat(lit(s"$seed:"), gram)))
+
+  /** SimHash bit weight for hex position `j` (1-based, 1..16) of
+    * md5(token): +1 if the hex digit's high bit is set (chars '8'..'f'
+    * sort after '8'), else -1. Summed over tokens, bit j of the
+    * fingerprint is 1 iff the sum is positive.
+    */
+  def simhashBitWeight(token: Column, j: Int): Column =
+    when(substring(md5(token), j, 1) >= "8", 1L).otherwise(-1L)
+
+  /** 16-bit SimHash fingerprint aggregate columns: apply over a
+    * groupBy(doc) of exploded distinct tokens, then combine with
+    * [[simhashCombine]].
+    */
+  def simhashBitAggs(token: Column): Seq[Column] =
+    (1 to 16).map(j => sum(simhashBitWeight(token, j)).as(s"b$j"))
+
+  /** Fold the 16 bit-sums into the integer fingerprint. */
+  def simhashCombine(bitSums: Seq[Column]): Column =
+    bitSums.zipWithIndex
+      .map { case (b, i) => when(b > 0, lit(1L << i)).otherwise(0L) }
+      .reduce(_ + _)
+}

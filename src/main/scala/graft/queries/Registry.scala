@@ -3,5 +3,6 @@ package graft.queries
 /** All declared queries, one place. Modules register themselves here. */
 object Registry {
   def all: Seq[QueryDef] =
-    RelationalQueries.all ++ EventQueries.all ++ CheckQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ CheckQueries.all ++
+      TextQueries.all ++ VectorQueries.all
 }

@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over `documents` (builder prompt +
+  * SURVEY.md §7.5): exact dedup, fingerprinting, n-gram Jaccard
+  * near-dup, MinHash+LSH banding, SimHash, language-ID heuristics,
+  * quality scoring, token counting.
+  *
+  * Scale stance (100 TB): every operator is a shuffle on (doc, gram) /
+  * (doc, token) pairs with map-side partial aggregation; candidate
+  * generation is banded (LSH) so no all-pairs product ever forms.
+  */
+object TextQueries {
+
+  /** Shared DuckDB CTE: distinct word-trigram shingles per document. */
+  private val gramsCte =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws) - 2),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      |  FROM words WHERE len(ws) >= 3
+      |)""".stripMargin
+
+  private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ws = words(col("text"))
+    documents(s, d)
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), explode(trigrams(ws)).as("gram"))
+      .distinct()
+  }
+
+  // DuckDB simhash bit-sum columns b1..b16 and the combiner, generated
+  // to mirror TextFunctions.simhashBitAggs/simhashCombine exactly.
+  private val sqlSimhashBits = (1 to 16)
+    .map(j => s"SUM(CASE WHEN substring(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END) AS b$j")
+    .mkString(",\n    ")
+  private val sqlSimhashCombine = (1 to 16)
+    .map(j => s"CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
+    .mkString(" + ")
+
+  val all: Seq[QueryDef] = Seq(
+    // Exact deduplication profile: hash-groupBy on md5(text).
+    QueryDef(
+      "q29_dedup_exact",
+      (s, d) =>
+        documents(s, d)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count_distinct(md5(col("text"))).as("n_unique"),
+            count_distinct(fingerprint(col("text"))).as("n_unique_norm"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT md5(text)) AS n_unique,
+             |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+             |    AS n_unique_norm
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Normalized document fingerprint (rolling-hash analog): the
+    // 32-char dedup key each document groups on at scale.
+    QueryDef(
+      "q30_fingerprint",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup detection: word-trigram Jaccard over candidate pairs
+    // that share ≥1 shingle (the shared-gram join IS the blocking
+    // step — no all-pairs). Finds the generator's planted near-dups
+    // (J ≈ 0.99).
+    QueryDef(
+      "q31_ngram_jaccard",
+      (s, d) => {
+        val grams = sparkGrams(s, d)
+        val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = grams.as("a")
+          .join(grams.as("b"),
+            col("a.gram") === col("b.gram") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(cnt.as("ca"), col("a_id") === col("ca.doc_id"))
+          .join(cnt.as("cb"), col("b_id") === col("cb.doc_id"))
+          .select(col("a_id"), col("b_id"),
+            (col("n_common").cast("double") /
+              (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$gramsCte,
+              |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+              |  FROM grams a JOIN grams b
+              |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id
+              |)
+              |SELECT a_id, b_id,
+              |  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+              |FROM pairs
+              |JOIN cnt ca ON ca.doc_id = a_id
+              |JOIN cnt cb ON cb.doc_id = b_id
+              |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // MinHash + LSH banding: 8 signature components (md5 as the seeded
+    // hash family), 4 bands × 2 rows; candidate pairs share a band.
+    // The bucket join replaces the quadratic all-pairs comparison.
+    QueryDef(
+      "q32_minhash_lsh",
+      (s, d) => {
+        val grams = sparkGrams(s, d)
+        val sigs = grams.groupBy("doc_id")
+          .agg(minhashAgg(col("gram"), 0).as("h0"),
+            minhashAgg(col("gram"), 1).as("h1"),
+            minhashAgg(col("gram"), 2).as("h2"),
+            minhashAgg(col("gram"), 3).as("h3"),
+            minhashAgg(col("gram"), 4).as("h4"),
+            minhashAgg(col("gram"), 5).as("h5"),
+            minhashAgg(col("gram"), 6).as("h6"),
+            minhashAgg(col("gram"), 7).as("h7"))
+        val bands = sigs.select(col("doc_id"), posexplode(array(
+            concat_ws("|", col("h0"), col("h1")),
+            concat_ws("|", col("h2"), col("h3")),
+            concat_ws("|", col("h4"), col("h5")),
+            concat_ws("|", col("h6"), col("h7")))))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bv")
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$gramsCte,
+              |sigs AS (
+              |  SELECT doc_id,
+              |    min(md5('0:' || gram)) AS h0, min(md5('1:' || gram)) AS h1,
+              |    min(md5('2:' || gram)) AS h2, min(md5('3:' || gram)) AS h3,
+              |    min(md5('4:' || gram)) AS h4, min(md5('5:' || gram)) AS h5,
+              |    min(md5('6:' || gram)) AS h6, min(md5('7:' || gram)) AS h7
+              |  FROM grams GROUP BY doc_id
+              |), bands AS (
+              |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sigs
+              |  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sigs
+              |  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sigs
+              |  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sigs
+              |)
+              |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // 16-bit SimHash fingerprint over distinct tokens.
+    QueryDef(
+      "q33_simhash",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .distinct()
+        val aggs = simhashBitAggs(col("tok"))
+        toks.groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            simhashCombine((1 to 16).map(j => col(s"b$j"))).as("simhash16"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents
+              |), bits AS (
+              |  SELECT doc_id,
+              |    $sqlSimhashBits
+              |  FROM toks GROUP BY doc_id
+              |)
+              |SELECT doc_id, CAST($sqlSimhashCombine AS BIGINT) AS simhash16
+              |FROM bits ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: English-stopword density over tokens.
+    QueryDef(
+      "q34_lang_id",
+      (s, d) => {
+        val ws = words(col("text"))
+        val nStop = size(filter(ws, w => w.isin("the", "a")))
+        val nTok = size(ws)
+        documents(s, d)
+          .select(col("doc_id"),
+            nStop.as("n_stopwords"),
+            nTok.as("n_tokens"),
+            (nStop.cast("double") / nTok).as("stop_ratio"),
+            when(nStop.cast("double") / nTok > 0.08, lit("en"))
+              .otherwise(lit("und")).as("lang_guess"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    w -> w IN ('the', 'a'))) AS INTEGER) AS n_stopwords,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+             |    AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+             |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+             |      w -> w IN ('the', 'a'))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) > 0.08
+             |    THEN 'en' ELSE 'und' END AS lang_guess
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length / punctuation / stopword-density signals.
+    QueryDef(
+      "q35_quality_score",
+      (s, d) => {
+        val nChars = length(col("text"))
+        val nTok = size(words(col("text")))
+        val nPunct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+        val nNonSpace = length(regexp_replace(col("text"), " ", ""))
+        documents(s, d)
+          .select(col("doc_id"),
+            nChars.as("n_chars_m"),
+            nTok.as("n_tokens"),
+            nPunct.as("n_punct"),
+            (nNonSpace.cast("double") / nTok).as("avg_word_len"),
+            ((nTok.cast("double") / 100.0) *
+              (lit(1.0) - nPunct.cast("double") / nChars)).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS INTEGER) AS n_chars_m,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+             |    AS INTEGER) AS n_punct,
+             |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS avg_word_len,
+             |  (CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) *
+             |    (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+             |      AS DOUBLE) / length(text)) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    // (letter runs / digit runs / single other-symbols).
+    QueryDef(
+      "q36_token_count",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+            regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+              .as("bpe_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+             |    AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |    AS INTEGER) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal plumbing: text → binary payload column (the opaque
+    // bytes convention for image/audio), typed metadata extraction.
+    // Real decode lives in graft.llm.Multimodal (stubbed per prompt).
+    QueryDef(
+      "q39_multimodal_bytes",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+            ascii(substring(col("text"), 1, 1)).as("first_byte"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
