@@ -1,0 +1,43 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** External-table registration — the Spark-native form of the
+  * reference's `CREATE OR REPLACE EXTERNAL TABLE data_stage.
+  * t_<entity>_external (<col> varchar(1000) AS (value:cN::varchar) …)
+  * LOCATION @stage FILE_FORMAT …` (dags/ingest_bundesliga_match_scores
+  * .py:174-206; stage/format names settings.txt:12-16).
+  *
+  * In Spark an external table IS a lazy schema-on-read scan: a
+  * DataFrame over the file location with an all-string schema,
+  * registered as a temp view. Nothing is copied or materialized until
+  * an action runs — the same zero-copy semantics as the Snowflake
+  * external stage, with predicate pushdown into the scan for free.
+  */
+object ExternalTable {
+
+  /** Register `t_<entity>` over CSV files at `location` with the
+    * header-inferred all-string schema. Returns the DataFrame.
+    */
+  def register(spark: SparkSession, entity: String, location: String,
+      delimiter: String = ","): DataFrame = {
+    val schema = SchemaInference.inferHeaderSchema(spark, location, delimiter)
+    val df = spark.read
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .schema(schema)
+      .csv(location)
+    df.createOrReplaceTempView(s"t_$entity")
+    df
+  }
+
+  /** Typed registration for parquet staging data (the engine's native
+    * columnar staging format, SURVEY.md §1.2).
+    */
+  def registerParquet(spark: SparkSession, entity: String,
+      location: String): DataFrame = {
+    val df = spark.read.parquet(location)
+    df.createOrReplaceTempView(s"t_$entity")
+    df
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming forms of the engine's event operators
+  * (SURVEY.md §2.10). The reference's only streaming-ish construct is
+  * the polling file sensor (dags/ingest_bundesliga_match_scores.py:
+  * 54-67); its event-driven replacement is a file stream — new files
+  * under a landing path become micro-batches, `Trigger.AvailableNow`
+  * gives catch-up-then-stop semantics (the batch-parity mode used in
+  * tests), a continuous trigger gives the always-on pipeline.
+  *
+  * The windowed transforms are the SAME declarations as the batch
+  * queries q25/q27 plus a watermark — one definition, two execution
+  * modes, which is the point of declaring plans rather than schedules.
+  */
+object EventStream {
+
+  /** File-arrival source over a directory (sensor replacement). */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.format(format).schema(schema).load(path)
+
+  /** Watermarked tumbling-window counts (streaming form of q25).
+    * State for a window is dropped once the watermark passes its end —
+    * bounded state no matter how long the stream runs.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+      width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked session windows per user (streaming form of q27). */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
+      gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Run a streaming DataFrame to an in-memory table with
+    * AvailableNow (process everything present, then stop) and return
+    * the materialized result. Complete mode because the sinks above
+    * are aggregations.
+    */
+  def runAvailableNow(spark: SparkSession, streamed: DataFrame,
+      queryName: String, timeoutMs: Long = 120000L): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(timeoutMs)
+    spark.table(queryName)
+  }
+}

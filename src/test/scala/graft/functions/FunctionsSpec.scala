@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class FunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
+  import TextFunctions._
+  import VectorFunctions._
+
+  test("trigrams: sliding word 3-grams; empty below 3 words") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a b c d", "x y", "p q r").toDF("text")
+      .select(trigrams(words(col("text"))).as("g"))
+    df.collect().map(_.getSeq[String](0).toList).toList shouldBe List(
+      List("a b c", "b c d"), Nil, List("p q r"))
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
+      .select(fingerprint(col("x")).as("fx"), fingerprint(col("y")).as("fy"))
+    val r = df.head()
+    r.getString(0) shouldBe r.getString(1)
+  }
+
+  test("minhash: identical gram sets → identical signatures; " +
+      "disjoint sets → (a.s.) different") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "the quick brown fox jumps over the lazy dog end"),
+      (3L, "completely different words in this other document here now yes"))
+      .toDF("doc_id", "text")
+    val grams = df.select(col("doc_id"),
+      explode(trigrams(words(col("text")))).as("gram"))
+    val sigs = grams.groupBy("doc_id")
+      .agg(minhashAgg(col("gram"), 0).as("h0"), minhashAgg(col("gram"), 1).as("h1"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    sigs(1L) shouldBe sigs(2L)
+    sigs(1L) should not be sigs(3L)
+  }
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0, precision exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 3.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    got(0) shouldBe 1.0 +- 1e-12
+    got(1) shouldBe 0.0
+  }
+
+  test("signBit gives deterministic LSH buckets") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f)),  // dot=1 → '1'
+      (Array(-1.0f, 0.5f), Array(1.0f, 0.0f))) // dot=-1 → '0'
+      .toDF("v", "p")
+      .select(signBit(col("v"), col("p")).as("b"))
+    df.collect().map(_.getString(0)).toList shouldBe List("1", "0")
+  }
+}
