@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.functions.TextFunctions._
+import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection API over a (docId, text) corpus —
+  * MinHash signatures + LSH banding, with exact-Jaccard verification
+  * of candidates (SURVEY.md §7.5; builder-prompt dedup inventory).
+  *
+  * Scale design: signatures are one groupBy over exploded shingles
+  * (map-side partial min); the band join touches only colliding
+  * buckets, never the n² pair space; verification re-joins grams for
+  * candidate pairs only. At 100 TB the only full-data shuffle is the
+  * (doc, gram) explode — linear in corpus size.
+  *
+  * Two implementations:
+  *  - [[candidatePairs]]/[[nearDuplicates]]: engine-native, md5 as the
+  *    seeded hash family (portable, what q31/q32 declare);
+  *  - [[candidatePairsML]]: spark.ml MinHashLSH over a CountVectorizer
+  *    shingle space — the built-in alternative (SURVEY.md §7.5).
+  */
+object MinHashDedup {
+
+  /** Distinct (doc_id, gram) shingles. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    docs.filter(size(ws) >= 3)
+      .select(col(idCol).as("doc_id"), explode(trigrams(ws)).as("gram"))
+      .distinct()
+  }
+
+  /** MinHash signatures: `numHashes` components per document. */
+  def signatures(grams: DataFrame, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      minhashAgg(col("gram"), i).as(s"h$i"))
+    grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: candidate pairs sharing ≥1 of `bands` bands. */
+  def candidatePairs(docs: DataFrame, numHashes: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = signatures(shingles(docs), numHashes)
+    val bandCols = (0 until bands).map(b =>
+      concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Candidates verified by exact trigram Jaccard ≥ threshold. */
+  def nearDuplicates(docs: DataFrame, threshold: Double = 0.7,
+      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val grams = shingles(docs)
+    val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cands = candidatePairs(docs, numHashes, bands)
+    val common = cands
+      .join(grams.as("ga"), col("a_id") === col("ga.doc_id"))
+      .join(grams.as("gb"),
+        col("b_id") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(cnt.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("b_id") === col("cb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("n_common").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** spark.ml variant: CountVectorizer over shingles → MinHashLSH
+    * approxSimilarityJoin at the given Jaccard-distance threshold.
+    * Fixed seed → deterministic.
+    */
+  def candidatePairsML(docs: DataFrame, maxJaccardDistance: Double = 0.5,
+      numHashTables: Int = 8): DataFrame = {
+    val ws = words(col("text"))
+    val grammed = docs.filter(size(ws) >= 3)
+      .select(col("doc_id"), array_distinct(trigrams(ws)).as("grams"))
+    val cv = new CountVectorizer().setInputCol("grams")
+      .setOutputCol("features").setBinary(true)
+    val model = cv.fit(grammed)
+    val feats = model.transform(grammed)
+    val lsh = new MinHashLSH().setInputCol("features")
+      .setOutputCol("hashes").setNumHashTables(numHashTables).setSeed(42L)
+    val lshModel = lsh.fit(feats)
+    lshModel.approxSimilarityJoin(feats, feats, maxJaccardDistance, "dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("a_id"),
+        col("datasetB.doc_id").as("b_id"), col("dist"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column convention + decode plumbing (builder prompt:
+  * image/audio/video as opaque binary with typed metadata; decode /
+  * feature-extract stubbed because no media libraries ship in this
+  * environment — the Spark-side schema, partitioning, and batch shape
+  * are real).
+  *
+  * Layout: one row per asset —
+  *   (asset_id long, modality string, payload binary,
+  *    meta struct<source:string, n_bytes:int>)
+  * Payloads stay opaque bytes end-to-end; only [[decodeFeatures]]
+  * interprets them, per-partition, in fixed-size batches — exactly
+  * where a JNI/FFI decoder (libjpeg, ffmpeg) would sit in production.
+  */
+object Multimodal {
+
+  final case class Asset(asset_id: Long, modality: String,
+      payload: Array[Byte], source: String)
+
+  final case class AssetFeatures(asset_id: Long, modality: String,
+      n_bytes: Int, feature: Array[Float])
+
+  /** Wrap a (id, text, source) table as binary assets — the testdata
+    * stand-in for reading real media files as `binaryFile` sources.
+    */
+  def fromDocuments(docs: DataFrame, modality: String = "image"): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit(modality).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(col("source"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes")).as("meta"))
+
+  /** STUB DECODER — stands in for a real image/audio decode.
+    *
+    * Real implementation would decode `payload` (JPEG/WAV/...) and
+    * emit a feature vector; this deterministic fake emits an 8-bin
+    * byte histogram, normalized — same signature, same batch shape,
+    * same per-partition execution, zero media dependencies. Swap the
+    * body for the real decoder; nothing else changes.
+    */
+  private def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](8)
+    payload.foreach(b => hist((b & 0xff) >> 5) += 1f)
+    val n = math.max(payload.length, 1)
+    hist.map(_ / n)
+  }
+
+  /** Per-partition batched decode: rows stream through in partition
+    * order, the decoder touches each payload once, output is a typed
+    * Dataset. mapPartitions (not a per-row UDF) so a real decoder can
+    * amortize init (codec contexts, model weights) across the
+    * partition — the Scala analog of mapInPandas batches.
+    */
+  def decodeFeatures(spark: SparkSession, assets: DataFrame)
+      : Dataset[AssetFeatures] = {
+    import spark.implicits._
+    assets
+      .select(col("asset_id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, modality, payload) =>
+        AssetFeatures(id, modality, payload.length, stubDecode(payload))
+      })
+  }
+
+  /** Typed-metadata extraction stays in pure column land (no decode):
+    * pruning + predicate pushdown keep this metadata-only at scan.
+    */
+  def metadataProfile(assets: DataFrame): DataFrame =
+    assets.groupBy("modality")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        max(col("meta.n_bytes")).as("max_bytes"))
+}

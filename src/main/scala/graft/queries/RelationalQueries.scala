@@ -187,18 +187,21 @@ object RelationalQueries {
              |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
-    // Left anti join (NOT EXISTS).
+    // Left anti join (NOT EXISTS): customers with no pending ('P')
+    // order — non-empty at every scale factor, unlike "no orders at
+    // all" (every customer has orders in this data).
     QueryDef(
       "q10_join_anti",
       (s, d) => {
         val c = customer(s, d)
-        val o = orders(s, d)
+        val o = orders(s, d).filter(col("o_orderstatus") === "P")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name", "c_mktsegment")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              |ORDER BY c_custkey""".stripMargin)),
 
     // Top-k: Spark plans TakeOrderedAndProject — per-partition heaps,

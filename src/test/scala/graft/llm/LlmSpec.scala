@@ -1,0 +1,92 @@
+package graft.llm
+
+import graft.{SparkFixture, Tables}
+import graft.functions.CosineSimilarityExpr
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val plantedDocs = {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq(
+      (1L, base),
+      (2L, base + " phi"),                     // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "red green blue cyan magenta yellow black white gray pink teal navy"))
+      .toDF("doc_id", "text")
+  }
+
+  test("MinHashDedup finds planted near-dups, skips unrelated docs") {
+    val pairs = MinHashDedup.nearDuplicates(plantedDocs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Array((1L, 2L))
+  }
+
+  test("spark.ml MinHashLSH variant agrees on the planted pair") {
+    val pairs = MinHashDedup.candidatePairsML(plantedDocs,
+        maxJaccardDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+    pairs should not contain ((3L, 4L))
+  }
+
+  test("cosine_fast expression ≈ exact decimal cosine on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    CosineSimilarityExpr.register(spark)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val both = emb.crossJoin(broadcast(qv))
+      .select(
+        CosineSimilarityExpr.cosineFast(col("embedding"), col("q")).as("fast"),
+        VectorFunctions.cosine(col("embedding"), col("q")).as("exact"))
+      .collect()
+    both.foreach(r => r.getDouble(0) shouldBe r.getDouble(1) +- 1e-9)
+  }
+
+  test("cosine_fast works from SQL and rejects wrong types") {
+    CosineSimilarityExpr.register(spark)
+    Tables.embeddings(spark, sfDir).limit(5)
+      .createOrReplaceTempView("emb_test")
+    val r = spark.sql(
+      "SELECT cosine_fast(embedding, embedding) c FROM emb_test").collect()
+    r.foreach(_.getDouble(0) shouldBe 1.0 +- 1e-12)
+    an[Exception] should be thrownBy
+      spark.sql("SELECT cosine_fast('a', 'b')").collect()
+  }
+
+  test("EmbeddingSearch: LSH top-k is a subset ranking consistent with " +
+      "brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = EmbeddingSearch.bruteForceTopK(spark, emb, 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = EmbeddingSearch.lshTopK(spark, emb, 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    lsh should not be empty
+    // every LSH hit that brute force also ranked must carry the same score
+    lsh.foreach { case (id, sim) =>
+      brute.get(id).foreach(_ shouldBe sim +- 1e-12)
+    }
+  }
+
+  test("Multimodal: binary payloads, batched stub decode, metadata profile") {
+    val assets = Multimodal.fromDocuments(Tables.documents(spark, sfDir))
+    val feats = Multimodal.decodeFeatures(spark, assets)
+    val sample = feats.limit(5).collect()
+    sample.foreach { f =>
+      f.feature should have length 8
+      f.feature.sum shouldBe 1.0f +- 1e-4f // normalized histogram
+      f.n_bytes should be > 0
+    }
+    val profile = Multimodal.metadataProfile(assets).collect()
+    profile should have length 1
+    profile.head.getAs[String]("modality") shouldBe "image"
+    profile.head.getAs[Long]("n_assets") shouldBe 500L
+  }
+}
