@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage completions for SURVEY.md §2: the SQL entry point (S7 —
+  * the engine executes textual SQL like the reference ships SQL to
+  * Snowflake), full outer join, lag/lead windows, and approximate
+  * distinct (HLL — declared without an oracle since sketch internals
+  * are engine-specific).
+  */
+object ExtraQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // S7: arbitrary SQL executor — the whole query goes through
+    // spark.sql over registered views (the engine's own SQL surface).
+    QueryDef(
+      "q40_sql_entry",
+      (s, d) => {
+        Seq("customer", "nation").foreach(t =>
+          table(s, d, t).createOrReplaceTempView(t))
+        s.sql("""SELECT n_name, COUNT(*) AS n_customers
+                |FROM customer JOIN nation ON c_nationkey = n_nationkey
+                |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Full outer join with null-preserving coalesce on both sides.
+    QueryDef(
+      "q41_join_full",
+      (s, d) => {
+        val o = orders(s, d)
+        val f = o.filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey").as("fk"))
+          .agg(count(lit(1)).as("n_f"))
+        val p = o.filter(col("o_orderstatus") === "P")
+          .groupBy(col("o_custkey").as("pk"))
+          .agg(count(lit(1)).as("n_p"))
+        f.join(p, col("fk") === col("pk"), "full_outer")
+          .select(
+            coalesce(col("fk"), col("pk")).as("custkey"),
+            coalesce(col("n_f"), lit(0L)).as("n_f"),
+            coalesce(col("n_p"), lit(0L)).as("n_p"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT COALESCE(f.fk, p.pk) AS custkey,
+             |  COALESCE(f.n_f, 0) AS n_f, COALESCE(p.n_p, 0) AS n_p
+             |FROM (SELECT o_custkey AS fk, COUNT(*) AS n_f FROM orders
+             |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+             |FULL JOIN (SELECT o_custkey AS pk, COUNT(*) AS n_p FROM orders
+             |      WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+             |  ON f.fk = p.pk
+             |ORDER BY custkey""".stripMargin)),
+
+    // lag/lead window navigation + day gaps between a customer's orders.
+    QueryDef(
+      "q43_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            datediff(to_date(col("o_orderdate")),
+              to_date(lag(col("o_orderdate"), 1).over(w)))
+              .as("days_since_prev"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price,
+             |  CAST(date_diff('day',
+             |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+             |    CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate ASC, o_orderkey ASC)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // A2 approximate: HyperLogLog distinct estimate. Sketch values are
+    // engine-specific, so no SQL oracle — the driver records the
+    // weaker rows-only check by design.
+    QueryDef(
+      "q42_approx_distinct",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            count_distinct(col("l_partkey")).as("exact_parts"))
+          .orderBy("l_returnflag"),
+      None)
+  )
+}
