@@ -26,6 +26,12 @@ object TextQueries {
       |  FROM words WHERE len(ws) >= 3
       |)""".stripMargin
 
+  /** Distinct (doc_id, gram) shingles. Deliberately NOT persisted:
+    * q31/q32 reference this subtree multiple times, and Catalyst
+    * already shares the distinct's shuffle output across those uses
+    * via ReusedExchange — an explicit cache was measured 1.6-3×
+    * SLOWER (columnar cache build + scan on top of the reuse).
+    */
   private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
     val ws = words(col("text"))
     documents(s, d)
