@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class OperatorsSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  test("AsOfJoin matches the declared q28 window rewrite on real events") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+
+    val got = AsOfJoin.asOfInner(purchases, clicks, "user_id", "ts", "ts",
+      Map("event_id" -> "click_id"))
+      .select("purchase_id", "user_id", "click_id")
+
+    // independent oracle: per-purchase max click ts <= purchase ts
+    val expected = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("p.ts") >= col("c.ts"))
+      .groupBy(col("purchase_id"), col("p.user_id").as("user_id"))
+      .agg(max(struct(col("c.ts"), col("c.event_id"))).as("m"))
+      .select(col("purchase_id"), col("user_id"),
+        col("m.event_id").as("click_id"))
+
+    got.count() should be > 0L
+    got.except(expected).count() shouldBe 0
+    expected.except(got).count() shouldBe 0
+  }
+
+  test("AsOfJoin left variant keeps unmatched rows with null") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L), (1L, 1L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "x")).toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "t", Map("v" -> "v"))
+      .orderBy("t").collect()
+    out.map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .toList shouldBe List((1L, null), (10L, "x"))
+  }
+
+  test("SkewJoin equals a plain join (same rows, spread over salts)") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val part = Tables.part(spark, "/root/testdata/sf0.001")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = li.join(part, Seq("l_partkey")).count()
+    val salted = SkewJoin.saltedJoin(li, part, "l_partkey", 8).count()
+    salted shouldBe plain
+  }
+
+  test("Bucketing: bucketed join plans without Exchange on either side") {
+    val s = spark
+    val o = Tables.orders(s, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice")
+    val li = Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(li, "b_lineitem", "o_orderkey", 4)
+    val joined = Bucketing.bucketedJoin(s, "b_orders", "b_lineitem",
+      "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "Exchange hashpartitioning"
+    joined.count() shouldBe li.count()
+  }
+}
