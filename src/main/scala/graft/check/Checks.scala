@@ -114,4 +114,15 @@ object CheckRunner {
   }
 
   def success(results: Seq[CheckResult]): Boolean = results.forall(_.passed)
+
+  /** Validation-result sink (reference: checkpoint actions persist
+    * results + data docs to the store,
+    * great_expectations/checkpoints/bundesliga_match_scores_checkpoint
+    * .yml:9-20): one JSON report per run.
+    */
+  def writeReport(spark: org.apache.spark.sql.SparkSession,
+      results: Seq[CheckResult], path: String): Unit = {
+    import spark.implicits._
+    results.toDF().coalesce(1).write.mode("overwrite").json(path)
+  }
 }

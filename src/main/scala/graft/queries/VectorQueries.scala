@@ -114,6 +114,63 @@ object VectorQueries {
               |JOIN norms ON norms.vec_id = b.vec_id
               |CROSS JOIN qn
               |WHERE b.vec_id <> 0
-              |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin))
+              |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin)),
+
+    // Embedding-cosine near-dup: candidate pairs share an LSH bucket
+    // (sign projections onto planes 1..4), then exact cosine ≥ 0.35.
+    // The bucket join is the blocking step — the n² pair space never
+    // forms; recall/threshold trade like any SRP-LSH deployment.
+    QueryDef(
+      "q44_embed_neardup",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val planes = emb.filter(col("vec_id").between(1, 4))
+          .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
+        val buckets = emb.crossJoin(broadcast(planes))
+          .select(col("vec_id"), col("plane_id"),
+            signBit(col("embedding"), col("plane")).as("bit"))
+          .groupBy("vec_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("plane_id"), col("bit")))),
+              x => x.getField("bit")), "").as("bucket"))
+        val withVec = buckets.join(emb, "vec_id")
+        withVec.as("a")
+          .join(withVec.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.35)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$vecCtes, pexp AS (
+              |  SELECT vec_id AS plane_id, x AS p, i FROM dexp
+              |  WHERE vec_id BETWEEN 1 AND 4
+              |), proj AS (
+              |  SELECT d.vec_id, p.plane_id,
+              |    CASE WHEN SUM(CAST(d.x * p.p AS DECIMAL(38,12))) >= 0
+              |      THEN '1' ELSE '0' END AS bit
+              |  FROM dexp d JOIN pexp p USING (i) GROUP BY d.vec_id, p.plane_id
+              |), buckets AS (
+              |  SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+              |  FROM proj GROUP BY vec_id
+              |), pairs AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM buckets a JOIN buckets b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |), pairdots AS (
+              |  SELECT p.a_id, p.b_id,
+              |    CAST(SUM(CAST(da.x * db.x AS DECIMAL(38,12))) AS DOUBLE) AS dp
+              |  FROM pairs p
+              |  JOIN dexp da ON da.vec_id = p.a_id
+              |  JOIN dexp db ON db.vec_id = p.b_id AND da.i = db.i
+              |  GROUP BY p.a_id, p.b_id
+              |)
+              |SELECT pd.a_id, pd.b_id, pd.dp / (na.nrm * nb.nrm) AS cos_sim
+              |FROM pairdots pd
+              |JOIN norms na ON na.vec_id = pd.a_id
+              |JOIN norms nb ON nb.vec_id = pd.b_id
+              |WHERE pd.dp / (na.nrm * nb.nrm) >= 0.35
+              |ORDER BY a_id, b_id""".stripMargin))
   )
 }

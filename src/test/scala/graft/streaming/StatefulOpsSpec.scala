@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class StatefulOpsSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("mapGroupsWithState running stats converge to the batch totals") {
+    val batch = Tables.events(spark, sfDir).select("ts", "user_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    batch.write.mode("overwrite").parquet(dir)
+
+    val streamed = StatefulOps.runningUserStats(spark,
+      EventStream.fileStream(spark, dir, batch.schema))
+    val q = streamed.writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // last update per user must equal the batch aggregate
+    val finalStats = spark.table("user_stats")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val expected = batch.groupBy("user_id").count()
+    finalStats.join(expected, "user_id")
+      .filter(col("n_events") =!= col("count"))
+      .count() shouldBe 0
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-sent events") {
+    val batch = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    // write the data twice — simulated at-least-once duplicate delivery
+    batch.write.mode("overwrite").parquet(dir)
+    batch.write.mode("append").parquet(dir)
+    spark.read.parquet(dir).count() shouldBe batch.count() * 2
+
+    val streamed = StatefulOps.dedupByKey(
+      EventStream.fileStream(spark, dir, batch.schema), "1 hour")
+    val q = streamed.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table("dedup_out").count() shouldBe batch.count()
+  }
+
+  test("check report sink writes a readable JSON report") {
+    import graft.check._
+    val df = Tables.orders(spark, sfDir)
+    val results = CheckRunner.run(df,
+      Seq(NotNull("o_orderdate"), InSet("o_orderstatus", Seq("F", "O"))))
+    val path = java.nio.file.Files.createTempDirectory("graft-report")
+      .toString + "/report"
+    CheckRunner.writeReport(spark, results, path)
+    val back = spark.read.json(path)
+    back.count() shouldBe 2
+    back.filter(col("check") === "inset_o_orderstatus")
+      .head().getAs[Long]("violations") should be > 0L // 'P' rows
+  }
+}
