@@ -34,6 +34,12 @@ object StatefulOps {
 
   /** Streaming dedup on a key column within a watermark window —
     * the built-in stateful form (state pruned by the watermark).
+    *
+    * Late-data caveat (observed in verification): rows older than
+    * `watermark` behind the stream's max event time are DROPPED, so a
+    * key-based backfill whose event times lag the live stream loses
+    * rows silently — widen the watermark (or run backfills as batch
+    * dropDuplicates) when arrival order diverges from event order.
     */
   def dedupByKey(events: DataFrame, watermark: String = "10 minutes",
       keyCols: Seq[String] = Seq("event_id")): DataFrame =
