@@ -1,0 +1,84 @@
+package graft.llm
+
+import graft.functions.CosineSimilarityExpr
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Embedding centroids via a typed `Aggregator` (the custom-aggregate
+  * surface from SURVEY.md §2.11) and IVF-style cell assignment.
+  *
+  * The aggregator keeps a (sum-vector, count) buffer per group —
+  * mergeable, so Spark computes partial centroids map-side and merges
+  * them: one shuffle of K×dim doubles regardless of corpus size.
+  * Centroid assignment broadcasts the K centroids and scores with the
+  * codegen'd `cosine_fast` expression per row — the coarse quantizer
+  * an IVF index builds its inverted lists from at 100 TB.
+  */
+object Centroids {
+
+  /** (sum, n) buffer; input is the (group key, vector) row. */
+  final class VectorMeanAggregator(dim: Int)
+      extends Aggregator[(Int, Array[Float]), (Array[Double], Long), Array[Float]] {
+
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+
+    override def reduce(b: (Array[Double], Long),
+        row: (Int, Array[Float])): (Array[Double], Long) = {
+      val (s, n) = b
+      val v = row._2
+      var i = 0
+      while (i < dim && i < v.length) { s(i) += v(i); i += 1 }
+      (s, n + 1)
+    }
+
+    override def merge(a: (Array[Double], Long),
+        b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+
+    override def finish(r: (Array[Double], Long)): Array[Float] =
+      if (r._2 == 0) new Array[Float](dim)
+      else r._1.map(x => (x / r._2).toFloat)
+
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      ExpressionEncoder[(Array[Double], Long)]()
+
+    override def outputEncoder: Encoder[Array[Float]] =
+      ExpressionEncoder[Array[Float]]()
+  }
+
+  /** Per-label centroids: typed groupByKey + the aggregator column
+    * (partial aggregation map-side). Output: (cand_label, centroid).
+    */
+  def byLabel(spark: SparkSession, emb: DataFrame, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    emb.select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .agg(new VectorMeanAggregator(dim).toColumn.name("centroid"))
+      .toDF("cand_label", "centroid")
+  }
+
+  /** Assign every vector to its max-cosine centroid: broadcast the
+    * K centroids, score per row, argmax via max(struct) — no extra
+    * shuffle of the raw vectors beyond the scan.
+    */
+  def assign(spark: SparkSession, emb: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    CosineSimilarityExpr.register(spark)
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("cand_label"),
+        CosineSimilarityExpr.cosineFast(col("embedding"), col("centroid"))
+          .as("sim"))
+      .groupBy("vec_id", "true_label")
+      .agg(max(struct(col("sim"), col("cand_label"))).as("best"))
+      .select(col("vec_id"), col("true_label"),
+        col("best.cand_label").as("assigned_label"),
+        col("best.sim").as("sim"))
+  }
+}

@@ -86,20 +86,22 @@ object TextQueries {
     QueryDef(
       "q31_ngram_jaccard",
       (s, d) => {
-        val grams = sparkGrams(s, d)
-        val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = grams.as("a")
+        // per-doc gram count rides along as a window column, so the
+        // pair aggregation needs NO join back to a counts table — two
+        // fewer shuffles/scans of the corpus-derived counts at scale
+        // (first() is safe: n is constant within each (a_id,b_id) group)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        val grams = sparkGrams(s, d).withColumn("n", count(lit(1)).over(w))
+        grams.as("a")
           .join(grams.as("b"),
             col("a.gram") === col("b.gram") &&
               col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("n_common"))
-        pairs
-          .join(cnt.as("ca"), col("a_id") === col("ca.doc_id"))
-          .join(cnt.as("cb"), col("b_id") === col("cb.doc_id"))
+          .agg(count(lit(1)).as("n_common"),
+            first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
           .select(col("a_id"), col("b_id"),
             (col("n_common").cast("double") /
-              (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
+              (col("na") + col("nb") - col("n_common"))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("a_id", "b_id")
       },
