@@ -40,4 +40,23 @@ object ExternalTable {
     df.createOrReplaceTempView(s"t_$entity")
     df
   }
+
+  /** JSON-lines landing files (schema inferred from the data unless
+    * provided — the reference has no JSON sources, but the engine's
+    * staging surface covers the common landing formats).
+    */
+  def registerJson(spark: SparkSession, entity: String,
+      location: String): DataFrame = {
+    val df = spark.read.json(location)
+    df.createOrReplaceTempView(s"t_$entity")
+    df
+  }
+
+  /** ORC staging (the other columnar format Spark reads natively). */
+  def registerOrc(spark: SparkSession, entity: String,
+      location: String): DataFrame = {
+    val df = spark.read.orc(location)
+    df.createOrReplaceTempView(s"t_$entity")
+    df
+  }
 }

@@ -4,5 +4,6 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ EventQueries.all ++ CheckQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ ExtraQueries.all
+      TextQueries.all ++ VectorQueries.all ++ ExtraQueries.all ++
+      ReshapeQueries.all
 }

@@ -53,6 +53,17 @@ class IngestSpec extends AnyFunSuite with SparkFixture with Matchers {
     all(df.schema.fields.map(_.dataType)) shouldBe StringType
   }
 
+  test("external table: JSON and ORC staging formats round-trip") {
+    val d = Files.createTempDirectory("graft-fmt").toString
+    val src = spark.range(5).selectExpr("id", "concat('v', id) AS v")
+    src.write.mode("overwrite").json(s"$d/j")
+    src.write.mode("overwrite").orc(s"$d/o")
+    ExternalTable.registerJson(spark, "fmt_json", s"$d/j").count() shouldBe 5
+    ExternalTable.registerOrc(spark, "fmt_orc", s"$d/o").count() shouldBe 5
+    spark.sql("SELECT v FROM t_fmt_orc WHERE id = 3").head()
+      .getString(0) shouldBe "v3"
+  }
+
   test("file sensor: finds files that arrive before timeout; soft-fails " +
       "to empty otherwise (dags/…scores.py:54-67)") {
     val found = FileSensor.await(spark, s"$csvDir/*.csv",
