@@ -89,6 +89,28 @@ object ReshapeQueries {
              |FROM documents WHERE doc_id < 20
              |ORDER BY doc_id, word_pos""".stripMargin)),
 
+    // Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal
+    // combinations, through the SQL surface on both engines.
+    QueryDef(
+      "q50_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+                |  COUNT(*) AS n_rows
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                |  (l_linestatus), ())
+                |ORDER BY returnflag, linestatus""".stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_linestatus), ())
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
     // Scalar subquery: each order's price relative to the global mean.
     QueryDef(
       "q49_scalar_subquery",
