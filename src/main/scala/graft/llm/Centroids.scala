@@ -63,6 +63,39 @@ object Centroids {
       .toDF("cand_label", "centroid")
   }
 
+  /** Lloyd's iterations refining initial centroids (IVF training):
+    * assign → typed-aggregator mean per cell → repeat. Each iteration
+    * is one scan + one K×dim-sized shuffle; the loop is driver-side
+    * but every step is distributed — the standard coarse-quantizer
+    * training shape at 100 TB (sampled corpus, bounded iterations).
+    */
+  def kmeans(spark: SparkSession, emb: DataFrame, initial: DataFrame,
+      iterations: Int, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    var cents = initial
+    var i = 0
+    while (i < iterations) {
+      val assigned = assign(spark, emb, cents)
+        .select(col("vec_id"), col("assigned_label"))
+      cents = emb.join(assigned, "vec_id")
+        .select(col("assigned_label").as("label"), col("embedding"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .agg(new VectorMeanAggregator(dim).toColumn.name("centroid"))
+        .toDF("cand_label", "centroid")
+        .localCheckpoint() // truncate the growing lineage per iteration
+      i += 1
+    }
+    cents
+  }
+
+  /** Mean max-cosine of vectors to their assigned centroid — the
+    * objective k-means improves; exposed for convergence checks.
+    */
+  def objective(spark: SparkSession, emb: DataFrame,
+      cents: DataFrame): Double =
+    assign(spark, emb, cents).agg(avg("sim")).head().getDouble(0)
+
   /** Assign every vector to its max-cosine centroid: broadcast the
     * K centroids, score per row, argmax via max(struct) — no extra
     * shuffle of the raw vectors beyond the scan.

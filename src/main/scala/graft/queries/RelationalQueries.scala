@@ -374,6 +374,69 @@ object RelationalQueries {
              |  NULLIF(o_orderstatus, 'P') IS NULL AS is_pending
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    // revenue per order, top-10. Both fact joins shuffle on their
+    // keys; the segment filter prunes customer before the join.
+    QueryDef(
+      "q51_shipping_priority",
+      (s, d) => {
+        val cut = lit("1997-06-01").cast("timestamp")
+        val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, d).filter(col("o_orderdate") < cut)
+        val l = lineitem(s, d).filter(col("l_shipdate") > cut)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1997-06-01'
+              |  AND l_shipdate > TIMESTAMP '1997-06-01'
+              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item revenue ranking per customer over
+    // a quarter, with nation dimension broadcast.
+    QueryDef(
+      "q52_returned_items",
+      (s, d) => {
+        val lo = lit("1997-01-01").cast("timestamp")
+        val hi = lit("1997-04-01").cast("timestamp")
+        val c = customer(s, d)
+        val o = orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+        val n = nation(s, d)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+              |  AND o_orderdate < TIMESTAMP '1997-04-01'
+              |GROUP BY c_custkey, c_name, n_name
+              |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
+
     // Theta join (equi key + inequality residual): Catalyst plans a
     // sort-merge/hash join on the equi key with the inequality as a
     // post-join residual — never a nested loop over the full inputs.

@@ -20,6 +20,15 @@ class CentroidsSpec extends AnyFunSuite with SparkFixture with Matchers {
     cents(1) shouldBe Array(10.0f, 0.0f)
   }
 
+  test("k-means iterations do not degrade the clustering objective") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val init = Centroids.byLabel(spark, emb)
+    val before = Centroids.objective(spark, emb, init)
+    val refined = Centroids.kmeans(spark, emb, init, iterations = 2)
+    val after = Centroids.objective(spark, emb, refined)
+    after should be >= before - 1e-9
+  }
+
   test("IVF assignment runs on real embeddings and is self-consistent") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Centroids.byLabel(spark, emb)
