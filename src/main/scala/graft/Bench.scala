@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * seconds. AQE is on (runtime shuffle coalescing / skew splitting);
   * a tiny untimed warm-up action absorbs JVM/session start-up so
   * per-query numbers reflect the plans, not classloading.
+  *
+  * Each query is materialized through the `noop` datasource write —
+  * every output row and column is produced and consumed, so
+  * projection- and sort-heavy queries are actually timed (a bare
+  * `count()` would let Catalyst prune the very expressions the bench
+  * should guard). Failures are caught NonFatal-only and reported in
+  * an explicit "errors" list with value -1 — a crashing query is
+  * never mistaken for a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,13 +35,20 @@ object Bench {
 
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

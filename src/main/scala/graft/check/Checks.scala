@@ -76,7 +76,21 @@ object CheckRunner {
   /** Evaluate a suite against a DataFrame in a single aggregation pass
     * (plus zero-cost metadata checks). Returns one result per check.
     */
+  /** Duplicate ids (e.g. two InSet checks on the same column) would
+    * silently collapse into one result row and emit duplicate agg
+    * column names — reject the suite up front instead.
+    */
+  private def requireDistinctIds(checks: Seq[Check]): Unit = {
+    val dups = checks.map(_.id).groupBy(identity).collect {
+      case (id, occ) if occ.size > 1 => id
+    }
+    require(dups.isEmpty,
+      s"duplicate check ids in suite: ${dups.mkString(", ")} — " +
+        "give conflicting checks distinct columns/parameters")
+  }
+
   def run(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+    requireDistinctIds(checks)
     val metaResults = checks.collect { case c @ ColumnsMatchOrdered(exp) =>
       CheckResult(c.id, if (df.schema.fieldNames.sameElements(exp)) 0L else 1L)
     }
@@ -103,6 +117,7 @@ object CheckRunner {
     * analog of data_validator.py:29-39) — used by declared queries.
     */
   def reportDf(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    requireDistinctIds(checks)
     val aggCols = checks.collect {
       case rc: RowCheck => rc.agg
       case u: Unique =>

@@ -62,13 +62,15 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
-         |  $dot += x * y; $nx += x * x; $ny += y * y;
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
@@ -84,7 +86,11 @@ object CosineSimilarityExpr {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_fast",
-      exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
+      exprs => {
+        require(exprs.length == 2,
+          s"cosine_fast expects 2 arguments, got ${exprs.length}")
+        CosineSimilarityExpr(exprs(0), exprs(1))
+      },
       "scala_udf")
 
   /** Column API (requires [[register]] on the session first). */

@@ -31,6 +31,27 @@ object ExternalTable {
     df
   }
 
+  /** SQL-DDL spelling of [[register]] — `CREATE TABLE … USING csv
+    * OPTIONS (…) LOCATION …` against the session catalog, the direct
+    * analog of the reference's `CREATE OR REPLACE EXTERNAL TABLE …
+    * LOCATION @stage` DDL (dags/ingest_bundesliga_match_scores
+    * .py:174-188). Same lazy schema-on-read semantics as the
+    * temp-view form; the table lives in the catalog instead.
+    */
+  def registerDdl(spark: SparkSession, entity: String, location: String,
+      delimiter: String = ","): DataFrame = {
+    val schema = SchemaInference.inferHeaderSchema(spark, location, delimiter)
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS t_$entity")
+    spark.sql(
+      s"""CREATE TABLE t_$entity ($cols)
+         |USING csv
+         |OPTIONS (header 'true', delimiter '$delimiter')
+         |LOCATION '$location'""".stripMargin)
+    spark.table(s"t_$entity")
+  }
+
   /** Typed registration for parquet staging data (the engine's native
     * columnar staging format, SURVEY.md §1.2).
     */

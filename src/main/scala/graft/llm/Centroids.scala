@@ -72,13 +72,22 @@ object Centroids {
   def kmeans(spark: SparkSession, emb: DataFrame, initial: DataFrame,
       iterations: Int, dim: Int = 64): DataFrame = {
     import spark.implicits._
+    CosineSimilarityExpr.register(spark)
     var cents = initial
     var i = 0
     while (i < iterations) {
-      val assigned = assign(spark, emb, cents)
-        .select(col("vec_id"), col("assigned_label"))
-      cents = emb.join(assigned, "vec_id")
-        .select(col("assigned_label").as("label"), col("embedding"))
+      // argmax carries the embedding through (first() is constant per
+      // vec_id group), so the new centroids aggregate straight off the
+      // assignment — no re-join of the corpus, one fewer shuffle per
+      // iteration than assign() + join-back.
+      cents = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cand_label"),
+          CosineSimilarityExpr.cosineFast(col("embedding"), col("centroid"))
+            .as("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), col("cand_label"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("best.cand_label").as("label"), col("embedding"))
         .as[(Int, Array[Float])]
         .groupByKey(_._1)
         .agg(new VectorMeanAggregator(dim).toColumn.name("centroid"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,11 +15,49 @@ import org.apache.spark.sql.functions._
   * explosion. This is the plan that survives 100×: cost is
   * O(|L|+|R|) shuffled once, vs a range join's O(|L|·|R| / bands).
   *
+  * The carried value is a STRUCT of the right row's columns, not the
+  * bare columns: a right row whose value column is legitimately NULL
+  * still "matches" (the struct itself is non-null), so NULL right
+  * values propagate instead of being skipped for an older non-null
+  * one — same semantics as DuckDB's ASOF JOIN.
+  *
   * Ties (equal timestamps): right rows sort BEFORE left rows at the
   * same instant, so an exactly-simultaneous right row matches —
   * `>=` semantics, same as DuckDB's ASOF JOIN.
   */
 object AsOfJoin {
+
+  /** Union + carried right-row struct, before the final projection.
+    * `__rv` is non-null iff some right row at-or-before exists.
+    */
+  private def carriedStruct(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightVals: Map[String, String]): DataFrame = {
+    val lCols = left.columns
+    // tag: right=0 sorts before left=1 at equal time → >= semantics
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select(col(rightTime).as("__t"), lit(0).as("__side"),
+        col(key).as(key),
+        struct(rightVals.toSeq.map { case (from, to) =>
+          col(from).as(to)
+        }: _*).as("__rv"))
+
+    // left side has no __rv → unionByName fills NULL (no match yet)
+    val unioned = l
+      .select((Seq(col("__t"), col("__side"), col(key)) ++
+        lCols.filterNot(_ == key).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+  }
 
   /** @param left       left rows (keep all columns)
     * @param right      right rows; its value columns are emitted
@@ -32,44 +70,21 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightVals: Map[String, String]): DataFrame = {
     val lCols = left.columns
-    // tag: right=0 sorts before left=1 at equal time → >= semantics
-    val l = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-    val r = right
-      .select((col(rightTime).as("__t") +: lit(0).as("__side") +:
-        col(key).as(key) +:
-        rightVals.toSeq.map { case (from, to) => col(from).as(s"__v_$to") }): _*)
-
-    val lAligned = rightVals.keys.foldLeft(l) { case (df, _) => df }
-    val lWithNulls = rightVals.values.foldLeft(lAligned)((df, to) =>
-      df.withColumn(s"__v_$to", lit(null)))
-
-    val unioned = lWithNulls
-      .select((Seq(col("__t"), col("__side"), col(key)) ++
-        rightVals.values.map(v => col(s"__v_$v")) ++
-        lCols.filterNot(_ == key).map(col)): _*)
-      .unionByName(
-        r.select((Seq(col("__t"), col("__side"), col(key)) ++
-          rightVals.values.map(v => col(s"__v_$v"))): _*),
-        allowMissingColumns = true)
-
-    val w = Window.partitionBy(key)
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.values.foldLeft(unioned)((df, v) =>
-      df.withColumn(v, last(col(s"__v_$v"), ignoreNulls = true).over(w)))
-
-    carried
-      .filter(col("__side") === 1)
-      .select((lCols.map(col) ++ rightVals.values.map(col)): _*)
+    carriedStruct(left, right, key, leftTime, rightTime, rightVals)
+      .select((lCols.map(col) ++
+        rightVals.values.map(v => col("__rv").getField(v).as(v))): _*)
   }
 
-  /** Inner variant: drop left rows with no prior right row. */
+  /** Inner variant: drop left rows with no prior right row (struct
+    * null-ness, so a matched right row with NULL values is KEPT).
+    */
   def asOfInner(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightVals: Map[String, String]): DataFrame = {
-    val joined = asOf(left, right, key, leftTime, rightTime, rightVals)
-    rightVals.values.foldLeft(joined)((df, v) => df.filter(col(v).isNotNull))
+    val lCols = left.columns
+    carriedStruct(left, right, key, leftTime, rightTime, rightVals)
+      .filter(col("__rv").isNotNull)
+      .select((lCols.map(col) ++
+        rightVals.values.map(v => col("__rv").getField(v).as(v))): _*)
   }
 }

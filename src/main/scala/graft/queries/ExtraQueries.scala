@@ -81,18 +81,46 @@ object ExtraQueries {
              |  ORDER BY o_orderdate ASC, o_orderkey ASC)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
-    // A2 approximate: HyperLogLog distinct estimate. Sketch values are
-    // engine-specific, so no SQL oracle — the driver records the
-    // weaker rows-only check by design.
+    // A2 approximate: HyperLogLog distinct estimate. Raw sketch values
+    // are engine-specific, so the oracle checks the checkable halves:
+    // the exact count, and the SEMANTIC property that the estimate is
+    // within 15% of exact (both engines' HLLs are far inside that —
+    // Spark's default rsd is 5%; FunctionsSpec asserts the rsd bound
+    // directly on the Spark estimate).
     QueryDef(
       "q42_approx_distinct",
-      (s, d) =>
+      (s, d) => {
+        val exact = count_distinct(col("l_partkey"))
         lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            count_distinct(col("l_partkey")).as("exact_parts"))
-          .orderBy("l_returnflag"),
-      None)
+            exact.as("exact_parts"),
+            (abs(approx_count_distinct(col("l_partkey")) - exact) <=
+              exact * 0.15).as("approx_within_15pct"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+             |    <= COUNT(DISTINCT l_partkey) * 0.15 AS approx_within_15pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Right outer join — symmetric to q08_join_left, completing the
+    // §2.3 join-type matrix: all customers preserved from the right
+    // side, big-order counts from the filtered left side.
+    QueryDef(
+      "q54_join_right",
+      (s, d) => {
+        val o = orders(s, d).filter(col("o_totalprice") > 400000.0)
+        val c = customer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_big_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+             |RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
   )
 }

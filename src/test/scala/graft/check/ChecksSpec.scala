@@ -35,6 +35,12 @@ class ChecksSpec extends AnyFunSuite with SparkFixture with Matchers {
     r.map(_.violations) shouldBe Seq(1L, 1L) // one negative; 10 duplicated
   }
 
+  test("duplicate check ids are rejected up front") {
+    val dup = Seq(InSet("day", Seq("Sun")), InSet("day", Seq("Mon")))
+    an[IllegalArgumentException] should be thrownBy CheckRunner.run(df, dup)
+    an[IllegalArgumentException] should be thrownBy CheckRunner.reportDf(df, dup)
+  }
+
   test("ColumnsMatchOrdered is metadata-only") {
     val ok = CheckRunner.run(df,
       Seq(ColumnsMatchOrdered(Seq("round", "day", "date", "attendance"))))

@@ -68,4 +68,27 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
       .select(signBit(col("v"), col("p")).as("b"))
     df.collect().map(_.getString(0)).toList shouldBe List("1", "0")
   }
+
+  test("approx_count_distinct stays within its documented rsd of exact") {
+    // q42's HLL half: Spark's default rsd is 0.05; assert a 3-sigma
+    // bound (15%) per group on real data — the property the q42 oracle
+    // checks cross-engine.
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val rows = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        count_distinct(col("l_partkey")).as("exact"))
+      .collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      math.abs(approx - exact).toDouble should be <= exact * 0.15
+    }
+  }
+
+  test("cosine_fast registration rejects wrong arity from SQL") {
+    graft.functions.CosineSimilarityExpr.register(spark)
+    an[Exception] should be thrownBy
+      spark.sql("SELECT cosine_fast(array(1.0f), array(1.0f), array(1.0f))")
+        .collect()
+  }
 }

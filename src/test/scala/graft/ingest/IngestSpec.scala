@@ -53,6 +53,15 @@ class IngestSpec extends AnyFunSuite with SparkFixture with Matchers {
     all(df.schema.fields.map(_.dataType)) shouldBe StringType
   }
 
+  test("external table: SQL-DDL form (CREATE TABLE … USING csv LOCATION)") {
+    val df = ExternalTable.registerDdl(spark, "scores_ddl", csvDir)
+    df.count() shouldBe 2
+    spark.sql("SELECT round FROM t_scores_ddl WHERE data_id = '1'")
+      .head().getString(0) shouldBe "Playoffs"
+    all(df.schema.fields.map(_.dataType)) shouldBe StringType
+    spark.sql("DROP TABLE t_scores_ddl")
+  }
+
   test("external table: JSON and ORC staging formats round-trip") {
     val d = Files.createTempDirectory("graft-fmt").toString
     val src = spark.range(5).selectExpr("id", "concat('v', id) AS v")

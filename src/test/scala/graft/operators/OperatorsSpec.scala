@@ -43,6 +43,23 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture with Matchers {
       .toList shouldBe List((1L, null), (10L, "x"))
   }
 
+  test("AsOfJoin carries a legitimately-NULL right value (no skip-back)") {
+    val s = spark
+    import s.implicits._
+    // right rows: t=2 has v='old', t=5 has v=NULL. A left row at t=10
+    // must match the t=5 row and carry NULL — not skip back to 'old'.
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 2L, Some("old")), (1L, 5L, None))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "t", Map("v" -> "v"))
+      .collect()
+    out.length shouldBe 1
+    out.head.isNullAt(2) shouldBe true
+    // inner variant keeps the matched-but-NULL row too
+    AsOfJoin.asOfInner(left, right, "k", "t", "t", Map("v" -> "v"))
+      .count() shouldBe 1L
+  }
+
   test("SkewJoin equals a plain join (same rows, spread over salts)") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_partkey", "l_quantity")
