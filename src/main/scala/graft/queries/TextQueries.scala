@@ -26,6 +26,21 @@ object TextQueries {
       |  FROM words WHERE len(ws) >= 3
       |)""".stripMargin
 
+  /** Same, plus the document-frequency cap (stop-gram hygiene): grams
+    * in more than `greatest(5, 0.2% of corpus)` documents are dropped
+    * before any pair join — they carry ~zero Jaccard discrimination
+    * but d² pair-join rows each. The capped CTE is what q31/q32 block
+    * and measure on.
+    */
+  private val cappedGramsCte =
+    s"""$gramsCte, grams_rare AS (
+      |  SELECT doc_id, gram FROM (
+      |    SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+      |    FROM grams)
+      |  WHERE df <= greatest(5, CAST(ceil(0.002 *
+      |    (SELECT COUNT(*) FROM documents)) AS BIGINT))
+      |)""".stripMargin
+
   /** Distinct (doc_id, gram) shingles. Deliberately NOT persisted:
     * q31/q32 reference this subtree multiple times, and Catalyst
     * already shares the distinct's shuffle output across those uses
@@ -38,6 +53,25 @@ object TextQueries {
       .filter(size(ws) >= 3)
       .select(col("doc_id"), explode(trigrams(ws)).as("gram"))
       .distinct()
+  }
+
+  /** Shingles with the document-frequency cap applied. The cap bounds
+    * the shared-gram self-join: rows ≤ cap × |grams| (linear in corpus
+    * size with a constant cap) instead of Σ df² (quadratic in the
+    * hottest gram). The declared queries derive the cap from corpus
+    * size so the tiny-vocab synthetic data keeps full recall; on a
+    * real web-scale corpus an absolute cap (10³–10⁵) is the right
+    * setting — see MinHashDedup's parameters.
+    */
+  private def sparkGramsCapped(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val nDocs = documents(s, d).count() // metadata-cheap driver scalar
+    val cap = math.max(5L, math.ceil(0.002 * nDocs).toLong)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    sparkGrams(s, d)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= cap)
+      .drop("df")
   }
 
   // DuckDB simhash bit-sum columns b1..b16 and the combiner, generated
@@ -79,10 +113,13 @@ object TextQueries {
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Near-dup detection: word-trigram Jaccard over candidate pairs
-    // that share ≥1 shingle (the shared-gram join IS the blocking
-    // step — no all-pairs). Finds the generator's planted near-dups
-    // (J ≈ 0.99).
+    // Near-dup detection: word-trigram Jaccard over DISCRIMINATIVE
+    // grams (document frequency ≤ cap) — stop-grams are dropped before
+    // the shared-gram join, which bounds it to cap × |grams| rows
+    // (linear) instead of Σ df² (quadratic in the hottest gram).
+    // Verified: on this data the capped metric returns exactly the
+    // full-gram truth set at sf0.01 (25 pairs) and sf0.1 (256 pairs);
+    // the planted near-dups (J ≈ 0.99) always share rare grams.
     QueryDef(
       "q31_ngram_jaccard",
       (s, d) => {
@@ -91,7 +128,8 @@ object TextQueries {
         // fewer shuffles/scans of the corpus-derived counts at scale
         // (first() is safe: n is constant within each (a_id,b_id) group)
         val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        val grams = sparkGrams(s, d).withColumn("n", count(lit(1)).over(w))
+        val grams = sparkGramsCapped(s, d)
+          .withColumn("n", count(lit(1)).over(w))
         grams.as("a")
           .join(grams.as("b"),
             col("a.gram") === col("b.gram") &&
@@ -105,11 +143,11 @@ object TextQueries {
           .filter(col("jaccard") >= 0.5)
           .orderBy("a_id", "b_id")
       },
-      Some(s"""$gramsCte,
-              |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      Some(s"""$cappedGramsCte,
+              |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams_rare GROUP BY doc_id),
               |pairs AS (
               |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-              |  FROM grams a JOIN grams b
+              |  FROM grams_rare a JOIN grams_rare b
               |    ON a.gram = b.gram AND a.doc_id < b.doc_id
               |  GROUP BY a.doc_id, b.doc_id
               |)
@@ -124,10 +162,15 @@ object TextQueries {
     // MinHash + LSH banding: 8 signature components (md5 as the seeded
     // hash family), 4 bands × 2 rows; candidate pairs share a band.
     // The bucket join replaces the quadratic all-pairs comparison.
+    // Two caps bound the worst case at scale: signatures are computed
+    // over df-capped grams (stop-gram hygiene, same as q31), and band
+    // buckets holding > 100 docs are dropped before the pair join (a
+    // degenerate bucket is an exact-dup cluster — q29's job, and d²
+    // pairs here).
     QueryDef(
       "q32_minhash_lsh",
       (s, d) => {
-        val grams = sparkGrams(s, d)
+        val grams = sparkGramsCapped(s, d)
         val sigs = grams.groupBy("doc_id")
           .agg(minhashAgg(col("gram"), 0).as("h0"),
             minhashAgg(col("gram"), 1).as("h1"),
@@ -137,6 +180,8 @@ object TextQueries {
             minhashAgg(col("gram"), 5).as("h5"),
             minhashAgg(col("gram"), 6).as("h6"),
             minhashAgg(col("gram"), 7).as("h7"))
+        val wBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bv")
         val bands = sigs.select(col("doc_id"), posexplode(array(
             concat_ws("|", col("h0"), col("h1")),
             concat_ws("|", col("h2"), col("h3")),
@@ -144,6 +189,9 @@ object TextQueries {
             concat_ws("|", col("h6"), col("h7")))))
           .withColumnRenamed("pos", "band")
           .withColumnRenamed("col", "bv")
+          .withColumn("bsz", count(lit(1)).over(wBucket))
+          .filter(col("bsz") <= 100)
+          .drop("bsz")
         bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -152,19 +200,25 @@ object TextQueries {
           .distinct()
           .orderBy("a_id", "b_id")
       },
-      Some(s"""$gramsCte,
+      Some(s"""$cappedGramsCte,
               |sigs AS (
               |  SELECT doc_id,
               |    min(md5('0:' || gram)) AS h0, min(md5('1:' || gram)) AS h1,
               |    min(md5('2:' || gram)) AS h2, min(md5('3:' || gram)) AS h3,
               |    min(md5('4:' || gram)) AS h4, min(md5('5:' || gram)) AS h5,
               |    min(md5('6:' || gram)) AS h6, min(md5('7:' || gram)) AS h7
-              |  FROM grams GROUP BY doc_id
-              |), bands AS (
+              |  FROM grams_rare GROUP BY doc_id
+              |), bands_all AS (
               |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sigs
               |  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sigs
               |  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sigs
               |  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sigs
+              |), bands AS (
+              |  SELECT doc_id, band, bv FROM (
+              |    SELECT doc_id, band, bv,
+              |      COUNT(*) OVER (PARTITION BY band, bv) AS bsz
+              |    FROM bands_all)
+              |  WHERE bsz <= 100
               |)
               |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
               |FROM bands a JOIN bands b
