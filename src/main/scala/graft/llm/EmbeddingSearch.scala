@@ -2,25 +2,63 @@ package graft.llm
 
 import graft.functions.CosineSimilarityExpr
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search API over an embedding table
-  * (vec_id, embedding array<float>) — the library form of q37/q38.
+  * (vec_id, embedding array<float>) — the library form of q37/q38/q44.
   *
   *  - [[bruteForceTopK]]: exact cosine against every vector; the
   *    scan is embarrassingly parallel, top-k plans as
   *    TakeOrderedAndProject (per-partition heaps, k rows to driver).
   *    Uses the codegen'd `cosine_fast` expression — the fast float
   *    path, not the cross-engine exact-decimal one.
-  *  - [[lshTopK]]: sign-random-projection bucketing; only the query's
-  *    bucket pays distance math. `planes` defaults to rows of the
-  *    corpus itself (deterministic, no RNG) but any plane set works.
+  *  - [[srpBands]]: banded sign-random-projection bucketing — B
+  *    independent bands of R planes each. A pair is a candidate if it
+  *    collides in ANY band (OR-amplification keeps recall while each
+  *    band's 2^R buckets keep candidate sets small). Band buckets over
+  *    `bucketCap` docs are dropped before any pair join: a degenerate
+  *    bucket is an exact-dup cluster (q29's job) and contributes d²
+  *    candidate pairs here.
+  *  - [[lshTopK]]: ANN probe — candidates are the union of the query's
+  *    band buckets, then exact cosine ranks only those.
+  *  - [[nearDuplicatePairs]]: all-pairs near-dup within LSH collision
+  *    blocks — the n² pair space never forms.
   *
-  * 100 TB stance: both paths broadcast only the query vector/planes;
-  * no all-pairs join ever forms; candidate pruning is 2^planes.
+  * 100 TB stance: planes are a broadcast of B×R corpus rows; the band
+  * self-join key (band, bucket) has B×2^R distinct values (≥ 4096 at
+  * the defaults) so the shuffle parallelizes; bucketCap bounds the
+  * per-bucket pair blow-up regardless of data skew.
   */
 object EmbeddingSearch {
+
+  /** (vec_id, band, bv) — one row per vector per band, where `bv` is
+    * the R-bit sign-projection bucket string of that band. Planes are
+    * corpus vectors 1..B×R (deterministic — no RNG, reproducible
+    * across engines); any plane set works at scale.
+    */
+  def srpBands(emb: DataFrame, numBands: Int, planesPerBand: Int,
+      bucketCap: Int): DataFrame = {
+    val nPlanes = numBands * planesPerBand
+    val planes = emb.filter(col("vec_id").between(1, nPlanes))
+      .select((col("vec_id") - 1).cast("int").as("pidx"),
+        col("embedding").as("plane"))
+    val bands = emb.crossJoin(broadcast(planes))
+      .select(col("vec_id"),
+        (col("pidx") / planesPerBand).cast("int").as("band"),
+        col("pidx"),
+        signBit(col("embedding"), col("plane")).as("bit"))
+      .groupBy("vec_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pidx"), col("bit")))),
+          x => x.getField("bit")), "").as("bv"))
+    val w = Window.partitionBy("band", "bv")
+    bands
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
+  }
 
   private def withQuery(spark: SparkSession, emb: DataFrame,
       queryId: Long): DataFrame = {
@@ -40,24 +78,23 @@ object EmbeddingSearch {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
 
+  /** ANN top-k: probe the query's bucket in each band, rank the union
+    * of candidates by exact cosine. Candidate count ≈ B × n / 2^R.
+    */
   def lshTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-      numPlanes: Int = 4): DataFrame = {
+      numBands: Int = 4, planesPerBand: Int = 6,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     CosineSimilarityExpr.register(spark)
-    val planes = emb.filter(col("vec_id").between(1, numPlanes))
-      .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
-    val buckets = emb.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("plane_id"),
-        signBit(col("embedding"), col("plane")).as("bit"))
-      .groupBy("vec_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("plane_id"), col("bit")))),
-          x => x.getField("bit")), "").as("bucket"))
-    val qb = buckets.filter(col("vec_id") === queryId)
-      .select(col("bucket").as("q_bucket"))
+    val bands = srpBands(emb, numBands, planesPerBand, bucketCap)
+    val qb = bands.filter(col("vec_id") === queryId)
+      .select(col("band").as("q_band"), col("bv").as("q_bv"))
     val qv = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    buckets.join(broadcast(qb), col("bucket") === col("q_bucket"))
+    bands
+      .join(broadcast(qb),
+        col("band") === col("q_band") && col("bv") === col("q_bv"))
       .filter(col("vec_id") =!= queryId)
+      .select("vec_id").distinct()
       .join(emb, "vec_id")
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),
@@ -65,5 +102,31 @@ object EmbeddingSearch {
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Near-duplicate pairs: band-collision blocking, then exact cosine
+    * ≥ `threshold` on the DISTINCT candidate pairs (a pair colliding
+    * in two bands pays the distance math once). Norms are computed
+    * once per vector and joined to the pair — each pair pays a single
+    * dot product.
+    */
+  def nearDuplicatePairs(spark: SparkSession, emb: DataFrame,
+      threshold: Double, numBands: Int = 4, planesPerBand: Int = 10,
+      bucketCap: Int = 200): DataFrame = {
+    CosineSimilarityExpr.register(spark)
+    val bands = srpBands(emb, numBands, planesPerBand, bucketCap)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    pairs
+      .join(emb.as("ea"), col("a_id") === col("ea.vec_id"))
+      .join(emb.as("eb"), col("b_id") === col("eb.vec_id"))
+      .select(col("a_id"), col("b_id"),
+        CosineSimilarityExpr.cosineFast(
+          col("ea.embedding"), col("eb.embedding")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 }

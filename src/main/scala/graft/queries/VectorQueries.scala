@@ -39,6 +39,69 @@ object VectorQueries {
       |  SELECT nrm AS qnrm FROM norms WHERE vec_id = 0
       |)""".stripMargin
 
+  /** Banded sign-random-projection buckets, exact-decimal scorer form
+    * (mirrors `EmbeddingSearch.srpBands`, which is the cosine_fast
+    * production path): one row per (vec_id, band) with the band's
+    * R-bit bucket string. Planes are corpus vectors 1..B×R
+    * (deterministic, reproducible in DuckDB). `bucketCap` drops band
+    * buckets holding more docs — skew hygiene for the pair join.
+    */
+  private def srpBandsExact(emb: org.apache.spark.sql.DataFrame,
+      numBands: Int, planesPerBand: Int,
+      bucketCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val planes = emb.filter(col("vec_id").between(1, numBands * planesPerBand))
+      .select((col("vec_id") - 1).cast("int").as("pidx"),
+        col("embedding").as("plane"))
+    val bands = emb.crossJoin(broadcast(planes))
+      .select(col("vec_id"),
+        (col("pidx") / planesPerBand).cast("int").as("band"),
+        col("pidx"),
+        signBit(col("embedding"), col("plane")).as("bit"))
+      .groupBy("vec_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pidx"), col("bit")))),
+          x => x.getField("bit")), "").as("bv"))
+    bucketCap.fold(bands) { cap =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")
+      bands.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= cap).drop("bsz")
+    }
+  }
+
+  /** DuckDB CTE chain mirroring [[srpBandsExact]] (appends to
+    * `vecCtes`): yields a `bands(vec_id, band, bv)` relation.
+    */
+  private def bandsCte(numBands: Int, planesPerBand: Int,
+      bucketCap: Option[Int] = None): String = {
+    val raw =
+      s"""pexp AS (
+         |  SELECT vec_id - 1 AS pidx, x AS p, i FROM dexp
+         |  WHERE vec_id BETWEEN 1 AND ${numBands * planesPerBand}
+         |), proj AS (
+         |  SELECT d.vec_id, p.pidx,
+         |    CASE WHEN SUM(CAST(d.x * p.p AS DECIMAL(38,12))) >= 0
+         |      THEN '1' ELSE '0' END AS bit
+         |  FROM dexp d JOIN pexp p USING (i) GROUP BY d.vec_id, p.pidx
+         |), bands_all AS (
+         |  SELECT vec_id, CAST(floor(pidx / $planesPerBand) AS INTEGER) AS band,
+         |    string_agg(bit, '' ORDER BY pidx) AS bv
+         |  FROM proj
+         |  GROUP BY vec_id, CAST(floor(pidx / $planesPerBand) AS INTEGER)
+         |)""".stripMargin
+    bucketCap match {
+      case None => raw + ", bands AS (SELECT vec_id, band, bv FROM bands_all)"
+      case Some(cap) =>
+        raw +
+          s""", bands AS (
+             |  SELECT vec_id, band, bv FROM (
+             |    SELECT vec_id, band, bv,
+             |      COUNT(*) OVER (PARTITION BY band, bv) AS bsz
+             |    FROM bands_all)
+             |  WHERE bsz <= $cap
+             |)""".stripMargin
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-20 neighbors of vec_id 0.
     QueryDef(
@@ -63,29 +126,27 @@ object VectorQueries {
               |WHERE e.vec_id <> 0
               |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20""".stripMargin)),
 
-    // LSH-bucketed ANN: 4 sign-projection planes (vectors 1..4) give a
-    // 4-bit bucket; candidates share the query's bucket (~1/16 of the
-    // corpus), then exact cosine ranks only the candidates.
+    // LSH-bucketed ANN, banded: 4 independent bands of 6 sign-planes
+    // each (planes = corpus vectors 1..24). Candidates are the UNION
+    // of the query's band buckets (OR-amplification keeps recall while
+    // each band's 2^6 buckets keep candidate sets ~ 4n/64); exact
+    // cosine ranks only the candidates. Band structure mirrors
+    // EmbeddingSearch.srpBands — this declared form keeps the
+    // exact-decimal scorer so DuckDB reproduces it bit-for-bit.
     QueryDef(
       "q38_ann_lsh",
       (s, d) => {
         val emb = embeddings(s, d)
-        val planes = emb.filter(col("vec_id").between(1, 4))
-          .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
-        val buckets = emb.crossJoin(broadcast(planes))
-          .select(col("vec_id"), col("plane_id"),
-            signBit(col("embedding"), col("plane")).as("bit"))
-          .groupBy("vec_id")
-          .agg(array_join(
-            transform(
-              array_sort(collect_list(struct(col("plane_id"), col("bit")))),
-              x => x.getField("bit")), "").as("bucket"))
-        val qb = buckets.filter(col("vec_id") === 0)
-          .select(col("bucket").as("q_bucket"))
+        val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 6)
+        val qb = bands.filter(col("vec_id") === 0)
+          .select(col("band").as("q_band"), col("bv").as("q_bv"))
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"))
-        buckets.join(broadcast(qb), col("bucket") === col("q_bucket"))
+        bands
+          .join(broadcast(qb),
+            col("band") === col("q_band") && col("bv") === col("q_bv"))
           .filter(col("vec_id") =!= 0)
+          .select("vec_id").distinct()
           .join(emb, "vec_id")
           .crossJoin(broadcast(qv))
           .select(col("vec_id"),
@@ -93,78 +154,59 @@ object VectorQueries {
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(10)
       },
-      Some(s"""$vecCtes, pexp AS (
-              |  SELECT vec_id AS plane_id, x AS p, i FROM dexp
-              |  WHERE vec_id BETWEEN 1 AND 4
-              |), proj AS (
-              |  SELECT d.vec_id, p.plane_id,
-              |    CASE WHEN SUM(CAST(d.x * p.p AS DECIMAL(38,12))) >= 0
-              |      THEN '1' ELSE '0' END AS bit
-              |  FROM dexp d JOIN pexp p USING (i) GROUP BY d.vec_id, p.plane_id
-              |), buckets AS (
-              |  SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
-              |  FROM proj GROUP BY vec_id
-              |), qb AS (
-              |  SELECT bucket AS q_bucket FROM buckets WHERE vec_id = 0
+      Some(s"""$vecCtes, ${bandsCte(numBands = 4, planesPerBand = 6)},
+              |qb AS (
+              |  SELECT band AS q_band, bv AS q_bv FROM bands WHERE vec_id = 0
+              |), cands AS (
+              |  SELECT DISTINCT b.vec_id
+              |  FROM bands b JOIN qb ON b.band = qb.q_band AND b.bv = qb.q_bv
+              |  WHERE b.vec_id <> 0
               |)
-              |SELECT b.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |FROM buckets b
-              |JOIN qb ON b.bucket = qb.q_bucket
-              |JOIN dots ON dots.vec_id = b.vec_id
-              |JOIN norms ON norms.vec_id = b.vec_id
+              |SELECT c.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |FROM cands c
+              |JOIN dots ON dots.vec_id = c.vec_id
+              |JOIN norms ON norms.vec_id = c.vec_id
               |CROSS JOIN qn
-              |WHERE b.vec_id <> 0
-              |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin)),
+              |ORDER BY cos_sim DESC, c.vec_id ASC LIMIT 10""".stripMargin)),
 
-    // Embedding-cosine near-dup: candidate pairs share an LSH bucket
-    // (sign projections onto planes 1..4), then exact cosine ≥ 0.35.
-    // The bucket join is the blocking step — the n² pair space never
-    // forms; recall/threshold trade like any SRP-LSH deployment.
+    // Embedding-cosine near-dup, banded: candidate pairs collide in
+    // ANY of 4 independent 10-plane bands (planes 1..40), band buckets
+    // over 200 docs are dropped (degenerate bucket = exact-dup
+    // cluster, q29's job), then exact cosine ≥ 0.35 on the DISTINCT
+    // candidate pairs. vs the old single 4-plane bucket: join-key
+    // cardinality 16 → 4×2^10, candidates n²/32 → ~n²/400 (measured
+    // 129k → 10k at sf0.1), and the bucket cap bounds skew. Norms are
+    // computed once per vector so each pair pays a single
+    // exact-decimal dot.
     QueryDef(
       "q44_embed_neardup",
       (s, d) => {
         val emb = embeddings(s, d)
-        val planes = emb.filter(col("vec_id").between(1, 4))
-          .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
-        val buckets = emb.crossJoin(broadcast(planes))
-          .select(col("vec_id"), col("plane_id"),
-            signBit(col("embedding"), col("plane")).as("bit"))
-          .groupBy("vec_id")
-          .agg(array_join(
-            transform(array_sort(collect_list(struct(col("plane_id"), col("bit")))),
-              x => x.getField("bit")), "").as("bucket"))
-        // per-vector norm computed ONCE as a column (2k folds), so each
-        // candidate pair pays a single exact-decimal dot — not three.
-        // Same value as cosine(): norm is the identical expression,
-        // just hoisted out of the pair loop. Measured 33s → ~11s at
-        // sf0.1.
-        val withVec = buckets.join(emb, "vec_id")
-          .withColumn("nrm", norm(col("embedding")))
-        withVec.as("a")
-          .join(withVec.as("b"),
-            col("a.bucket") === col("b.bucket") &&
+        val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 10,
+          bucketCap = Some(200))
+        val pairs = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
               col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-            (dot(col("a.embedding"), col("b.embedding")) /
-              (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+          .distinct()
+        val withNrm = emb
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        pairs
+          .join(withNrm.as("ea"), col("a_id") === col("ea.vec_id"))
+          .join(withNrm.as("eb"), col("b_id") === col("eb.vec_id"))
+          .select(col("a_id"), col("b_id"),
+            (dot(col("ea.embedding"), col("eb.embedding")) /
+              (col("ea.nrm") * col("eb.nrm"))).as("cos_sim"))
           .filter(col("cos_sim") >= 0.35)
           .orderBy("a_id", "b_id")
       },
-      Some(s"""$vecCtes, pexp AS (
-              |  SELECT vec_id AS plane_id, x AS p, i FROM dexp
-              |  WHERE vec_id BETWEEN 1 AND 4
-              |), proj AS (
-              |  SELECT d.vec_id, p.plane_id,
-              |    CASE WHEN SUM(CAST(d.x * p.p AS DECIMAL(38,12))) >= 0
-              |      THEN '1' ELSE '0' END AS bit
-              |  FROM dexp d JOIN pexp p USING (i) GROUP BY d.vec_id, p.plane_id
-              |), buckets AS (
-              |  SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
-              |  FROM proj GROUP BY vec_id
-              |), pairs AS (
-              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-              |  FROM buckets a JOIN buckets b
-              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      Some(s"""$vecCtes, ${bandsCte(numBands = 4, planesPerBand = 10,
+                bucketCap = Some(200))},
+              |pairs AS (
+              |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
               |), pairdots AS (
               |  SELECT p.a_id, p.b_id,
               |    CAST(SUM(CAST(da.x * db.x AS DECIMAL(38,12))) AS DOUBLE) AS dp
