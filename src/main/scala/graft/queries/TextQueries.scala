@@ -74,6 +74,48 @@ object TextQueries {
       .drop("df")
   }
 
+  /** q31's pair metric as a reusable subtree: word-trigram Jaccard ≥
+    * 0.5 over df-capped grams → (a_id, b_id, jaccard). The per-doc
+    * gram count rides along as a window column, so the pair
+    * aggregation needs NO join back to a counts table — two fewer
+    * shuffles/scans of the corpus-derived counts at scale (first() is
+    * safe: n is constant within each (a_id, b_id) group).
+    */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val grams = sparkGramsCapped(s, d)
+      .withColumn("n", count(lit(1)).over(w))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** DuckDB CTE chain mirroring [[jaccardPairs]] (appends to
+    * `cappedGramsCte`): yields `jp(a_id, b_id)`.
+    */
+  private val jaccardPairsCte =
+    """cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams_rare GROUP BY doc_id),
+      |pairs0 AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      |  FROM grams_rare a JOIN grams_rare b
+      |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), jp AS (
+      |  SELECT a_id, b_id FROM pairs0
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+      |)""".stripMargin
+
   // DuckDB simhash bit-sum columns b1..b16 and the combiner, generated
   // to mirror TextFunctions.simhashBitAggs/simhashCombine exactly.
   private val sqlSimhashBits = (1 to 16)
@@ -122,27 +164,7 @@ object TextQueries {
     // the planted near-dups (J ≈ 0.99) always share rare grams.
     QueryDef(
       "q31_ngram_jaccard",
-      (s, d) => {
-        // per-doc gram count rides along as a window column, so the
-        // pair aggregation needs NO join back to a counts table — two
-        // fewer shuffles/scans of the corpus-derived counts at scale
-        // (first() is safe: n is constant within each (a_id,b_id) group)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        val grams = sparkGramsCapped(s, d)
-          .withColumn("n", count(lit(1)).over(w))
-        grams.as("a")
-          .join(grams.as("b"),
-            col("a.gram") === col("b.gram") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("n_common"),
-            first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-          .select(col("a_id"), col("b_id"),
-            (col("n_common").cast("double") /
-              (col("na") + col("nb") - col("n_common"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => jaccardPairs(s, d).orderBy("a_id", "b_id"),
       Some(s"""$cappedGramsCte,
               |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams_rare GROUP BY doc_id),
               |pairs AS (
@@ -340,6 +362,46 @@ object TextQueries {
       Some("""SELECT doc_id,
              |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Duplicate-cluster resolution: near-dup PAIRS (q31's capped-gram
+    // Jaccard ≥ 0.5 metric) → connected components by min-label
+    // propagation (3 unrolled rounds — the testdata's clusters are
+    // cliques, diameter 1; the library form DedupClusters.components
+    // iterates to convergence instead) → survivor = min doc_id, which
+    // IS the cluster id. This is the operator that turns pair
+    // detection into an actually deduplicated corpus
+    // (DedupClusters.deduplicate anti-joins the losers).
+    QueryDef(
+      "q55_dedup_clusters",
+      (s, d) => {
+        val labels = graft.llm.DedupClusters.componentsUnrolled(
+          jaccardPairs(s, d).select("a_id", "b_id"), rounds = 3)
+        labels.select(col("id").as("doc_id"), col("cluster_id"),
+            (col("id") === col("cluster_id")).as("is_survivor"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM jp
+              |  UNION SELECT b_id, a_id FROM jp
+              |  UNION SELECT a_id, a_id FROM jp
+              |  UNION SELECT b_id, b_id FROM jp
+              |), l0 AS (
+              |  SELECT DISTINCT src AS id, src AS label FROM edges
+              |), l1 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst
+              |), l2 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst
+              |), l3 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
+              |)
+              |SELECT id AS doc_id, label AS cluster_id,
+              |  id = label AS is_survivor
+              |FROM l3 ORDER BY doc_id""".stripMargin))
   )
 }

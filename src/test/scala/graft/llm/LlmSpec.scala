@@ -75,6 +75,32 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("DedupClusters: planted near-dup pair collapses to one survivor") {
+    val pairs = MinHashDedup.nearDuplicates(plantedDocs, threshold = 0.5)
+    val kept = DedupClusters.deduplicate(plantedDocs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 3L, 4L) // doc 2 (near-dup of 1) dropped
+  }
+
+  test("DedupClusters: chain components converge past the unrolled depth") {
+    val s = spark
+    import s.implicits._
+    // a 6-node path (diameter 5) plus an isolated pair — label
+    // propagation must walk the whole chain down to min id 10
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (20L, 21L)).toDF("a_id", "b_id")
+    val comps = DedupClusters.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 15L).foreach(id => comps(id) shouldBe 10L)
+    comps(20L) shouldBe 20L
+    comps(21L) shouldBe 20L
+    // the 3-round unrolled form is NOT enough for diameter 5 — the
+    // convergence-checked library form is what callers should use
+    val unrolled = DedupClusters.componentsUnrolled(pairs, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    unrolled(15L) should be > 10L
+  }
+
   test("Multimodal: binary payloads, batched stub decode, metadata profile") {
     val assets = Multimodal.fromDocuments(Tables.documents(spark, sfDir))
     val feats = Multimodal.decodeFeatures(spark, assets)
