@@ -58,9 +58,29 @@ object TextFunctions {
   def simhashBitAggs(token: Column): Seq[Column] =
     (1 to 16).map(j => sum(simhashBitWeight(token, j)).as(s"b$j"))
 
-  /** Fold the 16 bit-sums into the integer fingerprint. */
+  /** Fold the bit-sums (16 or 60 of them) into the integer fingerprint. */
   def simhashCombine(bitSums: Seq[Column]): Column =
     bitSums.zipWithIndex
       .map { case (b, i) => when(b > 0, lit(1L << i)).otherwise(0L) }
       .reduce(_ + _)
+
+  /** 60-bit SimHash bit weight: bits 1..32 read md5(token), bits
+    * 33..60 read md5("x:" + token) (one md5 yields 32 hex chars = 32
+    * sign bits; a salted second md5 supplies the rest). 60 bits keep
+    * the fingerprint positive in a signed 64-bit long on both engines.
+    * The 16-bit form is the cheap profile fingerprint (q33); the
+    * 60-bit form is what near-dup PAIRING needs — at 16 bits random
+    * docs collide constantly, at 60 bits random docs sit ~30 bits
+    * apart and only true near-dups fall within a small Hamming ball.
+    */
+  def simhashBitWeight60(token: Column, j: Int): Column = {
+    require(j >= 1 && j <= 60, s"bit position $j outside 1..60")
+    val h = if (j <= 32) md5(token) else md5(concat(lit("x:"), token))
+    val pos = if (j <= 32) j else j - 32
+    when(substring(h, pos, 1) >= "8", 1L).otherwise(-1L)
+  }
+
+  /** 60-bit SimHash aggregate columns; combine with [[simhashCombine]]. */
+  def simhashBitAggs60(token: Column): Seq[Column] =
+    (1 to 60).map(j => sum(simhashBitWeight60(token, j)).as(s"b$j"))
 }

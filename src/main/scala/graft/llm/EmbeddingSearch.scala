@@ -104,6 +104,49 @@ object EmbeddingSearch {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a trained coarse quantizer — e.g.
+    * `Centroids.kmeans` output (cand_label, centroid) — partitions the
+    * corpus into cells; the query probes its `nProbe` nearest cells
+    * and exact cosine ranks only those cells' vectors.
+    *
+    * At 100 TB the cell assignment is a one-off materialized (ideally
+    * partitioned-by-cell) table, not recomputed per query — this
+    * method recomputes it inline for self-containment; pass a
+    * pre-assigned `emb` with a `cell` column to skip that.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, centroids: DataFrame,
+      queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
+    CosineSimilarityExpr.register(spark)
+    val assigned =
+      if (emb.columns.contains("cell")) emb
+      else emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cand_label"),
+          CosineSimilarityExpr.cosineFast(col("embedding"), col("centroid"))
+            .as("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), col("cand_label"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("best.cand_label").as("cell"),
+          col("embedding"))
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val probeCells = centroids.crossJoin(broadcast(qv))
+      .select(col("cand_label").as("cell"),
+        CosineSimilarityExpr.cosineFast(col("centroid"), col("q_emb"))
+          .as("cell_sim"))
+      .orderBy(col("cell_sim").desc)
+      .limit(nProbe)
+      .select("cell")
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        CosineSimilarityExpr.cosineFast(col("embedding"), col("q_emb"))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Near-duplicate pairs: band-collision blocking, then exact cosine
     * ≥ `threshold` on the DISTINCT candidate pairs (a pair colliding
     * in two bands pays the distance math once). Norms are computed

@@ -125,6 +125,17 @@ object TextQueries {
     .map(j => s"CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
     .mkString(" + ")
 
+  // 60-bit variant mirroring TextFunctions.simhashBitAggs60: bits
+  // 1..32 from md5(gram), 33..60 from md5('x:' || gram).
+  private val sqlSimhash60Bits = (1 to 60).map { j =>
+    val src = if (j <= 32) "md5(gram)" else "md5('x:' || gram)"
+    val pos = if (j <= 32) j else j - 32
+    s"SUM(CASE WHEN substring($src, $pos, 1) >= '8' THEN 1 ELSE -1 END) AS b$j"
+  }.mkString(",\n    ")
+  private val sqlSimhash60Combine = (1 to 60)
+    .map(j => s"CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
+    .mkString(" + ")
+
   val all: Seq[QueryDef] = Seq(
     // Exact deduplication profile: hash-groupBy on md5(text).
     QueryDef(
@@ -363,6 +374,60 @@ object TextQueries {
              |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup PAIRING: 60-bit SimHash over the df-capped
+    // discriminative grams (over raw tokens the template-generated
+    // corpus collides by the million), banded 4 × 15 bits — pigeonhole
+    // guarantees any pair within Hamming ≤ 3 shares a band — then the
+    // exact Hamming filter on the DISTINCT candidates. Complements
+    // q33 (which computes the cheap 16-bit profile fingerprint).
+    QueryDef(
+      "q56_simhash_neardup",
+      (s, d) => {
+        val grams = sparkGramsCapped(s, d)
+        val aggs = simhashBitAggs60(col("gram"))
+        val sh = grams.groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            simhashCombine((1 to 60).map(j => col(s"b$j"))).as("s"))
+        val bands = sh.select(col("doc_id"), col("s"), posexplode(array(
+            (0 to 3).map(b =>
+              shiftright(col("s"), b * 15).bitwiseAND(lit(32767L))): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bv")
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.s").as("sa"), col("b.s").as("sb"))
+          .distinct()
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$cappedGramsCte,
+              |bits AS (
+              |  SELECT doc_id,
+              |    $sqlSimhash60Bits
+              |  FROM grams_rare GROUP BY doc_id
+              |), sh AS (
+              |  SELECT doc_id, CAST($sqlSimhash60Combine AS BIGINT) AS s
+              |  FROM bits
+              |), bands AS (
+              |  SELECT doc_id, s, band, (s >> (band * 15)) & 32767 AS bv
+              |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    a.s AS sa, b.s AS sb
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+              |)
+              |SELECT a_id, b_id,
+              |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+              |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+              |ORDER BY a_id, b_id""".stripMargin)),
 
     // Duplicate-cluster resolution: near-dup PAIRS (q31's capped-gram
     // Jaccard ≥ 0.5 metric) → connected components by min-label

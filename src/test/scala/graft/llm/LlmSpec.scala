@@ -75,6 +75,25 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("EmbeddingSearch: IVF top-k scores agree with brute force and " +
+      "recall grows with nProbe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Centroids.byLabel(spark, emb)
+    val brute = EmbeddingSearch.bruteForceTopK(spark, emb, 0L, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def hits(nProbe: Int): Map[Long, Double] =
+      EmbeddingSearch.ivfTopK(spark, emb, cents, 0L, 20, nProbe)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf3 = hits(3)
+    ivf3 should not be empty
+    // any id both rankings surface must carry the identical exact score
+    ivf3.foreach { case (id, sim) =>
+      brute.get(id).foreach(_ shouldBe sim +- 1e-12)
+    }
+    // probing every cell IS brute force — recall must reach 100%
+    hits(10).keySet shouldBe brute.keySet
+  }
+
   test("DedupClusters: planted near-dup pair collapses to one survivor") {
     val pairs = MinHashDedup.nearDuplicates(plantedDocs, threshold = 0.5)
     val kept = DedupClusters.deduplicate(plantedDocs, pairs)
