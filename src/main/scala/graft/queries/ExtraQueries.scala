@@ -121,6 +121,73 @@ object ExtraQueries {
       Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
              |FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
              |RIGHT JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // Conditional aggregation (TPC-H Q12 shape, adapted to this
+    // schema): urgent- vs relaxed-priority line counts per return
+    // flag — sum(CASE …) folds the pivot into one hash agg pass.
+    QueryDef(
+      "q59_conditional_agg",
+      (s, d) => {
+        val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS high_line_count,
+             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 0 ELSE 1 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Top-k per group: rank-filter pattern (row_number ≤ k inside
+    // each partition) — the per-group LIMIT Spark plans as one window
+    // sort, no per-group driver loops.
+    QueryDef(
+      "q60_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+             |FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // Exact interpolated percentiles (quantile_cont semantics): both
+    // engines compute lower + (upper - lower) * frac at position
+    // p × (n - 1) — bit-identical on this integer-valued measure.
+    QueryDef(
+      "q61_percentiles",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            percentile(col("l_quantity"), lit(0.25)).as("p25"),
+            percentile(col("l_quantity"), lit(0.5)).as("median"),
+            percentile(col("l_quantity"), lit(0.75)).as("p75"),
+            percentile(col("l_quantity"), lit(0.95)).as("p95"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+             |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median,
+             |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+             |  percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity) AS p95
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -476,6 +476,75 @@ object RelationalQueries {
               |  ${sqlDsum("l_extendedprice")} AS sum_price
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |  AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
-              |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-table star+snowflake
+    // join — fact lineitem shuffles once on l_orderkey; customer joins
+    // on the orders side; supplier/nation/region are broadcast dims.
+    // The c_nationkey = s_nationkey residual makes it a genuine Q5
+    // (revenue where the customer and supplier share a nation).
+    QueryDef(
+      "q57_local_supplier_volume",
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1997-01-01").cast("timestamp")
+        val r = region(s, d).filter(col("r_name") === "ASIA")
+        val n = nation(s, d)
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        val sup = supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        val o = orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        val c = customer(s, d)
+        lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some(s"""SELECT n_name,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |  AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01'
+              |GROUP BY n_name
+              |ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
+    // Window-function breadth: ntile quartiles, percent_rank and
+    // cume_dist over the same per-customer ordering — one window
+    // spec, one sort, three rank family functions.
+    QueryDef(
+      "q58_window_ranks",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
