@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.functions.VectorFunctions._
+import graft.queries.Exact._
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (builder prompt +
@@ -220,6 +221,30 @@ object VectorQueries {
               |JOIN norms na ON na.vec_id = pd.a_id
               |JOIN norms nb ON nb.vec_id = pd.b_id
               |WHERE pd.dp / (na.nrm * nb.nrm) >= 0.35
-              |ORDER BY a_id, b_id""".stripMargin))
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Per-label centroids, oracle-checked element-wise: the same
+    // shuffle shape the VectorMeanAggregator uses (partial sums
+    // map-side, one K×dim-sized result), expressed relationally so
+    // DuckDB reproduces it — (label, element index, mean). The typed
+    // Aggregator (Centroids.byLabel) is the production path; this
+    // declared form is its cross-engine correctness witness.
+    QueryDef(
+      "q62_label_centroids",
+      (s, d) =>
+        embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).as("i"),
+            col("col").cast("double").as("x"))
+          .groupBy("label", "i")
+          .agg(davg(col("x")).as("mean_x"))
+          .orderBy("label", "i"),
+      Some(s"""SELECT label, CAST(i AS INTEGER) AS i,
+              |  ${sqlDavg("x")} AS mean_x
+              |FROM (
+              |  SELECT label, generate_subscripts(embedding, 1) AS i,
+              |    CAST(unnest(embedding) AS DOUBLE) AS x
+              |  FROM embeddings)
+              |GROUP BY label, i ORDER BY label, i""".stripMargin))
   )
 }
