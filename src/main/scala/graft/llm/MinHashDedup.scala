@@ -32,10 +32,12 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** MinHash signatures: `numHashes` components per document. */
+  /** MinHash signatures: `numHashes` components per document, via the
+    * sliced scheme (numHashes / 4 md5s per shingle — see
+    * TextFunctions.minhashSlicedAggs).
+    */
   def signatures(grams: DataFrame, numHashes: Int = 8): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      minhashAgg(col("gram"), i).as(s"h$i"))
+    val aggs = minhashSlicedAggs(col("gram"), numHashes)
     grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 

@@ -197,27 +197,21 @@ object TextQueries {
               |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
               |ORDER BY a_id, b_id""".stripMargin)),
 
-    // MinHash + LSH banding: 8 signature components (md5 as the seeded
-    // hash family), 4 bands × 2 rows; candidate pairs share a band.
-    // The bucket join replaces the quadratic all-pairs comparison.
-    // Two caps bound the worst case at scale: signatures are computed
-    // over df-capped grams (stop-gram hygiene, same as q31), and band
-    // buckets holding > 100 docs are dropped before the pair join (a
-    // degenerate bucket is an exact-dup cluster — q29's job, and d²
-    // pairs here).
+    // MinHash + LSH banding: 8 signature components via the SLICED
+    // scheme (two md5s per shingle cut into four 32-bit pieces each —
+    // 4× less hash CPU than a seeded md5 per component), 4 bands × 2
+    // rows; candidate pairs share a band. The bucket join replaces
+    // the quadratic all-pairs comparison. Two caps bound the worst
+    // case at scale: signatures are computed over df-capped grams
+    // (stop-gram hygiene, same as q31), and band buckets holding
+    // > 100 docs are dropped before the pair join (a degenerate
+    // bucket is an exact-dup cluster — q29's job, and d² pairs here).
     QueryDef(
       "q32_minhash_lsh",
       (s, d) => {
         val grams = sparkGramsCapped(s, d)
-        val sigs = grams.groupBy("doc_id")
-          .agg(minhashAgg(col("gram"), 0).as("h0"),
-            minhashAgg(col("gram"), 1).as("h1"),
-            minhashAgg(col("gram"), 2).as("h2"),
-            minhashAgg(col("gram"), 3).as("h3"),
-            minhashAgg(col("gram"), 4).as("h4"),
-            minhashAgg(col("gram"), 5).as("h5"),
-            minhashAgg(col("gram"), 6).as("h6"),
-            minhashAgg(col("gram"), 7).as("h7"))
+        val aggs = minhashSlicedAggs(col("gram"), 8)
+        val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         val wBucket = org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bv")
         val bands = sigs.select(col("doc_id"), posexplode(array(
@@ -241,10 +235,14 @@ object TextQueries {
       Some(s"""$cappedGramsCte,
               |sigs AS (
               |  SELECT doc_id,
-              |    min(md5('0:' || gram)) AS h0, min(md5('1:' || gram)) AS h1,
-              |    min(md5('2:' || gram)) AS h2, min(md5('3:' || gram)) AS h3,
-              |    min(md5('4:' || gram)) AS h4, min(md5('5:' || gram)) AS h5,
-              |    min(md5('6:' || gram)) AS h6, min(md5('7:' || gram)) AS h7
+              |    min(substring(md5(gram), 1, 8)) AS h0,
+              |    min(substring(md5(gram), 9, 8)) AS h1,
+              |    min(substring(md5(gram), 17, 8)) AS h2,
+              |    min(substring(md5(gram), 25, 8)) AS h3,
+              |    min(substring(md5('1:' || gram), 1, 8)) AS h4,
+              |    min(substring(md5('1:' || gram), 9, 8)) AS h5,
+              |    min(substring(md5('1:' || gram), 17, 8)) AS h6,
+              |    min(substring(md5('1:' || gram), 25, 8)) AS h7
               |  FROM grams_rare GROUP BY doc_id
               |), bands_all AS (
               |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sigs
