@@ -2,7 +2,10 @@ package graft.llm
 
 import graft.functions.CosineSimilarityExpr
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,6 +148,28 @@ object EmbeddingSearch {
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** spark.ml alternative (SURVEY.md §7.5's named built-in):
+    * BucketedRandomProjectionLSH over the embedding vectors —
+    * Euclidean LSH, which on unit-norm-ish embeddings orders like
+    * cosine. Fixed seed → deterministic. The engine-native
+    * [[lshTopK]] stays the declared/oracle-checked path; this is the
+    * drop-in for users already on spark.ml pipelines.
+    */
+  def lshTopKBRP(spark: SparkSession, emb: DataFrame, queryId: Long,
+      k: Int, bucketLength: Double = 2.0, numTables: Int = 4): DataFrame = {
+    val feats = emb.withColumn("fv", array_to_vector(col("embedding")))
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("fv").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setSeed(42L)
+    val model = brp.fit(feats)
+    val qv = feats.filter(col("vec_id") === queryId)
+      .head().getAs[Vector]("fv") // single-row driver fetch
+    model
+      .approxNearestNeighbors(feats.filter(col("vec_id") =!= queryId), qv, k)
+      .select(col("vec_id"), col("distCol").as("dist"))
   }
 
   /** Near-duplicate pairs: band-collision blocking, then exact cosine

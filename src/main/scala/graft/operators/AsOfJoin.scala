@@ -43,7 +43,7 @@ object AsOfJoin {
         col(key).as(key),
         struct(rightVals.toSeq.map { case (from, to) =>
           col(from).as(to)
-        }: _*).as("__rv"))
+        } :+ col(rightTime).as("__rt"): _*).as("__rv"))
 
     // left side has no __rv → unionByName fills NULL (no match yet)
     val unioned = l
@@ -86,5 +86,26 @@ object AsOfJoin {
       .filter(col("__rv").isNotNull)
       .select((lCols.map(col) ++
         rightVals.values.map(v => col("__rv").getField(v).as(v))): _*)
+  }
+
+  /** Tolerance variant: the matched right row must additionally lie
+    * within `tolerance` (an INTERVAL literal body, e.g. "5 minutes")
+    * of the left time — a stale match degrades to no-match (NULL
+    * values), like pandas merge_asof's `tolerance`. Same single
+    * shuffle: the right timestamp rides in the carried struct, so
+    * staleness is a per-row projection predicate, not a join.
+    */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightVals: Map[String, String], tolerance: String): DataFrame = {
+    require(!rightVals.values.exists(_ == "__rt"),
+      "__rt is reserved for the carried right timestamp")
+    val lCols = left.columns
+    val fresh = col("__rv").isNotNull &&
+      col("__rv").getField("__rt") >=
+        col(leftTime) - expr(s"INTERVAL $tolerance")
+    carriedStruct(left, right, key, leftTime, rightTime, rightVals)
+      .select((lCols.map(col) ++ rightVals.values.map(v =>
+        when(fresh, col("__rv").getField(v)).as(v))): _*)
   }
 }

@@ -94,6 +94,15 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     hits(10).keySet shouldBe brute.keySet
   }
 
+  test("EmbeddingSearch: spark.ml BRP-LSH variant returns ranked neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = EmbeddingSearch.lshTopKBRP(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    out should not be empty
+    out.map(_._1) should not contain 0L
+    out.map(_._2).toList shouldBe out.map(_._2).toList.sorted // ascending distance
+  }
+
   test("DedupClusters: planted near-dup pair collapses to one survivor") {
     val pairs = MinHashDedup.nearDuplicates(plantedDocs, threshold = 0.5)
     val kept = DedupClusters.deduplicate(plantedDocs, pairs)

@@ -60,6 +60,24 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count() shouldBe 1L
   }
 
+  test("AsOfJoin tolerance: stale matches degrade to null") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"))
+      .toDF("k", "ts_s")
+      .select(col("k"), col("ts_s").cast("timestamp").as("t"))
+    val right = Seq((1L, "2024-01-01 09:59:00", "x"))
+      .toDF("k", "ts_s", "v")
+      .select(col("k"), col("ts_s").cast("timestamp").as("t"), col("v"))
+    val out = AsOfJoin.asOfWithin(left, right, "k", "t", "t",
+        Map("v" -> "v"), "5 minutes")
+      .orderBy("t").collect()
+    // 10:00 matches the 09:59 quote (1 min old); 12:00's only prior
+    // quote is 2h stale -> degraded to null, row kept
+    out.map(r => if (r.isNullAt(2)) null else r.getString(2))
+      .toList shouldBe List("x", null)
+  }
+
   test("SkewJoin equals a plain join (same rows, spread over salts)") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_partkey", "l_quantity")
