@@ -101,4 +101,16 @@ object TextFunctions {
   /** 60-bit SimHash aggregate columns; combine with [[simhashCombine]]. */
   def simhashBitAggs60(token: Column): Seq[Column] =
     (1 to 60).map(j => sum(simhashBitWeight60(token, j)).as(s"b$j"))
+
+  /** PII redaction: email addresses → [EMAIL], phone-number-shaped
+    * digit runs → [PHONE]. Pure regexp_replace (codegen'd, no UDF) —
+    * the pre-training scrub pass. Patterns are deliberately
+    * recall-leaning (a redacted non-phone costs little; a leaked
+    * phone costs a lot).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]", "[PHONE]")
 }

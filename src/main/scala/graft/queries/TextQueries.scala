@@ -506,6 +506,40 @@ object TextQueries {
       Some("""SELECT CAST(floor(len(string_split(text, ' ')) / 20) * 20
              |    AS INTEGER) AS bucket_lo,
              |  COUNT(*) AS n_docs
-             |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin))
+             |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin)),
+
+    // Repetition profile (Gopher-style quality rule): distinct-token
+    // ratio and top-token share per document — high repetition is the
+    // classic low-quality-document signal. Two hash aggs, no window.
+    QueryDef(
+      "q65_repetition",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+            max("c").as("top_freq"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (col("n_distinct").cast("double") / col("n_tokens"))
+              .as("distinct_ratio"),
+            (col("top_freq").cast("double") / col("n_tokens"))
+              .as("top_token_share"))
+          .orderBy("doc_id"),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, tok
+             |)
+             |SELECT doc_id,
+             |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  COUNT(*) AS n_distinct,
+             |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+             |    AS distinct_ratio,
+             |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+             |    AS top_token_share
+             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

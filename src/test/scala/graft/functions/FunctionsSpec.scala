@@ -91,4 +91,19 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
       spark.sql("SELECT cosine_fast(array(1.0f), array(1.0f), array(1.0f))")
         .collect()
   }
+
+  test("redactPii scrubs emails and phone shapes, leaves prose alone") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(
+      "write to jane.doe+x@example.co.uk today",
+      "call +1 (555) 123-4567 or 555-1234567 now",
+      "nothing sensitive here 42")
+      .toDF("text")
+      .select(TextFunctions.redactPii($"text").as("t"))
+      .collect().map(_.getString(0))
+    out(0) shouldBe "write to [EMAIL] today"
+    out(1) shouldBe "call [PHONE] or [PHONE] now"
+    out(2) shouldBe "nothing sensitive here 42"
+  }
 }
