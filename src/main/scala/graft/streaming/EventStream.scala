@@ -47,6 +47,27 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment join: each micro-batch joins against
+    * the (small) static dimension, planned as a broadcast hash join —
+    * the streaming form of the q07-style dim join. The static side is
+    * re-resolvable per batch, so a dimension refresh (new snapshot
+    * under the same path) is picked up without restarting the query.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** foreachBatch sink: apply an arbitrary batch writer per
+    * micro-batch (idempotent by batchId) — the escape hatch for sinks
+    * without a native streaming writer (JDBC, upserts, partitioned
+    * rewrites). Returns the started query; caller awaits/stops.
+    */
+  def foreachBatchSink(streamed: DataFrame,
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(write)
+      .start()
+
   /** Run a streaming DataFrame to an in-memory table with
     * AvailableNow (process everything present, then stop) and return
     * the materialized result. Complete mode because the sinks above

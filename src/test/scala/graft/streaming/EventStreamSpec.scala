@@ -36,6 +36,47 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture with Matchers {
     expected.except(got).count() shouldBe 0
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val s = spark
+    import s.implicits._
+    val batchEvents = Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val dim = batchEvents.select("user_id").distinct()
+      .withColumn("user_tier",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+
+    val streamed = EventStream.enrich(
+      EventStream.fileStream(spark, dir, batchEvents.schema), dim, "user_id")
+    val q = streamed.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val got = spark.table("enrich_test")
+
+    val expected = EventStream.enrich(batchEvents, dim, "user_id")
+    got.count() shouldBe expected.count()
+    got.filter(col("user_tier").isNull).count() shouldBe 0
+    got.except(expected).count() shouldBe 0
+  }
+
+  test("foreachBatch sink lands every micro-batch exactly once") {
+    val batchEvents = Tables.events(spark, sfDir).select("ts", "user_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream4").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
+
+    val q = EventStream.foreachBatchSink(
+      EventStream.fileStream(spark, dir, batchEvents.schema),
+      (df, batchId) =>
+        df.write.mode("overwrite").parquet(s"$outDir/batch_$batchId"))
+    q.awaitTermination(120000L)
+
+    val landed = spark.read.parquet(s"$outDir/batch_*")
+    landed.count() shouldBe batchEvents.count()
+  }
+
   test("file-stream session windows produce sessions with bounded gaps") {
     val batchEvents = Tables.events(spark, sfDir)
       .select("ts", "user_id", "value")
