@@ -67,6 +67,48 @@ object Multimodal {
       })
   }
 
+  final case class ResizedAsset(asset_id: Long, modality: String,
+      payload: Array[Byte])
+
+  final case class Frame(asset_id: Long, frame_no: Int,
+      frame: Array[Byte])
+
+  /** STUB RESIZE — image-resize analog: deterministic strided
+    * down-sampling of the payload to ≤ `targetBytes`. Same
+    * mapPartitions shape as [[decodeFeatures]]; a real implementation
+    * swaps the stride loop for libvips/PIL-style scaling and nothing
+    * else changes.
+    */
+  def resize(spark: SparkSession, assets: DataFrame,
+      targetBytes: Int = 64): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, modality, payload) =>
+        val stride = math.max(1, payload.length / targetBytes)
+        val out = payload.indices.by(stride).take(targetBytes)
+          .map(payload).toArray
+        ResizedAsset(id, modality, out)
+      })
+  }
+
+  /** Frame sampling — video analog: the payload is a sequence of
+    * `frameSize`-byte frames; every `every`-th frame becomes its own
+    * row (a flatMap generator: one asset → many frames, the shape a
+    * video pipeline fans out with before per-frame featurization).
+    */
+  def frameSample(spark: SparkSession, assets: DataFrame,
+      frameSize: Int = 16, every: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        payload.grouped(frameSize).zipWithIndex.collect {
+          case (f, i) if i % every == 0 => Frame(id, i, f)
+        }
+      }
+  }
+
   /** Typed-metadata extraction stays in pure column land (no decode):
     * pruning + predicate pushdown keep this metadata-only at scan.
     */

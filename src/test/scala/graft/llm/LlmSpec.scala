@@ -143,4 +143,25 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     profile.head.getAs[String]("modality") shouldBe "image"
     profile.head.getAs[Long]("n_assets") shouldBe 500L
   }
+
+  test("Multimodal: resize bounds payloads, frame sampling fans out rows") {
+    val assets = Multimodal.fromDocuments(Tables.documents(spark, sfDir))
+    val resized = Multimodal.resize(spark, assets, targetBytes = 64)
+      .collect()
+    resized should have length 500
+    resized.foreach(_.payload.length should be <= 64)
+
+    val origBytes = assets.select(col("asset_id"),
+        octet_length(col("payload")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val frames = Multimodal.frameSample(spark, assets,
+      frameSize = 16, every = 4)
+    val byAsset = frames.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byAsset.keySet shouldBe origBytes.keySet
+    byAsset.foreach { case (id, n) =>
+      val nFrames = math.ceil(origBytes(id) / 16.0).toLong
+      n shouldBe (nFrames + 3) / 4 // every 4th frame, first always kept
+    }
+  }
 }
