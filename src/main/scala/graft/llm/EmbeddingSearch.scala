@@ -39,23 +39,30 @@ object EmbeddingSearch {
   /** (vec_id, band, bv) — one row per vector per band, where `bv` is
     * the R-bit sign-projection bucket string of that band. Planes are
     * corpus vectors 1..B×R (deterministic — no RNG, reproducible
-    * across engines); any plane set works at scale.
+    * across engines); any plane set works at scale. The B×R plane
+    * vectors are collected once (model metadata, a few KB) and folded
+    * in as literals: every band bucket is computed in one narrow
+    * projection per row — zero shuffle before the band self-join,
+    * versus shuffling B×R copies of every embedding through a
+    * crossJoin + groupBy.
     */
   def srpBands(emb: DataFrame, numBands: Int, planesPerBand: Int,
       bucketCap: Int): DataFrame = {
-    val nPlanes = numBands * planesPerBand
-    val planes = emb.filter(col("vec_id").between(1, nPlanes))
-      .select((col("vec_id") - 1).cast("int").as("pidx"),
-        col("embedding").as("plane"))
-    val bands = emb.crossJoin(broadcast(planes))
-      .select(col("vec_id"),
-        (col("pidx") / planesPerBand).cast("int").as("band"),
-        col("pidx"),
-        signBit(col("embedding"), col("plane")).as("bit"))
-      .groupBy("vec_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pidx"), col("bit")))),
-          x => x.getField("bit")), "").as("bv"))
+    val planes = emb
+      .filter(col("vec_id").between(1, numBands * planesPerBand))
+      .select("vec_id", "embedding")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    val bandExprs = (0 until numBands).map { b =>
+      concat((0 until planesPerBand).map { j =>
+        signBit(col("embedding"), typedLit(planes(b * planesPerBand + j)))
+      }: _*)
+    }
+    val bands = emb
+      .select(col("vec_id"), posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
     val w = Window.partitionBy("band", "bv")
     bands
       .withColumn("bsz", count(lit(1)).over(w))

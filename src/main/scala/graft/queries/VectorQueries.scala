@@ -44,24 +44,32 @@ object VectorQueries {
     * (mirrors `EmbeddingSearch.srpBands`, which is the cosine_fast
     * production path): one row per (vec_id, band) with the band's
     * R-bit bucket string. Planes are corpus vectors 1..B×R
-    * (deterministic, reproducible in DuckDB). `bucketCap` drops band
-    * buckets holding more docs — skew hygiene for the pair join.
+    * (deterministic, reproducible in DuckDB), collected once — B×R
+    * tiny rows, model metadata — and folded in as LITERALS, so every
+    * band bucket is computed in one narrow projection per row: zero
+    * shuffle before the (4 small rows per vector) band self-join,
+    * versus the plane-crossJoin + groupBy that would shuffle B×R
+    * copies of every embedding. `bucketCap` drops band buckets
+    * holding more docs — skew hygiene for the pair join.
     */
   private def srpBandsExact(emb: org.apache.spark.sql.DataFrame,
       numBands: Int, planesPerBand: Int,
       bucketCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
-    val planes = emb.filter(col("vec_id").between(1, numBands * planesPerBand))
-      .select((col("vec_id") - 1).cast("int").as("pidx"),
-        col("embedding").as("plane"))
-    val bands = emb.crossJoin(broadcast(planes))
-      .select(col("vec_id"),
-        (col("pidx") / planesPerBand).cast("int").as("band"),
-        col("pidx"),
-        signBit(col("embedding"), col("plane")).as("bit"))
-      .groupBy("vec_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pidx"), col("bit")))),
-          x => x.getField("bit")), "").as("bv"))
+    val planes = emb
+      .filter(col("vec_id").between(1, numBands * planesPerBand))
+      .select("vec_id", "embedding")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    val bandExprs = (0 until numBands).map { b =>
+      concat((0 until planesPerBand).map { j =>
+        signBit(col("embedding"), typedLit(planes(b * planesPerBand + j)))
+      }: _*)
+    }
+    val bands = emb
+      .select(col("vec_id"), posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
     bucketCap.fold(bands) { cap =>
       val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")
       bands.withColumn("bsz", count(lit(1)).over(w))
