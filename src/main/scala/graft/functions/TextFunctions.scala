@@ -102,6 +102,18 @@ object TextFunctions {
   def simhashBitAggs60(token: Column): Seq[Column] =
     (1 to 60).map(j => sum(simhashBitWeight60(token, j)).as(s"b$j"))
 
+  /** 60-bit SimHash aggregates over PRE-HASHED columns: callers
+    * project `m1 = md5(token)` / `m2 = md5("x:" + token)` once per
+    * row, and the 60 bit-sums only read substrings — guaranteeing two
+    * md5 evaluations per row instead of relying on subexpression
+    * elimination across 60 aggregate buffers.
+    */
+  def simhashBitAggs60Pre(m1: Column, m2: Column): Seq[Column] =
+    (1 to 60).map { j =>
+      val (h, pos) = if (j <= 32) (m1, j) else (m2, j - 32)
+      sum(when(substring(h, pos, 1) >= "8", 1L).otherwise(-1L)).as(s"b$j")
+    }
+
   /** PII redaction: email addresses → [EMAIL], phone-number-shaped
     * digit runs → [PHONE]. Pure regexp_replace (codegen'd, no UDF) —
     * the pre-training scrub pass. Patterns are deliberately

@@ -388,7 +388,9 @@ object TextQueries {
       "q56_simhash_neardup",
       (s, d) => {
         val grams = sparkGramsCapped(s, d)
-        val aggs = simhashBitAggs60(col("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("m1"),
+            md5(concat(lit("x:"), col("gram"))).as("m2"))
+        val aggs = simhashBitAggs60Pre(col("m1"), col("m2"))
         val sh = grams.groupBy("doc_id")
           .agg(aggs.head, aggs.tail: _*)
           .select(col("doc_id"),
