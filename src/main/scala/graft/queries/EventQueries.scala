@@ -123,6 +123,29 @@ object EventQueries {
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY purchase_id""".stripMargin))
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // Map-typed column functions (§2.6 map family): parse props into
+    // a map, then map_keys / size / element_at — the typed complement
+    // of q24's string-path extraction. Keys sorted for cross-engine
+    // determinism.
+    QueryDef(
+      "q66_map_funcs",
+      (s, d) =>
+        events(s, d)
+          .select(col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))
+              .as("m"))
+          .select(col("event_id"),
+            array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
+            size(col("m")).as("n_keys"),
+            element_at(col("m"), "k").as("k_value"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+             |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }
