@@ -253,6 +253,62 @@ object VectorQueries {
               |  SELECT label, generate_subscripts(embedding, 1) AS i,
               |    CAST(unnest(embedding) AS DOUBLE) AS x
               |  FROM embeddings)
-              |GROUP BY label, i ORDER BY label, i""".stripMargin))
+              |GROUP BY label, i ORDER BY label, i""".stripMargin)),
+
+    // IVF cell assignment, oracle-checked: every vector goes to its
+    // max-dot-product label centroid (q62's centroids, broadcast),
+    // exact-decimal dots, deterministic argmax tie-break — the
+    // cross-engine witness for the coarse quantizer behind
+    // EmbeddingSearch.ivfTopK / Centroids.assign (whose production
+    // path scores with the codegen'd cosine_fast instead).
+    QueryDef(
+      "q67_ivf_assign",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id")
+          .orderBy(col("dp").desc, col("clabel").desc)
+        val emb = embeddings(s, d)
+        val cents = emb
+          .select(col("label").as("clabel"), posexplode(col("embedding")))
+          .select(col("clabel"), (col("pos") + 1).as("i"),
+            col("col").cast("double").as("x"))
+          .groupBy("clabel", "i")
+          .agg(davg(col("x")).as("mean_x"))
+        emb
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"),
+            col("col").cast("double").as("x"))
+          .join(broadcast(cents), "i")
+          .groupBy("vec_id", "clabel")
+          .agg(sum((col("x") * col("mean_x")).cast(Dec)).as("dp"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("clabel").as("assigned_label"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH vexp AS (
+              |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              |    CAST(unnest(embedding) AS DOUBLE) AS x
+              |  FROM embeddings
+              |), cents AS (
+              |  SELECT label AS clabel, CAST(i AS INTEGER) AS i,
+              |    ${sqlDavg("x")} AS mean_x
+              |  FROM (
+              |    SELECT label, generate_subscripts(embedding, 1) AS i,
+              |      CAST(unnest(embedding) AS DOUBLE) AS x
+              |    FROM embeddings)
+              |  GROUP BY label, i
+              |), dots AS (
+              |  SELECT v.vec_id, c.clabel,
+              |    SUM(CAST(v.x * c.mean_x AS DECIMAL(38,12))) AS dp
+              |  FROM vexp v JOIN cents c USING (i)
+              |  GROUP BY v.vec_id, c.clabel
+              |)
+              |SELECT vec_id, clabel AS assigned_label FROM (
+              |  SELECT vec_id, clabel,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY dp DESC, clabel DESC) AS rn
+              |  FROM dots)
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 }
