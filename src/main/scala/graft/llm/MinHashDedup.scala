@@ -32,6 +32,22 @@ object MinHashDedup {
       .distinct()
   }
 
+  /** Shingles with stop-gram hygiene: grams in more than
+    * `max(5, dfFraction × corpus)` documents are dropped before any
+    * signature/pair work — they carry ~zero Jaccard discrimination
+    * but d² candidate-pair rows each (the q31/q32 cap, as a library
+    * default).
+    */
+  def shinglesCapped(docs: DataFrame, dfFraction: Double = 0.002,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cap = math.max(5L, math.ceil(dfFraction * docs.count()).toLong)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    shingles(docs, idCol, textCol)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= cap)
+      .drop("df")
+  }
+
   /** MinHash signatures: `numHashes` components per document, via the
     * sliced scheme (numHashes / 4 md5s per shingle — see
     * TextFunctions.minhashSlicedAggs).
@@ -41,18 +57,29 @@ object MinHashDedup {
     grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: candidate pairs sharing ≥1 of `bands` bands. */
+  /** LSH banding: candidate pairs sharing ≥1 of `bands` bands.
+    * Signatures run over df-capped shingles; band buckets over
+    * `bucketCap` docs are dropped before the pair join (a degenerate
+    * bucket is an exact-dup cluster — the exact-dedup pass's job, and
+    * d² candidate pairs here).
+    */
   def candidatePairs(docs: DataFrame, numHashes: Int = 8,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, dfFraction: Double = 0.002,
+      bucketCap: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = signatures(shingles(docs), numHashes)
+    val sigs = signatures(shinglesCapped(docs, dfFraction), numHashes)
     val bandCols = (0 until bands).map(b =>
       concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bv")
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bv")
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -61,12 +88,15 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Candidates verified by exact trigram Jaccard ≥ threshold. */
+  /** Candidates verified by exact trigram Jaccard ≥ threshold (over
+    * the same df-capped shingle space the signatures used).
+    */
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.7,
-      numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val grams = shingles(docs)
+      numHashes: Int = 8, bands: Int = 4, dfFraction: Double = 0.002,
+      bucketCap: Int = 1000): DataFrame = {
+    val grams = shinglesCapped(docs, dfFraction)
     val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cands = candidatePairs(docs, numHashes, bands)
+    val cands = candidatePairs(docs, numHashes, bands, dfFraction, bucketCap)
     val common = cands
       .join(grams.as("ga"), col("a_id") === col("ga.doc_id"))
       .join(grams.as("gb"),
