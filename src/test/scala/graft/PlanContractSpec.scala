@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan contracts: the plan shapes the 100 TB design relies
+  * on, asserted so a refactor that silently degrades one (a broadcast
+  * that becomes a shuffle, a filter that stops reaching the scan, a
+  * candidate join that degenerates to a cartesian product) fails CI
+  * instead of only showing up at scale.
+  */
+class PlanContractSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.allQueries.find(_.name == name).get
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q07 star join: dims broadcast, date filter pushed to the scan") {
+    val p = plan("q07_join_agg")
+    p should include("BroadcastHashJoin")
+    p should include("PushedFilters")
+    p should include("o_orderdate")
+  }
+
+  test("q11 top-k plans as TakeOrderedAndProject (per-partition heaps)") {
+    plan("q11_topk") should include("TakeOrderedAndProject")
+  }
+
+  test("near-dup candidate joins never degenerate to all-pairs") {
+    Seq("q31_ngram_jaccard", "q32_minhash_lsh", "q44_embed_neardup",
+      "q56_simhash_neardup").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q plan:") {
+        p should not include "CartesianProduct"
+        p should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
+  test("q01 projection/filter reach the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    p should include("PushedFilters")
+    // column pruning: the scan must not read the full lineitem schema
+    p should not include "l_tax"
+  }
+
+  test("q57 snowflake dims broadcast; no shuffle on the dim side") {
+    val p = plan("q57_local_supplier_volume")
+    p should include("BroadcastHashJoin")
+    p should include("r_name")
+  }
+}
