@@ -78,6 +78,26 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture with Matchers {
       .toList shouldBe List("x", null)
   }
 
+  test("TopK bounded-heap aggregator equals the window rank-filter form") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val got = TopK.topKPerGroup(spark, orders,
+        "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Int]("rn"),
+        r.getAs[Double]("o_totalprice"), r.getAs[Long]("o_orderkey")))
+      .toSet
+    got shouldBe expected
+  }
+
   test("SkewJoin equals a plain join (same rows, spread over salts)") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_partkey", "l_quantity")
