@@ -55,6 +55,16 @@ final case class MatchesRegex(column: String, regex: String) extends RowCheck {
   def violationExpr: Column = !col(column).rlike(regex) || col(column).isNull
 }
 
+/** GE `expect_column_values_to_be_between` (inclusive bounds; NULL is
+  * a violation, matching GE's default mostly=1 semantics).
+  */
+final case class Between(column: String, lo: Double, hi: Double)
+    extends RowCheck {
+  val id = s"between_$column"
+  def violationExpr: Column =
+    col(column).isNull || col(column) < lo || col(column) > hi
+}
+
 /** Uniqueness over a key: violations = count(*) - count(distinct key).
   * Evaluated in the same single pass via a distinct aggregate.
   */

@@ -35,6 +35,11 @@ class ChecksSpec extends AnyFunSuite with SparkFixture with Matchers {
     r.map(_.violations) shouldBe Seq(1L, 1L) // one negative; 10 duplicated
   }
 
+  test("Between counts out-of-range rows inclusively, null violates") {
+    val r = CheckRunner.run(df, Seq(Between("attendance", 0, 15)))
+    r.head.violations shouldBe 2L // -5 below, 20 above; 10s pass inclusive
+  }
+
   test("duplicate check ids are rejected up front") {
     val dup = Seq(InSet("day", Seq("Sun")), InSet("day", Seq("Mon")))
     an[IllegalArgumentException] should be thrownBy CheckRunner.run(df, dup)
