@@ -28,6 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 local executor threads churning gram/hash strings need real
   // heap headroom — at 8g the text/vector tail queries spent their
-  // variance (3-17 s run-to-run) in GC, not compute.
+  // variance (3-17 s run-to-run) in GC, not compute. (A ~20 s stall
+  // hitting ONE random query per bench run was measured identical
+  // under G1 and ZGC — host-level scheduling, not GC; treat single-
+  // query outliers in bench output accordingly.)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -39,7 +39,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: compile/JIT every query's generated code at the target SF
+    // warm-up: compile/JIT every query's generated code at the target
+    // SF. Cold-vs-warm gaps are 2-4× even for plain decimal aggs
+    // (q04: 7.8 s cold / 1.8 s warm — generated-class compilation,
+    // identical at every data size), so timing the second execution is
+    // the steady state a resident driver runs at. Costs one extra pass
+    // (~60 s at sf0.1). SPARK_GRAFT_WARMUP_DIR overrides; "" disables.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.allQueries.foreach { q =>
