@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * are engine-specific).
   */
 object ExtraQueries {
+  import Exact._
 
   val all: Seq[QueryDef] = Seq(
     // S7: arbitrary SQL executor — the whole query goes through
@@ -167,6 +168,47 @@ object ExtraQueries {
              |  FROM orders)
              |WHERE rn <= 3
              |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // The bounded-heap per-group top-k AGGREGATOR (operators.TopK),
+    // oracle-checked against the same SQL as q60's window form: the
+    // cross-engine witness that map-side partial top-k buffers merge
+    // to exactly the rank-filter answer.
+    QueryDef(
+      "q68_topk_aggregator",
+      (s, d) =>
+        graft.operators.TopK
+          .topKPerGroup(s, orders(s, d),
+            "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rn"),
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+             |FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // The salted skew join (operators.SkewJoin), oracle-checked
+    // against the plain join it must be equivalent to: salting is a
+    // physical re-distribution, never a semantic change.
+    QueryDef(
+      "q69_salted_join",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+        val p = part(s, d).select("p_partkey", "p_brand")
+        graft.operators.SkewJoin.saltedJoin(li, p, "p_partkey", 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n_lines,
+              |  ${sqlDsum("l_extendedprice")} AS sum_price
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
     // Exact interpolated percentiles (quantile_cont semantics): both
     // engines compute lower + (upper - lower) * frac at position
