@@ -146,6 +146,30 @@ object EventQueries {
              |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
              |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
              |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // The reusable AsOfJoin API (operators.AsOfJoin) gated against
+    // DuckDB's native ASOF JOIN — q28 checks the inline window
+    // rewrite; this checks the library operator users actually call
+    // (struct-carried right row, >= tie semantics).
+    QueryDef(
+      "q70_asof_api",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+        graft.operators.AsOfJoin
+          .asOfInner(purchases, clicks, "user_id", "ts", "ts",
+            Map("event_id" -> "click_id"))
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY purchase_id""".stripMargin))
   )
 }
