@@ -542,6 +542,94 @@ object TextQueries {
              |    AS distinct_ratio,
              |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
              |    AS top_token_share
-             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // The convergence-checked DedupClusters.components API (q55 gates
+    // the fixed-round unrolled form): on this data propagation
+    // converges inside the oracle's 3 unrolled rounds, so both forms
+    // must produce identical components.
+    QueryDef(
+      "q71_dedup_components_api",
+      (s, d) =>
+        graft.llm.DedupClusters
+          .components(jaccardPairs(s, d).select("a_id", "b_id"))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id"),
+      Some(s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM jp
+              |  UNION SELECT b_id, a_id FROM jp
+              |  UNION SELECT a_id, a_id FROM jp
+              |  UNION SELECT b_id, b_id FROM jp
+              |), l0 AS (
+              |  SELECT DISTINCT src AS id, src AS label FROM edges
+              |), l1 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst
+              |), l2 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst
+              |), l3 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
+              |)
+              |SELECT id AS doc_id, label AS cluster_id
+              |FROM l3 ORDER BY doc_id""".stripMargin)),
+
+    // The full MinHashDedup.nearDuplicates library pipeline (sliced
+    // signatures over df-capped shingles → 4×2 banding with bucket
+    // cap → exact-Jaccard verification) gated end-to-end: the oracle
+    // replays every stage in SQL.
+    QueryDef(
+      "q72_minhash_api",
+      (s, d) =>
+        graft.llm.MinHashDedup
+          .nearDuplicates(documents(s, d), threshold = 0.5)
+          .orderBy("a_id", "b_id"),
+      Some(s"""$cappedGramsCte,
+              |sigs AS (
+              |  SELECT doc_id,
+              |    min(substring(md5(gram), 1, 8)) AS h0,
+              |    min(substring(md5(gram), 9, 8)) AS h1,
+              |    min(substring(md5(gram), 17, 8)) AS h2,
+              |    min(substring(md5(gram), 25, 8)) AS h3,
+              |    min(substring(md5('1:' || gram), 1, 8)) AS h4,
+              |    min(substring(md5('1:' || gram), 9, 8)) AS h5,
+              |    min(substring(md5('1:' || gram), 17, 8)) AS h6,
+              |    min(substring(md5('1:' || gram), 25, 8)) AS h7
+              |  FROM grams_rare GROUP BY doc_id
+              |), bands_all AS (
+              |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sigs
+              |  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sigs
+              |  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sigs
+              |  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sigs
+              |), bands AS (
+              |  SELECT doc_id, band, bv FROM (
+              |    SELECT doc_id, band, bv,
+              |      COUNT(*) OVER (PARTITION BY band, bv) AS bsz
+              |    FROM bands_all)
+              |  WHERE bsz <= 1000
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+              |), cnt AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM grams_rare GROUP BY doc_id
+              |), common AS (
+              |  SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+              |  FROM cand c
+              |  JOIN grams_rare ga ON ga.doc_id = c.a_id
+              |  JOIN grams_rare gb ON gb.doc_id = c.b_id
+              |    AND ga.gram = gb.gram
+              |  GROUP BY c.a_id, c.b_id
+              |)
+              |SELECT m.a_id, m.b_id,
+              |  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+              |FROM common m
+              |JOIN cnt ca ON ca.doc_id = m.a_id
+              |JOIN cnt cb ON cb.doc_id = m.b_id
+              |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+              |ORDER BY a_id, b_id""".stripMargin))
   )
 }
