@@ -45,14 +45,22 @@ object Bench {
     // identical at every data size), so timing the second execution is
     // the steady state a resident driver runs at. Costs one extra pass
     // (~60 s at sf0.1). SPARK_GRAFT_WARMUP_DIR overrides; "" disables.
+    // API-gate queries re-run pipelines the bench already times under
+    // their declared forms (q60/q23-shape/q55/q31+q32/q28) purely to
+    // oracle-check the library entry points — timing them twice would
+    // double-count those workloads in the total.
+    val apiGates = Set("q68_topk_aggregator", "q69_salted_join",
+      "q70_asof_api", "q71_dedup_components_api", "q72_minhash_api")
+    val benched = SparkEntry.allQueries.filterNot(q => apiGates(q.name))
+
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.allQueries.foreach { q =>
+      benched.foreach { q =>
         try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
       }
 
-    val results = SparkEntry.allQueries.map { q =>
+    val results = benched.map { q =>
       val t0 = System.nanoTime()
       val ok =
         try {
