@@ -2,7 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
+  ExpressionInfo, Literal, Lower, Md5, RegExpReplace, StringTrim}
+import org.apache.spark.sql.types.BinaryType
 
 /** Session-extension entry point: activate the engine's custom
   * Catalyst surface at session build time —
@@ -23,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineFastDescriptor)
+    ext.injectFunction(GraftExtensions.fingerprintDescriptor)
+    ext.injectFunction(GraftExtensions.redactPiiDescriptor)
   }
 }
 
@@ -36,5 +40,48 @@ object GraftExtensions {
       require(exprs.length == 2,
         s"cosine_fast expects 2 arguments, got ${exprs.length}")
       CosineSimilarityExpr(exprs(0), exprs(1))
+    })
+
+  /** SQL spelling of TextFunctions.fingerprint: pure-SQL clients get
+    * the same normalized-text dedup key — the expression tree composes
+    * built-in codegen'd nodes, so no UDF boundary.
+    */
+  val fingerprintDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("fingerprint"),
+    new ExpressionInfo(classOf[Md5].getName, "fingerprint"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"fingerprint expects 1 argument, got ${exprs.length}")
+      Md5(Cast(new StringTrim(
+        RegExpReplace(Lower(exprs(0)), Literal("\\s+"), Literal(" "))),
+        BinaryType))
+    })
+
+  /** Ad-hoc registration of every extension function on an existing
+    * session (the cluster path sets spark.sql.extensions instead —
+    * builder-time config can't be added to a live session).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineFastDescriptor, fingerprintDescriptor, redactPiiDescriptor)
+      .foreach { case (ident, _, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(ident.funcName, builder, "scala_udf")
+      }
+
+  /** SQL spelling of TextFunctions.redactPii. */
+  val redactPiiDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("redact_pii"),
+    new ExpressionInfo(classOf[RegExpReplace].getName, "redact_pii"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"redact_pii expects 1 argument, got ${exprs.length}")
+      RegExpReplace(
+        RegExpReplace(exprs(0),
+          Literal("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+          Literal("[EMAIL]")),
+        Literal("\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"),
+        Literal("[PHONE]"))
     })
 }

@@ -19,4 +19,22 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     val e = builder(Seq(Literal(1), Literal(2)))
     e shouldBe a[CosineSimilarityExpr]
   }
+
+  test("extension-built SQL functions equal their Column forms") {
+    val spark = graft.SparkFixture.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.registerAll(spark)
+    val df = Seq("  Hello   World ", "mail me: a.b@x.io today")
+      .toDF("t")
+    df.createOrReplaceTempView("ext_t")
+    val viaSql = spark
+      .sql("SELECT fingerprint(t) f, redact_pii(t) r FROM ext_t")
+      .collect()
+    val viaCol = df.select(TextFunctions.fingerprint(col("t")).as("f"),
+      TextFunctions.redactPii(col("t")).as("r")).collect()
+    viaSql.map(_.getString(0)) shouldBe viaCol.map(_.getString(0))
+    viaSql.map(_.getString(1)) shouldBe viaCol.map(_.getString(1))
+    viaSql(1).getString(1) should include("[EMAIL]")
+  }
 }
