@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Custom stateful streaming operators via KeyValueGroupedDataset
@@ -29,6 +30,59 @@ object StatefulOps {
           rows.foreach { case (_, v) => n += 1; s += v }
           state.update((n, s))
           UserStats(uid, n, s)
+      }
+  }
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+  /** Event-time sessionization via `flatMapGroupsWithState` — the
+    * 0..n-outputs-per-invocation custom-state form (mapGroups is
+    * exactly-1). Each invocation merges the batch's events with the
+    * carried OPEN session, emits every session that CLOSED (an
+    * event-time gap > `gapMinutes` separates it from the next), and
+    * keeps the still-open trailing session in state. State is one
+    * (count, first, last) triple per user — bounded by key
+    * cardinality; pair with a state timeout to flush abandoned keys
+    * on a live stream.
+    */
+  def sessionizeFlat(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 5): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    // microsecond longs end-to-end: java.sql.Timestamp.getTime is
+    // millis and silently truncates parquet's microsecond timestamps
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val newTs = rows.map(_._2).toArray.sorted
+          // seed with the carried open session, if any
+          var sessions = List.empty[(Long, Long, Long)] // (n, first, last)
+          var open = state.getOption
+          newTs.foreach { t =>
+            open match {
+              case Some((n, f, l)) if t - l < gapUs =>
+                open = Some((n + 1, f, math.max(l, t)))
+              case Some(closed) =>
+                sessions ::= closed
+                open = Some((1L, t, t))
+              case None =>
+                open = Some((1L, t, t))
+            }
+          }
+          open.foreach(state.update)
+          sessions.reverseIterator.map { case (n, f, l) =>
+            SessionSummary(uid, n, toTs(f), toTs(l))
+          }
       }
   }
 

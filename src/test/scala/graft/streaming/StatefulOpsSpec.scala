@@ -30,6 +30,43 @@ class StatefulOpsSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count() shouldBe 0
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the closed " +
+      "sessions") {
+    val batch = Tables.events(spark, sfDir).select("user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    // one file -> one micro-batch, so event-time order within the
+    // batch is what the operator sorts, not arrival order
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val streamed = StatefulOps.sessionizeFlat(spark,
+      EventStream.fileStream(spark, dir, batch.schema), gapMinutes = 5)
+    val q = streamed.writeStream.format("memory").queryName("sess_flat")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_flat").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+
+    // batch truth: session_window sessions minus each user's LAST
+    // session (still open in state, so the stream never emits it)
+    val sessions = batch
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min("ts").as("start_ts"),
+        max("ts").as("end_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("start_ts").desc)
+    val expected = sessions
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+        r.getAs[java.sql.Timestamp]("start_ts"),
+        r.getAs[java.sql.Timestamp]("end_ts"))).toSet
+
+    got shouldBe expected
+    got should not be empty
+  }
+
   test("dropDuplicatesWithinWatermark removes re-sent events") {
     val batch = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "value")
