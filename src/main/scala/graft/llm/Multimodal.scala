@@ -24,6 +24,25 @@ object Multimodal {
   final case class AssetFeatures(asset_id: Long, modality: String,
       n_bytes: Int, feature: Array[Float])
 
+  /** Read real media files as assets via Spark's `binaryFile` source:
+    * one row per file with the payload as opaque bytes plus path/size
+    * metadata — the production ingestion path (`pathGlobFilter` keeps
+    * the scan to the wanted extension; file-level pruning happens at
+    * the source). asset_id is the stable hash of the path:
+    * deterministic across re-reads, no driver-side numbering.
+    */
+  def fromBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*", modality: String = "image"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        lit(modality).as("modality"),
+        col("content").as("payload"),
+        struct(col("path").as("source"),
+          col("length").cast("int").as("n_bytes")).as("meta"))
+
   /** Wrap a (id, text, source) table as binary assets — the testdata
     * stand-in for reading real media files as `binaryFile` sources.
     */

@@ -144,6 +144,24 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     profile.head.getAs[Long]("n_assets") shouldBe 500L
   }
 
+  test("Multimodal: binaryFile source reads files as assets end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.img"),
+      Array[Byte](1, 2, 3, 4, 5))
+    java.nio.file.Files.write(dir.resolve("b.img"), Array[Byte](9, 8))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](0))
+    val assets = Multimodal.fromBinaryFiles(spark, dir.toString, "*.img")
+    val rows = assets.orderBy(col("meta.n_bytes").desc).collect()
+    rows should have length 2 // glob filtered out skip.txt
+    rows.head.getAs[Array[Byte]]("payload") shouldBe
+      Array[Byte](1, 2, 3, 4, 5)
+    rows.map(_.getAs[Long]("asset_id")).distinct should have length 2
+    // the downstream stages accept the binaryFile-sourced frame
+    val feats = Multimodal.decodeFeatures(spark, assets).collect()
+    feats should have length 2
+    feats.foreach(_.feature should have length 8)
+  }
+
   test("Multimodal: resize bounds payloads, frame sampling fans out rows") {
     val assets = Multimodal.fromDocuments(Tables.documents(spark, sfDir))
     val resized = Multimodal.resize(spark, assets, targetBytes = 64)
