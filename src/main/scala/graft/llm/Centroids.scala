@@ -63,6 +63,23 @@ object Centroids {
       .toDF("cand_label", "centroid")
   }
 
+  /** Deterministic label-free initialization: the first k vectors by
+    * id become the initial centroids (cand_label 0..k-1). No RNG —
+    * reproducible across runs/retries; k tiny rows to the driver is
+    * model metadata, not data movement. Use when training an IVF
+    * quantizer on an unlabeled corpus; `byLabel` when labels exist.
+    */
+  def initFirstK(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    emb.orderBy("vec_id").limit(k)
+      .select(col("embedding"))
+      .as[Array[Float]]
+      .collect()
+      .zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toSeq.toDF("cand_label", "centroid")
+  }
+
   /** Lloyd's iterations refining initial centroids (IVF training):
     * assign → typed-aggregator mean per cell → repeat. Each iteration
     * is one scan + one K×dim-sized shuffle; the loop is driver-side

@@ -37,6 +37,19 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked sliding-window counts (streaming form of q26): each
+    * event lands in width/slide overlapping windows; state per window
+    * dropped once the watermark passes its end.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
+      width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** Watermarked session windows per user (streaming form of q27). */
   def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
       gap: String = "5 minutes"): DataFrame =

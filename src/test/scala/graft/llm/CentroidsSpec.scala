@@ -43,4 +43,14 @@ class CentroidsSpec extends AnyFunSuite with SparkFixture with Matchers {
     selfAssign.filter(col("true_label") =!= col("assigned_label"))
       .count() shouldBe 0
   }
+
+  test("label-free initFirstK trains a usable IVF quantizer") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val init = Centroids.initFirstK(spark, emb, 8)
+    init.count() shouldBe 8
+    val before = Centroids.objective(spark, emb, init)
+    val refined = Centroids.kmeans(spark, emb, init, iterations = 2)
+    val after = Centroids.objective(spark, emb, refined)
+    after should be >= before - 1e-9
+  }
 }

@@ -36,6 +36,25 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture with Matchers {
     expected.except(got).count() shouldBe 0
   }
 
+  test("file-stream sliding counts equal the batch computation") {
+    val batchEvents = Tables.events(spark, sfDir)
+      .select("ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream5").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val streamed = EventStream.slidingCounts(
+      EventStream.fileStream(spark, dir, batchEvents.schema))
+    val got = EventStream.runAvailableNow(spark, streamed, "sliding_test")
+
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    got.count() shouldBe expected.count()
+    got.except(expected).count() shouldBe 0
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val s = spark
     import s.implicits._
