@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data
+  * pipelines. Both use HASH-MOD sampling (a stable hash of the key
+  * mapped to a bucket) rather than RNG: reproducible across engines,
+  * retries, partitionings and re-runs — the property an RNG-based
+  * `sample()` cannot give a 100 TB pipeline, and what makes the
+  * DuckDB oracle possible at all. md5 is the portable hash; the first
+  * two hex chars give 256 buckets, compared as strings (bytewise ==
+  * numeric on fixed-width lowercase hex, so no engine-specific
+  * hex-to-int conversion is needed).
+  */
+object SamplingQueries {
+
+  private def bucket(c: org.apache.spark.sql.Column) =
+    substring(md5(c.cast("string")), 1, 2)
+
+  private val sqlBucket = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+  val all: Seq[QueryDef] = Seq(
+    // ~5% reproducible corpus sample: buckets 00..0c = 13 of 256.
+    QueryDef(
+      "q73_hash_sample",
+      (s, d) =>
+        documents(s, d)
+          .filter(bucket(col("doc_id")) < "0d")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE $sqlBucket < '0d'
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Train/val/test assignment: 80/10/10 by hash bucket (cd = 205,
+    // e6 = 230 of 256) — stable under corpus growth: a document's
+    // split never changes when new documents arrive, unlike
+    // position- or RNG-based splits.
+    QueryDef(
+      "q74_split_assign",
+      (s, d) => {
+        val b = bucket(col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"),
+            when(b < "cd", "train").when(b < "e6", "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN $sqlBucket < 'cd' THEN 'train'
+              |       WHEN $sqlBucket < 'e6' THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
