@@ -50,7 +50,8 @@ object Bench {
     // oracle-check the library entry points — timing them twice would
     // double-count those workloads in the total.
     val apiGates = Set("q68_topk_aggregator", "q69_salted_join",
-      "q70_asof_api", "q71_dedup_components_api", "q72_minhash_api")
+      "q70_asof_api", "q71_dedup_components_api", "q72_minhash_api",
+      "q76_dedup_corpus")
     val benched = SparkEntry.allQueries.filterNot(q => apiGates(q.name))
 
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)

@@ -51,6 +51,26 @@ object SamplingQueries {
               |  CASE WHEN $sqlBucket < 'cd' THEN 'train'
               |       WHEN $sqlBucket < 'e6' THEN 'val'
               |       ELSE 'test' END AS split
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Mixture-weighted sampling (data mixing): per-source sampling
+    // rates — here lang 'en' kept at ~25% (buckets < '40' = 64/256)
+    // and every other lang at ~6% ('10' = 16/256) — the upweighting /
+    // downweighting step that composes a training mixture from
+    // heterogeneous sources, still fully deterministic.
+    QueryDef(
+      "q75_mixture_sample",
+      (s, d) => {
+        val b = bucket(col("doc_id"))
+        documents(s, d)
+          .filter(when(col("lang") === "en", b < "40").otherwise(b < "10"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
+              |WHERE CASE WHEN lang = 'en' THEN $sqlBucket < '40'
+              |           ELSE $sqlBucket < '10' END
+              |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

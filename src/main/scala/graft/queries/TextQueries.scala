@@ -630,6 +630,43 @@ object TextQueries {
               |JOIN cnt ca ON ca.doc_id = m.a_id
               |JOIN cnt cb ON cb.doc_id = m.b_id
               |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
-              |ORDER BY a_id, b_id""".stripMargin))
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // The END of the dedup pipeline: the actually-deduplicated corpus
+    // (DedupClusters.deduplicate — detector pairs → components →
+    // survivors → anti-join the losers). Everything upstream is
+    // already individually gated; this gates the composition a user
+    // actually runs.
+    QueryDef(
+      "q76_dedup_corpus",
+      (s, d) =>
+        graft.llm.DedupClusters
+          .deduplicate(documents(s, d), jaccardPairs(s, d).select("a_id", "b_id"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some(s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM jp
+              |  UNION SELECT b_id, a_id FROM jp
+              |  UNION SELECT a_id, a_id FROM jp
+              |  UNION SELECT b_id, b_id FROM jp
+              |), l0 AS (
+              |  SELECT DISTINCT src AS id, src AS label FROM edges
+              |), l1 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst
+              |), l2 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst
+              |), l3 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
+              |), losers AS (
+              |  SELECT id FROM l3 WHERE id <> label
+              |)
+              |SELECT doc_id, lang FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM losers)
+              |ORDER BY doc_id""".stripMargin))
   )
 }
