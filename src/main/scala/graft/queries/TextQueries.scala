@@ -544,6 +544,43 @@ object TextQueries {
              |    AS top_token_share
              |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Sequence packing (concat-and-chunk): documents concatenated in
+    // doc_id order and cut into fixed 2048-token training sequences —
+    // each document's token offset is a running sum, its starting
+    // sequence floor(offset / budget). One window cumsum, no
+    // driver-side packing loop; at scale the ORDER BY becomes a
+    // range-partitioned sort, still one shuffle.
+    QueryDef(
+      "q77_sequence_pack",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val nTok = size(words(col("text")))
+        documents(s, d)
+          .select(col("doc_id"), nTok.as("n_tokens"))
+          .withColumn("tok_start",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+            floor(col("tok_start") / 2048).cast("int").as("seq_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS tok_start
+             |  FROM t
+             |)
+             |SELECT doc_id, n_tokens, tok_start,
+             |  CAST(floor(tok_start / 2048) AS INTEGER) AS seq_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // The convergence-checked DedupClusters.components API (q55 gates
     // the fixed-round unrolled form): on this data propagation
     // converges inside the oracle's 3 unrolled rounds, so both forms
