@@ -547,23 +547,41 @@ object TextQueries {
     // Sequence packing (concat-and-chunk): documents concatenated in
     // doc_id order and cut into fixed 2048-token training sequences —
     // each document's token offset is a running sum, its starting
-    // sequence floor(offset / budget). One window cumsum, no
-    // driver-side packing loop; at scale the ORDER BY becomes a
-    // range-partitioned sort, still one shuffle.
+    // sequence floor(offset / budget). The global cumsum is the
+    // TWO-PHASE distributed prefix sum (a bare Window.orderBy would
+    // drag every row through one task): range-partition by doc_id so
+    // each partition owns a contiguous span, cumsum locally per
+    // partition, and add each partition's exclusive offset from a
+    // #partitions-row table — two scans, no single-task stage.
     QueryDef(
       "q77_sequence_pack",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy("doc_id")
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
         val nTok = size(words(col("text")))
-        documents(s, d)
+        val ranged = documents(s, d)
           .select(col("doc_id"), nTok.as("n_tokens"))
-          .withColumn("tok_start",
-            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .select(col("doc_id"), col("n_tokens"), col("tok_start"),
-            floor(col("tok_start") / 2048).cast("int").as("seq_id"))
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .withColumn("__pid", spark_partition_id())
+        // per-partition totals → exclusive partition offsets: rows =
+        // #shuffle-partitions, metadata-scale
+        val wOff = org.apache.spark.sql.expressions.Window
+          .orderBy("__pid").rowsBetween(unb, -1)
+        val offsets = ranged.groupBy("__pid")
+          .agg(sum("n_tokens").as("psum"))
+          .withColumn("part_offset",
+            coalesce(sum(col("psum")).over(wOff), lit(0L)))
+          .select("__pid", "part_offset")
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy("__pid").orderBy("doc_id").rowsBetween(unb, -1)
+        ranged
+          .withColumn("local_before",
+            coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+          .join(broadcast(offsets), "__pid")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("part_offset") + col("local_before")).as("tok_start"),
+            floor((col("part_offset") + col("local_before")) / 2048)
+              .cast("int").as("seq_id"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (
