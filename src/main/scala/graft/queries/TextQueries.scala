@@ -544,6 +544,39 @@ object TextQueries {
              |    AS top_token_share
              |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Composite quality filter — the pipeline's actual FILTER step:
+    // every document gets a keep/reject verdict plus the first
+    // matching rejection reason (too-short, too-repetitive,
+    // stopword-free ⇒ non-linguistic), evaluated in one pass with no
+    // joins. Thresholds are the Gopher-style rules over the q34/q35/
+    // q65 signals.
+    QueryDef(
+      "q78_quality_filter",
+      (s, d) => {
+        val ws = words(col("text"))
+        val nTok = size(ws)
+        val nStop = size(filter(ws, w => w.isin("the", "a")))
+        val distinctRatio =
+          size(array_distinct(ws)).cast("double") / nTok
+        val reason = when(nTok < 15, "too_short")
+          .when(distinctRatio < 0.3, "too_repetitive")
+          .when(nStop === 0, "no_stopwords")
+          .otherwise("keep")
+        documents(s, d)
+          .select(col("doc_id"), reason.as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE
+             |    WHEN len(string_split(text, ' ')) < 15 THEN 'too_short'
+             |    WHEN CAST(len(list_distinct(string_split(text, ' ')))
+             |        AS DOUBLE) / len(string_split(text, ' ')) < 0.3
+             |      THEN 'too_repetitive'
+             |    WHEN len(list_filter(string_split(text, ' '),
+             |        w -> w IN ('the', 'a'))) = 0 THEN 'no_stopwords'
+             |    ELSE 'keep' END AS verdict
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Sequence packing (concat-and-chunk): documents concatenated in
     // doc_id order and cut into fixed 2048-token training sequences —
     // each document's token offset is a running sum, its starting
