@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused exact-decimal dot product over two `array<float>` columns —
+  * bit-identical to the `zip_with` + `aggregate` DECIMAL(20,12) fold
+  * in VectorFunctions.dotExact, an order of magnitude cheaper.
+  *
+  * Semantics replicated element by element: widen float→double
+  * (exact), multiply in double (what `x.cast(double) * y.cast(double)`
+  * does), round the product to scale 12 HALF_UP via
+  * `BigDecimal.valueOf` (the same Double.toString-based conversion
+  * Spark's double→decimal Cast performs), sum exactly, convert the
+  * exact sum to double once at the end (same as Decimal.toDouble).
+  * What it REMOVES is the per-element Catalyst machinery: no zip_with
+  * array materialization, no lambda-variable binding per element, no
+  * Decimal wrapper allocation — one generated loop with two
+  * BigDecimal ops per element.
+  *
+  * The sign of the result is exact: the smallest nonzero magnitude an
+  * exact scale-12 sum can have is 1e-12, far above double underflow,
+  * so `dot_exact(a, b) >= 0` is the same predicate as on the decimal
+  * (which is why signBit can build on the double form).
+  */
+case class DotExactExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_exact expects (array<float>, array<float>), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc = acc.add(java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |java.math.BigDecimal $acc = java.math.BigDecimal.ZERO;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc = $acc.add(java.math.BigDecimal.valueOf($p)
+         |    .setScale(12, java.math.RoundingMode.HALF_UP));
+         |}
+         |${ev.value} = $acc.doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object DotExactExpr {
+
+  /** Register `dot_exact` in the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_exact",
+      exprs => {
+        require(exprs.length == 2,
+          s"dot_exact expects 2 arguments, got ${exprs.length}")
+        DotExactExpr(exprs(0), exprs(1))
+      },
+      "scala_udf")
+
+  /** Column API (requires [[register]] on the session first). */
+  def dotExactFast(a: Column, b: Column): Column =
+    call_function("dot_exact", a, b)
+}

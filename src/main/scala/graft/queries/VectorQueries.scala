@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  // Fused exact-decimal vector math (DotExactExpr) — bit-identical to
+  // the VectorFunctions HOF fold the oracles mirror, one codegen'd
+  // loop instead of per-element Catalyst machinery. Queries call
+  // DotExactExpr.register(s) before building their plans.
+  private def fdot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    graft.functions.DotExactExpr.dotExactFast(a, b)
+  private def fnorm(a: org.apache.spark.sql.Column) = sqrt(fdot(a, a))
+  private def fcos(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) = fdot(a, b) / (fnorm(a) * fnorm(b))
+  private def fsign(v: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column) =
+    when(fdot(v, p) >= 0, lit("1")).otherwise(lit("0"))
+
   /** Shared DuckDB CTEs: element-expanded embeddings with ordinality,
     * exact-decimal dot products against the query vector (vec_id 0),
     * and per-vector norms — mirrors VectorFunctions bit-for-bit.
@@ -63,7 +77,7 @@ object VectorQueries {
       .map(_.getSeq[Float](1).toArray)
     val bandExprs = (0 until numBands).map { b =>
       concat((0 until planesPerBand).map { j =>
-        signBit(col("embedding"), typedLit(planes(b * planesPerBand + j)))
+        fsign(col("embedding"), typedLit(planes(b * planesPerBand + j)))
       }: _*)
     }
     val bands = emb
@@ -116,13 +130,14 @@ object VectorQueries {
     QueryDef(
       "q37_ann_bruteforce",
       (s, d) => {
+        graft.functions.DotExactExpr.register(s)
         val emb = embeddings(s, d)
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"))
         emb.crossJoin(broadcast(qv))
           .filter(col("vec_id") =!= 0)
           .select(col("vec_id"), col("label"),
-            cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(20)
       },
@@ -145,6 +160,7 @@ object VectorQueries {
     QueryDef(
       "q38_ann_lsh",
       (s, d) => {
+        graft.functions.DotExactExpr.register(s)
         val emb = embeddings(s, d)
         val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 6)
         val qb = bands.filter(col("vec_id") === 0)
@@ -159,7 +175,7 @@ object VectorQueries {
           .join(emb, "vec_id")
           .crossJoin(broadcast(qv))
           .select(col("vec_id"),
-            cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(10)
       },
@@ -190,6 +206,7 @@ object VectorQueries {
     QueryDef(
       "q44_embed_neardup",
       (s, d) => {
+        graft.functions.DotExactExpr.register(s)
         val emb = embeddings(s, d)
         val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 10,
           bucketCap = Some(200))
@@ -200,12 +217,12 @@ object VectorQueries {
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
           .distinct()
         val withNrm = emb
-          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+          .select(col("vec_id"), col("embedding"), fnorm(col("embedding")).as("nrm"))
         pairs
           .join(withNrm.as("ea"), col("a_id") === col("ea.vec_id"))
           .join(withNrm.as("eb"), col("b_id") === col("eb.vec_id"))
           .select(col("a_id"), col("b_id"),
-            (dot(col("ea.embedding"), col("eb.embedding")) /
+            (fdot(col("ea.embedding"), col("eb.embedding")) /
               (col("ea.nrm") * col("eb.nrm"))).as("cos_sim"))
           .filter(col("cos_sim") >= 0.35)
           .orderBy("a_id", "b_id")
