@@ -92,6 +92,26 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
         .collect()
   }
 
+  test("dot_exact fused expression is bit-identical to the HOF fold") {
+    val spark2 = spark
+    graft.functions.DotExactExpr.register(spark2)
+    val emb = graft.Tables.embeddings(spark2, "/root/testdata/sf0.001")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val both = emb.crossJoin(broadcast(qv))
+      .select(
+        graft.functions.DotExactExpr.dotExactFast(col("embedding"), col("q"))
+          .as("fused"),
+        VectorFunctions.dot(col("embedding"), col("q")).as("hof"))
+      .collect()
+    both.length should be > 0
+    // bit-identical, not approximately equal — the fused form replaces
+    // the HOF fold inside oracle-gated queries
+    both.foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
   test("redactPii scrubs emails and phone shapes, leaves prose alone") {
     val s = spark
     import s.implicits._
