@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineFastDescriptor)
+    ext.injectFunction(GraftExtensions.dotExactDescriptor)
     ext.injectFunction(GraftExtensions.fingerprintDescriptor)
     ext.injectFunction(GraftExtensions.redactPiiDescriptor)
   }
@@ -40,6 +41,17 @@ object GraftExtensions {
       require(exprs.length == 2,
         s"cosine_fast expects 2 arguments, got ${exprs.length}")
       CosineSimilarityExpr(exprs(0), exprs(1))
+    })
+
+  /** Fused exact-decimal dot product (see DotExactExpr). */
+  val dotExactDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_exact"),
+    new ExpressionInfo(classOf[DotExactExpr].getName, "dot_exact"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"dot_exact expects 2 arguments, got ${exprs.length}")
+      DotExactExpr(exprs(0), exprs(1))
     })
 
   /** SQL spelling of TextFunctions.fingerprint: pure-SQL clients get
@@ -63,7 +75,8 @@ object GraftExtensions {
     * builder-time config can't be added to a live session).
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineFastDescriptor, fingerprintDescriptor, redactPiiDescriptor)
+    Seq(cosineFastDescriptor, dotExactDescriptor, fingerprintDescriptor,
+      redactPiiDescriptor)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "scala_udf")
