@@ -114,6 +114,35 @@ object TextFunctions {
       sum(when(substring(h, pos, 1) >= "8", 1L).otherwise(-1L)).as(s"b$j")
     }
 
+  /** Polynomial (Rabin-Karp) hash of the whole text: fold
+    * `acc = (acc * 31 + byte) mod 1e9+7` over the characters — the
+    * rolling-hash fingerprint primitive, engine-portable (DuckDB
+    * spells it list_reduce over ascii codes). Unlike md5 it supports
+    * incremental/windowed computation, which is what content-defined
+    * chunking builds on.
+    */
+  def polyHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Per-position window hashes: polyHash of every `w`-char window —
+    * the rolling form used for shared-substring blocking. This HOF
+    * spelling recomputes each window (O(n·w), fine for profile-sized
+    * w); the O(n) rolling recurrence (subtract the outgoing char's
+    * B^(w-1) term) belongs in a custom Expression if windows get
+    * long.
+    */
+  def rollingHashes(text: Column, w: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (w - 1), lit(0))),
+      i => aggregate(
+        transform(split(text.substr(i, lit(w)), ""),
+          c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 1000000007L))
+
   /** PII redaction: email addresses → [EMAIL], phone-number-shaped
     * digit runs → [PHONE]. Pure regexp_replace (codegen'd, no UDF) —
     * the pre-training scrub pass. Patterns are deliberately

@@ -544,6 +544,24 @@ object TextQueries {
              |    AS top_token_share
              |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Rolling-hash fingerprint (Rabin-Karp polynomial over bytes):
+    // unlike q30's md5 this hash supports incremental/windowed
+    // computation — the content-defined-chunking primitive. Whole-doc
+    // form declared (both engines fold (acc·31 + byte) mod 1e9+7);
+    // the windowed form is TextFunctions.rollingHashes.
+    QueryDef(
+      "q79_rolling_hash",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), polyHash(col("text")).as("poly_hash"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_transform(string_split(text, ''),
+             |      c -> CAST(ascii(c) AS BIGINT)),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS poly_hash
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Composite quality filter — the pipeline's actual FILTER step:
     // every document gets a keep/reject verdict plus the first
     // matching rejection reason (too-short, too-repetitive,

@@ -112,6 +112,19 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("rollingHashes: shared text windows collide, count matches") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = Seq("the quick brown fox", "quick brown foxes run")
+      .toDF("t")
+      .select(TextFunctions.rollingHashes($"t", 8).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    rows(0).length shouldBe "the quick brown fox".length - 7
+    // the shared substring "quick brown fox" (15 chars) contributes
+    // 15 - 8 + 1 = 8 identical windows on both sides
+    rows(0).toSet.intersect(rows(1).toSet).size should be >= 8
+  }
+
   test("redactPii scrubs emails and phone shapes, leaves prose alone") {
     val s = spark
     import s.implicits._
