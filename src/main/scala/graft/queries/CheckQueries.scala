@@ -20,7 +20,9 @@ object CheckQueries {
       Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
     NotNull("o_orderdate"),
     NonNegative("o_totalprice"),
-    MatchesRegex("o_orderstatus", "^[FO]$"))
+    MatchesRegex("o_orderstatus", "^[FO]$"),
+    // deliberately-tight range so the count is non-zero on real data
+    Between("o_totalprice", 0.0, 450000.0))
 
   val all: Seq[QueryDef] = Seq(
     // GE checkpoint analog: every expectation evaluated in ONE scan.
@@ -41,7 +43,10 @@ object CheckQueries {
              |    AS BIGINT) AS nonneg_o_totalprice,
              |  CAST(SUM(CASE WHEN NOT regexp_matches(o_orderstatus, '^[FO]$')
              |    OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS regex_o_orderstatus
+             |    AS regex_o_orderstatus,
+             |  CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+             |    OR o_totalprice > 450000.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS between_o_totalprice
              |FROM orders""".stripMargin)),
 
     // dbt `unique` test analog (schema.yml:10-12): duplicate counts via
