@@ -210,6 +210,34 @@ object ExtraQueries {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (q15/q16 are the distinct forms) — counted so the
+    // multiplicity itself is what the oracle checks.
+    QueryDef(
+      "q80_setops_all",
+      (s, d) => {
+        val big = lineitem(s, d).filter(col("l_quantity") >= 25)
+          .select("l_partkey")
+        val ret = lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_partkey")
+        val inter = big.intersectAll(ret)
+          .agg(count(lit(1)).as("n_intersect_all"))
+        val exc = big.exceptAll(ret)
+          .agg(count(lit(1)).as("n_except_all"))
+        inter.crossJoin(exc)
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM (
+             |     SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+             |     INTERSECT ALL
+             |     SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'))
+             |    AS n_intersect_all,
+             |  (SELECT COUNT(*) FROM (
+             |     SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+             |     EXCEPT ALL
+             |     SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'))
+             |    AS n_except_all""".stripMargin)),
+
     // Exact interpolated percentiles (quantile_cont semantics): both
     // engines compute lower + (upper - lower) * frac at position
     // p × (n - 1) — bit-identical on this integer-valued measure.
