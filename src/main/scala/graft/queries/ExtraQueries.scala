@@ -210,6 +210,55 @@ object ExtraQueries {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // Window value functions: first_value / last_value (full frame) /
+    // nth_value over the per-customer order history — completes the
+    // rank-family coverage of q58 with the value family.
+    QueryDef(
+      "q81_window_values",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wFull = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            first(col("o_totalprice")).over(wFull).as("first_price"),
+            last(col("o_totalprice")).over(wFull).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  first_value(o_totalprice) OVER w AS first_price,
+             |  last_value(o_totalprice) OVER w AS last_price,
+             |  nth_value(o_totalprice, 2) OVER w AS second_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate ASC, o_orderkey ASC
+             |             ROWS BETWEEN UNBOUNDED PRECEDING
+             |                      AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Date arithmetic: datediff / date_trunc / add_months — the
+    // calendar math family beyond q18's parse/extract.
+    QueryDef(
+      "q82_date_arith",
+      (s, d) =>
+        orders(s, d)
+          .select(col("o_orderkey"),
+            datediff(lit("1998-01-01").cast("date"),
+              col("o_orderdate").cast("date")).as("days_to_98"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            add_months(col("o_orderdate"), 2).as("plus_two_months"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(datediff('day', CAST(o_orderdate AS DATE),
+             |    DATE '1998-01-01') AS INTEGER) AS days_to_98,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+             |    AS month_start,
+             |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE)
+             |    AS plus_two_months
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
     // multiplicity (q15/q16 are the distinct forms) — counted so the
     // multiplicity itself is what the oracle checks.
