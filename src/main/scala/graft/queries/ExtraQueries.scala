@@ -259,6 +259,53 @@ object ExtraQueries {
              |    AS plus_two_months
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Math scalar functions — the IEEE-exactly-defined subset (abs /
+    // sqrt / floor / ceil / sign / self-product), so both engines
+    // produce identical bits; libm-backed ln/exp are deliberately NOT
+    // oracle-gated (last-ulp differences across engines).
+    QueryDef(
+      "q83_math_funcs",
+      (s, d) =>
+        orders(s, d)
+          .select(col("o_orderkey"),
+            abs(col("o_totalprice") - 250000.0).as("abs_dev"),
+            sqrt(col("o_totalprice")).as("sqrt_price"),
+            floor(col("o_totalprice") / 1000).cast("long").as("k_floor"),
+            ceil(col("o_totalprice") / 1000).cast("long").as("k_ceil"),
+            signum(col("o_totalprice") - 250000.0).as("sign_dev"),
+            (col("o_totalprice") * col("o_totalprice")).as("price_sq"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  abs(o_totalprice - 250000.0) AS abs_dev,
+             |  sqrt(o_totalprice) AS sqrt_price,
+             |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS k_floor,
+             |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS k_ceil,
+             |  CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS sign_dev,
+             |  o_totalprice * o_totalprice AS price_sq
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // String scalar functions beyond q17: pad / replace / reverse /
+    // repeat / position.
+    QueryDef(
+      "q84_string_funcs2",
+      (s, d) =>
+        customer(s, d)
+          .select(col("c_custkey"),
+            lpad(col("c_name"), 25, "_").as("padded"),
+            regexp_replace(col("c_name"), "Customer", "Cust")
+              .as("replaced"),
+            reverse(col("c_name")).as("reversed"),
+            repeat(col("c_mktsegment"), 2).as("doubled"),
+            instr(col("c_name"), "#").cast("int").as("hash_pos"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  lpad(c_name, 25, '_') AS padded,
+             |  replace(c_name, 'Customer', 'Cust') AS replaced,
+             |  reverse(c_name) AS reversed,
+             |  repeat(c_mktsegment, 2) AS doubled,
+             |  CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
     // multiplicity (q15/q16 are the distinct forms) — counted so the
     // multiplicity itself is what the oracle checks.
