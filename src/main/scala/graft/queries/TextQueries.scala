@@ -544,6 +544,45 @@ object TextQueries {
              |    AS top_token_share
              |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Eval decontamination: test-split documents sharing any
+    // discriminative (df-capped) gram with a train-split document —
+    // the train/test overlap scan run before trusting a benchmark.
+    // Composes the q74 hash-split with the capped-gram join; the
+    // blocking is the same bounded shared-gram join as q31, filtered
+    // to cross-split pairs only.
+    QueryDef(
+      "q85_contamination",
+      (s, d) => {
+        val split = substring(md5(col("doc_id").cast("string")), 1, 2)
+        val grams = sparkGramsCapped(s, d)
+          .withColumn("split",
+            when(split < "cd", "train").when(split < "e6", "val")
+              .otherwise("test"))
+        grams.filter(col("split") === "test").as("t")
+          .join(grams.filter(col("split") === "train").as("tr"),
+            col("t.gram") === col("tr.gram"))
+          .groupBy(col("t.doc_id").as("test_doc_id"))
+          .agg(count_distinct(col("tr.doc_id")).as("n_train_overlaps"),
+            count_distinct(col("t.gram")).as("n_shared_grams"))
+          .orderBy("test_doc_id")
+      },
+      Some(s"""$cappedGramsCte, labeled AS (
+              |  SELECT doc_id, gram,
+              |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              |      THEN 'train'
+              |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              |      THEN 'val'
+              |    ELSE 'test' END AS split
+              |  FROM grams_rare
+              |)
+              |SELECT t.doc_id AS test_doc_id,
+              |  COUNT(DISTINCT tr.doc_id) AS n_train_overlaps,
+              |  COUNT(DISTINCT t.gram) AS n_shared_grams
+              |FROM labeled t
+              |JOIN labeled tr ON t.gram = tr.gram
+              |WHERE t.split = 'test' AND tr.split = 'train'
+              |GROUP BY t.doc_id ORDER BY test_doc_id""".stripMargin)),
+
     // Rolling-hash fingerprint (Rabin-Karp polynomial over bytes):
     // unlike q30's md5 this hash supports incremental/windowed
     // computation — the content-defined-chunking primitive. Whole-doc
