@@ -259,6 +259,40 @@ object ExtraQueries {
              |    AS plus_two_months
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // UNION (distinct) — q14 covers UNION ALL; this is the
+    // dedup-across-branches form (Spark plans union + hash-distinct).
+    QueryDef(
+      "q86_union_distinct",
+      (s, d) => {
+        val big = orders(s, d).filter(col("o_totalprice") > 350000.0)
+          .select("o_custkey")
+        val urgent = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey")
+        big.union(urgent).distinct().orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0
+             |UNION
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // LIKE beyond the prefix form (q02): contains, suffix, and
+    // single-char wildcard — each pushable as a string predicate.
+    QueryDef(
+      "q87_like_forms",
+      (s, d) =>
+        customer(s, d)
+          .select(col("c_custkey"),
+            col("c_name").like("%42%").as("contains_42"),
+            col("c_name").like("%7").as("ends_in_7"),
+            col("c_name").like("Customer#00000000_").as("single_wildcard"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  c_name LIKE '%42%' AS contains_42,
+             |  c_name LIKE '%7' AS ends_in_7,
+             |  c_name LIKE 'Customer#00000000_' AS single_wildcard
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // Math scalar functions — the IEEE-exactly-defined subset (abs /
     // sqrt / floor / ceil / sign / self-product), so both engines
     // produce identical bits; libm-backed ln/exp are deliberately NOT
