@@ -68,6 +68,15 @@ object DedupClusters {
       labels = next
       iter += 1
     }
+    // Fail loudly rather than hand back partially-propagated labels:
+    // downstream deduplicate() would keep/drop the wrong documents
+    // with no signal. Component diameter > maxIters is the only way
+    // here (maxIters shuffles already spent, so raising it is the
+    // right lever for pathological chain-shaped graphs).
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters); raise maxIters")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -54,6 +54,10 @@ object EmbeddingSearch {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray)
+    require(planes.length == numBands * planesPerBand,
+      s"srpBands needs plane vectors with vec_id 1..${numBands * planesPerBand} " +
+        s"present in the corpus (found ${planes.length}); pass explicit plane " +
+        "vectors or lower numBands/planesPerBand for small id spaces")
     val bandExprs = (0 until numBands).map { b =>
       concat((0 until planesPerBand).map { j =>
         signBit(col("embedding"), typedLit(planes(b * planesPerBand + j)))

@@ -33,6 +33,8 @@ object AsOfJoin {
   private def carriedStruct(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightVals: Map[String, String]): DataFrame = {
+    require(!rightVals.values.exists(_ == "__rt"),
+      "__rt is reserved for the carried right timestamp")
     val lCols = left.columns
     // tag: right=0 sorts before left=1 at equal time → >= semantics
     val l = left
@@ -98,8 +100,6 @@ object AsOfJoin {
   def asOfWithin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightVals: Map[String, String], tolerance: String): DataFrame = {
-    require(!rightVals.values.exists(_ == "__rt"),
-      "__rt is reserved for the carried right timestamp")
     val lCols = left.columns
     val fresh = col("__rv").isNotNull &&
       col("__rv").getField("__rt") >=

@@ -648,11 +648,18 @@ object TextQueries {
       (s, d) => {
         val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
         val nTok = size(words(col("text")))
+        // localCheckpoint pins the range partitioning: offsets and the
+        // main pass both read this frame, and the range exchange's
+        // sampled split points are not deterministic across plan
+        // re-executions — without materializing once, a defeated
+        // ReusedExchange would assign different __pid spans to the two
+        // uses and silently misalign tok_start.
         val ranged = documents(s, d)
           .select(col("doc_id"), nTok.as("n_tokens"))
           .repartitionByRange(col("doc_id"))
           .sortWithinPartitions("doc_id")
           .withColumn("__pid", spark_partition_id())
+          .localCheckpoint()
         // per-partition totals → exclusive partition offsets: rows =
         // #shuffle-partitions, metadata-scale
         val wOff = org.apache.spark.sql.expressions.Window

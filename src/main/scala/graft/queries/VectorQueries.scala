@@ -75,6 +75,9 @@ object VectorQueries {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray)
+    require(planes.length == numBands * planesPerBand,
+      s"srpBandsExact needs plane vectors with vec_id 1..${numBands * planesPerBand} " +
+        s"present in the corpus (found ${planes.length})")
     val bandExprs = (0 until numBands).map { b =>
       concat((0 until planesPerBand).map { j =>
         fsign(col("embedding"), typedLit(planes(b * planesPerBand + j)))
