@@ -5,5 +5,6 @@ object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ EventQueries.all ++ CheckQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ ExtraQueries.all ++
-      ReshapeQueries.all ++ SamplingQueries.all
+      ReshapeQueries.all ++ SamplingQueries.all ++
+      SubqueryQueries.all ++ CorpusQueries.all
 }

@@ -329,6 +329,89 @@ object VectorQueries {
               |    row_number() OVER (PARTITION BY vec_id
               |      ORDER BY dp DESC, clabel DESC) AS rn
               |  FROM dots)
-              |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // IVF probe SEARCH (completes q67's quantizer into the full ANN
+    // path): assign every vector to its nearest centroid cell, take
+    // the query's 2 best cells (nprobe=2), and exact-cosine-rank only
+    // the vectors living in those cells. At 100 TB the candidate set
+    // is ~nprobe/K of the corpus and the centroids stay broadcast —
+    // the standard IVF-flat search plan. Production scoring uses
+    // cosine_fast; this declared form keeps the exact-decimal scorer
+    // so DuckDB reproduces the ranking bit-for-bit.
+    QueryDef(
+      "q98_ivf_search",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = emb
+          .select(col("label").as("clabel"), posexplode(col("embedding")))
+          .select(col("clabel"), (col("pos") + 1).as("i"),
+            col("col").cast("double").as("x"))
+          .groupBy("clabel", "i")
+          .agg(davg(col("x")).as("mean_x"))
+        val dps = emb
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"),
+            col("col").cast("double").as("x"))
+          .join(broadcast(cents), "i")
+          .groupBy("vec_id", "clabel")
+          .agg(sum((col("x") * col("mean_x")).cast(Dec)).as("dp"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id")
+          .orderBy(col("dp").desc, col("clabel").desc)
+        val assigned = dps
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("clabel").as("cell"))
+        val probe = dps.filter(col("vec_id") === 0)
+          .orderBy(col("dp").desc, col("clabel").desc)
+          .limit(2)
+          .select(col("clabel").as("cell"))
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        assigned
+          .join(broadcast(probe), "cell")
+          .filter(col("vec_id") =!= 0)
+          .join(emb, "vec_id")
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("cell"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""$vecCtes, cents AS (
+              |  SELECT label AS clabel, CAST(i AS INTEGER) AS i,
+              |    ${sqlDavg("x")} AS mean_x
+              |  FROM (
+              |    SELECT label, generate_subscripts(embedding, 1) AS i,
+              |      CAST(unnest(embedding) AS DOUBLE) AS x
+              |    FROM embeddings)
+              |  GROUP BY label, i
+              |), dots_c AS (
+              |  SELECT d.vec_id, c.clabel,
+              |    SUM(CAST(d.x * c.mean_x AS DECIMAL(38,12))) AS dp
+              |  FROM dexp d JOIN cents c USING (i)
+              |  GROUP BY d.vec_id, c.clabel
+              |), assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), probe AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 2
+              |)
+              |SELECT a.vec_id, a.cell,
+              |  dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |FROM assigned a
+              |JOIN probe p ON a.cell = p.cell
+              |JOIN dots ON dots.vec_id = a.vec_id
+              |JOIN norms ON norms.vec_id = a.vec_id
+              |CROSS JOIN qn
+              |WHERE a.vec_id <> 0
+              |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin))
   )
 }
