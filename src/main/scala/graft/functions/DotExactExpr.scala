@@ -30,18 +30,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotExactExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Either side may be array<float> or array<double>: float elements
+  // widen to double exactly, so mixing a float corpus column with a
+  // double model-vector literal (e.g. centroid means) keeps the same
+  // element semantics as casting both to double first.
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_exact expects (array<float>, array<float>), got " +
+        s"dot_exact expects array<float|double> on both sides, got " +
           s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -49,12 +58,14 @@ case class DotExactExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
-      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      acc = acc.add(java.math.BigDecimal.valueOf(p)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc = acc.add(java.math.BigDecimal.valueOf(xv * yv)
         .setScale(12, java.math.RoundingMode.HALF_UP))
       i += 1
     }
@@ -68,11 +79,14 @@ case class DotExactExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val p = ctx.freshName("p")
+      def get(arr: String, e: Expression): String =
+        if (isFloat(e)) s"((double) $arr.getFloat($i))"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |java.math.BigDecimal $acc = java.math.BigDecimal.ZERO;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  double $p = ${get(a, left)} * ${get(b, right)};
          |  $acc = $acc.add(java.math.BigDecimal.valueOf($p)
          |    .setScale(12, java.math.RoundingMode.HALF_UP));
          |}

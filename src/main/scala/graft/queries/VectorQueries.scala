@@ -54,6 +54,52 @@ object VectorQueries {
       |  SELECT nrm AS qnrm FROM norms WHERE vec_id = 0
       |)""".stripMargin
 
+  /** Per-label centroid mean vectors, collected to the driver. One
+    * explode+agg pass over the corpus produces K×dim rows (a few
+    * hundred — model metadata, same footprint class as the SRP plane
+    * vectors), which then travel as literals inside the assignment
+    * projection: no second explode, no join, no per-vector window.
+    */
+  private def centroidArrays(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Int, Array[Double])] =
+    embeddings(s, d)
+      .select(col("label").as("clabel"), posexplode(col("embedding")))
+      .select(col("clabel"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+      .groupBy("clabel", "i")
+      .agg(davg(col("x")).as("mean_x"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .toSeq
+      .map { case (lbl, rows) =>
+        lbl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+      .sortBy(_._1)
+
+  /** DuckDB CTEs mirroring [[centroidArrays]] + the per-(vector,
+    * centroid) exact dot products (appends to `vecCtes`, reusing its
+    * `dexp`): `cents(clabel, i, mean_x)` and `dots_c(vec_id, clabel,
+    * dp)` with dp converted exact-decimal→double once, matching
+    * `dot_exact`'s single final conversion.
+    */
+  private val centsDotsCte =
+    s"""cents AS (
+       |  SELECT label AS clabel, CAST(i AS INTEGER) AS i,
+       |    ${sqlDavg("x")} AS mean_x
+       |  FROM (
+       |    SELECT label, generate_subscripts(embedding, 1) AS i,
+       |      CAST(unnest(embedding) AS DOUBLE) AS x
+       |    FROM embeddings)
+       |  GROUP BY label, i
+       |), dots_c AS (
+       |  SELECT d.vec_id, c.clabel,
+       |    CAST(SUM(CAST(d.x * c.mean_x AS DECIMAL(38,12))) AS DOUBLE) AS dp
+       |  FROM dexp d JOIN cents c USING (i)
+       |  GROUP BY d.vec_id, c.clabel
+       |)""".stripMargin
+
+  private val centsAndDotsCte = s"$vecCtes, $centsDotsCte"
+
   /** Banded sign-random-projection buckets, exact-decimal scorer form
     * (mirrors `EmbeddingSearch.srpBands`, which is the cosine_fast
     * production path): one row per (vec_id, band) with the band's
@@ -284,51 +330,32 @@ object VectorQueries {
     QueryDef(
       "q67_ivf_assign",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id")
-          .orderBy(col("dp").desc, col("clabel").desc)
+        graft.functions.DotExactExpr.register(s)
         val emb = embeddings(s, d)
-        val cents = emb
-          .select(col("label").as("clabel"), posexplode(col("embedding")))
-          .select(col("clabel"), (col("pos") + 1).as("i"),
-            col("col").cast("double").as("x"))
-          .groupBy("clabel", "i")
-          .agg(davg(col("x")).as("mean_x"))
+        // Centroids are model metadata (K labels × dim means = a few
+        // hundred rows): one explode+agg pass computes them, then they
+        // ride along as LITERAL double arrays — the r2 literal-plane
+        // trick. Assignment becomes one narrow projection per vector:
+        // K fused exact dots + an array_max argmax (struct ordering is
+        // lexicographic (dp, clabel), exactly the dp DESC / clabel
+        // DESC tie-break), versus exploding every vector into dim×K
+        // join+agg rows and a per-vector window.
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(fdot(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
         emb
-          .select(col("vec_id"), posexplode(col("embedding")))
-          .select(col("vec_id"), (col("pos") + 1).as("i"),
-            col("col").cast("double").as("x"))
-          .join(broadcast(cents), "i")
-          .groupBy("vec_id", "clabel")
-          .agg(sum((col("x") * col("mean_x")).cast(Dec)).as("dp"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("clabel").as("assigned_label"))
+          .select(col("vec_id"),
+            array_max(scored).getField("clabel").as("assigned_label"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH vexp AS (
-              |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-              |    CAST(unnest(embedding) AS DOUBLE) AS x
-              |  FROM embeddings
-              |), cents AS (
-              |  SELECT label AS clabel, CAST(i AS INTEGER) AS i,
-              |    ${sqlDavg("x")} AS mean_x
-              |  FROM (
-              |    SELECT label, generate_subscripts(embedding, 1) AS i,
-              |      CAST(unnest(embedding) AS DOUBLE) AS x
-              |    FROM embeddings)
-              |  GROUP BY label, i
-              |), dots AS (
-              |  SELECT v.vec_id, c.clabel,
-              |    SUM(CAST(v.x * c.mean_x AS DECIMAL(38,12))) AS dp
-              |  FROM vexp v JOIN cents c USING (i)
-              |  GROUP BY v.vec_id, c.clabel
-              |)
+      Some(s"""$centsAndDotsCte
               |SELECT vec_id, clabel AS assigned_label FROM (
               |  SELECT vec_id, clabel,
               |    row_number() OVER (PARTITION BY vec_id
               |      ORDER BY dp DESC, clabel DESC) AS rn
-              |  FROM dots)
+              |  FROM dots_c)
               |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
     // IVF probe SEARCH (completes q67's quantizer into the full ANN
@@ -344,56 +371,35 @@ object VectorQueries {
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         val emb = embeddings(s, d)
-        val cents = emb
-          .select(col("label").as("clabel"), posexplode(col("embedding")))
-          .select(col("clabel"), (col("pos") + 1).as("i"),
-            col("col").cast("double").as("x"))
-          .groupBy("clabel", "i")
-          .agg(davg(col("x")).as("mean_x"))
-        val dps = emb
-          .select(col("vec_id"), posexplode(col("embedding")))
-          .select(col("vec_id"), (col("pos") + 1).as("i"),
-            col("col").cast("double").as("x"))
-          .join(broadcast(cents), "i")
-          .groupBy("vec_id", "clabel")
-          .agg(sum((col("x") * col("mean_x")).cast(Dec)).as("dp"))
-        val wAssign = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id")
-          .orderBy(col("dp").desc, col("clabel").desc)
-        val assigned = dps
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("clabel").as("cell"))
-        val probe = dps.filter(col("vec_id") === 0)
-          .orderBy(col("dp").desc, col("clabel").desc)
+        // Same literal-centroid assignment as q67 (zero-shuffle argmax
+        // per vector); the probe set is the query row's K scores,
+        // exploded and top-2'd — a 1×K frame, broadcast into the
+        // candidate filter.
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(fdot(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(explode(scored).as("sc"))
+          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
+          .orderBy(col("dp").desc, col("cell").desc)
           .limit(2)
-          .select(col("clabel").as("cell"))
+          .select("cell")
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"))
-        assigned
+        emb
+          .select(col("vec_id"), col("embedding"),
+            array_max(scored).getField("clabel").as("cell"))
           .join(broadcast(probe), "cell")
           .filter(col("vec_id") =!= 0)
-          .join(emb, "vec_id")
           .crossJoin(broadcast(qv))
           .select(col("vec_id"), col("cell"),
             fcos(col("embedding"), col("q_emb")).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
           .limit(10)
       },
-      Some(s"""$vecCtes, cents AS (
-              |  SELECT label AS clabel, CAST(i AS INTEGER) AS i,
-              |    ${sqlDavg("x")} AS mean_x
-              |  FROM (
-              |    SELECT label, generate_subscripts(embedding, 1) AS i,
-              |      CAST(unnest(embedding) AS DOUBLE) AS x
-              |    FROM embeddings)
-              |  GROUP BY label, i
-              |), dots_c AS (
-              |  SELECT d.vec_id, c.clabel,
-              |    SUM(CAST(d.x * c.mean_x AS DECIMAL(38,12))) AS dp
-              |  FROM dexp d JOIN cents c USING (i)
-              |  GROUP BY d.vec_id, c.clabel
-              |), assigned AS (
+      Some(s"""$centsAndDotsCte, assigned AS (
               |  SELECT vec_id, clabel AS cell FROM (
               |    SELECT vec_id, clabel,
               |      row_number() OVER (PARTITION BY vec_id

@@ -112,6 +112,30 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("dot_exact accepts a double-array side (literal model vectors) " +
+      "and matches the all-double cast form bit for bit") {
+    val spark2 = spark
+    graft.functions.DotExactExpr.register(spark2)
+    val emb = graft.Tables.embeddings(spark2, "/root/testdata/sf0.001")
+    // centroid-like double literal: a real embedding widened to double
+    val cent: Array[Double] = emb.filter(col("vec_id") === 1)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val both = emb
+      .select(
+        graft.functions.DotExactExpr
+          .dotExactFast(col("embedding"), typedLit(cent)).as("mixed"),
+        graft.functions.DotExactExpr
+          .dotExactFast(
+            col("embedding").cast("array<double>"), typedLit(cent))
+          .as("dd"))
+      .collect()
+    both.length should be > 0
+    both.foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
   test("rollingHashes: shared text windows collide, count matches") {
     val s2 = spark
     import s2.implicits._
