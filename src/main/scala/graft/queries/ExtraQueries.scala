@@ -388,6 +388,143 @@ object ExtraQueries {
              |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
              |  percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity) AS p95
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // MERGE / upsert (the dbt-incremental materialization the
+    // reference configures, data_transformations/models/example/
+    // *.sql, re-expressed as a declarative plan): target = each
+    // customer's top order before 1997, source = same for 1997+;
+    // source rows overwrite matched targets, unmatched sources insert,
+    // untouched targets carry forward. Spark's MERGE plan IS a
+    // full-outer join on the key + coalesce projection — one shuffle,
+    // scales with the bigger side, no row-at-a-time upserts.
+    QueryDef(
+      "q100_merge_upsert",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        def top(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+        val o = orders(s, d)
+        val tgt = top(o.filter(col("o_orderdate") < "1997-01-01")).as("t")
+        val src = top(o.filter(col("o_orderdate") >= "1997-01-01")).as("s")
+        tgt.join(src, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("s.o_orderkey"), col("t.o_orderkey"))
+              .as("o_orderkey"),
+            coalesce(col("s.o_totalprice"), col("t.o_totalprice"))
+              .as("o_totalprice"),
+            when(col("s.o_orderkey").isNotNull &&
+                col("t.o_orderkey").isNotNull, "update")
+              .when(col("t.o_orderkey").isNull, "insert")
+              .otherwise("keep").as("action"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders
+             |), tgt AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |    SELECT o_custkey, o_orderkey, o_totalprice,
+             |      row_number() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |    FROM orders WHERE o_orderdate < '1997-01-01')
+             |  WHERE rn = 1
+             |), src AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |    SELECT o_custkey, o_orderkey, o_totalprice,
+             |      row_number() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |    FROM orders WHERE o_orderdate >= '1997-01-01')
+             |  WHERE rn = 1
+             |)
+             |SELECT COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+             |  COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             |  COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+             |  CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+             |    THEN 'update'
+             |  WHEN t.o_orderkey IS NULL THEN 'insert'
+             |  ELSE 'keep' END AS action
+             |FROM tgt t FULL OUTER JOIN src s ON t.o_custkey = s.o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Statistical moments from exact sums: stddev / correlation /
+    // covariance assembled from DECIMAL-exact Σx, Σx², Σy, Σy², Σxy
+    // (rounded at scale 6 — exact here since no input exceeds 4
+    // fractional digits — then one decimal→double conversion each)
+    // with the textbook formulas written identically in both engines,
+    // so every double op is the same IEEE op. Built-in stddev/corr
+    // use different accumulation orders per engine and can't
+    // cross-engine hash-match; this form also map-side-combines
+    // (plain sums), where Welford-style accumulators need merge logic.
+    QueryDef(
+      "q101_stats_moments",
+      (s, d) => {
+        def s6(c: org.apache.spark.sql.Column) =
+          sum(c.cast(Dec)).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+            .cast(org.apache.spark.sql.types.DoubleType)
+        val x = col("l_quantity")
+        val y = col("l_discount")
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            s6(x).as("sx"), s6(x * x).as("sx2"),
+            s6(y).as("sy"), s6(y * y).as("sy2"),
+            s6(x * y).as("sxy"))
+          .withColumn("nd", col("n_rows").cast("double"))
+          .select(col("l_returnflag"), col("n_rows"),
+            sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) /
+              (col("nd") * (col("nd") - 1))).as("stddev_qty"),
+            ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("nd") * col("sx2") - col("sx") * col("sx")) *
+                sqrt(col("nd") * col("sy2") - col("sy") * col("sy"))))
+              .as("corr_qty_disc"),
+            ((col("sxy") - col("sx") * col("sy") / col("nd")) /
+              (col("nd") - 1)).as("covar_qty_disc"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        def s6(e: String) =
+          s"CAST(round(SUM(CAST(($e) AS DECIMAL(38,12))), 6) AS DOUBLE)"
+        s"""SELECT l_returnflag, n_rows,
+           |  sqrt((nd * sx2 - sx * sx) / (nd * (nd - 1))) AS stddev_qty,
+           |  (nd * sxy - sx * sy) /
+           |    (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy))
+           |    AS corr_qty_disc,
+           |  (sxy - sx * sy / nd) / (nd - 1) AS covar_qty_disc
+           |FROM (
+           |  SELECT l_returnflag, COUNT(*) AS n_rows,
+           |    CAST(COUNT(*) AS DOUBLE) AS nd,
+           |    ${s6("l_quantity")} AS sx,
+           |    ${s6("l_quantity * l_quantity")} AS sx2,
+           |    ${s6("l_discount")} AS sy,
+           |    ${s6("l_discount * l_discount")} AS sy2,
+           |    ${s6("l_quantity * l_discount")} AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // Regex extraction (completes the regex family: q84 replaces,
+    // q87 LIKEs): capture-group extract + typed cast + boolean match,
+    // all codegen'd scalar ops on the scan — no shuffle at any scale.
+    QueryDef(
+      "q102_regexp_extract",
+      (s, d) =>
+        customer(s, d)
+          .select(col("c_custkey"),
+            regexp_extract(col("c_name"), "#(\\d+)", 1).as("id_digits"),
+            regexp_extract(col("c_name"), "#(\\d+)", 1).cast("long")
+              .as("id_num"),
+            col("c_name").rlike("#0{3}").as("has_triple_zero"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  regexp_extract(c_name, '#(\d+)', 1) AS id_digits,
+             |  CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) AS id_num,
+             |  regexp_matches(c_name, '#0{3}') AS has_triple_zero
+             |FROM customer ORDER BY c_custkey""".stripMargin))
   )
 }

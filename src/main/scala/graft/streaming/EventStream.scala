@@ -69,6 +69,25 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream interval join (inner): each left row
+    * pairs with same-key right rows whose timestamp falls in
+    * [left.ts, left.ts + within]. The time bound plus the watermarks
+    * let the engine evict buffered rows once the watermark passes
+    * their last possible match — state stays bounded no matter how
+    * long both streams run (an unconstrained stream-stream join would
+    * buffer forever). Caller projects from the `l`/`r` aliases.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      watermark: String = "10 minutes",
+      within: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+  }
+
   /** foreachBatch sink: apply an arbitrary batch writer per
     * micro-batch (idempotent by batchId) — the escape hatch for sinks
     * without a native streaming writer (JDBC, upserts, partitioned
@@ -92,6 +111,21 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(timeoutMs)
+    spark.table(queryName)
+  }
+
+  /** Append-mode twin of [[runAvailableNow]] for row-emitting streams
+    * (joins, enrichments) where complete mode doesn't apply.
+    */
+  def runAvailableNowAppend(spark: SparkSession, streamed: DataFrame,
+      queryName: String, timeoutMs: Long = 120000L): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(timeoutMs)

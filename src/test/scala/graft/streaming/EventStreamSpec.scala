@@ -96,6 +96,39 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture with Matchers {
     landed.count() shouldBe batchEvents.count()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_type")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("ts", "user_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("ts", "user_id")
+    val dirL = java.nio.file.Files.createTempDirectory("graft-ssl").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft-ssr").toString
+    clicks.write.mode("overwrite").parquet(dirL)
+    purchases.write.mode("overwrite").parquet(dirR)
+
+    def project(j: org.apache.spark.sql.DataFrame) = j.select(
+      col("l.user_id").as("user_id"),
+      col("l.ts").as("click_ts"), col("r.ts").as("purchase_ts"))
+
+    val streamed = project(EventStream.intervalJoin(
+      EventStream.fileStream(spark, dirL, clicks.schema),
+      EventStream.fileStream(spark, dirR, purchases.schema),
+      key = "user_id", within = "10 minutes"))
+    val got = EventStream.runAvailableNowAppend(spark, streamed, "ssjoin_test")
+
+    val expected = project(
+      clicks.alias("l").join(purchases.alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr("INTERVAL 10 MINUTES")))
+
+    got.count() shouldBe expected.count()
+    got.except(expected).count() shouldBe 0
+    expected.except(got).count() shouldBe 0
+  }
+
   test("file-stream session windows produce sessions with bounded gaps") {
     val batchEvents = Tables.events(spark, sfDir)
       .select("ts", "user_id", "value")
