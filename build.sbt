@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw (unwrapped) stdout for forked runs: the driver greps/parses the
+// Bench JSON line from captured output, and sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks json.loads on it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

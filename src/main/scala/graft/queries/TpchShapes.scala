@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Deeper TPC-H join-aggregate shapes (Q7/Q8/Q9/Q14/Q19 adapted to
+  * this schema — no partsupp table, categorical p_type), extending the
+  * q51/q52/q57 set: multi-hop star joins with date-window filters,
+  * conditional-share ratios, and disjunctive join predicates. These
+  * are the bench's multi-join muscle: every dimension is broadcast,
+  * every date/category filter reaches its scan, and the only
+  * fact-sized shuffles are the final group-by keys.
+  *
+  * The reference runs exactly this class of SQL in its warehouse
+  * (data_transformations/models/example/ materializations); here each
+  * is a declarative plan Catalyst reorders + prunes.
+  */
+object TpchShapes {
+  import Exact._
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val sqlRev = "l_extendedprice * (1.0 - l_discount)"
+
+  val all: Seq[QueryDef] = Seq(
+    // TPC-H Q7 (volume shipping): revenue flowing between three named
+    // nations in either direction, per year. Two independent nation
+    // lookups (supplier side / customer side) — both broadcast; the
+    // nation filter prunes most of the fact rows right after the
+    // supplier/customer joins.
+    QueryDef(
+      "q103_volume_shipping",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2", "NATION_3")
+        val n1 = nation(s, d)
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n1_key"),
+            col("n_name").as("supp_nation"))
+        val n2 = nation(s, d)
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n2_key"),
+            col("n_name").as("cust_nation"))
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1998-01-01")
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(dsum(rev).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              |  ${sqlDsum(sqlRev)} AS revenue
+              |FROM lineitem
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+              |  AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+              |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+              |  AND n1.n_name <> n2.n_name
+              |GROUP BY supp_nation, cust_nation, l_year
+              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H Q8 (market share): one supplier nation's share of the
+    // revenue delivered to one region's customers, per year. The
+    // share is a ratio of two exact-decimal sums computed in the SAME
+    // aggregation pass (sum(CASE)/sum), then one double division —
+    // deterministic on both engines.
+    QueryDef(
+      "q104_market_share",
+      (s, d) => {
+        val asiaNations = nation(s, d)
+          .join(broadcast(region(s, d)
+              .filter(col("r_name") === "ASIA")
+              .select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val suppNation = nation(s, d)
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1998-01-01")
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"))
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("l_shipdate")).as("l_year"))
+          .agg(
+            dsum(when(col("supp_nation") === "NATION_5", rev)
+              .otherwise(0.0)).as("nation5_rev"),
+            dsum(rev).as("total_rev"))
+          .withColumn("mkt_share", col("nation5_rev") / col("total_rev"))
+          .orderBy("l_year")
+      },
+      Some(s"""SELECT l_year, nation5_rev, total_rev,
+              |  nation5_rev / total_rev AS mkt_share
+              |FROM (
+              |  SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              |    ${sqlDsum(s"CASE WHEN n2.n_name = 'NATION_5' THEN $sqlRev ELSE 0.0 END")}
+              |      AS nation5_rev,
+              |    ${sqlDsum(sqlRev)} AS total_rev
+              |  FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |  JOIN region ON n1.n_regionkey = r_regionkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |  WHERE r_name = 'ASIA'
+              |    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+              |  GROUP BY l_year)
+              |ORDER BY l_year""".stripMargin)),
+
+    // TPC-H Q9 (profit by nation × year, adapted: no partsupp, so
+    // profit = discounted revenue over a part-type slice): the
+    // part-side filter prunes the fact early (join-to-filtered-dim),
+    // then two broadcast dims resolve the grouping keys.
+    QueryDef(
+      "q105_profit_by_nation",
+      (s, d) => {
+        val stdParts = part(s, d)
+          .filter(col("p_type") === "STANDARD")
+          .select("p_partkey")
+        val suppNation = nation(s, d)
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))
+        lineitem(s, d)
+          .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(col("supp_nation"), year(col("l_shipdate")).as("l_year"))
+          .agg(dsum(rev).as("profit"))
+          .orderBy("supp_nation", "l_year")
+      },
+      Some(s"""SELECT n_name AS supp_nation,
+              |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              |  ${sqlDsum(sqlRev)} AS profit
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |WHERE p_type = 'STANDARD'
+              |GROUP BY supp_nation, l_year
+              |ORDER BY supp_nation, l_year""".stripMargin)),
+
+    // TPC-H Q14 (promo revenue share) per month of 1996: conditional
+    // share inside one aggregation pass over the part join — the
+    // ratio-of-sums pattern again, windowed by month.
+    QueryDef(
+      "q106_promo_revenue",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01")
+          .join(part(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(month(col("l_shipdate")).as("l_month"))
+          .agg(
+            dsum(when(col("p_type") === "PROMO", rev).otherwise(0.0))
+              .as("promo_rev"),
+            dsum(rev).as("total_rev"))
+          .withColumn("promo_pct",
+            lit(100.0) * col("promo_rev") / col("total_rev"))
+          .orderBy("l_month"),
+      Some(s"""SELECT l_month, promo_rev, total_rev,
+              |  100.0 * promo_rev / total_rev AS promo_pct
+              |FROM (
+              |  SELECT CAST(month(l_shipdate) AS INTEGER) AS l_month,
+              |    ${sqlDsum(s"CASE WHEN p_type = 'PROMO' THEN $sqlRev ELSE 0.0 END")}
+              |      AS promo_rev,
+              |    ${sqlDsum(sqlRev)} AS total_rev
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              |  GROUP BY l_month)
+              |ORDER BY l_month""".stripMargin)),
+
+    // TPC-H Q19 (disjunctive join predicates): revenue over an OR of
+    // three (brand × size × quantity-band) conjuncts. The disjunction
+    // can't prune the scan wholesale, but each conjunct's column
+    // bounds still reach the row-group level as min/max residuals and
+    // the part side is a broadcast — the query tests that OR-heavy
+    // predicates don't force a shuffle join.
+    QueryDef(
+      "q107_disjunctive_join",
+      (s, d) => {
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size") <= 10 &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size") <= 20 &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size") <= 30 &&
+            col("l_quantity").between(20, 30))
+        lineitem(s, d)
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT ${sqlDsum(sqlRev)} AS revenue, COUNT(*) AS n_lines
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#1' AND p_size <= 10
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#2' AND p_size <= 20
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#3' AND p_size <= 30
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+  )
+}
