@@ -157,6 +157,65 @@ object CorpusQueries {
               |  ${sqlDavg("n_chars")} AS avg_chars,
               |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
               |    AS total_tokens
-              |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // PII masking (the redaction pass a corpus runs before training):
+    // digits masked to '#', long digit runs collapsed to '[ID]', plus
+    // the digit count as the audit signal. Pure per-row regex
+    // projection — map-side at scan speed, no shuffle. Patterns stay
+    // inside RE2's subset (no lookahead) so any engine can run them.
+    QueryDef(
+      "q113_pii_mask",
+      (s, d) =>
+        customer(s, d)
+          .select(col("c_custkey"),
+            regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+            regexp_replace(col("c_name"), "[0-9]{4,}", "[ID]")
+              .as("redacted_name"),
+            (length(col("c_name")) -
+              length(regexp_replace(col("c_name"), "[0-9]", "")))
+              .as("n_digits"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+             |  regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g')
+             |    AS redacted_name,
+             |  CAST(length(c_name) -
+             |    length(regexp_replace(c_name, '[0-9]', '', 'g'))
+             |    AS INTEGER) AS n_digits
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Token rarity: per-document mean/min corpus document-frequency of
+    // its tokens — the "is this doc made of rare words" signal that
+    // complements q34/q35. The df table is vocabulary-sized (tiny next
+    // to the corpus), so the join-back broadcasts; the only
+    // corpus-sized shuffle is the distinct (doc, tok) hash-agg.
+    QueryDef(
+      "q114_token_rarity",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        val df = toks.distinct().groupBy("tok")
+          .agg(count(lit(1)).as("df"))
+        toks
+          .join(broadcast(df), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            davg(col("df")).as("mean_df"),
+            min(col("df")).as("rarest_df"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents
+              |), df AS (
+              |  SELECT tok, COUNT(DISTINCT doc_id) AS df
+              |  FROM toks GROUP BY tok
+              |)
+              |SELECT doc_id, COUNT(*) AS n_tokens,
+              |  ${sqlDavg("df")} AS mean_df,
+              |  CAST(MIN(df) AS BIGINT) AS rarest_df
+              |FROM toks JOIN df USING (tok)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -170,6 +170,31 @@ object EventQueries {
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY purchase_id""".stripMargin))
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // SCD2 dimension build (the warehouse pattern the reference's dbt
+    // layer materializes): each user's event stream becomes validity
+    // intervals — valid_from = this event, valid_to = next event, open
+    // interval = current row. One window shuffle on user_id; interval
+    // construction is a per-row lead(), no self-join.
+    QueryDef(
+      "q120_scd2_build",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("state"), col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type AS state,
+             |  CAST(ts AS TIMESTAMP) AS valid_from,
+             |  CAST(lead(ts, 1) OVER w AS TIMESTAMP) AS valid_to,
+             |  lead(ts, 1) OVER w IS NULL AS is_current
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+             |ORDER BY user_id, valid_from, event_id""".stripMargin))
   )
 }

@@ -6,5 +6,6 @@ object Registry {
     RelationalQueries.all ++ EventQueries.all ++ CheckQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ ExtraQueries.all ++
       ReshapeQueries.all ++ SamplingQueries.all ++
-      SubqueryQueries.all ++ CorpusQueries.all ++ TpchShapes.all
+      SubqueryQueries.all ++ CorpusQueries.all ++ TpchShapes.all ++
+      BreadthQueries.all
 }

@@ -819,6 +819,50 @@ object TextQueries {
               |)
               |SELECT doc_id, lang FROM documents
               |WHERE doc_id NOT IN (SELECT id FROM losers)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Shingle containment (directional near-dup): |A∩B| / |A| — the
+    // detector for SUBSET copies (quote inclusion, boilerplate
+    // wrapping) that symmetric Jaccard misses: a small doc fully
+    // embedded in a big one has low Jaccard but containment 1.0.
+    // Same bounded shared-gram blocking as q31; only the final metric
+    // differs (divide by one side's gram count instead of the union).
+    QueryDef(
+      "q115_containment",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        val grams = sparkGramsCapped(s, d)
+          .withColumn("n", count(lit(1)).over(w))
+        grams.as("a")
+          .join(grams.as("b"),
+            col("a.gram") === col("b.gram") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("n_common"),
+            first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+          .select(col("a_id"), col("b_id"),
+            (col("n_common").cast("double") / col("na")).as("cont_a_in_b"),
+            (col("n_common").cast("double") / col("nb")).as("cont_b_in_a"))
+          .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.8)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$cappedGramsCte, cnt AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM grams_rare GROUP BY doc_id
+              |), common AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    COUNT(*) AS n_common
+              |  FROM grams_rare a JOIN grams_rare b
+              |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id
+              |)
+              |SELECT a_id, b_id,
+              |  CAST(n_common AS DOUBLE) / ca.n AS cont_a_in_b,
+              |  CAST(n_common AS DOUBLE) / cb.n AS cont_b_in_a
+              |FROM common
+              |JOIN cnt ca ON ca.doc_id = a_id
+              |JOIN cnt cb ON cb.doc_id = b_id
+              |WHERE greatest(CAST(n_common AS DOUBLE) / ca.n,
+              |  CAST(n_common AS DOUBLE) / cb.n) >= 0.8
+              |ORDER BY a_id, b_id""".stripMargin))
   )
 }

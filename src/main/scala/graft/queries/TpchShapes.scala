@@ -211,6 +211,69 @@ object TpchShapes {
               |   OR (p_brand = 'Brand#2' AND p_size <= 20
               |       AND l_quantity BETWEEN 10 AND 20)
               |   OR (p_brand = 'Brand#3' AND p_size <= 30
-              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q18 (large-volume orders): orders whose total line
+    // quantity crosses a threshold, with customer context. The IN
+    // subquery over an aggregate becomes a semi-join against the
+    // grouped lineitem — the aggregate runs ONCE, map-side partialed,
+    // never per-outer-row.
+    QueryDef(
+      "q118_large_orders",
+      (s, d) => {
+        val bigOrders = lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 60.0)
+        orders(s, d)
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING SUM(l_quantity) > 60.0) big
+             |  ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
+
+    // TPC-H Q22 (global sales opportunity): customers above the
+    // average balance of the positive-balance population with no
+    // RECENT orders (the lapsed-customer window keeps the anti join
+    // selective but non-empty on this data), counted per market
+    // segment. Composes a scalar subquery (one-row broadcast), an
+    // anti join, and a final hash agg.
+    QueryDef(
+      "q119_sales_opportunity",
+      (s, d) => {
+        val avgBal = customer(s, d)
+          .filter(col("c_acctbal") > 0.0)
+          .agg(davg(col("c_acctbal")).as("avg_bal"))
+        val recent = orders(s, d)
+          .filter(col("o_orderdate") >= "1999-01-01")
+        customer(s, d)
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_custs"),
+            dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_custs,
+              |  ${sqlDsum("c_acctbal")} AS total_bal
+              |FROM customer
+              |WHERE c_acctbal > (
+              |    SELECT ${sqlDavg("c_acctbal")} FROM customer
+              |    WHERE c_acctbal > 0.0)
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              |      AND o_orderdate >= '1999-01-01')
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

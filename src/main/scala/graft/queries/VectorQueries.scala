@@ -418,6 +418,75 @@ object VectorQueries {
               |JOIN norms ON norms.vec_id = a.vec_id
               |CROSS JOIN qn
               |WHERE a.vec_id <> 0
-              |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin))
+              |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin)),
+
+    // Int8 quantization (min/max affine, the embedding-storage
+    // compressor): per-vector scale + zero point, elements mapped to
+    // 0..255. Pure per-row projection — no shuffle, no join; at 100 TB
+    // this runs map-side at scan speed and cuts vector storage 4×.
+    // All arithmetic is float→double (exact) then IEEE double ops,
+    // identical on both engines; round() is half-away-from-zero on
+    // both (inputs are ≥ 0 here, so HALF_UP ≡ half-away).
+    QueryDef(
+      "q116_int8_quant",
+      (s, d) => {
+        val mn = array_min(col("embedding")).cast("double")
+        val mx = array_max(col("embedding")).cast("double")
+        val sc = (mx - mn) / lit(255.0)
+        val q = transform(col("embedding"), x =>
+          when(mx === mn, lit(0))
+            .otherwise(round((x.cast("double") - mn) / sc).cast("int")))
+        embeddings(s, d)
+          .select(col("vec_id"), mn.as("zero_point"), sc.as("scale"),
+            q.as("q_embedding"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, zero_point, scale,
+             |  list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+             |    ELSE CAST(round((CAST(x AS DOUBLE) - zero_point) / scale)
+             |      AS INTEGER) END) AS q_embedding
+             |FROM (
+             |  SELECT vec_id, embedding,
+             |    CAST(list_aggregate(embedding, 'min') AS DOUBLE)
+             |      AS zero_point,
+             |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+             |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+             |    (CAST(list_aggregate(embedding, 'max') AS DOUBLE) -
+             |     CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0
+             |      AS scale
+             |  FROM embeddings)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // L2 normalization to unit vectors: the preprocessing step that
+    // turns cosine similarity into a plain dot product (what every ANN
+    // index expects). The squared norm is the exact-decimal fold
+    // (DotExactExpr), so the norm — and every normalized element — is
+    // bit-identical cross-engine; sqrt and division are correctly
+    // rounded IEEE ops. Per-row projection only: no shuffle.
+    QueryDef(
+      "q117_l2_normalize",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val nrm = fnorm(col("embedding"))
+        embeddings(s, d)
+          .select(col("vec_id"), nrm.as("l2_norm"),
+            transform(col("embedding"), x => x.cast("double") / nrm)
+              .as("unit_embedding"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH dexp AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings
+             |), norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE))
+             |      AS l2_norm
+             |  FROM dexp GROUP BY vec_id
+             |)
+             |SELECT e.vec_id, n.l2_norm,
+             |  list_transform(e.embedding,
+             |    x -> CAST(x AS DOUBLE) / n.l2_norm) AS unit_embedding
+             |FROM embeddings e JOIN norms n USING (vec_id)
+             |ORDER BY e.vec_id""".stripMargin))
   )
 }
