@@ -187,9 +187,11 @@ object CorpusQueries {
 
     // Token rarity: per-document mean/min corpus document-frequency of
     // its tokens — the "is this doc made of rare words" signal that
-    // complements q34/q35. The df table is vocabulary-sized (tiny next
-    // to the corpus), so the join-back broadcasts; the only
-    // corpus-sized shuffle is the distinct (doc, tok) hash-agg.
+    // complements q34/q35. The df side is vocabulary-sized;
+    // deliberately NO broadcast hint: a web-scale vocabulary (10⁸+
+    // tokens) must shuffle-join on tok, and when the vocab IS small
+    // AQE broadcasts it at runtime anyway — the hint would only remove
+    // the safe fallback.
     QueryDef(
       "q114_token_rarity",
       (s, d) => {
@@ -198,7 +200,7 @@ object CorpusQueries {
         val df = toks.distinct().groupBy("tok")
           .agg(count(lit(1)).as("df"))
         toks
-          .join(broadcast(df), "tok")
+          .join(df, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             davg(col("df")).as("mean_df"),

@@ -429,18 +429,11 @@ object VectorQueries {
     // both (inputs are ≥ 0 here, so HALF_UP ≡ half-away).
     QueryDef(
       "q116_int8_quant",
-      (s, d) => {
-        val mn = array_min(col("embedding")).cast("double")
-        val mx = array_max(col("embedding")).cast("double")
-        val sc = (mx - mn) / lit(255.0)
-        val q = transform(col("embedding"), x =>
-          when(mx === mn, lit(0))
-            .otherwise(round((x.cast("double") - mn) / sc).cast("int")))
-        embeddings(s, d)
-          .select(col("vec_id"), mn.as("zero_point"), sc.as("scale"),
-            q.as("q_embedding"))
-          .orderBy("vec_id")
-      },
+      (s, d) =>
+        graft.llm.Quantize.quantize(embeddings(s, d), "embedding")
+          .select(col("vec_id"), col("zero_point"), col("scale"),
+            col("q_embedding"))
+          .orderBy("vec_id"),
       Some("""SELECT vec_id, zero_point, scale,
              |  list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
              |    ELSE CAST(round((CAST(x AS DOUBLE) - zero_point) / scale)
