@@ -16,17 +16,25 @@ object Quantize {
 
   /** Adds `zero_point`, `scale`, and `q_<col>` (array<int> in 0..255)
     * for the given float-array column.
+    *
+    * The min/max stats land in their own projection and the transform
+    * lambda references them as ATTRIBUTES: an expression inlined into
+    * a lambda body is re-evaluated per array element (HOFs are
+    * CodegenFallback, no subexpression elimination), turning the
+    * O(dim) min/max into O(dim²) per row. Catalyst's CollapseProject
+    * keeps the split because each stat is referenced more than once
+    * and is not collapse-cheap.
     */
   def quantize(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
     val mn = array_min(v).cast("double")
     val mx = array_max(v).cast("double")
-    val sc = (mx - mn) / lit(255.0)
     val q = transform(v, x =>
-      when(mx === mn, lit(0))
-        .otherwise(round((x.cast("double") - mn) / sc).cast("int")))
+      when(col("scale") === 0.0, lit(0))
+        .otherwise(round((x.cast("double") - col("zero_point")) /
+          col("scale")).cast("int")))
     df.withColumn("zero_point", mn)
-      .withColumn("scale", sc)
+      .withColumn("scale", (mx - mn) / lit(255.0))
       .withColumn(s"q_$vecCol", q)
   }
 

@@ -129,6 +129,80 @@ object BreadthQueries {
              |  COUNT(DISTINCT week(o_orderdate)) AS n_weeks,
              |  COUNT(DISTINCT isodow(o_orderdate) - 1) AS n_weekdays
              |FROM orders GROUP BY o_year, o_quarter
-             |ORDER BY o_year, o_quarter""".stripMargin))
+             |ORDER BY o_year, o_quarter""".stripMargin)),
+
+    // Higher-order array predicates (exists / forall / filter+count):
+    // per-row lambda evaluation inside codegen — the no-UDF way to ask
+    // set questions of an array column. DuckDB's spelling folds a
+    // transformed boolean list through bool_or / bool_and.
+    QueryDef(
+      "q121_hof_predicates",
+      (s, d) => {
+        val ws = graft.functions.TextFunctions.words(col("text"))
+        documents(s, d)
+          .select(col("doc_id"),
+            exists(ws, w => length(w) > 6).as("has_long_tok"),
+            forall(ws, w => w.rlike("^[a-z]+$")).as("all_alpha"),
+            size(filter(ws, w => length(w) > 6)).as("n_long_toks"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_aggregate(list_transform(string_split(text, ' '),
+             |    w -> len(w) > 6), 'bool_or') AS has_long_tok,
+             |  list_aggregate(list_transform(string_split(text, ' '),
+             |    w -> regexp_matches(w, '^[a-z]+$')), 'bool_and')
+             |    AS all_alpha,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    w -> len(w) > 6)) AS INTEGER) AS n_long_toks
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Defensive parsing (TRY_CAST): dirty-input ingestion must yield
+    // NULL, not a crashed job — the schema-on-read safety net for S6's
+    // all-string external tables. One in three rows here is
+    // deliberately unparseable.
+    QueryDef(
+      "q122_try_cast",
+      (s, d) => {
+        val raw = when(col("c_custkey") % 3 === 0, col("c_name"))
+          .otherwise(col("c_custkey").cast("string"))
+        customer(s, d)
+          .select(col("c_custkey"), raw.as("raw"),
+            expr("try_cast(" +
+              "CASE WHEN c_custkey % 3 = 0 THEN c_name " +
+              "ELSE CAST(c_custkey AS STRING) END AS BIGINT)").as("parsed"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 3 = 0 THEN c_name
+             |    ELSE CAST(c_custkey AS VARCHAR) END AS raw,
+             |  TRY_CAST(CASE WHEN c_custkey % 3 = 0 THEN c_name
+             |    ELSE CAST(c_custkey AS VARCHAR) END AS BIGINT) AS parsed
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // GROUPING() flags over a rollup: the disambiguator between "key
+    // is NULL in the data" and "key rolled up" — required before any
+    // downstream consumer can trust subtotal rows. Keys are coalesced
+    // out of the sort per the NULLS FIRST/LAST cross-engine rule.
+    QueryDef(
+      "q123_grouping_flags",
+      (s, d) =>
+        lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            grouping(col("l_returnflag")).cast("int").as("g_flag"),
+            grouping(col("l_linestatus")).cast("int").as("g_status"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("g_flag"), col("g_status"), col("n_rows"))
+          .orderBy("returnflag", "linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin))
   )
 }

@@ -435,15 +435,13 @@ object VectorQueries {
             col("q_embedding"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id, zero_point, scale,
-             |  list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+             |  list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
              |    ELSE CAST(round((CAST(x AS DOUBLE) - zero_point) / scale)
              |      AS INTEGER) END) AS q_embedding
              |FROM (
              |  SELECT vec_id, embedding,
              |    CAST(list_aggregate(embedding, 'min') AS DOUBLE)
              |      AS zero_point,
-             |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
-             |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
              |    (CAST(list_aggregate(embedding, 'max') AS DOUBLE) -
              |     CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0
              |      AS scale
@@ -460,12 +458,20 @@ object VectorQueries {
       "q117_l2_normalize",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
-        val nrm = fnorm(col("embedding"))
+        // The norm is computed in its OWN projection, separated from
+        // the transform() by the sort: an expression referenced inside
+        // a lambda is evaluated per ELEMENT (HOFs are CodegenFallback —
+        // no subexpression elimination), so inlining the O(dim) exact
+        // dot there costs O(dim²) decimal ops per row (measured 7.4 s
+        // vs 0.6 s at sf0.1). The sort doubles as the output order.
         embeddings(s, d)
-          .select(col("vec_id"), nrm.as("l2_norm"),
-            transform(col("embedding"), x => x.cast("double") / nrm)
-              .as("unit_embedding"))
+          .select(col("vec_id"), col("embedding"),
+            fnorm(col("embedding")).as("l2_norm"))
           .orderBy("vec_id")
+          .select(col("vec_id"), col("l2_norm"),
+            transform(col("embedding"),
+              x => x.cast("double") / col("l2_norm"))
+              .as("unit_embedding"))
       },
       Some("""WITH dexp AS (
              |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x

@@ -30,13 +30,37 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("near-dup candidate joins never degenerate to all-pairs") {
     Seq("q31_ngram_jaccard", "q32_minhash_lsh", "q44_embed_neardup",
-      "q56_simhash_neardup").foreach { q =>
-      val p = plan(q)
-      withClue(s"$q plan:") {
-        p should not include "CartesianProduct"
-        p should not include "BroadcastNestedLoopJoin"
+      "q56_simhash_neardup", "q115_containment", "q85_contamination")
+      .foreach { q =>
+        val p = plan(q)
+        withClue(s"$q plan:") {
+          p should not include "CartesianProduct"
+          p should not include "BroadcastNestedLoopJoin"
+        }
       }
-    }
+  }
+
+  test("q103 five-way star: all dims broadcast, ship-date pushed down") {
+    val p = plan("q103_volume_shipping")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should include("l_shipdate")
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year",
+        org.apache.spark.sql.functions.year(
+          org.apache.spark.sql.functions.col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("o_year") === 1997)
+    val formatted = scan.queryExecution.executedPlan.toString
+    // the partition predicate must prune directories, not filter rows
+    formatted should include("PartitionFilters")
+    formatted should include("o_year")
+    scan.count() should be > 0L
   }
 
   test("q01 projection/filter reach the parquet scan") {
