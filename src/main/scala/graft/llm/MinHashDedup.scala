@@ -23,14 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Distinct (doc_id, gram) shingles. */
+  /** Distinct (doc_id, gram) shingles. The token array gets its own
+    * projection first: inlining split() into the trigram lambda would
+    * re-evaluate it per element (HOFs are CodegenFallback — no
+    * subexpression elimination), O(words²) per document.
+    */
   def shingles(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    docs.filter(size(ws) >= 3)
-      .select(col(idCol).as("doc_id"), explode(trigrams(ws)).as("gram"))
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("doc_id"), explode(trigrams(col("__ws"))).as("gram"))
       .distinct()
-  }
 
   /** Shingles with stop-gram hygiene: grams in more than
     * `max(5, dfFraction × corpus)` documents are dropped before any
@@ -118,9 +122,10 @@ object MinHashDedup {
     */
   def candidatePairsML(docs: DataFrame, maxJaccardDistance: Double = 0.5,
       numHashTables: Int = 8): DataFrame = {
-    val ws = words(col("text"))
-    val grammed = docs.filter(size(ws) >= 3)
-      .select(col("doc_id"), array_distinct(trigrams(ws)).as("grams"))
+    val grammed = docs
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("doc_id"), array_distinct(trigrams(col("__ws"))).as("grams"))
     val cv = new CountVectorizer().setInputCol("grams")
       .setOutputCol("features").setBinary(true)
     val model = cv.fit(grammed)

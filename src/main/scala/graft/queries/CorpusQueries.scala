@@ -29,11 +29,15 @@ object CorpusQueries {
     QueryDef(
       "q95_chunk_dedup",
       (s, d) => {
-        val ws = words(col("text"))
+        // tokens hoisted to their own projection: slice(ws) inside the
+        // chunk lambda would re-split the text per chunk (HOF lambdas
+        // re-evaluate inlined arguments per element)
+        val ws = col("__ws")
         val nChunks = ceil(size(ws) / lit(10.0)).cast("int")
         val chunkArr = transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))
         val chunks = documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("__ws"))
           .select(col("doc_id"), posexplode(chunkArr))
           .select(col("doc_id"), col("pos").as("chunk_idx"),
             col("col").as("chunk"))

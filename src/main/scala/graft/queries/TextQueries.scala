@@ -53,10 +53,15 @@ object TextQueries {
     * warm-up, not plan structure.
     */
   private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val ws = words(col("text"))
+    // The tokenized array is materialized as its own projection before
+    // the trigram transform: slice(ws, i, 3) inside the lambda
+    // re-evaluates its argument per ELEMENT (HOFs are CodegenFallback),
+    // so inlining split() there costs O(words²) per document across
+    // every gram-family query.
     documents(s, d)
-      .filter(size(ws) >= 3)
-      .select(col("doc_id"), explode(trigrams(ws)).as("gram"))
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("doc_id"), explode(trigrams(col("__ws"))).as("gram"))
       .distinct()
   }
 
