@@ -27,9 +27,15 @@ object VectorQueries {
   private def fnorm(a: org.apache.spark.sql.Column) = sqrt(fdot(a, a))
   private def fcos(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) = fdot(a, b) / (fnorm(a) * fnorm(b))
+  // LSH plane signs use the PLAIN-double sequential fold (DotDoubleExpr,
+  // ~50× cheaper than the BigDecimal fold): only the fold's sign is
+  // consumed, and a fixed left-to-right fold is bit-reproducible by
+  // DuckDB's list_reduce, so both engines still bucket identically.
+  // The final pair/rank cosines stay on the exact fold (fdot).
   private def fsign(v: org.apache.spark.sql.Column,
       p: org.apache.spark.sql.Column) =
-    when(fdot(v, p) >= 0, lit("1")).otherwise(lit("0"))
+    when(graft.functions.DotDoubleExpr.dotDouble(v, p) >= 0, lit("1"))
+      .otherwise(lit("0"))
 
   /** Shared DuckDB CTEs: element-expanded embeddings with ordinality,
     * exact-decimal dot products against the query vector (vec_id 0),
@@ -82,6 +88,18 @@ object VectorQueries {
     * dp)` with dp converted exact-decimal→double once, matching
     * `dot_exact`'s single final conversion.
     */
+  private val evecCte =
+    """evec AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** Centroid means (exact-average, identical doubles on both
+    * engines) gathered into per-label LISTS, then scored against every
+    * vector with the same left-to-right double fold DotDoubleExpr
+    * uses — the assignment argmax compares bit-identical dp values.
+    */
   private val centsDotsCte =
     s"""cents AS (
        |  SELECT label AS clabel, CAST(i AS INTEGER) AS i,
@@ -91,14 +109,19 @@ object VectorQueries {
        |      CAST(unnest(embedding) AS DOUBLE) AS x
        |    FROM embeddings)
        |  GROUP BY label, i
+       |), cents_l AS (
+       |  SELECT clabel, list(mean_x ORDER BY i) AS cvec
+       |  FROM cents GROUP BY clabel
        |), dots_c AS (
-       |  SELECT d.vec_id, c.clabel,
-       |    CAST(SUM(CAST(d.x * c.mean_x AS DECIMAL(38,12))) AS DOUBLE) AS dp
-       |  FROM dexp d JOIN cents c USING (i)
-       |  GROUP BY d.vec_id, c.clabel
+       |  SELECT e.vec_id, c.clabel,
+       |    list_reduce(
+       |      list_transform(range(1, len(e.v) + 1),
+       |        k -> e.v[k] * c.cvec[k]),
+       |      (a, b) -> a + b) AS dp
+       |  FROM evec e CROSS JOIN cents_l c
        |)""".stripMargin
 
-  private val centsAndDotsCte = s"$vecCtes, $centsDotsCte"
+  private val centsAndDotsCte = s"$vecCtes, $evecCte, $centsDotsCte"
 
   /** Banded sign-random-projection buckets, exact-decimal scorer form
     * (mirrors `EmbeddingSearch.srpBands`, which is the cosine_fast
@@ -145,15 +168,22 @@ object VectorQueries {
     */
   private def bandsCte(numBands: Int, planesPerBand: Int,
       bucketCap: Option[Int] = None): String = {
+    // Mirrors DotDoubleExpr's left-to-right double fold: element-wise
+    // products in index order, list_reduce seeds with the first
+    // product and adds sequentially — bit-identical to the Spark loop
+    // (up to ±0.0, which >= 0 cannot distinguish).
     val raw =
-      s"""pexp AS (
-         |  SELECT vec_id - 1 AS pidx, x AS p, i FROM dexp
+      s"""$evecCte, pl AS (
+         |  SELECT vec_id - 1 AS pidx, v AS pvec FROM evec
          |  WHERE vec_id BETWEEN 1 AND ${numBands * planesPerBand}
          |), proj AS (
-         |  SELECT d.vec_id, p.pidx,
-         |    CASE WHEN SUM(CAST(d.x * p.p AS DECIMAL(38,12))) >= 0
+         |  SELECT e.vec_id, p.pidx,
+         |    CASE WHEN list_reduce(
+         |        list_transform(range(1, len(e.v) + 1),
+         |          k -> e.v[k] * p.pvec[k]),
+         |        (a, b) -> a + b) >= 0
          |      THEN '1' ELSE '0' END AS bit
-         |  FROM dexp d JOIN pexp p USING (i) GROUP BY d.vec_id, p.pidx
+         |  FROM evec e CROSS JOIN pl p
          |), bands_all AS (
          |  SELECT vec_id, CAST(floor(pidx / $planesPerBand) AS INTEGER) AS band,
          |    string_agg(bit, '' ORDER BY pidx) AS bv
@@ -210,6 +240,7 @@ object VectorQueries {
       "q38_ann_lsh",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
         val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 6)
         val qb = bands.filter(col("vec_id") === 0)
@@ -256,6 +287,7 @@ object VectorQueries {
       "q44_embed_neardup",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
         val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 10,
           bucketCap = Some(200))
@@ -330,7 +362,7 @@ object VectorQueries {
     QueryDef(
       "q67_ivf_assign",
       (s, d) => {
-        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
         // Centroids are model metadata (K labels × dim means = a few
         // hundred rows): one explode+agg pass computes them, then they
@@ -342,7 +374,8 @@ object VectorQueries {
         // join+agg rows and a per-vector window.
         val cents = centroidArrays(s, d)
         val scored = array(cents.map { case (lbl, arr) =>
-          struct(fdot(col("embedding"), typedLit(arr)).as("dp"),
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
             lit(lbl).as("clabel"))
         }: _*)
         emb
@@ -370,6 +403,7 @@ object VectorQueries {
       "q98_ivf_search",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
         // Same literal-centroid assignment as q67 (zero-shuffle argmax
         // per vector); the probe set is the query row's K scores,
@@ -377,7 +411,8 @@ object VectorQueries {
         // candidate filter.
         val cents = centroidArrays(s, d)
         val scored = array(cents.map { case (lbl, arr) =>
-          struct(fdot(col("embedding"), typedLit(arr)).as("dp"),
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
             lit(lbl).as("clabel"))
         }: _*)
         val probe = emb.filter(col("vec_id") === 0)

@@ -136,6 +136,30 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("dot_double matches a driver-side left-to-right double fold " +
+      "bit for bit (codegen and interpreted agree)") {
+    val spark2 = spark
+    graft.functions.DotDoubleExpr.register(spark2)
+    val emb = graft.Tables.embeddings(spark2, "/root/testdata/sf0.001")
+    val qRow: Array[Double] = emb.filter(col("vec_id") === 1)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val rows = emb
+      .select(col("embedding"),
+        graft.functions.DotDoubleExpr
+          .dotDouble(col("embedding"), typedLit(qRow)).as("fused"))
+      .collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(v.length, qRow.length)
+      while (i < n) { acc += v(i).toDouble * qRow(i); i += 1 }
+      java.lang.Double.doubleToLongBits(r.getDouble(1)) shouldBe
+        java.lang.Double.doubleToLongBits(acc)
+    }
+  }
+
   test("rollingHashes: shared text windows collide, count matches") {
     val s2 = spark
     import s2.implicits._
