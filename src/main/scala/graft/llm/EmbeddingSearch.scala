@@ -48,6 +48,11 @@ object EmbeddingSearch {
     */
   def srpBands(emb: DataFrame, numBands: Int, planesPerBand: Int,
       bucketCap: Int): DataFrame = {
+    // Plane signs ride the codegen'd plain-double fold: only the sign
+    // of the projection is consumed, and the fixed left-to-right fold
+    // is deterministic, so the exact-decimal fold (signBit) buys
+    // nothing here at ~50× the per-element cost.
+    graft.functions.DotDoubleExpr.register(emb.sparkSession)
     val planes = emb
       .filter(col("vec_id").between(1, numBands * planesPerBand))
       .select("vec_id", "embedding")
@@ -60,7 +65,9 @@ object EmbeddingSearch {
         "vectors or lower numBands/planesPerBand for small id spaces")
     val bandExprs = (0 until numBands).map { b =>
       concat((0 until planesPerBand).map { j =>
-        signBit(col("embedding"), typedLit(planes(b * planesPerBand + j)))
+        when(graft.functions.DotDoubleExpr.dotDouble(col("embedding"),
+            typedLit(planes(b * planesPerBand + j))) >= 0, lit("1"))
+          .otherwise(lit("0"))
       }: _*)
     }
     val bands = emb
