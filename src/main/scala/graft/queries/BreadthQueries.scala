@@ -203,6 +203,135 @@ object BreadthQueries {
              |  COUNT(*) AS n_rows
              |FROM lineitem
              |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-             |ORDER BY returnflag, linestatus""".stripMargin))
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // RANGE window frame: 30-day trailing spend per customer — the
+    // time-windowed running aggregate (RANGE, not ROWS: peers by
+    // VALUE distance, so irregular event spacing is handled). Ordering
+    // key is days-since-epoch so both engines frame identically.
+    QueryDef(
+      "q124_range_frame",
+      (s, d) => {
+        val dayNum = datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date"))
+        val w = Window.partitionBy("o_custkey").orderBy(dayNum)
+          .rangeBetween(-30, Window.currentRow)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            sum(col("o_totalprice").cast(Dec)).over(w).cast(Dec2)
+              .cast("double").as("trailing_30d_spend"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+             |    OVER (PARTITION BY o_custkey
+             |      ORDER BY datediff('day', DATE '1995-01-01',
+             |        CAST(o_orderdate AS DATE))
+             |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+             |    AS DOUBLE) AS trailing_30d_spend
+             |FROM orders
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Calendar-spine gap filling: generate every month in the order
+    // date range, left-join the monthly counts, zero-fill the holes —
+    // the report-completeness op a BI layer needs when a month has no
+    // rows. The spine is a generated literal array (no table scan).
+    QueryDef(
+      "q125_gap_fill",
+      (s, d) => {
+        val spine = s.range(1)
+          .select(explode(sequence(
+            lit("1995-01-01").cast("date"),
+            lit("2001-08-01").cast("date"),
+            expr("interval 1 month"))).as("month_start"))
+        val monthly = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+            .as("m"))
+          .agg(count(lit(1)).as("n"))
+        spine
+          .join(monthly, col("month_start") === col("m"), "left")
+          .select(col("month_start"),
+            coalesce(col("n"), lit(0L)).as("n_urgent_orders"))
+          .orderBy("month_start")
+      },
+      Some("""WITH spine AS (
+             |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+             |    DATE '2001-08-01', INTERVAL 1 MONTH)) AS DATE)
+             |    AS month_start
+             |), monthly AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             |    COUNT(*) AS n
+             |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY m
+             |)
+             |SELECT month_start,
+             |  COALESCE(n, 0) AS n_urgent_orders
+             |FROM spine LEFT JOIN monthly ON month_start = m
+             |ORDER BY month_start""".stripMargin)),
+
+    // Fuzzy matching (entity resolution): Levenshtein distance over
+    // key-banded candidate pairs — the blocking keeps the pair space
+    // linear (each supplier meets ≤ 20 neighbors), then the edit
+    // distance refines. The fuzzy-dedup primitive for entity tables.
+    QueryDef(
+      "q126_fuzzy_match",
+      (s, d) =>
+        supplier(s, d).as("a")
+          .join(supplier(s, d).as("b"),
+            col("a.s_suppkey") < col("b.s_suppkey") &&
+              col("b.s_suppkey") - col("a.s_suppkey") <= 20)
+          .select(col("a.s_suppkey").as("a_key"),
+            col("b.s_suppkey").as("b_key"),
+            levenshtein(col("a.s_name"), col("b.s_name")).as("edit_dist"))
+          .filter(col("edit_dist") <= 1)
+          .orderBy("a_key", "b_key"),
+      Some("""SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+             |  CAST(levenshtein(a.s_name, b.s_name) AS INTEGER)
+             |    AS edit_dist
+             |FROM supplier a JOIN supplier b
+             |  ON a.s_suppkey < b.s_suppkey
+             |  AND b.s_suppkey - a.s_suppkey <= 20
+             |WHERE levenshtein(a.s_name, b.s_name) <= 1
+             |ORDER BY a_key, b_key""".stripMargin)),
+
+    // Padding / printf formatting: fixed-width key rendering (the
+    // file-name and partition-label generator's string toolkit).
+    QueryDef(
+      "q127_pad_format",
+      (s, d) =>
+        orders(s, d)
+          .select(col("o_orderkey"),
+            lpad(col("o_orderkey").cast("string"), 10, "0").as("padded"),
+            format_string("ord-%07d-%s", col("o_orderkey"),
+              col("o_orderstatus")).as("label"),
+            rpad(col("o_orderstatus"), 4, ".").as("status_cell"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded,
+             |  printf('ord-%07d-%s', o_orderkey, o_orderstatus) AS label,
+             |  rpad(o_orderstatus, 4, '.') AS status_cell
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Array set algebra on token arrays: stopword intersection /
+    // removal with sorted, deduplicated results (both engines' raw
+    // set-op element order differs — sorting makes the op portable).
+    QueryDef(
+      "q128_array_setops",
+      (s, d) => {
+        val stop = array(lit("the"), lit("a"), lit("and"))
+        val ws = graft.functions.TextFunctions.words(col("text"))
+        documents(s, d)
+          .select(col("doc_id"),
+            array_sort(array_intersect(ws, stop)).as("stop_hits"),
+            size(array_sort(array_except(ws, stop))).as("n_content_toks"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_sort(list_intersect(string_split(text, ' '),
+             |    ['the', 'a', 'and'])) AS stop_hits,
+             |  CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+             |    w -> NOT list_contains(['the', 'a', 'and'], w)))
+             |    AS INTEGER) AS n_content_toks
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
