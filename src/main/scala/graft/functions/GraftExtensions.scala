@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotExactDescriptor)
     ext.injectFunction(GraftExtensions.fingerprintDescriptor)
     ext.injectFunction(GraftExtensions.redactPiiDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
   }
 }
 

@@ -275,7 +275,15 @@ object BreadthQueries {
     // distance refines. The fuzzy-dedup primitive for entity tables.
     QueryDef(
       "q126_fuzzy_match",
-      (s, d) =>
+      (s, d) => {
+        // activate the additive length-difference guard for
+        // levenshtein predicates (LevenshteinGuardRuleSpec proves
+        // result-identity; cluster path injects it via GraftExtensions)
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.LevenshteinGuardRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+
+              graft.plans.LevenshteinGuardRule
         supplier(s, d).as("a")
           .join(supplier(s, d).as("b"),
             col("a.s_suppkey") < col("b.s_suppkey") &&
@@ -284,7 +292,8 @@ object BreadthQueries {
             col("b.s_suppkey").as("b_key"),
             levenshtein(col("a.s_name"), col("b.s_name")).as("edit_dist"))
           .filter(col("edit_dist") <= 1)
-          .orderBy("a_key", "b_key"),
+          .orderBy("a_key", "b_key")
+      },
       Some("""SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
              |  CAST(levenshtein(a.s_name, b.s_name) AS INTEGER)
              |    AS edit_dist

@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class LevenshteinGuardRuleSpec extends AnyFlatSpec with Matchers
+    with SparkFixture {
+
+  behavior of "LevenshteinGuardRule"
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ LevenshteinGuardRule
+    try body
+    finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def pairs = {
+    val s = spark
+    import s.implicits._
+    Seq(("kitten", "sitting"), ("flaw", "lawn"), ("abc", "abcdefgh"),
+      ("same", "same"), ("a", "ab"))
+      .toDF("x", "y")
+  }
+
+  it should "add the length-difference guard to the optimized plan" in
+    withRule {
+      // parquet-backed source: a literal relation would be constant-
+      // folded away before the plan can be inspected
+      val sup = graft.Tables.supplier(spark, "/root/testdata/sf0.001")
+      val q = sup.as("a")
+        .join(sup.as("b"), col("a.s_suppkey") < col("b.s_suppkey"))
+        .filter(levenshtein(col("a.s_name"), col("b.s_name")) <= 1)
+      val opt = q.queryExecution.optimizedPlan.toString
+      opt.toLowerCase should include("length")
+      opt.toLowerCase should include("abs")
+    }
+
+  it should "not change results" in {
+    val base = pairs.filter(levenshtein(col("x"), col("y")) <= 1)
+      .collect().toSet
+    val guarded = withRule {
+      pairs.filter(levenshtein(col("x"), col("y")) <= 1).collect().toSet
+    }
+    guarded shouldBe base
+    // sanity: the qualifying pairs are the distance<=1 ones
+    guarded.map(r => (r.getString(0), r.getString(1))) shouldBe
+      Set(("same", "same"), ("a", "ab"))
+  }
+
+  it should "be idempotent under repeated application" in {
+    val plan = pairs.filter(levenshtein(col("x"), col("y")) <= 2)
+      .queryExecution.analyzed
+    val once = LevenshteinGuardRule(plan)
+    val twice = LevenshteinGuardRule(once)
+    twice shouldBe once
+  }
+}
