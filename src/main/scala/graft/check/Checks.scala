@@ -140,6 +140,48 @@ object CheckRunner {
 
   def success(results: Seq[CheckResult]): Boolean = results.forall(_.passed)
 
+  /** In-flight validation: attach the fused violation aggregates to a
+    * plan as OBSERVED METRICS, so the suite is evaluated during the
+    * action that materializes the data — writing a 100 TB table and
+    * validating it costs ONE scan total, versus write-then-rescan.
+    *
+    * Returns the instrumented frame (run any action on it) and the
+    * `Observation` handle; read results with [[observedResults]]
+    * after the action completes.
+    *
+    * Observed metrics cannot contain distinct aggregates, so [[Unique]]
+    * rides on `approx_count_distinct` here (its violation count is an
+    * HLL estimate, ±2.5% — the in-flight tripwire; run the exact
+    * [[run]] pass when an estimate isn't enough).
+    */
+  def observed(df: DataFrame, checks: Seq[Check])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    requireDistinctIds(checks)
+    val aggCols = checks.collect {
+      case rc: RowCheck => rc.agg
+      case u: Unique =>
+        greatest(
+          count(lit(1)) -
+            approx_count_distinct(struct(u.columns.map(col): _*)),
+          lit(0L)).as(u.id)
+    }
+    require(aggCols.nonEmpty, "no aggregable checks in suite")
+    val obs = org.apache.spark.sql.Observation()
+    (df.observe(obs, aggCols.head, aggCols.tail: _*), obs)
+  }
+
+  /** Collect [[observed]] metrics after the action (blocks until the
+    * action that consumed the instrumented frame finishes).
+    */
+  def observedResults(obs: org.apache.spark.sql.Observation,
+      checks: Seq[Check]): Seq[CheckResult] = {
+    val row = obs.get
+    checks.collect {
+      case c if row.contains(c.id) =>
+        CheckResult(c.id, row(c.id).asInstanceOf[Long])
+    }
+  }
+
   /** Validation-result sink (reference: checkpoint actions persist
     * results + data docs to the store,
     * great_expectations/checkpoints/bundesliga_match_scores_checkpoint

@@ -195,6 +195,87 @@ object EventQueries {
              |  lead(ts, 1) OVER w IS NULL AS is_current
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-             |ORDER BY user_id, valid_from, event_id""".stripMargin))
+             |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    // Cohort retention: users grouped by first-seen date, counted per
+    // days-since-cohort offset — the product-analytics matrix. Two
+    // hash aggs on user_id (first-seen, then distinct active days);
+    // the cohort join-back stays keyed on user_id, no window over the
+    // full stream.
+    QueryDef(
+      "q129_cohort_retention",
+      (s, d) => {
+        val e = events(s, d)
+        val cohorts = e.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("cohort_date"))
+        val active = e
+          .select(col("user_id"), to_date(col("ts")).as("active_date"))
+          .distinct()
+        active.join(cohorts, "user_id")
+          .groupBy(col("cohort_date"),
+            datediff(col("active_date"), col("cohort_date"))
+              .as("day_offset"))
+          .agg(count_distinct(col("user_id")).as("n_active_users"))
+          .orderBy("cohort_date", "day_offset")
+      },
+      Some("""WITH cohorts AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+             |  FROM events GROUP BY user_id
+             |), active AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date
+             |  FROM events
+             |)
+             |SELECT cohort_date,
+             |  CAST(datediff('day', cohort_date, active_date) AS INTEGER)
+             |    AS day_offset,
+             |  COUNT(DISTINCT user_id) AS n_active_users
+             |FROM active JOIN cohorts USING (user_id)
+             |GROUP BY cohort_date, day_offset
+             |ORDER BY cohort_date, day_offset""".stripMargin)),
+
+    // Ordered funnel (view → click → purchase): per user, the earliest
+    // occurrence of each stage, a stage counting only when it happens
+    // AFTER the previous one. One hash agg (min ts per stage) then a
+    // pure projection — no self-joins, no per-user sort.
+    QueryDef(
+      "q130_funnel",
+      (s, d) => {
+        val e = events(s, d)
+        val stages = e
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts")))
+              .as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts")))
+              .as("t_buy"))
+        stages
+          .select(col("user_id"),
+            col("t_view").isNotNull.as("reached_view"),
+            (col("t_click") > col("t_view")).as("reached_click"),
+            (col("t_buy") > col("t_click") &&
+              col("t_click") > col("t_view")).as("reached_purchase"))
+          .agg(
+            sum(when(col("reached_view"), 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("reached_click"), 1L).otherwise(0L))
+              .as("n_view_click"),
+            sum(when(col("reached_purchase"), 1L).otherwise(0L))
+              .as("n_full_funnel"))
+      },
+      Some("""WITH stages AS (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT
+             |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_view,
+             |  CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_view_click,
+             |  CAST(SUM(CASE WHEN t_buy > t_click AND t_click > t_view
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+             |FROM stages""".stripMargin))
   )
 }

@@ -55,6 +55,24 @@ class ChecksSpec extends AnyFunSuite with SparkFixture with Matchers {
     bad.head.passed shouldBe false
   }
 
+  test("observed metrics: suite evaluated during the write action, " +
+      "matching the standalone pass") {
+    val suite: Seq[Check] = Seq(
+      NotNull("date"),
+      InSet("round", Seq("Regular Season", "Playoffs")),
+      NonNegative("attendance"),
+      Unique(Seq("round", "day")))
+    val (instrumented, obs) = CheckRunner.observed(df, suite)
+    // the action that would materialize the table IS the validation scan
+    instrumented.write.format("noop").mode("overwrite").save()
+    val inflight = CheckRunner.observedResults(obs, suite)
+    val standalone = CheckRunner.run(df, suite)
+    inflight.map(_.check) shouldBe standalone.map(_.check)
+    // row checks match exactly; Unique is exact here too (4 rows is
+    // far inside approx_count_distinct's exact-when-small regime)
+    inflight.map(_.violations) shouldBe standalone.map(_.violations)
+  }
+
   test("full suite: results keep declaration order; success aggregates") {
     val suite: Seq[Check] = Seq(
       ColumnsMatchOrdered(Seq("round", "day", "date", "attendance")),
