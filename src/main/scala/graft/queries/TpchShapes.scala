@@ -274,6 +274,157 @@ object TpchShapes {
               |  AND NOT EXISTS (
               |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
               |      AND o_orderdate >= '1999-01-01')
-              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // TPC-H Q13 (customer distribution): histogram of customers by
+    // order count, zeros included via the left join — the aggregate-
+    // of-an-aggregate shape (two chained hash aggs, the second over
+    // the first's small output).
+    QueryDef(
+      "q131_cust_distribution",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+            "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q11 (important stock): groups whose share of the global
+    // total crosses a threshold — the fraction-of-total HAVING, a
+    // one-row broadcast of the global sum against the grouped sums.
+    QueryDef(
+      "q132_value_share",
+      (s, d) => {
+        val total = customer(s, d)
+          .agg(dsum(col("c_acctbal")).as("total_bal"))
+        customer(s, d)
+          .groupBy("c_mktsegment")
+          .agg(dsum(col("c_acctbal")).as("seg_bal"))
+          .crossJoin(broadcast(total))
+          .filter(col("seg_bal") > col("total_bal") * 0.19)
+          .select(col("c_mktsegment"), col("seg_bal"))
+          .orderBy(col("seg_bal").desc, col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, ${sqlDsum("c_acctbal")} AS seg_bal
+              |FROM customer
+              |GROUP BY c_mktsegment
+              |HAVING ${sqlDsum("c_acctbal")} >
+              |  (SELECT ${sqlDsum("c_acctbal")} FROM customer) * 0.19
+              |ORDER BY seg_bal DESC, c_mktsegment""".stripMargin)),
+
+    // TPC-H Q15 (top supplier): max over a revenue view — the
+    // argmax-with-ties shape (all suppliers hitting the max revenue,
+    // not an arbitrary first row).
+    QueryDef(
+      "q133_top_supplier",
+      (s, d) => {
+        val rev = lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01")
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_rev"))
+        val best = rev.agg(max(col("total_rev")).as("max_rev"))
+        supplier(s, d)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(best))
+          .filter(col("total_rev") === col("max_rev"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey,
+              |    ${sqlDsum("l_extendedprice * (1.0 - l_discount)")}
+              |      AS total_rev
+              |  FROM lineitem
+              |  WHERE l_shipdate >= '1996-01-01'
+              |    AND l_shipdate < '1997-01-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_rev
+              |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+              |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q16 (parts/supplier relationship): distinct-supplier
+    // counts over attribute groups with a NOT IN blacklist — the
+    // anti-join-then-distinct-agg shape.
+    QueryDef(
+      "q134_supplier_cnt",
+      (s, d) => {
+        val blacklist = supplier(s, d)
+          .filter(col("s_acctbal") < 0.0)
+          .select(col("s_suppkey").as("bad_key"))
+        lineitem(s, d)
+          .join(broadcast(part(s, d).filter(col("p_size").isin(5, 10, 15))),
+            col("l_partkey") === col("p_partkey"))
+          .join(blacklist, col("l_suppkey") === col("bad_key"),
+            "left_anti")
+          .groupBy("p_brand", "p_size")
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_size,
+             |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size IN (5, 10, 15)
+             |  AND l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+             |GROUP BY p_brand, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
+
+    // TPC-H Q21 (suppliers who kept orders waiting): the double
+    // correlated subquery — EXISTS (another supplier on the order) AND
+    // NOT EXISTS (another supplier who also returned) — written in SQL
+    // so Catalyst's decorrelation plans both as join semi/anti forms.
+    QueryDef(
+      "q135_waiting_supplier",
+      (s, d) => {
+        Seq("supplier", "orders").foreach(t =>
+          graft.Tables.table(s, d, t).createOrReplaceTempView(t))
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT s_name, COUNT(*) AS numwait
+                |FROM supplier, lineitem l1, orders
+                |WHERE s_suppkey = l1.l_suppkey
+                |  AND o_orderkey = l1.l_orderkey
+                |  AND o_orderstatus = 'F'
+                |  AND l1.l_returnflag = 'R'
+                |  AND EXISTS (
+                |    SELECT 1 FROM lineitem l2
+                |    WHERE l2.l_orderkey = l1.l_orderkey
+                |      AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (
+                |    SELECT 1 FROM lineitem l3
+                |    WHERE l3.l_orderkey = l1.l_orderkey
+                |      AND l3.l_suppkey <> l1.l_suppkey
+                |      AND l3.l_returnflag = 'R')
+                |GROUP BY s_name
+                |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM supplier, lineitem l1, orders
+             |WHERE s_suppkey = l1.l_suppkey
+             |  AND o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |  AND l1.l_returnflag = 'R'
+             |  AND EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_returnflag = 'R')
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
   )
 }
