@@ -222,6 +222,65 @@ object CorpusQueries {
               |  ${sqlDavg("df")} AS mean_df,
               |  CAST(MIN(df) AS BIGINT) AS rarest_df
               |FROM toks JOIN df USING (tok)
-              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Inverted-index build (the retrieval-side primitive): token →
+    // document frequency + ordered postings "doc:tf". One explode →
+    // (doc, tok) hash agg → per-token string fold; postings are sorted
+    // by doc_id post-collection, so shuffle order never leaks into
+    // the result. At scale the token key is the natural shard.
+    QueryDef(
+      "q136_inverted_index",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .groupBy("tok", "doc_id")
+          .agg(count(lit(1)).as("tf"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("df"),
+            sum(col("tf")).as("cf"),
+            concat_ws(",",
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+                e => concat(e.getField("doc_id").cast("string"), lit(":"),
+                  e.getField("tf").cast("string")))).as("postings"))
+          .orderBy("tok"),
+      Some("""WITH tf AS (
+             |  SELECT tok, doc_id, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)
+             |  GROUP BY tok, doc_id)
+             |SELECT tok, COUNT(*) AS df,
+             |  CAST(SUM(tf) AS BIGINT) AS cf,
+             |  string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+             |    CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS postings
+             |FROM tf GROUP BY tok ORDER BY tok""".stripMargin)),
+
+    // Stratified sampling: per-source keep rates (high-quality source
+    // oversampled, crawl downsampled) applied via the deterministic
+    // md5-prefix bucket — a document's fate never changes as the
+    // corpus grows, and the rate table is a literal broadcast.
+    QueryDef(
+      "q137_stratified_sample",
+      (s, d) => {
+        val rates = s.createDataFrame(Seq(
+          ("src0", "28"), ("src1", "51"), ("src2", "7a"), ("src3", "a3")))
+          .toDF("source", "keep_below")
+        documents(s, d)
+          .join(broadcast(rates), Seq("source"), "inner")
+          .filter(substring(md5(concat(lit("strat:"),
+            col("doc_id").cast("string"))), 1, 2) < col("keep_below"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_kept
+             |FROM documents
+             |JOIN (VALUES ('src0', '28'), ('src1', '51'),
+             |  ('src2', '7a'), ('src3', 'a3')) AS r(source, keep_below)
+             |  USING (source)
+             |WHERE substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
+             |  < keep_below
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

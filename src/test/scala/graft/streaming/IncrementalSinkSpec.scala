@@ -52,6 +52,25 @@ class IncrementalSinkSpec extends AnyFlatSpec with Matchers
     snap2 shouldBe Array((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1"))
   }
 
+  it should "validate the batch in-flight during the upsert (observed " +
+      "metrics ride the merge write — one scan for load AND checks)" in {
+    val s = spark
+    import s.implicits._
+    import graft.check._
+    val target = tmpDir("inc-obs") + "/snapshot"
+    val batch = Seq((1L, 1L, "ok"), (2L, 1L, null.asInstanceOf[String]))
+      .toDF("id", "version", "value")
+    val suite: Seq[Check] = Seq(NotNull("value"), Unique(Seq("id")))
+    val (instrumented, obs) = CheckRunner.observed(batch, suite)
+    IncrementalSink.upsertParquet(spark, instrumented, target,
+      "id", "version")
+    val results = CheckRunner.observedResults(obs, suite)
+    results.map(r => r.check -> r.violations).toMap shouldBe
+      Map("notnull_value" -> 1L, "unique_id" -> 0L)
+    // the upsert itself still happened
+    spark.read.parquet(target).count() shouldBe 2L
+  }
+
   it should "be idempotent when the same batch is re-applied" in {
     val s = spark
     import s.implicits._
