@@ -351,6 +351,37 @@ object BreadthQueries {
              |  CAST(len(list_filter(list_distinct(string_split(text, ' ')),
              |    w -> NOT list_contains(['the', 'a', 'and'], w)))
              |    AS INTEGER) AS n_content_toks
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit
+    // binary-heap hierarchy (parent = key DIV 2) from the root and
+    // profile the tree by depth — the transitive-closure /
+    // bill-of-materials shape. Each recursion level is one join
+    // against the accumulated frontier; acyclic by construction.
+    QueryDef(
+      "q138_recursive_cte",
+      (s, d) => {
+        part(s, d).createOrReplaceTempView("part")
+        s.sql("""WITH RECURSIVE tree AS (
+                |  SELECT CAST(1 AS BIGINT) AS p_partkey, 0 AS depth
+                |  UNION ALL
+                |  SELECT p.p_partkey, t.depth + 1
+                |  FROM part p JOIN tree t ON p.p_partkey DIV 2 = t.p_partkey
+                |  WHERE p.p_partkey > 1)
+                |SELECT depth, COUNT(*) AS n_parts,
+                |  CAST(MIN(p_partkey) AS BIGINT) AS first_key,
+                |  CAST(MAX(p_partkey) AS BIGINT) AS last_key
+                |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE tree AS (
+             |  SELECT CAST(1 AS BIGINT) AS p_partkey, 0 AS depth
+             |  UNION ALL
+             |  SELECT p.p_partkey, t.depth + 1
+             |  FROM part p JOIN tree t ON p.p_partkey // 2 = t.p_partkey
+             |  WHERE p.p_partkey > 1)
+             |SELECT depth, COUNT(*) AS n_parts,
+             |  CAST(MIN(p_partkey) AS BIGINT) AS first_key,
+             |  CAST(MAX(p_partkey) AS BIGINT) AS last_key
+             |FROM tree GROUP BY depth ORDER BY depth""".stripMargin))
   )
 }
