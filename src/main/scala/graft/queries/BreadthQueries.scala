@@ -7,9 +7,17 @@ import org.apache.spark.sql.functions._
 
 /** Relational-surface breadth beyond the TPC-H shapes: distribution
   * window functions, ordered string aggregation, bitwise aggregates,
-  * inline VALUES dimensions, and calendar date parts. Each is a thin
-  * declarative plan — Catalyst keeps the single shuffle (group/window
-  * key) and broadcasts literal dimensions.
+  * inline VALUES dimensions, calendar date parts, HOF predicates,
+  * TRY_CAST, grouping flags, RANGE frames, gap filling, fuzzy
+  * matching, and recursive CTEs. Each is a thin declarative plan —
+  * Catalyst keeps the single shuffle (group/window key) and broadcasts
+  * literal dimensions.
+  *
+  * Reference context: this is the SQL surface the reference hands to
+  * its warehouse wholesale (dbt models under
+  * data_transformations/models/example/, e.g. my_first_dbt_model.sql:
+  * 1-27 materializes plain SELECTs); the engine re-expresses that
+  * surface natively so a warehouse user can bring the same queries.
   */
 object BreadthQueries {
 

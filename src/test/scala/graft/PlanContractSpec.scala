@@ -47,6 +47,25 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture with Matchers {
     p should include("l_shipdate")
   }
 
+  test("decorrelated subqueries plan as hash joins, never nested loops") {
+    Seq("q118_large_orders", "q119_sales_opportunity",
+      "q131_cust_distribution", "q134_supplier_cnt",
+      "q135_waiting_supplier").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q plan:") {
+        p should not include "CartesianProduct"
+        p should (include("BroadcastHashJoin") or
+          include("SortMergeJoin") or include("ShuffledHashJoin"))
+      }
+    }
+  }
+
+  test("q126 fuzzy blocking is an equi join, not a nested loop") {
+    val p = plan("q126_fuzzy_match")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
     spark.read.parquet(s"$sfDir/orders.parquet")
