@@ -390,6 +390,29 @@ object BreadthQueries {
              |SELECT depth, COUNT(*) AS n_parts,
              |  CAST(MIN(p_partkey) AS BIGINT) AS first_key,
              |  CAST(MAX(p_partkey) AS BIGINT) AS last_key
-             |FROM tree GROUP BY depth ORDER BY depth""".stripMargin))
+             |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // Null-preserving generator (explode_outer): documents with no
+    // matching tokens keep one NULL row instead of vanishing — the
+    // LEFT-JOIN-shaped flatten a report needs when absence is itself
+    // the signal. DuckDB spells it by substituting [NULL] for the
+    // empty list before unnest.
+    QueryDef(
+      "q139_explode_outer",
+      (s, d) => {
+        val ws = graft.functions.TextFunctions.words(col("text"))
+        documents(s, d)
+          .select(col("doc_id"),
+            explode_outer(filter(ws, w => w.startsWith("du")))
+              .as("du_token"))
+          .orderBy(col("doc_id"), col("du_token").asc_nulls_first)
+      },
+      Some("""SELECT doc_id, unnest(
+             |    CASE WHEN len(dl) = 0 THEN [NULL] ELSE dl END) AS du_token
+             |FROM (
+             |  SELECT doc_id, list_filter(string_split(text, ' '),
+             |    w -> w LIKE 'du%') AS dl
+             |  FROM documents)
+             |ORDER BY doc_id, du_token NULLS FIRST""".stripMargin))
   )
 }
