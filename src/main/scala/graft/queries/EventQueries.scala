@@ -276,6 +276,32 @@ object EventQueries {
              |    AS BIGINT) AS n_view_click,
              |  CAST(SUM(CASE WHEN t_buy > t_click AND t_click > t_view
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-             |FROM stages""".stripMargin))
+             |FROM stages""".stripMargin)),
+
+    // Argmax aggregates (max_by / min_by): first and last event type
+    // per user in ONE hash-agg pass — no window sort, no self-join.
+    // The selection key is a fixed-width (epoch_us, event_id) string
+    // so ties are impossible and both engines pick the same row.
+    QueryDef(
+      "q140_argmax",
+      (s, d) => {
+        val key = format_string("%020d%010d",
+          unix_micros(col("ts")), col("event_id"))
+        events(s, d)
+          .groupBy("user_id")
+          .agg(min_by(col("event_type"), key).as("first_event"),
+            max_by(col("event_type"), key).as("last_event"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  min_by(event_type, printf('%020d%010d',
+             |    epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+             |    AS first_event,
+             |  max_by(event_type, printf('%020d%010d',
+             |    epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+             |    AS last_event,
+             |  COUNT(*) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -425,6 +425,41 @@ object TpchShapes {
              |      AND l3.l_suppkey <> l1.l_suppkey
              |      AND l3.l_returnflag = 'R')
              |GROUP BY s_name
-             |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
+             |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // Ratio-to-report: each nation's share of global revenue via an
+    // unpartitioned window over the ALREADY-AGGREGATED frame (25 rows
+    // — the window is cheap because aggregation shrank the data first;
+    // the window sum stays in exact decimal so partition order can't
+    // perturb the total).
+    QueryDef(
+      "q141_share_of_total",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy()
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        nation(s, d)
+          .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
+          .join(lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+          .groupBy("n_name")
+          .agg(dsum(rev).as("nation_rev"))
+          .withColumn("global_rev",
+            sum(col("nation_rev").cast(Dec)).over(w).cast(Dec2)
+              .cast("double"))
+          .withColumn("rev_share", col("nation_rev") / col("global_rev"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, nation_rev,
+              |  CAST(round(SUM(CAST(nation_rev AS DECIMAL(38,12)))
+              |    OVER (), 2) AS DOUBLE) AS global_rev,
+              |  nation_rev / CAST(round(SUM(CAST(nation_rev
+              |    AS DECIMAL(38,12))) OVER (), 2) AS DOUBLE) AS rev_share
+              |FROM (
+              |  SELECT n_name, ${sqlDsum(sqlRev)} AS nation_rev
+              |  FROM nation
+              |  JOIN supplier ON n_nationkey = s_nationkey
+              |  JOIN lineitem ON s_suppkey = l_suppkey
+              |  GROUP BY n_name)
+              |ORDER BY n_name""".stripMargin))
   )
 }
