@@ -390,6 +390,104 @@ object ExtraQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Higher moments (skewness / excess kurtosis) from exact decimal
+    // power sums: both engines evaluate the IDENTICAL double formula
+    // over identical Σx..Σx⁴, so the results are bit-equal without
+    // trusting either engine's built-in skewness (whose one-pass
+    // update orders differ). pow() is avoided (last-ulp divergence):
+    // m2^1.5 is spelled m2·sqrt(m2).
+    QueryDef(
+      "q142_higher_moments",
+      (s, d) => {
+        def s6(c: org.apache.spark.sql.Column) =
+          sum(c.cast(Dec)).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+            .cast(org.apache.spark.sql.types.DoubleType)
+        val x = col("l_quantity")
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            s6(x).as("sx"), s6(x * x).as("sx2"),
+            s6(x * x * x).as("sx3"), s6(x * x * x * x).as("sx4"))
+          .withColumn("nd", col("n_rows").cast("double"))
+          .withColumn("mean", col("sx") / col("nd"))
+          .withColumn("m2",
+            col("sx2") / col("nd") - col("mean") * col("mean"))
+          .withColumn("m3",
+            col("sx3") / col("nd") -
+              lit(3.0) * col("mean") * (col("sx2") / col("nd")) +
+              lit(2.0) * col("mean") * col("mean") * col("mean"))
+          .withColumn("m4",
+            col("sx4") / col("nd") -
+              lit(4.0) * col("mean") * (col("sx3") / col("nd")) +
+              lit(6.0) * col("mean") * col("mean") * (col("sx2") / col("nd")) -
+              lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          .select(col("l_returnflag"), col("n_rows"),
+            (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+            (col("m4") / (col("m2") * col("m2")) - lit(3.0))
+              .as("excess_kurtosis"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        def s6(e: String) =
+          s"CAST(round(SUM(CAST(($e) AS DECIMAL(38,12))), 6) AS DOUBLE)"
+        s"""SELECT l_returnflag, n_rows,
+           |  m3 / (m2 * sqrt(m2)) AS skewness,
+           |  m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+           |FROM (
+           |  SELECT l_returnflag, n_rows, mean,
+           |    sx2 / nd - mean * mean AS m2,
+           |    sx3 / nd - 3.0 * mean * (sx2 / nd)
+           |      + 2.0 * mean * mean * mean AS m3,
+           |    sx4 / nd - 4.0 * mean * (sx3 / nd)
+           |      + 6.0 * mean * mean * (sx2 / nd)
+           |      - 3.0 * mean * mean * mean * mean AS m4
+           |  FROM (
+           |    SELECT l_returnflag, n_rows, nd, sx / nd AS mean,
+           |      sx, sx2, sx3, sx4
+           |    FROM (
+           |      SELECT l_returnflag, COUNT(*) AS n_rows,
+           |        CAST(COUNT(*) AS DOUBLE) AS nd,
+           |        ${s6("l_quantity")} AS sx,
+           |        ${s6("l_quantity * l_quantity")} AS sx2,
+           |        ${s6("l_quantity * l_quantity * l_quantity")} AS sx3,
+           |        ${s6("l_quantity * l_quantity * l_quantity * l_quantity")}
+           |          AS sx4
+           |      FROM lineitem GROUP BY l_returnflag)))
+           |ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // Deterministic MODE with explicit tie-break (highest count, then
+    // lexicographically smallest token): min_by over an inverted-count
+    // + token key — one agg pass, no window, and no reliance on either
+    // engine's arbitrary-tie mode().
+    QueryDef(
+      "q143_mode_token",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.words(col("text")))
+              .as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).as("c"))
+        toks
+          .groupBy("source")
+          .agg(min_by(col("tok"),
+              concat(format_string("%010d", lit(1000000000) - col("c")),
+                col("tok"))).as("mode_tok"),
+            max(col("c")).as("mode_count"))
+          .orderBy("source")
+      },
+      Some("""WITH tf AS (
+             |  SELECT source, tok, COUNT(*) AS c FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)
+             |  GROUP BY source, tok)
+             |SELECT source,
+             |  min_by(tok, printf('%010d', 1000000000 - c) || tok)
+             |    AS mode_tok,
+             |  CAST(MAX(c) AS BIGINT) AS mode_count
+             |FROM tf GROUP BY source ORDER BY source""".stripMargin)),
+
     // MERGE / upsert (the dbt-incremental materialization the
     // reference configures, data_transformations/models/example/
     // *.sql, re-expressed as a declarative plan): target = each
