@@ -413,6 +413,65 @@ object BreadthQueries {
              |  SELECT doc_id, list_filter(string_split(text, ' '),
              |    w -> w LIKE 'du%') AS dl
              |  FROM documents)
-             |ORDER BY doc_id, du_token NULLS FIRST""".stripMargin))
+             |ORDER BY doc_id, du_token NULLS FIRST""".stripMargin)),
+
+    // Relational division ("for ALL" quantification): customers with
+    // at least one order in EVERY year of the 1995-2000 window, via
+    // division-by-counting — distinct-count equals the divisor
+    // cardinality. No double negation, one distinct agg.
+    QueryDef(
+      "q144_relational_division",
+      (s, d) =>
+        orders(s, d)
+          .filter(col("o_orderdate") >= "1995-01-01" &&
+            col("o_orderdate") < "2001-01-01")
+          .groupBy("o_custkey")
+          .agg(count_distinct(year(col("o_orderdate"))).as("n_years"),
+            count(lit(1)).as("n_orders"))
+          .filter(col("n_years") === 6)
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             |  COUNT(DISTINCT year(o_orderdate)) AS n_years,
+             |  COUNT(*) AS n_orders
+             |FROM orders
+             |WHERE o_orderdate >= '1995-01-01'
+             |  AND o_orderdate < '2001-01-01'
+             |GROUP BY o_custkey
+             |HAVING COUNT(DISTINCT year(o_orderdate)) = 6
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Schema-aligned union (UNION BY NAME): branches project the same
+    // columns in DIFFERENT order and still align by name — the
+    // multi-source ingestion union where physical column order is
+    // never trustworthy.
+    QueryDef(
+      "q145_union_by_name",
+      (s, d) => {
+        val a = customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+            lit("building").as("src"))
+        val b = customer(s, d)
+          .filter(col("c_acctbal") > 9000.0)
+          .select(lit("highbal").as("src"), col("c_acctbal").as("bal"),
+            col("c_custkey").as("id"))
+        a.unionByName(b)
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_branches"),
+            concat_ws(",", array_sort(collect_list(col("src"))))
+              .as("srcs"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, COUNT(*) AS n_branches,
+             |  string_agg(src, ',' ORDER BY src) AS srcs
+             |FROM (
+             |  SELECT c_custkey AS id, c_acctbal AS bal,
+             |    'building' AS src
+             |  FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  UNION ALL BY NAME
+             |  SELECT 'highbal' AS src, c_acctbal AS bal,
+             |    c_custkey AS id
+             |  FROM customer WHERE c_acctbal > 9000.0)
+             |GROUP BY id ORDER BY id""".stripMargin))
   )
 }
