@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-gap range join as an EQUI hash join (the q126 blocking
+  * pattern, reusable): pairs `(l, r)` with `0 <= r.key - l.key <=
+  * maxGap` — without this rewrite a bare range predicate plans as a
+  * nested-loop join, quadratic in the input.
+  *
+  * Rewrite: block every row by `key div maxGap`; a qualifying right
+  * row lives in the left row's block or the next one, so the LEFT
+  * side probes both (explode of 2 block ids) and the join key becomes
+  * the block — a plain shuffled/broadcast HASH join with ≤ 2×|L|
+  * probe rows, then the exact gap filter on the (bounded) candidates.
+  *
+  * At 100 TB: linear shuffle on the block id; per-block candidate
+  * count is bounded by the data's density in a `maxGap` window, not
+  * by table size. Fuzzy entity matching, sensor alignment, and
+  * near-key reconciliation all reduce to this shape.
+  */
+object BandedRangeJoin {
+
+  /** Inner join of `left` and `right` on
+    * `0 <= right(rightKey) - left(leftKey) <= maxGap`. Key columns
+    * must be integral (LongType/IntegerType). Column-name collisions
+    * between the two sides must be resolved by the caller first.
+    */
+  def joinWithinGap(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, maxGap: Long): DataFrame = {
+    require(maxGap > 0, s"maxGap must be positive, got $maxGap")
+    def blk(c: Column): Column = floor(c / maxGap)
+    val l = left.withColumn("__blk",
+      explode(array(blk(col(leftKey)), blk(col(leftKey)) + 1)))
+    val r = right.withColumn("__blk", blk(col(rightKey)))
+    l.join(r, "__blk")
+      .filter(col(rightKey) >= col(leftKey) &&
+        col(rightKey) - col(leftKey) <= maxGap)
+      .drop("__blk")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class BandedRangeJoinSpec extends AnyFlatSpec with Matchers
+    with SparkFixture {
+
+  behavior of "BandedRangeJoin"
+
+  private def nums(name: String, vals: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    vals.toDF(name)
+  }
+
+  it should "match the naive range-join result exactly" in {
+    val l = nums("lk", Seq(1L, 5L, 17L, 40L, 41L, 99L))
+    val r = nums("rk", Seq(3L, 6L, 20L, 41L, 55L, 100L))
+    val banded = BandedRangeJoin.joinWithinGap(l, r, "lk", "rk", 10L)
+      .select("lk", "rk").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    val naive = l.crossJoin(r)
+      .filter(col("rk") >= col("lk") && col("rk") - col("lk") <= 10)
+      .select("lk", "rk").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    banded shouldBe naive
+    naive should contain((1L, 3L))   // same block
+    naive should contain((17L, 20L)) // crosses a block boundary
+    naive should not contain ((5L, 20L)) // gap 15 > 10
+  }
+
+  it should "produce no duplicate pairs" in {
+    val l = nums("lk", (1L to 50L))
+    val r = nums("rk", (1L to 50L))
+    val joined = BandedRangeJoin.joinWithinGap(l, r, "lk", "rk", 7L)
+      .select("lk", "rk").collect().map(x => (x.getLong(0), x.getLong(1)))
+    joined.length shouldBe joined.toSet.size
+  }
+
+  it should "plan as a hash join, not a nested loop" in {
+    // parquet-backed input so nothing constant-folds away
+    val dir = java.nio.file.Files.createTempDirectory("brj").toString
+    nums("lk", (1L to 1000L)).write.mode("overwrite").parquet(dir)
+    val l = spark.read.parquet(dir)
+    val r = spark.read.parquet(dir).withColumnRenamed("lk", "rk")
+    val plan = BandedRangeJoin.joinWithinGap(l, r, "lk", "rk", 10L)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+}
