@@ -292,21 +292,18 @@ object BreadthQueries {
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+
               graft.plans.LevenshteinGuardRule
-        // The band is an explicit EQUI key (block = key/20; the left
-        // side probes its own block and the next) — a bare range
-        // predicate would plan as a nested-loop join, quadratic in the
-        // table. With the block join the plan is a hash join: linear
-        // rows, ≤ 20 candidates per entity regardless of table size.
-        val blk = floor(col("s_suppkey") / 20)
+        // Blocking via the reusable BandedRangeJoin operator: the gap
+        // becomes an EQUI hash-join key (block + next-block probe) —
+        // a bare range predicate would plan as a nested-loop join,
+        // quadratic in the table. ≤ 20 candidates per entity
+        // regardless of table size.
         val a = supplier(s, d)
-          .select(col("s_suppkey").as("a_key"), col("s_name").as("a_name"),
-            explode(array(blk, blk + 1)).as("jblk"))
+          .select(col("s_suppkey").as("a_key"), col("s_name").as("a_name"))
         val b = supplier(s, d)
-          .select(col("s_suppkey").as("b_key"), col("s_name").as("b_name"),
-            blk.as("jblk"))
-        a.join(b, "jblk")
-          .filter(col("a_key") < col("b_key") &&
-            col("b_key") - col("a_key") <= 20)
+          .select(col("s_suppkey").as("b_key"), col("s_name").as("b_name"))
+        graft.operators.BandedRangeJoin
+          .joinWithinGap(a, b, "a_key", "b_key", 20L)
+          .filter(col("a_key") < col("b_key"))
           .select(col("a_key"), col("b_key"),
             levenshtein(col("a_name"), col("b_name")).as("edit_dist"))
           .filter(col("edit_dist") <= 1)
