@@ -40,6 +40,30 @@ class BandedRangeJoinSpec extends AnyFlatSpec with Matchers
     joined.length shouldBe joined.toSet.size
   }
 
+  it should "equal the naive range join for random keys and gaps" in {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val cases = for {
+      gap <- Gen.choose(1L, 30L)
+      lks <- Gen.listOfN(40, Gen.choose(-100L, 100L))
+      rks <- Gen.listOfN(40, Gen.choose(-100L, 100L))
+    } yield (gap, lks, rks)
+    val prop = Prop.forAll(cases) { case (gap, lks, rks) =>
+      val l = lks.toDF("lk")
+      val r = rks.toDF("rk")
+      val banded = BandedRangeJoin.joinWithinGap(l, r, "lk", "rk", gap)
+        .select("lk", "rk").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val naive = (for {
+        a <- lks; b <- rks if b >= a && b - a <= gap
+      } yield (a, b)).sorted
+      banded == naive
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+      .passed shouldBe true
+  }
+
   it should "plan as a hash join, not a nested loop" in {
     // parquet-backed input so nothing constant-folds away
     val dir = java.nio.file.Files.createTempDirectory("brj").toString
