@@ -461,18 +461,25 @@ object VectorQueries {
     // this runs map-side at scan speed and cuts vector storage 4×.
     // All arithmetic is float→double (exact) then IEEE double ops,
     // identical on both engines; round() is half-away-from-zero on
-    // both (inputs are ≥ 0 here, so HALF_UP ≡ half-away).
+    // both (inputs are ≥ 0 here, so HALF_UP ≡ half-away). The int8
+    // codes are rendered as a comma-joined string: integer→string is
+    // exact on both engines and keeps the verifier's comparison on
+    // scalar columns (array cells aren't hashable by the oracle
+    // harness); the array form stays available via Quantize.quantize.
     QueryDef(
       "q116_int8_quant",
       (s, d) =>
         graft.llm.Quantize.quantize(embeddings(s, d), "embedding")
           .select(col("vec_id"), col("zero_point"), col("scale"),
-            col("q_embedding"))
+            concat_ws(",",
+              transform(col("q_embedding"), x => x.cast("string")))
+              .as("q_codes"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id, zero_point, scale,
-             |  list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
-             |    ELSE CAST(round((CAST(x AS DOUBLE) - zero_point) / scale)
-             |      AS INTEGER) END) AS q_embedding
+             |  array_to_string(
+             |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+             |      ELSE CAST(round((CAST(x AS DOUBLE) - zero_point) / scale)
+             |        AS INTEGER) END), ',') AS q_codes
              |FROM (
              |  SELECT vec_id, embedding,
              |    CAST(list_aggregate(embedding, 'min') AS DOUBLE)
