@@ -339,6 +339,10 @@ object BreadthQueries {
     // Array set algebra on token arrays: stopword intersection /
     // removal with sorted, deduplicated results (both engines' raw
     // set-op element order differs — sorting makes the op portable).
+    // stop_hits is rendered comma-joined (oracle harness can't hash
+    // array cells); DuckDB's array_to_string yields NULL for an empty
+    // list where Spark's concat_ws yields '' — COALESCE aligns them
+    // (the empty intersection is a live case here).
     QueryDef(
       "q128_array_setops",
       (s, d) => {
@@ -346,13 +350,15 @@ object BreadthQueries {
         val ws = graft.functions.TextFunctions.words(col("text"))
         documents(s, d)
           .select(col("doc_id"),
-            array_sort(array_intersect(ws, stop)).as("stop_hits"),
+            concat_ws(",", array_sort(array_intersect(ws, stop)))
+              .as("stop_hits"),
             size(array_sort(array_except(ws, stop))).as("n_content_toks"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  list_sort(list_intersect(string_split(text, ' '),
-             |    ['the', 'a', 'and'])) AS stop_hits,
+             |  COALESCE(array_to_string(
+             |    list_sort(list_intersect(string_split(text, ' '),
+             |      ['the', 'a', 'and'])), ','), '') AS stop_hits,
              |  CAST(len(list_filter(list_distinct(string_split(text, ' ')),
              |    w -> NOT list_contains(['the', 'a', 'and'], w)))
              |    AS INTEGER) AS n_content_toks

@@ -476,10 +476,10 @@ object VectorQueries {
               .as("q_codes"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id, zero_point, scale,
-             |  array_to_string(
+             |  COALESCE(array_to_string(
              |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
              |      ELSE CAST(round((CAST(x AS DOUBLE) - zero_point) / scale)
-             |        AS INTEGER) END), ',') AS q_codes
+             |        AS INTEGER) END), ','), '') AS q_codes
              |FROM (
              |  SELECT vec_id, embedding,
              |    CAST(list_aggregate(embedding, 'min') AS DOUBLE)
@@ -506,13 +506,23 @@ object VectorQueries {
         // no subexpression elimination), so inlining the O(dim) exact
         // dot there costs O(dim²) decimal ops per row (measured 7.4 s
         // vs 0.6 s at sf0.1). The sort doubles as the output order.
+        // The unit vector is rendered as a comma-joined string of
+        // nano-scaled integers (round(x/norm * 1e9)): the oracle
+        // harness can't sort/hash raw array cells, and integer→string
+        // is exact on both engines (double→string shortest-repr could
+        // diverge). The divide and multiply are IEEE ops, identical
+        // cross-engine, so the scaled values — and their rounding —
+        // are bit-identical. Array form stays available via the
+        // l2Normalize API below.
         embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             fnorm(col("embedding")).as("l2_norm"))
           .orderBy("vec_id")
           .select(col("vec_id"), col("l2_norm"),
-            transform(col("embedding"),
-              x => x.cast("double") / col("l2_norm"))
+            concat_ws(",",
+              transform(col("embedding"),
+                x => round(x.cast("double") / col("l2_norm") * lit(1e9))
+                  .cast("long").cast("string")))
               .as("unit_embedding"))
       },
       Some("""WITH dexp AS (
@@ -525,8 +535,9 @@ object VectorQueries {
              |  FROM dexp GROUP BY vec_id
              |)
              |SELECT e.vec_id, n.l2_norm,
-             |  list_transform(e.embedding,
-             |    x -> CAST(x AS DOUBLE) / n.l2_norm) AS unit_embedding
+             |  COALESCE(array_to_string(list_transform(e.embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) / n.l2_norm * 1e9)
+             |      AS BIGINT)), ','), '') AS unit_embedding
              |FROM embeddings e JOIN norms n USING (vec_id)
              |ORDER BY e.vec_id""".stripMargin))
   )
