@@ -23,13 +23,26 @@ object BandedRangeJoin {
 
   /** Inner join of `left` and `right` on
     * `0 <= right(rightKey) - left(leftKey) <= maxGap`. Key columns
-    * must be integral (LongType/IntegerType). Column-name collisions
-    * between the two sides must be resolved by the caller first.
+    * must be integral (LongType/IntegerType); keys must be
+    * `>= Long.MinValue + maxGap` (the floor-division rewrite would
+    * wrap below that — irrelevant for real timestamps/ids). Column-name
+    * collisions between the two sides must be resolved by the caller
+    * first.
     */
   def joinWithinGap(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, maxGap: Long): DataFrame = {
     require(maxGap > 0, s"maxGap must be positive, got $maxGap")
-    def blk(c: Column): Column = floor(c / maxGap)
+    // Floor division in pure Long arithmetic: floor(c / maxGap) via
+    // `/` promotes to Double, whose 53-bit mantissa mis-blocks keys
+    // above 2^53 (nanosecond epochs!) and silently DROPS pairs the
+    // equi-join never produces. `c - pmod(c, g)` is exactly divisible
+    // by g, so truncating integral `div` equals floor, for negative
+    // keys too.
+    def blk(c: Column): Column = {
+      val g = lit(maxGap)
+      val cl = c.cast("long")
+      call_function("div", cl - pmod(cl, g), g)
+    }
     val l = left.withColumn("__blk",
       explode(array(blk(col(leftKey)), blk(col(leftKey)) + 1)))
     val r = right.withColumn("__blk", blk(col(rightKey)))
