@@ -64,6 +64,49 @@ class BandedRangeJoinSpec extends AnyFlatSpec with Matchers
       .passed shouldBe true
   }
 
+  it should "match pairs exactly for keys above 2^53 (nanosecond epochs)" in {
+    // Double's 53-bit mantissa can't represent these keys: a blocking
+    // scheme computed via floating floor(c / gap) mis-blocks them and
+    // silently drops qualifying pairs. The integral-div form must not.
+    val base = Long.MaxValue - 1000L
+    val lks = Seq(base, base + 3, base + 500, base + 995)
+    val rks = Seq(base + 1, base + 9, base + 505, base + 999)
+    val banded = BandedRangeJoin
+      .joinWithinGap(nums("lk", lks), nums("rk", rks), "lk", "rk", 7L)
+      .select("lk", "rk").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    val naive = (for {
+      a <- lks; b <- rks if b >= a && b - a <= 7L
+    } yield (a, b)).toSet
+    banded shouldBe naive
+    naive should contain((base, base + 1))
+    naive should contain((base + 500, base + 505))
+  }
+
+  it should "equal the naive range join for random keys near Long.MaxValue" in {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val hi = Long.MaxValue - (1L << 20)
+    val cases = for {
+      gap <- Gen.choose(1L, 1000L)
+      lks <- Gen.listOfN(30, Gen.choose(hi, hi + 5000L))
+      rks <- Gen.listOfN(30, Gen.choose(hi, hi + 5000L))
+    } yield (gap, lks, rks)
+    val prop = Prop.forAll(cases) { case (gap, lks, rks) =>
+      val banded = BandedRangeJoin
+        .joinWithinGap(lks.toDF("lk"), rks.toDF("rk"), "lk", "rk", gap)
+        .select("lk", "rk").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val naive = (for {
+        a <- lks; b <- rks if b >= a && b - a <= gap
+      } yield (a, b)).sorted
+      banded == naive
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+      .passed shouldBe true
+  }
+
   it should "plan as a hash join, not a nested loop" in {
     // parquet-backed input so nothing constant-folds away
     val dir = java.nio.file.Files.createTempDirectory("brj").toString
