@@ -53,7 +53,13 @@ case class DotDoubleExpr(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly: silently truncating to the shorter side would mask
+    // a wrong-dimension bug upstream (mixed models, bad ingest)
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_double: mismatched vector dimensions ($n vs " +
+          s"${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -75,7 +81,12 @@ case class DotDoubleExpr(left: Expression, right: Expression)
         if (isFloat(e)) s"((double) $arr.getFloat($i))"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_double: mismatched vector dimensions (" + $n +
+         |    " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ${get(a, left)} * ${get(b, right)};

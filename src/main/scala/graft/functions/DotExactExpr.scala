@@ -59,7 +59,13 @@ case class DotExactExpr(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly: silently truncating to the shorter side would mask
+    // a wrong-dimension bug upstream (mixed models, bad ingest)
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_exact: mismatched vector dimensions ($n vs " +
+          s"${y.numElements()})")
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
@@ -83,7 +89,12 @@ case class DotExactExpr(left: Expression, right: Expression)
         if (isFloat(e)) s"((double) $arr.getFloat($i))"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_exact: mismatched vector dimensions (" + $n +
+         |    " vs " + $b.numElements() + ")");
+         |}
          |java.math.BigDecimal $acc = java.math.BigDecimal.ZERO;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $p = ${get(a, left)} * ${get(b, right)};

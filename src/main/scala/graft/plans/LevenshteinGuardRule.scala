@@ -26,36 +26,43 @@ object LevenshteinGuardRule extends Rule[LogicalPlan] {
   private def guardFor(lev: Levenshtein, k: Expression): Expression =
     LessThanOrEqual(Abs(Subtract(Length(lev.left), Length(lev.right))), k)
 
-  private def rewrite(cond: Expression): Expression = cond.transformUp {
-    case cmp @ LessThanOrEqual(lev: Levenshtein, k: Literal) =>
-      And(guardFor(lev, k), cmp)
-    case cmp @ LessThan(lev: Levenshtein, k: Literal) =>
-      And(guardFor(lev, k), cmp)
-    case cmp @ GreaterThanOrEqual(k: Literal, lev: Levenshtein) =>
-      And(guardFor(lev, k), cmp)
-    case cmp @ GreaterThan(k: Literal, lev: Levenshtein) =>
-      And(guardFor(lev, k), cmp)
-  }
+  // A levenshtein-vs-literal comparison this rule guards, with the
+  // pieces needed to build (or recognize) its guard.
+  private def guardable(e: Expression): Option[(Levenshtein, Expression)] =
+    e match {
+      case LessThanOrEqual(lev: Levenshtein, k: Literal) => Some((lev, k))
+      case LessThan(lev: Levenshtein, k: Literal)        => Some((lev, k))
+      case GreaterThanOrEqual(k: Literal, lev: Levenshtein) => Some((lev, k))
+      case GreaterThan(k: Literal, lev: Levenshtein)        => Some((lev, k))
+      case _ => None
+    }
 
-  // fixed-point safety: if the condition already carries a guard, the
-  // rewrite must leave it untouched (the optimizer re-runs batches).
-  private def alreadyGuarded(cond: Expression, guarded: Expression): Boolean =
-    guarded.semanticEquals(cond) ||
-      cond.exists {
-        case LessThanOrEqual(Abs(Subtract(Length(_), Length(_), _), _), _) =>
-          true
-        case _ => false
+  /** Guard each comparison independently; a comparison already wrapped
+    * in ITS OWN guard (`guard AND cmp`, the shape this rule emits) is
+    * left untouched, so the optimizer's re-run of the batch reaches a
+    * fixed point — but one guarded predicate never suppresses guarding
+    * of a different, unguarded one in the same condition.
+    */
+  private def rewrite(cond: Expression): Expression = cond match {
+    case And(g, cmp) if guardable(cmp).exists { case (lev, k) =>
+          g.semanticEquals(guardFor(lev, k)) } =>
+      cond
+    case _ =>
+      guardable(cond) match {
+        case Some((lev, k)) => And(guardFor(lev, k), cond)
+        case None           => cond.mapChildren(rewrite)
       }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       val guarded = rewrite(cond)
-      if (alreadyGuarded(cond, guarded)) f else f.copy(condition = guarded)
+      if (guarded.fastEquals(cond)) f else f.copy(condition = guarded)
     // predicate pushdown may have folded the filter into a join
     // condition before this rule runs
     case j @ Join(_, _, _, Some(cond), _) =>
       val guarded = rewrite(cond)
-      if (alreadyGuarded(cond, guarded)) j
+      if (guarded.fastEquals(cond)) j
       else j.copy(condition = Some(guarded))
   }
 }

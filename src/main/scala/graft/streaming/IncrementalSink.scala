@@ -32,9 +32,17 @@ object IncrementalSink {
     */
   def upsertParquet(spark: SparkSession, batch: DataFrame,
       targetDir: String, key: String, versionCol: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(targetDir)
+    // bind the FS from the TARGET's scheme (s3a://, hdfs://, file://)
+    // — FileSystem.get(conf) would silently return the default FS and
+    // operate on the wrong store for a qualified target path
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(targetDir + "__old")
+    // crash recovery: a previous run may have died between demoting
+    // the snapshot to __old and promoting __next — restore the backup
+    // so a readable snapshot always exists (the checkpointed stream
+    // re-delivers the batch that died; upserts are idempotent)
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
     // __is_new breaks version ties toward the incoming batch (a
     // re-delivered row must not lose to the copy already in the
     // snapshot, or retries would not be idempotent under equal
@@ -55,11 +63,18 @@ object IncrementalSink {
     // Write-then-swap: parquet can't overwrite a directory it is
     // reading, so materialize the next snapshot beside the current one
     // and rename into place (the local-FS analog of a table-format
-    // commit).
+    // commit). Demote-then-promote instead of delete-then-rename: at
+    // every crash point either the target or its __old backup holds a
+    // complete snapshot — a plain delete would open a window where the
+    // data is simply GONE (rename of a fully-written directory is
+    // cheap-or-atomic on file:// and hdfs://; loss, unlike staleness,
+    // is unrecoverable for an AvailableNow restart).
     val tmp = new org.apache.hadoop.fs.Path(targetDir + "__next")
     next.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(target)) fs.rename(target, backup)
     fs.rename(tmp, target)
+    fs.delete(backup, true) // best-effort; next run re-clears it
   }
 
   /** Wire a streaming source into the upsert sink and process all

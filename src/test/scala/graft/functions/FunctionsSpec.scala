@@ -160,6 +160,40 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("dot expressions fail loudly on mismatched vector dimensions") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.functions.DotExactExpr.register(spark2)
+    graft.functions.DotDoubleExpr.register(spark2)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    // codegen path (collect runs the generated loop)
+    val exd = intercept[Exception] {
+      df.select(graft.functions.DotDoubleExpr.dotDouble(col("a"), col("b")))
+        .collect()
+    }
+    rootMsg(exd) should include("mismatched vector dimensions")
+    val exe = intercept[Exception] {
+      df.select(
+        graft.functions.DotExactExpr.dotExactFast(col("a"), col("b")))
+        .collect()
+    }
+    rootMsg(exe) should include("mismatched vector dimensions")
+    // interpreted path (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a3 = Literal.create(Array(1.0f, 2.0f, 3.0f))
+    val a2 = Literal.create(Array(1.0f, 2.0f))
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.DotDoubleExpr(a3, a2).eval(null)
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.DotExactExpr(a3, a2).eval(null)
+  }
+
   test("rollingHashes: shared text windows collide, count matches") {
     val s2 = spark
     import s2.implicits._

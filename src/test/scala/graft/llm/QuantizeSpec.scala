@@ -15,6 +15,30 @@ class QuantizeSpec extends AnyFlatSpec with Matchers with SparkFixture {
     rows.toDF("vec_id", "embedding")
   }
 
+  it should "rely only on embeddings that are non-null, non-empty, " +
+      "fixed-dim, with no null elements (fixture contract)" in {
+    // q116/q117 render arrays as comma-joined strings on both engines;
+    // Spark concat_ws and DuckDB array_to_string only agree when no
+    // degenerate vectors exist (empty list -> '' vs NULL, null
+    // elements dropped differently). Pin the contract the queries
+    // assume so a testdata change breaks HERE with a message, not as
+    // an opaque oracle hash mismatch.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // Matchers inherits a `size(Long)` that shadows functions.size
+    val ssize = org.apache.spark.sql.functions.size _
+    val row = emb.select(
+      count(when(col("embedding").isNull, 1)).as("null_vecs"),
+      count(when(ssize(col("embedding")) === 0, 1)).as("empty_vecs"),
+      countDistinct(ssize(col("embedding"))).as("distinct_dims"),
+      count(when(exists(col("embedding"), x => x.isNull), 1))
+        .as("vecs_with_null_elems"))
+      .head()
+    withClue("null embeddings:") { row.getLong(0) shouldBe 0L }
+    withClue("empty embeddings:") { row.getLong(1) shouldBe 0L }
+    withClue("mixed dimensions:") { row.getLong(2) shouldBe 1L }
+    withClue("null elements:") { row.getLong(3) shouldBe 0L }
+  }
+
   it should "map every element into 0..255" in {
     val q = Quantize.quantize(
       vecs(Seq((1L, Seq(-1.5f, 0.0f, 0.25f, 2.5f)),

@@ -83,4 +83,44 @@ class ParityPropSpec extends AnyFunSuite with SparkFixture with Matchers {
       withClue(s"seed $seed:") { got shouldBe expected }
     }
   }
+
+  test("DedupClusters.componentsUnrolled(rounds >= diameter) equals " +
+      "the converged components on random graphs") {
+    // q55's declared shape uses the fixed-round unrolled form (so a
+    // SQL oracle can reproduce it); its correctness assumption is
+    // rounds >= the largest component diameter. Spec-back that claim
+    // instead of leaning on testdata geometry: random sparse graphs
+    // PLUS a chain (the worst case per node count) must agree with the
+    // convergence-checked form when rounds = node count (>= diameter).
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      val n = 12
+      val chain = (0L until 7L).map(i => (i, i + 1)) // diameter-7 path
+      val rand = Seq.fill(8) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+      val pairs = (chain ++ rand).distinct.toDF("a_id", "b_id")
+
+      val exact = graft.llm.DedupClusters.components(pairs, maxIters = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val unrolled = graft.llm.DedupClusters
+        .componentsUnrolled(pairs, rounds = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed $seed:") { unrolled shouldBe exact }
+    }
+
+    // and the assumption is real: under-unrolling a deep chain stops
+    // short of the converged labels
+    val deep = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val under = graft.llm.DedupClusters.componentsUnrolled(deep, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.llm.DedupClusters.components(deep, maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    under should not equal full
+    full.values.toSet shouldBe Set(0L) // one path component, min id 0
+  }
 }

@@ -50,6 +50,44 @@ class LevenshteinGuardRuleSpec extends AnyFlatSpec with Matchers
       Set(("same", "same"), ("a", "ab"))
   }
 
+  it should "guard each comparison independently" in {
+    // one predicate the user already guarded + one bare predicate in
+    // the SAME filter: the pre-existing guard must not suppress
+    // guarding of the other comparison (the old whole-condition check
+    // did exactly that).
+    val s = spark
+    import s.implicits._
+    val df = Seq(("kitten", "sitting", "mitten"))
+      .toDF("x", "y", "z")
+    // Matchers inherits a `length(Long)` that shadows functions.length
+    val slen = org.apache.spark.sql.functions.length _
+    val preGuarded =
+      (abs(slen(col("x")) - slen(col("y"))) <= 1 &&
+        levenshtein(col("x"), col("y")) <= 1) &&
+        levenshtein(col("x"), col("z")) <= 2
+    val plan = df.filter(preGuarded).queryExecution.analyzed
+    val once = LevenshteinGuardRule(plan)
+    import org.apache.spark.sql.catalyst.expressions._
+    def guardCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Int = {
+      var n = 0
+      p.foreach {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.foreach {
+            case LessThanOrEqual(
+                  Abs(Subtract(Length(_), Length(_), _), _), _) => n += 1
+            case _ => ()
+          }
+        case _ => ()
+      }
+      n
+    }
+    guardCount(plan) shouldBe 1
+    guardCount(once) shouldBe 2 // second comparison picked up a guard
+    // and the result is still a fixed point
+    LevenshteinGuardRule(once) shouldBe once
+  }
+
   it should "be idempotent under repeated application" in {
     val plan = pairs.filter(levenshtein(col("x"), col("y")) <= 2)
       .queryExecution.analyzed

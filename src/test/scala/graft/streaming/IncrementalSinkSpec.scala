@@ -71,6 +71,38 @@ class IncrementalSinkSpec extends AnyFlatSpec with Matchers
     spark.read.parquet(target).count() shouldBe 2L
   }
 
+  it should "recover a snapshot demoted to __old by a crashed swap" in {
+    // The swap demotes target -> __old, promotes __next -> target,
+    // then drops __old. A crash between demote and promote leaves only
+    // the backup; the next upsert (the checkpointed stream re-delivers
+    // the batch that died) must restore it and proceed — data is never
+    // unrecoverable at any crash point.
+    val s = spark
+    import s.implicits._
+    val target = tmpDir("inc-crash") + "/snapshot"
+    IncrementalSink.upsertParquet(spark,
+      Seq((1L, 1L, "a")).toDF("id", "version", "value"),
+      target, "id", "version")
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: snapshot demoted, promotion never ran
+    // (plus a stale half-written __next lying around)
+    fs.rename(tp, new org.apache.hadoop.fs.Path(target + "__old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(target + "__next"))
+    fs.exists(tp) shouldBe false
+    IncrementalSink.upsertParquet(spark,
+      Seq((2L, 1L, "b")).toDF("id", "version", "value"),
+      target, "id", "version")
+    val snap = spark.read.parquet(target)
+      .orderBy("id").as[(Long, Long, String)].collect()
+    snap shouldBe Array((1L, 1L, "a"), (2L, 1L, "b"))
+    // a completed upsert leaves no backup or temp dirs behind
+    fs.exists(new org.apache.hadoop.fs.Path(target + "__old")) shouldBe
+      false
+    fs.exists(new org.apache.hadoop.fs.Path(target + "__next")) shouldBe
+      false
+  }
+
   it should "be idempotent when the same batch is re-applied" in {
     val s = spark
     import s.implicits._
