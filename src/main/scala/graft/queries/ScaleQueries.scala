@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Tables._
+import graft.operators.BloomJoin
+import org.apache.spark.sql.functions._
+
+/** Scale-primitive gates: operators whose REASON to exist is the
+  * 100 TB shape, oracle-checked through small-SF aggregates. The
+  * Bloom-pruned joins produce exactly the plain semi/anti join result
+  * for any fpp (the sketch only routes rows; the exact join settles
+  * them), so a standard EXISTS / NOT EXISTS oracle hash-gates the
+  * whole pruning machinery — filter build, serialization, codegen
+  * probe, branch union.
+  */
+object ScaleQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Decontamination shape: fact rows whose key is NOT in a dim key
+    // set. At 100 TB the Bloom filter settles almost every row
+    // map-side ("definitely clean" bypasses the join); only candidates
+    // shuffle into the exact anti join that removes false positives.
+    QueryDef(
+      "q146_bloom_anti_join",
+      (s, d) => {
+        val dim = customer(s, d).filter(col("c_acctbal") < 0)
+          .select(col("c_custkey"))
+        BloomJoin
+          .antiJoinPruned(orders(s, d), dim, "o_custkey", "c_custkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("o_custkey")).as("custs"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  COUNT(DISTINCT o_custkey) AS custs
+             |FROM orders o
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM customer c
+             |  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Targeted-extract shape: fact rows whose key IS in a small dim
+    // set (pull one cohort's rows out of a full corpus). The filter
+    // drops the non-matching bulk before any shuffle — one pass over
+    // the fact side.
+    QueryDef(
+      "q147_bloom_semi_join",
+      (s, d) => {
+        val dim = part(s, d).filter(col("p_size") > 45)
+          .select(col("p_partkey"))
+        BloomJoin
+          .semiJoinPruned(lineitem(s, d), dim, "l_partkey", "p_partkey")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("l_partkey")).as("parts"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS cnt,
+             |  COUNT(DISTINCT l_partkey) AS parts
+             |FROM lineitem l
+             |WHERE EXISTS (
+             |  SELECT 1 FROM part p
+             |  WHERE p.p_partkey = l.l_partkey AND p.p_size > 45)
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
+  )
+}
