@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleQueries {
 
+  /** DuckDB spelling of [[graft.operators.ZOrder.zValue]] — the same
+    * unrolled clamp/shift/mask/or terms, generated from one loop so
+    * the two engines cannot drift.
+    */
+  private def sqlZ(exprs: Seq[String], bits: Int): String = {
+    val n = exprs.length
+    val cap = (1L << bits) - 1
+    val terms = for {
+      (e, i) <- exprs.zipWithIndex
+      b <- 0 until bits
+    } yield
+      s"(((least(greatest(CAST(($e) AS BIGINT), 0), $cap) >> $b) & 1) " +
+        s"<< ${b * n + i})"
+    terms.mkString("(", " | ", ")")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Decontamination shape: fact rows whose key is NOT in a dim key
@@ -64,6 +80,30 @@ object ScaleQueries {
              |  SELECT 1 FROM part p
              |  WHERE p.p_partkey = l.l_partkey AND p.p_size > 45)
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Z-order curve values: the multi-column clustering key behind
+    // min/max file skipping (ZOrder.clusterByZ lays data out by it;
+    // this gates the curve arithmetic itself cross-engine). Pure
+    // codegen'd bit ops — shift/mask/or over the clamped low bits of
+    // each key — so the clustering sort key costs scan speed, not a
+    // UDF. Both sides are generated from the same term loop.
+    QueryDef(
+      "q148_zorder_curve",
+      (s, d) => {
+        val o = orders(s, d)
+        o.select(col("o_orderkey"),
+            graft.operators.ZOrder
+              .zValue(Seq(col("o_custkey") % 256, col("o_orderkey") % 256),
+                bits = 8)
+              .as("zval"))
+          .orderBy(col("zval"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""SELECT o_orderkey,
+              |  ${sqlZ(Seq("o_custkey % 256", "o_orderkey % 256"), 8)}
+              |    AS zval
+              |FROM orders
+              |ORDER BY zval, o_orderkey LIMIT 100""".stripMargin))
   )
 }
