@@ -71,6 +71,33 @@ object SamplingQueries {
       Some(s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
               |WHERE CASE WHEN lang = 'en' THEN $sqlBucket < '40'
               |           ELSE $sqlBucket < '10' END
-              |GROUP BY lang ORDER BY lang""".stripMargin))
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Per-document CONTINUOUS keep-probability (quality-weighted
+    // downsampling, the corpus-rebalancing standard): keep doc iff
+    // uniform(doc_id) < weight(doc), weight here length-proportional
+    // capped at 1. The uniform is the first 8 md5 hex chars as a
+    // 32-bit integer — deterministic, engine-portable, stable under
+    // corpus growth — against weight * 2^32 in plain IEEE double ops
+    // (identical cross-engine). Unlike q75's per-group thresholds,
+    // every document carries its own probability; still one
+    // stateless map-side filter at 100 TB — no RNG, no shuffle.
+    QueryDef(
+      "q149_weighted_sample",
+      (s, d) => {
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long")
+        val w = least(lit(1.0), col("n_chars") / lit(4000.0))
+        documents(s, d)
+          .filter(u.cast("double") < w * lit(4294967296.0))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE CAST(('0x' ||
+             |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |    AS BIGINT)
+             |  < least(1.0, n_chars / 4000.0) * 4294967296.0
+             |ORDER BY doc_id""".stripMargin))
   )
 }
