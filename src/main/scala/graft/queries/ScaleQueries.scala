@@ -104,6 +104,60 @@ object ScaleQueries {
               |  ${sqlZ(Seq("o_custkey % 256", "o_orderkey % 256"), 8)}
               |    AS zval
               |FROM orders
-              |ORDER BY zval, o_orderkey LIMIT 100""".stripMargin))
+              |ORDER BY zval, o_orderkey LIMIT 100""".stripMargin)),
+
+    // Interval overlap join (two-sided ranges — sessions × promos,
+    // validity-window reconciliation): urgent-1995 order windows
+    // (order date + 14 days) overlapping return-flagged ship windows
+    // (ship date + 6 days). A bare overlap predicate plans as a
+    // nested loop; IntervalJoin tiles the timeline into blocks and
+    // equi-joins on block id — one linear shuffle, candidates bounded
+    // by interval density, each pair emitted exactly once at its
+    // overlap-start block. The oracle runs the raw predicate.
+    QueryDef(
+      "q150_interval_overlap_join",
+      (s, d) => {
+        val day0 = to_date(lit("1992-01-01"))
+        val o = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1995)
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate"), day0).cast("long").as("o_start"),
+            (datediff(col("o_orderdate"), day0) + 14).cast("long")
+              .as("o_end"))
+        val li = lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            datediff(col("l_shipdate"), day0).cast("long").as("s_start"),
+            (datediff(col("l_shipdate"), day0) + 6).cast("long")
+              .as("s_end"))
+        graft.operators.IntervalJoin
+          .overlaps(o, li, "o_start", "o_end", "s_start", "s_end",
+            blockSize = 16L)
+          .agg(count(lit(1)).as("pairs"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            countDistinct(col("l_orderkey")).as("n_items"))
+      },
+      Some("""SELECT COUNT(*) AS pairs,
+             |  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+             |  COUNT(DISTINCT l.l_orderkey) AS n_items
+             |FROM (
+             |  SELECT o_orderkey,
+             |    date_diff('day', DATE '1992-01-01', o_orderdate)
+             |      AS o_start,
+             |    date_diff('day', DATE '1992-01-01', o_orderdate) + 14
+             |      AS o_end
+             |  FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'
+             |    AND year(o_orderdate) = 1995) o
+             |JOIN (
+             |  SELECT l_orderkey,
+             |    date_diff('day', DATE '1992-01-01', l_shipdate)
+             |      AS s_start,
+             |    date_diff('day', DATE '1992-01-01', l_shipdate) + 6
+             |      AS s_end
+             |  FROM lineitem
+             |  WHERE l_returnflag = 'R') l
+             |ON o.o_start <= l.s_end AND l.s_start <= o.o_end""".stripMargin))
   )
 }
