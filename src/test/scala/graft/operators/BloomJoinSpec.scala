@@ -61,6 +61,15 @@ class BloomJoinSpec extends AnyFlatSpec with Matchers with SparkFixture {
     anti shouldBe Array(-1L, -1L, 1L) // both null rows survive
   }
 
+  it should "handle an empty dim set (semi empty, anti passes all)" in {
+    val bigDf = longs("k", (1L to 50L).map(java.lang.Long.valueOf))
+    val empty = longs("dk", Seq.empty)
+    BloomJoin.semiJoinPruned(bigDf, empty, "k", "dk")
+      .count() shouldBe 0L
+    BloomJoin.antiJoinPruned(bigDf, empty, "k", "dk")
+      .count() shouldBe 50L
+  }
+
   it should "work on string keys (fingerprint decontamination shape)" in {
     val s = spark
     import s.implicits._
