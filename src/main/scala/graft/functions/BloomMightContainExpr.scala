@@ -16,8 +16,9 @@ import org.apache.spark.util.sketch.BloomFilter
   * shuffle, no broadcast exchange.
   *
   * This is the scale primitive behind [[graft.operators.BloomJoin]]:
-  * at 100 TB a few-MB sketch of the dim keys rides inside the fact
-  * scan's filter and keeps non-candidate rows out of the shuffle
+  * at 100 TB a compact sketch of the dim keys (~1.2 MB per million
+  * keys at 1% fpp) rides inside the fact scan's filter and keeps
+  * non-candidate rows out of the shuffle
   * entirely. Supports integral keys (probed as long, matching
   * `BloomFilter.putLong`) and strings (UTF-8 bytes, matching
   * `putString`).

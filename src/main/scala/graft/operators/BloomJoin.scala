@@ -10,8 +10,10 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * An exact semi/anti join of a huge fact table against a modest key
   * set shuffles (or at best broadcast-hash-probes) EVERY fact row.
-  * A Bloom filter of the dim keys — a few MB even for 10^8 keys at 1%
-  * fpp — rides inside the fact scan as a plain codegen'd filter
+  * A Bloom filter of the dim keys — ~9.6 bits/key at 1% fpp, so
+  * ~1.2 MB per million keys (raise fpp for very large dims; the
+  * candidate branch stays exact) — rides inside the fact scan as a
+  * plain codegen'd filter
   * ([[BloomMightContainExpr]]) and settles most rows map-side:
   *
   *  - semi join: "definitely not in dim" rows (the vast majority in a
