@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineFastDescriptor)
     ext.injectFunction(GraftExtensions.dotExactDescriptor)
+    ext.injectFunction(GraftExtensions.dotDoubleDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.fingerprintDescriptor)
     ext.injectFunction(GraftExtensions.redactPiiDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
@@ -55,6 +57,39 @@ object GraftExtensions {
       DotExactExpr(exprs(0), exprs(1))
     })
 
+  /** Fused plain-double sequential dot product (see DotDoubleExpr). */
+  val dotDoubleDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_double"),
+    new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"dot_double expects 2 arguments, got ${exprs.length}")
+      DotDoubleExpr(exprs(0), exprs(1))
+    })
+
+  /** Bloom membership probe (see BloomMightContainExpr); the first
+    * argument must fold to the serialized filter bytes.
+    */
+  val bloomMightContainDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(classOf[BloomMightContainExpr].getName,
+      "bloom_might_contain"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
+      val bytes = exprs.head match {
+        case Literal(b: Array[Byte], BinaryType) => b
+        case e if e.foldable && e.dataType == BinaryType =>
+          e.eval().asInstanceOf[Array[Byte]]
+        case other => throw new IllegalArgumentException(
+          "bloom_might_contain: first argument must be a binary " +
+            s"literal (the serialized filter), got $other")
+      }
+      BloomMightContainExpr(bytes, exprs(1))
+    })
+
   /** SQL spelling of TextFunctions.fingerprint: pure-SQL clients get
     * the same normalized-text dedup key — the expression tree composes
     * built-in codegen'd nodes, so no UDF boundary.
@@ -76,7 +111,8 @@ object GraftExtensions {
     * builder-time config can't be added to a live session).
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineFastDescriptor, dotExactDescriptor, fingerprintDescriptor,
+    Seq(cosineFastDescriptor, dotExactDescriptor, dotDoubleDescriptor,
+      bloomMightContainDescriptor, fingerprintDescriptor,
       redactPiiDescriptor)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry
