@@ -17,12 +17,16 @@ class IntervalJoinSpec extends AnyFlatSpec with Matchers
     vs.toDF(s, e)
   }
 
+  // MULTISET of overlapping row pairs: duplicate input intervals are
+  // distinct rows and must each pair up (so the parity check below
+  // also proves the exactly-once emission — a double-emitted pair
+  // would break multiset equality)
   private def naive(ls: Seq[(Long, Long)],
-      rs: Seq[(Long, Long)]): Set[((Long, Long), (Long, Long))] =
+      rs: Seq[(Long, Long)]): Seq[((Long, Long), (Long, Long))] =
     (for {
       a <- ls; b <- rs
       if a._1 <= b._2 && b._1 <= a._2
-    } yield (a, b)).toSet
+    } yield (a, b)).sorted
 
   it should "equal the naive overlap join for random intervals and " +
       "block sizes (each pair exactly once)" in {
@@ -43,8 +47,9 @@ class IntervalJoinSpec extends AnyFlatSpec with Matchers
         .collect()
         .map(r => ((r.getLong(0), r.getLong(1)),
           (r.getLong(2), r.getLong(3))))
-      // multiset equality: no pair missing, none duplicated
-      got.length == got.toSet.size && got.toSet == naive(ls, rs)
+        .toSeq.sorted
+      // multiset equality: no row pair missing, none duplicated
+      got == naive(ls, rs)
     }
     SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15),
       prop).passed shouldBe true
