@@ -55,6 +55,18 @@ final case class MatchesRegex(column: String, regex: String) extends RowCheck {
   def violationExpr: Column = !col(column).rlike(regex) || col(column).isNull
 }
 
+/** Malformed-row count for PERMISSIVE staging reads (see
+  * [[graft.ingest.ExternalTable.registerPermissive]]): a corrupt CSV
+  * line parks its raw text in the corrupt-record column, so "how many
+  * rows failed to parse" is just a not-null count — evaluated in the
+  * same fused single pass as every other row check.
+  */
+final case class Malformed(corruptColumn: String = "_corrupt_record")
+    extends RowCheck {
+  val id = s"malformed_$corruptColumn"
+  def violationExpr: Column = col(corruptColumn).isNotNull
+}
+
 /** GE `expect_column_values_to_be_between` (inclusive bounds; NULL is
   * a violation, matching GE's default mostly=1 semantics).
   */

@@ -73,6 +73,21 @@ case class BloomMightContainExpr(filterBytes: Array[Byte],
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
+
+  // Case-class equality over Array[Byte] is reference equality, which
+  // would make two structurally identical probes (same filter
+  // serialized twice, re-parsed SQL) never compare equal — defeating
+  // canonicalization, common-subexpression elimination, and
+  // plan-fragment reuse. Compare/hash the bytes by content.
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomMightContainExpr =>
+      java.util.Arrays.equals(filterBytes, that.filterBytes) &&
+        child == that.child
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(filterBytes) + child.hashCode()
 }
 
 object BloomMightContainExpr {

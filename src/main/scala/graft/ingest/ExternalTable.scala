@@ -18,13 +18,50 @@ object ExternalTable {
 
   /** Register `t_<entity>` over CSV files at `location` with the
     * header-inferred all-string schema. Returns the DataFrame.
+    *
+    * `delimiter` is the reference's configurable `file_delimiter`
+    * (include/scripts/settings.txt:3); `quote`/`escape` default to
+    * standard CSV quote-doubling (`"…""…"`) — the dialect pandas,
+    * DuckDB, and Snowflake stages all emit — rather than Spark's
+    * historical backslash-escape default.
     */
   def register(spark: SparkSession, entity: String, location: String,
-      delimiter: String = ","): DataFrame = {
+      delimiter: String = ",", quote: String = "\"",
+      escape: String = "\""): DataFrame = {
     val schema = SchemaInference.inferHeaderSchema(spark, location, delimiter)
     val df = spark.read
       .option("header", "true")
       .option("delimiter", delimiter)
+      .option("quote", quote)
+      .option("escape", escape)
+      .schema(schema)
+      .csv(location)
+    df.createOrReplaceTempView(s"t_$entity")
+    df
+  }
+
+  /** [[register]] with PERMISSIVE corrupt-row capture: a malformed
+    * line (excess tokens, broken quoting) is neither dropped silently
+    * (DROPMALFORMED) nor fatal (FAILFAST) — its raw text lands in
+    * `_corrupt_record` with every data column null, so the staging
+    * load always succeeds and the damage is COUNTABLE:
+    * `graft.check.Malformed()` surfaces the count through the same
+    * single-pass check report as every other constraint.
+    */
+  def registerPermissive(spark: SparkSession, entity: String,
+      location: String, delimiter: String = ",", quote: String = "\"",
+      escape: String = "\""): DataFrame = {
+    val schema = SchemaInference
+      .inferHeaderSchema(spark, location, delimiter)
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType,
+        nullable = true)
+    val df = spark.read
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("quote", quote)
+      .option("escape", escape)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema)
       .csv(location)
     df.createOrReplaceTempView(s"t_$entity")

@@ -32,6 +32,12 @@ object BandedRangeJoin {
   def joinWithinGap(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, maxGap: Long): DataFrame = {
     require(maxGap > 0, s"maxGap must be positive, got $maxGap")
+    // `withColumn` would silently overwrite a caller's __blk and the
+    // using-join would then run on the synthetic key — fail loudly
+    require(!left.columns.contains("__blk") &&
+        !right.columns.contains("__blk"),
+      "joinWithinGap: inputs must not contain a __blk column " +
+        "(reserved internal name)")
     // Floor division in pure Long arithmetic: floor(c / maxGap) via
     // `/` promotes to Double, whose 53-bit mantissa mis-blocks keys
     // above 2^53 (nanosecond epochs!) and silently DROPS pairs the

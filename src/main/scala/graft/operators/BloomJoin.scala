@@ -39,20 +39,37 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomJoin {
 
-  /** Build a Bloom filter over `keys(keyCol)` distributed: one
-    * `treeAggregate` pass, each partition folding its keys into a
-    * local filter, merged pairwise on the way up. Explicit put/probe
+  /** Build a Bloom filter over `keys(keyCol)` in ONE distributed pass:
+    * a `treeAggregate`, each partition folding its keys into a local
+    * filter, merged pairwise on the way up. Explicit put/probe
     * symmetry (putLong/mightContainLong, putString/mightContainString)
     * rather than relying on any internal builder's hashing scheme.
-    * Size the filter with `expectedItems` when the cardinality is
-    * known; otherwise one extra count pass sizes it exactly.
+    *
+    * Sizing never triggers an extra job (the build is a single Spark
+    * job): `expectedItems` when the caller knows the cardinality; else
+    * the optimized plan's row-count statistic; else rows estimated
+    * from the plan's `sizeInBytes` over the projected row width (the
+    * same estimate Spark's runtime Bloom-join injection uses), clamped
+    * to [64, 2^26]. An undersized filter only DRIFTS the
+    * false-positive rate upward (overfilled 2× at target fpp 0.01 the
+    * effective rate is ~0.16) — results stay exact for any fpp because
+    * the candidate branch re-checks with the true join; only the
+    * pruning rate degrades.
     */
   def buildFilter(keys: DataFrame, keyCol: String, fpp: Double = 0.01,
       expectedItems: Long = -1L): BloomFilter = {
     val dt = keys.schema(keyCol).dataType
     val col0 = keys.select(col(keyCol)).na.drop()
-    val n = if (expectedItems > 0) expectedItems
-      else math.max(col0.count(), 1L)
+    val n = if (expectedItems > 0) expectedItems else {
+      val st = col0.queryExecution.optimizedPlan.stats
+      st.rowCount.map(_.toLong).filter(_ > 0).getOrElse {
+        val width =
+          math.max(col0.schema.map(_.dataType.defaultSize).sum, 1).toLong
+        val est = (st.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+          max 0L) / width
+        math.min(math.max(est, 64L), 1L << 26)
+      }
+    }
     col0.rdd.treeAggregate(BloomFilter.create(n, fpp))(
       seqOp = (f, row) => {
         dt match {
@@ -90,6 +107,15 @@ object BloomJoin {
   /** `big` rows whose `bigKey` does NOT appear in `dim(dimKey)` —
     * exact left anti join; "definitely absent" rows (including null
     * keys, which never match an equi-join) bypass the join.
+    *
+    * `big` is evaluated TWICE (once per branch), so it must be
+    * DETERMINISTIC — no `rand()`/`sample()` upstream, no source that
+    * can change between the two scans; a nondeterministic input could
+    * disagree across branches and silently drop or duplicate rows
+    * relative to a plain anti join. For mid-pipeline or
+    * nondeterministic inputs, materialize [[withProbe]]'s output
+    * (cache/checkpoint/write) and split it with [[antiJoinOnProbe]] —
+    * one scan, both branches observing the same probe result.
     */
   def antiJoinPruned(big: DataFrame, dim: DataFrame, bigKey: String,
       dimKey: String, fpp: Double = 0.01): DataFrame = {
@@ -102,5 +128,38 @@ object BloomJoin {
     definiteOut.unionByName(
       candidates.join(dimKeys, candidates(bigKey) === dimKeys(dimKey),
         "left_anti"))
+  }
+
+  /** Attach the Bloom probe of `dim(dimKey)` as boolean column
+    * `probeCol` on `big` — the one-scan building block: materialize
+    * this once (cache / localCheckpoint / write) and every downstream
+    * branch observes the SAME probe result from a single evaluation of
+    * `big`, which [[antiJoinPruned]]'s two-branch shape cannot
+    * guarantee for nondeterministic inputs.
+    */
+  def withProbe(big: DataFrame, dim: DataFrame, bigKey: String,
+      dimKey: String, probeCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    require(!big.columns.contains(probeCol),
+      s"withProbe: input already has a '$probeCol' column")
+    big.withColumn(probeCol,
+      probe(big, bigKey, buildFilter(dim.select(col(dimKey)), dimKey, fpp)))
+  }
+
+  /** Anti join over a pre-probed input (see [[withProbe]]): rows whose
+    * `probeCol` is false or null (null keys never equi-match) are
+    * definite non-members and bypass the join; only `probeCol = true`
+    * candidates go through the exact anti join. On a materialized
+    * input this is the single-scan form of [[antiJoinPruned]].
+    */
+  def antiJoinOnProbe(probed: DataFrame, dim: DataFrame, bigKey: String,
+      dimKey: String, probeCol: String): DataFrame = {
+    val dimKeys = dim.select(col(dimKey))
+    val definiteOut = probed.filter(coalesce(!col(probeCol), lit(true)))
+    val candidates = probed.filter(col(probeCol))
+    definiteOut.unionByName(
+        candidates.join(dimKeys, candidates(bigKey) === dimKeys(dimKey),
+          "left_anti"))
+      .drop(probeCol)
   }
 }

@@ -21,25 +21,34 @@ import org.apache.spark.sql.functions._
   * Keys must be non-negative after the caller's own normalization
   * (rank, bucket id, epoch-day, dictionary code…); values above
   * `2^bits - 1` are clamped to the top bucket so outliers cannot wrap
-  * into the wrong corner of the curve.
+  * into the wrong corner of the curve. NULL keys map to `nullsTo`
+  * (default 0, the origin corner) — deliberate and explicit: a
+  * mostly-null column then clusters with the 0 bucket rather than
+  * scattering; callers who want nulls isolated at the far corner pass
+  * `nullsTo = (1L << bits) - 1`.
   */
 object ZOrder {
 
-  /** Morton code of `cols` (low `bits` of each, clamped), as a long.
-    * Bit `b` of column `i` lands at interleaved position
-    * `b * n + i` — at most `bits * n <= 63` total.
+  /** Morton code of `cols` (low `bits` of each, clamped; NULL →
+    * `nullsTo`), as a long. Bit `b` of column `i` lands at interleaved
+    * position `b * n + i` — at most `bits * n <= 63` total.
     */
-  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+  def zValue(cols: Seq[Column], bits: Int = 16,
+      nullsTo: Long = 0L): Column = {
     val n = cols.length
     require(n >= 1, "zValue needs at least one column")
     require(bits >= 1 && bits * n <= 63,
       s"bits * cols must fit a long: got $bits * $n")
     val cap = (1L << bits) - 1
+    require(nullsTo >= 0L && nullsTo <= cap,
+      s"nullsTo must be in [0, $cap], got $nullsTo")
     val terms = for {
       (c, i) <- cols.zipWithIndex
       b <- 0 until bits
     } yield shiftleft(
-      shiftright(least(greatest(c.cast("long"), lit(0L)), lit(cap)), b)
+      shiftright(
+        least(greatest(coalesce(c.cast("long"), lit(nullsTo)), lit(0L)),
+          lit(cap)), b)
         .bitwiseAND(lit(1L)),
       b * n + i)
     terms.reduce(_ bitwiseOR _)
@@ -54,8 +63,10 @@ object ZOrder {
     * scans prune on.
     */
   def clusterByZ(df: DataFrame, cols: Seq[String], bits: Int = 16,
-      numPartitions: Int = 0): DataFrame = {
-    val z = zValue(cols.map(col), bits).as("__z")
+      numPartitions: Int = 0, nullsTo: Long = 0L): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "clusterByZ: input already has a __z column (reserved internal name)")
+    val z = zValue(cols.map(col), bits, nullsTo).as("__z")
     val withZ = df.withColumn("__z", z)
     val parted =
       if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("__z"))

@@ -37,22 +37,48 @@ object LevenshteinGuardRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Guard each comparison independently; a comparison already wrapped
-    * in ITS OWN guard (`guard AND cmp`, the shape this rule emits) is
-    * left untouched, so the optimizer's re-run of the batch reaches a
-    * fixed point — but one guarded predicate never suppresses guarding
-    * of a different, unguarded one in the same condition.
-    */
-  private def rewrite(cond: Expression): Expression = cond match {
-    case And(g, cmp) if guardable(cmp).exists { case (lev, k) =>
-          g.semanticEquals(guardFor(lev, k)) } =>
-      cond
-    case _ =>
-      guardable(cond) match {
-        case Some((lev, k)) => And(guardFor(lev, k), cond)
-        case None           => cond.mapChildren(rewrite)
-      }
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
   }
+
+  /** Guard each comparison independently. Guardedness is detected
+    * STRUCTURALLY, not positionally: within a conjunction, a
+    * comparison is skipped iff any sibling conjunct `semanticEquals`
+    * its own guard — regardless of how the `And` tree is associated.
+    * (Other optimizer rules, e.g. predicate pushdown, split and
+    * recombine conjuncts left-associatively, so the `And(guard, cmp)`
+    * adjacency this rule emits does not survive a fixed-point batch;
+    * an adjacency-based check would re-wrap every iteration until the
+    * iteration cap.) One guarded predicate never suppresses guarding
+    * of a different, unguarded comparison in the same condition.
+    */
+  private def rewrite(cond: Expression): Expression = {
+    val cs = conjuncts(cond)
+    if (cs.length > 1) {
+      val rewritten = cs.map { c =>
+        guardable(c) match {
+          case Some((lev, k)) =>
+            val g = guardFor(lev, k)
+            if (cs.exists(_.semanticEquals(g))) c else And(g, c)
+          case None => rewriteLeaf(c)
+        }
+      }
+      // keep the original And association when nothing changed, so the
+      // optimizer's change detection sees a true fixed point
+      if (rewritten.zip(cs).forall { case (a, b) => a eq b }) cond
+      else rewritten.reduceLeft(And)
+    } else rewriteLeaf(cond)
+  }
+
+  // a non-conjunction: wrap a bare guardable comparison (the next
+  // fixed-point pass sees [guard, cmp] as siblings and stops), or
+  // recurse into children (Or/Not/… may hold nested conjunctions)
+  private def rewriteLeaf(e: Expression): Expression =
+    guardable(e) match {
+      case Some((lev, k)) => And(guardFor(lev, k), e)
+      case None           => e.mapChildren(rewrite)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>

@@ -89,6 +89,49 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture with Matchers {
     p should not include "l_tax"
   }
 
+  test("bloom anti join: both fact scans pushed-down/pruned, join only " +
+      "on the candidate branch") {
+    import org.apache.spark.sql.functions.col
+    val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"))
+    val q = graft.operators.BloomJoin.antiJoinPruned(
+      fact, dim, "l_orderkey", "o_orderkey")
+    // AQE wraps the tree in AdaptiveSparkPlanExec, whose collect()
+    // doesn't descend — unwrap to the current physical plan
+    val exec = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("lineitem") => s
+    }
+    // the documented two-scan trade: exactly two fact scans…
+    scans.length shouldBe 2
+    scans.foreach { s =>
+      val str = s.toString
+      withClue(str) {
+        // …each carrying the pushed predicate and the pruned schema
+        str should include("PushedFilters")
+        str should include("l_quantity")
+        str should not include "l_tax"
+        str should not include "l_comment"
+      }
+    }
+    // and exactly one join, on the candidate branch only
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    joins.length shouldBe 1
+    joins.head.toString should include("LeftAnti")
+    q.count() should be > 0L
+  }
+
   test("q57 snowflake dims broadcast; no shuffle on the dim side") {
     val p = plan("q57_local_supplier_volume")
     p should include("BroadcastHashJoin")

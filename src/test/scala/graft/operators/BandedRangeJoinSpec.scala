@@ -32,6 +32,16 @@ class BandedRangeJoinSpec extends AnyFlatSpec with Matchers
     naive should not contain ((5L, 20L)) // gap 15 > 10
   }
 
+  it should "reject inputs that already carry the reserved __blk " +
+      "column" in {
+    val l = nums("lk", Seq(1L)).withColumn("__blk", lit(0L))
+    val r = nums("rk", Seq(1L))
+    an[IllegalArgumentException] should be thrownBy
+      BandedRangeJoin.joinWithinGap(l, r, "lk", "rk", 10L)
+    an[IllegalArgumentException] should be thrownBy
+      BandedRangeJoin.joinWithinGap(r, l, "rk", "lk", 10L)
+  }
+
   it should "produce no duplicate pairs" in {
     val l = nums("lk", (1L to 50L))
     val r = nums("rk", (1L to 50L))

@@ -86,6 +86,57 @@ class BloomJoinSpec extends AnyFlatSpec with Matchers with SparkFixture {
     expected.length should be < 500 // the filter actually removed docs
   }
 
+  it should "match the plain anti join via the one-scan probed form " +
+      "(withProbe + antiJoinOnProbe on a materialized input)" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(7)
+    val bigDf = longs("k",
+      Seq.fill(300)(rnd.nextInt(90).toLong).map(java.lang.Long.valueOf) ++
+        Seq[java.lang.Long](null, null))
+    val dimDf = longs("dk",
+      Seq.fill(20)(rnd.nextInt(90).toLong).distinct
+        .map(java.lang.Long.valueOf))
+    val expected = bigDf
+      .join(dimDf, bigDf("k") === dimDf("dk"), "left_anti")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    val probed = BloomJoin.withProbe(bigDf, dimDf, "k", "dk", "__mc",
+      fpp = 0.5).cache() // materialized: one scan feeds both branches
+    try {
+      probed.schema.fieldNames should contain("__mc")
+      val got = BloomJoin.antiJoinOnProbe(probed, dimDf, "k", "dk", "__mc")
+      got.schema.fieldNames should not contain "__mc"
+      got.collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+        .sorted shouldBe expected
+    } finally probed.unpersist()
+    // reserved-name collision fails loudly instead of overwriting
+    an[IllegalArgumentException] should be thrownBy
+      BloomJoin.withProbe(probed, dimDf, "k", "dk", "__mc")
+  }
+
+  it should "build the filter in a single Spark job (no sizing count)" in {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloomb").toString
+    (1L to 5000L).toDF("k").write.mode("overwrite").parquet(dir)
+    val keys = spark.read.parquet(dir)
+    val group = "bloom-build-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(group, "bloom build", false)
+    val filter =
+      try BloomJoin.buildFilter(keys, "k")
+      finally spark.sparkContext.clearJobGroup()
+    // status store updates are async — poll until the job shows up
+    val deadline = System.currentTimeMillis() + 10000
+    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    while (jobs().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    Thread.sleep(200) // catch a straggler second job if one ran
+    jobs().length shouldBe 1
+    // and the size-estimated filter still has zero false negatives
+    (1L to 5000L).foreach(k => filter.mightContainLong(k) shouldBe true)
+  }
+
   it should "probe inside whole-stage codegen with no join on the " +
       "definite branch" in {
     val s = spark

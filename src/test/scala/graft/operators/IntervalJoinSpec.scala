@@ -67,6 +67,53 @@ class IntervalJoinSpec extends AnyFlatSpec with Matchers
     got.length shouldBe 11 // starts 0,100,...,1000 fall inside [0,1000]
   }
 
+  it should "fail loudly on a degenerate interval instead of " +
+      "exploding the fan-out" in {
+    // one year-long outlier at a tiny block size: without the guard
+    // this would silently amplify into millions of rows
+    val left = ivals("ls", "le", Seq((0L, 10L), (0L, 50000000L)))
+    val right = ivals("rs", "re", Seq((5L, 8L)))
+    val ex = intercept[Exception] {
+      IntervalJoin.overlaps(left, right, "ls", "le", "rs", "re",
+        blockSize = 4L, maxBlocksPerRow = 1000L).collect()
+    }
+    // Spark wraps the executor-side assert in a SparkException chain
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    messages(ex).mkString("\n") should include("maxBlocksPerRow")
+    // the same data passes once blockSize matches the interval scale
+    IntervalJoin.overlaps(left, right, "ls", "le", "rs", "re",
+      blockSize = 1 << 16, maxBlocksPerRow = 1000L)
+      .count() shouldBe 2L
+  }
+
+  it should "reject inputs that already carry the reserved __blk " +
+      "column" in {
+    val l = ivals("ls", "le", Seq((0L, 1L)))
+      .withColumn("__blk", lit(9L))
+    val r = ivals("rs", "re", Seq((0L, 1L)))
+    an[IllegalArgumentException] should be thrownBy
+      IntervalJoin.overlaps(l, r, "ls", "le", "rs", "re", 16L)
+    an[IllegalArgumentException] should be thrownBy
+      IntervalJoin.overlaps(r, l, "rs", "re", "ls", "le", 16L)
+  }
+
+  it should "suggest a blockSize near the typical interval length" in {
+    // lengths 10 (most rows) with a few 1000-long outliers: the 0.75
+    // quantile tracks the typical length, not the tail
+    val df = ivals("s", "e",
+      (0L until 80L).map(i => (i * 5L, i * 5L + 9L)) ++
+        (0L until 5L).map(i => (i * 7L, i * 7L + 999L)))
+    val bs = IntervalJoin.suggestBlockSize(df, "s", "e")
+    bs should be >= 5L
+    bs should be <= 40L
+    // and the suggestion actually joins correctly
+    val other = ivals("rs", "re", Seq((12L, 13L)))
+    IntervalJoin.overlaps(df, other, "s", "e", "rs", "re", bs)
+      .count() should be > 0L
+  }
+
   it should "plan as a hash join, not a nested loop" in {
     val dir = java.nio.file.Files.createTempDirectory("ivj").toString
     val sp = spark
