@@ -7,5 +7,5 @@ object Registry {
       TextQueries.all ++ VectorQueries.all ++ ExtraQueries.all ++
       ReshapeQueries.all ++ SamplingQueries.all ++
       SubqueryQueries.all ++ CorpusQueries.all ++ TpchShapes.all ++
-      BreadthQueries.all ++ ScaleQueries.all
+      BreadthQueries.all ++ ScaleQueries.all ++ StagingQueries.all
 }

@@ -73,6 +73,58 @@ class IngestSpec extends AnyFunSuite with SparkFixture with Matchers {
       .getString(0) shouldBe "v3"
   }
 
+  test("external table: configurable delimiter (the reference's " +
+      "file_delimiter, settings.txt:3) plus quote and escape dialects") {
+    val d = Files.createTempDirectory("graft-dialect").toString
+    // pipe-delimited, standard CSV quote-doubling: a field with the
+    // delimiter inside quotes and an embedded doubled quote
+    writeCsv(d, "scores.csv", Seq(
+      "data_id|team|note",
+      "0|A|\"has|pipe\"",
+      "1|B|\"say \"\"hi\"\"\"",
+      "2|C|plain"))
+    val df = ExternalTable.register(spark, "dialect", d, delimiter = "|")
+    df.count() shouldBe 3
+    val notes = df.orderBy("data_id").collect().map(_.getString(2))
+    notes shouldBe Array("has|pipe", "say \"hi\"", "plain")
+  }
+
+  test("permissive staging: malformed rows captured, not dropped or " +
+      "fatal, and countable through the check report") {
+    val d = Files.createTempDirectory("graft-corrupt").toString
+    writeCsv(d, "landing.csv", Seq(
+      "data_id,team,score",
+      "0,A,3",
+      "1,B,2,EXTRA,TOKENS", // too many columns → malformed
+      "2,C,1",
+      "3,D,0,SPILL"))       // malformed again
+    // cached: Spark refuses corrupt-column-only queries on a lazy
+    // CSV relation (it would need a second differently-parsed scan)
+    val df = ExternalTable.registerPermissive(spark, "landing", d).cache()
+    // nothing dropped: all 4 data rows present, corrupt ones flagged
+    df.count() shouldBe 4
+    df.schema.fieldNames should contain("_corrupt_record")
+    val corrupt = df.filter(org.apache.spark.sql.functions
+      .col("_corrupt_record").isNotNull)
+    corrupt.count() shouldBe 2
+    // raw lines preserved for quarantine/repair
+    corrupt.collect().map(_.getAs[String]("_corrupt_record"))
+      .toSet shouldBe Set("1,B,2,EXTRA,TOKENS", "3,D,0,SPILL")
+    // …and surfaced through the fused single-pass check report
+    // alongside ordinary constraints
+    import graft.check._
+    val results = CheckRunner.run(df,
+      Seq(Malformed(), NotNull("team")))
+    results.find(_.check == "malformed__corrupt_record")
+      .get.violations shouldBe 2L
+    // clean rows parse: the good half behaves like a normal staged read
+    df.filter(org.apache.spark.sql.functions
+        .col("_corrupt_record").isNull)
+      .select("team").collect().map(_.getString(0))
+      .sorted shouldBe Array("A", "C")
+    df.unpersist()
+  }
+
   test("file sensor: finds files that arrive before timeout; soft-fails " +
       "to empty otherwise (dags/…scores.py:54-67)") {
     val found = FileSensor.await(spark, s"$csvDir/*.csv",
