@@ -129,6 +129,75 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture with Matchers {
     expected.except(got).count() shouldBe 0
   }
 
+  test("watermark semantics: late rows beyond the watermark are " +
+      "evicted, out-of-order rows within it are counted, finalized " +
+      "windows emit exactly once across a restart") {
+    val s = spark
+    import s.implicits._
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    val schema = Seq((ts("00:00"), "click", 1.0))
+      .toDF("ts", "event_type", "value").schema
+    val inDir = java.nio.file.Files.createTempDirectory("graft-late-in")
+      .toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-late-out")
+      .toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-ck")
+      .toString
+
+    def runOnce(): Unit = {
+      // append mode + checkpoint: a window row lands in the sink only
+      // when the watermark passes its end (memory sink can't
+      // checkpoint, so the restartable form needs a file sink)
+      val q = EventStream.tumblingCounts(
+          EventStream.fileStream(spark, inDir, schema),
+          watermark = "10 minutes", width = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+    }
+    def landed(): Map[(java.sql.Timestamp, String), (Long, Double)] =
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "window_start TIMESTAMP, event_type STRING, " +
+            "n_events BIGINT, sum_value DOUBLE"))
+        .parquet(outDir).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+    // run 1: two rows in the 10:00 window, then 12:00 arrives →
+    // watermark 11:50 → the 10:00 window (end 11:00) is finalized
+    Seq((ts("10:05"), "click", 1.0), (ts("10:20"), "click", 2.0),
+      (ts("12:00"), "click", 4.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    val after1 = landed()
+    after1 should contain key ((ts("10:00"), "click"))
+    after1((ts("10:00"), "click")) shouldBe ((2L, 3.0))
+
+    // run 2 (same checkpoint — watermark 11:50 restored):
+    //  10:30 is LATE beyond the watermark (its window closed) → dropped
+    //  11:55 is out-of-order (older than the 12:00 already seen) but
+    //        its window end 12:00 > watermark → counted
+    //  14:00 advances the watermark to 13:50, finalizing the 11:00 and
+    //        12:00 windows; its own window stays open and unemitted
+    Seq((ts("10:30"), "click", 100.0), (ts("11:55"), "click", 8.0),
+      (ts("14:00"), "click", 16.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    val after2 = landed()
+    after2 shouldBe Map(
+      (ts("10:00"), "click") -> ((2L, 3.0)),   // unchanged: late row out
+      (ts("11:00"), "click") -> ((1L, 8.0)),   // out-of-order row in
+      (ts("12:00"), "click") -> ((1L, 4.0)))   // state survived restart
+    // the 14:00 window is still open — not in the sink, no early emit
+  }
+
   test("file-stream session windows produce sessions with bounded gaps") {
     val batchEvents = Tables.events(spark, sfDir)
       .select("ts", "user_id", "value")

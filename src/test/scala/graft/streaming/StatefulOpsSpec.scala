@@ -84,6 +84,56 @@ class StatefulOpsSpec extends AnyFunSuite with SparkFixture with Matchers {
     spark.table("dedup_out").count() shouldBe batch.count()
   }
 
+  test("dedup watermark semantics: in-window duplicates removed, late " +
+      "duplicates dropped, evicted keys re-admitted after the window") {
+    val s = spark
+    import s.implicits._
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    val schema = Seq((1L, ts("00:00"))).toDF("event_id", "ts").schema
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ddl-in")
+      .toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ddl-out")
+      .toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ddl-ck")
+      .toString
+    def runOnce(): Unit = {
+      val q = StatefulOps.dedupByKey(
+          EventStream.fileStream(spark, inDir, schema), "10 minutes")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+    def landed(): Set[(Long, java.sql.Timestamp)] =
+      spark.read.schema(schema).parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+
+    // run 1: an in-batch duplicate of key 1 is removed; 12:00 advances
+    // the watermark to 11:50, evicting key state last seen before then
+    Seq((1L, ts("10:00")), (2L, ts("10:01")), (1L, ts("10:02")),
+      (3L, ts("12:00")))
+      .toDF("event_id", "ts").coalesce(1).write.mode("append")
+      .parquet(inDir)
+    runOnce()
+    landed() shouldBe Set((1L, ts("10:00")), (2L, ts("10:01")),
+      (3L, ts("12:00")))
+
+    // run 2 (watermark 11:50 restored from the checkpoint):
+    //  (1, 10:05) re-sent BEHIND the watermark → dropped as late (not
+    //             double-emitted);
+    //  (1, 12:30) same key with a fresh in-window timestamp → key 1's
+    //             state was evicted, so it is re-admitted — the
+    //             documented bounded-state trade of
+    //             dropDuplicatesWithinWatermark
+    Seq((1L, ts("10:05")), (1L, ts("12:30")))
+      .toDF("event_id", "ts").coalesce(1).write.mode("append")
+      .parquet(inDir)
+    runOnce()
+    landed() shouldBe Set((1L, ts("10:00")), (2L, ts("10:01")),
+      (3L, ts("12:00")), (1L, ts("12:30")))
+  }
+
   test("check report sink writes a readable JSON report") {
     import graft.check._
     val df = Tables.orders(spark, sfDir)
