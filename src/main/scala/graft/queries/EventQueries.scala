@@ -302,6 +302,60 @@ object EventQueries {
              |    epoch_us(CAST(ts AS TIMESTAMP)), event_id))
              |    AS last_event,
              |  COUNT(*) AS n_events
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Point-in-time (time-travel) lookup over the q120 SCD2 history:
+    // for each (user, as-of instant) probe, the version whose
+    // [valid_from, valid_to) interval contains the instant — the
+    // "what did the dimension say when the fact happened" join every
+    // warehouse backfill needs. The user_id equality conjunct makes it
+    // a plain HASH join (the interval test is a residual filter over
+    // that user's few versions), so at 100 TB it shuffles linearly on
+    // the key — no range explosion, no nested loop. Equal-timestamp
+    // versions produce an empty [t, t) interval that can never match,
+    // so each probe resolves to at most one version.
+    QueryDef(
+      "q154_pit_lookup",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val ev = events(s, d)
+        val scd = ev
+          .select(col("user_id").as("s_user_id"),
+            col("event_type").as("state"), col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"))
+        val probes = ev.select("user_id").distinct()
+          .withColumn("asof_s",
+            explode(array(lit("2024-01-08 00:00:00"),
+              lit("2024-01-15 00:00:00"), lit("2024-01-22 00:00:00"))))
+          .withColumn("asof", col("asof_s").cast("timestamp"))
+          .drop("asof_s")
+        probes.join(scd,
+            probes("user_id") === scd("s_user_id") &&
+              scd("valid_from") <= probes("asof") &&
+              (scd("valid_to").isNull || probes("asof") < scd("valid_to")))
+          .select(col("user_id"), col("asof"), col("state"),
+            col("valid_from"))
+          .orderBy("user_id", "asof")
+      },
+      Some("""WITH scd AS (
+             |  SELECT user_id, event_type AS state,
+             |    CAST(ts AS TIMESTAMP) AS valid_from,
+             |    CAST(lead(ts, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts ASC, event_id ASC) AS TIMESTAMP)
+             |      AS valid_to
+             |  FROM events
+             |), probes AS (
+             |  SELECT DISTINCT e.user_id, t.asof
+             |  FROM events e, (
+             |    SELECT TIMESTAMP '2024-01-08 00:00:00' AS asof
+             |    UNION ALL SELECT TIMESTAMP '2024-01-15 00:00:00'
+             |    UNION ALL SELECT TIMESTAMP '2024-01-22 00:00:00') t
+             |)
+             |SELECT p.user_id, p.asof, s.state, s.valid_from
+             |FROM probes p JOIN scd s ON p.user_id = s.user_id
+             |  AND s.valid_from <= p.asof
+             |  AND (s.valid_to IS NULL OR p.asof < s.valid_to)
+             |ORDER BY p.user_id, p.asof""".stripMargin))
   )
 }

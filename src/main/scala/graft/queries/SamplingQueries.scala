@@ -98,6 +98,39 @@ object SamplingQueries {
              |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
              |    AS BIGINT)
              |  < least(1.0, n_chars / 4000.0) * 4294967296.0
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Weighted sampling WITHOUT replacement, fixed size k: priority
+    // sampling (Duffield/Lund/Thorup). Each row gets priority
+    // w / u with u uniform in (0, 1]; the k highest priorities are a
+    // weight-proportional sample with no replacement and no second
+    // pass. u derives from md5 (u = (h32 + 1) / 2^32) so the sample
+    // is deterministic and engine-portable; the arithmetic is one
+    // exact power-of-two scale (n_chars * 2^32 < 2^53) and one
+    // correctly-rounded IEEE division — bit-identical in any engine.
+    // At 100 TB this is a TakeOrderedAndProject: per-partition heaps
+    // of k, one k-row merge at the driver, no sort, no shuffle of the
+    // data — the same plan shape as q11/q68.
+    QueryDef(
+      "q153_priority_sample",
+      (s, d) => {
+        val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long")
+        val prio = (col("n_chars").cast("double") * lit(4294967296.0)) /
+          (u32 + lit(1L)).cast("double")
+        documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            prio.as("priority"))
+          .orderBy(col("priority").desc, col("doc_id").asc)
+          .limit(40)
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+             |  CAST(n_chars AS DOUBLE) * 4294967296.0 /
+             |    (CAST(('0x' ||
+             |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) + 1) AS priority
+             |FROM documents
+             |ORDER BY priority DESC, doc_id ASC
+             |LIMIT 40""".stripMargin))
   )
 }
