@@ -475,6 +475,34 @@ object BreadthQueries {
              |  SELECT 'highbal' AS src, c_acctbal AS bal,
              |    c_custkey AS id
              |  FROM customer WHERE c_acctbal > 9000.0)
-             |GROUP BY id ORDER BY id""".stripMargin))
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // 2-D equi-width histogram (the heatmap/profile primitive): orders
+    // binned by (price band × order month), count + exact revenue per
+    // cell. Bins are explicit integer arithmetic — floor of a single
+    // IEEE division, clamped — rather than width_bucket, so both
+    // engines compute identical cells from identical doubles. One
+    // hash-agg over ≤ 10×12 cells: fully map-side-combined, no sort,
+    // no skew (cells are the agg keys, not the data).
+    QueryDef(
+      "q159_hist2d",
+      (s, d) =>
+        orders(s, d)
+          .select(
+            least(lit(9L), floor(col("o_totalprice") / lit(50000.0))
+              .cast("long")).as("price_bin"),
+            month(col("o_orderdate")).as("mon"),
+            col("o_totalprice"))
+          .groupBy("price_bin", "mon")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("price_bin", "mon"),
+      Some(s"""SELECT least(9, CAST(floor(o_totalprice / 50000.0)
+              |    AS BIGINT)) AS price_bin,
+              |  CAST(month(o_orderdate) AS INTEGER) AS mon, COUNT(*) AS n,
+              |  ${sqlDsum("o_totalprice")} AS revenue
+              |FROM orders
+              |GROUP BY 1, 2
+              |ORDER BY price_bin, mon""".stripMargin))
   )
 }

@@ -281,6 +281,118 @@ object CorpusQueries {
              |  USING (source)
              |WHERE substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
              |  < keep_below
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Source-profile similarity (corpus drift / provenance clustering):
+    // cosine between the token-frequency profiles of every source
+    // pair — the curation check that flags two crawls as near-mirrors
+    // before any per-document work. One linear hash-agg collapses the
+    // corpus to |sources| × |vocab| profile rows (cap the vocab to
+    // top-V terms on a real corpus); the pair join runs over PROFILES,
+    // so it is |sources|² × shared-vocab — model-metadata sized, never
+    // corpus sized. Counts are integers: dots and norms are exact
+    // 64-bit sums (< 2^53), sqrt/divide correctly-rounded IEEE — the
+    // cosine is bit-identical cross-engine with no decimal machinery.
+    QueryDef(
+      "q155_source_similarity",
+      (s, d) => {
+        val prof = documents(s, d)
+          .select(col("source"), explode(words(col("text"))).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val norms = prof.groupBy("source")
+          .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+        val a = prof.select(col("source").as("src_a"), col("tok"),
+          col("tf").as("tf_a"))
+        val b = prof.select(col("source").as("src_b"), col("tok"),
+          col("tf").as("tf_b"))
+        a.join(b, Seq("tok"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(sum(col("tf_a") * col("tf_b")).as("dp"))
+          .join(norms.select(col("source").as("src_a"),
+            col("nrm").as("nrm_a")), Seq("src_a"))
+          .join(norms.select(col("source").as("src_b"),
+            col("nrm").as("nrm_b")), Seq("src_b"))
+          .select(col("src_a"), col("src_b"),
+            (col("dp").cast("double") / (col("nrm_a") * col("nrm_b")))
+              .as("cos_sim"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH prof AS (
+             |  SELECT source, tok, COUNT(*) AS tf
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY source, tok
+             |), norms AS (
+             |  SELECT source, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+             |  FROM prof GROUP BY source
+             |), dots AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    SUM(a.tf * b.tf) AS dp
+             |  FROM prof a JOIN prof b ON a.tok = b.tok
+             |    AND a.source < b.source
+             |  GROUP BY a.source, b.source
+             |)
+             |SELECT d.src_a, d.src_b,
+             |  CAST(d.dp AS DOUBLE) / (na.nrm * nb.nrm) AS cos_sim
+             |FROM dots d
+             |JOIN norms na ON na.source = d.src_a
+             |JOIN norms nb ON nb.source = d.src_b
+             |ORDER BY d.src_a, d.src_b""".stripMargin)),
+
+    // Boilerplate STRIP (CCNet line dedup, removal form): q95 flags
+    // documents by duplicated-chunk ratio; this operator actually
+    // removes the corpus-common chunks (10-word chunks appearing in
+    // ≥ 3 documents — headers, navigation, license banners) and
+    // re-emits each document's cleaned text. Chunk frequency is one
+    // hash-agg; the join-back is on the chunk hash; reassembly is a
+    // per-document sort of its own ≤ dozens of chunks (sort_array of
+    // (idx, chunk) structs — no window, no corpus sort). Linear end
+    // to end.
+    QueryDef(
+      "q160_boilerplate_strip",
+      (s, d) => {
+        val ws = col("__ws")
+        val nChunks = ceil(size(ws) / lit(10.0)).cast("int")
+        val chunkArr = transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))
+        val chunks = documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("__ws"))
+          .select(col("doc_id"), posexplode(chunkArr))
+          .select(col("doc_id"), col("pos").as("chunk_idx"),
+            col("col").as("chunk"))
+        val freq = chunks.groupBy("chunk")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+        chunks.join(freq, "chunk")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") < 3, 1L).otherwise(0L)).as("n_kept"),
+            length(array_join(transform(
+              sort_array(collect_list(when(col("nd") < 3,
+                struct(col("chunk_idx"), col("chunk"))))),
+              st => st.getField("chunk")), " ")).as("clean_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), chunks AS (
+             |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             |    array_to_string(list_slice(ws, i*10+1, i*10+10), ' ')
+             |      AS chunk
+             |  FROM w, LATERAL unnest(
+             |    range(0, CAST(ceil(len(ws)/10.0) AS INT))) AS t(i)
+             |), freq AS (
+             |  SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+             |  FROM chunks GROUP BY chunk
+             |)
+             |SELECT c.doc_id, COUNT(*) AS n_chunks,
+             |  CAST(SUM(CASE WHEN f.nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(COALESCE(length(string_agg(
+             |    CASE WHEN f.nd < 3 THEN c.chunk END, ' '
+             |    ORDER BY c.chunk_idx)), 0) AS INTEGER) AS clean_chars
+             |FROM chunks c JOIN freq f ON c.chunk = f.chunk
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
   )
 }

@@ -356,6 +356,88 @@ object EventQueries {
              |FROM probes p JOIN scd s ON p.user_id = s.user_id
              |  AND s.valid_from <= p.asof
              |  AND (s.valid_to IS NULL OR p.asof < s.valid_to)
-             |ORDER BY p.user_id, p.asof""".stripMargin))
+             |ORDER BY p.user_id, p.asof""".stripMargin)),
+
+    // Linear interpolation over per-user daily gaps — the time-series
+    // repair step after q125's gap fill: each user's daily mean value
+    // on a dense day spine (min..max observed day per user), missing
+    // days filled by the straight line between the flanking observed
+    // days. prev/next come from IGNORE-NULLS window folds over the
+    // left-joined spine (no self-join, no per-gap scan); the shuffle
+    // is one hash partition by user. Daily means are exact-decimal
+    // (davg) so both engines interpolate identical doubles, and the
+    // blend is written `prev + (next - prev) * frac` on BOTH sides —
+    // one shared IEEE evaluation order, bit-identical results.
+    // Interior days only (spine bounded by observations), so prev and
+    // next are always present on filled rows.
+    QueryDef(
+      "q158_interpolate",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(davg(col("value")).as("v"))
+        val spine = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id").as("s_user_id"),
+            explode(sequence(col("d0"), col("d1"),
+              expr("interval 1 day"))).as("s_day"))
+        val wPrev = Window.partitionBy("s_user_id").orderBy(col("s_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("s_user_id").orderBy(col("s_day"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val joined = spine
+          .join(daily, col("s_user_id") === col("user_id") &&
+            col("s_day") === col("day"), "left")
+          .select(col("s_user_id"), col("s_day"), col("v"),
+            when(col("v").isNotNull, col("s_day")).as("obs_day"))
+        val prevV = last(col("v"), ignoreNulls = true).over(wPrev)
+        val prevD = last(col("obs_day"), ignoreNulls = true).over(wPrev)
+        val nextV = first(col("v"), ignoreNulls = true).over(wNext)
+        val nextD = first(col("obs_day"), ignoreNulls = true).over(wNext)
+        val frac = datediff(col("day"), col("pd")).cast("double") /
+          datediff(col("nd"), col("pd")).cast("double")
+        joined
+          .select(col("s_user_id").as("user_id"), col("s_day").as("day"),
+            col("v"), prevV.as("pv"), prevD.as("pd"), nextV.as("nv"),
+            nextD.as("nd"))
+          .select(col("user_id"), col("day"),
+            coalesce(col("v"),
+              col("pv") + (col("nv") - col("pv")) * frac).as("value"),
+            col("v").isNull.as("interpolated"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+              |    ${sqlDavg("value")} AS v
+              |  FROM events GROUP BY 1, 2
+              |), spine AS (
+              |  SELECT user_id AS s_user_id,
+              |    CAST(unnest(generate_series(min(day), max(day),
+              |      INTERVAL 1 DAY)) AS DATE) AS s_day
+              |  FROM daily GROUP BY user_id
+              |), joined AS (
+              |  SELECT s.s_user_id, s.s_day, d.v,
+              |    CASE WHEN d.v IS NOT NULL THEN s.s_day END AS obs_day
+              |  FROM spine s LEFT JOIN daily d
+              |    ON s.s_user_id = d.user_id AND s.s_day = d.day
+              |), flanked AS (
+              |  SELECT s_user_id AS user_id, s_day AS day, v,
+              |    last_value(v IGNORE NULLS) OVER wp AS pv,
+              |    last_value(obs_day IGNORE NULLS) OVER wp AS pd,
+              |    first_value(v IGNORE NULLS) OVER wn AS nv,
+              |    first_value(obs_day IGNORE NULLS) OVER wn AS nd
+              |  FROM joined
+              |  WINDOW wp AS (PARTITION BY s_user_id ORDER BY s_day
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |  wn AS (PARTITION BY s_user_id ORDER BY s_day
+              |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              |)
+              |SELECT user_id, day,
+              |  COALESCE(v, pv + (nv - pv) *
+              |    (CAST(date_diff('day', pd, day) AS DOUBLE) /
+              |     CAST(date_diff('day', pd, nd) AS DOUBLE))) AS value,
+              |  v IS NULL AS interpolated
+              |FROM flanked
+              |ORDER BY user_id, day""".stripMargin))
   )
 }

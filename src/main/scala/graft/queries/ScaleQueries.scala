@@ -158,6 +158,31 @@ object ScaleQueries {
              |      AS s_end
              |  FROM lineitem
              |  WHERE l_returnflag = 'R') l
-             |ON o.o_start <= l.s_end AND l.s_start <= o.o_end""".stripMargin))
+             |ON o.o_start <= l.s_end AND l.s_start <= o.o_end""".stripMargin)),
+
+    // 2-D skyline (Pareto frontier): parts not dominated on
+    // (p_retailprice, p_size), both maximizing. The oracle is the
+    // quadratic NOT EXISTS dominance test; the operator computes the
+    // identical set with a linear hash-agg + a window over the
+    // per-price maxima + a broadcast semi-join back — the only
+    // unpartitioned step runs over |distinct p_retailprice| aggregated
+    // rows, never the data (Skyline.scala scaladoc for the
+    // high-cardinality bucketing extension).
+    QueryDef(
+      "q157_skyline",
+      (s, d) =>
+        graft.operators.Skyline
+          .pareto2dMax(part(s, d), "p_retailprice", "p_size")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p.p_partkey, p.p_retailprice, p.p_size
+             |FROM part p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part q
+             |  WHERE q.p_retailprice >= p.p_retailprice
+             |    AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice > p.p_retailprice
+             |         OR q.p_size > p.p_size))
+             |ORDER BY p.p_partkey""".stripMargin))
   )
 }

@@ -539,6 +539,66 @@ object VectorQueries {
              |    x -> CAST(round(CAST(x AS DOUBLE) / n.l2_norm * 1e9)
              |      AS BIGINT)), ','), '') AS unit_embedding
              |FROM embeddings e JOIN norms n USING (vec_id)
-             |ORDER BY e.vec_id""".stripMargin))
+             |ORDER BY e.vec_id""".stripMargin)),
+
+    // kNN JOIN: top-10 cosine neighbors for EACH of a set of query
+    // vectors (vec_id 0..4) in one pass — the batched form of q37
+    // (per-query re-scans would read the corpus Q times). The query
+    // set is broadcast and every (candidate × query) score is
+    // map-side; only the narrow (q_id, vec_id, cos) triples reach the
+    // per-query rank. This declared form ranks with a window so the
+    // oracle mirrors it row-for-row; at 100 TB the same scores feed
+    // the bounded-buffer TopK aggregator (q68's operator: k rows per
+    // query per map partition shuffle, no sort). Ties break on vec_id;
+    // cos values are the exact-decimal fold, so ranks cannot drift
+    // cross-engine.
+    QueryDef(
+      "q156_knn_join",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("label"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .orderBy("q_id", "rnk")
+      },
+      Some("""WITH dexp AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings
+             |), norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE))
+             |      AS nrm
+             |  FROM dexp GROUP BY vec_id
+             |), dots AS (
+             |  SELECT q.vec_id AS q_id, d.vec_id,
+             |    CAST(SUM(CAST(d.x * q.x AS DECIMAL(38,12))) AS DOUBLE)
+             |      AS dp
+             |  FROM dexp d JOIN dexp q USING (i)
+             |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
+             |  GROUP BY q.vec_id, d.vec_id
+             |), scored AS (
+             |  SELECT t.q_id, t.vec_id, e.label,
+             |    t.dp / (nd.nrm * nq.nrm) AS cos_sim,
+             |    ROW_NUMBER() OVER (PARTITION BY t.q_id
+             |      ORDER BY t.dp / (nd.nrm * nq.nrm) DESC, t.vec_id ASC)
+             |      AS rnk
+             |  FROM dots t
+             |  JOIN embeddings e ON e.vec_id = t.vec_id
+             |  JOIN norms nd ON nd.vec_id = t.vec_id
+             |  JOIN norms nq ON nq.vec_id = t.q_id
+             |)
+             |SELECT q_id, vec_id, label, cos_sim, rnk
+             |FROM scored WHERE rnk <= 10
+             |ORDER BY q_id, rnk""".stripMargin))
   )
 }
