@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.TextFunctions.words
+import org.apache.spark.sql.functions._
+
+/** Statistical-analytics operator coverage: exact-arithmetic
+  * correlation/regression, Kneser-Ney-style continuation counts,
+  * lexical-diversity scoring, and robust (median/MAD) outlier
+  * detection.
+  *
+  * Determinism strategy (SURVEY.md §7.6): every aggregate feeding a
+  * double formula is either an exact integer count or an
+  * [[Exact.dsum]] (order-independent DECIMAL accumulation rounded at
+  * scale 2), and the downstream double arithmetic is spelled with the
+  * IDENTICAL expression tree in Spark and DuckDB — each IEEE op is
+  * correctly rounded, so identical inputs + identical trees give
+  * bit-identical outputs regardless of partitioning.
+  */
+object AnalyticsQueries {
+  import Exact._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact Pearson correlation + OLS fit per group. Neither engine's
+    // built-in corr()/regr_slope() is reproducible under reordering
+    // (their one-pass co-moment updates are order-dependent in the
+    // last ulps), so both sides are built from the five exact power
+    // sums — one hash-agg pass over the fact table, O(groups) state,
+    // embarrassingly scalable. Reference analog: the metric/score
+    // aggregations of SURVEY §2.4 taken to model-fitting form.
+    QueryDef(
+      "q161_exact_corr",
+      (s, d) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val sums = lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            dsum(x).as("sx"), dsum(y).as("sy"),
+            dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+            dsum(x * y).as("sxy"))
+        val n = col("n")
+        val slope = (n * col("sxy") - col("sx") * col("sy")) /
+          (n * col("sxx") - col("sx") * col("sx"))
+        sums
+          .select(col("l_returnflag"), n, col("sx"), col("sy"),
+            col("sxx"), col("syy"), col("sxy"), slope.as("slope"))
+          .select(col("l_returnflag"), n, col("slope"),
+            ((col("sy") - col("slope") * col("sx")) / n).as("intercept"),
+            ((n * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+                sqrt(n * col("syy") - col("sy") * col("sy")))).as("r"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH sums AS (
+              |  SELECT l_returnflag, COUNT(*) AS n,
+              |    ${sqlDsum("l_quantity")} AS sx,
+              |    ${sqlDsum("l_extendedprice")} AS sy,
+              |    ${sqlDsum("l_quantity * l_quantity")} AS sxx,
+              |    ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy,
+              |    ${sqlDsum("l_quantity * l_extendedprice")} AS sxy
+              |  FROM lineitem GROUP BY l_returnflag
+              |), fit AS (
+              |  SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+              |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+              |  FROM sums
+              |)
+              |SELECT l_returnflag, n, slope,
+              |  (sy - slope * sx) / n AS intercept,
+              |  (n * sxy - sx * sy) /
+              |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+              |FROM fit ORDER BY l_returnflag""".stripMargin)),
+
+    // Kneser-Ney continuation statistics — the count tables a KenLM
+    // style n-gram LM build needs: for each word, how many DISTINCT
+    // left contexts precede it (N1+(·w), the KN unigram numerator),
+    // how many distinct right contexts follow it, and the continuation
+    // probability N1+(·w) / |distinct bigrams|. Bigrams are built
+    // map-side with zip_with over offset slices (zero shuffle before
+    // the agg, same shape as q97); the global bigram-type count is a
+    // 1-row broadcast. At 100 TB: two hash aggs over the bigram
+    // stream + a vocabulary-sized full-outer join — all linear.
+    QueryDef(
+      "q162_kn_continuation",
+      (s, d) => {
+        val ws = words(col("text"))
+        val bigrams = zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        val pr = documents(s, d)
+          .filter(size(ws) >= 2)
+          .select(explode(bigrams).as("bg"))
+          .select(substring_index(col("bg"), " ", 1).as("lhs"),
+            substring_index(col("bg"), " ", -1).as("rhs"))
+        val left = pr.groupBy(col("rhs").as("word"))
+          .agg(count_distinct(col("lhs")).as("n_left_types"),
+            count(lit(1)).as("n_as_rhs"))
+        val right = pr.groupBy(col("lhs").as("word"))
+          .agg(count_distinct(col("rhs")).as("n_right_types"))
+        val tot = pr.agg(
+          count_distinct(col("lhs"), col("rhs")).as("n_bigram_types"))
+        left.join(right, Seq("word"), "full_outer")
+          .crossJoin(broadcast(tot))
+          .select(col("word"),
+            coalesce(col("n_left_types"), lit(0L)).as("n_left_types"),
+            coalesce(col("n_as_rhs"), lit(0L)).as("n_as_rhs"),
+            coalesce(col("n_right_types"), lit(0L)).as("n_right_types"),
+            (coalesce(col("n_left_types"), lit(0L)).cast("double") /
+              col("n_bigram_types")).as("p_continuation"))
+          .orderBy("word")
+      },
+      Some("""WITH w AS (
+             |  SELECT string_split(text, ' ') AS ws FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2
+             |), pr AS (
+             |  SELECT split_part(bg, ' ', 1) AS lhs,
+             |         split_part(bg, ' ', 2) AS rhs
+             |  FROM (SELECT unnest(list_transform(range(1, len(ws)),
+             |          i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w)
+             |), l AS (
+             |  SELECT rhs AS word, COUNT(DISTINCT lhs) AS n_left_types,
+             |    COUNT(*) AS n_as_rhs
+             |  FROM pr GROUP BY rhs
+             |), r AS (
+             |  SELECT lhs AS word, COUNT(DISTINCT rhs) AS n_right_types
+             |  FROM pr GROUP BY lhs
+             |), tot AS (
+             |  SELECT COUNT(DISTINCT lhs || ' ' || rhs) AS n_bigram_types
+             |  FROM pr
+             |)
+             |SELECT word,
+             |  coalesce(n_left_types, 0) AS n_left_types,
+             |  coalesce(n_as_rhs, 0) AS n_as_rhs,
+             |  coalesce(n_right_types, 0) AS n_right_types,
+             |  CAST(coalesce(n_left_types, 0) AS DOUBLE) / n_bigram_types
+             |    AS p_continuation
+             |FROM l FULL JOIN r USING (word) CROSS JOIN tot
+             |ORDER BY word""".stripMargin)),
+
+    // Per-document lexical diversity — the quality-filter signals a
+    // pretraining pipeline cuts on beside q35/q78: type-token ratio
+    // and token-level Gini impurity (1 − Σc²/n²). Gini is the
+    // RATIONAL diversity measure: unlike Shannon entropy it needs no
+    // log(), so it is exactly reproducible from integer counts (no
+    // libm divergence between engines). Two hash aggs, linear at any
+    // scale.
+    QueryDef(
+      "q163_lexical_diversity",
+      (s, d) => {
+        val tf = documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+        tf.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("sum_c2"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+            (lit(1.0) - col("sum_c2").cast("double") /
+              (col("n_tokens").cast("double") * col("n_tokens"))).as("gini"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, w AS tok, COUNT(*) AS c
+             |  FROM documents,
+             |    LATERAL unnest(string_split(text, ' ')) AS u(w)
+             |  GROUP BY doc_id, w
+             |), agg AS (
+             |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             |    SUM(c * c) AS sum_c2
+             |  FROM tf GROUP BY doc_id
+             |)
+             |SELECT doc_id, n_tokens, n_types,
+             |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+             |  1.0 - CAST(sum_c2 AS DOUBLE) /
+             |    (CAST(n_tokens AS DOUBLE) * n_tokens) AS gini
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Robust outlier detection per event type: median / MAD (the
+    // breakdown-point-0.5 alternative to mean ± k·σ, immune to the
+    // outliers it hunts). Exact interpolated medians (q61 semantics,
+    // bit-identical interpolation in both engines), medians broadcast
+    // back (O(groups) rows), flag |v − med| > 3·MAD. Three linear
+    // passes over the fact + two broadcast joins; the exact
+    // percentile agg is sort-based per group — at 100 TB swap in
+    // approx_percentile or a t-digest if groups are huge, noted here
+    // as the documented trade.
+    QueryDef(
+      "q164_mad_outliers",
+      (s, d) => {
+        val ev = events(s, d)
+        val med = ev.groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.5)).as("med"))
+        val ad = ev.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("value") - col("med")))
+        val mad = ad.groupBy("event_type", "med")
+          .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+        ev.join(broadcast(mad), "event_type")
+          .groupBy("event_type", "med", "mad")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("value") - col("med")) > lit(3) * col("mad"),
+              1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (
+             |  SELECT event_type,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+             |  FROM events GROUP BY event_type
+             |), ad AS (
+             |  SELECT e.event_type, med, abs(value - med) AS ad
+             |  FROM events e JOIN med USING (event_type)
+             |), mad AS (
+             |  SELECT event_type, med,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+             |  FROM ad GROUP BY event_type, med
+             |)
+             |SELECT e.event_type, med, mad, COUNT(*) AS n,
+             |  SUM(CASE WHEN abs(value - med) > 3 * mad
+             |      THEN 1 ELSE 0 END) AS n_outliers
+             |FROM events e JOIN mad USING (event_type)
+             |GROUP BY e.event_type, med, mad
+             |ORDER BY event_type""".stripMargin))
+  )
+}

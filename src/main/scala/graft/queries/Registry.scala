@@ -7,5 +7,6 @@ object Registry {
       TextQueries.all ++ VectorQueries.all ++ ExtraQueries.all ++
       ReshapeQueries.all ++ SamplingQueries.all ++
       SubqueryQueries.all ++ CorpusQueries.all ++ TpchShapes.all ++
-      BreadthQueries.all ++ ScaleQueries.all ++ StagingQueries.all
+      BreadthQueries.all ++ ScaleQueries.all ++ StagingQueries.all ++
+      AnalyticsQueries.all
 }
