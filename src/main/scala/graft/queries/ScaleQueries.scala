@@ -183,6 +183,33 @@ object ScaleQueries {
              |    AND q.p_size >= p.p_size
              |    AND (q.p_retailprice > p.p_retailprice
              |         OR q.p_size > p.p_size))
-             |ORDER BY p.p_partkey""".stripMargin))
+             |ORDER BY p.p_partkey""".stripMargin)),
+
+    // Per-group top-k via the custom physical operator
+    // (GroupedTopK.scala: LogicalPlan + Strategy + partial/final
+    // SparkPlan pair, extension ladder rung (c)). Same answer as the
+    // q60 window spelling, but the plan is bounded-heap partial →
+    // ONE k·|groups|-sized exchange → bounded-heap final: no
+    // fact-table shuffle, no per-group sort. The (price desc, key
+    // asc) ordering is total, so the kept set is partition-invariant
+    // and the row_number oracle selects the identical rows.
+    QueryDef(
+      "q165_grouped_topk_exec",
+      (s, d) => {
+        val o = orders(s, d)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        graft.plans.GroupedTopK
+          .of(o, Seq("o_orderpriority"),
+            Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+          .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+            col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin))
   )
 }
