@@ -393,6 +393,61 @@ object CorpusQueries {
              |    CASE WHEN f.nd < 3 THEN c.chunk END, ' '
              |    ORDER BY c.chunk_idx)), 0) AS INTEGER) AS clean_chars
              |FROM chunks c JOIN freq f ON c.chunk = f.chunk
-             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // End-to-end corpus-prep pipeline — the composed shape a
+    // pretraining data run actually executes, oracle-gated as ONE
+    // declared operator: quality gate (length + uniq-token ratio) →
+    // exact dedup (md5 fingerprint, min-doc_id survivor) → ~50%
+    // deterministic hash sample (q73's md5-bucket trick, seedless and
+    // reproducible) → per-source yield report. Every stage is linear
+    // or a single keyed shuffle; the whole pipeline is one Spark job
+    // chain with no driver round-trips, so it scales exactly as its
+    // stages do (q29/q73/q99 individually green).
+    QueryDef(
+      "q166_corpus_prep",
+      (s, d) => {
+        val ws = words(col("text"))
+        val sig = documents(s, d)
+          .withColumn("n_tokens", size(ws))
+          .withColumn("n_types", size(array_distinct(ws)))
+          .filter(col("n_tokens") >= 20 &&
+            col("n_types").cast("double") / col("n_tokens") >= 0.3)
+        val surv = sig
+          .withColumn("fp", md5(col("text")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        surv
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 2)
+            < "80")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            davg(col("n_chars")).as("avg_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, source, n_chars, text,
+              |    len(string_split(text, ' ')) AS n_tokens,
+              |    len(list_distinct(string_split(text, ' '))) AS n_types
+              |  FROM documents
+              |), filt AS (
+              |  SELECT * FROM sig
+              |  WHERE n_tokens >= 20
+              |    AND CAST(n_types AS DOUBLE) / n_tokens >= 0.3
+              |), surv AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+              |      ORDER BY doc_id) AS rn
+              |    FROM filt) WHERE rn = 1
+              |), samp AS (
+              |  SELECT * FROM surv
+              |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+              |)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              |  ${sqlDavg("n_chars")} AS avg_chars
+              |FROM samp GROUP BY source ORDER BY source""".stripMargin))
   )
 }
