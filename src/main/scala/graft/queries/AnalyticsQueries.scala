@@ -222,6 +222,145 @@ object AnalyticsQueries {
              |      THEN 1 ELSE 0 END) AS n_outliers
              |FROM events e JOIN mad USING (event_type)
              |GROUP BY e.event_type, med, mad
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Rolling 7-day distinct users per day. COUNT(DISTINCT) over a
+    // RANGE window is unsupported in Spark (and quadratic where it
+    // exists), so the scale-correct rewrite is contribute-and-agg:
+    // each event EXPLODES into the ≤7 daily windows it contributes
+    // to, then one hash-agg per (window_day) counts distinct users —
+    // linear in events × 7, one shuffle, no per-day rescan. The
+    // oracle spells the same contribution join relationally.
+    QueryDef(
+      "q168_rolling_distinct",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val days = ev.select(col("day").as("window_day")).distinct()
+        ev.join(days,
+            col("window_day") >= col("day") &&
+              col("window_day") <= date_add(col("day"), 6))
+          .groupBy("window_day")
+          .agg(count_distinct(col("user_id")).as("active_users_7d"),
+            count(lit(1)).as("contributing_events"))
+          .orderBy("window_day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+             |), days AS (
+             |  SELECT DISTINCT day AS window_day FROM ev
+             |)
+             |SELECT window_day,
+             |  COUNT(DISTINCT user_id) AS active_users_7d,
+             |  COUNT(*) AS contributing_events
+             |FROM ev JOIN days
+             |  ON window_day >= day AND window_day <= day + 6
+             |GROUP BY window_day ORDER BY window_day""".stripMargin)),
+
+    // Event-type co-occurrence lift (market-basket association on
+    // user baskets): for each unordered type pair, lift =
+    // n·n_ab / (n_a·n_b) over per-user distinct type sets. All
+    // counts are exact integers and lift is ONE double division of
+    // integer products (< 2^53, so both engines' conversions are
+    // exact) — no log-based PMI, no libm. The pair join explodes
+    // per-user sets (≤ |types|² per user, bounded), never the event
+    // stream.
+    QueryDef(
+      "q169_cooccurrence_lift",
+      (s, d) => {
+        val ev = events(s, d)
+        val userTypes = ev.select("user_id", "event_type").distinct()
+        val nUsers = ev.select("user_id").distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val typeCounts = userTypes.groupBy("event_type")
+          .agg(count(lit(1)).as("n_t"))
+        val a = userTypes.select(col("user_id"),
+          col("event_type").as("type_a"))
+        val b = userTypes.select(col("user_id"),
+          col("event_type").as("type_b"))
+        val pairs = a.join(b, "user_id")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(typeCounts.select(col("event_type").as("type_a"),
+            col("n_t").as("n_a")), "type_a")
+          .join(typeCounts.select(col("event_type").as("type_b"),
+            col("n_t").as("n_b")), "type_b")
+          .crossJoin(broadcast(nUsers))
+          .select(col("type_a"), col("type_b"), col("n_ab"),
+            ((col("n_users") * col("n_ab")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events
+             |), tc AS (
+             |  SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1
+             |), nu AS (
+             |  SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+             |), pairs AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    COUNT(*) AS n_ab
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2
+             |)
+             |SELECT type_a, type_b, n_ab,
+             |  CAST(n_users * n_ab AS DOUBLE) /
+             |    CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+             |FROM pairs
+             |JOIN tc ta ON ta.event_type = type_a
+             |JOIN tc tb ON tb.event_type = type_b
+             |CROSS JOIN nu
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // One-pass data profiling (the null/cardinality report every
+    // intake pipeline runs before accepting a drop): per column,
+    // null count and exact distinct count, computed in a SINGLE
+    // hash-agg pass over the table (no per-column rescan) and
+    // unpivoted to long form. The column list is driven off the
+    // DataFrame schema — the operator profiles ANY table; the oracle
+    // pins the orders instance.
+    QueryDef(
+      "q170_profile",
+      (s, d) => {
+        val df = orders(s, d)
+        val cols = df.columns.toSeq
+        val aggs = cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+            count_distinct(col(c)).as(s"__dist_$c"))
+        }
+        val wide = df.agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map { c =>
+          struct(lit(c).as("column_name"),
+            col(s"__null_$c").as("n_null"),
+            col(s"__dist_$c").as("n_distinct"))
+        }
+        wide.select(explode(array(stacked: _*)).as("p"))
+          .select(col("p.column_name"), col("p.n_null"),
+            col("p.n_distinct"))
+          .orderBy("column_name")
+      },
+      Some("""SELECT column_name, n_null, n_distinct FROM (
+             |  SELECT 'o_orderkey' AS column_name,
+             |    COUNT(*) - COUNT(o_orderkey) AS n_null,
+             |    COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+             |  UNION ALL SELECT 'o_custkey',
+             |    COUNT(*) - COUNT(o_custkey),
+             |    COUNT(DISTINCT o_custkey) FROM orders
+             |  UNION ALL SELECT 'o_orderstatus',
+             |    COUNT(*) - COUNT(o_orderstatus),
+             |    COUNT(DISTINCT o_orderstatus) FROM orders
+             |  UNION ALL SELECT 'o_totalprice',
+             |    COUNT(*) - COUNT(o_totalprice),
+             |    COUNT(DISTINCT o_totalprice) FROM orders
+             |  UNION ALL SELECT 'o_orderdate',
+             |    COUNT(*) - COUNT(o_orderdate),
+             |    COUNT(DISTINCT o_orderdate) FROM orders
+             |  UNION ALL SELECT 'o_orderpriority',
+             |    COUNT(*) - COUNT(o_orderpriority),
+             |    COUNT(DISTINCT o_orderpriority) FROM orders)
+             |ORDER BY column_name""".stripMargin))
   )
 }

@@ -438,6 +438,47 @@ object EventQueries {
               |     CAST(date_diff('day', pd, nd) AS DOUBLE))) AS value,
               |  v IS NULL AS interpolated
               |FROM flanked
-              |ORDER BY user_id, day""".stripMargin))
+              |ORDER BY user_id, day""".stripMargin)),
+
+    // CDC changelog compaction — apply a Debezium-style change stream
+    // to produce current state: per key, the HIGHEST-versioned change
+    // wins, and if that change is a delete the key vanishes. The
+    // events table is read as the changelog ('error' = tombstone,
+    // anything else = upsert of that state), versioned by the same
+    // fixed-width (epoch_us, event_id) key q140 established, so ties
+    // are impossible. ONE max_by hash-agg resolves latest-wins — no
+    // window sort over the changelog, no self-join; at 100 TB this is
+    // a single keyed shuffle of partial maxima. Distinct from q100
+    // (MERGE of a resolved batch) and q120 (full history build): this
+    // is the compaction that turns a raw change FEED into a table.
+    QueryDef(
+      "q167_cdc_compact",
+      (s, d) => {
+        val ver = format_string("%020d%010d",
+          unix_micros(col("ts")), col("event_id"))
+        events(s, d)
+          .groupBy("user_id")
+          .agg(
+            max_by(col("event_type"), ver).as("last_op"),
+            max_by(col("value"), ver).as("last_value"),
+            max(col("ts")).as("updated_at"),
+            count(lit(1)).as("n_changes"))
+          .filter(col("last_op") =!= "error")
+          .select(col("user_id"), col("last_op").as("state"),
+            col("last_value"), col("updated_at"), col("n_changes"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  max_by(event_type, printf('%020d%010d',
+             |    epoch_us(CAST(ts AS TIMESTAMP)), event_id)) AS state,
+             |  max_by(value, printf('%020d%010d',
+             |    epoch_us(CAST(ts AS TIMESTAMP)), event_id)) AS last_value,
+             |  CAST(max(ts) AS TIMESTAMP) AS updated_at,
+             |  COUNT(*) AS n_changes
+             |FROM events
+             |GROUP BY user_id
+             |HAVING max_by(event_type, printf('%020d%010d',
+             |    epoch_us(CAST(ts AS TIMESTAMP)), event_id)) <> 'error'
+             |ORDER BY user_id""".stripMargin))
   )
 }
