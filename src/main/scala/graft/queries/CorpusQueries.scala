@@ -448,6 +448,44 @@ object CorpusQueries {
               |SELECT source, COUNT(*) AS n_docs,
               |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
               |  ${sqlDavg("n_chars")} AS avg_chars
-              |FROM samp GROUP BY source ORDER BY source""".stripMargin))
+              |FROM samp GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Overlapping chunk windows (RAG / context-window splitter):
+    // width-8 stride-4 token windows per document, emitted as
+    // (start, length, md5) — offsets + hash, not text, so the chunk
+    // index stays a fraction of corpus size. The window starts come
+    // from one `sequence()` per doc and the chunk text from `slice`
+    // over the hoisted token array (q95's HOF-hoisting rule) — pure
+    // map-side generate, zero shuffle, 2× fan-out at stride =
+    // width/2. Complements q95 (disjoint chunks, dedup verdict):
+    // this is the retrieval-side splitter with overlap.
+    QueryDef(
+      "q172_chunk_windows",
+      (s, d) => {
+        val ws = col("__ws")
+        val chunk = slice(ws, col("start"), lit(8))
+        documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("__ws"))
+          .select(col("doc_id"), ws,
+            explode(sequence(lit(1), size(ws), lit(4))).as("start"))
+          .select(col("doc_id"),
+            ((col("start") - 1) / 4).cast("int").as("chunk_idx"),
+            col("start"),
+            size(chunk).as("chunk_len"),
+            md5(concat_ws(" ", chunk)).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), starts AS (
+             |  SELECT doc_id, ws, CAST(s AS INTEGER) AS start
+             |  FROM w, LATERAL unnest(range(1, len(ws) + 1, 4)) AS u(s)
+             |)
+             |SELECT doc_id,
+             |  CAST((start - 1) // 4 AS INTEGER) AS chunk_idx, start,
+             |  CAST(len(ws[start:start+7]) AS INTEGER) AS chunk_len,
+             |  md5(array_to_string(ws[start:start+7], ' ')) AS chunk_md5
+             |FROM starts
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

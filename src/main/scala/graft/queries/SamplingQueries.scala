@@ -131,6 +131,49 @@ object SamplingQueries {
              |      AS BIGINT) + 1) AS priority
              |FROM documents
              |ORDER BY priority DESC, doc_id ASC
-             |LIMIT 40""".stripMargin))
+             |LIMIT 40""".stripMargin)),
+
+    // Distribution matching: downsample every language to the
+    // smallest language's share, with the keep-rate COMPUTED from the
+    // data (min_count / lang_count) rather than hard-coded (q75's
+    // fixed mixture). The rate table is O(|langs|) and broadcast; the
+    // keep decision is the q153 md5-uniform against the rate —
+    // stateless, seedless, reproducible, and stable under corpus
+    // growth (a doc's keep bit only changes if its lang's rate does).
+    // One count agg + one broadcast-joined map-side filter at any
+    // scale.
+    QueryDef(
+      "q171_distribution_match",
+      (s, d) => {
+        val docs = documents(s, d)
+        val counts = docs.groupBy("lang")
+          .agg(count(lit(1)).as("n_lang"))
+        val minN = counts.agg(min(col("n_lang")).as("n_min"))
+        val rates = counts.crossJoin(broadcast(minN))
+          .select(col("lang"), col("n_lang"),
+            (col("n_min").cast("double") / col("n_lang")).as("rate"))
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long").cast("double") / lit(4294967296.0)
+        docs.join(broadcast(rates), "lang")
+          .filter(u < col("rate"))
+          .groupBy("lang", "n_lang", "rate")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (
+             |  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+             |), rates AS (
+             |  SELECT lang, n_lang,
+             |    CAST((SELECT MIN(n_lang) FROM counts) AS DOUBLE) / n_lang
+             |      AS rate
+             |  FROM counts
+             |)
+             |SELECT lang, n_lang, rate, COUNT(*) AS n_kept
+             |FROM documents JOIN rates USING (lang)
+             |WHERE CAST(CAST(('0x' ||
+             |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |    AS BIGINT) AS DOUBLE) / 4294967296.0 < rate
+             |GROUP BY lang, n_lang, rate
+             |ORDER BY lang""".stripMargin))
   )
 }

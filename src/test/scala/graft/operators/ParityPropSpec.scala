@@ -123,4 +123,25 @@ class ParityPropSpec extends AnyFunSuite with SparkFixture with Matchers {
     under should not equal full
     full.values.toSet shouldBe Set(0L) // one path component, min id 0
   }
+
+  test("GroupedTopK equals driver-side sort-take on random inputs") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      // Few distinct values → heavy ties; the id tie-break decides.
+      val rows = Seq.fill(400)((s"g${rnd.nextInt(6)}",
+        rnd.nextInt(5).toDouble, rnd.nextLong()))
+      val k = 1 + rnd.nextInt(5)
+      val got = graft.plans.GroupedTopK.of(
+          rows.toDF("g", "v", "id").repartition(7),
+          Seq("g"), Seq(col("v").desc, col("id").asc), k)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(x => (x._1, -x._2, x._3))
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(x => (-x._2, x._3)).take(k)
+      }.sortBy(x => (x._1, -x._2, x._3))
+      withClue(s"seed $seed, k=$k:") { got.toList shouldBe expected.toList }
+    }
+  }
 }
