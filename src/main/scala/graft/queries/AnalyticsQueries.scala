@@ -361,6 +361,155 @@ object AnalyticsQueries {
              |  UNION ALL SELECT 'o_orderpriority',
              |    COUNT(*) - COUNT(o_orderpriority),
              |    COUNT(DISTINCT o_orderpriority) FROM orders)
-             |ORDER BY column_name""".stripMargin))
+             |ORDER BY column_name""".stripMargin)),
+
+    // Behavioral Markov transition matrix: per-user event sequences
+    // (total-ordered by ts, event_id), adjacent pairs via ONE lead
+    // window — a single keyed shuffle, no self-join on the event
+    // stream — then transition probabilities as count ratios
+    // (exact-integer division, cross-engine deterministic). The
+    // sequence-model analog of q97's text bigrams.
+    QueryDef(
+      "q173_transition_matrix",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").asc,
+            col("event_id").asc)
+        val pairs = events(s, d)
+          .select(col("user_id"), col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+        val fromTotals = pairs.groupBy("from_type")
+          .agg(count(lit(1)).as("n_from"))
+        pairs.groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(fromTotals), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("n_from")).as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT user_id, event_type AS from_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts ASC, event_id ASC) AS to_type
+             |  FROM events
+             |), pr AS (SELECT * FROM pairs WHERE to_type IS NOT NULL),
+             |ft AS (
+             |  SELECT from_type, COUNT(*) AS n_from FROM pr GROUP BY 1
+             |)
+             |SELECT from_type, to_type, COUNT(*) AS n,
+             |  CAST(COUNT(*) AS DOUBLE) / n_from AS p
+             |FROM pr JOIN ft USING (from_type)
+             |GROUP BY from_type, to_type, n_from
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // Benford first-digit audit — the classic fabricated-data check:
+    // leading-digit counts of o_totalprice vs the Benford expectation.
+    // The digit comes from bounded INTEGER division (no log10, no
+    // double→string formatting — both engine-divergent); the Benford
+    // probabilities are shared literals, so the chi-square terms are
+    // identical double arithmetic on identical inputs. One hash-agg
+    // pass.
+    QueryDef(
+      "q174_benford",
+      (s, d) => {
+        val benford = Seq(0.30103, 0.17609, 0.12494, 0.09691, 0.07918,
+          0.06695, 0.05799, 0.05115, 0.04576)
+        val x = "CAST(floor(o_totalprice) AS BIGINT)"
+        val digit = expr(s"""CASE
+          WHEN $x >= 100000 THEN $x DIV 100000
+          WHEN $x >= 10000 THEN $x DIV 10000
+          WHEN $x >= 1000 THEN $x DIV 1000
+          WHEN $x >= 100 THEN $x DIV 100
+          WHEN $x >= 10 THEN $x DIV 10
+          ELSE $x END""")
+        val pExpr = benford.zipWithIndex.foldLeft(lit(0.0)) {
+          case (acc, (p, i)) =>
+            when(col("digit") === (i + 1), p).otherwise(acc)
+        }
+        val counted = orders(s, d)
+          .select(digit.as("digit"))
+          .groupBy("digit")
+          .agg(count(lit(1)).as("n_obs"))
+        counted
+          .crossJoin(broadcast(
+            orders(s, d).agg(count(lit(1)).as("n_total"))))
+          .select(col("digit"), col("n_obs"),
+            (col("n_obs").cast("double") / col("n_total")).as("freq"),
+            pExpr.as("benford_p"),
+            (((col("n_obs").cast("double") -
+              col("n_total") * pExpr) *
+              (col("n_obs").cast("double") - col("n_total") * pExpr)) /
+              (col("n_total") * pExpr)).as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some {
+        val x = "CAST(floor(o_totalprice) AS BIGINT)"
+        val ps = Seq(0.30103, 0.17609, 0.12494, 0.09691, 0.07918,
+          0.06695, 0.05799, 0.05115, 0.04576)
+        val pCase = ps.zipWithIndex
+          .map { case (p, i) =>
+            s"WHEN digit = ${i + 1} THEN CAST($p AS DOUBLE)" }
+          .mkString("CASE ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+        s"""WITH dg AS (
+           |  SELECT CASE
+           |    WHEN $x >= 100000 THEN $x // 100000
+           |    WHEN $x >= 10000 THEN $x // 10000
+           |    WHEN $x >= 1000 THEN $x // 1000
+           |    WHEN $x >= 100 THEN $x // 100
+           |    WHEN $x >= 10 THEN $x // 10
+           |    ELSE $x END AS digit
+           |  FROM orders
+           |), counted AS (
+           |  SELECT digit, COUNT(*) AS n_obs FROM dg GROUP BY digit
+           |), tot AS (SELECT COUNT(*) AS n_total FROM orders)
+           |SELECT digit, n_obs,
+           |  CAST(n_obs AS DOUBLE) / n_total AS freq,
+           |  $pCase AS benford_p,
+           |  ((CAST(n_obs AS DOUBLE) - n_total * ($pCase)) *
+           |   (CAST(n_obs AS DOUBLE) - n_total * ($pCase))) /
+           |    (n_total * ($pCase)) AS chi2_term
+           |FROM counted CROSS JOIN tot
+           |ORDER BY digit""".stripMargin
+      }),
+
+    // Algebraic incremental-aggregate maintenance: the nightly-refresh
+    // pattern where yesterday's aggregate table absorbs today's delta
+    // WITHOUT rescanning history. Partials stay UNROUNDED
+    // DECIMAL(38,12) (exact, associative), the merge is a
+    // vocabulary-sized full-outer join + decimal add, and rounding
+    // happens once at the end — so merged(old, delta) is provably the
+    // monolithic aggregate: the oracle computes the single-pass form
+    // and the hashes must collide. At 100 TB the delta pass reads one
+    // partition, not the table.
+    QueryDef(
+      "q175_incremental_agg",
+      (s, d) => {
+        val cutoff = "1997-01-01"
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Dec)).as("s"))
+        val old = partial(orders(s, d)
+          .filter(col("o_orderdate") < cutoff))
+          .select(col("o_orderpriority"), col("n").as("n_old"),
+            col("s").as("s_old"))
+        val delta = partial(orders(s, d)
+          .filter(col("o_orderdate") >= cutoff))
+          .select(col("o_orderpriority"), col("n").as("n_new"),
+            col("s").as("s_new"))
+        old.join(delta, Seq("o_orderpriority"), "full_outer")
+          .select(col("o_orderpriority"),
+            (coalesce(col("n_old"), lit(0L)) +
+              coalesce(col("n_new"), lit(0L))).as("n_orders"),
+            (coalesce(col("s_old"), lit(0).cast(Dec)) +
+              coalesce(col("s_new"), lit(0).cast(Dec)))
+              .cast(Dec2).cast("double").as("total_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              |  ${sqlDsum("o_totalprice")} AS total_price
+              |FROM orders GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin))
   )
 }
