@@ -99,4 +99,52 @@ object StatefulOps {
       keyCols: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class CdcState(user_id: Long, state: String,
+      last_value: Double, updated_at: java.sql.Timestamp,
+      n_changes: Long, deleted: Boolean)
+
+  /** Streaming CDC compaction — the continuous form of q167: per key,
+    * maintain the HIGHEST-versioned change across micro-batches
+    * (version = the same total-ordered fixed-width (epoch_us,
+    * event_id) key, so out-of-order and cross-batch arrivals resolve
+    * identically to the batch max_by) and emit the current state on
+    * every update; a winning 'error' op marks the key deleted
+    * (tombstone) rather than vanishing, so a downstream upsert sink
+    * can propagate the delete. State is one (version, op, value,
+    * max_ts, count) record per key — bounded by key cardinality; add
+    * a state timeout for unbounded key spaces.
+    *
+    * Parity contract (StatefulOpsSpec): after any micro-batch split
+    * of the changelog, the last emitted row per key with
+    * `deleted = false` equals the q167 batch compaction exactly.
+    */
+  def cdcLatestState(spark: SparkSession,
+      events: DataFrame): Dataset[CdcState] = {
+    import spark.implicits._
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Double, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(String, String, Double, Long, Long), CdcState](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, st) =>
+          var (ver, op, v, maxUs, n) =
+            st.getOption.getOrElse(("", "", 0.0, Long.MinValue, 0L))
+          rows.foreach { case (_, op2, v2, us2, id2) =>
+            n += 1
+            if (us2 > maxUs) maxUs = us2
+            val ver2 = f"$us2%020d$id2%010d"
+            if (ver2 > ver) { ver = ver2; op = op2; v = v2 }
+          }
+          st.update((ver, op, v, maxUs, n))
+          CdcState(uid, op, v, toTs(maxUs), n, deleted = op == "error")
+      }
+  }
 }

@@ -147,4 +147,40 @@ class StatefulOpsSpec extends AnyFunSuite with SparkFixture with Matchers {
     back.filter(col("check") === "inset_o_orderstatus")
       .head().getAs[Long]("violations") should be > 0L // 'P' rows
   }
+
+  test("streaming CDC compaction converges to the q167 batch result " +
+      "across micro-batch splits") {
+    val batch = Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    // several files → several potential micro-batches; arrival order
+    // (file order) deliberately differs from version order
+    batch.orderBy(col("event_id").desc).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+
+    val streamed = StatefulOps.cdcLatestState(spark,
+      EventStream.fileStream(spark, dir, batch.schema))
+    val q = streamed.writeStream.format("memory").queryName("cdc_state")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // last update per key = the row carrying the full change count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_changes").desc)
+    val finalState = spark.table("cdc_state")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .select(col("user_id"), col("state"), col("last_value"),
+        unix_micros(col("updated_at")).as("upd_us"), col("n_changes"))
+
+    val expected = graft.SparkEntry.allQueries
+      .find(_.name == "q167_cdc_compact").get.run(spark, sfDir)
+      .select(col("user_id"), col("state"), col("last_value"),
+        unix_micros(col("updated_at")).as("upd_us"), col("n_changes"))
+
+    val got = finalState.collect().map(_.toSeq).toSet
+    val want = expected.collect().map(_.toSeq).toSet
+    got shouldBe want
+    want should not be empty
+  }
 }
