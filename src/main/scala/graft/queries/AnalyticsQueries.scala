@@ -227,19 +227,24 @@ object AnalyticsQueries {
     // Rolling 7-day distinct users per day. COUNT(DISTINCT) over a
     // RANGE window is unsupported in Spark (and quadratic where it
     // exists), so the scale-correct rewrite is contribute-and-agg:
-    // each event EXPLODES into the ≤7 daily windows it contributes
-    // to, then one hash-agg per (window_day) counts distinct users —
-    // linear in events × 7, one shuffle, no per-day rescan. The
-    // oracle spells the same contribution join relationally.
+    // each event EXPLODES map-side into the 7 daily windows it
+    // contributes to (sequence(), no join condition at all), an
+    // EQUI broadcast join against the distinct-day dim keeps only
+    // real days, then one hash-agg per window_day counts distinct
+    // users — linear in events × 7, one keyed shuffle. The naive
+    // range-condition join plans as a nested loop (events × days
+    // comparisons) — plan-audited away; the oracle spells the same
+    // contribution relationally.
     QueryDef(
       "q168_rolling_distinct",
       (s, d) => {
         val ev = events(s, d)
           .select(to_date(col("ts")).as("day"), col("user_id"))
         val days = ev.select(col("day").as("window_day")).distinct()
-        ev.join(days,
-            col("window_day") >= col("day") &&
-              col("window_day") <= date_add(col("day"), 6))
+        ev.select(col("user_id"),
+            explode(expr("sequence(day, date_add(day, 6), interval 1 day)"))
+              .as("window_day"))
+          .join(broadcast(days), "window_day")
           .groupBy("window_day")
           .agg(count_distinct(col("user_id")).as("active_users_7d"),
             count(lit(1)).as("contributing_events"))
