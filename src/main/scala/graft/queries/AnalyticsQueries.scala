@@ -515,6 +515,55 @@ object AnalyticsQueries {
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
               |  ${sqlDsum("o_totalprice")} AS total_price
               |FROM orders GROUP BY o_orderpriority
-              |ORDER BY o_orderpriority""".stripMargin))
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Mergeable binned quantiles — the sketchable complement to the
+    // exact-sort percentiles of q61: fixed-width bin counts are an
+    // associative partial (bins merge by addition across partitions,
+    // days, or clusters, exactly like the q175 incremental pattern),
+    // and any quantile is then the first bin whose cumulative count
+    // crosses q·n. One hash-agg over the fact table into O(bins)
+    // state, an O(bins) window, never a corpus sort — at 100 TB the
+    // full-sort percentile is a non-starter and THIS is the shape
+    // that ships. All arithmetic is integral (cum·100 ≥ n·q avoids
+    // double thresholds entirely), so the hash gate is exact.
+    QueryDef(
+      "q176_binned_quantiles",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+        val binned = lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            floor(col("l_extendedprice") / 5000.0).as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = binned.select(col("l_returnflag"), col("bin"), col("cnt"),
+          sum("cnt").over(w.orderBy("bin")).as("cum"),
+          sum("cnt").over(w).as("n"))
+        def pLo(pct: Int) =
+          min(when(col("cum") * 100 >= col("n") * pct, col("bin"))) * 5000
+        cum.groupBy("l_returnflag")
+          .agg(max("n").as("n_rows"), pLo(50).as("p50_lo"),
+            pLo(90).as("p90_lo"), pLo(99).as("p99_lo"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+             |    COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2
+             |), c AS (
+             |  SELECT l_returnflag, bin, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+             |      ORDER BY bin) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag)
+             |      AS BIGINT) AS n
+             |  FROM b
+             |)
+             |SELECT l_returnflag, MAX(n) AS n_rows,
+             |  MIN(CASE WHEN cum*100 >= n*50 THEN bin END)*5000 AS p50_lo,
+             |  MIN(CASE WHEN cum*100 >= n*90 THEN bin END)*5000 AS p90_lo,
+             |  MIN(CASE WHEN cum*100 >= n*99 THEN bin END)*5000 AS p99_lo
+             |FROM c GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

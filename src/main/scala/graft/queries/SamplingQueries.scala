@@ -174,6 +174,49 @@ object SamplingQueries {
              |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
              |    AS BIGINT) AS DOUBLE) / 4294967296.0 < rate
              |GROUP BY lang, n_lang, rate
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // Temperature-scaled source mixture — the multinomial upsampling
+    // weights every multi-source training run needs (UnifiedQA /
+    // mT5-style: w_s ∝ n_s^α with α = 0.5, flattening the source
+    // distribution so head domains don't drown the tail). Counting is
+    // one hash-agg; the normalizing denominator is an O(sources)
+    // aggregate. Determinism: sqrt is correctly rounded in BOTH
+    // engines, and the denominator (a sum of doubles, which is
+    // order-dependent in general) is accumulated via the Exact
+    // decimal trick — cast each sqrt to DECIMAL(38,12), sum exactly,
+    // round once at scale 6 — so the division sees bit-identical
+    // operands regardless of partitioning.
+    QueryDef(
+      "q178_temperature_mixture",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val counts = documents(s, d)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val den = counts.agg(
+          sum(sqrt(col("n_docs").cast(DoubleType))
+            .cast(DecimalType(38, 12)))
+            .cast(DecimalType(38, 6)).cast(DoubleType).as("denom"))
+        val w = sqrt(col("n_docs").cast(DoubleType)) / col("denom")
+        counts.crossJoin(broadcast(den))
+          .select(col("source"), col("n_docs"), w.as("weight"),
+            floor(lit(1000000.0) * w).as("target_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, COUNT(*) AS n_docs
+             |  FROM documents GROUP BY source
+             |), den AS (
+             |  SELECT CAST(round(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
+             |    AS DECIMAL(38,12))), 6) AS DOUBLE) AS denom
+             |  FROM c
+             |)
+             |SELECT source, n_docs,
+             |  sqrt(CAST(n_docs AS DOUBLE)) / denom AS weight,
+             |  CAST(floor(1000000.0 *
+             |    (sqrt(CAST(n_docs AS DOUBLE)) / denom)) AS BIGINT)
+             |    AS target_docs
+             |FROM c CROSS JOIN den
+             |ORDER BY source""".stripMargin))
   )
 }

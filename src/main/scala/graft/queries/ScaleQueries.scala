@@ -210,6 +210,77 @@ object ScaleQueries {
              |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
              |  FROM orders)
              |WHERE rn <= 3
-             |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin))
+             |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // Snapshot reconciliation checksum — how two 100 TB copies of a
+    // table (pre/post migration, primary/replica, batch/stream) are
+    // compared WITHOUT moving either: each side folds every row into
+    // a per-bucket (count, XOR-of-row-digest) pair in one linear
+    // map-side-combined pass, and only the O(buckets) summaries meet.
+    // XOR is commutative/associative, so the checksum is partition-
+    // and order-invariant; a 52-bit md5 prefix keeps the fold in one
+    // codegen'd long. The "drifted" snapshot here is derived in-query
+    // (deterministic deletes at key%101, mutations at key%97) so the
+    // oracle can replay both sides; output is the drifted buckets a
+    // repair job would re-copy. Doubles enter the digest only as
+    // exact scaled integers (floor(qty·100)) — double→string is
+    // engine-divergent, integer strings are not.
+    QueryDef(
+      "q177_snapshot_checksum_diff",
+      (s, d) => {
+        def side(df: org.apache.spark.sql.DataFrame,
+            qty: org.apache.spark.sql.Column) = df
+          .select((col("l_orderkey") % 64).as("bucket"),
+            conv(substring(md5(concat_ws("|",
+              col("l_orderkey").cast("string"),
+              col("l_linenumber").cast("string"),
+              floor(qty * 100).cast("string"))), 1, 13), 16, 10)
+              .cast("long").as("v"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(v)").as("x"))
+        val li = lineitem(s, d)
+        val a = side(li, col("l_quantity"))
+          .select(col("bucket"), col("n").as("n_a"), col("x").as("x_a"))
+        val b = side(li.filter(col("l_orderkey") % 101 =!= 0),
+          when(col("l_orderkey") % 97 === 0, col("l_quantity") + 1)
+            .otherwise(col("l_quantity")))
+          .select(col("bucket"), col("n").as("n_b"), col("x").as("x_b"))
+        a.join(b, Seq("bucket"), "full_outer")
+          .filter(col("n_a").isNull || col("n_b").isNull ||
+            col("n_a") =!= col("n_b") || col("x_a") =!= col("x_b"))
+          .select(col("bucket"), col("n_a"), col("n_b"))
+          .orderBy("bucket")
+      },
+      Some("""WITH a AS (
+             |  SELECT l_orderkey % 64 AS bucket,
+             |    md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+             |        CAST(l_linenumber AS VARCHAR) || '|' ||
+             |        CAST(CAST(floor(l_quantity * 100) AS BIGINT)
+             |          AS VARCHAR)) AS h
+             |  FROM lineitem
+             |), b AS (
+             |  SELECT l_orderkey % 64 AS bucket,
+             |    md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+             |        CAST(l_linenumber AS VARCHAR) || '|' ||
+             |        CAST(CAST(floor((CASE WHEN l_orderkey % 97 = 0
+             |          THEN l_quantity + 1 ELSE l_quantity END) * 100)
+             |          AS BIGINT) AS VARCHAR)) AS h
+             |  FROM lineitem WHERE l_orderkey % 101 <> 0
+             |), ca AS (
+             |  SELECT bucket, COUNT(*) AS n_a,
+             |    bit_xor(CAST(('0x' || substring(h, 1, 13)) AS BIGINT))
+             |      AS x_a
+             |  FROM a GROUP BY bucket
+             |), cb AS (
+             |  SELECT bucket, COUNT(*) AS n_b,
+             |    bit_xor(CAST(('0x' || substring(h, 1, 13)) AS BIGINT))
+             |      AS x_b
+             |  FROM b GROUP BY bucket
+             |)
+             |SELECT COALESCE(ca.bucket, cb.bucket) AS bucket, n_a, n_b
+             |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+             |WHERE n_a IS NULL OR n_b IS NULL
+             |   OR n_a <> n_b OR x_a <> x_b
+             |ORDER BY bucket""".stripMargin))
   )
 }

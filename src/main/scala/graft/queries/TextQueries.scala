@@ -868,6 +868,45 @@ object TextQueries {
               |JOIN cnt cb ON cb.doc_id = b_id
               |WHERE greatest(CAST(n_common AS DOUBLE) / ca.n,
               |  CAST(n_common AS DOUBLE) / cb.n) >= 0.8
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // EXACT similarity join via prefix filtering (SSJoin/PPJoin
+    // family) — the third member of the near-dup candidate-generation
+    // ladder, and the only LOSSLESS one: q31's df-cap trades recall
+    // on hot grams, q32's MinHash is probabilistic; prefix filtering
+    // provably loses nothing. Order each doc's gram set by ascending
+    // global document frequency (rarest first — a global total
+    // order); for Jaccard ≥ τ, |A∩B| ≥ ⌈τ·|A|⌉, so the intersection
+    // cannot hide entirely in the last ⌈τ·|A|⌉−1 grams — any
+    // qualifying pair MUST collide within the first
+    // |A|−⌈τ·|A|⌉+1 grams of both sides. Candidates therefore come
+    // from an equi join on PREFIX grams only (rarest grams → smallest
+    // df → fewest join rows), then exact verification counts the full
+    // intersection for the surviving few. The brute-force DuckDB
+    // oracle proves the recall claim: every all-pairs hit must
+    // survive the pruned path. Thresholds are integral
+    // (10·common ≥ 5·union) — no double compare at the cut.
+    QueryDef(
+      "q179_prefix_filter_jaccard",
+      (s, d) => graft.operators.PrefixFilterJoin
+        .jaccardSelfJoin(sparkGrams(s, d), "doc_id", "gram", 1, 2)
+        .orderBy("a_id", "b_id"),
+      Some(s"""$gramsCte, m AS (
+              |  SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id
+              |), pairs AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    COUNT(*) AS n_common
+              |  FROM grams a JOIN grams b
+              |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT a_id, b_id, n_common, ma.m AS m_a, mb.m AS m_b,
+              |  CAST(n_common AS DOUBLE) / (ma.m + mb.m - n_common)
+              |    AS jaccard
+              |FROM pairs
+              |JOIN m ma ON ma.doc_id = a_id
+              |JOIN m mb ON mb.doc_id = b_id
+              |WHERE n_common * 10 >= 5 * (ma.m + mb.m - n_common)
               |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -30,7 +30,8 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("near-dup candidate joins never degenerate to all-pairs") {
     Seq("q31_ngram_jaccard", "q32_minhash_lsh", "q44_embed_neardup",
-      "q56_simhash_neardup", "q115_containment", "q85_contamination")
+      "q56_simhash_neardup", "q115_containment", "q85_contamination",
+      "q179_prefix_filter_jaccard")
       .foreach { q =>
         val p = plan(q)
         withClue(s"$q plan:") {
@@ -136,5 +137,39 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture with Matchers {
     val p = plan("q57_local_supplier_volume")
     p should include("BroadcastHashJoin")
     p should include("r_name")
+  }
+
+  test("q177 checksum: XOR folds map-side (partial_bit_xor before the " +
+      "exchange), only O(buckets) rows shuffle") {
+    val p = plan("q177_snapshot_checksum_diff")
+    // partial aggregation must run before the exchange — at 100 TB the
+    // shuffle carries 64 (bucket, count, xor) rows per side, not rows
+    p should include("partial_bit_xor")
+    p should not include "CartesianProduct"
+  }
+
+  test("join on a partition column triggers dynamic partition pruning") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val s = spark
+    import s.implicits._
+    // the dim must be FILE-backed: on a LocalRelation the selective
+    // filter constant-folds away and the DPP rule sees no predicate
+    val dimDir = java.nio.file.Files.createTempDirectory("dppdim").toString
+    Seq(("1-URGENT", 1), ("2-HIGH", 0), ("3-MEDIUM", 0),
+      ("4-NOT SPECIFIED", 0), ("5-LOW", 0)).toDF("prio", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim.filter(col("flag") === 1),
+      fact("o_orderpriority") === dim("prio"))
+    // the selective dim filter must reach the partitioned scan as a
+    // runtime DPP subquery — at 100 TB this is the difference between
+    // scanning one partition and scanning the table
+    val planStr = q.queryExecution.executedPlan.toString
+    planStr.toLowerCase should include("dynamicpruning")
+    q.count() should be > 0L
   }
 }
