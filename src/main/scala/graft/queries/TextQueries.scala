@@ -881,15 +881,19 @@ object TextQueries {
     // qualifying pair MUST collide within the first
     // |A|−⌈τ·|A|⌉+1 grams of both sides. Candidates therefore come
     // from an equi join on PREFIX grams only (rarest grams → smallest
-    // df → fewest join rows), then exact verification counts the full
+    // df → fewest join rows), plus size and positional prunes (see
+    // PrefixFilterJoin), then exact verification counts the full
     // intersection for the surviving few. The brute-force DuckDB
     // oracle proves the recall claim: every all-pairs hit must
-    // survive the pruned path. Thresholds are integral
-    // (10·common ≥ 5·union) — no double compare at the cut.
+    // survive the pruned path. τ = 0.8 — the standard near-dup cut,
+    // and prefix length scales with (1−τ)·m, so a tight τ is also
+    // what keeps the candidate join small on a hot-gram corpus.
+    // Thresholds are integral (5·common ≥ 4·union) — no double
+    // compare at the cut.
     QueryDef(
       "q179_prefix_filter_jaccard",
       (s, d) => graft.operators.PrefixFilterJoin
-        .jaccardSelfJoin(sparkGrams(s, d), "doc_id", "gram", 1, 2)
+        .jaccardSelfJoin(sparkGrams(s, d), "doc_id", "gram", 4, 5)
         .orderBy("a_id", "b_id"),
       Some(s"""$gramsCte, m AS (
               |  SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id
@@ -906,7 +910,7 @@ object TextQueries {
               |FROM pairs
               |JOIN m ma ON ma.doc_id = a_id
               |JOIN m mb ON mb.doc_id = b_id
-              |WHERE n_common * 10 >= 5 * (ma.m + mb.m - n_common)
+              |WHERE n_common * 5 >= 4 * (ma.m + mb.m - n_common)
               |ORDER BY a_id, b_id""".stripMargin))
   )
 }

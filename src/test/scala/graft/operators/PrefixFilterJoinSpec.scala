@@ -29,7 +29,7 @@ class PrefixFilterJoinSpec extends AnyFunSuite with SparkFixture
       "corpora (recall is exact)") {
     val s = spark
     import s.implicits._
-    for (seed <- 1 to 4; (tn, td) <- Seq((1, 2), (7, 10))) {
+    for (seed <- 1 to 4; (tn, td) <- Seq((1, 2), (7, 10), (4, 5))) {
       val rnd = new Random(seed)
       val alphabet = ('a' to 'p').map(_.toString)
       val sets: Map[Long, Set[String]] =
