@@ -564,6 +564,90 @@ object AnalyticsQueries {
              |  MIN(CASE WHEN cum*100 >= n*90 THEN bin END)*5000 AS p90_lo,
              |  MIN(CASE WHEN cum*100 >= n*99 THEN bin END)*5000 AS p99_lo
              |FROM c GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact equi-depth histogram boundaries (ANALYZE-stats / CBO
+    // histograms) via distributed rank selection — see
+    // operators/RankSelect: a bin-count sketch locates each target
+    // rank ⌈k·n/8⌉, then only boundary-bin rows are ranked. The
+    // oracle is the definitionally-correct global sort (affordable at
+    // oracle SF), so the hash gate proves the two-pass selection
+    // picks the IDENTICAL rows a total order would.
+    QueryDef(
+      "q180_equidepth_histogram",
+      (s, d) => graft.operators.RankSelect
+        .quantileValues(
+          lineitem(s, d)
+            .select("l_extendedprice", "l_orderkey", "l_linenumber"),
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
+          buckets = 8, binWidth = 1000.0)
+        .orderBy("bucket"),
+      Some("""WITH ranked AS (
+             |  SELECT l_extendedprice,
+             |    row_number() OVER (ORDER BY l_extendedprice,
+             |      l_orderkey, l_linenumber) AS rn,
+             |    COUNT(*) OVER () AS n
+             |  FROM lineitem
+             |), ks AS (SELECT unnest(generate_series(1, 7)) AS k)
+             |SELECT CAST(k AS INTEGER) AS bucket,
+             |  CAST((k * n + 7) // 8 AS BIGINT) AS target_rank,
+             |  l_extendedprice AS value
+             |FROM ks JOIN ranked ON rn = (k * n + 7) // 8
+             |ORDER BY bucket""".stripMargin)),
+
+    // Gini concentration of customer revenue per market segment —
+    // the inequality/skew diagnostic (the same statistic a corpus
+    // pipeline runs on per-source token share before fixing mixture
+    // weights). G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n with x ascending.
+    // Per-customer revenue is an exact decimal sum; ranks come from
+    // a total order (rev, custkey); Σxᵢ and Σ(i·xᵢ) stay DECIMAL
+    // (exact, order-free) until one final cast, and the closing
+    // double arithmetic is the identical tree in both engines. One
+    // agg + one keyed window + one agg — no all-pairs anything.
+    QueryDef(
+      "q181_gini_concentration",
+      (s, d) => {
+        val rev = orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(Dec)).cast(Dec2).as("rev"))
+        val seg = rev.join(
+          customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("c_custkey") === col("o_custkey"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("rev"), col("o_custkey"))
+        val ranked = seg.withColumn("i", row_number().over(w))
+        ranked.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("rev")).as("s0"),
+            sum(col("rev") * col("i")).as("s1"))
+          .select(col("c_mktsegment"), col("n_cust"),
+            col("s0").cast("double").as("total_rev"),
+            (lit(2.0) * col("s1").cast("double") /
+              (col("n_cust") * col("s0").cast("double")) -
+              (col("n_cust") + lit(1.0)) / col("n_cust")).as("gini"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT o_custkey,
+              |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,12))),
+              |      2) AS DECIMAL(38,2)) AS rev
+              |  FROM orders GROUP BY o_custkey
+              |), ranked AS (
+              |  SELECT c_mktsegment, rev,
+              |    row_number() OVER (PARTITION BY c_mktsegment
+              |      ORDER BY rev, o_custkey) AS i
+              |  FROM rev JOIN customer ON c_custkey = o_custkey
+              |), g AS (
+              |  SELECT c_mktsegment, COUNT(*) AS n_cust,
+              |    SUM(rev) AS s0, SUM(rev * i) AS s1
+              |  FROM ranked GROUP BY c_mktsegment
+              |)
+              |SELECT c_mktsegment, CAST(n_cust AS BIGINT) AS n_cust,
+              |  CAST(s0 AS DOUBLE) AS total_rev,
+              |  2.0 * CAST(s1 AS DOUBLE) /
+              |    (n_cust * CAST(s0 AS DOUBLE)) -
+              |    (n_cust + 1.0) / n_cust AS gini
+              |FROM g ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -121,6 +121,50 @@ object StagingQueries {
              |  header=true, all_varchar=true)
              |WHERE CAST(o_totalprice AS DOUBLE) > 100000.0
              |GROUP BY o_year
-             |ORDER BY o_year""".stripMargin))
+             |ORDER BY o_year""".stripMargin)),
+
+    // JSONL staging — the other landing format every training-data
+    // pipeline ingests (one JSON document per line, nested metadata
+    // object). Stage documents as newline-delimited JSON with a
+    // nested `meta` struct, re-read with an EXPLICIT schema (the
+    // production contract: schema-on-read inference over 100 TB of
+    // JSONL means a second full scan — declare, don't sniff), then
+    // extract nested fields and aggregate. The oracle re-reads the
+    // same staged lines with DuckDB's newline-delimited reader, so
+    // the gate covers JSON serialization, nested-field extraction,
+    // and numeric round-trips on both engines.
+    QueryDef(
+      "q182_jsonl_staging",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val stage = s"$StageRoot/docs_jsonl"
+        documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            struct(col("lang"), col("source")).as("meta"))
+          .repartition(4)
+          .write.mode("overwrite").json(stage)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_chars", LongType),
+          StructField("meta", StructType(Seq(
+            StructField("lang", StringType),
+            StructField("source", StringType))))))
+        s.read.schema(schema).json(stage)
+          .groupBy(col("meta.lang").as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_total"),
+            min(col("doc_id")).as("min_doc"),
+            countDistinct(col("meta.source")).as("n_sources"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT meta.lang AS lang,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+             |  MIN(doc_id) AS min_doc,
+             |  CAST(COUNT(DISTINCT meta.source) AS BIGINT) AS n_sources
+             |FROM read_json('$StageRoot/docs_jsonl/*.json',
+             |  format='newline_delimited')
+             |GROUP BY meta.lang
+             |ORDER BY lang""".stripMargin))
   )
 }
