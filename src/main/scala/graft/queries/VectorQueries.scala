@@ -599,6 +599,49 @@ object VectorQueries {
              |)
              |SELECT q_id, vec_id, label, cos_sim, rnk
              |FROM scored WHERE rnk <= 10
-             |ORDER BY q_id, rnk""".stripMargin))
+             |ORDER BY q_id, rnk""".stripMargin)),
+
+    // Embedding covariance matrix (llm/EmbeddingPca.covariance) —
+    // the d×d feature-statistics summary a pipeline computes before
+    // whitening / PCA / outlier pruning. O(n·d²) work but O(d²)
+    // STATE: one explode + self-join on the row key, partial sums
+    // map-side into d(d+1)/2 = 2080 cells; at 100 TB the shuffle
+    // carries cells × partitions partials, never rows. All sums are
+    // exact decimal; the closing (Σxy − ΣxΣy/n)/n tree is identical
+    // in both engines. The driver-side power-iteration eigenvector
+    // and the dot_double projection on top of this summary are
+    // unit-tested (EmbeddingPcaSpec) — O(d²) model metadata, the
+    // same collect class as the IVF centroids.
+    QueryDef(
+      "q183_embedding_covariance",
+      (s, d) => graft.llm.EmbeddingPca
+        .covariance(embeddings(s, d), "vec_id", "embedding")
+        .orderBy("i", "j"),
+      Some("""WITH e AS (
+              |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              |    CAST(unnest(embedding) AS DOUBLE) AS x
+              |  FROM embeddings
+              |), prods AS (
+              |  SELECT a.i AS i, b.i AS j,
+              |    CAST(SUM(CAST(round(a.x * b.x * 1000000.0) AS BIGINT))
+              |      AS BIGINT) AS sxy6
+              |  FROM e a JOIN e b
+              |    ON a.vec_id = b.vec_id AND a.i <= b.i
+              |  GROUP BY a.i, b.i
+              |), moms AS (
+              |  SELECT i,
+              |    CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT))
+              |      AS BIGINT) AS sx6,
+              |    COUNT(*) AS n
+              |  FROM e GROUP BY i
+              |)
+              |SELECT p.i, p.j,
+              |  (p.sxy6 / 1000000.0 -
+              |    (mi.sx6 / 1000000.0) * (mj.sx6 / 1000000.0) / mi.n)
+              |    / mi.n AS cov
+              |FROM prods p
+              |JOIN moms mi ON mi.i = p.i
+              |JOIN moms mj ON mj.i = p.j
+              |ORDER BY p.i, p.j""".stripMargin))
   )
 }
