@@ -648,6 +648,102 @@ object AnalyticsQueries {
               |  2.0 * CAST(s1 AS DOUBLE) /
               |    (n_cust * CAST(s0 AS DOUBLE)) -
               |    (n_cust + 1.0) / n_cust AS gini
-              |FROM g ORDER BY c_mktsegment""".stripMargin))
+              |FROM g ORDER BY c_mktsegment""".stripMargin)),
+
+    // CUSUM change-point scan over the daily revenue series — the
+    // classic drift detector (where did the level shift?): cumulative
+    // deviation from the reference mean, peak |CUSUM| day flagged.
+    // The whole statistic runs in INTEGER CENTS: daily revenue is an
+    // exact decimal sum snapped to cents, the reference mean is the
+    // floored cents mean, and the running sum + peak comparison are
+    // pure long arithmetic — no engine-divergent rounding anywhere
+    // (decimal scale-down rounds negatives differently in the two
+    // engines, so the double formulation is a trap). The series is
+    // O(days) AFTER one linear hash-agg, so the ordered window runs
+    // on the sketch, never the fact table.
+    QueryDef(
+      "q184_cusum_changepoint",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(dsum(col("o_totalprice")).as("rev"))
+          .withColumn("rev_c", round(col("rev") * 100).cast("long"))
+        val mean = daily.agg(
+          expr("SUM(rev_c) DIV COUNT(1)").as("mu_c"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy()
+        daily.crossJoin(broadcast(mean))
+          .withColumn("cusum_c",
+            sum(col("rev_c") - col("mu_c")).over(wCum))
+          .withColumn("is_peak",
+            (abs(col("cusum_c")) === max(abs(col("cusum_c"))).over(wAll))
+              .cast("int"))
+          .select(col("day"), col("rev"),
+            (col("cusum_c") / 100.0).as("cusum"), col("is_peak"))
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(o_orderdate AS DATE) AS day,
+              |    ${sqlDsum("o_totalprice")} AS rev
+              |  FROM orders GROUP BY 1
+              |), dc AS (
+              |  SELECT day, rev,
+              |    CAST(round(rev * 100) AS BIGINT) AS rev_c
+              |  FROM daily
+              |), m AS (SELECT SUM(rev_c) // COUNT(*) AS mu_c FROM dc),
+              |c AS (
+              |  SELECT day, rev,
+              |    CAST(SUM(rev_c - mu_c)
+              |      OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              |        AND CURRENT ROW) AS BIGINT) AS cusum_c
+              |  FROM dc CROSS JOIN m
+              |)
+              |SELECT day, rev, cusum_c / 100.0 AS cusum,
+              |  CAST(abs(cusum_c) = MAX(abs(cusum_c)) OVER ()
+              |    AS INTEGER) AS is_peak
+              |FROM c ORDER BY day""".stripMargin)),
+
+    // Day-of-week seasonality profile — the seasonal-index pass of a
+    // classic decomposition: mean daily revenue per weekday over the
+    // overall mean. The weekday comes from integral date arithmetic
+    // (days since a known Monday, mod 7) — both engines' dayofweek()
+    // disagree on numbering, date subtraction does not. All means are
+    // exact-decimal davg; the index is one double division on
+    // identical operands.
+    QueryDef(
+      "q185_dow_seasonality",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(dsum(col("o_totalprice")).as("rev"))
+        val overall = daily.agg(davg(col("rev")).as("mu"))
+        daily
+          // 1990-01-01 is a Monday and precedes every order date, so
+          // the diff is non-negative and % agrees across engines
+          .withColumn("dow",
+            datediff(col("day"), lit("1990-01-01")) % 7)
+          .groupBy("dow")
+          .agg(count(lit(1)).as("n_days"), davg(col("rev")).as("mean_rev"))
+          .crossJoin(broadcast(overall))
+          .select(col("dow"), col("n_days"), col("mean_rev"),
+            (col("mean_rev") / col("mu")).as("seasonal_idx"))
+          .orderBy("dow")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(o_orderdate AS DATE) AS day,
+              |    ${sqlDsum("o_totalprice")} AS rev
+              |  FROM orders GROUP BY 1
+              |), m AS (SELECT ${sqlDavg("rev")} AS mu FROM daily)
+              |SELECT CAST((day - DATE '1990-01-01') % 7 AS INTEGER)
+              |    AS dow,
+              |  COUNT(*) AS n_days,
+              |  ${sqlDavg("rev")} AS mean_rev,
+              |  ${sqlDavg("rev")} / MAX(mu) AS seasonal_idx
+              |FROM daily CROSS JOIN m
+              |GROUP BY 1 ORDER BY dow""".stripMargin))
   )
 }
