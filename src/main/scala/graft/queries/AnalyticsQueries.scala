@@ -744,6 +744,61 @@ object AnalyticsQueries {
               |  ${sqlDavg("rev")} AS mean_rev,
               |  ${sqlDavg("rev")} / MAX(mu) AS seasonal_idx
               |FROM daily CROSS JOIN m
-              |GROUP BY 1 ORDER BY dow""".stripMargin))
+              |GROUP BY 1 ORDER BY dow""".stripMargin)),
+
+    // Shuffle-skew audit — the diagnostic a 100 TB pipeline runs on a
+    // join/agg key BEFORE deciding between a plain shuffle, AQE skew
+    // splitting, and explicit salting (operators/SkewJoin): per-key
+    // group sizes, their exact p50/p99 (from the integer size
+    // histogram — the q176 sketch, O(distinct sizes) state), the max,
+    // and the hot key's share of all rows. Everything but the final
+    // share ratio is integer arithmetic. Two linear hash-aggs; the
+    // cumulative runs over the size histogram, never the keys.
+    QueryDef(
+      "q186_skew_audit",
+      (s, d) => {
+        val sizes = events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        val hist = sizes.groupBy("n").agg(count(lit(1)).as("k"))
+        val wc = org.apache.spark.sql.expressions.Window.orderBy("n")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        val cum = hist
+          .withColumn("cum", sum("k").over(wc))
+          .withColumn("nk", max(col("cum")).over(wAll))
+        val keyStats = cum.agg(
+          max("cum").as("n_keys"),
+          min(when(col("cum") * 2 >= col("nk"), col("n")))
+            .as("p50_size"),
+          min(when(col("cum") * 100 >= col("nk") * 99, col("n")))
+            .as("p99_size"))
+        keyStats.crossJoin(broadcast(sizes.agg(
+          sum("n").as("total_rows"), max("n").as("max_size"))))
+          .select(col("n_keys"), col("total_rows"), col("max_size"),
+            col("p50_size"), col("p99_size"),
+            (col("max_size").cast("double") / col("total_rows"))
+              .as("top1_share"))
+      },
+      Some("""WITH sizes AS (
+             |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+             |), hist AS (
+             |  SELECT n, COUNT(*) AS k FROM sizes GROUP BY n
+             |), c AS (
+             |  SELECT n, CAST(SUM(k) OVER (ORDER BY n) AS BIGINT) AS cum
+             |  FROM hist
+             |), ks AS (
+             |  SELECT MAX(cum) AS n_keys,
+             |    MIN(CASE WHEN cum * 2 >= (SELECT MAX(cum) FROM c)
+             |      THEN n END) AS p50_size,
+             |    MIN(CASE WHEN cum * 100 >= 99 * (SELECT MAX(cum) FROM c)
+             |      THEN n END) AS p99_size
+             |  FROM c
+             |), tot AS (
+             |  SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+             |    MAX(n) AS max_size
+             |  FROM sizes
+             |)
+             |SELECT n_keys, total_rows, max_size, p50_size, p99_size,
+             |  CAST(max_size AS DOUBLE) / total_rows AS top1_share
+             |FROM ks CROSS JOIN tot""".stripMargin))
   )
 }

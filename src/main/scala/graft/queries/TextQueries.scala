@@ -911,6 +911,76 @@ object TextQueries {
               |JOIN m ma ON ma.doc_id = a_id
               |JOIN m mb ON mb.doc_id = b_id
               |WHERE n_common * 5 >= 4 * (ma.m + mb.m - n_common)
-              |ORDER BY a_id, b_id""".stripMargin))
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // MinHash quality evaluation — the calibration pass a dedup
+    // pipeline runs before trusting a signature length: for every
+    // ground-truth near-dup pair (q31's Jaccard ≥ 0.5 metric), the
+    // 8-component signature agreement (the MinHash estimator of
+    // Jaccard, E[matches/k] = J) next to the exact value and the
+    // absolute error. Signatures are the q32 sliced scheme, so this
+    // measures the EXACT estimator the production path uses. Costs
+    // one signature agg over capped grams + a join onto the
+    // (tiny) truth pairs.
+    QueryDef(
+      "q187_minhash_estimate",
+      (s, d) => {
+        val aggs = minhashSlicedAggs(col("gram"), 8)
+        val sigs = sparkGramsCapped(s, d)
+          .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        val est = (0 until 8).map(i =>
+            when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / 8.0
+        jaccardPairs(s, d)
+          .join(sigs.as("sa"), col("sa.doc_id") === col("a_id"))
+          .join(sigs.as("sb"), col("sb.doc_id") === col("b_id"))
+          .select(col("a_id"), col("b_id"), col("jaccard"),
+            est.as("mh_estimate"),
+            abs(est - col("jaccard")).as("abs_err"))
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val sumCases = (0 until 8)
+          .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$cappedGramsCte,
+           |cnt AS (SELECT doc_id, COUNT(*) AS n
+           |  FROM grams_rare GROUP BY doc_id),
+           |pairs0 AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    COUNT(*) AS n_common
+           |  FROM grams_rare a JOIN grams_rare b
+           |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id
+           |), jp AS (
+           |  SELECT a_id, b_id,
+           |    CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common)
+           |      AS jaccard
+           |  FROM pairs0
+           |  JOIN cnt ca ON ca.doc_id = a_id
+           |  JOIN cnt cb ON cb.doc_id = b_id
+           |  WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common)
+           |    >= 0.5
+           |), sigs AS (
+           |  SELECT doc_id,
+           |    min(substring(md5(gram), 1, 8)) AS h0,
+           |    min(substring(md5(gram), 9, 8)) AS h1,
+           |    min(substring(md5(gram), 17, 8)) AS h2,
+           |    min(substring(md5(gram), 25, 8)) AS h3,
+           |    min(substring(md5('1:' || gram), 1, 8)) AS h4,
+           |    min(substring(md5('1:' || gram), 9, 8)) AS h5,
+           |    min(substring(md5('1:' || gram), 17, 8)) AS h6,
+           |    min(substring(md5('1:' || gram), 25, 8)) AS h7
+           |  FROM grams_rare GROUP BY doc_id
+           |)
+           |SELECT jp.a_id, jp.b_id, jp.jaccard,
+           |  CAST(($sumCases) AS DOUBLE) / 8.0 AS mh_estimate,
+           |  abs(CAST(($sumCases) AS DOUBLE) / 8.0 - jp.jaccard)
+           |    AS abs_err
+           |FROM jp
+           |JOIN sigs sa ON sa.doc_id = jp.a_id
+           |JOIN sigs sb ON sb.doc_id = jp.b_id
+           |ORDER BY jp.a_id, jp.b_id""".stripMargin
+      })
   )
 }
