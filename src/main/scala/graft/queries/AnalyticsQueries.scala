@@ -799,6 +799,56 @@ object AnalyticsQueries {
              |)
              |SELECT n_keys, total_rows, max_size, p50_size, p99_size,
              |  CAST(max_size AS DOUBLE) / total_rows AS top1_share
-             |FROM ks CROSS JOIN tot""".stripMargin))
+             |FROM ks CROSS JOIN tot""".stripMargin)),
+
+    // WEIGHTED quantiles from the same mergeable bin sketch as q176:
+    // "the price below which half the REVENUE sits" (weighted median
+    // and the revenue-weighted p90) per return flag — the
+    // concentration statistic behind pricing and token-budget
+    // analyses (where does the mass live, not the rows). Bin weights
+    // are exact integer cents (decimal sum snapped once), the
+    // cumulative runs over O(bins), and every threshold compare is
+    // integral — no doubles until the reported bound.
+    QueryDef(
+      "q188_weighted_quantiles",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+        val binned = lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            floor(col("l_extendedprice") / 5000.0).as("bin"))
+          .agg(round(dsum(col("l_extendedprice")) * 100).cast("long")
+            .as("w_c"))
+        val cum = binned.select(col("l_returnflag"), col("bin"),
+          sum("w_c").over(w.orderBy("bin")).as("cum"),
+          sum("w_c").over(w).as("tot"))
+        def wLo(pct: Int) =
+          min(when(col("cum") * 100 >= col("tot") * pct, col("bin"))) * 5000
+        cum.groupBy("l_returnflag")
+          .agg((max("tot") / 100.0).as("total_rev"),
+            wLo(50).as("wp50_lo"), wLo(90).as("wp90_lo"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT l_returnflag,
+              |    CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+              |    CAST(round((${sqlDsum("l_extendedprice")}) * 100)
+              |      AS BIGINT) AS w_c
+              |  FROM lineitem GROUP BY l_returnflag, bin
+              |), c AS (
+              |  SELECT l_returnflag, bin,
+              |    CAST(SUM(w_c) OVER (PARTITION BY l_returnflag
+              |      ORDER BY bin) AS BIGINT) AS cum,
+              |    CAST(SUM(w_c) OVER (PARTITION BY l_returnflag)
+              |      AS BIGINT) AS tot
+              |  FROM b
+              |)
+              |SELECT l_returnflag, MAX(tot) / 100.0 AS total_rev,
+              |  MIN(CASE WHEN cum*100 >= tot*50 THEN bin END)*5000
+              |    AS wp50_lo,
+              |  MIN(CASE WHEN cum*100 >= tot*90 THEN bin END)*5000
+              |    AS wp90_lo
+              |FROM c GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin))
   )
 }
