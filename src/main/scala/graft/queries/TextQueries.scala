@@ -981,6 +981,42 @@ object TextQueries {
            |JOIN sigs sa ON sa.doc_id = jp.a_id
            |JOIN sigs sb ON sb.doc_id = jp.b_id
            |ORDER BY jp.a_id, jp.b_id""".stripMargin
-      })
+      }),
+
+    // N-gram novelty scoring — the curriculum/diversity signal: what
+    // fraction of a document's shingles appear for the FIRST time in
+    // it, attributing each gram to its lowest doc_id (corpus order).
+    // High-novelty docs carry new content; near-zero novelty marks
+    // recombinations of earlier material. One min-agg over the gram
+    // table plus one equi join back — linear, and the attribution is
+    // a total order (min doc_id), so the score is
+    // partition-invariant.
+    QueryDef(
+      "q189_ngram_novelty",
+      (s, d) => {
+        val grams = sparkGrams(s, d)
+        val firstSeen = grams.groupBy("gram")
+          .agg(min("doc_id").as("first_doc"))
+        grams.join(firstSeen, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("m"), col("n_novel"),
+            (col("n_novel").cast("double") / col("m")).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$gramsCte, fs AS (
+              |  SELECT gram, MIN(doc_id) AS first_doc
+              |  FROM grams GROUP BY gram
+              |)
+              |SELECT g.doc_id, COUNT(*) AS m,
+              |  CAST(SUM(CASE WHEN fs.first_doc = g.doc_id
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  CAST(SUM(CASE WHEN fs.first_doc = g.doc_id
+              |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+              |FROM grams g JOIN fs USING (gram)
+              |GROUP BY g.doc_id
+              |ORDER BY g.doc_id""".stripMargin))
   )
 }
