@@ -1017,6 +1017,50 @@ object TextQueries {
               |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
               |FROM grams g JOIN fs USING (gram)
               |GROUP BY g.doc_id
-              |ORDER BY g.doc_id""".stripMargin))
+              |ORDER BY g.doc_id""".stripMargin)),
+
+    // Cross-source duplicate attribution — the provenance question
+    // behind dedup policy (which sources mirror which, how much dup
+    // mass is WITHIN a source vs across): same-OPENING pairs (the
+    // first-10-words fingerprint — the mirrored-article /
+    // shared-boilerplate pattern that exact whole-text hashing
+    // misses) bucketed by their unordered source pair. The pair join
+    // runs inside fingerprint groups — opening-collision clusters
+    // are small, so the self-join is bounded by the largest cluster,
+    // never the corpus.
+    QueryDef(
+      "q190_cross_source_dups",
+      (s, d) => {
+        val fps = documents(s, d).select(col("doc_id"), col("source"),
+          md5(array_join(slice(words(col("text")), 1, 10), " "))
+            .as("fp"))
+        fps.as("a")
+          .join(fps.as("b"),
+            col("a.fp") === col("b.fp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(
+            least(col("a.source"), col("b.source")).as("src_lo"),
+            greatest(col("a.source"), col("b.source")).as("src_hi"))
+          .agg(count(lit(1)).as("n_dup_pairs"))
+          .withColumn("within_source",
+            (col("src_lo") === col("src_hi")).cast("int"))
+          .orderBy("src_lo", "src_hi")
+      },
+      Some("""WITH fps AS (
+             |  SELECT doc_id, source,
+             |    md5(array_to_string(string_split(text, ' ')[1:10], ' '))
+             |      AS fp
+             |  FROM documents
+             |)
+             |SELECT least(a.source, b.source) AS src_lo,
+             |  greatest(a.source, b.source) AS src_hi,
+             |  COUNT(*) AS n_dup_pairs,
+             |  CAST(least(a.source, b.source) =
+             |    greatest(a.source, b.source) AS INTEGER)
+             |    AS within_source
+             |FROM fps a JOIN fps b
+             |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2
+             |ORDER BY src_lo, src_hi""".stripMargin))
   )
 }
