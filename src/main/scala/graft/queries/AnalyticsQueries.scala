@@ -849,6 +849,92 @@ object AnalyticsQueries {
               |  MIN(CASE WHEN cum*100 >= tot*90 THEN bin END)*5000
               |    AS wp90_lo
               |FROM c GROUP BY l_returnflag
-              |ORDER BY l_returnflag""".stripMargin))
+              |ORDER BY l_returnflag""".stripMargin)),
+
+    // HITS authority scoring over the customer→supplier bipartite
+    // graph — iterative graph analytics beyond q55's connected
+    // components: hub(c) and auth(s) mutually reinforce over the
+    // edge set for a FIXED 3 iterations with L1 normalization each
+    // round. Every per-node sum rides as scale-6 scaled longs (the
+    // q183 trick — scores live in [0,1]) and the
+    // normalizing division sees identical operands, so the scores
+    // hash-match; the Spark loop and the DuckDB CTE chain are
+    // GENERATED from the same iteration count, so the two engines
+    // cannot drift structurally. Per iteration: two keyed
+    // shuffles of the edge list (degree-bounded, no all-pairs),
+    // O(nodes) state — the standard scalable power-iteration shape.
+    QueryDef(
+      "q191_hits_authority",
+      (s, d) => {
+        // checkpoint the edge list once and each O(nodes) iterate:
+        // without truncation every iteration's plan re-derives the
+        // orders⋈lineitem join (tree doubles per round — the
+        // DedupClusters lineage lesson)
+        val edges = orders(s, d)
+          .join(lineitem(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+          .localCheckpoint()
+        var hub = edges.select("c").distinct()
+          .withColumn("hub", lit(1.0))
+        var auth: org.apache.spark.sql.DataFrame = null
+        // scores are in [0, 1], so per-node sums ride as scale-6
+        // scaled longs (round(x·10⁶) — the q183 trick): codegen long
+        // adds instead of decimal churn, and the L1 normalization is
+        // one long→double division with identical operands
+        def sum6(c: org.apache.spark.sql.Column) =
+          sum(round(c * 1000000.0).cast("long"))
+        for (_ <- 1 to 3) {
+          val araw = edges.join(hub, "c")
+            .groupBy("sp").agg(sum6(col("hub")).as("a6"))
+          val atot = araw.agg(sum(col("a6")).as("t6"))
+          auth = araw.crossJoin(broadcast(atot))
+            .select(col("sp"),
+              (col("a6").cast("double") / col("t6")).as("auth"))
+            .localCheckpoint()
+          val hraw = edges.join(auth, "sp")
+            .groupBy("c").agg(sum6(col("auth")).as("h6"))
+          val htot = hraw.agg(sum(col("h6")).as("t6"))
+          hub = hraw.crossJoin(broadcast(htot))
+            .select(col("c"),
+              (col("h6").cast("double") / col("t6")).as("hub"))
+            .localCheckpoint()
+        }
+        auth.select(col("sp").as("suppkey"), col("auth"))
+          .orderBy(col("auth").desc, col("suppkey")).limit(10)
+      },
+      Some {
+        val sb = new StringBuilder(
+          s"""WITH edges AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |), hub0 AS (
+             |  SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS hub FROM edges
+             |)""".stripMargin)
+        val s6 = (e: String) =>
+          s"SUM(CAST(round(($e) * 1000000.0) AS BIGINT))"
+        for (i <- 1 to 3) {
+          sb.append(s""", araw$i AS (
+             |  SELECT sp, ${s6("hub")} AS a6
+             |  FROM edges JOIN hub${i - 1} USING (c) GROUP BY sp
+             |), atot$i AS (SELECT SUM(a6) AS t6 FROM araw$i),
+             |auth$i AS (
+             |  SELECT sp, CAST(a6 AS DOUBLE) / t6 AS auth
+             |  FROM araw$i CROSS JOIN atot$i
+             |), hraw$i AS (
+             |  SELECT c, ${s6("auth")} AS h6
+             |  FROM edges JOIN auth$i USING (sp) GROUP BY c
+             |), htot$i AS (SELECT SUM(h6) AS t6 FROM hraw$i),
+             |hub$i AS (
+             |  SELECT c, CAST(h6 AS DOUBLE) / t6 AS hub
+             |  FROM hraw$i CROSS JOIN htot$i
+             |)""".stripMargin)
+        }
+        sb.append("""
+             |SELECT sp AS suppkey, auth FROM auth3
+             |ORDER BY auth DESC, suppkey LIMIT 10""".stripMargin)
+        sb.toString
+      })
   )
 }
