@@ -37,4 +37,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // under G1 and ZGC — host-level scheduling, not GC; treat single-
   // query outliers in bench output accordingly.)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // ~185 queries × 3 passes of whole-stage codegen overflow the
+  // 240 MB default JIT code cache; once full, C2 stops compiling and
+  // the bench tail runs interpreted — measured as a systematic 2-3×
+  // in-suite inflation vs isolated timing of the SAME query (r7:
+  // q136 2.88 s in-suite vs 0.83 s isolated). Codegen'd methods also
+  // churn (one class per plan), so keep flushing on but give the
+  // cache real headroom.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -84,7 +84,15 @@ object Bench {
         } catch { case scala.util.control.NonFatal(_) => false }
       (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // A full-GC settle between passes keeps round-2 from paying
+    // round-1's accumulated garbage (the per-query min only helps
+    // when at least one round is clean); the code-cache headroom that
+    // keeps the tail JIT-compiled is set in build.sbt
+    // (-XX:ReservedCodeCacheSize).
+    def settle(): Unit = { System.gc(); Thread.sleep(2000) }
+    settle()
     val r1 = timedPass()
+    settle()
     val r2 = timedPass()
     val results = r1.zip(r2).map { case ((k, v1, ok1), (_, v2, ok2)) =>
       (k, math.min(v1, v2), ok1 && ok2)

@@ -54,13 +54,18 @@ object PrefixFilterJoin {
       tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
+    // enforce the distinct-(id, elem) contract rather than trusting
+    // it: duplicate input rows would silently inflate __df and __m
+    // while array_intersect dedups, yielding WRONG Jaccard values —
+    // one extra keyed shuffle, cheap next to the candidate join
+    val dElems = elems.dropDuplicates(idCol, elemCol)
     val wElem = Window.partitionBy(elemCol)
     // one (df, elem)-sorted array per record, built ONCE: prefixes
     // explode out of a slice of it (no per-record window/sort pass)
     // and verification reads the same arrays back (exchange reuse) —
     // the array is the record's distinct element set, so per-group
     // state is bounded by record size
-    val sets = elems
+    val sets = dElems
       .withColumn("__df", count(lit(1)).over(wElem))
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("__df"), col(elemCol))))

@@ -26,9 +26,13 @@ object Sessionize {
   /** Appends `session_seq` (0-based per key): a new session starts at
     * an event that is more than `gapMicros` after the previous one,
     * or that would stretch the current session past `maxLenMicros`
-    * from its first event. `tsCol` must be a LONG (epoch micros);
-    * ties on (key, ts) are broken by `tieCol` to keep the order
-    * total.
+    * from its first event. `tsCol` must be a non-null LONG (epoch
+    * micros) — a null timestamp cannot be ordered, so it is rejected
+    * at the boundary, not NPE'd mid-scan. `keyCol` must be an atomic
+    * non-binary type: the scan compares keys with value equality,
+    * which is REFERENCE equality for array/binary — silently wrong,
+    * so those types are rejected up front. Ties on (key, ts) are
+    * broken by `tieCol` to keep the order total.
     */
   def assign(
       events: DataFrame,
@@ -39,6 +43,20 @@ object Sessionize {
       maxLenMicros: Long): DataFrame = {
     require(gapMicros > 0 && maxLenMicros > 0,
       s"gap/maxLen must be positive: $gapMicros/$maxLenMicros")
+    require(events.schema(tsCol).dataType == LongType,
+      s"tsCol '$tsCol' must be LONG epoch micros, " +
+        s"got ${events.schema(tsCol).dataType.sql}")
+    events.schema(keyCol).dataType match {
+      case _: org.apache.spark.sql.types.BinaryType |
+          _: org.apache.spark.sql.types.ArrayType |
+          _: org.apache.spark.sql.types.MapType |
+          _: org.apache.spark.sql.types.StructType =>
+        throw new IllegalArgumentException(
+          s"keyCol '$keyCol' must be an atomic non-binary type " +
+            "(array/binary/map/struct keys compare by reference in " +
+            "the session scan)")
+      case _ => ()
+    }
     val sorted = events
       .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(tsCol), col(tieCol))
@@ -56,6 +74,9 @@ object Sessionize {
       var lastTs = 0L
       rows.map { r =>
         val k = r.get(keyIdx)
+        if (r.isNullAt(tsIdx)) throw new IllegalArgumentException(
+          s"Sessionize: null timestamp (key = $k) — filter null " +
+            "timestamps before sessionizing")
         val ts = r.getLong(tsIdx)
         val newKey = !haveKey || k != curKey
         if (newKey || ts - lastTs > gapMicros ||

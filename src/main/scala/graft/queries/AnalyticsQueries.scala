@@ -169,7 +169,8 @@ object AnalyticsQueries {
              |    LATERAL unnest(string_split(text, ' ')) AS u(w)
              |  GROUP BY doc_id, w
              |), agg AS (
-             |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |    COUNT(*) AS n_types,
              |    SUM(c * c) AS sum_c2
              |  FROM tf GROUP BY doc_id
              |)
@@ -218,8 +219,8 @@ object AnalyticsQueries {
              |  FROM ad GROUP BY event_type, med
              |)
              |SELECT e.event_type, med, mad, COUNT(*) AS n,
-             |  SUM(CASE WHEN abs(value - med) > 3 * mad
-             |      THEN 1 ELSE 0 END) AS n_outliers
+             |  CAST(SUM(CASE WHEN abs(value - med) > 3 * mad
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM events e JOIN mad USING (event_type)
              |GROUP BY e.event_type, med, mad
              |ORDER BY event_type""".stripMargin)),
@@ -854,15 +855,21 @@ object AnalyticsQueries {
     // HITS authority scoring over the customer→supplier bipartite
     // graph — iterative graph analytics beyond q55's connected
     // components: hub(c) and auth(s) mutually reinforce over the
-    // edge set for a FIXED 3 iterations with L1 normalization each
-    // round. Every per-node sum rides as scale-6 scaled longs (the
-    // q183 trick — scores live in [0,1]) and the
-    // normalizing division sees identical operands, so the scores
-    // hash-match; the Spark loop and the DuckDB CTE chain are
-    // GENERATED from the same iteration count, so the two engines
-    // cannot drift structurally. Per iteration: two keyed
-    // shuffles of the edge list (degree-bounded, no all-pairs),
-    // O(nodes) state — the standard scalable power-iteration shape.
+    // edge set for a FIXED 3 iterations with MAX (L∞) normalization
+    // each round. Every per-node sum rides as scale-9 scaled longs
+    // (the q183 trick — scores live in [0,1]) and the normalizing
+    // division sees identical operands, so the scores hash-match;
+    // the Spark loop and the DuckDB CTE chain are GENERATED from the
+    // same iteration count, so the two engines cannot drift
+    // structurally. MAX-normalization (not L1) is the 100 TB choice
+    // twice over: per-node scores stay O(deg/max_deg) instead of
+    // shrinking as 1/nodes (an L1-normalized corpus-scale graph
+    // would quantize every score to 0 at any fixed scale), and the
+    // normalizer is a MAX of longs — nothing scaled is ever summed
+    // across the whole graph, so no overflow at any edge count.
+    // Per iteration: two keyed shuffles of the edge list
+    // (degree-bounded, no all-pairs), O(nodes) state — the standard
+    // scalable power-iteration shape.
     QueryDef(
       "q191_hits_authority",
       (s, d) => {
@@ -879,23 +886,23 @@ object AnalyticsQueries {
         var hub = edges.select("c").distinct()
           .withColumn("hub", lit(1.0))
         var auth: org.apache.spark.sql.DataFrame = null
-        // scores are in [0, 1], so per-node sums ride as scale-6
-        // scaled longs (round(x·10⁶) — the q183 trick): codegen long
-        // adds instead of decimal churn, and the L1 normalization is
+        // scores are in [0, 1], so per-node sums ride as scale-9
+        // scaled longs (round(x·10⁹) — the q183 trick): codegen long
+        // adds instead of decimal churn, and the MAX normalization is
         // one long→double division with identical operands
-        def sum6(c: org.apache.spark.sql.Column) =
-          sum(round(c * 1000000.0).cast("long"))
+        def sum9(c: org.apache.spark.sql.Column) =
+          sum(round(c * 1000000000.0).cast("long"))
         for (_ <- 1 to 3) {
           val araw = edges.join(hub, "c")
-            .groupBy("sp").agg(sum6(col("hub")).as("a6"))
-          val atot = araw.agg(sum(col("a6")).as("t6"))
+            .groupBy("sp").agg(sum9(col("hub")).as("a6"))
+          val atot = araw.agg(max(col("a6")).as("t6"))
           auth = araw.crossJoin(broadcast(atot))
             .select(col("sp"),
               (col("a6").cast("double") / col("t6")).as("auth"))
             .localCheckpoint()
           val hraw = edges.join(auth, "sp")
-            .groupBy("c").agg(sum6(col("auth")).as("h6"))
-          val htot = hraw.agg(sum(col("h6")).as("t6"))
+            .groupBy("c").agg(sum9(col("auth")).as("h6"))
+          val htot = hraw.agg(max(col("h6")).as("t6"))
           hub = hraw.crossJoin(broadcast(htot))
             .select(col("c"),
               (col("h6").cast("double") / col("t6")).as("hub"))
@@ -912,20 +919,20 @@ object AnalyticsQueries {
              |), hub0 AS (
              |  SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS hub FROM edges
              |)""".stripMargin)
-        val s6 = (e: String) =>
-          s"SUM(CAST(round(($e) * 1000000.0) AS BIGINT))"
+        val s9 = (e: String) =>
+          s"SUM(CAST(round(($e) * 1000000000.0) AS BIGINT))"
         for (i <- 1 to 3) {
           sb.append(s""", araw$i AS (
-             |  SELECT sp, ${s6("hub")} AS a6
+             |  SELECT sp, ${s9("hub")} AS a6
              |  FROM edges JOIN hub${i - 1} USING (c) GROUP BY sp
-             |), atot$i AS (SELECT SUM(a6) AS t6 FROM araw$i),
+             |), atot$i AS (SELECT MAX(a6) AS t6 FROM araw$i),
              |auth$i AS (
              |  SELECT sp, CAST(a6 AS DOUBLE) / t6 AS auth
              |  FROM araw$i CROSS JOIN atot$i
              |), hraw$i AS (
-             |  SELECT c, ${s6("auth")} AS h6
+             |  SELECT c, ${s9("auth")} AS h6
              |  FROM edges JOIN auth$i USING (sp) GROUP BY c
-             |), htot$i AS (SELECT SUM(h6) AS t6 FROM hraw$i),
+             |), htot$i AS (SELECT MAX(h6) AS t6 FROM hraw$i),
              |hub$i AS (
              |  SELECT c, CAST(h6 AS DOUBLE) / t6 AS hub
              |  FROM hraw$i CROSS JOIN htot$i

@@ -37,16 +37,6 @@ object Exact {
   /** Order-independent sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast(Dec2).cast(DoubleType)
 
-  /** [[dsum]] rounded at scale 6 instead of 2 — for sums of
-    * small-magnitude values (covariance cells, normalized scores)
-    * where centi-precision rounding would dominate the result. The
-    * scaled integer stays below 2^53 for sums up to ~9×10⁹, so the
-    * decimal→double conversion is still one correctly-rounded step in
-    * both engines.
-    */
-  def dsum6(c: Column): Column =
-    sum(c.cast(Dec)).cast(DecimalType(38, 6)).cast(DoubleType)
-
   /** Order-independent average (exact sum / count), as double. The sum
     * is rounded at scale 6 (inputs are small-magnitude) before the
     * exact-division-free double arithmetic.
@@ -65,8 +55,4 @@ object Exact {
   /** DuckDB spelling of [[davg]]. */
   def sqlDavg(e: String): String =
     s"CAST(CAST(round(SUM(CAST(($e) AS DECIMAL(38,12))), 6) AS DOUBLE) / COUNT($e) AS DOUBLE)"
-
-  /** DuckDB spelling of [[dsum6]]. */
-  def sqlDsum6(e: String): String =
-    s"CAST(round(SUM(CAST(($e) AS DECIMAL(38,12))), 6) AS DOUBLE)"
 }
