@@ -11,47 +11,63 @@ import graft.queries.Exact
   * onto it (the embedding-analytics pass a training pipeline runs
   * before whitening, outlier pruning, or dimensionality reduction).
   *
-  * Scale split: covariance is O(n·d²) work but only O(d²) STATE — one
-  * explode + self-join on the row key with map-side partial sums into
-  * d(d+1)/2 cells; that 2080-cell summary (d = 64) is model metadata,
-  * so iterating the eigenvector on the driver is the same O(model)
-  * collect the IVF centroids and SRP planes already use — the corpus
-  * never leaves the cluster. The projection is one map-side
-  * `dot_double` (codegen) against the literal component.
+  * Scale split: covariance is O(n·d²) work but only O(d²) STATE — the
+  * upper-triangle product stream is generated MAP-SIDE (a nested
+  * `transform` over the vector, no self-join, no shuffle before the
+  * partial aggregate) and partially summed into d(d+1)/2 cells; that
+  * 2080-cell summary (d = 64) is model metadata, so iterating the
+  * eigenvector on the driver is the same O(model) collect the IVF
+  * centroids and SRP planes already use — the corpus never leaves the
+  * cluster. The projection is one map-side `dot_double` (codegen)
+  * against the literal component.
   *
-  * Determinism: every sum is [[Exact.dsum6]] (order-free decimal);
-  * power iteration is a fixed start vector and iteration count, so
-  * the component — and every projection — is bit-reproducible.
+  * Determinism: the product/moment streams are summed as scale-6
+  * scaled longs (`round(p·10⁶)` → BIGINT — order-free long adds, the
+  * identical correctly-rounded step in both engines); power iteration
+  * is a fixed start vector and iteration count, so the component —
+  * and every projection — is bit-reproducible.
   */
 object EmbeddingPca {
 
   /** Upper-triangle covariance cells (i ≤ j, 1-based): one row per
     * cell with cov = (Σxᵢxⱼ − Σxᵢ·Σxⱼ/n)/n.
     *
-    * The O(n·d²) product stream is summed as SCALE-6 SCALED LONGS,
-    * not decimals: round(p·10⁶) is the identical correctly-rounded
-    * step in both engines, long addition is order-free and overflows
-    * nothing realistic (|p| ≤ 10⁸ scaled, 2⁶³/10⁸ ≈ 9×10¹⁰ rows per
-    * cell), and the hot aggregation stays a codegen'd long add
-    * instead of per-row BigDecimal churn (measured 4× on the 10M-row
-    * sf0.1 stream). Each term carries ≤ 5×10⁻⁷ deterministic
-    * rounding — identical on both sides, so the hash gate still
-    * holds bit-exactly.
+    * The O(n·d²) product stream is generated WITHOUT a join:
+    * [[graft.functions.UpperTriProd6Expr]] emits each row's d(d+1)/2
+    * upper-triangle (i, j, floor(xᵢ·xⱼ·10⁶ + 0.5)) structs map-side
+    * in one compiled loop (a nested-`transform` spelling of the same
+    * stream ran INTERPRETED — CodegenFallback lambdas — and cost
+    * more than the self-join shuffle it replaced: 4.2 s vs 2.3 s at
+    * sf0.1; the expression form is 1.3 s), one `explode` streams
+    * them into a partial HashAggregate, and the only exchange in the
+    * whole plan is the 2080-group final agg (the old explode +
+    * self-join on the row key shuffled the n·d exploded table
+    * first — one shuffle more than needed).
+    *
+    * Products are summed as SCALE-6 SCALED LONGS, not decimals: the
+    * quantizer `floor(p·10⁶ + 0.5)` is PURE IEEE double arithmetic —
+    * the identical step in both engines with no per-element
+    * BigDecimal (decimal `round()` allocates one per product —
+    * comparable to the whole rest of the loop) — long addition is
+    * order-free, and overflow needs 2⁶³/10⁸ ≈ 9×10¹⁰ rows per cell.
+    * Each term carries ≤ 5×10⁻⁷ deterministic rounding — identical
+    * on both sides, so the hash gate still holds bit-exactly.
     */
   def covariance(embeddings: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val e = embeddings
-      .select(col(idCol).as("__id"), posexplode(col(vecCol)))
-      .select(col("__id"), (col("pos") + 1).cast("long").as("i"),
+    graft.functions.UpperTriProd6Expr.register(embeddings.sparkSession)
+    val prods = embeddings
+      .select(explode(
+        graft.functions.UpperTriProd6Expr.upperTriProd6(col(vecCol)))
+        .as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p6")).as("sxy6"))
+    val moms = embeddings
+      .select(posexplode(col(vecCol)))
+      .select((col("pos") + 1).cast("long").as("i"),
         col("col").cast("double").as("x"))
-    val prods = e.as("a")
-      .join(e.as("b"),
-        col("a.__id") === col("b.__id") && col("a.i") <= col("b.i"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(round(col("a.x") * col("b.x") * 1000000.0)
-        .cast("long")).as("sxy6"))
-    val moms = e.groupBy("i")
-      .agg(sum(round(col("x") * 1000000.0).cast("long")).as("sx6"),
+      .groupBy("i")
+      .agg(sum(floor(col("x") * 1000000.0 + 0.5).cast("long")).as("sx6"),
         count(lit(1)).as("n"))
     prods
       .join(moms.select(col("i"), col("sx6").as("sxi6"), col("n")), "i")

@@ -555,6 +555,20 @@ object TextQueries {
     // Composes the q74 hash-split with the capped-gram join; the
     // blocking is the same bounded shared-gram join as q31, filtered
     // to cross-split pairs only.
+    //
+    // Shape, kept after a measured A/B (sf0.1, warm, local[32]):
+    // this window-df form 2.16 s; a restructure around the
+    // rare-AND-shared "hot" gram set (one stats agg + two AQE-
+    // broadcast semi joins) 2.99 s; routing those semis through
+    // BloomJoin 3.79 s. The gram explode+distinct subtree is the
+    // expensive part, and the window form evaluates it ONCE with the
+    // window exchange reused by both join inputs AND the join itself
+    // (already gram-partitioned — zero additional exchange); the
+    // restructures re-ran the generation per branch, and the Bloom
+    // build re-runs it again as its own job — Bloom pruning pays off
+    // when the probed side is a cheap scan, not when it is the
+    // expensive subtree itself. The r7 in-suite 4.3 s reading was
+    // JIT code-cache exhaustion (fixed in build.sbt), not this plan.
     QueryDef(
       "q85_contamination",
       (s, d) => {

@@ -604,14 +604,16 @@ object VectorQueries {
     // Embedding covariance matrix (llm/EmbeddingPca.covariance) —
     // the d×d feature-statistics summary a pipeline computes before
     // whitening / PCA / outlier pruning. O(n·d²) work but O(d²)
-    // STATE: one explode + self-join on the row key, partial sums
-    // map-side into d(d+1)/2 = 2080 cells; at 100 TB the shuffle
-    // carries cells × partitions partials, never rows. All sums are
-    // exact decimal; the closing (Σxy − ΣxΣy/n)/n tree is identical
-    // in both engines. The driver-side power-iteration eigenvector
-    // and the dot_double projection on top of this summary are
-    // unit-tested (EmbeddingPcaSpec) — O(d²) model metadata, the
-    // same collect class as the IVF centroids.
+    // STATE, and ZERO shuffles before the cell aggregate: a custom
+    // expression (UpperTriProd6Expr, compiled per-row loop) emits the
+    // d(d+1)/2 upper-triangle scaled products map-side into a partial
+    // HashAggregate; at 100 TB the only exchange carries cells ×
+    // partitions partials, never rows. Scaled-long sums with a pure-
+    // IEEE floor(x·10⁶+0.5) quantizer keep both engines bit-equal;
+    // the closing (Σxy − ΣxΣy/n)/n tree is identical. The driver-side
+    // power-iteration eigenvector and the dot_double projection on
+    // top of this summary are unit-tested (EmbeddingPcaSpec) — O(d²)
+    // model metadata, the same collect class as the IVF centroids.
     QueryDef(
       "q183_embedding_covariance",
       (s, d) => graft.llm.EmbeddingPca
@@ -623,14 +625,14 @@ object VectorQueries {
               |  FROM embeddings
               |), prods AS (
               |  SELECT a.i AS i, b.i AS j,
-              |    CAST(SUM(CAST(round(a.x * b.x * 1000000.0) AS BIGINT))
-              |      AS BIGINT) AS sxy6
+              |    CAST(SUM(CAST(floor(a.x * b.x * 1000000.0 + 0.5)
+              |      AS BIGINT)) AS BIGINT) AS sxy6
               |  FROM e a JOIN e b
               |    ON a.vec_id = b.vec_id AND a.i <= b.i
               |  GROUP BY a.i, b.i
               |), moms AS (
               |  SELECT i,
-              |    CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT))
+              |    CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
               |      AS BIGINT) AS sx6,
               |    COUNT(*) AS n
               |  FROM e GROUP BY i
