@@ -886,27 +886,14 @@ object AnalyticsQueries {
         var hub = edges.select("c").distinct()
           .withColumn("hub", lit(1.0))
         var auth: org.apache.spark.sql.DataFrame = null
-        // scores are in [0, 1], so per-node sums ride as scale-9
-        // scaled longs (round(x·10⁹) — the q183 trick): codegen long
-        // adds instead of decimal churn, and the MAX normalization is
-        // one long→double division with identical operands
-        def sum9(c: org.apache.spark.sql.Column) =
-          sum(round(c * 1000000000.0).cast("long"))
+        // gather + scale-9 quantize + MAX-normalize + checkpoint all
+        // live in operators.GraphPropagation (shared with q192's
+        // PageRank) — see its Scaladoc for the 100 TB contract
         for (_ <- 1 to 3) {
-          val araw = edges.join(hub, "c")
-            .groupBy("sp").agg(sum9(col("hub")).as("a6"))
-          val atot = araw.agg(max(col("a6")).as("t6"))
-          auth = araw.crossJoin(broadcast(atot))
-            .select(col("sp"),
-              (col("a6").cast("double") / col("t6")).as("auth"))
-            .localCheckpoint()
-          val hraw = edges.join(auth, "sp")
-            .groupBy("c").agg(sum9(col("auth")).as("h6"))
-          val htot = hraw.agg(max(col("h6")).as("t6"))
-          hub = hraw.crossJoin(broadcast(htot))
-            .select(col("c"),
-              (col("h6").cast("double") / col("t6")).as("hub"))
-            .localCheckpoint()
+          auth = graft.operators.GraphPropagation
+            .propagateMax(edges, "c", "sp", hub, "hub", "auth")
+          hub = graft.operators.GraphPropagation
+            .propagateMax(edges, "sp", "c", auth, "auth", "hub")
         }
         auth.select(col("sp").as("suppkey"), col("auth"))
           .orderBy(col("auth").desc, col("suppkey")).limit(10)
@@ -920,7 +907,7 @@ object AnalyticsQueries {
              |  SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS hub FROM edges
              |)""".stripMargin)
         val s9 = (e: String) =>
-          s"SUM(CAST(round(($e) * 1000000000.0) AS BIGINT))"
+          s"SUM(CAST(floor(($e) * 1000000000.0 + 0.5) AS BIGINT))"
         for (i <- 1 to 3) {
           sb.append(s""", araw$i AS (
              |  SELECT sp, ${s9("hub")} AS a6
@@ -942,6 +929,102 @@ object AnalyticsQueries {
              |SELECT sp AS suppkey, auth FROM auth3
              |ORDER BY auth DESC, suppkey LIMIT 10""".stripMargin)
         sb.toString
-      })
+      }),
+
+    // PageRank over the same customer↔supplier graph, BIDIRECTED
+    // (each edge plus its reverse — the undirected reading; no
+    // dangling mass) with NUMERIC node ids (custkey·2 / suppkey·2+1
+    // — parity-disjoint, so customer 5 and supplier 5 stay distinct
+    // nodes while every join/agg keys on a long, not a string —
+    // measured 8.0 → 3.2 s at sf0.1 together with the outdeg fold in
+    // the operator). Second instantiation of
+    // operators.GraphPropagation (q191 is the first): 3 iterations
+    // of r' = 0.15 + 0.85·Σ_in r/outdeg in the ×N convention —
+    // scores O(1) at any graph size, so the scale-9 quantization
+    // never floors them (see the operator doc). The oracle CTE chain
+    // is GENERATED from the same iteration count; teleport/damping
+    // are spelled as the same literals on both sides (never 1−d:
+    // double(1−0.85) ≠ double(0.15)).
+    QueryDef(
+      "q192_pagerank",
+      (s, d) => {
+        val e0 = orders(s, d)
+          .join(lineitem(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0
+          .unionByName(e0.select(col("dst").as("src"),
+            col("src").as("dst")))
+          .localCheckpoint()
+        graft.operators.GraphPropagation
+          .pageRank(edges, "src", "dst", iters = 3)
+          .orderBy(col("rank").desc, col("node")).limit(10)
+      },
+      Some {
+        val sb = new StringBuilder(
+          """WITH e0 AS (
+            |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+            |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            |), edges AS (
+            |  SELECT src, dst FROM e0
+            |  UNION ALL SELECT dst AS src, src AS dst FROM e0
+            |), nodes AS (
+            |  SELECT src AS node FROM edges
+            |  UNION SELECT dst FROM edges
+            |), outdeg AS (
+            |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+            |), r0 AS (
+            |  SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes
+            |)""".stripMargin)
+        for (i <- 1 to 3) {
+          sb.append(s""", c$i AS (
+            |  SELECT src, rank / outdeg AS contrib
+            |  FROM r${i - 1} JOIN outdeg ON node = src
+            |), g$i AS (
+            |  SELECT dst,
+            |    SUM(CAST(floor(contrib * 1000000000.0 + 0.5)
+            |      AS BIGINT)) AS s9
+            |  FROM edges JOIN c$i USING (src) GROUP BY dst
+            |), r$i AS (
+            |  SELECT node, 0.15 + 0.85 *
+            |    (CAST(COALESCE(s9, 0) AS DOUBLE) / 1000000000.0)
+            |    AS rank
+            |  FROM nodes LEFT JOIN g$i ON dst = node
+            |)""".stripMargin)
+        }
+        sb.append("""
+            |SELECT node, rank FROM r3
+            |ORDER BY rank DESC, node LIMIT 10""".stripMargin)
+        sb.toString
+      }),
+
+    // Space-Saving heavy hitters (operators.HeavyHitters), oracle-
+    // gated in its EXACT regime: capacity 2048 exceeds the distinct
+    // supplier count at every test SF (100 at sf0.01, 1000 at
+    // sf0.1), so no counter is ever evicted, every estimate is the
+    // true count, every tracked error is 0, and the result is
+    // deterministic under ANY partitioning/merge order — making the
+    // full mergeable-summary path (per-partition sketches, pairwise
+    // merge, bound bookkeeping) comparable against the exact groupBy
+    // oracle, the same way q176/q180 gate the bin sketch. The
+    // approximate regime (capacity < distinct: eviction, n/m error
+    // bounds, guaranteed-detection threshold) is order-dependent by
+    // nature and stays property-gated in HeavyHittersSpec. At 100 TB
+    // the capacity stays FIXED while distincts grow past it — the
+    // shuffle still carries `capacity` counters per partition, which
+    // is the entire point of the sketch.
+    QueryDef(
+      "q193_heavy_hitters",
+      (s, d) => graft.operators.HeavyHitters.topK(
+        lineitem(s, d).select(col("l_suppkey")), "l_suppkey",
+        k = 10, capacity = 2048),
+      Some("""SELECT CAST(l_suppkey AS VARCHAR) AS item,
+             |  CAST(COUNT(*) AS BIGINT) AS est,
+             |  CAST(0 AS BIGINT) AS err
+             |FROM lineitem GROUP BY l_suppkey
+             |ORDER BY est DESC, item ASC LIMIT 10""".stripMargin))
   )
 }

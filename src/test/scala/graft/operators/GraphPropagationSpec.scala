@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** GraphPropagation: the shared iterative-scoring core behind q191
+  * (HITS) and q192 (PageRank) — propagation parity against a
+  * brute-force in-memory computation, normalization invariants, and
+  * the partition-independence the scaled-long sums guarantee.
+  */
+class GraphPropagationSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  import spark.implicits._
+
+  // tiny bipartite graph: hubs 1,2,3 → auths 10,20
+  private def edges = Seq(
+    (1L, 10L), (1L, 20L), (2L, 10L), (3L, 20L), (3L, 10L))
+    .toDF("c", "sp")
+
+  test("propagateMax matches the brute-force gather + max-normalize") {
+    val hub = edges.select("c").distinct().withColumn("hub", lit(1.0))
+    val auth = GraphPropagation
+      .propagateMax(edges, "c", "sp", hub, "hub", "auth")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // arrivals: 10 ← {1,2,3} = 3, 20 ← {1,3} = 2; max = 3
+    auth(10L) shouldBe 1.0
+    auth(20L) shouldBe (2.0 / 3.0) +- 1e-9
+  }
+
+  test("propagateMax tops out at exactly 1.0 and is in (0, 1]") {
+    val hub = edges.select("c").distinct()
+      .withColumn("hub", (col("c") * 0.25).cast("double"))
+    val auth = GraphPropagation
+      .propagateMax(edges, "c", "sp", hub, "hub", "auth")
+      .collect().map(_.getDouble(1))
+    auth.max shouldBe 1.0
+    all(auth) should be > 0.0
+  }
+
+  test("propagateMax is partition-order independent (scaled-long sums)") {
+    val hub = edges.select("c").distinct()
+      .withColumn("hub", (lit(1.0) / (col("c") + 1)).cast("double"))
+    def run(parts: Int): Map[Long, Double] = GraphPropagation
+      .propagateMax(edges.repartition(parts), "c", "sp",
+        hub, "hub", "auth")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    run(1) shouldBe run(7)
+  }
+
+  test("pageRank on a symmetric pair converges to equal O(1) ranks") {
+    // two nodes, one bidirected edge: perfect symmetry — both ranks
+    // equal and, in the ×N convention, exactly 0.15 + 0.85·r (r = 1
+    // fixed point → 1.0)
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = GraphPropagation.pageRank(e, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r(1L) shouldBe r(2L)
+    r(1L) shouldBe 1.0 +- 1e-6
+  }
+
+  test("pageRank: inbound-heavy node outranks leaves; ×N scores are O(1)") {
+    // star: leaves 2..5 ↔ center 1 (bidirected)
+    val leaves = (2L to 5L)
+    val e = (leaves.map(l => (l, 1L)) ++ leaves.map(l => (1L, l)))
+      .toDF("src", "dst")
+    val r = GraphPropagation.pageRank(e, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r(1L) should be > r(2L)
+    // leaves are symmetric
+    r(2L) shouldBe r(5L)
+    // ×N convention: total rank ≈ node count, no 1/N shrink
+    r.values.sum shouldBe 5.0 +- 0.2
+  }
+
+  test("pageRank: node with inbound but no outbound still gets rank " +
+      "(left-join floor + gathered mass)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphPropagation.pageRank(e, "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // node 4 dangles (no outbound): it receives teleport + its share
+    // of 1's mass, and its own mass leaks (documented semantics)
+    r(4L) should be > 0.15
+    r.keySet shouldBe Set(1L, 2L, 3L, 4L)
+  }
+}

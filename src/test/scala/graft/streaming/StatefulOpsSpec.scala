@@ -134,6 +134,75 @@ class StatefulOpsSpec extends AnyFunSuite with SparkFixture with Matchers {
       (3L, ts("12:00")), (1L, ts("12:30")))
   }
 
+  // The same watermarked-dedup recovery scenario, parameterized over
+  // the two state-store providers that matter operationally: the
+  // default HDFS-backed in-memory map and RocksDB (the provider a
+  // 100 TB deployment runs, where keyed state outgrows executor
+  // heap). Recovery semantics — watermark restored from the
+  // checkpoint, late re-sends dropped, evicted keys re-admitted —
+  // must be IDENTICAL under both; the provider only changes where
+  // state lives.
+  for (provider <- Seq(
+      ("hdfs", "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider"),
+      ("rocksdb", "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")))
+    test(s"dedup recovery across restart under the ${provider._1} " +
+        "state store provider") {
+      val s = spark
+      import s.implicits._
+      def ts(hhmm: String) =
+        java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+      val schema = Seq((1L, ts("00:00"))).toDF("event_id", "ts").schema
+      val inDir = java.nio.file.Files
+        .createTempDirectory(s"graft-ssp-in-${provider._1}").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"graft-ssp-out-${provider._1}")
+        .toString + "/out"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-ssp-ck-${provider._1}").toString
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val before = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, provider._2)
+      try {
+        def runOnce(): Unit = {
+          val q = StatefulOps.dedupByKey(
+              EventStream.fileStream(spark, inDir, schema),
+              "10 minutes")
+            .writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(120000L)
+        }
+        def landed(): Set[(Long, java.sql.Timestamp)] =
+          spark.read.schema(schema).parquet(outDir).collect()
+            .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+
+        Seq((1L, ts("10:00")), (2L, ts("10:01")), (1L, ts("10:02")),
+          (3L, ts("12:00")))
+          .toDF("event_id", "ts").coalesce(1).write.mode("append")
+          .parquet(inDir)
+        runOnce()
+        landed() shouldBe Set((1L, ts("10:00")), (2L, ts("10:01")),
+          (3L, ts("12:00")))
+
+        // restart against the same checkpoint: watermark 11:50 must
+        // be restored by THIS provider's recovery path
+        Seq((1L, ts("10:05")), (1L, ts("12:30")))
+          .toDF("event_id", "ts").coalesce(1).write.mode("append")
+          .parquet(inDir)
+        runOnce()
+        landed() shouldBe Set((1L, ts("10:00")), (2L, ts("10:01")),
+          (3L, ts("12:00")), (1L, ts("12:30")))
+      } finally {
+        before match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      }
+    }
+
   test("check report sink writes a readable JSON report") {
     import graft.check._
     val df = Tables.orders(spark, sfDir)
