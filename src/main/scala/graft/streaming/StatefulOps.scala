@@ -147,4 +147,46 @@ object StatefulOps {
           CdcState(uid, op, v, toTs(maxUs), n, deleted = op == "error")
       }
   }
+
+  final case class ShardSummary(shard: Int,
+      items: Map[String, (Long, Long)])
+
+  /** Streaming Space-Saving heavy hitters — the continuous form of
+    * [[graft.operators.HeavyHitters]]: items are sharded by a
+    * deterministic hash so each shard's keyed state holds ONE bounded
+    * Space-Saving summary over exactly its substream (state is
+    * shards × capacity counters, independent of stream length or
+    * distinct count — the mergeable-summaries property carried into
+    * `mapGroupsWithState`). Every micro-batch folds its rows into the
+    * shard sketch with the SAME reduce the batch Aggregator uses, and
+    * emits the shard's current summary (Update mode); because shards
+    * partition the item space, the union of the latest per-shard
+    * summaries is a valid global summary, and global top-k = top-k of
+    * the union with the same (est, err) bounds. In the exact regime
+    * (per-shard distincts ≤ capacity) the streamed result equals the
+    * batch exact counts — the parity the spec pins.
+    */
+  def streamingHeavyHitters(spark: SparkSession, events: DataFrame,
+      itemCol: String, shards: Int = 8,
+      capacity: Int = 1024): Dataset[ShardSummary] = {
+    import spark.implicits._
+    require(shards > 0, "shards must be positive")
+    val agg = new graft.operators.HeavyHitters
+      .SpaceSavingAggregator(capacity)
+    events
+      .select(col(itemCol).cast("string").as("item"))
+      .selectExpr(s"pmod(hash(item), $shards) AS shard", "item")
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[graft.operators.HeavyHitters.Summary,
+        ShardSummary](GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state) =>
+          val folded = rows.foldLeft(
+            state.getOption.getOrElse(agg.zero)) {
+            case (buf, (_, item)) => agg.reduce(buf, item)
+          }
+          state.update(folded)
+          ShardSummary(shard, folded)
+      }
+  }
 }
