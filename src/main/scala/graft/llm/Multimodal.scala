@@ -128,6 +128,33 @@ object Multimodal {
       }
   }
 
+  /** Time-based frame-extraction MANIFEST from asset metadata alone —
+    * the scheduling half of a video decode, planned WITHOUT touching
+    * a single payload byte: one frame every `intervalMs` over each
+    * asset's duration, grouped into `batchSize`-frame decode batches
+    * (the unit a GPU/codec worker pulls). Emits (asset_id, frame_idx,
+    * ts_ms, batch_id) via a declarative `sequence` explode — pure
+    * map-side, zero shuffle, so at 100 TB the manifest generation is
+    * a metadata scan even when the payloads are petabytes. Assets
+    * shorter than 1 ms produce no frames (filtered up front —
+    * `sequence(0, negative)` would DESCEND and fabricate rows).
+    */
+  def frameManifest(assets: DataFrame, idCol: String,
+      durationMsCol: String, intervalMs: Long,
+      batchSize: Int): DataFrame = {
+    require(intervalMs > 0 && batchSize > 0,
+      s"intervalMs/batchSize must be positive: $intervalMs/$batchSize")
+    assets
+      .filter(col(durationMsCol) >= 1)
+      .select(col(idCol).as("asset_id"),
+        explode(sequence(lit(0L),
+          expr(s"($durationMsCol - 1) div $intervalMs")))
+          .as("frame_idx"))
+      .select(col("asset_id"), col("frame_idx"),
+        (col("frame_idx") * intervalMs).as("ts_ms"),
+        expr(s"frame_idx div $batchSize").as("batch_id"))
+  }
+
   /** Typed-metadata extraction stays in pure column land (no decode):
     * pruning + predicate pushdown keep this metadata-only at scan.
     */

@@ -1025,6 +1025,65 @@ object AnalyticsQueries {
              |  CAST(COUNT(*) AS BIGINT) AS est,
              |  CAST(0 AS BIGINT) AS err
              |FROM lineitem GROUP BY l_suppkey
-             |ORDER BY est DESC, item ASC LIMIT 10""".stripMargin))
+             |ORDER BY est DESC, item ASC LIMIT 10""".stripMargin)),
+
+    // Distribution drift between two corpus segments (even- vs
+    // odd-month events): per-class total-variation and chi-square
+    // contributions — the drift monitor a 100 TB pipeline runs
+    // between snapshots before trusting a refresh. Laplace add-one
+    // smoothing keeps every class probability strictly positive, so
+    // the chi-square term never divides by zero (an absent class is
+    // a drift SIGNAL, not an error) and every statistic stays pure
+    // rational arithmetic — no log/ln, whose libm implementations
+    // are not bit-identical across engines (the reason this is TV +
+    // chi-square, not KL/PSI). O(classes) state from one linear
+    // pass; both engines derive the terms from the SAME smoothed
+    // doubles.
+    QueryDef(
+      "q194_distribution_drift",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("seg",
+            (month(col("ts")) % 2 === 0).cast("int"))
+        val cnt = ev.groupBy("event_type")
+          .agg(sum(when(col("seg") === 1, 1L).otherwise(0L))
+            .as("n_even"),
+            sum(when(col("seg") === 0, 1L).otherwise(0L)).as("n_odd"))
+        val tot = cnt.agg(sum("n_even").as("t_even"),
+          sum("n_odd").as("t_odd"), count(lit(1)).as("k"))
+        cnt.crossJoin(broadcast(tot))
+          .select(col("event_type"),
+            ((col("n_even") + 1).cast("double") /
+              (col("t_even") + col("k"))).as("p"),
+            ((col("n_odd") + 1).cast("double") /
+              (col("t_odd") + col("k"))).as("q"))
+          .select(col("event_type"), col("p"), col("q"),
+            (abs(col("p") - col("q")) / 2).as("tv_term"),
+            ((col("p") - col("q")) * (col("p") - col("q")) / col("q"))
+              .as("chi2_term"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cnt AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN month(ts) % 2 = 0 THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_even,
+             |    CAST(SUM(CASE WHEN month(ts) % 2 = 0 THEN 0 ELSE 1
+             |      END) AS BIGINT) AS n_odd
+             |  FROM events GROUP BY event_type
+             |), tot AS (
+             |  SELECT CAST(SUM(n_even) AS BIGINT) AS t_even,
+             |    CAST(SUM(n_odd) AS BIGINT) AS t_odd,
+             |    COUNT(*) AS k
+             |  FROM cnt
+             |), pq AS (
+             |  SELECT event_type,
+             |    CAST(n_even + 1 AS DOUBLE) / (t_even + k) AS p,
+             |    CAST(n_odd + 1 AS DOUBLE) / (t_odd + k) AS q
+             |  FROM cnt CROSS JOIN tot
+             |)
+             |SELECT event_type, p, q,
+             |  abs(p - q) / 2 AS tv_term,
+             |  (p - q) * (p - q) / q AS chi2_term
+             |FROM pq ORDER BY event_type""".stripMargin))
   )
 }

@@ -217,6 +217,37 @@ object SamplingQueries {
              |    (sqrt(CAST(n_docs AS DOUBLE)) / denom)) AS BIGINT)
              |    AS target_docs
              |FROM c CROSS JOIN den
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Stratified quota sampling: EXACTLY k documents per source,
+    // chosen by deterministic md5 order — the reproducible balanced
+    // subsample an eval-set or ablation build takes from a skewed
+    // corpus (contrast q153's probabilistic weighted sampling, which
+    // only hits a quota in expectation). Rides the GroupedTopK
+    // physical operator (q165's partial/final bounded-heap pair), so
+    // at 100 TB nothing is globally sorted and the exchange carries
+    // k·|sources| rows, never the corpus; the md5 tie-break makes
+    // the kept set partition-invariant and the oracle's row_number
+    // selects the identical rows.
+    QueryDef(
+      "q195_stratified_quota",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("source"), col("doc_id"),
+            md5(col("doc_id").cast("string")).as("__h"))
+        graft.plans.GroupedTopK
+          .of(docs, Seq("source"),
+            Seq(col("__h").asc, col("doc_id").asc), 50)
+          .select("source", "doc_id")
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+             |        doc_id ASC) AS rn
+             |  FROM documents)
+             |WHERE rn <= 50
+             |ORDER BY source, doc_id""".stripMargin))
   )
 }

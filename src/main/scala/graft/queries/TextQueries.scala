@@ -383,6 +383,42 @@ object TextQueries {
              |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Video frame-sampling MANIFEST (llm/Multimodal.frameManifest):
+    // the scheduling half of a video-decode stage, planned from
+    // metadata alone — one frame per second over each asset's
+    // duration, packed into 32-frame decode batches — without
+    // reading a payload byte. Durations are derived deterministically
+    // from the id (the testdata stand-in for real container
+    // metadata: md5-prefix → [1000, 120000) ms, the q-family md5→int
+    // trick), so the DuckDB oracle replays the same schedule with
+    // generate_series. Declarative sequence-explode, zero shuffle:
+    // at 100 TB of video the manifest pass stays a metadata scan.
+    QueryDef(
+      "q196_frame_manifest",
+      (s, d) => {
+        val assets = documents(s, d)
+          .select(col("doc_id"),
+            (lit(1000L) +
+              conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("long") % 119001L).as("duration_ms"))
+        graft.llm.Multimodal
+          .frameManifest(assets, "doc_id", "duration_ms",
+            intervalMs = 1000L, batchSize = 32)
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS asset_id,
+             |    1000 + CAST('0x' ||
+             |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+             |      AS BIGINT) % 119001 AS duration_ms
+             |  FROM documents
+             |)
+             |SELECT asset_id, f AS frame_idx, f * 1000 AS ts_ms,
+             |  f // 32 AS batch_id
+             |FROM a, LATERAL unnest(
+             |  generate_series(0, (duration_ms - 1) // 1000)) AS u(f)
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
     // SimHash near-dup PAIRING: 60-bit SimHash over the df-capped
     // discriminative grams (over raw tokens the template-generated
     // corpus collides by the million), banded 4 × 15 bits — pigeonhole
