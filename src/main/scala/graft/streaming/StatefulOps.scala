@@ -148,6 +148,57 @@ object StatefulOps {
       }
   }
 
+  final case class NearDupFlag(doc_id: Long, band: Int,
+      first_seen: Long)
+
+  /** Streaming LSH near-dup GATE — online dedup at ingestion: the
+    * input stream carries banded MinHash rows (doc_id, band, bv),
+    * one per document per band (per-document signatures and band
+    * values are PER-ROW map-side computations upstream — a MinHash
+    * over a document's own shingles needs no aggregation — or come
+    * precomputed, as in batch `MinHashDedup`'s banding). Keyed state
+    * holds, per (band, bv) bucket, only the MINIMUM doc id ever
+    * seen — O(buckets) state, independent of corpus size per bucket
+    * — and each arriving row is flagged when its bucket already
+    * holds an earlier document: the same shares-a-band candidate
+    * rule as the batch LSH join, evaluated incrementally. A flagged
+    * (doc_id, band, first_seen) row is a candidate near-dup of
+    * first_seen, to be exact-verified downstream exactly like batch
+    * candidates.
+    *
+    * Ordering semantics: "earlier" is by doc id, with rows inside a
+    * micro-batch processed in id order — so when arrival order is id
+    * order (ingestion with monotonic ids), the flagged set equals
+    * the batch rule "shares a bucket with a lower-id document"
+    * (parity pinned in StreamingNearDupSpec). Out-of-order arrival
+    * degrades only which side of a pair is flagged, never whether
+    * the PAIR is detectable — the lower id silently becomes the
+    * bucket representative either way.
+    */
+  def streamingNearDupFlags(spark: SparkSession,
+      banded: DataFrame): Dataset[NearDupFlag] = {
+    import spark.implicits._
+    banded
+      .select(col("doc_id").cast("long"), col("band").cast("int"),
+        col("bv").cast("string"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, bv) => s"$band|$bv" }
+      .flatMapGroupsWithState[Long, NearDupFlag](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          val out = scala.collection.mutable.ListBuffer[NearDupFlag]()
+          sorted.foreach { case (id, band, _) =>
+            if (minSeen < id) out += NearDupFlag(id, band, minSeen)
+            else minSeen = id
+          }
+          state.update(minSeen)
+          out.iterator
+      }
+  }
+
   final case class ShardSummary(shard: Int,
       items: Map[String, (Long, Long)])
 
