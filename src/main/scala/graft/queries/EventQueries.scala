@@ -479,6 +479,46 @@ object EventQueries {
              |GROUP BY user_id
              |HAVING max_by(event_type, printf('%020d%010d',
              |    epoch_us(CAST(ts AS TIMESTAMP)), event_id)) <> 'error'
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Recency-decayed popularity per event type — the freshness-
+    // weighted score a serving/ranking pipeline keeps per item, with
+    // a one-week half-life. The decay weight is an EXACT POWER OF
+    // TWO: w = 1 / (1 << weeks_old), weeks_old = age_days DIV 7
+    // capped at 40 — integer shift + one double division, bit-equal
+    // in any engine, where the usual exp(-λ·Δt)/pow(2, -Δt/h)
+    // spellings hang the hash gate on libm (not bit-identical across
+    // engines). value·w products are exact-decimal summed (dsum).
+    // One linear pass + a broadcast 1-row max-date scalar; O(types)
+    // state — at 100 TB the same shape folds incrementally (q175's
+    // running-agg form) instead of rescanning.
+    QueryDef(
+      "q198_decayed_popularity",
+      (s, d) => {
+        val ev = events(s, d)
+        val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
+        ev.crossJoin(broadcast(mx))
+          .select(col("event_type"), col("value"),
+            least(floor(datediff(col("mxd"), to_date(col("ts"))) / 7)
+              .cast("long"), lit(40L)).as("wk"))
+          .select(col("event_type"),
+            expr("value / shiftleft(1L, CAST(wk AS INT))").as("wv"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), dsum(col("wv"))
+            .as("decayed_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH mx AS (
+              |  SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events
+              |), wv AS (
+              |  SELECT event_type,
+              |    value / (1::BIGINT << CAST(LEAST(
+              |      date_diff('day', CAST(ts AS DATE), mxd) // 7, 40)
+              |      AS INTEGER)) AS wv
+              |  FROM events CROSS JOIN mx
+              |)
+              |SELECT event_type, COUNT(*) AS n_events,
+              |  ${sqlDsum("wv")} AS decayed_value
+              |FROM wv GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
