@@ -182,4 +182,31 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
       n shouldBe (nFrames + 3) / 4 // every 4th frame, first always kept
     }
   }
+
+  test("Multimodal.frameManifest: frame count/timestamps/batches from " +
+      "metadata; sub-millisecond assets filtered, not fabricated") {
+    val s = spark
+    import s.implicits._
+    val assets = Seq(
+      (1L, 1L),      // 1 ms → exactly 1 frame at t=0
+      (2L, 999L),    // still 1 frame
+      (3L, 1000L),   // boundary: still 1 frame (frames at 0 only)
+      (4L, 65500L),  // 66 frames → batches 0..2 at batchSize 32
+      (5L, 0L),      // filtered — sequence(0, -1) would DESCEND
+      (6L, -5L))     // filtered
+      .toDF("id", "dur")
+    val got = graft.llm.Multimodal
+      .frameManifest(assets, "id", "dur", intervalMs = 1000L,
+        batchSize = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.map(_._1).distinct.sorted shouldBe Array(1L, 2L, 3L, 4L)
+    got.count(_._1 == 4L) shouldBe 66
+    // timestamps stride the interval; batch ids pack 32 frames
+    val a4 = got.filter(_._1 == 4L).sortBy(_._2)
+    a4.head shouldBe ((4L, 0L, 0L, 0L))
+    a4.last shouldBe ((4L, 65L, 65000L, 2L))
+    a4.map(_._4).distinct.sorted shouldBe Array(0L, 1L, 2L)
+    got.filter(_._1 == 1L) shouldBe Array((1L, 0L, 0L, 0L))
+  }
 }

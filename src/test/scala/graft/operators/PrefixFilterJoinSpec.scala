@@ -65,6 +65,28 @@ class PrefixFilterJoinSpec extends AnyFunSuite with SparkFixture
     got shouldBe List((1L, 2L))
   }
 
+  test("duplicate (id, elem) input rows are deduplicated, not " +
+      "counted into df and set sizes") {
+    val s = spark
+    import s.implicits._
+    val clean = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"), (2L, "w"))
+      .toDF("id", "elem")
+    // same sets with heavy duplication: Jaccard must not change
+    // (pre-fix, duplicates inflated __df/__m while array_intersect
+    // deduped, skewing the reported similarity)
+    val dup = clean.unionAll(clean).unionAll(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "elem"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      PrefixFilterJoin.jaccardSelfJoin(df, "id", "elem", 1, 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toList
+    run(dup) shouldBe run(clean)
+    run(clean).nonEmpty shouldBe true
+  }
+
   test("rejects a degenerate threshold") {
     val s = spark
     import s.implicits._

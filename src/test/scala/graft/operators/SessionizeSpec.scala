@@ -88,4 +88,37 @@ class SessionizeSpec extends AnyFunSuite with SparkFixture with Matchers {
       .sortBy(t => (t._1, t._2, t._3)).toList
     run(1) shouldBe run(13)
   }
+
+  test("boundary validation: null timestamps fail loudly, non-atomic " +
+      "and binary keys are rejected up front") {
+    val s = spark
+    import s.implicits._
+    // null ts: clear message instead of an NPE mid-scan
+    val withNull = Seq((1L, Some(10L), 1L), (1L, None, 2L))
+      .toDF("k", "ts", "id")
+    val ex = intercept[Exception] {
+      Sessionize.assign(withNull, "k", "ts", "id", 10L, 100L).collect()
+    }
+    ex.getMessage should include("null timestamp")
+
+    // binary key: Any != is reference equality on Array[Byte] —
+    // rejected at the API boundary, not silently wrong
+    val binKey = Seq((Array[Byte](1), 10L, 1L)).toDF("k", "ts", "id")
+    val ex2 = intercept[IllegalArgumentException] {
+      Sessionize.assign(binKey, "k", "ts", "id", 10L, 100L)
+    }
+    ex2.getMessage should include("atomic non-binary")
+
+    // array key: same rejection
+    val arrKey = Seq((Seq(1L), 10L, 1L)).toDF("k", "ts", "id")
+    an[IllegalArgumentException] should be thrownBy
+      Sessionize.assign(arrKey, "k", "ts", "id", 10L, 100L)
+
+    // non-long ts type: rejected with the schema message
+    val strTs = Seq((1L, "x", 1L)).toDF("k", "ts", "id")
+    val ex3 = intercept[IllegalArgumentException] {
+      Sessionize.assign(strTs, "k", "ts", "id", 10L, 100L)
+    }
+    ex3.getMessage should include("LONG epoch micros")
+  }
 }
