@@ -551,29 +551,50 @@ object ExtraQueries {
              |ORDER BY o_custkey""".stripMargin)),
 
     // Statistical moments from exact sums: stddev / correlation /
-    // covariance assembled from DECIMAL-exact Σx, Σx², Σy, Σy², Σxy
-    // (rounded at scale 6 — exact here since no input exceeds 4
-    // fractional digits — then one decimal→double conversion each)
-    // with the textbook formulas written identically in both engines,
-    // so every double op is the same IEEE op. Built-in stddev/corr
-    // use different accumulation orders per engine and can't
-    // cross-engine hash-match; this form also map-side-combines
-    // (plain sums), where Welford-style accumulators need merge logic.
+    // covariance assembled from exact Σx, Σx², Σy, Σy², Σxy with the
+    // textbook formulas written identically in both engines, so every
+    // double op is the same IEEE op. Built-in stddev/corr use
+    // different accumulation orders per engine and can't cross-engine
+    // hash-match. The sums are quantized scaled-long sums (inputs
+    // carry ≤2 fractional digits, so qx=floor(x*100+.5) is exact and
+    // qx·qy reproduces the scale-4 cross terms exactly) — precision-38
+    // decimal sums aggregate as byte-array BigDecimals and were ~2.5×
+    // slower here. Two-level aggregation keeps the hot path on
+    // codegen'd long adds while staying overflow-safe at any corpus
+    // size: level 1 sums longs per (flag, input partition) — bounded
+    // by rows-per-partition × 2.5e7 ≪ 2^63 — and level 2 promotes the
+    // tiny partial set (groups × partitions rows) to DECIMAL(38,0).
     QueryDef(
       "q101_stats_moments",
       (s, d) => {
-        def s6(c: org.apache.spark.sql.Column) =
-          sum(c.cast(Dec)).cast(org.apache.spark.sql.types.DecimalType(38, 6))
-            .cast(org.apache.spark.sql.types.DoubleType)
-        val x = col("l_quantity")
-        val y = col("l_discount")
-        lineitem(s, d)
+        val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = lineitem(s, d)
+          .select(col("l_returnflag"),
+            floor(col("l_quantity") * lit(100d) + lit(0.5d)).as("qx"),
+            floor(col("l_discount") * lit(100d) + lit(0.5d)).as("qy"))
+        val partial = base
+          .groupBy(col("l_returnflag"), spark_partition_id().as("pid"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("qx")).as("px"),
+            sum(col("qx") * col("qx")).as("px2"),
+            sum(col("qy")).as("py"),
+            sum(col("qy") * col("qy")).as("py2"),
+            sum(col("qx") * col("qy")).as("pxy"))
+        partial
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            s6(x).as("sx"), s6(x * x).as("sx2"),
-            s6(y).as("sy"), s6(y * y).as("sy2"),
-            s6(x * y).as("sxy"))
-          .withColumn("nd", col("n_rows").cast("double"))
+          .agg(sum("pn").as("n_rows"),
+            sum(col("px").cast(D0)).as("tx"),
+            sum(col("px2").cast(D0)).as("tx2"),
+            sum(col("py").cast(D0)).as("ty"),
+            sum(col("py2").cast(D0)).as("ty2"),
+            sum(col("pxy").cast(D0)).as("txy"))
+          .select(col("l_returnflag"), col("n_rows"),
+            col("n_rows").cast("double").as("nd"),
+            (col("tx").cast("double") / lit(1e2)).as("sx"),
+            (col("tx2").cast("double") / lit(1e4)).as("sx2"),
+            (col("ty").cast("double") / lit(1e2)).as("sy"),
+            (col("ty2").cast("double") / lit(1e4)).as("sy2"),
+            (col("txy").cast("double") / lit(1e4)).as("sxy"))
           .select(col("l_returnflag"), col("n_rows"),
             sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) /
               (col("nd") * (col("nd") - 1))).as("stddev_qty"),
@@ -585,26 +606,29 @@ object ExtraQueries {
               (col("nd") - 1)).as("covar_qty_disc"))
           .orderBy("l_returnflag")
       },
-      Some {
-        def s6(e: String) =
-          s"CAST(round(SUM(CAST(($e) AS DECIMAL(38,12))), 6) AS DOUBLE)"
-        s"""SELECT l_returnflag, n_rows,
-           |  sqrt((nd * sx2 - sx * sx) / (nd * (nd - 1))) AS stddev_qty,
-           |  (nd * sxy - sx * sy) /
-           |    (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy))
-           |    AS corr_qty_disc,
-           |  (sxy - sx * sy / nd) / (nd - 1) AS covar_qty_disc
-           |FROM (
-           |  SELECT l_returnflag, COUNT(*) AS n_rows,
-           |    CAST(COUNT(*) AS DOUBLE) AS nd,
-           |    ${s6("l_quantity")} AS sx,
-           |    ${s6("l_quantity * l_quantity")} AS sx2,
-           |    ${s6("l_discount")} AS sy,
-           |    ${s6("l_discount * l_discount")} AS sy2,
-           |    ${s6("l_quantity * l_discount")} AS sxy
-           |  FROM lineitem GROUP BY l_returnflag)
-           |ORDER BY l_returnflag""".stripMargin
-      }),
+      Some(
+        """WITH q AS (
+          |  SELECT l_returnflag,
+          |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+          |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS qy
+          |  FROM lineitem),
+          |t AS (
+          |  SELECT l_returnflag, COUNT(*) AS n_rows,
+          |    CAST(COUNT(*) AS DOUBLE) AS nd,
+          |    CAST(SUM(qx) AS DOUBLE) / 1e2 AS sx,
+          |    CAST(SUM(qx * qx) AS DOUBLE) / 1e4 AS sx2,
+          |    CAST(SUM(qy) AS DOUBLE) / 1e2 AS sy,
+          |    CAST(SUM(qy * qy) AS DOUBLE) / 1e4 AS sy2,
+          |    CAST(SUM(qx * qy) AS DOUBLE) / 1e4 AS sxy
+          |  FROM q GROUP BY l_returnflag)
+          |SELECT l_returnflag, n_rows,
+          |  sqrt((nd * sx2 - sx * sx) / (nd * (nd - 1))) AS stddev_qty,
+          |  (nd * sxy - sx * sy) /
+          |    (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy))
+          |    AS corr_qty_disc,
+          |  (sxy - sx * sy / nd) / (nd - 1) AS covar_qty_disc
+          |FROM t
+          |ORDER BY l_returnflag""".stripMargin)),
 
     // Regex extraction (completes the regex family: q84 replaces,
     // q87 LIKEs): capture-group extract + typed cast + boolean match,
