@@ -68,13 +68,15 @@ case class UpperTriProd6Expr(child: Expression)
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val xs = new Array[Double](n)
+    val f = isFloat // hoisted: a per-element dataType match defeats
+    // the single-compiled-loop purpose of this expression
     var k = 0
     while (k < n) {
       // null elements have no defined product; fail loudly like the
       // dot-product expressions rather than fabricating a 0
       if (arr.isNullAt(k)) throw new IllegalArgumentException(
         "upper_tri_prod6: null vector element")
-      xs(k) = if (isFloat) arr.getFloat(k).toDouble else arr.getDouble(k)
+      xs(k) = if (f) arr.getFloat(k).toDouble else arr.getDouble(k)
       k += 1
     }
     val out = new Array[AnyRef](n * (n + 1) / 2)

@@ -1018,9 +1018,23 @@ object AnalyticsQueries {
     // is the entire point of the sketch.
     QueryDef(
       "q193_heavy_hitters",
-      (s, d) => graft.operators.HeavyHitters.topK(
-        lineitem(s, d).select(col("l_suppkey")), "l_suppkey",
-        k = 10, capacity = 2048),
+      (s, d) => {
+        // enforce (don't assume) the exact-regime precondition the
+        // oracle encodes: at a SF where distinct suppliers exceed
+        // capacity the sketch is still CORRECT but approximate, and
+        // the est=exact/err=0 oracle would silently go red — fail
+        // loudly instead so the gate mismatch is diagnosable
+        val cap = 2048
+        val nDistinct = lineitem(s, d)
+          .agg(countDistinct(col("l_suppkey"))).head.getLong(0)
+        require(nDistinct <= cap,
+          s"q193 exact-regime gate requires distinct suppliers " +
+            s"($nDistinct) <= capacity ($cap); raise capacity or " +
+            s"gate the approx regime by property instead")
+        graft.operators.HeavyHitters.topK(
+          lineitem(s, d).select(col("l_suppkey")), "l_suppkey",
+          k = 10, capacity = cap)
+      },
       Some("""SELECT CAST(l_suppkey AS VARCHAR) AS item,
              |  CAST(COUNT(*) AS BIGINT) AS est,
              |  CAST(0 AS BIGINT) AS err

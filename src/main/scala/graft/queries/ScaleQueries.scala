@@ -313,8 +313,11 @@ object ScaleQueries {
             md5(when(col("doc_id") % 97 === 0,
               concat(col("text"), lit(" v2")))
               .otherwise(col("text"))).as("h"))
+          // synthetic inserts live in the negative id space: disjoint
+          // from real (non-negative) doc_ids at ANY corpus size, where
+          // a fixed +offset would collide once ids pass the offset
           .unionByName(base.filter(col("doc_id") % 89 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id"),
+            .select((-col("doc_id") - 1L).as("doc_id"),
               md5(col("text")).as("h")))
         old.as("o")
           .join(newSnap.as("n"),
@@ -336,7 +339,7 @@ object ScaleQueries {
              |        ELSE text END) AS h
              |  FROM documents WHERE doc_id % 101 <> 0
              |  UNION ALL
-             |  SELECT doc_id + 10000000 AS doc_id, md5(text) AS h
+             |  SELECT -doc_id - 1 AS doc_id, md5(text) AS h
              |  FROM documents WHERE doc_id % 89 = 0
              |)
              |SELECT CASE WHEN o.doc_id IS NULL THEN 'added'

@@ -174,10 +174,26 @@ object StatefulOps {
     * degrades only which side of a pair is flagged, never whether
     * the PAIR is detectable — the lower id silently becomes the
     * bucket representative either way.
+    *
+    * State growth: buckets grow with the corpus, so an UNBOUNDED
+    * ingestion stream grows state without bound under the default
+    * `stateTtl = None`. For long-running deployments pass a
+    * processing-time TTL (e.g. `Some("24 hours")`): a bucket idle
+    * longer than the TTL is evicted, bounding state to the active
+    * working set at the cost of a bounded dedup horizon — a
+    * duplicate arriving after its bucket expired re-opens the bucket
+    * as the new representative and is not flagged against pre-expiry
+    * documents (re-run the batch dedup periodically to catch those).
+    * [[streamingHeavyHitters]] needs no TTL: its state is
+    * shards × capacity by construction.
     */
   def streamingNearDupFlags(spark: SparkSession,
-      banded: DataFrame): Dataset[NearDupFlag] = {
+      banded: DataFrame,
+      stateTtl: Option[String] = None): Dataset[NearDupFlag] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .select(col("doc_id").cast("long"), col("band").cast("int"),
         col("bv").cast("string"))
@@ -185,17 +201,23 @@ object StatefulOps {
       .groupByKey { case (_, band, bv) => s"$band|$bv" }
       .flatMapGroupsWithState[Long, NearDupFlag](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
+        timeoutConf) {
         case (_, rows, state) =>
-          val sorted = rows.toSeq.sortBy(_._1)
-          var minSeen = state.getOption.getOrElse(Long.MaxValue)
-          val out = scala.collection.mutable.ListBuffer[NearDupFlag]()
-          sorted.foreach { case (id, band, _) =>
-            if (minSeen < id) out += NearDupFlag(id, band, minSeen)
-            else minSeen = id
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_._1)
+            var minSeen = state.getOption.getOrElse(Long.MaxValue)
+            val out = scala.collection.mutable.ListBuffer[NearDupFlag]()
+            sorted.foreach { case (id, band, _) =>
+              if (minSeen < id) out += NearDupFlag(id, band, minSeen)
+              else minSeen = id
+            }
+            state.update(minSeen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(minSeen)
-          out.iterator
       }
   }
 
