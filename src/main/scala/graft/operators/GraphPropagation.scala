@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   *    over: scores stay O(deg/max_deg) instead of shrinking as
   *    1/nodes (an L1-normalized corpus-scale graph quantizes every
   *    score to 0 at any fixed scale), and the normalizer is a MAX of
-  *    longs, so nothing scaled is ever summed graph-wide (no
-  *    overflow at any edge count).
+  *    longs, so nothing scaled is ever summed graph-wide. The only
+  *    remaining sums are per-node inbound gathers, bounded by
+  *    2⁶³/10⁹ ≈ 9.2·10⁹ of inbound mass per node — a super-node with
+  *    more than ~9·10⁹ unit-score inbound edges (or an O(N)-rank hub
+  *    in the ×N PageRank convention on a hub-dominated graph) would
+  *    overflow its gather; callers at that extreme should pre-cap
+  *    hub contributions or lower the quantizer scale.
   *  - Every O(nodes) iterate is `localCheckpoint`ed: without lineage
   *    truncation the plan tree doubles per round (the DedupClusters
   *    lesson) — driver-side planning blows up long before the data
@@ -86,7 +91,21 @@ object GraphPropagation {
       .join(edges.groupBy(srcCol).agg(count(lit(1)).as("__outdeg")),
         Seq(srcCol))
       .localCheckpoint()
-    var rank = nodes.withColumn("rank", lit(1.0))
+    pageRankIterate(nodes, edgesW, srcCol, dstCol,
+      nodes.withColumn("rank", lit(1.0)), iters, teleport, damping)
+  }
+
+  /** The PageRank iteration body from an explicit starting rank —
+    * shared by [[pageRank]] (cold start, rank⁰ = 1) and
+    * [[pageRankDelta]] (warm start from the previous epoch's rank).
+    * `edgesW` must carry `__outdeg` folded on (the [[pageRank]] /
+    * [[PageRankState]] invariant).
+    */
+  def pageRankIterate(nodes: DataFrame, edgesW: DataFrame,
+      srcCol: String, dstCol: String, rank0: DataFrame, iters: Int,
+      teleport: Double, damping: Double): DataFrame = {
+    require(iters > 0, s"iters must be positive: $iters")
+    var rank = rank0
     for (_ <- 1 to iters) {
       val gathered = edgesW
         .join(rank, edgesW(srcCol) === rank("node"))
@@ -101,5 +120,87 @@ object GraphPropagation {
         .localCheckpoint()
     }
     rank
+  }
+
+  /** Incremental PageRank state: the folded edge list (src, dst,
+    * `__outdeg`), the per-src out-degree table, the node set, and the
+    * latest rank — everything the next delta epoch needs, so nothing
+    * is rebuilt from the full history. Build the first epoch with
+    * [[pageRankInit]], refresh with [[pageRankDelta]].
+    */
+  final case class PageRankState(edgesW: DataFrame, outdeg: DataFrame,
+      nodes: DataFrame, rank: DataFrame)
+
+  /** Cold-start epoch 0 of the incremental form: same math as
+    * [[pageRank]], returning the state the delta epochs fold into.
+    */
+  def pageRankInit(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, teleport: Double = 0.15,
+      damping: Double = 0.85): PageRankState = {
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node")))
+      .distinct().localCheckpoint()
+    val outdeg = edges.groupBy(srcCol)
+      .agg(count(lit(1)).as("__outdeg")).localCheckpoint()
+    val edgesW = edges.join(outdeg, Seq(srcCol)).localCheckpoint()
+    val rank = pageRankIterate(nodes, edgesW, srcCol, dstCol,
+      nodes.withColumn("rank", lit(1.0)), iters, teleport, damping)
+    PageRankState(edgesW, outdeg, nodes, rank)
+  }
+
+  /** Delta epoch: edges arrived — refresh the scores WITHOUT
+    * recomputing structure from the full history. The out-degree
+    * table merges incrementally (old counts + delta counts, the
+    * q175 partial-fold pattern: the full edge list is never
+    * re-aggregated); only edges whose src appears in the delta have
+    * their folded `__outdeg` refreshed (an |affected-srcs| semi/anti
+    * split of the old folded list — untouched rows pass through
+    * byte-for-byte); the node set extends by the delta's new nodes
+    * only. At 100 TB the delta epoch therefore touches
+    * O(|delta| · avg-degree) rows of structure, not O(|edges|).
+    *
+    * `warmStart = true` (the production default) seeds the iteration
+    * with the previous epoch's rank — new nodes enter at the 1.0
+    * cold-start value — so a converged score refreshes in 1–2
+    * rounds instead of a full cold ladder. `warmStart = false` seeds
+    * every node at 1.0, which makes the delta path EXACTLY
+    * reproduce `pageRank(old ∪ delta, iters)` — scaled-long sums are
+    * order-free, so the parity is bit-exact (the spec's contract),
+    * proving the incremental structure maintenance lossless.
+    */
+  def pageRankDelta(state: PageRankState, edgeDelta: DataFrame,
+      srcCol: String, dstCol: String, iters: Int,
+      teleport: Double = 0.15, damping: Double = 0.85,
+      warmStart: Boolean = true): PageRankState = {
+    val dDeg = edgeDelta.groupBy(srcCol)
+      .agg(count(lit(1)).as("__ddeg"))
+    val outdegNew = state.outdeg
+      .join(dDeg, Seq(srcCol), "full_outer")
+      .select(col(srcCol),
+        (coalesce(col("__outdeg"), lit(0L)) +
+          coalesce(col("__ddeg"), lit(0L))).as("__outdeg"))
+      .localCheckpoint()
+    val affected = dDeg.select(srcCol).localCheckpoint()
+    val untouched = state.edgesW
+      .join(broadcast(affected), Seq(srcCol), "left_anti")
+    val refreshed = state.edgesW.select(col(srcCol), col(dstCol))
+      .join(broadcast(affected), Seq(srcCol), "left_semi")
+      .unionByName(edgeDelta.select(col(srcCol), col(dstCol)))
+      .join(outdegNew, Seq(srcCol))
+    val edgesWNew = untouched
+      .unionByName(refreshed.select(untouched.columns.map(col): _*))
+      .localCheckpoint()
+    val newNodes = edgeDelta.select(col(srcCol).as("node"))
+      .union(edgeDelta.select(col(dstCol).as("node")))
+      .distinct()
+      .join(state.nodes, Seq("node"), "left_anti")
+    val nodesNew = state.nodes.unionByName(newNodes).localCheckpoint()
+    val rank0 =
+      if (warmStart)
+        state.rank.unionByName(newNodes.withColumn("rank", lit(1.0)))
+      else nodesNew.withColumn("rank", lit(1.0))
+    val rank = pageRankIterate(nodesNew, edgesWNew, srcCol, dstCol,
+      rank0, iters, teleport, damping)
+    PageRankState(edgesWNew, outdegNew, nodesNew, rank)
   }
 }

@@ -85,6 +85,34 @@ class GraphPropagationPropSpec extends AnyFunSuite with SparkFixture
     }
   }
 
+  test("pageRankDelta (cold seed) equals full recompute on random " +
+      "graphs under random base/delta splits") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed + 100)
+      val edges = Seq.fill(70)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val (base, delta) = edges.partition(_ => rnd.nextBoolean())
+      if (base.nonEmpty && delta.nonEmpty) {
+        val full = GraphPropagation.pageRank(
+            edges.toDF("src", "dst").repartition(4),
+            "src", "dst", iters = 2)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val st = GraphPropagation.pageRankDelta(
+          GraphPropagation.pageRankInit(
+            base.toDF("src", "dst").repartition(3), "src", "dst",
+            iters = 1),
+          delta.toDF("src", "dst").repartition(2),
+          "src", "dst", iters = 2, warmStart = false)
+        val inc = st.rank
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        withClue(s"seed $seed:") { inc shouldBe full }
+      }
+    }
+  }
+
   test("upper_tri_prod6 equals the quantized reference on random " +
       "vectors (sign mix, tiny and large magnitudes)") {
     val s = spark

@@ -85,4 +85,69 @@ class GraphPropagationSpec extends AnyFunSuite with SparkFixture
     r(4L) should be > 0.15
     r.keySet shouldBe Set(1L, 2L, 3L, 4L)
   }
+
+  private def baseEdges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 1L)).toDF("src", "dst")
+  // delta brings a NEW node (5), new edges for EXISTING srcs (so
+  // their outdeg changes and their folded rows must refresh), and
+  // leaves src 3 untouched (its folded rows must pass through)
+  private def deltaEdges = Seq(
+    (5L, 1L), (1L, 5L), (2L, 4L)).toDF("src", "dst")
+
+  test("pageRankDelta (cold seed) is bit-exact with full recompute " +
+      "on the merged edge list") {
+    val full = GraphPropagation
+      .pageRank(baseEdges.unionByName(deltaEdges), "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val st0 = GraphPropagation.pageRankInit(baseEdges, "src", "dst",
+      iters = 1)
+    val st1 = GraphPropagation.pageRankDelta(st0, deltaEdges,
+      "src", "dst", iters = 3, warmStart = false)
+    val inc = st1.rank
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // scaled-long sums are order-free, so the incremental structure
+    // must reproduce the full rebuild EXACTLY (doubles bit-equal)
+    inc shouldBe full
+  }
+
+  test("pageRankDelta maintains outdeg and the folded edge list " +
+      "incrementally without loss (structure parity)") {
+    val merged = baseEdges.unionByName(deltaEdges)
+    val st1 = GraphPropagation.pageRankDelta(
+      GraphPropagation.pageRankInit(baseEdges, "src", "dst", iters = 1),
+      deltaEdges, "src", "dst", iters = 1)
+    val gotDeg = st1.outdeg.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantDeg = merged.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gotDeg shouldBe wantDeg
+    val gotEdges = st1.edgesW.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantEdges = merged
+      .join(merged.groupBy("src").agg(count(lit(1)).as("__outdeg")),
+        Seq("src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    gotEdges shouldBe wantEdges
+  }
+
+  test("pageRankDelta warm start keeps the full node set and holds " +
+      "the symmetric fixed point") {
+    // converged symmetric pair, then a second disjoint symmetric pair
+    // arrives: warm start must keep 1,2 at the 1.0 fixed point and
+    // bring 3,4 to the same value (their subgraph is identical)
+    val st0 = GraphPropagation.pageRankInit(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), "src", "dst",
+      iters = 5)
+    val st1 = GraphPropagation.pageRankDelta(st0,
+      Seq((3L, 4L), (4L, 3L)).toDF("src", "dst"), "src", "dst",
+      iters = 5)
+    val r = st1.rank
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    r(1L) shouldBe 1.0 +- 1e-6
+    r(3L) shouldBe 1.0 +- 1e-6
+    r(2L) shouldBe r(1L)
+    r(4L) shouldBe r(3L)
+  }
 }
