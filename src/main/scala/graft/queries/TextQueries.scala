@@ -1111,6 +1111,69 @@ object TextQueries {
              |FROM fps a JOIN fps b
              |  ON a.fp = b.fp AND a.doc_id < b.doc_id
              |GROUP BY 1, 2
-             |ORDER BY src_lo, src_hi""".stripMargin))
+             |ORDER BY src_lo, src_hi""".stripMargin)),
+
+    // The streaming LSH near-dup gate's flag rule, oracle-gated in
+    // batch: `streaming.StatefulOps.streamingNearDupFlags` flags a
+    // banded row when its (band, bv) bucket already holds an earlier
+    // (lower-id) document, emitting (doc_id, band, first_seen). That
+    // rule is deterministic in id order — first_seen is simply
+    // min(doc_id) over the bucket — so its full output is
+    // SQL-expressible even though the incremental runtime is not:
+    // this query evaluates the SAME rule over the SAME banded rows
+    // as q32 (sliced MinHash, 4 bands × 2 rows; no bucket-size cap,
+    // matching the gate, which sees every row) and hash-matches a
+    // DuckDB window oracle. StreamingNearDupSpec pins streaming ≡
+    // this batch rule under id-ordered arrival; this row pins the
+    // batch rule itself against an independent engine. At 100 TB the
+    // batch form is one window over the banded rows (keyed shuffle
+    // on (band, bv) — the same key the candidate join shuffles on
+    // anyway); the streaming form holds O(buckets) state.
+    QueryDef(
+      "q199_neardup_gate_batch",
+      (s, d) => {
+        val grams = sparkGramsCapped(s, d)
+        val aggs = graft.functions.TextFunctions
+          .minhashSlicedAggs(col("gram"), 8)
+        val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        val bands = sigs.select(col("doc_id"), posexplode(array(
+            concat_ws("|", col("h0"), col("h1")),
+            concat_ws("|", col("h2"), col("h3")),
+            concat_ws("|", col("h4"), col("h5")),
+            concat_ws("|", col("h6"), col("h7")))))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bv")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bv")
+        bands
+          .withColumn("first_seen", min(col("doc_id")).over(w))
+          .filter(col("doc_id") > col("first_seen"))
+          .select(col("doc_id"), col("band"), col("first_seen"))
+          .orderBy("doc_id", "band")
+      },
+      Some(s"""$cappedGramsCte,
+              |sigs AS (
+              |  SELECT doc_id,
+              |    min(substring(md5(gram), 1, 8)) AS h0,
+              |    min(substring(md5(gram), 9, 8)) AS h1,
+              |    min(substring(md5(gram), 17, 8)) AS h2,
+              |    min(substring(md5(gram), 25, 8)) AS h3,
+              |    min(substring(md5('1:' || gram), 1, 8)) AS h4,
+              |    min(substring(md5('1:' || gram), 9, 8)) AS h5,
+              |    min(substring(md5('1:' || gram), 17, 8)) AS h6,
+              |    min(substring(md5('1:' || gram), 25, 8)) AS h7
+              |  FROM grams_rare GROUP BY doc_id
+              |), bands_all AS (
+              |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sigs
+              |  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sigs
+              |  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sigs
+              |  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sigs
+              |)
+              |SELECT doc_id, band, first_seen FROM (
+              |  SELECT doc_id, band,
+              |    MIN(doc_id) OVER (PARTITION BY band, bv) AS first_seen
+              |  FROM bands_all)
+              |WHERE doc_id > first_seen
+              |ORDER BY doc_id, band""".stripMargin))
   )
 }
