@@ -168,6 +168,64 @@ object EmbeddingSearch {
       .limit(k)
   }
 
+  /** Batched IVF ANN — rank a query SET in one job. [[ivfTopK]]
+    * serves one query id per call (a broadcast query vector and a
+    * per-call probe ranking); a serving pipeline refreshing
+    * recommendations for millions of queries cannot pay one Spark
+    * job per query. This form is three joins total, independent of
+    * |queries|:
+    *
+    *  1. probe assignment: queries × K broadcast centroids, bounded
+    *     per-query top-`nProbe` via the GroupedTopK physical
+    *     operator — |Q|·nProbe (q_id, cell, q_emb) rows, no window
+    *     sort;
+    *  2. ONE cell join: corpus cell contents meet every query
+    *     probing that cell (probes broadcast when |Q| is small;
+    *     at driver-table scale drop the hint and it becomes a keyed
+    *     shuffle on `cell` — the corpus side shuffles by cell once,
+    *     NOT per query);
+    *  3. per-query top-k: GroupedTopK again — the exchange carries
+    *     ≤ k·|Q| rows, never the candidate sets.
+    *
+    * `queries` must have (q_id, q_emb) columns; rows whose q_id
+    * equals a corpus vec_id are excluded from their own result (the
+    * self-match convention of [[ivfTopK]]).
+    *
+    * At 100 TB: pass a pre-assigned `emb` (with `cell`) partitioned
+    * by cell, and the cell join prunes to the probed cells' partitions.
+    */
+  def ivfTopKBatch(spark: SparkSession, emb: DataFrame,
+      centroids: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    CosineSimilarityExpr.register(spark)
+    val assigned =
+      if (emb.columns.contains("cell")) emb
+      else emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cand_label"),
+          CosineSimilarityExpr.cosineFast(col("embedding"), col("centroid"))
+            .as("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), col("cand_label"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("best.cand_label").as("cell"),
+          col("embedding"))
+    val probes = graft.plans.GroupedTopK.of(
+      queries.crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("q_emb"),
+          col("cand_label").as("cell"),
+          CosineSimilarityExpr.cosineFast(col("q_emb"), col("centroid"))
+            .as("cell_sim")),
+      Seq("q_id"), Seq(col("cell_sim").desc, col("cell").desc), nProbe)
+      .select("q_id", "q_emb", "cell")
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        CosineSimilarityExpr.cosineFast(col("embedding"), col("q_emb"))
+          .as("cos_sim"))
+    graft.plans.GroupedTopK.of(scored, Seq("q_id"),
+      Seq(col("cos_sim").desc, col("vec_id").asc), k)
+  }
+
   /** spark.ml alternative (SURVEY.md §7.5's named built-in):
     * BucketedRandomProjectionLSH over the embedding vectors —
     * Euclidean LSH, which on unit-norm-ish embeddings orders like

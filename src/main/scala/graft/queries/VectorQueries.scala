@@ -644,6 +644,207 @@ object VectorQueries {
               |FROM prods p
               |JOIN moms mi ON mi.i = p.i
               |JOIN moms mj ON mj.i = p.j
-              |ORDER BY p.i, p.j""".stripMargin))
+              |ORDER BY p.i, p.j""".stripMargin)),
+
+    // ANN recall@10 measurement — turns "the ANN paths work" (q38,
+    // q98 gate their outputs) into "the ANN paths are THIS good":
+    // recall of the SRP-LSH (q38 shape: 4 bands × 6 planes,
+    // OR-amplified buckets) and IVF nprobe=2 (q98 shape) top-10
+    // against the brute-force top-10 truth (q37 shape), as one
+    // summary row. Everything is deterministic — fixed planes
+    // (corpus vectors 1..24), exact-average centroids, exact-decimal
+    // ranking scores with vec_id tie-breaks — so the recall numbers
+    // hash-match cross-engine. This is the number a 100 TB operator
+    // tunes nprobe / band structure against; at scale the truth set
+    // comes from a sampled query panel, and the measurement plan is
+    // unchanged: three top-k subtrees and two tiny left joins.
+    QueryDef(
+      "q200_ann_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
+          cands.join(emb, "vec_id")
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"),
+              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+            .limit(10)
+            .select("vec_id")
+        val exact = rankTop10(
+          emb.filter(col("vec_id") =!= 0).select("vec_id"))
+        val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 6)
+        val qb = bands.filter(col("vec_id") === 0)
+          .select(col("band").as("q_band"), col("bv").as("q_bv"))
+        val lsh = rankTop10(bands
+          .join(broadcast(qb),
+            col("band") === col("q_band") && col("bv") === col("q_bv"))
+          .filter(col("vec_id") =!= 0)
+          .select("vec_id").distinct())
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(explode(scored).as("sc"))
+          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
+          .orderBy(col("dp").desc, col("cell").desc)
+          .limit(2)
+          .select("cell")
+        val ivf = rankTop10(emb
+          .select(col("vec_id"),
+            array_max(scored).getField("clabel").as("cell"))
+          .join(broadcast(probe), "cell")
+          .filter(col("vec_id") =!= 0)
+          .select("vec_id"))
+        exact
+          .join(lsh.withColumn("in_lsh", lit(1)), Seq("vec_id"), "left")
+          .join(ivf.withColumn("in_ivf", lit(1)), Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("k"),
+            count(col("in_lsh")).as("n_hit_lsh"),
+            count(col("in_ivf")).as("n_hit_ivf"))
+          .select(col("k"), col("n_hit_lsh"), col("n_hit_ivf"),
+            (col("n_hit_lsh").cast("double") / col("k").cast("double"))
+              .as("recall_lsh"),
+            (col("n_hit_ivf").cast("double") / col("k").cast("double"))
+              .as("recall_ivf"))
+      },
+      Some(s"""$vecCtes, ${bandsCte(numBands = 4, planesPerBand = 6)},
+              |$centsDotsCte,
+              |ranked AS (
+              |  SELECT e.vec_id,
+              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0
+              |), exact AS (
+              |  SELECT vec_id FROM ranked
+              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+              |), qb AS (
+              |  SELECT band AS q_band, bv AS q_bv FROM bands
+              |  WHERE vec_id = 0
+              |), lsh AS (
+              |  SELECT r.vec_id FROM ranked r
+              |  JOIN (SELECT DISTINCT b.vec_id
+              |        FROM bands b
+              |        JOIN qb ON b.band = qb.q_band AND b.bv = qb.q_bv
+              |        WHERE b.vec_id <> 0) c ON c.vec_id = r.vec_id
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |), assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), probe AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 2
+              |), ivf AS (
+              |  SELECT r.vec_id FROM ranked r
+              |  JOIN assigned a ON a.vec_id = r.vec_id
+              |  JOIN probe p ON a.cell = p.cell
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |)
+              |SELECT COUNT(*) AS k,
+              |  COUNT(l.vec_id) AS n_hit_lsh,
+              |  COUNT(i.vec_id) AS n_hit_ivf,
+              |  CAST(COUNT(l.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS recall_lsh,
+              |  CAST(COUNT(i.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS recall_ivf
+              |FROM exact x
+              |LEFT JOIN lsh l ON x.vec_id = l.vec_id
+              |LEFT JOIN ivf i ON x.vec_id = i.vec_id""".stripMargin)),
+
+    // BATCH-query IVF search (EmbeddingSearch.ivfTopKBatch's declared
+    // witness): top-10 per query for 20 query vectors (vec_id 0..19)
+    // in ONE job — q98 serves a single query id per call; a serving
+    // pipeline ranks the whole query set at once. Shape: literal-
+    // centroid cell assignment (zero shuffle, q67's trick), per-query
+    // probe top-2 via the GroupedTopK physical operator (no window
+    // sort), then ONE cell join — corpus cell contents meet every
+    // query probing that cell — and GroupedTopK again for the final
+    // per-query top-10 (exchange carries ≤ k·|Q| rows). The plan has
+    // ONE join against the cell contents regardless of |queries|,
+    // versus q98's per-query broadcast; at 100 TB the probes side
+    // drops the broadcast hint and the corpus shuffles by cell ONCE.
+    // Exact-decimal cosine + vec_id tie-breaks keep the ranking
+    // bit-reproducible in DuckDB (production scoring: cosine_fast).
+    QueryDef(
+      "q201_ivf_batch_search",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val assigned = emb.select(col("vec_id"), col("embedding"),
+          array_max(scored).getField("clabel").as("cell"))
+        val probes = graft.plans.GroupedTopK.of(
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("q_id"),
+              col("embedding").as("q_emb"),
+              explode(scored).as("sc"))
+            .select(col("q_id"), col("q_emb"),
+              col("sc.dp").as("dp"), col("sc.clabel").as("cell")),
+          Seq("q_id"), Seq(col("dp").desc, col("cell").desc), 2)
+          .select("q_id", "q_emb", "cell")
+        val cands = assigned.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+        graft.plans.GroupedTopK.of(cands, Seq("q_id"),
+          Seq(col("cos_sim").desc, col("vec_id").asc), 10)
+          .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+      },
+      Some(s"""$centsAndDotsCte,
+              |assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), probes AS (
+              |  SELECT vec_id AS q_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c WHERE vec_id < 20)
+              |  WHERE rn <= 2
+              |), qdots AS (
+              |  SELECT q.vec_id AS q_id, d.vec_id,
+              |    CAST(SUM(CAST(d.x * q.x AS DECIMAL(38,12))) AS DOUBLE)
+              |      AS dp
+              |  FROM dexp d JOIN dexp q USING (i)
+              |  WHERE q.vec_id < 20 AND d.vec_id <> q.vec_id
+              |  GROUP BY q.vec_id, d.vec_id
+              |)
+              |SELECT q_id, vec_id, cos_sim FROM (
+              |  SELECT t.q_id, t.vec_id,
+              |    t.dp / (nd.nrm * nq.nrm) AS cos_sim,
+              |    row_number() OVER (PARTITION BY t.q_id
+              |      ORDER BY t.dp / (nd.nrm * nq.nrm) DESC,
+              |        t.vec_id ASC) AS rn
+              |  FROM qdots t
+              |  JOIN assigned a ON a.vec_id = t.vec_id
+              |  JOIN probes p ON p.q_id = t.q_id AND p.cell = a.cell
+              |  JOIN norms nd ON nd.vec_id = t.vec_id
+              |  JOIN norms nq ON nq.vec_id = t.q_id
+              |)
+              |WHERE rn <= 10
+              |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin))
   )
 }

@@ -94,6 +94,25 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     hits(10).keySet shouldBe brute.keySet
   }
 
+  test("EmbeddingSearch: batched IVF equals the per-query probe for " +
+      "each query in the set") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Centroids.byLabel(spark, emb)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val batch = EmbeddingSearch
+      .ivfTopKBatch(spark, emb, cents, queries, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(t => (t._2, t._3)).toSet }
+    batch.keySet shouldBe (0L until 5L).toSet
+    (0L until 5L).foreach { q =>
+      val single = EmbeddingSearch.ivfTopK(spark, emb, cents, q, 10, 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      withClue(s"query $q:") { batch(q) shouldBe single }
+    }
+  }
+
   test("EmbeddingSearch: spark.ml BRP-LSH variant returns ranked neighbors") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = EmbeddingSearch.lshTopKBRP(spark, emb, 0L, 10)
