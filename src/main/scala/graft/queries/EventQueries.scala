@@ -520,5 +520,55 @@ object EventQueries {
               |SELECT event_type, COUNT(*) AS n_events,
               |  ${sqlDsum("wv")} AS decayed_value
               |FROM wv GROUP BY event_type ORDER BY event_type""".stripMargin))
+      ,
+
+    // Gap + MAX-DURATION sessionization (operators.Sessionize),
+    // oracle-gated: the max-duration split makes the session end
+    // depend on its START — a recursion no window cumsum expresses
+    // (q27's session_window is the gap-only form). Spark runs it as
+    // the secondary-sort pattern: one repartition(user) +
+    // sortWithinPartitions + a linear O(1)-state scan per partition —
+    // exactly one shuffle at any corpus size. The rule IS
+    // deterministic (total (user, ts, event_id) order), so DuckDB can
+    // replay it with a recursive CTE stepping each user's event
+    // sequence — fine at oracle SF (recursion depth = max events per
+    // user, 86 at sf0.01), never the 100 TB path. 24 h gap / 72 h cap:
+    // both split rules fire on this data (the cap splits sessions the
+    // gap alone would keep).
+    QueryDef(
+      "q202_sessionize",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        graft.operators.Sessionize.assign(ev, "user_id", "ts_us",
+            "event_id", gapMicros = 86400000000L,
+            maxLenMicros = 259200000000L)
+          .orderBy(col("user_id"), col("event_id"))
+          .select(col("user_id"), col("event_id"), col("session_seq"))
+      },
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |    event_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+             |      AS rn
+             |  FROM events
+             |), sess AS (
+             |  SELECT user_id, ts_us, event_id, rn,
+             |    ts_us AS session_start, CAST(0 AS BIGINT) AS session_seq
+             |  FROM ev WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.ts_us, e.event_id, e.rn,
+             |    CASE WHEN e.ts_us - s.ts_us > 86400000000
+             |        OR e.ts_us - s.session_start > 259200000000
+             |      THEN e.ts_us ELSE s.session_start END,
+             |    CASE WHEN e.ts_us - s.ts_us > 86400000000
+             |        OR e.ts_us - s.session_start > 259200000000
+             |      THEN s.session_seq + 1 ELSE s.session_seq END
+             |  FROM ev e JOIN sess s
+             |    ON e.user_id = s.user_id AND e.rn = s.rn + 1
+             |)
+             |SELECT user_id, event_id, session_seq FROM sess
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 }
