@@ -486,6 +486,116 @@ object CorpusQueries {
              |  CAST(len(ws[start:start+7]) AS INTEGER) AS chunk_len,
              |  md5(array_to_string(ws[start:start+7], ' ')) AS chunk_md5
              |FROM starts
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // BPE first-merge statistics (the inner step of byte-pair-encoding
+    // tokenizer training, Sennrich et al. 2016): corpus-wide counts of
+    // adjacent character pairs, weighted by word frequency — the pair
+    // with the top count IS the first merge a BPE trainer would learn.
+    // The scale shape matters more than the step: the corpus-sized
+    // pass is ONE word-frequency hash-agg (map-side combinable); pair
+    // generation then runs on the DISTINCT-vocabulary table, which is
+    // bounded (Heaps' law) — the 100 TB corpus is touched once per
+    // merge round, and rounds after the first fold merges into the
+    // vocab table without rescanning the corpus. Top-20 with
+    // (count desc, pair asc) total order.
+    QueryDef(
+      "q205_bpe_pair_counts",
+      (s, d) => {
+        val wf = documents(s, d)
+          .select(explode(words(col("text"))).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("word")
+          .agg(count(lit(1)).as("n"))
+        wf
+          .select(col("n"), explode(transform(
+            sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair")
+          .agg(sum(col("n")).cast("long").as("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some("""WITH wf AS (
+             |  SELECT w AS word, COUNT(*) AS n
+             |  FROM documents,
+             |    LATERAL unnest(string_split(text, ' ')) AS u(w)
+             |  WHERE len(w) >= 2
+             |  GROUP BY w
+             |), pairs AS (
+             |  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, n
+             |  FROM wf, LATERAL unnest(range(1, len(word))) AS t(i)
+             |)
+             |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+             |FROM pairs GROUP BY pair
+             |ORDER BY n_occurrences DESC, pair ASC LIMIT 20""".stripMargin)),
+
+    // Temperature-weighted source mixing (the rebalancing step of
+    // multilingual / multi-source training-data pipelines, Lample &
+    // Conneau 2019 §3.1): sampling weights p_s ∝ n_s^α with α = 0.5 —
+    // upweights tail sources relative to proportional sampling — then
+    // an INTEGER allocation of a 10 000-document budget via
+    // largest-remainder (Hamilton) rounding with (remainder desc,
+    // source asc) tie-breaks. Everything after the one per-source
+    // count pass is integer arithmetic on a |sources|-row table: the
+    // weight is quantized to a scale-6 long (floor(√n·10⁶+0.5) — √ is
+    // one correctly-rounded IEEE op in both engines), targets are
+    // floor(B·qw/W) on longs, and remainders B·qw − base·W are exact
+    // longs, so the allocation is bit-reproducible and sums to B by
+    // construction. At 100 TB the corpus pass is the same single
+    // hash-agg; the allocation table stays driver-tiny.
+    QueryDef(
+      "q206_temperature_mix",
+      (s, d) => {
+        val counts = documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("qw",
+            floor(sqrt(col("n_docs").cast("double")) * lit(1e6) +
+              lit(0.5)).cast("long"))
+        val tot = counts.agg(sum(col("qw")).cast("long").as("w_tot"))
+        val b = lit(10000L)
+        val based = counts.crossJoin(broadcast(tot))
+          .withColumn("base",
+            expr("CAST((10000 * qw) DIV w_tot AS BIGINT)"))
+          .withColumn("rem", b * col("qw") - col("base") * col("w_tot"))
+        val leftover = based
+          .agg((b - sum(col("base"))).cast("long").as("l_tot"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source").asc)
+        based.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number().over(w))
+          .select(col("source"), col("n_docs"),
+            (col("qw").cast("double") / col("w_tot").cast("double"))
+              .as("p_sample"),
+            (col("base") + when(col("rk") <= col("l_tot"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5)
+             |      AS BIGINT) AS qw
+             |  FROM documents GROUP BY source
+             |), tot AS (
+             |  SELECT CAST(SUM(qw) AS BIGINT) AS w_tot FROM counts
+             |), based AS (
+             |  SELECT source, n_docs, qw, w_tot,
+             |    CAST((10000 * qw) // w_tot AS BIGINT) AS base,
+             |    10000 * qw - ((10000 * qw) // w_tot) * w_tot AS rem
+             |  FROM counts, tot
+             |), lo AS (
+             |  SELECT CAST(10000 - SUM(base) AS BIGINT) AS l_tot FROM based
+             |), ranked AS (
+             |  SELECT source, n_docs, qw, w_tot, base,
+             |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+             |  FROM based
+             |)
+             |SELECT source, n_docs,
+             |  CAST(qw AS DOUBLE) / CAST(w_tot AS DOUBLE) AS p_sample,
+             |  CAST(base + CASE WHEN rk <= l_tot THEN 1 ELSE 0 END
+             |    AS BIGINT) AS alloc
+             |FROM ranked, lo
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -1174,6 +1174,134 @@ object TextQueries {
               |    MIN(doc_id) OVER (PARTITION BY band, bv) AS first_seen
               |  FROM bands_all)
               |WHERE doc_id > first_seen
-              |ORDER BY doc_id, band""".stripMargin))
+              |ORDER BY doc_id, band""".stripMargin)),
+
+    // Gopher-style repetition quality signal (Rae et al. 2021 §A1.1:
+    // the duplicate-n-gram filters): per document, the fraction of
+    // OVERLAPPING word-trigram occurrences that are repeats of an
+    // earlier occurrence (1 − distinct/total) and the share of the
+    // most frequent trigram, with a keep/flag verdict. This is
+    // n-gram-level repetition — q163's type–token ratio sees unigram
+    // vocabulary reuse, which is high in ANY natural document; looped
+    // or boilerplate-stuffed text shows up as repeated PHRASES, i.e.
+    // trigram duplication. All integer counts until two final ratio
+    // divisions (same IEEE divide both engines). At 100 TB: one
+    // explode → (doc, gram) hash-agg → per-doc agg, map-side
+    // combinable, no joins, no windows over unpartitioned data.
+    QueryDef(
+      "q204_repetition_signal",
+      (s, d) => {
+        val tf = documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("__ws"))
+          .filter(size(col("__ws")) >= 3)
+          .select(col("doc_id"),
+            explode(trigrams(col("__ws"))).as("gram"))
+          .groupBy("doc_id", "gram")
+          .agg(count(lit(1)).as("c"))
+        tf.groupBy("doc_id")
+          .agg(sum(col("c")).cast("long").as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("max_c"))
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+            (lit(1.0) - col("n_distinct").cast("double") /
+              col("n_grams").cast("double")).as("dup_frac"),
+            (col("max_c").cast("double") / col("n_grams").cast("double"))
+              .as("top_share"))
+          .withColumn("verdict",
+            when(col("dup_frac") > 0.02, "flag_repetitive")
+              .otherwise("ok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(ws) - 2),
+             |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+             |  FROM w WHERE len(ws) >= 3
+             |), tf AS (
+             |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+             |), a AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             |    COUNT(*) AS n_distinct, MAX(c) AS max_c
+             |  FROM tf GROUP BY doc_id
+             |)
+             |SELECT doc_id, n_grams, n_distinct,
+             |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             |    AS dup_frac,
+             |  CAST(max_c AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_share,
+             |  CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) /
+             |      CAST(n_grams AS DOUBLE) > 0.02
+             |    THEN 'flag_repetitive' ELSE 'ok' END AS verdict
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    // SIGMOD 2003): from each document's sequence of word-trigram
+    // hashes, keep the minimum hash of every sliding window of 4
+    // consecutive positions (ties → RIGHTMOST, the paper's rule),
+    // then dedup selected positions. Upgrades q30's whole-document
+    // fingerprint: density is provably ~2/(w+1) of positions and any
+    // shared run of ≥ w+k−1 words between two documents is GUARANTEED
+    // to share a selected fingerprint — the property substring-level
+    // dedup at scale needs (random sampling has no such guarantee).
+    // The (min-hash, rightmost-pos) arg-min is encoded as ONE integer
+    // window min: key = h·2048 + (2047 − pos) — h is 52 bits (13 md5
+    // hex chars), pos < 2¹¹, so the key fills exactly 63 bits and the
+    // lexicographic (h asc, pos desc) order is the integer order.
+    // A struct-valued arg-min window is not portable SQL, and the
+    // naive two-pass spelling (window min + max-pos-where-h=OWN-wmin)
+    // is WRONG: a smaller hash just before the frame shadows the
+    // frame's argmin. At 100 TB: per-doc windows only — the shuffle
+    // key is doc_id, the frame is ROWS-bounded (w=4), and the output
+    // is the (doc, pos, hash) fingerprint index downstream
+    // substring-dedup joins build on (pos < 2048 covers these
+    // documents; longer ones would widen the pos field).
+    QueryDef(
+      "q207_winnowing",
+      (s, d) => {
+        val hashed = documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("__ws"))
+          .filter(size(col("__ws")) >= 3)
+          .select(col("doc_id"),
+            posexplode(trigrams(col("__ws"))))
+          .select(col("doc_id"), col("pos"),
+            (conv(substring(md5(col("col")), 1, 13), 16, 10)
+              .cast("long") * lit(2048L) +
+              (lit(2047L) - col("pos"))).as("key"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(-3, 0)
+        hashed
+          .withColumn("wkey", min(col("key")).over(w))
+          .filter(col("pos") >= 3)
+          .select(col("doc_id"),
+            (lit(2047L) - pmod(col("wkey"), lit(2048L))).as("pos"),
+            // integer DIV: Column./ is double division and a 63-bit
+            // key exceeds double's 2^53 exact-integer range
+            expr("CAST(wkey DIV 2048 AS BIGINT)").as("fph"))
+          .distinct()
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), hashed AS (
+             |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             |    CAST('0x' || substring(md5(
+             |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 13)
+             |      AS BIGINT) * 2048 + (2047 - (i - 1)) AS key
+             |  FROM w, LATERAL unnest(generate_series(1, len(ws) - 2))
+             |    AS t(i)
+             |  WHERE len(ws) >= 3
+             |), wins AS (
+             |  SELECT doc_id, pos,
+             |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wkey
+             |  FROM hashed
+             |)
+             |SELECT DISTINCT doc_id,
+             |  2047 - (wkey % 2048) AS pos,
+             |  CAST(wkey // 2048 AS BIGINT) AS fph
+             |FROM wins WHERE pos >= 3
+             |ORDER BY doc_id, pos""".stripMargin))
   )
 }
