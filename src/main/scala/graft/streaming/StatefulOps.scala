@@ -262,4 +262,58 @@ object StatefulOps {
           ShardSummary(shard, folded)
       }
   }
+
+  final case class SessionAssign(user_id: Long, event_id: Long,
+      session_seq: Long)
+
+  /** Streaming gap + MAX-DURATION sessionization — the online form of
+    * [[graft.operators.Sessionize]] (q202's batch operator): assigns
+    * each arriving event its 0-based session number per user, where a
+    * session breaks on an inactivity gap > `gapMicros` OR when the
+    * event would stretch the session past `maxLenMicros` from its
+    * START (the start-dependent recursion no window cumsum
+    * expresses — carried here as three longs of keyed state:
+    * (seq, session_start, last_ts)). Events are processed in
+    * (ts, event_id) order within each micro-batch; the assignment
+    * equals the batch operator's whenever each user's events arrive
+    * in event-time order across batches (the spec's parity contract —
+    * the same in-order premise [[streamingNearDupFlags]] documents
+    * for ids). A late event sorts only within its own batch: its
+    * session numbering reflects arrival, which is the honest online
+    * semantics — replay the batch form for the reconciled truth.
+    * State is O(1) per user — bounded by key cardinality, not stream
+    * length; pair with a timeout to flush abandoned users.
+    */
+  def sessionizeGapCap(spark: SparkSession, events: DataFrame,
+      gapMicros: Long, maxLenMicros: Long): Dataset[SessionAssign] = {
+    import spark.implicits._
+    require(gapMicros > 0 && maxLenMicros > 0,
+      s"gap/maxLen must be positive: $gapMicros/$maxLenMicros")
+    events
+      .select(col("user_id").cast("long"), col("ts_us").cast("long"),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionAssign](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          // (seq, sessionStart, lastTs); seq = -1 marks "no session
+          // yet" so the first event opens session 0 via the gap rule
+          var (seq, start, last) = state.getOption
+            .getOrElse((-1L, Long.MinValue, Long.MinValue))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, eid) =>
+              if (seq < 0 || ts - last > gapMicros ||
+                  ts - start > maxLenMicros) {
+                seq += 1L
+                start = ts
+              }
+              last = ts
+              SessionAssign(uid, eid, seq)
+          }
+          state.update((seq, start, last))
+          out.iterator
+      }
+  }
 }

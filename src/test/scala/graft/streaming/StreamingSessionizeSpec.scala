@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Streaming gap+cap sessionizer ≡ the batch Sessionize operator when
+  * each user's events arrive in event-time order — including across a
+  * checkpointed restart, so the carried (seq, start, last) state must
+  * survive and continue numbering where the first run stopped.
+  */
+class StreamingSessionizeSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val gapUs = 21600000000L      // 6 h
+  private val capUs = 64800000000L      // 18 h
+
+  test("assignments equal batch Sessionize across a checkpointed " +
+      "restart with time-ordered arrival") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .cache()
+    val midTs = ev.agg(expr("percentile(ts_us, 0.5)")).head()
+      .getDouble(0).toLong
+
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-ssz-in").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ssz-out").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ssz-ck").toString
+    def runOnce(): Unit = {
+      val q = StatefulOps.sessionizeGapCap(spark,
+          EventStream.fileStream(spark, inDir, ev.schema),
+          gapMicros = gapUs, maxLenMicros = capUs)
+        .toDF().writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    // event-time-ordered arrival: every pre-median-ts event lands
+    // (and is fully processed) before any post-median event exists,
+    // so each user's stream is in ts order across the restart
+    ev.filter(col("ts_us") <= midTs).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    ev.filter(col("ts_us") > midTs).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Long]("session_seq")).toMap
+
+    val expected = graft.operators.Sessionize.assign(
+        ev, "user_id", "ts_us", "event_id",
+        gapMicros = gapUs, maxLenMicros = capUs)
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    got.size shouldBe expected.size
+    got shouldBe expected
+    // both split rules actually fire on this data: more sessions than
+    // the trivial one-per-user, and at least one cap-forced split
+    val nSessions = got.groupBy(_._1._1).values
+      .map(_.values.max + 1).sum
+    nSessions should be > got.keySet.map(_._1).size.toLong
+  }
+}
