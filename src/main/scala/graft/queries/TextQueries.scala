@@ -84,6 +84,60 @@ object TextQueries {
       .drop("df")
   }
 
+  /** Winnowed fingerprints (doc_id, pos, fph) — q207's selection,
+    * shared with the q208 candidate join. One per-doc ROWS window.
+    */
+  private def winnowedFps(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val hashed = documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("doc_id"),
+        posexplode(trigrams(col("__ws"))))
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("col")), 1, 13), 16, 10)
+          .cast("long") * lit(2048L) +
+          (lit(2047L) - col("pos"))).as("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-3, 0)
+    hashed
+      .withColumn("wkey", min(col("key")).over(w))
+      .filter(col("pos") >= 3)
+      .select(col("doc_id"),
+        (lit(2047L) - pmod(col("wkey"), lit(2048L))).as("pos"),
+        // integer DIV: Column./ is double division and a 63-bit
+        // key exceeds double's 2^53 exact-integer range
+        expr("CAST(wkey DIV 2048 AS BIGINT)").as("fph"))
+      .distinct()
+  }
+
+  /** The winnowing CTE chain shared by q207/q208's oracles: `winn` is
+    * the distinct (doc_id, pos, fph) selection.
+    */
+  private val winnowCte =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), hashed AS (
+      |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+      |    CAST('0x' || substring(md5(
+      |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 13)
+      |      AS BIGINT) * 2048 + (2047 - (i - 1)) AS key
+      |  FROM w, LATERAL unnest(generate_series(1, len(ws) - 2))
+      |    AS t(i)
+      |  WHERE len(ws) >= 3
+      |), wins AS (
+      |  SELECT doc_id, pos,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wkey
+      |  FROM hashed
+      |), winn AS (
+      |  SELECT DISTINCT doc_id,
+      |    2047 - (wkey % 2048) AS pos,
+      |    CAST(wkey // 2048 AS BIGINT) AS fph
+      |  FROM wins WHERE pos >= 3
+      |)""".stripMargin
+
   /** q31's pair metric as a reusable subtree: word-trigram Jaccard ≥
     * 0.5 over df-capped grams → (a_id, b_id, jaccard). The per-doc
     * gram count rides along as a window column, so the pair
@@ -1258,50 +1312,58 @@ object TextQueries {
     // documents; longer ones would widen the pos field).
     QueryDef(
       "q207_winnowing",
+      (s, d) => winnowedFps(s, d).orderBy("doc_id", "pos"),
+      Some(s"""$winnowCte
+              |SELECT doc_id, pos, fph FROM winn
+              |ORDER BY doc_id, pos""".stripMargin)),
+
+    // Substring-level near-dup candidates from the winnowed index —
+    // the APPLICATION q207 builds toward: two documents sharing ≥ 2
+    // selected fingerprints share (with winnowing's guarantee) at
+    // least one ≥ 6-word run each, the candidate signal substring
+    // dedup verifies exactly downstream. The join is on the
+    // fingerprint VALUE with a document-frequency cap (df ≤ 50, the
+    // q31 stop-gram rule transplanted: a boilerplate fingerprint in
+    // thousands of docs carries no pair discrimination but df² join
+    // rows), so pair rows are bounded by cap × |index| — linear in
+    // corpus size. Distinct (doc, fph) first: a fingerprint selected
+    // at several positions of the same doc is one vote, not many.
+    QueryDef(
+      "q208_winnow_candidates",
       (s, d) => {
-        val hashed = documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("__ws"))
-          .filter(size(col("__ws")) >= 3)
-          .select(col("doc_id"),
-            posexplode(trigrams(col("__ws"))))
-          .select(col("doc_id"), col("pos"),
-            (conv(substring(md5(col("col")), 1, 13), 16, 10)
-              .cast("long") * lit(2048L) +
-              (lit(2047L) - col("pos"))).as("key"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(-3, 0)
-        hashed
-          .withColumn("wkey", min(col("key")).over(w))
-          .filter(col("pos") >= 3)
-          .select(col("doc_id"),
-            (lit(2047L) - pmod(col("wkey"), lit(2048L))).as("pos"),
-            // integer DIV: Column./ is double division and a 63-bit
-            // key exceeds double's 2^53 exact-integer range
-            expr("CAST(wkey DIV 2048 AS BIGINT)").as("fph"))
-          .distinct()
-          .orderBy("doc_id", "pos")
+        val fps = winnowedFps(s, d)
+          .select("doc_id", "fph").distinct()
+        val wdf = org.apache.spark.sql.expressions.Window
+          .partitionBy("fph")
+        val rare = fps
+          .withColumn("df", count(lit(1)).over(wdf))
+          .filter(col("df") <= 50)
+          .drop("df")
+        rare.as("a")
+          .join(rare.as("b"),
+            col("a.fph") === col("b.fph") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"),
+            col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).cast("long").as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("a_id", "b_id")
       },
-      Some("""WITH w AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-             |), hashed AS (
-             |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-             |    CAST('0x' || substring(md5(
-             |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 13)
-             |      AS BIGINT) * 2048 + (2047 - (i - 1)) AS key
-             |  FROM w, LATERAL unnest(generate_series(1, len(ws) - 2))
-             |    AS t(i)
-             |  WHERE len(ws) >= 3
-             |), wins AS (
-             |  SELECT doc_id, pos,
-             |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wkey
-             |  FROM hashed
-             |)
-             |SELECT DISTINCT doc_id,
-             |  2047 - (wkey % 2048) AS pos,
-             |  CAST(wkey // 2048 AS BIGINT) AS fph
-             |FROM wins WHERE pos >= 3
-             |ORDER BY doc_id, pos""".stripMargin))
+      Some(s"""$winnowCte, fps AS (
+              |  SELECT DISTINCT doc_id, fph FROM winn
+              |), rare AS (
+              |  SELECT doc_id, fph FROM (
+              |    SELECT doc_id, fph,
+              |      COUNT(*) OVER (PARTITION BY fph) AS df
+              |    FROM fps)
+              |  WHERE df <= 50
+              |)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_shared
+              |FROM rare a JOIN rare b
+              |  ON a.fph = b.fph AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2
+              |HAVING COUNT(*) >= 2
+              |ORDER BY a_id, b_id""".stripMargin))
   )
 }

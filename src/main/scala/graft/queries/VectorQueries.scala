@@ -845,6 +845,107 @@ object VectorQueries {
               |  JOIN norms nq ON nq.vec_id = t.q_id
               |)
               |WHERE rn <= 10
-              |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin))
+              |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
+
+    // IVF recall TUNING CURVE — q200 measures one operating point
+    // (nprobe = 2); this row sweeps nprobe ∈ {1, 2, 4} and reports
+    // recall@10 at each, which is THE tuning loop a 100 TB ANN
+    // deployment runs: pick the smallest nprobe whose recall clears
+    // the product bar, because probe count is directly proportional
+    // to the fraction of the corpus each query touches. The probe
+    // ranking and exact truth are computed once per form; at scale
+    // the sweep runs on a sampled query panel and the plan per point
+    // is unchanged (cell join + top-k). Monotone by construction:
+    // candidates at nprobe n are a superset of n−1.
+    QueryDef(
+      "q209_ivf_tuning_curve",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
+          cands.join(emb, "vec_id")
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"),
+              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+            .limit(10)
+            .select("vec_id")
+        val exact = rankTop10(
+          emb.filter(col("vec_id") =!= 0).select("vec_id"))
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val assigned = emb
+          .select(col("vec_id"),
+            array_max(scored).getField("clabel").as("cell"))
+        val probeRanked = emb.filter(col("vec_id") === 0)
+          .select(explode(scored).as("sc"))
+          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("dp").desc, col("cell").desc)))
+        val curves = Seq(1, 2, 4).map { n =>
+          rankTop10(assigned
+            .join(broadcast(probeRanked.filter(col("rk") <= n)
+              .select("cell")), "cell")
+            .filter(col("vec_id") =!= 0)
+            .select("vec_id"))
+            .join(exact.withColumn("in_exact", lit(1)),
+              Seq("vec_id"), "inner")
+            .agg(count(lit(1)).cast("long").as("n_hit"))
+            .select(lit(n).as("nprobe"), col("n_hit"),
+              (col("n_hit").cast("double") / lit(10.0)).as("recall"))
+        }
+        curves.reduce(_ unionByName _).orderBy("nprobe")
+      },
+      Some(s"""$centsAndDotsCte,
+              |ranked AS (
+              |  SELECT e.vec_id,
+              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0
+              |), exact AS (
+              |  SELECT vec_id FROM ranked
+              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+              |), assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), probe_ranked AS (
+              |  SELECT clabel AS cell,
+              |    row_number() OVER (ORDER BY dp DESC, clabel DESC) AS rk
+              |  FROM dots_c WHERE vec_id = 0
+              |), pts AS (SELECT CAST(n AS INTEGER) AS nprobe
+              |  FROM (VALUES (1), (2), (4)) AS v(n)
+              |), ivf AS (
+              |  SELECT p.nprobe, r.vec_id FROM pts p
+              |  CROSS JOIN LATERAL (
+              |    SELECT r2.vec_id FROM ranked r2
+              |    JOIN assigned a ON a.vec_id = r2.vec_id
+              |    JOIN probe_ranked pr
+              |      ON pr.cell = a.cell AND pr.rk <= p.nprobe
+              |    ORDER BY r2.cos_sim DESC, r2.vec_id ASC LIMIT 10
+              |  ) r
+              |)
+              |SELECT p.nprobe, CAST(COUNT(h.vec_id) AS BIGINT) AS n_hit,
+              |  CAST(COUNT(h.vec_id) AS DOUBLE) / 10.0 AS recall
+              |FROM pts p LEFT JOIN (
+              |  SELECT i.nprobe, i.vec_id FROM ivf i
+              |  JOIN exact x ON i.vec_id = x.vec_id) h
+              |  ON h.nprobe = p.nprobe
+              |GROUP BY p.nprobe
+              |ORDER BY p.nprobe""".stripMargin))
   )
 }
