@@ -84,6 +84,48 @@ object TextQueries {
       .drop("df")
   }
 
+  /** q32/q199/q210's banded MinHash rows (doc_id, band, bv): sliced
+    * 8-hash signatures over df-capped grams, 4 bands × 2 rows — the
+    * gate/bucket key near-dup detection shuffles on.
+    */
+  private def lshBands(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val grams = sparkGramsCapped(s, d)
+    val aggs = graft.functions.TextFunctions
+      .minhashSlicedAggs(col("gram"), 8)
+    val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sigs.select(col("doc_id"), posexplode(array(
+        concat_ws("|", col("h0"), col("h1")),
+        concat_ws("|", col("h2"), col("h3")),
+        concat_ws("|", col("h4"), col("h5")),
+        concat_ws("|", col("h6"), col("h7")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+  }
+
+  /** DuckDB CTE chain mirroring [[lshBands]]: `bands_all(doc_id,
+    * band, bv)` on top of the df-capped grams.
+    */
+  private val lshBandsCte =
+    s"""$cappedGramsCte,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    min(substring(md5(gram), 1, 8)) AS h0,
+       |    min(substring(md5(gram), 9, 8)) AS h1,
+       |    min(substring(md5(gram), 17, 8)) AS h2,
+       |    min(substring(md5(gram), 25, 8)) AS h3,
+       |    min(substring(md5('1:' || gram), 1, 8)) AS h4,
+       |    min(substring(md5('1:' || gram), 9, 8)) AS h5,
+       |    min(substring(md5('1:' || gram), 17, 8)) AS h6,
+       |    min(substring(md5('1:' || gram), 25, 8)) AS h7
+       |  FROM grams_rare GROUP BY doc_id
+       |), bands_all AS (
+       |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sigs
+       |  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sigs
+       |  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sigs
+       |  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sigs
+       |)""".stripMargin
+
   /** Winnowed fingerprints (doc_id, pos, fph) — q207's selection,
     * shared with the q208 candidate join. One per-doc ROWS window.
     */
@@ -1186,43 +1228,15 @@ object TextQueries {
     QueryDef(
       "q199_neardup_gate_batch",
       (s, d) => {
-        val grams = sparkGramsCapped(s, d)
-        val aggs = graft.functions.TextFunctions
-          .minhashSlicedAggs(col("gram"), 8)
-        val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        val bands = sigs.select(col("doc_id"), posexplode(array(
-            concat_ws("|", col("h0"), col("h1")),
-            concat_ws("|", col("h2"), col("h3")),
-            concat_ws("|", col("h4"), col("h5")),
-            concat_ws("|", col("h6"), col("h7")))))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "bv")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bv")
-        bands
+        lshBands(s, d)
           .withColumn("first_seen", min(col("doc_id")).over(w))
           .filter(col("doc_id") > col("first_seen"))
           .select(col("doc_id"), col("band"), col("first_seen"))
           .orderBy("doc_id", "band")
       },
-      Some(s"""$cappedGramsCte,
-              |sigs AS (
-              |  SELECT doc_id,
-              |    min(substring(md5(gram), 1, 8)) AS h0,
-              |    min(substring(md5(gram), 9, 8)) AS h1,
-              |    min(substring(md5(gram), 17, 8)) AS h2,
-              |    min(substring(md5(gram), 25, 8)) AS h3,
-              |    min(substring(md5('1:' || gram), 1, 8)) AS h4,
-              |    min(substring(md5('1:' || gram), 9, 8)) AS h5,
-              |    min(substring(md5('1:' || gram), 17, 8)) AS h6,
-              |    min(substring(md5('1:' || gram), 25, 8)) AS h7
-              |  FROM grams_rare GROUP BY doc_id
-              |), bands_all AS (
-              |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sigs
-              |  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sigs
-              |  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sigs
-              |  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sigs
-              |)
+      Some(s"""$lshBandsCte
               |SELECT doc_id, band, first_seen FROM (
               |  SELECT doc_id, band,
               |    MIN(doc_id) OVER (PARTITION BY band, bv) AS first_seen
@@ -1364,6 +1378,101 @@ object TextQueries {
               |  ON a.fph = b.fph AND a.doc_id < b.doc_id
               |GROUP BY 1, 2
               |HAVING COUNT(*) >= 2
-              |ORDER BY a_id, b_id""".stripMargin))
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Corpus-prep FUNNEL report — the composition the individual
+    // operators exist for: per source, how many documents survive
+    // each pipeline stage, in order: raw → exact dedup (keep the
+    // min-id per md5, q29's rule) → near-dup gate (drop docs the
+    // q199 bucket rule flags in any band; flags computed over the
+    // full corpus, the gate's online semantics) → repetition quality
+    // (q204's dup-trigram rule; gram-less short docs pass). Counts
+    // are monotone by construction and all-integer. At 100 TB the
+    // plan is three linear flag subtrees (one md5 window keyed by
+    // hash, one banded-bucket window, one per-doc gram agg) joined
+    // back to the doc table by id, then ONE per-source hash-agg —
+    // the same report a pipeline run emits to decide what a crawl
+    // snapshot actually contributed.
+    QueryDef(
+      "q210_pipeline_funnel",
+      (s, d) => {
+        val wMd5 = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text")))
+        val base = documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("exact_keep",
+            col("doc_id") === min(col("doc_id")).over(wMd5))
+          .drop("text")
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bv")
+        val ndFlagged = lshBands(s, d)
+          .withColumn("first_seen", min(col("doc_id")).over(wB))
+          .filter(col("doc_id") > col("first_seen"))
+          .select("doc_id").distinct()
+          .withColumn("nd_flag", lit(1))
+        val rep = documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("__ws"))
+          .filter(size(col("__ws")) >= 3)
+          .select(col("doc_id"),
+            explode(trigrams(col("__ws"))).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).cast("long").as("n"),
+            count(lit(1)).as("nd"))
+          .select(col("doc_id"),
+            (lit(1.0) - col("nd").cast("double") /
+              col("n").cast("double") <= 0.02).as("rep_ok"))
+        base
+          .join(ndFlagged, Seq("doc_id"), "left")
+          .join(rep, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("exact_keep"), 1L).otherwise(0L))
+              .as("n_exact"),
+            sum(when(col("exact_keep") && col("nd_flag").isNull, 1L)
+              .otherwise(0L)).as("n_neardup"),
+            sum(when(col("exact_keep") && col("nd_flag").isNull &&
+                coalesce(col("rep_ok"), lit(true)), 1L)
+              .otherwise(0L)).as("n_quality"))
+          .orderBy("source")
+      },
+      Some(s"""$lshBandsCte, exact AS (
+              |  SELECT doc_id, source,
+              |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+              |      AS exact_keep
+              |  FROM documents
+              |), ndf AS (
+              |  SELECT DISTINCT doc_id FROM (
+              |    SELECT doc_id,
+              |      MIN(doc_id) OVER (PARTITION BY band, bv) AS fs
+              |    FROM bands_all)
+              |  WHERE doc_id > fs
+              |), rep AS (
+              |  SELECT doc_id,
+              |    1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) /
+              |      CAST(COUNT(*) AS DOUBLE) <= 0.02 AS rep_ok
+              |  FROM (
+              |    SELECT doc_id,
+              |      unnest(list_transform(generate_series(1, len(ws) - 2),
+              |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+              |        AS gram
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              |          FROM documents)
+              |    WHERE len(ws) >= 3)
+              |  GROUP BY doc_id
+              |)
+              |SELECT e.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN e.exact_keep THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_exact,
+              |  CAST(SUM(CASE WHEN e.exact_keep AND n.doc_id IS NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+              |  CAST(SUM(CASE WHEN e.exact_keep AND n.doc_id IS NULL
+              |    AND coalesce(r.rep_ok, true) THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_quality
+              |FROM exact e
+              |LEFT JOIN ndf n ON n.doc_id = e.doc_id
+              |LEFT JOIN rep r ON r.doc_id = e.doc_id
+              |GROUP BY e.source
+              |ORDER BY e.source""".stripMargin))
   )
 }

@@ -31,7 +31,8 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("near-dup candidate joins never degenerate to all-pairs") {
     Seq("q31_ngram_jaccard", "q32_minhash_lsh", "q44_embed_neardup",
       "q56_simhash_neardup", "q115_containment", "q85_contamination",
-      "q179_prefix_filter_jaccard")
+      "q179_prefix_filter_jaccard", "q208_winnow_candidates",
+      "q210_pipeline_funnel")
       .foreach { q =>
         val p = plan(q)
         withClue(s"$q plan:") {
