@@ -171,7 +171,8 @@ object GraphPropagation {
   def pageRankDelta(state: PageRankState, edgeDelta: DataFrame,
       srcCol: String, dstCol: String, iters: Int,
       teleport: Double = 0.15, damping: Double = 0.85,
-      warmStart: Boolean = true): PageRankState = {
+      warmStart: Boolean = true,
+      broadcastAffected: Boolean = true): PageRankState = {
     val dDeg = edgeDelta.groupBy(srcCol)
       .agg(count(lit(1)).as("__ddeg"))
     val outdegNew = state.outdeg
@@ -180,11 +181,17 @@ object GraphPropagation {
         (coalesce(col("__outdeg"), lit(0L)) +
           coalesce(col("__ddeg"), lit(0L))).as("__outdeg"))
       .localCheckpoint()
-    val affected = dDeg.select(srcCol).localCheckpoint()
+    // the semi/anti probe side: broadcast is right for the delta-epoch
+    // norm (|affected srcs| ≪ |edges|), but the hint is a FORCE, so a
+    // caller replaying a huge backlog can opt out and let the joins
+    // shuffle on src instead of materializing the set per executor
+    val affected0 = dDeg.select(srcCol).localCheckpoint()
+    val affected =
+      if (broadcastAffected) broadcast(affected0) else affected0
     val untouched = state.edgesW
-      .join(broadcast(affected), Seq(srcCol), "left_anti")
+      .join(affected, Seq(srcCol), "left_anti")
     val refreshed = state.edgesW.select(col(srcCol), col(dstCol))
-      .join(broadcast(affected), Seq(srcCol), "left_semi")
+      .join(affected, Seq(srcCol), "left_semi")
       .unionByName(edgeDelta.select(col(srcCol), col(dstCol)))
       .join(outdegNew, Seq(srcCol))
     val edgesWNew = untouched

@@ -110,6 +110,20 @@ class GraphPropagationSpec extends AnyFunSuite with SparkFixture
     inc shouldBe full
   }
 
+  test("pageRankDelta with broadcastAffected=false (the huge-backlog " +
+      "path) is bit-exact with the broadcast form") {
+    val full = GraphPropagation
+      .pageRank(baseEdges.unionByName(deltaEdges), "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val st1 = GraphPropagation.pageRankDelta(
+      GraphPropagation.pageRankInit(baseEdges, "src", "dst", iters = 1),
+      deltaEdges, "src", "dst", iters = 2, warmStart = false,
+      broadcastAffected = false)
+    val inc = st1.rank
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    inc shouldBe full
+  }
+
   test("pageRankDelta maintains outdeg and the folded edge list " +
       "incrementally without loss (structure parity)") {
     val merged = baseEdges.unionByName(deltaEdges)
