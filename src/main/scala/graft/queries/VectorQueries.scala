@@ -946,6 +946,123 @@ object VectorQueries {
               |  JOIN exact x ON i.vec_id = x.vec_id) h
               |  ON h.nprobe = p.nprobe
               |GROUP BY p.nprobe
-              |ORDER BY p.nprobe""".stripMargin))
+              |ORDER BY p.nprobe""".stripMargin)),
+
+    // IVF index health #1: CELL BALANCE. Probe cost at query time is
+    // proportional to the probed cells' sizes, so a skewed cell map
+    // (one cell holding half the corpus) silently turns "nprobe=2"
+    // into a near-full scan. This row is the audit a deployment runs
+    // after (re)building the index: per-cell vector counts, corpus
+    // share, and the balance factor n·K/total (1.0 = perfectly even;
+    // the max factor is the worst-case probe amplification). One
+    // argmax assignment pass + one K-row hash-agg — linear, and the
+    // same pass the build already runs.
+    QueryDef(
+      "q211_ivf_cell_balance",
+      (s, d) => {
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val k = cents.size
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val assigned = emb.select(
+          array_max(scored).getField("clabel").as("cell"))
+        val tot = assigned.agg(count(lit(1)).as("n_total"))
+        assigned.groupBy("cell")
+          .agg(count(lit(1)).as("n_vectors"))
+          .crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vectors"),
+            (col("n_vectors").cast("double") /
+              col("n_total").cast("double")).as("share"),
+            (col("n_vectors").cast("double") * lit(k.toDouble) /
+              col("n_total").cast("double")).as("balance_factor"))
+          .orderBy("cell")
+      },
+      Some(s"""$centsAndDotsCte,
+              |assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), k AS (SELECT COUNT(DISTINCT clabel) AS kk FROM cents),
+              |tot AS (SELECT COUNT(*) AS n_total FROM assigned)
+              |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+              |  CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE)
+              |    AS share,
+              |  CAST(COUNT(*) AS DOUBLE) * CAST(kk AS DOUBLE) /
+              |    CAST(n_total AS DOUBLE) AS balance_factor
+              |FROM assigned, k, tot
+              |GROUP BY cell, kk, n_total
+              |ORDER BY cell""".stripMargin)),
+
+    // IVF index health #2: CENTROID DRIFT — the re-train trigger. As
+    // the corpus grows, each cell's TRUE mean (the mean of the
+    // vectors argmax-assigned to it) drifts away from the stored
+    // centroid the assignment used; large drift means the quantizer
+    // is stale and recall degrades at fixed nprobe (q209's curve
+    // shifts down). Reported as the squared L2 distance between the
+    // stored centroid and the assigned-cell mean, per cell — means
+    // are exact-decimal averages (identical doubles both engines),
+    // the distance an exact-decimal sum of squared diffs. Two linear
+    // passes (assign, per-(cell, dim) mean) + a K×dim join: the same
+    // footprint class as the index build itself.
+    QueryDef(
+      "q212_centroid_drift",
+      (s, d) => {
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val cellMeans = emb
+          .select(array_max(scored).getField("clabel").as("cell"),
+            posexplode(col("embedding")))
+          .select(col("cell"), (col("pos") + 1).as("i"),
+            col("col").cast("double").as("x"))
+          .groupBy("cell", "i")
+          .agg(davg(col("x")).as("cell_mean"))
+        val centRows = cents.flatMap { case (lbl, arr) =>
+          arr.zipWithIndex.map { case (v, idx) =>
+            (lbl, idx + 1, v)
+          }
+        }
+        val centDf = s.createDataFrame(centRows)
+          .toDF("cell", "i", "cent_mean")
+        cellMeans.join(broadcast(centDf), Seq("cell", "i"))
+          .groupBy("cell")
+          .agg(dsum((col("cell_mean") - col("cent_mean")) *
+            (col("cell_mean") - col("cent_mean")) * lit(1e6))
+            .as("drift_sq_x1e6"))
+          .orderBy("cell")
+      },
+      Some(s"""$centsAndDotsCte,
+              |assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), cell_means AS (
+              |  SELECT a.cell, d.i, ${sqlDavg("d.x")} AS cell_mean
+              |  FROM dexp d JOIN assigned a ON a.vec_id = d.vec_id
+              |  GROUP BY a.cell, d.i
+              |)
+              |SELECT m.cell,
+              |  ${sqlDsum("(m.cell_mean - c.mean_x) * " +
+                "(m.cell_mean - c.mean_x) * 1e6")} AS drift_sq_x1e6
+              |FROM cell_means m
+              |JOIN cents c ON c.clabel = m.cell AND c.i = m.i
+              |GROUP BY m.cell
+              |ORDER BY m.cell""".stripMargin))
   )
 }
