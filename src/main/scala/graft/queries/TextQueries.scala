@@ -1380,6 +1380,75 @@ object TextQueries {
               |HAVING COUNT(*) >= 2
               |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Alignment voting over shared winnowed fingerprints — the stage
+    // between q208's candidate pairs and exact substring
+    // verification: two documents sharing a CONTIGUOUS run place all
+    // its fingerprints at the SAME position offset, so the dominant
+    // (b.pos − a.pos) delta localizes the shared region (the
+    // diagonal-voting idea plagiarism detectors run on winnowed
+    // indexes) and its vote count lower-bounds the run's fingerprint
+    // density. Downstream exact verification then compares ONLY the
+    // aligned slices instead of whole documents. The join carries
+    // positions, so the df cap here bounds fingerprint OCCURRENCES
+    // (≤ 50) rather than q208's distinct docs — same linearity
+    // argument; the per-pair argmax is a keyed window, one row out
+    // per pair. Ties (votes, then smaller delta) keep a total order.
+    QueryDef(
+      "q213_winnow_align",
+      (s, d) => {
+        val fps = winnowedFps(s, d)
+        val wdf = org.apache.spark.sql.expressions.Window
+          .partitionBy("fph")
+        val rareCapped = fps
+          .withColumn("df", count(lit(1)).over(wdf))
+          .filter(col("df") <= 50)
+          .drop("df")
+        val votes = rareCapped.as("a")
+          .join(rareCapped.as("b"),
+            col("a.fph") === col("b.fph") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"),
+            col("b.doc_id").as("b_id"),
+            (col("b.pos") - col("a.pos")).as("align_delta"))
+          .agg(count(lit(1)).cast("long").as("n_votes"))
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id", "b_id")
+        votes
+          .withColumn("n_shared", sum(col("n_votes")).over(wp)
+            .cast("long"))
+          .withColumn("rn", row_number().over(wp
+            .orderBy(col("n_votes").desc, col("align_delta").asc)))
+          .filter(col("rn") === 1 && col("n_shared") >= 2)
+          .select("a_id", "b_id", "align_delta", "n_votes", "n_shared")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$winnowCte, fpsd AS (
+              |  SELECT doc_id, pos, fph FROM winn
+              |), rare AS (
+              |  SELECT doc_id, pos, fph FROM (
+              |    SELECT doc_id, pos, fph,
+              |      COUNT(*) OVER (PARTITION BY fph) AS df
+              |    FROM fpsd)
+              |  WHERE df <= 50
+              |), votes AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    b.pos - a.pos AS align_delta,
+              |    CAST(COUNT(*) AS BIGINT) AS n_votes
+              |  FROM rare a JOIN rare b
+              |    ON a.fph = b.fph AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2, 3
+              |), ranked AS (
+              |  SELECT a_id, b_id, align_delta, n_votes,
+              |    CAST(SUM(n_votes) OVER (PARTITION BY a_id, b_id)
+              |      AS BIGINT) AS n_shared,
+              |    row_number() OVER (PARTITION BY a_id, b_id
+              |      ORDER BY n_votes DESC, align_delta ASC) AS rn
+              |  FROM votes
+              |)
+              |SELECT a_id, b_id, align_delta, n_votes, n_shared
+              |FROM ranked WHERE rn = 1 AND n_shared >= 2
+              |ORDER BY a_id, b_id""".stripMargin)),
+
     // Corpus-prep FUNNEL report — the composition the individual
     // operators exist for: per source, how many documents survive
     // each pipeline stage, in order: raw → exact dedup (keep the
