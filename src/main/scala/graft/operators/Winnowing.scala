@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken —
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003), over word k-grams: from each document's sequence of k-gram
+  * hashes, keep the minimum hash of every sliding window of `w`
+  * consecutive positions, ties broken toward the RIGHTMOST position
+  * (the paper's rule), then dedup the selected (pos, hash) set.
+  *
+  * Why this selection and not sampling: density is provably between
+  * 1/w and 2/(w+1) of positions, and any run of ≥ w+k−1 shared words
+  * between two documents is GUARANTEED to contribute at least one
+  * shared selected fingerprint — the detection guarantee
+  * substring-level dedup needs (mod-p or random sampling can miss an
+  * arbitrarily long shared run).
+  *
+  * Engine-portable arg-min: (hash asc, pos desc) is encoded as ONE
+  * 63-bit integer key = h·2048 + (2047 − pos) — h is the first 13 md5
+  * hex chars (52 bits), pos < 2¹¹ — so a single ROWS-window `min`
+  * expresses the rule identically in Spark and any SQL oracle
+  * (a struct-valued window min is not portable, and the two-pass
+  * spelling — window min + rightmost-pos-where-h=own-min — is WRONG:
+  * a smaller hash just before the frame shadows the frame argmin).
+  *
+  * Scale stance (100 TB): the only shuffle key is the document id;
+  * the window frame is ROWS-bounded (`w`), state per task is O(w);
+  * output is the (doc, pos, hash) fingerprint index downstream
+  * candidate joins (q208) and alignment voting (q213) build on.
+  * pos < 2048 covers these corpora; longer documents would widen the
+  * pos field (the key has 11 spare bits below a 52-bit hash).
+  */
+object Winnowing {
+
+  val MaxPos = 2048L
+
+  /** Selected fingerprints (idCol, pos, fph) over word trigrams of
+    * `textCol`, window size `w`. Documents shorter than 3 words have
+    * no trigram and select nothing.
+    */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 4): DataFrame = {
+    require(w >= 1, s"window must be positive: $w")
+    val hashed = docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col(idCol), posexplode(
+        graft.functions.TextFunctions.trigrams(col("__ws"))))
+      .select(col(idCol), col("pos"),
+        (conv(substring(md5(col("col")), 1, 13), 16, 10)
+          .cast("long") * lit(MaxPos) +
+          (lit(MaxPos - 1) - col("pos"))).as("key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    hashed
+      .withColumn("wkey", min(col("key")).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col(idCol),
+        (lit(MaxPos - 1) - pmod(col("wkey"), lit(MaxPos))).as("pos"),
+        // integer DIV: Column./ is double division and a 63-bit key
+        // exceeds double's 2^53 exact-integer range
+        expr(s"CAST(wkey DIV $MaxPos AS BIGINT)").as("fph"))
+      .distinct()
+  }
+}

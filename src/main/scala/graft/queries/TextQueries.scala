@@ -127,32 +127,13 @@ object TextQueries {
        |)""".stripMargin
 
   /** Winnowed fingerprints (doc_id, pos, fph) — q207's selection,
-    * shared with the q208 candidate join. One per-doc ROWS window.
+    * shared with the q208 candidate join and q213 alignment voting.
+    * The selection itself lives in [[graft.operators.Winnowing]]
+    * (property-tested against an in-memory reference there).
     */
   private def winnowedFps(s: org.apache.spark.sql.SparkSession,
-      d: String) = {
-    val hashed = documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("__ws"))
-      .filter(size(col("__ws")) >= 3)
-      .select(col("doc_id"),
-        posexplode(trigrams(col("__ws"))))
-      .select(col("doc_id"), col("pos"),
-        (conv(substring(md5(col("col")), 1, 13), 16, 10)
-          .cast("long") * lit(2048L) +
-          (lit(2047L) - col("pos"))).as("key"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-3, 0)
-    hashed
-      .withColumn("wkey", min(col("key")).over(w))
-      .filter(col("pos") >= 3)
-      .select(col("doc_id"),
-        (lit(2047L) - pmod(col("wkey"), lit(2048L))).as("pos"),
-        // integer DIV: Column./ is double division and a 63-bit
-        // key exceeds double's 2^53 exact-integer range
-        expr("CAST(wkey DIV 2048 AS BIGINT)").as("fph"))
-      .distinct()
-  }
+      d: String) =
+    graft.operators.Winnowing.fingerprints(documents(s, d))
 
   /** The winnowing CTE chain shared by q207/q208's oracles: `winn` is
     * the distinct (doc_id, pos, fph) selection.
