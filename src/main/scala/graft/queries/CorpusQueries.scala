@@ -596,6 +596,59 @@ object CorpusQueries {
              |  CAST(base + CASE WHEN rk <= l_tot THEN 1 ELSE 0 END
              |    AS BIGINT) AS alloc
              |FROM ranked, lo
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Length-bucketed batching report — the decision input for
+    // bucketed dynamic batching (group sequences of similar length,
+    // pad to the bucket top) versus q77's concat-and-chunk packing
+    // (zero waste, but crosses document boundaries): per
+    // power-of-two length bucket, document count, real tokens, padded
+    // capacity, and the padding-waste fraction. A training run that
+    // must respect document boundaries reads this to size its
+    // buckets; the waste column is exactly what packing would
+    // reclaim. One linear projection + an 8-row hash-agg; integer
+    // until the final ratio.
+    QueryDef(
+      "q214_length_buckets",
+      (s, d) => {
+        val t = size(words(col("text"))).cast("long")
+        val bucket = when(t <= 16, 16L).when(t <= 32, 32L)
+          .when(t <= 64, 64L).when(t <= 128, 128L)
+          .when(t <= 256, 256L).when(t <= 512, 512L)
+          .when(t <= 1024, 1024L).otherwise(2048L)
+        documents(s, d)
+          .select(t.as("n_tokens"), bucket.as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"))
+          .select(col("bucket"), col("n_docs"), col("total_tokens"),
+            (col("bucket") * col("n_docs")).as("capacity"),
+            (lit(1.0) - col("total_tokens").cast("double") /
+              (col("bucket") * col("n_docs")).cast("double"))
+              .as("waste_frac"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+             |    AS n_tokens
+             |  FROM documents
+             |), b AS (
+             |  SELECT n_tokens,
+             |    CAST(CASE WHEN n_tokens <= 16 THEN 16
+             |      WHEN n_tokens <= 32 THEN 32
+             |      WHEN n_tokens <= 64 THEN 64
+             |      WHEN n_tokens <= 128 THEN 128
+             |      WHEN n_tokens <= 256 THEN 256
+             |      WHEN n_tokens <= 512 THEN 512
+             |      WHEN n_tokens <= 1024 THEN 1024
+             |      ELSE 2048 END AS BIGINT) AS bucket
+             |  FROM t
+             |)
+             |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(bucket * COUNT(*) AS BIGINT) AS capacity,
+             |  1.0 - CAST(SUM(n_tokens) AS DOUBLE) /
+             |    CAST(bucket * COUNT(*) AS DOUBLE) AS waste_frac
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }
