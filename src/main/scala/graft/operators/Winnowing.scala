@@ -36,27 +36,48 @@ object Winnowing {
 
   val MaxPos = 2048L
 
-  /** Selected fingerprints (idCol, pos, fph) over word trigrams of
-    * `textCol`, window size `w`. Documents shorter than 3 words have
-    * no trigram and select nothing.
+  /** Per-position trigram hashes (idCol, pos, h): the first 13 md5
+    * hex chars of each word trigram as a 52-bit long — the raw
+    * sequence [[fingerprints]] selects from, exposed for the exact
+    * verify stage (q215: positional re-join of candidate pairs).
     */
-  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", w: Int = 4): DataFrame = {
-    require(w >= 1, s"window must be positive: $w")
-    val hashed = docs
+  def trigramHashes(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
       .select(col(idCol),
         graft.functions.TextFunctions.words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 3)
       .select(col(idCol), posexplode(
         graft.functions.TextFunctions.trigrams(col("__ws"))))
       .select(col(idCol), col("pos"),
-        (conv(substring(md5(col("col")), 1, 13), 16, 10)
-          .cast("long") * lit(MaxPos) +
+        conv(substring(md5(col("col")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+
+  /** Selected fingerprints (idCol, pos, fph) over word trigrams of
+    * `textCol`, window size `w`. Documents shorter than 3 words have
+    * no trigram and select nothing.
+    */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 4): DataFrame =
+    fingerprintsFromHashes(trigramHashes(docs, idCol, textCol),
+      idCol, w)
+
+  /** [[fingerprints]] from an already-computed [[trigramHashes]]
+    * frame — lets a caller that needs BOTH the raw hash sequence and
+    * the selection (q215's verify re-join) materialize the hash pass
+    * once instead of paying the tokenize+md5 scan twice.
+    */
+  def fingerprintsFromHashes(hashed: DataFrame,
+      idCol: String = "doc_id", w: Int = 4): DataFrame = {
+    require(w >= 1, s"window must be positive: $w")
+    val keyed = hashed
+      .select(col(idCol), col("pos"),
+        (col("h") * lit(MaxPos) +
           (lit(MaxPos - 1) - col("pos"))).as("key"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
       .rowsBetween(-(w - 1), 0)
-    hashed
+    keyed
       .withColumn("wkey", min(col("key")).over(win))
       .filter(col("pos") >= w - 1)
       .select(col(idCol),

@@ -161,6 +161,71 @@ object TextQueries {
       |  FROM wins WHERE pos >= 3
       |)""".stripMargin
 
+  /** q213's alignment-voted pairs (a_id, b_id, align_delta, n_votes,
+    * n_shared): the dominant position offset per df-capped
+    * fingerprint-sharing pair — shared with q215's exact verify.
+    */
+  private def alignedPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    alignedPairsFrom(winnowedFps(s, d))
+
+  private def alignedPairsFrom(fps: org.apache.spark.sql.DataFrame) = {
+    val wdf = org.apache.spark.sql.expressions.Window
+      .partitionBy("fph")
+    val rareCapped = fps
+      .withColumn("df", count(lit(1)).over(wdf))
+      .filter(col("df") <= 50)
+      .drop("df")
+    val votes = rareCapped.as("a")
+      .join(rareCapped.as("b"),
+        col("a.fph") === col("b.fph") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"),
+        col("b.doc_id").as("b_id"),
+        (col("b.pos") - col("a.pos")).as("align_delta"))
+      .agg(count(lit(1)).cast("long").as("n_votes"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id")
+    votes
+      .withColumn("n_shared", sum(col("n_votes")).over(wp)
+        .cast("long"))
+      .withColumn("rn", row_number().over(wp
+        .orderBy(col("n_votes").desc, col("align_delta").asc)))
+      .filter(col("rn") === 1 && col("n_shared") >= 2)
+      .select("a_id", "b_id", "align_delta", "n_votes", "n_shared")
+  }
+
+  /** The q213 oracle chain on top of [[winnowCte]]: `aligned` is the
+    * per-pair best (delta, votes, shared) selection.
+    */
+  private val alignedCte =
+    s"""$winnowCte, fpsd AS (
+       |  SELECT doc_id, pos, fph FROM winn
+       |), rare AS (
+       |  SELECT doc_id, pos, fph FROM (
+       |    SELECT doc_id, pos, fph,
+       |      COUNT(*) OVER (PARTITION BY fph) AS df
+       |    FROM fpsd)
+       |  WHERE df <= 50
+       |), votes AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    b.pos - a.pos AS align_delta,
+       |    CAST(COUNT(*) AS BIGINT) AS n_votes
+       |  FROM rare a JOIN rare b
+       |    ON a.fph = b.fph AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT a_id, b_id, align_delta, n_votes,
+       |    CAST(SUM(n_votes) OVER (PARTITION BY a_id, b_id)
+       |      AS BIGINT) AS n_shared,
+       |    row_number() OVER (PARTITION BY a_id, b_id
+       |      ORDER BY n_votes DESC, align_delta ASC) AS rn
+       |  FROM votes
+       |), aligned AS (
+       |  SELECT a_id, b_id, align_delta, n_votes, n_shared
+       |  FROM ranked WHERE rn = 1 AND n_shared >= 2
+       |)""".stripMargin
+
   /** q31's pair metric as a reusable subtree: word-trigram Jaccard ≥
     * 0.5 over df-capped grams → (a_id, b_id, jaccard). The per-doc
     * gram count rides along as a window column, so the pair
@@ -1376,58 +1441,78 @@ object TextQueries {
     // per pair. Ties (votes, then smaller delta) keep a total order.
     QueryDef(
       "q213_winnow_align",
+      (s, d) => alignedPairs(s, d).orderBy("a_id", "b_id"),
+      Some(s"""$alignedCte
+              |SELECT a_id, b_id, align_delta, n_votes, n_shared
+              |FROM aligned ORDER BY a_id, b_id""".stripMargin)),
+
+    // EXACT shared-run verification — the final rung of the winnowing
+    // ladder (q207 index → q208 candidates → q213 alignment → this):
+    // for each aligned pair, re-join the FULL per-position trigram
+    // hashes at the voted offset and report how many positions truly
+    // match and the LONGEST consecutive run (gaps-and-islands on the
+    // matched positions), i.e. the length in words of the largest
+    // shared substring at that alignment — the number an exact
+    // substring-dedup policy thresholds on. The expensive corpus-wide
+    // work stays in the earlier rungs; this join touches only
+    // candidate pairs × their positions (|pairs| · doc-length rows),
+    // with every equality (ids, offset arithmetic, hash) a hash-join
+    // key — no positional cross product.
+    QueryDef(
+      "q215_winnow_verify",
       (s, d) => {
-        val fps = winnowedFps(s, d)
-        val wdf = org.apache.spark.sql.expressions.Window
-          .partitionBy("fph")
-        val rareCapped = fps
-          .withColumn("df", count(lit(1)).over(wdf))
-          .filter(col("df") <= 50)
-          .drop("df")
-        val votes = rareCapped.as("a")
-          .join(rareCapped.as("b"),
-            col("a.fph") === col("b.fph") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"),
-            col("b.doc_id").as("b_id"),
-            (col("b.pos") - col("a.pos")).as("align_delta"))
-          .agg(count(lit(1)).cast("long").as("n_votes"))
-        val wp = org.apache.spark.sql.expressions.Window
-          .partitionBy("a_id", "b_id")
-        votes
-          .withColumn("n_shared", sum(col("n_votes")).over(wp)
-            .cast("long"))
-          .withColumn("rn", row_number().over(wp
-            .orderBy(col("n_votes").desc, col("align_delta").asc)))
-          .filter(col("rn") === 1 && col("n_shared") >= 2)
-          .select("a_id", "b_id", "align_delta", "n_votes", "n_shared")
+        // one tokenize+md5 pass: the hash table is materialized once
+        // and feeds BOTH the winnowing selection (→ aligned pairs)
+        // and the positional verify re-join
+        val tri = graft.operators.Winnowing
+          .trigramHashes(documents(s, d)).localCheckpoint()
+        val pairs = alignedPairsFrom(
+          graft.operators.Winnowing.fingerprintsFromHashes(tri))
+          .select("a_id", "b_id", "align_delta")
+        val am = tri.select(col("doc_id").as("a_id"),
+          col("pos").as("ap"), col("h").as("ah"))
+        val bm = tri.select(col("doc_id").as("b_id"),
+          col("pos").as("bp"), col("h").as("bh"))
+        val matched = pairs
+          .join(am, Seq("a_id"))
+          .join(bm, Seq("b_id"))
+          .filter(col("bp") === col("ap") + col("align_delta") &&
+            col("bh") === col("ah"))
+          .select(col("a_id"), col("b_id"), col("align_delta"),
+            col("ap"))
+        val wPair = org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id", "b_id").orderBy("ap")
+        matched
+          .withColumn("grp", col("ap") - row_number().over(wPair))
+          .groupBy("a_id", "b_id", "align_delta", "grp")
+          .agg(count(lit(1)).as("runlen"))
+          .groupBy("a_id", "b_id", "align_delta")
+          .agg(sum(col("runlen")).cast("long").as("n_matched"),
+            (max(col("runlen")) + lit(2L)).cast("long")
+              .as("longest_run_words"))
           .orderBy("a_id", "b_id")
       },
-      Some(s"""$winnowCte, fpsd AS (
-              |  SELECT doc_id, pos, fph FROM winn
-              |), rare AS (
-              |  SELECT doc_id, pos, fph FROM (
-              |    SELECT doc_id, pos, fph,
-              |      COUNT(*) OVER (PARTITION BY fph) AS df
-              |    FROM fpsd)
-              |  WHERE df <= 50
-              |), votes AS (
-              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              |    b.pos - a.pos AS align_delta,
-              |    CAST(COUNT(*) AS BIGINT) AS n_votes
-              |  FROM rare a JOIN rare b
-              |    ON a.fph = b.fph AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2, 3
-              |), ranked AS (
-              |  SELECT a_id, b_id, align_delta, n_votes,
-              |    CAST(SUM(n_votes) OVER (PARTITION BY a_id, b_id)
-              |      AS BIGINT) AS n_shared,
-              |    row_number() OVER (PARTITION BY a_id, b_id
-              |      ORDER BY n_votes DESC, align_delta ASC) AS rn
-              |  FROM votes
+      Some(s"""$alignedCte, matched AS (
+              |  SELECT p.a_id, p.b_id, p.align_delta, a.pos AS ap
+              |  FROM aligned p
+              |  JOIN hashed a ON a.doc_id = p.a_id
+              |  JOIN hashed b ON b.doc_id = p.b_id
+              |    AND b.pos = a.pos + p.align_delta
+              |    AND b.key // 2048 = a.key // 2048
+              |), isl AS (
+              |  SELECT a_id, b_id, align_delta, ap,
+              |    ap - row_number() OVER (PARTITION BY a_id, b_id
+              |      ORDER BY ap) AS grp
+              |  FROM matched
+              |), runs AS (
+              |  SELECT a_id, b_id, align_delta, grp,
+              |    COUNT(*) AS runlen
+              |  FROM isl GROUP BY 1, 2, 3, 4
               |)
-              |SELECT a_id, b_id, align_delta, n_votes, n_shared
-              |FROM ranked WHERE rn = 1 AND n_shared >= 2
+              |SELECT a_id, b_id, align_delta,
+              |  CAST(SUM(runlen) AS BIGINT) AS n_matched,
+              |  CAST(MAX(runlen) + 2 AS BIGINT) AS longest_run_words
+              |FROM runs GROUP BY 1, 2, 3
               |ORDER BY a_id, b_id""".stripMargin)),
 
     // Corpus-prep FUNNEL report — the composition the individual
