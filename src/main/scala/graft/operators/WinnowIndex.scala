@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized winnowing fingerprint index — the shape a 100 TB
+  * pipeline actually runs: fingerprint the corpus ONCE
+  * ([[Winnowing.fingerprints]] — the expensive tokenize + md5 +
+  * window pass), persist the (doc_id, pos, fph) index as parquet,
+  * and serve every downstream rung (candidate pairs, alignment
+  * voting, incremental lookups of a new batch) from the stored
+  * index instead of re-fingerprinting per query. In-suite the
+  * q207/q208/q213/q215 ladder recomputes the selection per query —
+  * correct for oracle-gating, but ~4× the fingerprint cost; this is
+  * the index-once/query-many form.
+  *
+  * Layout: hive-partitioned by `fbucket = pmod(fph, buckets)` — a
+  * value-derived directory key, so a probe for specific fingerprint
+  * values (does this NEW document share a fingerprint with the
+  * corpus?) prunes to |probe-buckets| directories instead of
+  * scanning the corpus index, while full-index consumers (the
+  * candidate self-join) still read everything sequentially. The
+  * bucket count bounds per-directory file counts at corpus scale;
+  * the data inside stays sorted by (fbucket, fph) per partition so
+  * parquet min/max row-group stats prune value probes WITHIN a
+  * bucket too.
+  */
+object WinnowIndex {
+
+  /** Fingerprint `docs` and persist the index at `path`. Returns the
+    * written row count (the index size — one row per selected
+    * (doc, pos, fingerprint)).
+    */
+  def build(docs: DataFrame, path: String, w: Int = 4,
+      buckets: Int = 64): Unit =
+    write(Winnowing.fingerprints(docs, w = w), path, buckets)
+
+  /** Persist an already-computed fingerprint frame (doc_id, pos,
+    * fph) at `path`, hive-partitioned by fingerprint bucket.
+    */
+  def write(fps: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    fps
+      .withColumn("fbucket",
+        pmod(col("fph"), lit(buckets.toLong)).cast("int"))
+      // one file per bucket directory, row groups ordered by fph so
+      // min/max stats prune value probes inside a bucket
+      .repartition(col("fbucket"))
+      .sortWithinPartitions("fbucket", "fph")
+      .write.partitionBy("fbucket").mode("overwrite").parquet(path)
+  }
+
+  /** Read a stored index back as the (doc_id, pos, fph) frame the
+    * ladder rungs consume — schema-identical to
+    * [[Winnowing.fingerprints]] output (the parity the spec pins).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("doc_id").cast("long"), col("pos").cast("long"),
+        col("fph").cast("long"))
+
+  /** Fingerprint-value probe: the rows of the stored index whose
+    * `fph` appears in `probeFps` — the incremental-ingest lookup
+    * ("which corpus documents share a fingerprint with this new
+    * batch?"). The probe set's buckets are computed on the Spark
+    * side and pushed as an `fbucket IN (...)` partition filter, so
+    * only |distinct probe buckets| directories are read; the `fph`
+    * equi-join prunes further via row-group stats. `probeFps` must
+    * be small enough to collect its DISTINCT BUCKET set to the
+    * driver (the fingerprint set of an ingest batch, not a corpus) —
+    * the values themselves never leave the cluster.
+    */
+  def probe(spark: SparkSession, path: String, probeFps: DataFrame,
+      buckets: Int = 64): DataFrame = {
+    val probeBuckets = probeFps
+      .select(pmod(col("fph"), lit(buckets.toLong)).cast("int")
+        .as("fbucket"))
+      .distinct().collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(path)
+      .filter(col("fbucket").isin(probeBuckets.toSeq: _*))
+      .select(col("doc_id").cast("long"), col("pos").cast("long"),
+        col("fph").cast("long"))
+    pruned.join(broadcast(probeFps.select("fph").distinct()), "fph")
+      .select("doc_id", "pos", "fph")
+  }
+}

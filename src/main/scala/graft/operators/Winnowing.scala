@@ -18,26 +18,41 @@ import org.apache.spark.sql.functions._
   * arbitrarily long shared run).
   *
   * Engine-portable arg-min: (hash asc, pos desc) is encoded as ONE
-  * 63-bit integer key = h·2048 + (2047 − pos) — h is the first 13 md5
-  * hex chars (52 bits), pos < 2¹¹ — so a single ROWS-window `min`
-  * expresses the rule identically in Spark and any SQL oracle
+  * 63-bit integer key = h·32768 + (32767 − pos) — h is the first 12
+  * md5 hex chars (48 bits), pos < 2¹⁵ — so a single ROWS-window
+  * `min` expresses the rule identically in Spark and any SQL oracle
   * (a struct-valued window min is not portable, and the two-pass
   * spelling — window min + rightmost-pos-where-h=own-min — is WRONG:
   * a smaller hash just before the frame shadows the frame argmin).
+  * 48 hash bits are for CANDIDATE generation only — collisions cost
+  * a spurious candidate the exact verify rung (q215) rejects, never
+  * a missed detection, so trading 4 hash bits for 16× position range
+  * is free. Documents longer than 32 767 trigrams (~32 770 words)
+  * fail LOUDLY at runtime ([[fingerprintsFromHashes]] raises) rather
+  * than silently corrupting the key; callers with longer documents
+  * should split them into overlapping chunks upstream.
   *
   * Scale stance (100 TB): the only shuffle key is the document id;
   * the window frame is ROWS-bounded (`w`), state per task is O(w);
   * output is the (doc, pos, hash) fingerprint index downstream
   * candidate joins (q208) and alignment voting (q213) build on.
-  * pos < 2048 covers these corpora; longer documents would widen the
-  * pos field (the key has 11 spare bits below a 52-bit hash).
   */
 object Winnowing {
 
-  val MaxPos = 2048L
+  /** Positions-per-document bound: the pos field of the packed key is
+    * 15 bits, so any trigram position must be < 32 768. Enforced at
+    * runtime with `raise_error` — exceeding it would otherwise borrow
+    * bits from the hash field and silently corrupt the selection.
+    */
+  val MaxPos = 32768L
 
-  /** Per-position trigram hashes (idCol, pos, h): the first 13 md5
-    * hex chars of each word trigram as a 52-bit long — the raw
+  /** md5 hex chars kept as the fingerprint hash (48 bits): 63-bit
+    * key budget minus the 15-bit position field.
+    */
+  val HashHexChars = 12
+
+  /** Per-position trigram hashes (idCol, pos, h): the first 12 md5
+    * hex chars of each word trigram as a 48-bit long — the raw
     * sequence [[fingerprints]] selects from, exposed for the exact
     * verify stage (q215: positional re-join of candidate pairs).
     */
@@ -50,7 +65,7 @@ object Winnowing {
       .select(col(idCol), posexplode(
         graft.functions.TextFunctions.trigrams(col("__ws"))))
       .select(col(idCol), col("pos"),
-        conv(substring(md5(col("col")), 1, 13), 16, 10)
+        conv(substring(md5(col("col")), 1, HashHexChars), 16, 10)
           .cast("long").as("h"))
 
   /** Selected fingerprints (idCol, pos, fph) over word trigrams of
@@ -70,10 +85,18 @@ object Winnowing {
   def fingerprintsFromHashes(hashed: DataFrame,
       idCol: String = "doc_id", w: Int = 4): DataFrame = {
     require(w >= 1, s"window must be positive: $w")
+    // Loud bound check: a pos >= MaxPos would underflow the packed
+    // (32767 - pos) field into the hash bits and corrupt the argmin
+    // with no error — fail the job instead, at the row that breaks.
+    val posChecked = when(col("pos") < lit(MaxPos), col("pos"))
+      .otherwise(raise_error(format_string(
+        "graft.Winnowing: trigram position %s >= MaxPos=" + MaxPos +
+          " — document too long for the 15-bit pos field; split " +
+          "documents into overlapping chunks upstream", col("pos"))))
     val keyed = hashed
       .select(col(idCol), col("pos"),
         (col("h") * lit(MaxPos) +
-          (lit(MaxPos - 1) - col("pos"))).as("key"))
+          (lit(MaxPos - 1) - posChecked)).as("key"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
       .rowsBetween(-(w - 1), 0)

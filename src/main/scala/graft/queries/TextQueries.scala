@@ -144,8 +144,8 @@ object TextQueries {
       |), hashed AS (
       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
       |    CAST('0x' || substring(md5(
-      |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 13)
-      |      AS BIGINT) * 2048 + (2047 - (i - 1)) AS key
+      |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 12)
+      |      AS BIGINT) * 32768 + (32767 - (i - 1)) AS key
       |  FROM w, LATERAL unnest(generate_series(1, len(ws) - 2))
       |    AS t(i)
       |  WHERE len(ws) >= 3
@@ -156,8 +156,8 @@ object TextQueries {
       |  FROM hashed
       |), winn AS (
       |  SELECT DISTINCT doc_id,
-      |    2047 - (wkey % 2048) AS pos,
-      |    CAST(wkey // 2048 AS BIGINT) AS fph
+      |    32767 - (wkey % 32768) AS pos,
+      |    CAST(wkey // 32768 AS BIGINT) AS fph
       |  FROM wins WHERE pos >= 3
       |)""".stripMargin
 
@@ -1359,17 +1359,18 @@ object TextQueries {
     // to share a selected fingerprint — the property substring-level
     // dedup at scale needs (random sampling has no such guarantee).
     // The (min-hash, rightmost-pos) arg-min is encoded as ONE integer
-    // window min: key = h·2048 + (2047 − pos) — h is 52 bits (13 md5
-    // hex chars), pos < 2¹¹, so the key fills exactly 63 bits and the
-    // lexicographic (h asc, pos desc) order is the integer order.
+    // window min: key = h·32768 + (32767 − pos) — h is 48 bits (12
+    // md5 hex chars), pos < 2¹⁵, so the key fills exactly 63 bits and
+    // the lexicographic (h asc, pos desc) order is the integer order.
     // A struct-valued arg-min window is not portable SQL, and the
     // naive two-pass spelling (window min + max-pos-where-h=OWN-wmin)
     // is WRONG: a smaller hash just before the frame shadows the
     // frame's argmin. At 100 TB: per-doc windows only — the shuffle
     // key is doc_id, the frame is ROWS-bounded (w=4), and the output
     // is the (doc, pos, hash) fingerprint index downstream
-    // substring-dedup joins build on (pos < 2048 covers these
-    // documents; longer ones would widen the pos field).
+    // substring-dedup joins build on. pos >= 32768 raises loudly
+    // (48 hash bits suffice: collisions only add candidates the
+    // exact verify rung rejects).
     QueryDef(
       "q207_winnowing",
       (s, d) => winnowedFps(s, d).orderBy("doc_id", "pos"),
@@ -1498,7 +1499,7 @@ object TextQueries {
               |  JOIN hashed a ON a.doc_id = p.a_id
               |  JOIN hashed b ON b.doc_id = p.b_id
               |    AND b.pos = a.pos + p.align_delta
-              |    AND b.key // 2048 = a.key // 2048
+              |    AND b.key // 32768 = a.key // 32768
               |), isl AS (
               |  SELECT a_id, b_id, align_delta, ap,
               |    ap - row_number() OVER (PARTITION BY a_id, b_id
@@ -1514,6 +1515,30 @@ object TextQueries {
               |  CAST(MAX(runlen) + 2 AS BIGINT) AS longest_run_words
               |FROM runs GROUP BY 1, 2, 3
               |ORDER BY a_id, b_id""".stripMargin)),
+
+    // The MATERIALIZED-index form of the winnowing ladder — the shape
+    // a 100 TB pipeline actually runs (index once, query many): build
+    // the fingerprint index, persist it parquet-partitioned by
+    // fingerprint bucket (operators.WinnowIndex), then run alignment
+    // voting entirely from the STORED index — the corpus text is
+    // never touched after the build. Must produce exactly q213's
+    // answer (same oracle): the round-trip through parquet and the
+    // bucket partitioning are storage layout, not semantics. The
+    // serving win is on the other rungs too: a new-batch probe reads
+    // only the buckets its fingerprints hash to (partition pruning;
+    // see WinnowIndex.probe and its spec).
+    QueryDef(
+      "q216_winnow_index_read",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-winnow-idx").toString + "/idx"
+        graft.operators.WinnowIndex.build(documents(s, d), dir)
+        alignedPairsFrom(graft.operators.WinnowIndex.read(s, dir))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$alignedCte
+              |SELECT a_id, b_id, align_delta, n_votes, n_shared
+              |FROM aligned ORDER BY a_id, b_id""".stripMargin)),
 
     // Corpus-prep FUNNEL report — the composition the individual
     // operators exist for: per source, how many documents survive

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Materialized winnow index: parquet round-trip parity with the
+  * inline selection, and the bucket-pruned value probe.
+  */
+class WinnowIndexSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("build + read round-trips the inline fingerprint index " +
+      "exactly (schema and rows)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-widx").toString + "/idx"
+    WinnowIndex.build(docs, dir)
+    val stored = WinnowIndex.read(spark, dir)
+    stored.schema.fields.map(f => (f.name, f.dataType.typeName))
+      .toSeq shouldBe Seq(("doc_id", "long"), ("pos", "long"),
+        ("fph", "long"))
+    val inline = Winnowing.fingerprints(docs)
+    asSet(stored) shouldBe asSet(inline)
+  }
+
+  test("probe returns exactly the stored rows sharing a fingerprint " +
+      "with the probe set, via a pushed fbucket partition filter") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-widx-p").toString + "/idx"
+    WinnowIndex.build(docs, dir)
+    val all = Winnowing.fingerprints(docs)
+    // probe with one document's fingerprints: expect every index row
+    // (any doc) carrying one of those values
+    val probeSet = all.filter(col("doc_id") === 0L).select("fph")
+    val want = asSet(all.join(
+      probeSet.distinct(), "fph")
+      .select("doc_id", "pos", "fph"))
+    val got = WinnowIndex.probe(spark, dir, probeSet)
+    asSet(got.select("doc_id", "pos", "fph")) shouldBe want
+    want should not be empty
+    // the partition filter actually reached the scan
+    val plan = got.queryExecution.executedPlan.toString
+    plan should include("fbucket")
+  }
+}

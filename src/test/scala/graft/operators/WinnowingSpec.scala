@@ -18,14 +18,15 @@ class WinnowingSpec extends AnyFunSuite with SparkFixture
 
   private val W = 4
 
-  /** First 13 md5 hex chars of the gram → long, exactly as the Spark
-    * side (md5 of UTF-8, lowercase hex) computes it.
+  /** First 12 md5 hex chars of the gram → long, exactly as the Spark
+    * side (md5 of UTF-8, lowercase hex, [[Winnowing.HashHexChars]])
+    * computes it.
     */
-  private def h13(gram: String): Long = {
+  private def h12(gram: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(gram.getBytes("UTF-8"))
     val hex = d.map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    java.lang.Long.parseLong(hex.substring(0, Winnowing.HashHexChars), 16)
   }
 
   /** Reference winnow: for every window of W consecutive trigram
@@ -34,7 +35,7 @@ class WinnowingSpec extends AnyFunSuite with SparkFixture
     */
   private def reference(ws: Seq[String]): Set[(Long, Long)] = {
     if (ws.size < 3) return Set.empty
-    val hs = ws.sliding(3).map(g => h13(g.mkString(" "))).toVector
+    val hs = ws.sliding(3).map(g => h12(g.mkString(" "))).toVector
     (W - 1 until hs.size).flatMap { end =>
       val win = ((end - W + 1) to end).map(p => (hs(p), p))
       val minH = win.map(_._1).min
@@ -76,6 +77,41 @@ class WinnowingSpec extends AnyFunSuite with SparkFixture
     // allow slack above the expectation but enforce the hard floor
     sel.length should be >= (positions / W - 1)
     sel.length should be <= positions
+  }
+
+  test("selects correctly past the old 2048-position boundary") {
+    // 2100 words -> 2098 trigram positions: in the pre-widened 11-bit
+    // encoding (32767 - pos) would have stayed positive but the old
+    // (2047 - pos) underflowed into the hash field and corrupted the
+    // argmin silently. The widened 15-bit field must match the
+    // in-memory reference across the boundary.
+    val rnd = new Random(17)
+    val ws = Seq.fill(2100)(vocab(rnd.nextInt(vocab.size)))
+    val got = Winnowing.fingerprints(
+        Seq((1L, ws.mkString(" "))).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .toSet
+    got shouldBe reference(ws)
+    got.map(_._1).max should be > 2047L
+  }
+
+  test("raises loudly when a position reaches MaxPos") {
+    // Guard contract: pos >= 32768 must FAIL the job (raise_error),
+    // not silently borrow bits from the hash field. Feed the packer a
+    // synthetic hash sequence directly so the test doesn't need a
+    // 32k-word document.
+    val hashed = Seq((1L, 0, 42L), (1L, Winnowing.MaxPos.toInt, 7L))
+      .toDF("doc_id", "pos", "h")
+    val ex = intercept[Exception] {
+      Winnowing.fingerprintsFromHashes(hashed, w = 2).collect()
+    }
+    // the raise_error surfaces wrapped in a task-failure chain
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    chain should include("MaxPos")
   }
 
   test("any shared run of >= w+k-1 words yields a shared fingerprint") {
