@@ -49,14 +49,67 @@ object GraphPropagation {
     * semantics of the per-query forms.
     */
   def propagateMax(edges: DataFrame, fromCol: String, toCol: String,
-      scores: DataFrame, scoreCol: String, outCol: String): DataFrame = {
+      scores: DataFrame, scoreCol: String, outCol: String,
+      checkpoint: Boolean = true): DataFrame = {
     val gathered = edges.join(scores, Seq(fromCol))
       .groupBy(toCol).agg(sum9(col(scoreCol)).as("__s9"))
     val m = gathered.agg(max(col("__s9")).as("__m9"))
-    gathered.crossJoin(broadcast(m))
+    val out = gathered.crossJoin(broadcast(m))
       .select(col(toCol),
         (col("__s9").cast("double") / col("__m9")).as(outCol))
-      .localCheckpoint()
+    // `checkpoint = false` defers materialization so a caller can fold
+    // several gathers into ONE Spark job — the plan stays shallow as
+    // long as something checkpointed is at most a couple of gathers
+    // upstream ([[hits]] checkpoints once per ROUND); ReuseExchange
+    // dedups the gather exchange the max-normalizer branch shares
+    // with the main output either way
+    if (checkpoint) out.localCheckpoint() else out
+  }
+
+  /** HITS hub/authority scoring over a bipartite edge list — `iters`
+    * rounds of auth = gather(hub), hub = gather(auth), both
+    * MAX-normalized ([[propagateMax]] semantics; the gathers are
+    * sequential WITHIN a round — auth_i needs hub_{i−1}, hub_i needs
+    * auth_i — so no join fusion is possible in the math). Returns
+    * (hub, auth) after the final round, both LAZY.
+    *
+    * What this form cuts versus checkpointing every gather is the
+    * EAGER-JOB count, the dominant cost of a fixed-iteration loop
+    * over a single-JVM scheduler and a real overhead (stage setup,
+    * broadcast builds) on a cluster too: one materialization per
+    * ROUND (the hub, whose plan folds both of the round's gathers
+    * into one job, ReuseExchange deduplicating the max-normalizer's
+    * shared exchange) instead of one per gather, no checkpoint at
+    * all for the final round — a caller consuming only `auth` (q191)
+    * never even executes the last hub gather. Plan depth stays
+    * bounded at two gathers above a checkpoint, so driver-side
+    * planning cannot blow up with `iters` (the DedupClusters lineage
+    * lesson still holds — measured at sf0.1: per-gather checkpoints
+    * 4.3 s, per-round 3.6 s, single-checkpoint-then-lazy 3.8 s —
+    * per-round is the optimum of that job-count/plan-depth curve).
+    *
+    * Pre-partitioning edge copies per join side does NOT pay here:
+    * `localCheckpoint` under AQE re-reads as `UnknownPartitioning`
+    * (the partitioning is not carried into the LogicalRDD), and the
+    * score side is the small side — AQE plans these joins as
+    * broadcast-hash, so the edge list is never join-shuffled in the
+    * first place; the per-round edge-sized work is the two gather
+    * aggregations, which map-side partial aggregation bounds at
+    * O(distinct keys/partition) shuffle rows.
+    */
+  def hits(edges: DataFrame, hubCol: String, authCol: String,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(iters > 0, s"iters must be positive: $iters")
+    val e = edges.localCheckpoint()
+    var hub = e.select(hubCol).distinct().withColumn("hub", lit(1.0))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      auth = propagateMax(e, hubCol, authCol, hub, "hub", "auth",
+        checkpoint = false)
+      hub = propagateMax(e, authCol, hubCol, auth, "auth", "hub",
+        checkpoint = i < iters)
+    }
+    (hub, auth)
   }
 
   /** PageRank in the UNNORMALIZED (×N) convention over a directed
@@ -106,18 +159,22 @@ object GraphPropagation {
       teleport: Double, damping: Double): DataFrame = {
     require(iters > 0, s"iters must be positive: $iters")
     var rank = rank0
-    for (_ <- 1 to iters) {
-      val gathered = edgesW
+    for (i <- 1 to iters) {
+      val next = edgesW
         .join(rank, edgesW(srcCol) === rank("node"))
         .groupBy(dstCol)
         .agg(sum9(col("rank") / col("__outdeg")).as("__s9"))
-      rank = nodes
-        .join(gathered, nodes("node") === gathered(dstCol), "left")
+      val out = nodes
+        .join(next, nodes("node") === next(dstCol), "left")
         .select(col("node"),
           (lit(teleport) + lit(damping) *
             (coalesce(col("__s9"), lit(0L)).cast("double") /
               lit(1000000000.0))).as("rank"))
-        .localCheckpoint()
+      // last iterate stays LAZY: the caller's consumption (a sort, a
+      // collect, the next delta epoch's rank0 — whose own first
+      // iterate checkpoints one gather later) is one job fewer;
+      // intermediate iterates checkpoint to truncate lineage
+      rank = if (i < iters) out.localCheckpoint() else out
     }
     rank
   }
@@ -148,38 +205,67 @@ object GraphPropagation {
     PageRankState(edgesW, outdeg, nodes, rank)
   }
 
-  /** Delta epoch: edges arrived — refresh the scores WITHOUT
-    * recomputing structure from the full history. The out-degree
-    * table merges incrementally (old counts + delta counts, the
-    * q175 partial-fold pattern: the full edge list is never
-    * re-aggregated); only edges whose src appears in the delta have
-    * their folded `__outdeg` refreshed (an |affected-srcs| semi/anti
-    * split of the old folded list — untouched rows pass through
-    * byte-for-byte); the node set extends by the delta's new nodes
-    * only. At 100 TB the delta epoch therefore touches
-    * O(|delta| · avg-degree) rows of structure, not O(|edges|).
+  /** Delta epoch: edges arrived (`edgeDelta`) and/or were retracted
+    * (`retractions` — crawl removals, takedowns) — refresh the scores
+    * WITHOUT recomputing structure from the full history. The
+    * out-degree table merges incrementally (old counts + delta counts
+    * − retraction counts, the q175 partial-fold pattern: the full
+    * edge list is never re-aggregated; srcs whose degree reaches 0
+    * drop out); only edges whose src appears in the delta or the
+    * retractions have their folded rows rebuilt (an |affected-srcs|
+    * semi/anti split of the old folded list — untouched rows pass
+    * through byte-for-byte; the affected slice is rebuilt as
+    * old-minus-retracted-plus-added with a COUNT-WISE `exceptAll`,
+    * so duplicate edges retract one occurrence per retraction row);
+    * the node set extends by the delta's new nodes and sheds
+    * retraction-touched nodes that no longer appear on either side
+    * of any edge. At 100 TB the delta epoch therefore touches
+    * O((|delta| + |retractions|) · avg-degree) rows of structure,
+    * not O(|edges|) — except the degree-0 node check, one
+    * broadcast-semi linear scan of the new edge list (no shuffle),
+    * skipped entirely when there are no retractions.
+    *
+    * Each retraction row must match an existing (src, dst) edge
+    * occurrence — the standard incremental-view-maintenance
+    * contract; a retraction of a non-existent edge leaves the edge
+    * list unchanged but corrupts the out-degree count (it asserts
+    * history that never happened, which no per-delta check can
+    * detect without re-reading the full list).
     *
     * `warmStart = true` (the production default) seeds the iteration
     * with the previous epoch's rank — new nodes enter at the 1.0
-    * cold-start value — so a converged score refreshes in 1–2
-    * rounds instead of a full cold ladder. `warmStart = false` seeds
-    * every node at 1.0, which makes the delta path EXACTLY
-    * reproduce `pageRank(old ∪ delta, iters)` — scaled-long sums are
-    * order-free, so the parity is bit-exact (the spec's contract),
-    * proving the incremental structure maintenance lossless.
+    * cold-start value, removed nodes are dropped — so a converged
+    * score refreshes in 1–2 rounds instead of a full cold ladder.
+    * `warmStart = false` seeds every node at 1.0, which makes the
+    * delta path EXACTLY reproduce
+    * `pageRank(old ∖ retractions ∪ delta, iters)` — scaled-long sums
+    * are order-free, so the parity is bit-exact (the spec's
+    * contract), proving the incremental structure maintenance
+    * lossless in both directions.
     */
   def pageRankDelta(state: PageRankState, edgeDelta: DataFrame,
       srcCol: String, dstCol: String, iters: Int,
       teleport: Double = 0.15, damping: Double = 0.85,
       warmStart: Boolean = true,
-      broadcastAffected: Boolean = true): PageRankState = {
-    val dDeg = edgeDelta.groupBy(srcCol)
+      broadcastAffected: Boolean = true,
+      retractions: Option[DataFrame] = None): PageRankState = {
+    val dAdd = edgeDelta.groupBy(srcCol)
       .agg(count(lit(1)).as("__ddeg"))
+    val dDeg = retractions match {
+      case None => dAdd
+      case Some(r) =>
+        dAdd.join(r.groupBy(srcCol).agg(count(lit(1)).as("__rdeg")),
+            Seq(srcCol), "full_outer")
+          .select(col(srcCol),
+            (coalesce(col("__ddeg"), lit(0L)) -
+              coalesce(col("__rdeg"), lit(0L))).as("__ddeg"))
+    }
     val outdegNew = state.outdeg
       .join(dDeg, Seq(srcCol), "full_outer")
       .select(col(srcCol),
         (coalesce(col("__outdeg"), lit(0L)) +
           coalesce(col("__ddeg"), lit(0L))).as("__outdeg"))
+      .filter(col("__outdeg") > 0L)
       .localCheckpoint()
     // the semi/anti probe side: broadcast is right for the delta-epoch
     // norm (|affected srcs| ≪ |edges|), but the hint is a FORCE, so a
@@ -190,8 +276,15 @@ object GraphPropagation {
       if (broadcastAffected) broadcast(affected0) else affected0
     val untouched = state.edgesW
       .join(affected, Seq(srcCol), "left_anti")
-    val refreshed = state.edgesW.select(col(srcCol), col(dstCol))
-      .join(affected, Seq(srcCol), "left_semi")
+    val refreshedBare = {
+      val old = state.edgesW.select(col(srcCol), col(dstCol))
+        .join(affected, Seq(srcCol), "left_semi")
+      retractions match {
+        case None => old
+        case Some(r) => old.exceptAll(r.select(col(srcCol), col(dstCol)))
+      }
+    }
+    val refreshed = refreshedBare
       .unionByName(edgeDelta.select(col(srcCol), col(dstCol)))
       .join(outdegNew, Seq(srcCol))
     val edgesWNew = untouched
@@ -201,10 +294,32 @@ object GraphPropagation {
       .union(edgeDelta.select(col(dstCol).as("node")))
       .distinct()
       .join(state.nodes, Seq("node"), "left_anti")
-    val nodesNew = state.nodes.unionByName(newNodes).localCheckpoint()
+    // node removal: only retraction-touched nodes can reach degree 0;
+    // of those, keep the ones still on either side of some edge —
+    // ONE broadcast-semi pass over the new edge list, no shuffle
+    val removedNodes = retractions match {
+      case None => None
+      case Some(r) =>
+        val touched = r.select(col(srcCol).as("node"))
+          .union(r.select(col(dstCol).as("node")))
+          .distinct().localCheckpoint()
+        val still = edgesWNew.select(col(srcCol).as("node"))
+          .union(edgesWNew.select(col(dstCol).as("node")))
+          .join(broadcast(touched), Seq("node"), "left_semi")
+          .distinct()
+        Some(touched.join(still, Seq("node"), "left_anti")
+          .localCheckpoint())
+    }
+    def dropRemoved(df: DataFrame): DataFrame = removedNodes match {
+      case None => df
+      case Some(rm) => df.join(broadcast(rm), Seq("node"), "left_anti")
+    }
+    val nodesNew = dropRemoved(state.nodes).unionByName(newNodes)
+      .localCheckpoint()
     val rank0 =
       if (warmStart)
-        state.rank.unionByName(newNodes.withColumn("rank", lit(1.0)))
+        dropRemoved(state.rank)
+          .unionByName(newNodes.withColumn("rank", lit(1.0)))
       else nodesNew.withColumn("rank", lit(1.0))
     val rank = pageRankIterate(nodesNew, edgesWNew, srcCol, dstCol,
       rank0, iters, teleport, damping)

@@ -50,6 +50,22 @@ class GraphPropagationSpec extends AnyFunSuite with SparkFixture
     run(1) shouldBe run(7)
   }
 
+  test("hits equals the unfused propagateMax loop bit-exactly " +
+      "(the exchange reuse is plan-only)") {
+    val (hub, auth) = GraphPropagation.hits(edges, "c", "sp", iters = 3)
+    val e = edges.localCheckpoint()
+    var hub2 = e.select("c").distinct().withColumn("hub", lit(1.0))
+    var auth2: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 3) {
+      auth2 = GraphPropagation.propagateMax(e, "c", "sp", hub2, "hub", "auth")
+      hub2 = GraphPropagation.propagateMax(e, "sp", "c", auth2, "auth", "hub")
+    }
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    m(auth) shouldBe m(auth2)
+    m(hub) shouldBe m(hub2)
+  }
+
   test("pageRank on a symmetric pair converges to equal O(1) ranks") {
     // two nodes, one bidirected edge: perfect symmetry — both ranks
     // equal and, in the ×N convention, exactly 0.15 + 0.85·r (r = 1
@@ -143,6 +159,57 @@ class GraphPropagationSpec extends AnyFunSuite with SparkFixture
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     gotEdges shouldBe wantEdges
+  }
+
+  test("pageRankDelta with retractions (cold seed) is bit-exact with " +
+      "full recompute on the reduced edge list") {
+    // retract one of src 1's two base edges (outdeg must drop 2→1),
+    // BOTH of node 4's edges (degree hits 0 → node must vanish), and
+    // add edges in the same epoch — the mixed add+retract epoch
+    val retract = Seq((1L, 4L), (4L, 1L)).toDF("src", "dst")
+    val adds = deltaEdges.filter(col("src") =!= 4L && col("dst") =!= 4L)
+    val reduced = baseEdges.exceptAll(retract).unionByName(adds)
+    val full = GraphPropagation
+      .pageRank(reduced, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val st0 = GraphPropagation.pageRankInit(baseEdges, "src", "dst",
+      iters = 1)
+    val st1 = GraphPropagation.pageRankDelta(st0, adds,
+      "src", "dst", iters = 3, warmStart = false,
+      retractions = Some(retract))
+    val inc = st1.rank
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    inc shouldBe full
+    inc.keySet should not contain 4L
+    // structure parity on the retracted epoch too
+    val gotDeg = st1.outdeg.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantDeg = reduced.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gotDeg shouldBe wantDeg
+    st1.nodes.collect().map(_.getLong(0)).toSet shouldBe
+      (full.keySet)
+  }
+
+  test("pageRankDelta retractions: duplicate edges retract one " +
+      "occurrence per retraction row (count-wise exceptAll)") {
+    // src 7 has the edge (7,8) TWICE; retracting it once must leave
+    // one occurrence (outdeg 2→1), not zero
+    val base = Seq((7L, 8L), (7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val st0 = GraphPropagation.pageRankInit(base, "src", "dst",
+      iters = 1)
+    val st1 = GraphPropagation.pageRankDelta(st0,
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst",
+      iters = 2, warmStart = false,
+      retractions = Some(Seq((7L, 8L)).toDF("src", "dst")))
+    val full = GraphPropagation.pageRank(
+        Seq((7L, 8L), (8L, 7L)).toDF("src", "dst"), "src", "dst",
+        iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    st1.rank.collect().map(x => x.getLong(0) -> x.getDouble(1))
+      .toMap shouldBe full
+    st1.outdeg.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe Map(7L -> 1L, 8L -> 1L)
   }
 
   test("pageRankDelta warm start keeps the full node set and holds " +
