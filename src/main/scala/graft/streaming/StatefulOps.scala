@@ -281,14 +281,26 @@ object StatefulOps {
     * for ids). A late event sorts only within its own batch: its
     * session numbering reflects arrival, which is the honest online
     * semantics — replay the batch form for the reconciled truth.
-    * State is O(1) per user — bounded by key cardinality, not stream
-    * length; pair with a timeout to flush abandoned users.
+    * State is O(1) per user but user cardinality is unbounded over an
+    * unbounded stream: for long-running deployments pass a
+    * processing-time `stateTtl` (e.g. `Some("24 hours")`) — a user
+    * idle longer than the TTL has their three longs evicted, bounding
+    * state to the active user set. Eviction emits nothing (session
+    * numbering is per-user-local; there is no pending output to
+    * flush); the only semantic cost is that an evicted user's next
+    * event restarts numbering at session 0 — indistinguishable from a
+    * new user, and harmless when the TTL exceeds the session gap
+    * (the restart would have broken the session anyway).
     */
   def sessionizeGapCap(spark: SparkSession, events: DataFrame,
-      gapMicros: Long, maxLenMicros: Long): Dataset[SessionAssign] = {
+      gapMicros: Long, maxLenMicros: Long,
+      stateTtl: Option[String] = None): Dataset[SessionAssign] = {
     import spark.implicits._
     require(gapMicros > 0 && maxLenMicros > 0,
       s"gap/maxLen must be positive: $gapMicros/$maxLenMicros")
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .select(col("user_id").cast("long"), col("ts_us").cast("long"),
         col("event_id").cast("long"))
@@ -296,24 +308,30 @@ object StatefulOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), SessionAssign](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
+        timeoutConf) {
         case (uid, rows, state) =>
-          // (seq, sessionStart, lastTs); seq = -1 marks "no session
-          // yet" so the first event opens session 0 via the gap rule
-          var (seq, start, last) = state.getOption
-            .getOrElse((-1L, Long.MinValue, Long.MinValue))
-          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
-            case (_, ts, eid) =>
-              if (seq < 0 || ts - last > gapMicros ||
-                  ts - start > maxLenMicros) {
-                seq += 1L
-                start = ts
-              }
-              last = ts
-              SessionAssign(uid, eid, seq)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // (seq, sessionStart, lastTs); seq = -1 marks "no session
+            // yet" so the first event opens session 0 via the gap rule
+            var (seq, start, last) = state.getOption
+              .getOrElse((-1L, Long.MinValue, Long.MinValue))
+            val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+              case (_, ts, eid) =>
+                if (seq < 0 || ts - last > gapMicros ||
+                    ts - start > maxLenMicros) {
+                  seq += 1L
+                  start = ts
+                }
+                last = ts
+                SessionAssign(uid, eid, seq)
+            }
+            state.update((seq, start, last))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update((seq, start, last))
-          out.iterator
       }
   }
 }

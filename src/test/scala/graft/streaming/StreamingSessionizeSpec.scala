@@ -72,4 +72,55 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkFixture
       .map(_.values.max + 1).sum
     nSessions should be > got.keySet.map(_._1).size.toLong
   }
+
+  test("stateTtl evicts idle users: numbering restarts at session 0") {
+    val s0 = spark
+    import s0.implicits._
+    val schema = Seq((1L, 0L, 0L)).toDF("user_id", "ts_us", "event_id")
+      .schema
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-ttl-in").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ttl-out").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ttl-ck").toString
+    def runOnce(): Unit = {
+      val q = StatefulOps.sessionizeGapCap(spark,
+          EventStream.fileStream(spark, inDir, schema),
+          gapMicros = gapUs, maxLenMicros = capUs,
+          stateTtl = Some("1 milliseconds"))
+        .toDF().writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    // run 1: user 1 ends on session_seq 1 (one gap split) — state
+    // (seq=1, ...) is checkpointed with a 1 ms processing-time TTL
+    Seq((1L, 0L, 10L), (1L, gapUs + 1L, 11L))
+      .toDF("user_id", "ts_us", "event_id")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    Thread.sleep(50L)
+    // run 2: a batch with NO user-1 data fires user 1's expired
+    // timeout — state removed, and eviction itself emits nothing
+    Seq((2L, 0L, 20L)).toDF("user_id", "ts_us", "event_id")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    // run 3: user 1 returns WITHIN the gap of their last event; with
+    // carried state this would continue session 1 — after eviction
+    // the user is indistinguishable from new and restarts at 0
+    Seq((1L, gapUs + 2L, 12L)).toDF("user_id", "ts_us", "event_id")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"))).toMap
+    got(10L) shouldBe (1L, 0L)
+    got(11L) shouldBe (1L, 1L)
+    got(20L) shouldBe (2L, 0L)   // eviction emitted no extra rows
+    got(12L) shouldBe (1L, 0L)   // restarted, not continued at 1
+    got.size shouldBe 4
+  }
 }
