@@ -181,9 +181,11 @@ object EmbeddingSearch {
     *     sort;
     *  2. ONE cell join: corpus cell contents meet every query
     *     probing that cell (probes broadcast when |Q| is small;
-    *     at driver-table scale drop the hint and it becomes a keyed
-    *     shuffle on `cell` — the corpus side shuffles by cell once,
-    *     NOT per query);
+    *     at driver-table query-set scale pass
+    *     `broadcastProbes = false` and it becomes a keyed shuffle on
+    *     `cell` — the corpus side shuffles by cell once, NOT per
+    *     query, and no executor materializes |Q|·nProbe embedding
+    *     rows);
     *  3. per-query top-k: GroupedTopK again — the exchange carries
     *     ≤ k·|Q| rows, never the candidate sets.
     *
@@ -196,7 +198,7 @@ object EmbeddingSearch {
     */
   def ivfTopKBatch(spark: SparkSession, emb: DataFrame,
       centroids: DataFrame, queries: DataFrame, k: Int,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, broadcastProbes: Boolean = true): DataFrame = {
     CosineSimilarityExpr.register(spark)
     val assigned =
       if (emb.columns.contains("cell")) emb
@@ -217,7 +219,13 @@ object EmbeddingSearch {
             .as("cell_sim")),
       Seq("q_id"), Seq(col("cell_sim").desc, col("cell").desc), nProbe)
       .select("q_id", "q_emb", "cell")
-    val scored = assigned.join(broadcast(probes), "cell")
+    // broadcast is a FORCE hint: right for the serving norm
+    // (|Q|·nProbe rows ≪ corpus), wrong for a driver-table query set
+    // — mirror pageRankDelta.broadcastAffected and let callers opt
+    // into the keyed cell shuffle instead
+    val probesSide =
+      if (broadcastProbes) broadcast(probes) else probes
+    val scored = assigned.join(probesSide, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         CosineSimilarityExpr.cosineFast(col("embedding"), col("q_emb"))

@@ -606,18 +606,23 @@ object CorpusQueries {
     // capacity, and the padding-waste fraction. A training run that
     // must respect document boundaries reads this to size its
     // buckets; the waste column is exactly what packing would
-    // reclaim. One linear projection + an 8-row hash-agg; integer
-    // until the final ratio.
+    // reclaim. The bucket is the TRUE next power of two (floor 16) —
+    // exact integer bit math, `1 << bitlength(n−1)`, not a capped
+    // CASE ladder: a capped top bucket makes total_tokens exceed
+    // bucket·n_docs for any document past the cap and reports a
+    // NEGATIVE waste fraction (and float log2 at exact-power
+    // boundaries is engine-dependent — bin()/length is not). One
+    // linear projection + an O(distinct-buckets)-row hash-agg;
+    // integer until the final ratio.
     QueryDef(
       "q214_length_buckets",
       (s, d) => {
         val t = size(words(col("text"))).cast("long")
-        val bucket = when(t <= 16, 16L).when(t <= 32, 32L)
-          .when(t <= 64, 64L).when(t <= 128, 128L)
-          .when(t <= 256, 256L).when(t <= 512, 512L)
-          .when(t <= 1024, 1024L).otherwise(2048L)
         documents(s, d)
-          .select(t.as("n_tokens"), bucket.as("bucket"))
+          .select(t.as("n_tokens"))
+          .withColumn("bucket", when(col("n_tokens") <= 16L, 16L)
+            .otherwise(expr(
+              "shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1)))")))
           .groupBy("bucket")
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum(col("n_tokens")).cast("long").as("total_tokens"))
@@ -634,14 +639,10 @@ object CorpusQueries {
              |  FROM documents
              |), b AS (
              |  SELECT n_tokens,
-             |    CAST(CASE WHEN n_tokens <= 16 THEN 16
-             |      WHEN n_tokens <= 32 THEN 32
-             |      WHEN n_tokens <= 64 THEN 64
-             |      WHEN n_tokens <= 128 THEN 128
-             |      WHEN n_tokens <= 256 THEN 256
-             |      WHEN n_tokens <= 512 THEN 512
-             |      WHEN n_tokens <= 1024 THEN 1024
-             |      ELSE 2048 END AS BIGINT) AS bucket
+             |    CASE WHEN n_tokens <= 16
+             |      THEN CAST(16 AS BIGINT)
+             |      ELSE CAST(1 AS BIGINT) << length(bin(n_tokens - 1))
+             |      END AS bucket
              |  FROM t
              |)
              |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -113,6 +113,20 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("EmbeddingSearch: batched IVF with broadcastProbes=false (the " +
+      "driver-table query-set path) equals the broadcast form") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Centroids.byLabel(spark, emb)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def run(bc: Boolean) = EmbeddingSearch
+      .ivfTopKBatch(spark, emb, cents, queries, k = 10, nProbe = 2,
+        broadcastProbes = bc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    run(false) shouldBe run(true)
+  }
+
   test("EmbeddingSearch: spark.ml BRP-LSH variant returns ranked neighbors") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = EmbeddingSearch.lshTopKBRP(spark, emb, 0L, 10)
