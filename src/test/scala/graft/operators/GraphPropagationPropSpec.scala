@@ -113,6 +113,42 @@ class GraphPropagationPropSpec extends AnyFunSuite with SparkFixture
     }
   }
 
+  test("pageRankDelta with random retractions AND additions equals " +
+      "full recompute on the net edge list") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed + 500)
+      val all = Seq.fill(80)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // base ⊇ retract; delta disjoint from the surviving base
+      val (base, delta) = all.partition(_ => rnd.nextDouble() < 0.6)
+      val retract = base.filter(_ => rnd.nextDouble() < 0.3)
+      val net = base.filterNot(retract.toSet) ++ delta
+      if (base.nonEmpty && retract.nonEmpty && net.nonEmpty) {
+        val full = GraphPropagation.pageRank(
+            net.toDF("src", "dst").repartition(4),
+            "src", "dst", iters = 2)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val st = GraphPropagation.pageRankDelta(
+          GraphPropagation.pageRankInit(
+            base.toDF("src", "dst").repartition(3), "src", "dst",
+            iters = 1),
+          delta.toDF("src", "dst").repartition(2),
+          "src", "dst", iters = 2, warmStart = false,
+          retractions = Some(retract.toDF("src", "dst")))
+        val inc = st.rank
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        withClue(s"seed $seed:") { inc shouldBe full }
+        // structure parity: the maintained node set equals the net
+        // edge list's nodes (degree-0 nodes removed)
+        val wantNodes = (net.map(_._1) ++ net.map(_._2)).distinct.toSet
+        st.nodes.collect().map(_.getLong(0)).toSet shouldBe wantNodes
+      }
+    }
+  }
+
   test("upper_tri_prod6 equals the quantized reference on random " +
       "vectors (sign mix, tiny and large magnitudes)") {
     val s = spark

@@ -88,4 +88,50 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkFixture
       .map(_.getLong(0)).toSet
     got.map(_._1) shouldBe bSide
   }
+
+  test("stateTtl evicts idle buckets: the dedup horizon is bounded " +
+      "and a late duplicate re-opens the bucket unflagged") {
+    val s0 = spark
+    import s0.implicits._
+    val schema = Seq((1L, 0, "x")).toDF("doc_id", "band", "bv").schema
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-sndttl-in").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-sndttl-out").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sndttl-ck").toString
+    def runOnce(): Unit = {
+      val q = StatefulOps.streamingNearDupFlags(spark,
+          EventStream.fileStream(spark, inDir, schema),
+          stateTtl = Some("1 milliseconds"))
+        .toDF().writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+    }
+
+    // run 1: docs 1 and 2 share bucket (0,"A") — 2 flagged against 1;
+    // the bucket state (min id 1) carries a 1 ms TTL
+    Seq((1L, 0, "A"), (2L, 0, "A")).toDF("doc_id", "band", "bv")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    Thread.sleep(50L)
+    // run 2: a batch touching only another bucket fires the expired
+    // timeout for (0,"A") — eviction emits nothing
+    Seq((5L, 1, "B")).toDF("doc_id", "band", "bv")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    // run 3: doc 3 lands in the expired bucket — NOT flagged (the
+    // documented horizon trade-off: pre-expiry docs are forgotten);
+    // doc 4 in the same batch IS flagged against the re-opened
+    // representative 3, not the evicted 1
+    Seq((3L, 0, "A"), (4L, 0, "A")).toDF("doc_id", "band", "bv")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_seen")))
+      .toSet
+    got shouldBe Set((2L, 1L), (4L, 3L))
+  }
 }
