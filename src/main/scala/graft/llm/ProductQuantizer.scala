@@ -1,0 +1,266 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-side half of
+  * the ANN stack. The dim-D float vector is split into M contiguous
+  * subspaces; each subvector is replaced by the id of its nearest
+  * code in a per-subspace codebook of K codes. A 64-dim float vector
+  * (256 B) becomes M=8 single-byte codes — a 32× compression that
+  * lets a 100 TB embedding corpus serve from a codes table a few TB
+  * wide, with the original embeddings read only by the optional
+  * re-rank stage.
+  *
+  * Search is asymmetric distance computation (ADC): the query stays
+  * un-quantized; a per-subspace lookup table LUT[m][k] =
+  * ‖q_m − C[m][k]‖² (M×K doubles — model metadata) turns each
+  * corpus distance into M array lookups + adds. The scan is a narrow
+  * codegen'd projection over the codes table — no shuffle, no join,
+  * no embedding bytes touched — followed by a TakeOrderedAndProject
+  * top-k.
+  *
+  * Codebooks here are deterministic corpus samples (code k of
+  * subspace m = subvector m of the (k+1)-th corpus vector), the same
+  * literal-model trick as `EmbeddingSearch.srpBands` planes — no RNG,
+  * reproducible cross-engine, and refinable in place by
+  * [[refineCodebook]] (per-subspace Lloyd iterations) without
+  * changing any downstream shape.
+  */
+object ProductQuantizer {
+
+  /** Codebook[m][k] = subvector m of the vector with vec_id = k+1,
+    * as doubles. M×K×(D/M) values — model metadata, collected once.
+    */
+  def codebookFromCorpus(emb: DataFrame, numSub: Int,
+      codesPerSub: Int): Array[Array[Array[Double]]] = {
+    val rows = emb
+      .filter(col("vec_id").between(1, codesPerSub))
+      .select("vec_id", "embedding")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.length == codesPerSub,
+      s"codebookFromCorpus needs vectors with vec_id 1..$codesPerSub " +
+        s"(found ${rows.length})")
+    val d = rows.head.length
+    require(d % numSub == 0,
+      s"dim $d not divisible into $numSub subspaces")
+    val sub = d / numSub
+    Array.tabulate(numSub, codesPerSub) { (m, k) =>
+      rows(k).slice(m * sub, (m + 1) * sub)
+    }
+  }
+
+  /** One or more Lloyd iterations per subspace over the assignment
+    * produced by the current codebook. Runs as numSub parallel
+    * explode-free passes (one groupBy per iteration over (m, code)
+    * keys); empty codes keep their old center. Production path —
+    * plain double means, not cross-engine exact.
+    */
+  def refineCodebook(emb: DataFrame,
+      codebook: Array[Array[Array[Double]]],
+      iterations: Int = 1): Array[Array[Array[Double]]] = {
+    var cb = codebook
+    val sub = cb(0)(0).length
+    (0 until iterations).foreach { _ =>
+      val enc = encode(emb, cb)
+      val means = enc
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("embedding").cast("array<double>"),
+            col("m") * lit(sub) + lit(1), lit(sub))))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mean_x"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((m, k), rs) =>
+          (m, k) -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      cb = Array.tabulate(cb.length, cb(0).length) { (m, k) =>
+        means.getOrElse((m, k), cb(m)(k))
+      }
+    }
+    cb
+  }
+
+  /** Distance from subspace m of the (double-cast) vector column to a
+    * literal code, as the plain-double expression
+    * ((‖v_m‖² − dp·2) + ‖c‖²) — fixed evaluation order, reproducible
+    * by an engine that folds left-to-right.
+    */
+  private def subDist(vd: Column, m: Int, sub: Int,
+      code: Array[Double]): Column = {
+    val sv = slice(vd, m * sub + 1, sub)
+    val dot = graft.functions.DotDoubleExpr.dotDouble _
+    val cnorm = {
+      var s = 0.0; var i = 0
+      while (i < code.length) { s += code(i) * code(i); i += 1 }
+      s
+    }
+    (dot(sv, sv) - dot(sv, typedLit(code)) * lit(2.0)) + lit(cnorm)
+  }
+
+  /** One (vec_id, m, code) row per vector per subspace: code =
+    * argmin_k ‖v_m − C[m][k]‖², ties to the smaller k. One narrow
+    * shuffle-free pass; the codebook rides as literals.
+    */
+  def encode(emb: DataFrame,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.DotDoubleExpr.register(emb.sparkSession)
+    emb.select(col("vec_id"), posexplode(array(codeExprs(codebook): _*)))
+      .withColumnRenamed("pos", "m")
+      .withColumnRenamed("col", "code")
+  }
+
+  /** Per-subspace code expressions (the [[encode]] argmin) over the
+    * `embedding` column — shared by encode-to-rows and the fused ADC
+    * scans.
+    */
+  private def codeExprs(
+      codebook: Array[Array[Array[Double]]]): Seq[Column] = {
+    val sub = codebook(0)(0).length
+    val vd = col("embedding").cast("array<double>")
+    codebook.indices.map { m =>
+      array_min(array(codebook(m).indices.map { kk =>
+        struct(subDist(vd, m, sub, codebook(m)(kk)).as("dist"),
+          lit(kk).as("k"))
+      }: _*)).getField("k")
+    }
+  }
+
+  /** The ADC distance Σ_m LUT[m][code_m] as a single Column. The LUT
+    * is pre-rounded to scale-12 SCALED LONGS on the driver (identical
+    * to the engines' double→DECIMAL(38,12) HALF_UP cast): long adds
+    * are exact and associative where chained decimal `+` would shed a
+    * scale digit per add under Spark's precision rules, and the final
+    * x/1e12 double division is a single correctly-rounded step —
+    * bit-identical to DuckDB's decimal→double cast while the scaled
+    * sum stays below 2^53.
+    */
+  private def adcDistCol(qv: Array[Double],
+      codebook: Array[Array[Array[Double]]]): Column = {
+    val lutScaled: Array[Array[Long]] = adcLut(qv, codebook).map(_.map(
+      d => BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact))
+    val ce = codeExprs(codebook)
+    val lutCols = codebook.indices.map { m =>
+      element_at(typedLit(lutScaled(m)), ce(m) + 1)
+    }
+    lutCols.reduce(_ + _).cast(DoubleType) / lit(1e12)
+  }
+
+  private def queryVector(emb: DataFrame, queryId: Long): Array[Double] = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select("embedding").collect()
+    require(q.nonEmpty, s"query vec_id $queryId not found")
+    q.head.getSeq[Float](0).map(_.toDouble).toArray
+  }
+
+  /** ADC top-k for one in-corpus query: LUT[m][k] = ‖q_m − C[m][k]‖²
+    * computed on the driver (left-to-right double folds over model
+    * metadata), approximate distance = Σ_m LUT[m][code_m] accumulated
+    * in exact scaled-long arithmetic. Scans only the codes — a narrow
+    * projection + top-k, no joins.
+    */
+  def adcTopK(spark: SparkSession, emb: DataFrame,
+      codebook: Array[Array[Array[Double]]], queryId: Long,
+      k: Int): DataFrame = {
+    val qv = queryVector(emb, queryId)
+    emb
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adcDistCol(qv, codebook).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ: the full-scale ANN serving scan. The coarse quantizer
+    * (IVF cells = the label centroids, plain-double argmax as in
+    * `EmbeddingSearch.ivfTopK`) prunes the corpus to the query's
+    * nProbe nearest cells BEFORE any fine distance math; survivors
+    * are scored by ADC from their PQ codes only. At 100 TB with the
+    * codes table cell-partitioned, a probe touches nProbe/K of a
+    * few-TB codes table and zero embedding bytes — this is the
+    * IVFADC structure of Jégou et al. §V. Probe selection is a
+    * driver-side fold over K centroid dots (model metadata);
+    * cell assignment and ADC ride in ONE narrow projection, so the
+    * whole query is scan → filter → TakeOrderedAndProject.
+    */
+  def ivfAdcTopK(spark: SparkSession, emb: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      codebook: Array[Array[Array[Double]]], queryId: Long, k: Int,
+      nProbe: Int): DataFrame = {
+    graft.functions.DotDoubleExpr.register(spark)
+    val qv = queryVector(emb, queryId)
+    // Same left-to-right double fold as DotDoubleExpr / list_reduce;
+    // ties (equal dp) go to the larger cell id, matching the in-plan
+    // struct-max and the oracle's ORDER BY dp DESC, clabel DESC.
+    val probed: Seq[Int] = centroids.map { case (lbl, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += qv(i) * c(i); i += 1 }
+      (s, lbl)
+    }.sortBy { case (dp, lbl) => (-dp, -lbl) }.take(nProbe).map(_._2)
+    val cellExpr = array_max(array(centroids.map { case (lbl, arr) =>
+      struct(graft.functions.DotDoubleExpr
+          .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+        lit(lbl).as("cell"))
+    }: _*)).getField("cell")
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), cellExpr.as("cell"),
+        adcDistCol(qv, codebook).as("adc_dist"))
+      .filter(col("cell").isin(probed: _*))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ + exact re-rank: the three-stage serving pipeline. Stage
+    * 1-2 ([[ivfAdcTopK]]) produce a `shortlist`-deep candidate set
+    * from codes alone; stage 3 reads the ORIGINAL embeddings for just
+    * those candidates and re-ranks by exact-decimal cosine. At scale
+    * the embedding fetch is `shortlist` point lookups (a broadcast
+    * semi-join against the shortlist), not a scan — the only stage
+    * that touches full-width vectors.
+    */
+  def ivfAdcRerank(spark: SparkSession, emb: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      codebook: Array[Array[Array[Double]]], queryId: Long,
+      shortlist: Int, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.DotExactExpr.register(spark)
+    val fdot = graft.functions.DotExactExpr.dotExactFast _
+    def fnorm(c: Column) = sqrt(fdot(c, c))
+    val short = ivfAdcTopK(spark, emb, centroids, codebook, queryId,
+      shortlist, nProbe).select("vec_id")
+    val qvCol = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    short
+      .join(emb, "vec_id")
+      .crossJoin(broadcast(qvCol))
+      .select(col("vec_id"),
+        (fdot(col("embedding"), col("q_emb")) /
+          (fnorm(col("embedding")) * fnorm(col("q_emb"))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** LUT[m][k] = ((‖q_m‖² − (q_m·C[m][k])·2) + ‖C[m][k]‖²), every
+    * fold left-to-right in double — bit-identical to the in-plan
+    * [[subDist]] arithmetic and to a list_reduce fold.
+    */
+  def adcLut(query: Array[Double],
+      codebook: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val sub = codebook(0)(0).length
+    Array.tabulate(codebook.length, codebook(0).length) { (m, k) =>
+      val qs = query.slice(m * sub, (m + 1) * sub)
+      val c = codebook(m)(k)
+      var nq = 0.0; var dp = 0.0; var nc = 0.0; var i = 0
+      while (i < sub) {
+        nq += qs(i) * qs(i); dp += qs(i) * c(i); nc += c(i) * c(i)
+        i += 1
+      }
+      (nq - dp * 2.0) + nc
+    }
+  }
+}

@@ -142,6 +142,62 @@ object CorpusQueries {
              |  FROM w)
              |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)),
 
+    // Bigram-coverage LM quality score (the CCNet idea — score each
+    // document by how "in-distribution" its language is under a model
+    // trained on the corpus — with the n-gram LM reduced to its
+    // integer core): vocab = the corpus's top-200 bigrams, coverage =
+    // the fraction of a doc's bigram tokens that land in that vocab.
+    // Transcendental-free (no log-perplexity float seam) yet ranks
+    // docs the same way for filtering: boilerplate/templated text
+    // scores high, gibberish scores ~0. Vocab is a fixed-size top-k
+    // (model metadata at any corpus scale) broadcast into the
+    // join-back; docs with <2 words have no bigrams and are excluded.
+    QueryDef(
+      "q224_bigram_coverage",
+      (s, d) => {
+        val ws = words(col("text"))
+        val bigrams = zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        val docBi = documents(s, d)
+          .filter(size(ws) >= 2)
+          .select(col("doc_id"), explode(bigrams).as("bigram"))
+        val vocab = docBi.groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(200)
+          .select(col("bigram"), lit(1L).as("in_vocab"))
+        docBi
+          .join(broadcast(vocab), Seq("bigram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+          .withColumn("coverage",
+            col("n_in_vocab").cast("double") / col("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2
+             |), bi AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(ws)),
+             |      i -> ws[i] || ' ' || ws[i+1])) AS bigram
+             |  FROM w
+             |), vocab AS (
+             |  SELECT bigram FROM (
+             |    SELECT bigram, COUNT(*) AS n FROM bi
+             |    GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 200)
+             |)
+             |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_in_vocab,
+             |  CAST(SUM(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*) AS coverage
+             |FROM bi b LEFT JOIN vocab v USING (bigram)
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
     // Per-source corpus mix report — the sanity dashboard a pipeline
     // emits before mixture sampling (q75 consumes these proportions):
     // document and language counts, exact mean length, total token

@@ -204,6 +204,55 @@ object VectorQueries {
     }
   }
 
+  /** DuckDB CTEs mirroring `ProductQuantizer` (append after `vecCtes,
+    * evecCte`): 8 subspaces × 16 codes sampled from corpus vectors
+    * 1..16, per-(vector, subspace, code) plain-double distances with
+    * the exact fold order of [[graft.llm.ProductQuantizer]]'s
+    * `subDist`, and the argmin `codes(vec_id, m, k)` with k-ASC ties.
+    */
+  private val pqCtes =
+    """ms AS (SELECT unnest(range(0,8)) AS m),
+      |subs AS (
+      |  SELECT e.vec_id, ms.m,
+      |    list_transform(range(1,9),
+      |      j -> e.v[CAST(ms.m*8+j AS INTEGER)]) AS sv
+      |  FROM evec e CROSS JOIN ms
+      |), cb AS (
+      |  SELECT vec_id - 1 AS k, m, sv AS cv FROM subs
+      |  WHERE vec_id BETWEEN 1 AND 16
+      |), dists AS (
+      |  SELECT s.vec_id, s.m, c.k,
+      |    ((list_reduce(list_transform(range(1,9),
+      |          j -> s.sv[j]*s.sv[j]), (a,b) -> a+b)
+      |      - (list_reduce(list_transform(range(1,9),
+      |          j -> s.sv[j]*c.cv[j]), (a,b) -> a+b) * 2))
+      |     + list_reduce(list_transform(range(1,9),
+      |          j -> c.cv[j]*c.cv[j]), (a,b) -> a+b)) AS dist
+      |  FROM subs s JOIN cb c ON c.m = s.m
+      |), codes AS (
+      |  SELECT vec_id, m, k FROM (
+      |    SELECT vec_id, m, k,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |        ORDER BY dist ASC, k ASC) AS rn
+      |    FROM dists) WHERE rn = 1
+      |)""".stripMargin
+
+  /** ADC distances for query vec_id 0 (appends to [[pqCtes]]):
+    * `adc(vec_id, adc_dist)` with the LUT summed in exact decimal —
+    * mirrors `ProductQuantizer.adcTopK` bit-for-bit.
+    */
+  private val adcCte =
+    """lut AS (
+      |  SELECT q.m, c.k, q.dist AS ldist
+      |  FROM dists q JOIN cb c ON c.m = q.m AND c.k = q.k
+      |  WHERE q.vec_id = 0
+      |), adc AS (
+      |  SELECT cd.vec_id,
+      |    CAST(SUM(CAST(l.ldist AS DECIMAL(38,12))) AS DOUBLE) AS adc_dist
+      |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.k
+      |  WHERE cd.vec_id <> 0 GROUP BY cd.vec_id
+      |)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-20 neighbors of vec_id 0.
     QueryDef(
@@ -1063,6 +1112,329 @@ object VectorQueries {
               |FROM cell_means m
               |JOIN cents c ON c.clabel = m.cell AND c.i = m.i
               |GROUP BY m.cell
-              |ORDER BY m.cell""".stripMargin))
+              |ORDER BY m.cell""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): cluster-blocked SEMANTIC dedup —
+    // the embedding-space rung of the dedup ladder. Assign every
+    // vector to its nearest centroid cell (q67's literal-argmax pass),
+    // sub-block big cells with one 4-plane SRP band, cosine-score only
+    // intra-block id-ordered pairs, and drop every vector ≥ 0.35-
+    // similar to a LOWER-id blockmate (kept representative = min id —
+    // deterministic, partitioning-independent). Mirrors
+    // `SemDedup.prune` (fast-float production path) with the
+    // exact-decimal scorer so DuckDB reproduces it bit-for-bit. At
+    // 100 TB the pair space is n²/(K·2^R) and never materializes
+    // beyond blocks; centroids stay literal model metadata.
+    QueryDef(
+      "q217_semdedup",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("cell"))
+        }: _*)
+        val assigned = emb
+          .select(col("vec_id"), array_max(scored).getField("cell").as("cell"))
+        val bands = srpBandsExact(emb, numBands = 1, planesPerBand = 4)
+          .select(col("vec_id"), col("bv"))
+        val blocks = assigned.join(bands, Seq("vec_id"))
+        val pairs = blocks.as("a")
+          .join(blocks.as("b"),
+            col("a.cell") === col("b.cell") && col("a.bv") === col("b.bv") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        val withNrm = emb
+          .select(col("vec_id"), col("embedding"),
+            fnorm(col("embedding")).as("nrm"))
+        val dropped = pairs
+          .join(withNrm.as("ea"), col("a_id") === col("ea.vec_id"))
+          .join(withNrm.as("eb"), col("b_id") === col("eb.vec_id"))
+          .filter((fdot(col("ea.embedding"), col("eb.embedding")) /
+            (col("ea.nrm") * col("eb.nrm"))) >= 0.35)
+          .select(col("b_id").as("vec_id")).distinct()
+        assigned
+          .join(dropped, Seq("vec_id"), "left_anti")
+          .orderBy("vec_id")
+      },
+      Some(s"""$centsAndDotsCte,
+              |assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), pl AS (
+              |  SELECT vec_id - 1 AS pidx, v AS pvec FROM evec
+              |  WHERE vec_id BETWEEN 1 AND 4
+              |), proj AS (
+              |  SELECT e.vec_id, p.pidx,
+              |    CASE WHEN list_reduce(
+              |        list_transform(range(1, len(e.v) + 1),
+              |          k -> e.v[k] * p.pvec[k]),
+              |        (a, b) -> a + b) >= 0
+              |      THEN '1' ELSE '0' END AS bit
+              |  FROM evec e CROSS JOIN pl p
+              |), sub AS (
+              |  SELECT vec_id, string_agg(bit, '' ORDER BY pidx) AS bv
+              |  FROM proj GROUP BY vec_id
+              |), blocks AS (
+              |  SELECT a.vec_id, a.cell, s.bv
+              |  FROM assigned a JOIN sub s ON s.vec_id = a.vec_id
+              |), pairs AS (
+              |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+              |  FROM blocks x JOIN blocks y
+              |    ON x.cell = y.cell AND x.bv = y.bv AND x.vec_id < y.vec_id
+              |), pairdots AS (
+              |  SELECT p.a_id, p.b_id,
+              |    CAST(SUM(CAST(da.x * db.x AS DECIMAL(38,12))) AS DOUBLE) AS dp
+              |  FROM pairs p
+              |  JOIN dexp da ON da.vec_id = p.a_id
+              |  JOIN dexp db ON db.vec_id = p.b_id AND da.i = db.i
+              |  GROUP BY p.a_id, p.b_id
+              |), dropped AS (
+              |  SELECT DISTINCT pd.b_id
+              |  FROM pairdots pd
+              |  JOIN norms na ON na.vec_id = pd.a_id
+              |  JOIN norms nb ON nb.vec_id = pd.b_id
+              |  WHERE pd.dp / (na.nrm * nb.nrm) >= 0.35
+              |)
+              |SELECT a.vec_id, a.cell FROM assigned a
+              |WHERE a.vec_id NOT IN (SELECT b_id FROM dropped)
+              |ORDER BY a.vec_id""".stripMargin)),
+
+    // Product quantization ENCODE (Jégou et al. TPAMI'11): dim-64
+    // floats → 8 one-byte codes, a 32× compression of the serving
+    // footprint. Codebook = subvectors of corpus vectors 1..16 (the
+    // deterministic literal-model trick); assignment is an argmin of
+    // ((‖v_m‖² − 2·v_m·c) + ‖c‖²) plain-double folds — DuckDB's
+    // list_reduce reproduces the left-to-right fold bit-for-bit, and
+    // the (dist, k) struct-min tie-break is k ASC on both engines.
+    // One narrow shuffle-free pass; gates `ProductQuantizer.encode`.
+    QueryDef(
+      "q218_pq_encode",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+        graft.llm.ProductQuantizer.encode(emb, cb)
+          .orderBy("vec_id", "m")
+      },
+      Some(s"""$vecCtes, $evecCte, $pqCtes
+              |SELECT vec_id, CAST(m AS INTEGER) AS m,
+              |  CAST(k AS INTEGER) AS code
+              |FROM codes ORDER BY vec_id, m""".stripMargin)),
+
+    // PQ ADC search: the query stays un-quantized; LUT[m][k] =
+    // ‖q_m − C[m][k]‖² is 8×16 doubles of model metadata, and each
+    // corpus distance is 8 LUT lookups accumulated in exact decimal
+    // (order-independent → cross-engine identical). The scan touches
+    // ONLY the codes — no embedding bytes, no joins — then
+    // TakeOrderedAndProject. Gates `ProductQuantizer.adcTopK`.
+    QueryDef(
+      "q219_pq_adc_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+        graft.llm.ProductQuantizer.adcTopK(s, emb, cb, queryId = 0,
+          k = 20)
+      },
+      Some(s"""$vecCtes, $evecCte, $pqCtes, $adcCte
+              |SELECT vec_id, adc_dist FROM adc
+              |ORDER BY adc_dist ASC, vec_id ASC LIMIT 20""".stripMargin)),
+
+    // PQ recall: ADC top-20 vs the EXACT L2 top-20 (exact-decimal
+    // distances, double-cast before ranking so both engines compare
+    // the same values). One summary row — the quantization-quality
+    // number tracked round-over-round like q200 tracks IVF recall.
+    QueryDef(
+      "q220_pq_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+        val adcTop = graft.llm.ProductQuantizer
+          .adcTopK(s, emb, cb, queryId = 0, k = 20)
+          .select("vec_id")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").collect().head
+          .getSeq[Float](0).map(_.toDouble).toArray
+        val diff = zip_with(col("embedding").cast("array<double>"),
+          typedLit(qv), (x, y) => x - y)
+        val exactTop = emb
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), fdot(diff, diff).as("dist2"))
+          .orderBy(col("dist2").asc, col("vec_id").asc)
+          .limit(20)
+          .select("vec_id")
+        adcTop.join(exactTop, Seq("vec_id"))
+          .agg(lit(20L).as("k"), count(lit(1)).as("overlap_cnt"),
+            (count(lit(1)).cast("double") / lit(20.0)).as("recall"))
+      },
+      Some(s"""$vecCtes, $evecCte, $pqCtes, $adcCte,
+              |l2 AS (
+              |  SELECT d.vec_id,
+              |    CAST(SUM(CAST((d.x - q.y) * (d.x - q.y)
+              |      AS DECIMAL(38,12))) AS DOUBLE) AS dist2
+              |  FROM dexp d JOIN qexp q USING (i)
+              |  WHERE d.vec_id <> 0 GROUP BY d.vec_id
+              |), exact_top AS (
+              |  SELECT vec_id FROM l2
+              |  ORDER BY dist2 ASC, vec_id ASC LIMIT 20
+              |), adc_top AS (
+              |  SELECT vec_id FROM adc
+              |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 20
+              |)
+              |SELECT CAST(20 AS BIGINT) AS k,
+              |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
+              |  CAST(COUNT(*) AS DOUBLE) / 20.0 AS recall
+              |FROM adc_top JOIN exact_top USING (vec_id)""".stripMargin)),
+
+    // IVF-PQ (IVFADC, Jégou et al. §V): the full-scale ANN serving
+    // scan. Coarse quantizer = the label centroids (argmax as q67);
+    // the query probes its nProbe=2 nearest cells (driver fold over
+    // K=10 centroid dots — model metadata), and ONLY vectors assigned
+    // to probed cells get an ADC distance from their PQ codes. Cell
+    // assignment + ADC ride in one narrow projection: scan → filter →
+    // TakeOrderedAndProject, no joins, no full-width vector math. At
+    // 100 TB with the codes table cell-partitioned this touches
+    // nProbe/K of a few-TB codes table and zero embedding bytes.
+    QueryDef(
+      "q221_ivfpq_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+        graft.llm.ProductQuantizer.ivfAdcTopK(s, emb,
+          centroidArrays(s, d), cb, queryId = 0, k = 20, nProbe = 2)
+      },
+      Some(s"""$centsAndDotsCte, $pqCtes, $adcCte,
+              |assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), probed AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 2
+              |)
+              |SELECT a.vec_id, s.cell, a.adc_dist
+              |FROM adc a
+              |JOIN assigned s ON s.vec_id = a.vec_id
+              |JOIN probed p ON p.cell = s.cell
+              |ORDER BY a.adc_dist ASC, a.vec_id ASC LIMIT 20""".stripMargin)),
+
+    // IVF-PQ + exact re-rank: the three-stage serving pipeline. A
+    // 50-deep ADC shortlist from codes alone (q221's scan), then the
+    // ORIGINAL embeddings are read for just those 50 candidates and
+    // re-ranked by exact-decimal cosine — the only stage touching
+    // full-width vectors, a broadcast point-lookup at scale, never a
+    // scan. Gates `ProductQuantizer.ivfAdcRerank`.
+    QueryDef(
+      "q222_ivfpq_rerank",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+        graft.llm.ProductQuantizer.ivfAdcRerank(s, emb,
+          centroidArrays(s, d), cb, queryId = 0, shortlist = 50,
+          k = 10, nProbe = 2)
+      },
+      Some(s"""$centsAndDotsCte, $pqCtes, $adcCte,
+              |assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), probed AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 2
+              |), shortl AS (
+              |  SELECT a.vec_id FROM adc a
+              |  JOIN assigned s ON s.vec_id = a.vec_id
+              |  JOIN probed p ON p.cell = s.cell
+              |  ORDER BY a.adc_dist ASC, a.vec_id ASC LIMIT 50
+              |)
+              |SELECT sh.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |FROM shortl sh
+              |JOIN dots ON dots.vec_id = sh.vec_id
+              |JOIN norms ON norms.vec_id = sh.vec_id
+              |CROSS JOIN qn
+              |ORDER BY cos_sim DESC, sh.vec_id ASC LIMIT 10""".stripMargin)),
+
+    // IVF-PQ end-to-end recall: the reranked top-10 vs the exact
+    // brute-force cosine top-10 — the quality number the whole
+    // stack (probe width × shortlist depth × codebook) is tuned
+    // against, tracked per round alongside q200/q209/q220.
+    QueryDef(
+      "q223_ivfpq_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+        val reranked = graft.llm.ProductQuantizer.ivfAdcRerank(s, emb,
+          centroidArrays(s, d), cb, queryId = 0, shortlist = 50,
+          k = 10, nProbe = 2).select("vec_id")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val exactTop = emb.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+          .select("vec_id")
+        reranked.join(exactTop, Seq("vec_id"))
+          .agg(lit(10L).as("k"), count(lit(1)).as("overlap_cnt"),
+            (count(lit(1)).cast("double") / lit(10.0)).as("recall"))
+      },
+      Some(s"""$centsAndDotsCte, $pqCtes, $adcCte,
+              |assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), probed AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 2
+              |), shortl AS (
+              |  SELECT a.vec_id FROM adc a
+              |  JOIN assigned s ON s.vec_id = a.vec_id
+              |  JOIN probed p ON p.cell = s.cell
+              |  ORDER BY a.adc_dist ASC, a.vec_id ASC LIMIT 50
+              |), rerank_top AS (
+              |  SELECT sh.vec_id,
+              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM shortl sh
+              |  JOIN dots ON dots.vec_id = sh.vec_id
+              |  JOIN norms ON norms.vec_id = sh.vec_id
+              |  CROSS JOIN qn
+              |  ORDER BY cos_sim DESC, sh.vec_id ASC LIMIT 10
+              |), exact_top AS (
+              |  SELECT e.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0
+              |  ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+              |)
+              |SELECT CAST(10 AS BIGINT) AS k,
+              |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
+              |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
+              |FROM rerank_top r JOIN exact_top x ON x.vec_id = r.vec_id""".stripMargin))
   )
 }
