@@ -21,16 +21,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and convert to a
-    * microsecond timestamp with integer division (`DIV` — a double
-    * division would lose precision above 2^53 ns). The generator emits
-    * µs-precision instants, so the truncation is lossless.
+  /** events.parquet has shipped ts as TIMESTAMP(NANOS) in some
+    * generator versions (which Spark's vectorized reader rejects) and
+    * plain TIMESTAMP(MICROS) in others — handle both. Nanos are read
+    * as long and converted with integer division (`DIV` — a double
+    * division would lose precision above 2^53 ns; the generator emits
+    * µs-precision instants, so the truncation is lossless). Micros
+    * arrive as TIMESTAMP_NTZ and are cast to the session-TZ (UTC)
+    * timestamp the rest of the engine — and the prior nanos path —
+    * always produced.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (micros, not UTC-adjusted)
+        raw.withColumn("ts",
+          expr("CAST(ts AS TIMESTAMP)"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** BM25 lexical retrieval (Robertson & Spärck Jones probabilistic
+  * relevance framework; the Okapi BM25 form with Lucene's non-negative
+  * idf). The reference corpus ships similarity search over EMBEDDINGS
+  * (SRP-LSH / IVF / PQ); this is the lexical rung of the same serving
+  * story — an inverted index (term → (doc, tf) postings) plus a
+  * query-time scorer, the retrieval baseline every RAG / training-data
+  * curation pipeline still runs next to its ANN index.
+  *
+  * 100 TB stance: the index build is one explode + hash-agg (linear,
+  * map-side partial); document frequencies are an O(|vocab|) second
+  * agg. Query sets are small relative to the corpus, so query terms
+  * broadcast into the postings join — the only big shuffle is the
+  * (query, doc) partial-score agg, keyed well before top-k. Top-k
+  * rides [[graft.plans.GroupedTopK]]: a bounded heap per group on the
+  * map side, so the exchange carries ≤ k rows per (query, partition),
+  * never the full scored candidate set.
+  *
+  * Two scorers share the plumbing:
+  *  - [[search]] — textbook BM25, `ln(1 + (N-df+0.5)/(df+0.5))` idf in
+  *    doubles. The float seam (ln) makes it unsuitable for
+  *    cross-engine hash gates; it is property-tested against an
+  *    in-memory reference instead.
+  *  - [[searchCore]] — the transcendental-free core used by the
+  *    oracle-gated queries: idf quantized to the integer `N - df + 1`
+  *    (strictly monotone in the true idf, so per-term and single-term
+  *    rankings are preserved exactly; multi-term sums weigh rare
+  *    terms less aggressively than ln), and the tf-saturation term
+  *    evaluated as ONE exact integer ratio. With k1 = 6/5 and b = 3/4,
+  *      sat = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *          = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+  *    where T = Σ dl and N = doc count (avgdl = T/N substituted and
+  *    the fraction cleared). Numerator and denominator are BIGINT
+  *    (bounded by ~22·tf_max·T — past 2^63 shard the corpus stats),
+  *    each converted exactly to double, and the per-term score is two
+  *    correctly-rounded IEEE ops — bit-identical on any engine. The
+  *    (query, doc) sum accumulates in DECIMAL(38,12) and rounds to
+  *    scale 2, the repo-wide `Exact.dsum` contract.
+  */
+object Bm25 {
+
+  /** Inverted index: `postings` (term, doc_id, tf), `docLens`
+    * (doc_id, dl). Both are plain DataFrames — materialize them with
+    * any writer for the index-once/query-many shape.
+    */
+  final case class Bm25Index(postings: DataFrame, docLens: DataFrame)
+
+  /** Whitespace tokenization, matching the corpus-wide convention. */
+  def index(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Bm25Index = {
+    val ws = split(col(textCol), " ")
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(ws).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val docLens = docs
+      .select(col(idCol).as("doc_id"), size(ws).cast("long").as("dl"))
+    Bm25Index(postings, docLens)
+  }
+
+  /** Shared query plumbing: queries (query_id, terms array<string>)
+    * deduped per query, broadcast into postings, joined with doc
+    * lengths and the 1-row corpus stats, scored per (query, doc) term
+    * pair by `perTerm`, then summed by `total` and top-k'd.
+    */
+  private def scored(idx: Bm25Index,
+      queries: DataFrame, topK: Int,
+      perTerm: Column,
+      total: Column => Column): DataFrame = {
+    val stats = idx.docLens.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("total_len"))
+    val dfreq = idx.postings.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"))
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .distinct()
+    val pairs = idx.postings
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq.join(broadcast(qterms.select("term").distinct()),
+        "term")), "term")
+      .join(idx.docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+    val partial = pairs
+      .withColumn("__s", perTerm)
+      .groupBy("query_id", "doc_id")
+      .agg(total(col("__s")).as("score"))
+    graft.plans.GroupedTopK.of(partial, Seq("query_id"),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** Textbook BM25 (double math, ln idf) — top `topK` docs per query,
+    * (query_id, doc_id, score) ordered score desc / doc_id asc.
+    */
+  def search(idx: Bm25Index, queries: DataFrame, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("total_len").cast(DoubleType) /
+      col("n_docs").cast(DoubleType)
+    val sat = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) *
+        col("dl").cast(DoubleType) / avgdl))
+    scored(idx, queries, topK, idf * sat, sum)
+  }
+
+  /** Transcendental-free BM25 core (k1 = 6/5, b = 3/4 folded into one
+    * exact integer ratio; integer idf; decimal-accumulated sum) —
+    * engine-portable, the form the oracle-gated queries run.
+    */
+  def searchCore(idx: Bm25Index, queries: DataFrame,
+      topK: Int = 10): DataFrame = {
+    val num = (lit(22L) * col("tf") * col("total_len")).cast(DoubleType)
+    val den = (lit(10L) * col("tf") * col("total_len") +
+      lit(3L) * col("total_len") +
+      lit(9L) * col("dl") * col("n_docs")).cast(DoubleType)
+    val idf = (col("n_docs") - col("df") + lit(1L)).cast(DoubleType)
+    val perTerm = idf * (num / den)
+    scored(idx, queries, topK, perTerm,
+      s => sum(s.cast(DecimalType(38, 12)))
+        .cast(DecimalType(38, 2)).cast(DoubleType))
+  }
+}

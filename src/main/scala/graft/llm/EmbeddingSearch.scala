@@ -5,7 +5,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,6 +159,62 @@ object EmbeddingSearch {
       .limit(nProbe)
       .select("cell")
     assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        CosineSimilarityExpr.cosineFast(col("embedding"), col("q_emb"))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Filtered (predicate-aware) IVF ANN: [[ivfTopK]] with a metadata
+    * predicate over the corpus rows — "nearest neighbors among docs
+    * WHERE lang = 'en'" is the serving-side norm, not the exception.
+    * Strategy is PRE-filter: the predicate lands on the cell-assigned
+    * corpus BEFORE the probe join, so Catalyst pushes it into the
+    * scan (on a materialized cell table the filter prunes files ahead
+    * of any join) and the cosine ranking touches only surviving rows.
+    * The flip side of pre-filtering any IVF index: a highly selective
+    * predicate can empty the probed cells while matches exist in
+    * unprobed ones — recall under filtering degrades with selectivity,
+    * so size `nProbe` up as the filter narrows (the q209 tuning-curve
+    * logic applies per-predicate). Probe-cell ranking deliberately
+    * ignores the filter: that is the behavior of a shared physical
+    * index, stable across predicates.
+    *
+    * Metadata columns of `emb` beyond (vec_id, embedding) survive
+    * cell assignment, so `predicate` may reference them directly.
+    */
+  def filteredIvfTopK(spark: SparkSession, emb: DataFrame,
+      centroids: DataFrame, queryId: Long, k: Int,
+      predicate: Column, nProbe: Int = 2): DataFrame = {
+    CosineSimilarityExpr.register(spark)
+    val extra = emb.columns
+      .filterNot(Set("vec_id", "embedding", "cell")).toSeq
+    val assigned =
+      if (emb.columns.contains("cell")) emb
+      else emb.crossJoin(broadcast(centroids))
+        .withColumn("sim", CosineSimilarityExpr
+          .cosineFast(col("embedding"), col("centroid")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), col("cand_label"))).as("best"),
+          first(col("embedding")).as("embedding") +:
+            extra.map(c => first(col(c)).as(c)): _*)
+        .select(col("vec_id") +: col("best.cand_label").as("cell") +:
+          col("embedding") +: extra.map(col): _*)
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val probeCells = centroids.crossJoin(broadcast(qv))
+      .select(col("cand_label").as("cell"),
+        CosineSimilarityExpr.cosineFast(col("centroid"), col("q_emb"))
+          .as("cell_sim"))
+      .orderBy(col("cell_sim").desc)
+      .limit(nProbe)
+      .select("cell")
+    assigned
+      .filter(predicate)
+      .join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),

@@ -706,6 +706,187 @@ object CorpusQueries {
              |  CAST(bucket * COUNT(*) AS BIGINT) AS capacity,
              |  1.0 - CAST(SUM(n_tokens) AS DOUBLE) /
              |    CAST(bucket * COUNT(*) AS DOUBLE) AS waste_frac
-             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Eval-set decontamination report (the GPT-3 appendix-C rule,
+    // word-4-gram granularity): a training document is contaminated
+    // when any of its 4-grams also occurs in the held-out eval set
+    // (here the deterministic doc_id % 20 = 0 slice stands in for the
+    // benchmark suite). Per contaminated train doc: how many of its
+    // DISTINCT 4-grams are eval-tainted and how many eval docs they
+    // touch — the evidence a filtering decision needs, not just a
+    // boolean. Scale stance: eval suites are tiny and fixed, so the
+    // (gram, eval_doc) side is broadcast — the train side is one
+    // linear explode + hash-agg, no corpus self-join; at 100 TB the
+    // same shape holds with the eval grams as a shared build side
+    // (or the q85 Bloom rung when only the boolean is needed).
+    QueryDef(
+      "q225_eval_decontamination",
+      (s, d) => {
+        val ws = words(col("text"))
+        val grams = transform(
+          sequence(lit(1), size(ws) - lit(3)),
+          i => concat_ws(" ", slice(ws, i, lit(4))))
+        val docGrams = documents(s, d)
+          .filter(size(ws) >= 4)
+          .select(col("doc_id"), explode(grams).as("ng"))
+          .distinct()
+        val evalGrams = docGrams
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("ng"), col("doc_id").as("eval_doc"))
+        docGrams
+          .filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(evalGrams), "ng")
+          .groupBy("doc_id")
+          .agg(count_distinct(col("ng")).as("n_tainted_grams"),
+            count_distinct(col("eval_doc")).as("n_eval_docs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 4
+             |), g AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 2),
+             |      i -> array_to_string(list_slice(ws, i, i + 3), ' ')))
+             |      AS ng
+             |  FROM w
+             |), ev AS (
+             |  SELECT ng, doc_id AS eval_doc FROM g WHERE doc_id % 20 = 0
+             |)
+             |SELECT g.doc_id,
+             |  CAST(COUNT(DISTINCT g.ng) AS BIGINT) AS n_tainted_grams,
+             |  CAST(COUNT(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+             |FROM g JOIN ev USING (ng)
+             |WHERE g.doc_id % 20 <> 0
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
+    // Leakage-safe train/val/test split: hash-assign GROUPS of
+    // related documents, never individual docs, so near-identical
+    // texts cannot land on both sides of the train/eval boundary
+    // (the classic split-leakage bug). The group key is a content
+    // fingerprint — the doc's 3 most frequent words (tf desc, word
+    // asc), md5-hashed; docs sharing dominant vocabulary move
+    // together. The split is the first hex nibble of the group hash:
+    // 12/16 train, 2/16 val, 2/16 test — deterministic, engine-
+    // independent, no RNG. Per split: group count, doc count, token
+    // supply. Scale stance: one explode + two hash-aggs, all keyed
+    // by doc_id or fp — linear, and the assignment needs no global
+    // state at all (any executor can route a new doc from its hash).
+    QueryDef(
+      "q226_group_split",
+      (s, d) => {
+        val tf = documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("wd"))
+          .groupBy("doc_id", "wd")
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("c").desc, col("wd").asc)
+        val fp = tf
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .groupBy("doc_id")
+          .agg(array_join(
+            transform(sort_array(collect_list(struct(col("rk"), col("wd")))),
+              e => e.getField("wd")), " ").as("fp"))
+        val split = fp
+          .withColumn("nib",
+            expr("instr('0123456789abcdef', substring(md5(fp), 1, 1))"))
+          .withColumn("split",
+            when(col("nib") <= 12, "train")
+              .when(col("nib") <= 14, "val")
+              .otherwise("test"))
+        split
+          .join(documents(s, d).select(col("doc_id"),
+            size(words(col("text"))).cast("long").as("n_tokens")), "doc_id")
+          .groupBy("split")
+          .agg(count_distinct(col("fp")).as("n_groups"),
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("split")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, wd, COUNT(*) AS c
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(wd)
+             |  GROUP BY doc_id, wd
+             |), fp AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      (list(wd ORDER BY c DESC, wd ASC))[1:3], ' ') AS fp
+             |  FROM tf GROUP BY doc_id
+             |), sp AS (
+             |  SELECT doc_id, fp,
+             |    CASE WHEN instr('0123456789abcdef',
+             |        substr(md5(fp), 1, 1)) <= 12 THEN 'train'
+             |      WHEN instr('0123456789abcdef',
+             |        substr(md5(fp), 1, 1)) <= 14 THEN 'val'
+             |      ELSE 'test' END AS split
+             |  FROM fp
+             |), tok AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |)
+             |SELECT split, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+             |FROM sp JOIN tok USING (doc_id)
+             |GROUP BY split ORDER BY split""".stripMargin)),
+
+    // Token-budget dataset assembly: given a per-source token budget
+    // (the output of a q206-style mixture plan), greedily admit each
+    // source's best documents — ranked by lexical diversity (distinct
+    // words desc, doc_id asc) — until the running token total would
+    // exceed the budget. The admission rule is a windowed cumulative
+    // sum, so the whole assembly is one shuffle by source; per source
+    // the report shows docs admitted, tokens used, and budget
+    // utilisation. Scale stance: ranking + cumsum are per-source
+    // window functions over a source-partitioned shuffle — no global
+    // sort, no driver loop; skewed sources AQE-split cleanly because
+    // the window key is the shuffle key.
+    QueryDef(
+      "q227_token_budget",
+      (s, d) => {
+        val budget = 600L
+        val docs = documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(words(col("text"))).cast("long").as("n_tokens"),
+            size(array_distinct(words(col("text")))).cast("long")
+              .as("n_distinct"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_distinct").desc, col("doc_id").asc)
+        docs
+          .withColumn("running", sum(col("n_tokens")).over(w))
+          .filter(col("running") <= budget)
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_admitted"),
+            sum(col("n_tokens")).as("tokens_used"),
+            max(col("running")).as("final_running"))
+          .withColumn("budget", lit(budget))
+          .withColumn("util",
+            col("tokens_used").cast("double") / col("budget"))
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' ')))
+             |      AS BIGINT) AS n_distinct
+             |  FROM documents
+             |), run AS (
+             |  SELECT source, doc_id, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY n_distinct DESC, doc_id ASC
+             |      ROWS UNBOUNDED PRECEDING) AS running
+             |  FROM docs
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_admitted,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+             |  CAST(MAX(running) AS BIGINT) AS final_running,
+             |  CAST(600 AS BIGINT) AS budget,
+             |  CAST(SUM(n_tokens) AS DOUBLE) / 600 AS util
+             |FROM run WHERE running <= 600
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

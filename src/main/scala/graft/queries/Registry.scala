@@ -7,6 +7,7 @@ object Registry {
       TextQueries.all ++ VectorQueries.all ++ ExtraQueries.all ++
       ReshapeQueries.all ++ SamplingQueries.all ++
       SubqueryQueries.all ++ CorpusQueries.all ++ TpchShapes.all ++
+      RetrievalQueries.all ++
       BreadthQueries.all ++ ScaleQueries.all ++ StagingQueries.all ++
       AnalyticsQueries.all
 }

@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.TextFunctions.words
+import graft.llm.Bm25
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the documents corpus: the inverted-index /
+  * BM25 serving rung next to the embedding-space ANN stack, plus
+  * positional phrase search. Both are API gates in the q68–q72 sense:
+  * the declared queries run the [[graft.llm.Bm25]] entry points users
+  * call, not a query-local re-implementation, so the library path
+  * itself is hash-checked cross-engine.
+  *
+  * Scale stance: index builds are linear explode + hash-agg passes;
+  * query/phrase sets are small and broadcast; candidate scoring joins
+  * are keyed by (term) then (query, doc) — no corpus self-join, and
+  * top-k rides GroupedTopK's bounded map-side heaps.
+  */
+object RetrievalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // BM25 top-k retrieval (transcendental-free core — integer idf,
+    // exact-integer-ratio tf saturation, decimal-accumulated sums; see
+    // Bm25.searchCore's scaladoc for the arithmetic contract). The
+    // query set derives deterministically from the corpus: every doc
+    // with doc_id % 100 = 7 queries with its own first 3 words.
+    QueryDef(
+      "q228_bm25_topk",
+      (s, d) => {
+        val docs = documents(s, d)
+        val queries = docs
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        Bm25.searchCore(Bm25.index(docs), queries, topK = 10)
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q AS (
+             |  SELECT DISTINCT doc_id AS query_id,
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id % 100 = 7
+             |), part AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), agg AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part GROUP BY query_id, doc_id
+             |)
+             |SELECT query_id, doc_id, score FROM (
+             |  SELECT query_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id ASC) AS rk
+             |  FROM agg)
+             |WHERE rk <= 10
+             |ORDER BY query_id, score DESC, doc_id""".stripMargin)),
+
+    // Positional phrase search: exact 3-word phrase occurrences via a
+    // positional inverted index (term, doc_id, pos) — the adjacency
+    // equi-join (pos, pos+1, pos+2), not a substring scan, so the
+    // same index serves any phrase length without re-reading text.
+    // Phrases derive from docs with doc_id % 100 = 3 (their first 3
+    // words; phrase_id = source doc_id). The phrase table is tiny and
+    // broadcast; the positional joins are keyed on (doc_id, pos)
+    // AFTER the broadcast term filter prunes postings to the phrase
+    // vocabulary, so no full-corpus self-join forms.
+    QueryDef(
+      "q229_phrase_search",
+      (s, d) => {
+        val ws = words(col("text"))
+        val pos = documents(s, d)
+          .select(col("doc_id"), posexplode(ws).as(Seq("pos", "term")))
+        val phrases = documents(s, d)
+          .filter(col("doc_id") % 100 === 3)
+          .select(col("doc_id").as("phrase_id"),
+            element_at(ws, 1).as("w1"),
+            element_at(ws, 2).as("w2"),
+            element_at(ws, 3).as("w3"))
+        val p2 = pos.select(col("doc_id").as("d2"),
+          col("pos").as("p2"), col("term").as("t2"))
+        val p3 = pos.select(col("doc_id").as("d3"),
+          col("pos").as("p3"), col("term").as("t3"))
+        pos.join(broadcast(phrases), col("term") === col("w1"))
+          .select(col("phrase_id"), col("doc_id"), col("pos"),
+            col("w2"), col("w3"))
+          .join(p2, col("d2") === col("doc_id")
+            && col("p2") === col("pos") + 1 && col("t2") === col("w2"))
+          .join(p3, col("d3") === col("doc_id")
+            && col("p3") === col("pos") + 2 && col("t3") === col("w3"))
+          .groupBy("phrase_id", "doc_id")
+          .agg(count(lit(1)).cast("long").as("n_occurrences"),
+            min(col("pos")).cast("long").as("first_pos"))
+          .orderBy("phrase_id", "doc_id")
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |        FROM documents),
+             |    LATERAL unnest(range(1, len(ws) + 1)) AS t(i)
+             |), ph AS (
+             |  SELECT doc_id AS phrase_id, ws[1] AS w1, ws[2] AS w2,
+             |    ws[3] AS w3
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |        FROM documents)
+             |  WHERE doc_id % 100 = 3
+             |)
+             |SELECT ph.phrase_id, p1.doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             |  CAST(MIN(p1.pos) AS BIGINT) AS first_pos
+             |FROM ph
+             |JOIN pos p1 ON p1.term = ph.w1
+             |JOIN pos p2 ON p2.doc_id = p1.doc_id
+             |  AND p2.pos = p1.pos + 1 AND p2.term = ph.w2
+             |JOIN pos p3 ON p3.doc_id = p1.doc_id
+             |  AND p3.pos = p1.pos + 2 AND p3.term = ph.w3
+             |GROUP BY ph.phrase_id, p1.doc_id
+             |ORDER BY ph.phrase_id, p1.doc_id""".stripMargin)),
+
+    // Hybrid retrieval fusion — reciprocal rank fusion (Cormack et
+    // al. SIGIR'09: score(d) = Σ_rankers 1/(60 + rank_r(d))) over two
+    // retrievers with complementary failure modes: the BM25 core
+    // (q228's scorer, first-3-words queries) and whole-document
+    // word-trigram Jaccard similarity to the query doc (q31's
+    // metric). RRF needs only RANKS, never comparable scores — which
+    // is why it is the default fusion for lexical+X stacks — and
+    // 1/(60+rank) is a single correctly-rounded IEEE division, so
+    // the fused ordering is engine-exact with no transcendental
+    // seam. Each ranker contributes its top-20; fusion keeps top-10.
+    // Scale stance: both rankers are broadcast-query joins over
+    // linear corpus passes, ranks are per-query windows over ≤20-row
+    // groups, and the fusion join is keyed (query, doc) — nothing
+    // here grows faster than the candidate lists.
+    QueryDef(
+      "q231_hybrid_rrf",
+      (s, d) => {
+        val docs = documents(s, d)
+        val queries = docs
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        val bm = Bm25.searchCore(Bm25.index(docs), queries, topK = 20)
+        val wA = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val rankA = bm.withColumn("r", row_number().over(wA))
+          .select(col("query_id"), col("doc_id"), col("r").as("ra"))
+        val ws = words(col("text"))
+        val grams = docs
+          .filter(size(ws) >= 3)
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.trigrams(ws))
+              .as("gram"))
+          .distinct()
+        val sizes = grams.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"))
+        val qGrams = grams.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"), col("gram"))
+        val qSizes = sizes.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            col("n_grams").as("qn"))
+        val inter = grams.join(broadcast(qGrams), "gram")
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("ni"))
+        val jac = inter
+          .join(sizes, "doc_id")
+          .join(broadcast(qSizes), "query_id")
+          .withColumn("jac", col("ni").cast("double") /
+            (col("n_grams") + col("qn") - col("ni")).cast("double"))
+        val wB = Window.partitionBy("query_id")
+          .orderBy(col("jac").desc, col("doc_id").asc)
+        val rankB = graft.plans.GroupedTopK.of(jac, Seq("query_id"),
+          Seq(col("jac").desc, col("doc_id").asc), 20)
+          .withColumn("r", row_number().over(wB))
+          .select(col("query_id"), col("doc_id"), col("r").as("rb"))
+        val fused = rankA.join(rankB, Seq("query_id", "doc_id"), "full")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("ra")).cast("double"),
+              lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rb")).cast("double"),
+              lit(0.0)))
+        graft.plans.GroupedTopK.of(
+          fused.select(col("query_id"), col("doc_id"), col("rrf")),
+          Seq("query_id"), Seq(col("rrf").desc, col("doc_id").asc), 10)
+          .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q AS (
+             |  SELECT DISTINCT doc_id AS query_id,
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id % 100 = 7
+             |), part AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), bm AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part GROUP BY query_id, doc_id
+             |), ra AS (
+             |  SELECT query_id, doc_id, r AS ra FROM (
+             |    SELECT query_id, doc_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, doc_id ASC) AS r
+             |    FROM bm)
+             |  WHERE r <= 20
+             |), w2 AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents
+             |), grams AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(generate_series(1, len(ws) - 2),
+             |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             |      AS gram
+             |  FROM w2 WHERE len(ws) >= 3
+             |), sizes AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+             |  FROM grams GROUP BY doc_id
+             |), inter AS (
+             |  SELECT qg.doc_id AS query_id, g.doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS ni
+             |  FROM grams g
+             |  JOIN grams qg ON g.gram = qg.gram
+             |    AND qg.doc_id % 100 = 7
+             |  GROUP BY qg.doc_id, g.doc_id
+             |), rb AS (
+             |  SELECT query_id, doc_id, r AS rb FROM (
+             |    SELECT i.query_id, i.doc_id,
+             |      row_number() OVER (PARTITION BY i.query_id
+             |        ORDER BY CAST(i.ni AS DOUBLE) /
+             |          CAST(s1.n_grams + s2.n_grams - i.ni AS DOUBLE)
+             |          DESC, i.doc_id ASC) AS r
+             |    FROM inter i
+             |    JOIN sizes s1 ON s1.doc_id = i.doc_id
+             |    JOIN sizes s2 ON s2.doc_id = i.query_id)
+             |  WHERE r <= 20
+             |), fused AS (
+             |  SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+             |    COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             |    COALESCE(1.0 / CAST(60 + ra.ra AS DOUBLE), 0.0) +
+             |    COALESCE(1.0 / CAST(60 + rb.rb AS DOUBLE), 0.0) AS rrf
+             |  FROM ra FULL OUTER JOIN rb
+             |    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id
+             |)
+             |SELECT query_id, doc_id, rrf FROM (
+             |  SELECT query_id, doc_id, rrf,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rrf DESC, doc_id ASC) AS rk
+             |  FROM fused)
+             |WHERE rk <= 10
+             |ORDER BY query_id, rrf DESC, doc_id""".stripMargin))
+  )
+}

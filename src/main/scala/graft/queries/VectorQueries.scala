@@ -504,6 +504,70 @@ object VectorQueries {
               |WHERE a.vec_id <> 0
               |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin)),
 
+    // FILTERED IVF search — q98 with the serving-side norm attached:
+    // a metadata predicate (label = 2 here; "lang = 'en'", "source
+    // IN (...)" in production) restricting which corpus rows may be
+    // ranked. Pre-filter strategy: the predicate lands on the
+    // cell-assigned corpus BEFORE the probe join, so only surviving
+    // rows pay cosine; probe-cell ranking deliberately ignores the
+    // filter (shared-physical-index semantics — see
+    // EmbeddingSearch.filteredIvfTopK, the cosine_fast production
+    // path this declared exact-decimal form witnesses). The recall
+    // cost of filtering is the nProbe trade-off documented there.
+    QueryDef(
+      "q230_filtered_ivf",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(explode(scored).as("sc"))
+          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
+          .orderBy(col("dp").desc, col("cell").desc)
+          .limit(3)
+          .select("cell")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        emb
+          .select(col("vec_id"), col("embedding"), col("label"),
+            array_max(scored).getField("clabel").as("cell"))
+          .filter(col("label") === 2)
+          .join(broadcast(probe), "cell")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("cell"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""$centsAndDotsCte, assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), probe AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 3
+              |)
+              |SELECT a.vec_id, a.cell,
+              |  dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |FROM assigned a
+              |JOIN probe p ON a.cell = p.cell
+              |JOIN embeddings e ON e.vec_id = a.vec_id AND e.label = 2
+              |JOIN dots ON dots.vec_id = a.vec_id
+              |JOIN norms ON norms.vec_id = a.vec_id
+              |CROSS JOIN qn
+              |WHERE a.vec_id <> 0
+              |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin)),
+
     // Int8 quantization (min/max affine, the embedding-storage
     // compressor): per-vector scale + zero point, elements mapped to
     // 0..255. Pure per-row projection — no shuffle, no join; at 100 TB

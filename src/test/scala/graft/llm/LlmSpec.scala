@@ -94,6 +94,35 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     hits(10).keySet shouldBe brute.keySet
   }
 
+  test("EmbeddingSearch: filtered IVF = brute force over the filtered " +
+      "corpus when probing every cell; subset of it when probing few") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Centroids.byLabel(spark, emb)
+    // Brute force restricted to the predicate (query vec 0 exempt so
+    // its embedding is still found).
+    val filteredEmb = emb.filter(col("label") === 2 || col("vec_id") === 0)
+    val brute = EmbeddingSearch.bruteForceTopK(spark, filteredEmb, 0L, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def hits(nProbe: Int): Map[Long, Double] =
+      EmbeddingSearch.filteredIvfTopK(spark, emb, cents, 0L, 20,
+        col("label") === 2, nProbe)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = hits(10)
+    all.keySet shouldBe brute.keySet
+    all.foreach { case (id, sim) => brute(id) shouldBe sim +- 1e-12 }
+    // Few probes: recall drops, so OTHER label-2 candidates may fill
+    // k — but every returned id must satisfy the predicate, and any
+    // id the exact top-20 also surfaced must carry the identical
+    // exact score.
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val few = hits(2)
+    few.keys.foreach(id => labels(id) shouldBe 2)
+    few.foreach { case (id, sim) =>
+      brute.get(id).foreach(_ shouldBe sim +- 1e-12)
+    }
+  }
+
   test("EmbeddingSearch: batched IVF equals the per-query probe for " +
       "each query in the set") {
     val emb = Tables.embeddings(spark, sfDir)
