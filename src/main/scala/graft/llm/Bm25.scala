@@ -13,10 +13,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * curation pipeline still runs next to its ANN index.
   *
   * 100 TB stance: the index build is one explode + hash-agg (linear,
-  * map-side partial); document frequencies are an O(|vocab|) second
-  * agg. Query sets are small relative to the corpus, so query terms
-  * broadcast into the postings join — the only big shuffle is the
-  * (query, doc) partial-score agg, keyed well before top-k. Top-k
+  * map-side partial). Query time touches the corpus ONCE: the query
+  * vocabulary broadcast-semi-joins the postings (pushed below the
+  * postings aggregate, so non-query terms never reach its shuffle)
+  * and the query-vocab-sized probe result is pinned — document
+  * frequencies, candidate pairs, and scores all derive from it. The
+  * only big shuffle left is the (query, doc) partial-score agg,
+  * keyed well before top-k. Top-k
   * rides [[graft.plans.GroupedTopK]]: a bounded heap per group on the
   * map side, so the exchange carries ≤ k rows per (query, partition),
   * never the full scored candidate set.
@@ -75,15 +78,25 @@ object Bm25 {
     val stats = idx.docLens.agg(
       count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("total_len"))
-    val dfreq = idx.postings.groupBy("term")
-      .agg(count(lit(1)).cast("long").as("df"))
     val qterms = queries
       .select(col("query_id"), explode(col("terms")).as("term"))
       .distinct()
-    val pairs = idx.postings
+    val qvocab = qterms.select("term").distinct()
+    // ONE pass over the index: the left-semi on the grouping key
+    // pushes below the postings aggregate (Catalyst's
+    // PushDownLeftSemiAntiJoin), so non-query terms never reach the
+    // postings shuffle; the surviving rows are query-vocab-sized, and
+    // pinning them (localCheckpoint) lets document frequencies and
+    // candidate pairs both read the probe result without a second
+    // corpus pass.
+    val relPost = idx.postings
+      .join(broadcast(qvocab), Seq("term"), "left_semi")
+      .localCheckpoint()
+    val dfreq = relPost.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"))
+    val pairs = relPost
       .join(broadcast(qterms), "term")
-      .join(broadcast(dfreq.join(broadcast(qterms.select("term").distinct()),
-        "term")), "term")
+      .join(broadcast(dfreq), "term")
       .join(idx.docLens, "doc_id")
       .crossJoin(broadcast(stats))
     val partial = pairs

@@ -723,14 +723,18 @@ object CorpusQueries {
     QueryDef(
       "q225_eval_decontamination",
       (s, d) => {
-        val ws = words(col("text"))
+        // tokens hoisted (HOF lambdas re-evaluate inlined args per
+        // element — see q95); per-doc gram dedup is a per-row
+        // array_distinct, not a corpus-wide shuffle.
+        val ws = col("__ws")
         val grams = transform(
           sequence(lit(1), size(ws) - lit(3)),
           i => concat_ws(" ", slice(ws, i, lit(4))))
         val docGrams = documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("__ws"))
           .filter(size(ws) >= 4)
-          .select(col("doc_id"), explode(grams).as("ng"))
-          .distinct()
+          .select(col("doc_id"),
+            explode(array_distinct(grams)).as("ng"))
         val evalGrams = docGrams
           .filter(col("doc_id") % 20 === 0)
           .select(col("ng"), col("doc_id").as("eval_doc"))

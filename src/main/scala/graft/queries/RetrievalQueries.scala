@@ -170,15 +170,23 @@ object RetrievalQueries {
           .orderBy(col("score").desc, col("doc_id").asc)
         val rankA = bm.withColumn("r", row_number().over(wA))
           .select(col("query_id"), col("doc_id"), col("r").as("ra"))
-        val ws = words(col("text"))
-        val grams = docs
-          .filter(size(ws) >= 3)
-          .select(col("doc_id"),
-            explode(graft.functions.TextFunctions.trigrams(ws))
-              .as("gram"))
-          .distinct()
-        val sizes = grams.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"))
+        // Tokens hoisted to their own projection (a HOF lambda
+        // re-evaluates inlined arguments per element — words() inside
+        // trigrams() would re-split the text per shingle), and
+        // per-doc dedup as a per-row array_distinct: distinct
+        // (doc_id, gram) needs no corpus-wide shuffle because grams
+        // cannot repeat across docs within one doc_id.
+        val withTri = docs
+          .select(col("doc_id"), words(col("text")).as("__ws"))
+          .filter(size(col("__ws")) >= 3)
+          .select(col("doc_id"), array_distinct(
+            graft.functions.TextFunctions.trigrams(col("__ws")))
+            .as("__tri"))
+        val grams = withTri
+          .select(col("doc_id"), explode(col("__tri")).as("gram"))
+        val sizes = withTri
+          .select(col("doc_id"), size(col("__tri")).cast("long")
+            .as("n_grams"))
         val qGrams = grams.filter(col("doc_id") % 100 === 7)
           .select(col("doc_id").as("query_id"), col("gram"))
         val qSizes = sizes.filter(col("doc_id") % 100 === 7)
