@@ -66,6 +66,64 @@ object Bm25 {
     Bm25Index(postings, docLens)
   }
 
+  /** Persist an index parquet-partitioned by a term-hash bucket
+    * (postings) — the index-once/query-many layout. A query-time
+    * probe filters on the SAME bucket expression, so partition
+    * pruning reads only the buckets the query vocabulary hashes to
+    * (the WinnowIndex.probe pattern); `docLens` is small per-doc
+    * metadata stored unpartitioned.
+    */
+  def writeIndex(idx: Bm25Index, dir: String,
+      numBuckets: Int = 64): Unit = {
+    idx.postings
+      .withColumn("bucket", pmod(hash(col("term")), lit(numBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    idx.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Bm25Index =
+    Bm25Index(
+      spark.read.parquet(s"$dir/postings")
+        .select("term", "doc_id", "tf"),
+      spark.read.parquet(s"$dir/doclens"))
+
+  /** Postings rows for a term set, read with partition pruning: the
+    * filter is expressed on the stored bucket column, so only
+    * |terms| of the `numBuckets` partitions are scanned.
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    // bucket ids via the same Catalyst hash() the writer used (a
+    // driver-side reimplementation would silently drift from
+    // Murmur3-seed-42) — |terms| rows, one local job
+    val buckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf")
+  }
+
+  /** Incremental index maintenance — fold a batch of NEW documents
+    * into an existing index without re-tokenizing the old corpus
+    * (the q175 partial-fold contract). Batch doc ids must be new;
+    * re-indexing an existing id means delete-then-add (filter the
+    * old index by id first). Existing postings rows pass through
+    * untouched — the merge is a union, not a rewrite — so on a
+    * materialized index only the delta's buckets change.
+    */
+  def mergeIndex(idx: Bm25Index, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Bm25Index = {
+    val delta = index(newDocs, idCol, textCol)
+    Bm25Index(
+      idx.postings.unionByName(delta.postings),
+      idx.docLens.unionByName(delta.docLens))
+  }
+
   /** Shared query plumbing: queries (query_id, terms array<string>)
     * deduped per query, broadcast into postings, joined with doc
     * lengths and the 1-row corpus stats, scored per (query, doc) term

@@ -304,6 +304,153 @@ object RetrievalQueries {
              |      ORDER BY rrf DESC, doc_id ASC) AS rk
              |  FROM fused)
              |WHERE rk <= 10
+             |ORDER BY query_id, rrf DESC, doc_id""".stripMargin)),
+
+    // Hybrid LEXICAL + VECTOR retrieval — the production RAG shape:
+    // RRF-fuse the BM25 core's ranking (documents.text) with exact
+    // cosine ranking over the SAME corpus's embedding table (the
+    // doc_id ≡ vec_id bridge), one fused list per query doc. This is
+    // what q231 approximates lexically; here the second ranker is the
+    // real dense retriever. Query embeddings are model metadata
+    // (|Q| rows, broadcast); the cosine pass is one linear projection
+    // over the corpus per the q37 convention (exact-decimal dots so
+    // DuckDB reproduces the ranking bit-for-bit); both rankers'
+    // candidate lists are ≤20 rows/query before the keyed fusion
+    // join. At serving scale the dense side swaps in ivfTopKBatch /
+    // PQ ADC without touching the fusion.
+    QueryDef(
+      "q232_hybrid_lexical_vector",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        def fdot(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          graft.functions.DotExactExpr.dotExactFast(a, b)
+        val docs = documents(s, d)
+        val queries = docs
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        val bm = Bm25.searchCore(Bm25.index(docs), queries, topK = 20)
+        val wA = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val rankA = bm.withColumn("r", row_number().over(wA))
+          .select(col("query_id"), col("doc_id"), col("r").as("ra"))
+        // norms hoisted to per-row projections: computed once per
+        // corpus vector / per query, not re-folded for every one of
+        // the |corpus|×|Q| pairs (the pair leaves ONE exact-decimal
+        // fold, the dot itself)
+        val embN = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+        val qv = embN.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"), col("nrm").as("qnrm"))
+        val cos = embN.crossJoin(broadcast(qv))
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            (fdot(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("qnrm"))).as("cos_sim"))
+        val wB = Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("doc_id").asc)
+        val rankB = graft.plans.GroupedTopK.of(cos, Seq("query_id"),
+          Seq(col("cos_sim").desc, col("doc_id").asc), 20)
+          .withColumn("r", row_number().over(wB))
+          .select(col("query_id"), col("doc_id"), col("r").as("rb"))
+        val fused = rankA.join(rankB, Seq("query_id", "doc_id"), "full")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("ra")).cast("double"),
+              lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rb")).cast("double"),
+              lit(0.0)))
+        graft.plans.GroupedTopK.of(
+          fused.select(col("query_id"), col("doc_id"), col("rrf")),
+          Seq("query_id"), Seq(col("rrf").desc, col("doc_id").asc), 10)
+          .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q AS (
+             |  SELECT DISTINCT doc_id AS query_id,
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id % 100 = 7
+             |), part AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), agg AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part GROUP BY query_id, doc_id
+             |), ra AS (
+             |  SELECT query_id, doc_id, r AS ra FROM (
+             |    SELECT query_id, doc_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, doc_id ASC) AS r
+             |    FROM agg)
+             |  WHERE r <= 20
+             |), dexp AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings
+             |), norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12)))
+             |      AS DOUBLE)) AS nrm
+             |  FROM dexp GROUP BY vec_id
+             |), qd AS (
+             |  SELECT vec_id AS query_id, i, x AS y FROM dexp
+             |  WHERE vec_id % 100 = 7
+             |), dots AS (
+             |  SELECT q.query_id, d.vec_id,
+             |    CAST(SUM(CAST(d.x * q.y AS DECIMAL(38,12)))
+             |      AS DOUBLE) AS dp
+             |  FROM dexp d JOIN qd q USING (i)
+             |  GROUP BY q.query_id, d.vec_id
+             |), rb AS (
+             |  SELECT query_id, doc_id, r AS rb FROM (
+             |    SELECT dt.query_id, dt.vec_id AS doc_id,
+             |      row_number() OVER (PARTITION BY dt.query_id
+             |        ORDER BY dt.dp / (nd.nrm * nq.nrm) DESC,
+             |          dt.vec_id ASC) AS r
+             |    FROM dots dt
+             |    JOIN norms nd ON nd.vec_id = dt.vec_id
+             |    JOIN norms nq ON nq.vec_id = dt.query_id)
+             |  WHERE r <= 20
+             |), fused AS (
+             |  SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+             |    COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             |    COALESCE(1.0 / CAST(60 + ra.ra AS DOUBLE), 0.0) +
+             |    COALESCE(1.0 / CAST(60 + rb.rb AS DOUBLE), 0.0) AS rrf
+             |  FROM ra FULL OUTER JOIN rb
+             |    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id
+             |)
+             |SELECT query_id, doc_id, rrf FROM (
+             |  SELECT query_id, doc_id, rrf,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rrf DESC, doc_id ASC) AS rk
+             |  FROM fused)
+             |WHERE rk <= 10
              |ORDER BY query_id, rrf DESC, doc_id""".stripMargin))
   )
 }

@@ -114,6 +114,62 @@ class Bm25Spec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("write/read round-trips the index; stored search = inline search") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString + "/idx"
+    val idx = Bm25.index(docsDf)
+    Bm25.writeIndex(idx, dir, numBuckets = 8)
+    val stored = Bm25.readIndex(spark, dir)
+    val q = queriesDf(Seq(7L -> Seq("cat", "mat")))
+    val inline = Bm25.search(idx, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val fromDisk = Bm25.search(stored, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    fromDisk shouldBe inline
+  }
+
+  test("probeIndex prunes to the probed terms' buckets, same rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-probe").toString + "/idx"
+    Bm25.writeIndex(Bm25.index(docsDf), dir, numBuckets = 8)
+    val got = Bm25.probeIndex(spark, dir, Seq("cat", "quantum"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = Bm25.index(docsDf).postings
+      .filter(org.apache.spark.sql.functions.col("term")
+        .isin("cat", "quantum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    got shouldBe want
+    // pruning really happened: the scanned partition dirs are a
+    // strict subset of the written ones
+    val probed = Bm25.probeIndex(spark, dir, Seq("cat", "quantum"), 8)
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    scan should include("bucket")
+  }
+
+  test("mergeIndex on a new batch equals a full rebuild") {
+    val s = spark
+    import s.implicits._
+    val oldDocs = corpus.take(4).toDF("doc_id", "text")
+    val newDocs = corpus.drop(4).toDF("doc_id", "text")
+    val merged = Bm25.mergeIndex(Bm25.index(oldDocs), newDocs)
+    val full = Bm25.index(docsDf)
+    merged.postings.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      full.postings.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    merged.docLens.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      full.docLens.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // and the merged index serves identically
+    val q = queriesDf(Seq(7L -> Seq("cat")))
+    Bm25.search(merged, q, 10).collect().map(_.getLong(1)) shouldBe
+      Bm25.search(full, q, 10).collect().map(_.getLong(1))
+  }
+
   test("searchCore's integer ratio equals the k1=1.2 b=0.75 saturation") {
     val idx = Bm25.index(docsDf)
     // Single-term query on a unique term: core score = (N - df + 1) *
