@@ -132,6 +132,15 @@ object Bm25 {
   private def scored(idx: Bm25Index,
       queries: DataFrame, topK: Int,
       perTerm: Column,
+      total: Column => Column): DataFrame =
+    graft.plans.GroupedTopK.of(
+      scoredAll(idx, queries, perTerm, total), Seq("query_id"),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+
+  private def scoredAll(idx: Bm25Index,
+      queries: DataFrame,
+      perTerm: Column,
       total: Column => Column): DataFrame = {
     val stats = idx.docLens.agg(
       count(lit(1)).cast("long").as("n_docs"),
@@ -157,13 +166,10 @@ object Bm25 {
       .join(broadcast(dfreq), "term")
       .join(idx.docLens, "doc_id")
       .crossJoin(broadcast(stats))
-    val partial = pairs
+    pairs
       .withColumn("__s", perTerm)
       .groupBy("query_id", "doc_id")
       .agg(total(col("__s")).as("score"))
-    graft.plans.GroupedTopK.of(partial, Seq("query_id"),
-      Seq(col("score").desc, col("doc_id").asc), topK)
-      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
   /** Textbook BM25 (double math, ln idf) — top `topK` docs per query,
@@ -187,13 +193,25 @@ object Bm25 {
     */
   def searchCore(idx: Bm25Index, queries: DataFrame,
       topK: Int = 10): DataFrame = {
+    val partial = scoreCore(idx, queries)
+    graft.plans.GroupedTopK.of(partial, Seq("query_id"),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** [[searchCore]] without the top-k cut: every scored (query, doc)
+    * candidate pair — the form ranking-quality metrics (self-retrieval
+    * MRR, rank-of-known-item) need, where the item of interest may sit
+    * far below any serving k.
+    */
+  def scoreCore(idx: Bm25Index, queries: DataFrame): DataFrame = {
     val num = (lit(22L) * col("tf") * col("total_len")).cast(DoubleType)
     val den = (lit(10L) * col("tf") * col("total_len") +
       lit(3L) * col("total_len") +
       lit(9L) * col("dl") * col("n_docs")).cast(DoubleType)
     val idf = (col("n_docs") - col("df") + lit(1L)).cast(DoubleType)
     val perTerm = idf * (num / den)
-    scored(idx, queries, topK, perTerm,
+    scoredAll(idx, queries, perTerm,
       s => sum(s.cast(DecimalType(38, 12)))
         .cast(DecimalType(38, 2)).cast(DoubleType))
   }

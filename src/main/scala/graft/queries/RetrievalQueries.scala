@@ -451,6 +451,88 @@ object RetrievalQueries {
              |      ORDER BY rrf DESC, doc_id ASC) AS rk
              |  FROM fused)
              |WHERE rk <= 10
-             |ORDER BY query_id, rrf DESC, doc_id""".stripMargin))
+             |ORDER BY query_id, rrf DESC, doc_id""".stripMargin)),
+
+    // Retrieval-quality measurement — self-retrieval reciprocal rank
+    // (the q200-for-lexical: turn "the index works" into a number).
+    // Each query doc queries with its own first 3 words; the metric
+    // is the rank its OWN document reaches in the full BM25-core
+    // ranking (no serving-k cut — a known-item can sit far below any
+    // top-k, which is exactly what the metric must expose) and the
+    // reciprocal rank 1/r (one exact IEEE division, engine-portable;
+    // MRR is the mean over queries, recoverable from these rows).
+    // n_scored = candidate-set size — the denominator that tells a
+    // reader whether a poor rank means "buried" or "barely matched".
+    QueryDef(
+      "q233_retrieval_mrr",
+      (s, d) => {
+        val docs = documents(s, d)
+        val queries = docs
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        val all = Bm25.scoreCore(Bm25.index(docs), queries)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val nW = Window.partitionBy("query_id")
+        all
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(nW))
+          .filter(col("doc_id") === col("query_id"))
+          .select(col("query_id"),
+            col("n").cast("long").as("n_scored"),
+            col("r").cast("long").as("self_rank"),
+            (lit(1.0) / col("r").cast("double")).as("rr"))
+          .orderBy("query_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q AS (
+             |  SELECT DISTINCT doc_id AS query_id,
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id % 100 = 7
+             |), part AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), agg AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part GROUP BY query_id, doc_id
+             |), ranked AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id ASC) AS BIGINT)
+             |      AS self_rank,
+             |    CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+             |      AS n_scored
+             |  FROM agg
+             |)
+             |SELECT query_id, n_scored, self_rank,
+             |  1.0 / CAST(self_rank AS DOUBLE) AS rr
+             |FROM ranked WHERE doc_id = query_id
+             |ORDER BY query_id""".stripMargin))
   )
 }

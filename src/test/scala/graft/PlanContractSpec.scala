@@ -173,4 +173,34 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture with Matchers {
     planStr.toLowerCase should include("dynamicpruning")
     q.count() should be > 0L
   }
+
+  test("BM25 probe: the query-vocab semi join pushes below the " +
+      "postings aggregate") {
+    // The one-pass probe contract (Bm25.scoredAll): non-query terms
+    // must be dropped BEFORE the postings shuffle, i.e. the LeftSemi
+    // sits under the partial aggregate, adjacent to the explode —
+    // not above the finished postings table. A Catalyst upgrade that
+    // stops pushing PushDownLeftSemiAntiJoin would silently turn the
+    // probe into a full-index aggregation at 100 TB.
+    import org.apache.spark.sql.functions.{broadcast, col, explode,
+      slice, split}
+    val docs = Tables.documents(spark, sfDir)
+    val idx = graft.llm.Bm25.index(docs)
+    val qvocab = docs.filter(col("doc_id") % 100 === 7)
+      .select(explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      .distinct()
+    val probe = idx.postings
+      .join(broadcast(qvocab), Seq("term"), "left_semi")
+    val p = probe.queryExecution.executedPlan.toString
+    // tree order proves the nesting (a parent prints before its
+    // children): the postings aggregate must sit ABOVE the LeftSemi,
+    // and the LeftSemi above the postings explode (Generate) — i.e.
+    // the filter runs on exploded tokens, before the agg's shuffle
+    val iAgg = p.indexOf("HashAggregate")
+    val iSemi = p.indexOf("LeftSemi")
+    val iGen = p.indexOf("Generate", iSemi)
+    iAgg should be >= 0
+    iSemi should be > iAgg
+    iGen should be > iSemi
+  }
 }
