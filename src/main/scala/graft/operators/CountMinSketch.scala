@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame
+  * operator — the mergeable FREQUENCY sketch next to the engine's
+  * mergeable-cardinality rollup (SketchRollup's HLL) and Space-Saving
+  * heavy hitters: d×w integer cells answer "how often did key k
+  * occur?" within ε = e/w of the true count (overestimate only,
+  * never under), for any key, from O(d·w) state.
+  *
+  * 100 TB stance: the build is ONE explode (d rows per input row) +
+  * hash-agg on (row, bucket) — linear, map-side partial, output is
+  * d·w rows of model-metadata scale regardless of input size. Merge
+  * of two sketches (per-partition, per-day, per-source builds) is
+  * cell-wise addition — a union + hash-agg on the same tiny key
+  * space, which is WHY a pipeline sketches shards independently and
+  * folds; the spec pins build(A ∪ B) ≡ merge(build(A), build(B))
+  * exactly. Point queries join the query keys' d cells and take the
+  * min.
+  *
+  * Hash family: the md5-prefix trick (row-salted md5, first 13 hex
+  * chars → BIGINT < 2^52, mod width) — deterministic, partition-
+  * independent, and reproducible bit-for-bit in DuckDB for the
+  * oracle gate (q234).
+  */
+object CountMinSketch {
+
+  /** Bucket of `key` under hash row `row`: pairwise-independent-ish
+    * salted md5, engine-portable.
+    */
+  def bucket(key: Column, row: Int, width: Int): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("#" + row))),
+      1, 13), 16, 10).cast("long") % width
+
+  /** Build a d×w sketch over `df`'s `keyCol`: one row per non-empty
+    * cell, (row, bucket, cnt). Empty cells are implicit zeros.
+    */
+  def build(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"CountMinSketch: need depth >= 1 and width >= 2, got d=$depth w=$width")
+    val cells = array((0 until depth).map { r =>
+      struct(lit(r).as("row"),
+        bucket(col(keyCol), r, width).as("bucket"))
+    }: _*)
+    df.select(explode(cells).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Cell-wise sum of independently built sketches (same d, w). */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "bucket")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Point estimates for `keys` (a DataFrame with `keyCol`): min over
+    * the key's d cells. Keys whose every cell is empty estimate 0;
+    * estimates never undershoot the true count. The keys side is
+    * assumed query-sized and broadcast; the sketch side is d·w rows.
+    */
+  def estimate(keys: DataFrame, sketch: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val cells = array((0 until depth).map { r =>
+      struct(lit(r).as("row"),
+        bucket(col(keyCol), r, width).as("bucket"))
+    }: _*)
+    keys
+      .select(col(keyCol), explode(cells).as("c"))
+      .select(col(keyCol), col("c.row").as("row"),
+        col("c.bucket").as("bucket"))
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -891,6 +891,70 @@ object CorpusQueries {
              |  CAST(600 AS BIGINT) AS budget,
              |  CAST(SUM(n_tokens) AS DOUBLE) / 600 AS util
              |FROM run WHERE running <= 600
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Count-min sketch term frequencies — the mergeable FREQUENCY
+    // sketch next to the HLL rollup (q42/SketchRollup, cardinality)
+    // and Space-Saving (q193, top-k): d×w = 4×256 integer cells
+    // answer point queries for ANY term with one-sided error (never
+    // under the true count). Sharded builds fold by cell-wise
+    // addition (CountMinSketchSpec pins build(A∪B) ≡ merge exactly),
+    // which is why a 100 TB pipeline sketches per source/day and
+    // merges O(d·w) state instead of re-counting. This gate runs the
+    // operator (build + estimate) against the exact counts for the
+    // corpus's top-10 terms; overshoot is the collision cost at
+    // w=256 against the full vocabulary.
+    QueryDef(
+      "q234_cms_term_counts",
+      (s, d) => {
+        val terms = documents(s, d)
+          .select(explode(words(col("text"))).as("term"))
+        val sketch = graft.operators.CountMinSketch
+          .build(terms, "term", depth = 4, width = 256)
+        val truth = terms.groupBy("term")
+          .agg(count(lit(1)).cast("long").as("true_n"))
+        val topk = truth
+          .orderBy(col("true_n").desc, col("term").asc)
+          .limit(10)
+        graft.operators.CountMinSketch
+          .estimate(topk.select("term"), sketch, "term",
+            depth = 4, width = 256)
+          .join(broadcast(topk), "term")
+          .select(col("term"), col("true_n"),
+            col("est").as("est_n"),
+            (col("est") - col("true_n")).as("overshoot"))
+          .orderBy(col("true_n").desc, col("term").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT w AS term
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |), cells AS (
+             |  SELECT term, r,
+             |    CAST('0x' || substr(md5(term || '#' || r), 1, 13)
+             |      AS BIGINT) % 256 AS bucket
+             |  FROM t, LATERAL unnest([0, 1, 2, 3]) AS rr(r)
+             |), sk AS (
+             |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM cells GROUP BY r, bucket
+             |), truth AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS true_n
+             |  FROM t GROUP BY term
+             |), topk AS (
+             |  SELECT term, true_n FROM truth
+             |  ORDER BY true_n DESC, term ASC LIMIT 10
+             |), est AS (
+             |  SELECT k.term, MIN(s.cnt) AS est_n
+             |  FROM topk k, LATERAL unnest([0, 1, 2, 3]) AS rr(r)
+             |  JOIN sk s ON s.r = rr.r
+             |    AND s.bucket = CAST('0x' ||
+             |      substr(md5(k.term || '#' || rr.r), 1, 13)
+             |      AS BIGINT) % 256
+             |  GROUP BY k.term
+             |)
+             |SELECT k.term, k.true_n, e.est_n,
+             |  e.est_n - k.true_n AS overshoot
+             |FROM topk k JOIN est e USING (term)
+             |ORDER BY k.true_n DESC, k.term ASC""".stripMargin))
   )
 }
