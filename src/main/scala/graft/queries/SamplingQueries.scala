@@ -248,6 +248,158 @@ object SamplingQueries {
              |        doc_id ASC) AS rn
              |  FROM documents)
              |WHERE rn <= 50
-             |ORDER BY source, doc_id""".stripMargin))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // Deterministic epoch shuffle — the reproducible global reorder a
+    // training run needs per epoch, built HIERARCHICALLY so it scales:
+    // shard = hash(epoch, doc) mod 8 (stateless map-side routing, no
+    // global coordination) and the order WITHIN a shard is a local
+    // sort on the same hash — no global sort ever happens, which is
+    // exactly how a 100 TB epoch shuffle ships (shard files, then
+    // shard-local order). Same doc, different epoch → different
+    // shard and rank; same (epoch, doc) on any engine/partitioning →
+    // identical placement. Gate shows epoch 1's first 3 docs per
+    // shard (GroupedTopK: bounded per-shard heaps, not a window over
+    // the corpus).
+    QueryDef(
+      "q235_epoch_shuffle",
+      (s, d) => {
+        val key = conv(substring(
+          md5(concat(lit("1#"), col("doc_id").cast("string"))),
+          1, 13), 16, 10).cast("long")
+        val assigned = documents(s, d)
+          .select(col("doc_id"), key.as("k"))
+          .withColumn("shard", col("k") % 8)
+        val top = graft.plans.GroupedTopK.of(assigned, Seq("shard"),
+          Seq(col("k").asc, col("doc_id").asc), 3)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("k").asc, col("doc_id").asc)
+        top
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("shard"), col("rank"), col("doc_id"))
+          .orderBy("shard", "rank")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5('1#' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS k
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, k, k % 8 AS shard FROM a
+             |)
+             |SELECT shard, CAST(rank AS BIGINT) AS rank, doc_id FROM (
+             |  SELECT shard, doc_id,
+             |    row_number() OVER (PARTITION BY shard
+             |      ORDER BY k ASC, doc_id ASC) AS rank
+             |  FROM sh)
+             |WHERE rank <= 3
+             |ORDER BY shard, rank""".stripMargin)),
+
+    // Contrastive negative sampling — the (anchor, positive, negative)
+    // triplet construction an embedding-training pipeline runs:
+    // positives = the anchor's top-3 exact-cosine neighbors (self
+    // excluded), negatives = 3 docs drawn by deterministic hash order
+    // among everything NOT positive and not the anchor (hash-ordered ≡
+    // uniform-without-replacement, but reproducible and oracle-able —
+    // the q73 stance against RNG). Anchors are query-sized and
+    // broadcast; both candidate passes are linear in the corpus; both
+    // top-k cuts ride GroupedTopK's bounded heaps.
+    QueryDef(
+      "q236_negative_sampling",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        def fdot(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          graft.functions.DotExactExpr.dotExactFast(a, b)
+        val embN = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+        val anchors = embN.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("anchor"),
+            col("embedding").as("a_emb"), col("nrm").as("anrm"))
+        val cos = embN.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("anchor"))
+          .select(col("anchor"), col("vec_id").as("doc_id"),
+            (fdot(col("embedding"), col("a_emb")) /
+              (col("nrm") * col("anrm"))).as("cos_sim"))
+        val wP = org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor")
+          .orderBy(col("cos_sim").desc, col("doc_id").asc)
+        val pos = graft.plans.GroupedTopK.of(cos, Seq("anchor"),
+          Seq(col("cos_sim").desc, col("doc_id").asc), 3)
+          .withColumn("rank", row_number().over(wP).cast("long"))
+          .select(col("anchor"), col("rank"), col("doc_id"))
+        val negKey = conv(substring(md5(concat(
+          col("anchor").cast("string"), lit("#"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+        val eligible = embN.select(col("vec_id").as("doc_id"))
+          .crossJoin(broadcast(anchors.select("anchor")))
+          .filter(col("doc_id") =!= col("anchor"))
+          .join(pos.select(col("anchor"), col("doc_id")),
+            Seq("anchor", "doc_id"), "left_anti")
+          .withColumn("k", negKey)
+        val wN = org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor").orderBy(col("k").asc, col("doc_id").asc)
+        val neg = graft.plans.GroupedTopK.of(eligible, Seq("anchor"),
+          Seq(col("k").asc, col("doc_id").asc), 3)
+          .withColumn("rank", row_number().over(wN).cast("long"))
+          .select(col("anchor"), col("rank"), col("doc_id"))
+        pos.withColumn("role", lit("pos"))
+          .unionByName(neg.withColumn("role", lit("neg")))
+          .select(col("anchor"), col("role"), col("rank"), col("doc_id"))
+          .orderBy(col("anchor"), col("role").desc, col("rank"))
+      },
+      Some("""WITH dexp AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings
+             |), norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12)))
+             |      AS DOUBLE)) AS nrm
+             |  FROM dexp GROUP BY vec_id
+             |), qd AS (
+             |  SELECT vec_id AS anchor, i, x AS y FROM dexp
+             |  WHERE vec_id % 100 = 7
+             |), dots AS (
+             |  SELECT q.anchor, d.vec_id,
+             |    CAST(SUM(CAST(d.x * q.y AS DECIMAL(38,12)))
+             |      AS DOUBLE) AS dp
+             |  FROM dexp d JOIN qd q USING (i)
+             |  GROUP BY q.anchor, d.vec_id
+             |), pos AS (
+             |  SELECT anchor, CAST(r AS BIGINT) AS rank, doc_id FROM (
+             |    SELECT dt.anchor, dt.vec_id AS doc_id,
+             |      row_number() OVER (PARTITION BY dt.anchor
+             |        ORDER BY dt.dp / (nd.nrm * nq.nrm) DESC,
+             |          dt.vec_id ASC) AS r
+             |    FROM dots dt
+             |    JOIN norms nd ON nd.vec_id = dt.vec_id
+             |    JOIN norms nq ON nq.vec_id = dt.anchor
+             |    WHERE dt.vec_id <> dt.anchor)
+             |  WHERE r <= 3
+             |), anch AS (
+             |  SELECT DISTINCT vec_id AS anchor FROM embeddings
+             |  WHERE vec_id % 100 = 7
+             |), neg AS (
+             |  SELECT anchor, CAST(r AS BIGINT) AS rank, doc_id FROM (
+             |    SELECT a.anchor, e.vec_id AS doc_id,
+             |      row_number() OVER (PARTITION BY a.anchor
+             |        ORDER BY CAST('0x' || substr(md5(
+             |          CAST(a.anchor AS VARCHAR) || '#' ||
+             |          CAST(e.vec_id AS VARCHAR)), 1, 13) AS BIGINT)
+             |          ASC, e.vec_id ASC) AS r
+             |    FROM anch a
+             |    JOIN embeddings e ON e.vec_id <> a.anchor
+             |    WHERE NOT EXISTS (
+             |      SELECT 1 FROM pos p
+             |      WHERE p.anchor = a.anchor AND p.doc_id = e.vec_id))
+             |  WHERE r <= 3
+             |)
+             |SELECT anchor, role, rank, doc_id FROM (
+             |  SELECT anchor, 'pos' AS role, rank, doc_id FROM pos
+             |  UNION ALL
+             |  SELECT anchor, 'neg' AS role, rank, doc_id FROM neg)
+             |ORDER BY anchor, role DESC, rank""".stripMargin))
   )
 }
