@@ -141,12 +141,16 @@ class Bm25Spec extends AnyFunSuite with SparkFixture with Matchers {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet
     got shouldBe want
-    // pruning really happened: the scanned partition dirs are a
-    // strict subset of the written ones
+    // pruning really happened: the bucket predicate must surface as a
+    // PARTITION filter on the scan (pruned before IO), not a post-scan
+    // data filter
     val probed = Bm25.probeIndex(spark, dir, Seq("cat", "quantum"), 8)
     val scan = probed.queryExecution.executedPlan.collectLeaves()
       .head.toString
+    scan should include("PartitionFilters")
     scan should include("bucket")
+    val pf = scan.substring(scan.indexOf("PartitionFilters"))
+    pf.substring(0, math.min(pf.length, 200)) should include("bucket")
   }
 
   test("mergeIndex on a new batch equals a full rebuild") {
