@@ -533,6 +533,73 @@ object RetrievalQueries {
              |SELECT query_id, n_scored, self_rank,
              |  1.0 / CAST(self_rank AS DOUBLE) AS rr
              |FROM ranked WHERE doc_id = query_id
-             |ORDER BY query_id""".stripMargin))
+             |ORDER BY query_id""".stripMargin)),
+
+    // The MATERIALIZED-index form of BM25 serving (q216's precedent
+    // for the winnowing ladder): build the inverted index, persist it
+    // parquet-partitioned by term-hash bucket (Bm25.writeIndex), then
+    // answer q228's exact query set entirely from the STORED index —
+    // the corpus text is never touched after the build, and the
+    // query-vocab semi join rides the bucket layout. Must produce
+    // exactly q228's answer (same oracle): the round-trip through
+    // parquet and the bucket partitioning are storage layout, not
+    // semantics.
+    QueryDef(
+      "q238_bm25_stored_index",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-q238").toString + "/idx"
+        val docs = documents(s, d)
+        Bm25.writeIndex(Bm25.index(docs), dir)
+        val queries = docs
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        Bm25.searchCore(Bm25.readIndex(s, dir), queries, topK = 10)
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q AS (
+             |  SELECT DISTINCT doc_id AS query_id,
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id % 100 = 7
+             |), part AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), agg AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part GROUP BY query_id, doc_id
+             |)
+             |SELECT query_id, doc_id, score FROM (
+             |  SELECT query_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id ASC) AS rk
+             |  FROM agg)
+             |WHERE rk <= 10
+             |ORDER BY query_id, score DESC, doc_id""".stripMargin))
   )
 }

@@ -568,6 +568,130 @@ object VectorQueries {
               |WHERE a.vec_id <> 0
               |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin)),
 
+    // Recall of FILTERED IVF (q230's path) vs the filtered exact
+    // truth — the q200 measurement applied to predicate-constrained
+    // serving, quantifying the documented recall-vs-nProbe trade-off
+    // UNDER a filter (a selective predicate can empty probed cells
+    // while matches live in unprobed ones, so filtered recall decays
+    // faster than q209's unfiltered curve): one summary row with
+    // recall@10 at nprobe 1, 2, 3 over label = 2 candidates.
+    QueryDef(
+      "q237_filtered_ann_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
+          cands.join(emb, "vec_id")
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"),
+              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+            .limit(10)
+            .select("vec_id")
+        val filteredIds = emb
+          .filter(col("label") === 2 && col("vec_id") =!= 0)
+          .select("vec_id")
+        val exact = rankTop10(filteredIds)
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val assigned = emb
+          .select(col("vec_id"), col("label"),
+            array_max(scored).getField("clabel").as("cell"))
+        def ivfHits(nProbe: Int) = {
+          val probe = emb.filter(col("vec_id") === 0)
+            .select(explode(scored).as("sc"))
+            .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
+            .orderBy(col("dp").desc, col("cell").desc)
+            .limit(nProbe)
+            .select("cell")
+          rankTop10(assigned
+            .filter(col("label") === 2 && col("vec_id") =!= 0)
+            .join(broadcast(probe), "cell")
+            .select("vec_id"))
+            .withColumn(s"in_p$nProbe", lit(1))
+        }
+        exact
+          .join(ivfHits(1), Seq("vec_id"), "left")
+          .join(ivfHits(2), Seq("vec_id"), "left")
+          .join(ivfHits(3), Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("k"),
+            count(col("in_p1")).as("n_hit_p1"),
+            count(col("in_p2")).as("n_hit_p2"),
+            count(col("in_p3")).as("n_hit_p3"))
+          .select(col("k"), col("n_hit_p1"), col("n_hit_p2"),
+            col("n_hit_p3"),
+            (col("n_hit_p1").cast("double") / col("k").cast("double"))
+              .as("recall_p1"),
+            (col("n_hit_p2").cast("double") / col("k").cast("double"))
+              .as("recall_p2"),
+            (col("n_hit_p3").cast("double") / col("k").cast("double"))
+              .as("recall_p3"))
+      },
+      Some(s"""$centsAndDotsCte, ranked AS (
+              |  SELECT e.vec_id,
+              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0 AND e.label = 2
+              |), exact AS (
+              |  SELECT vec_id FROM ranked
+              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+              |), assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), p1 AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 1
+              |), p2 AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 2
+              |), p3 AS (
+              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+              |  ORDER BY dp DESC, clabel DESC LIMIT 3
+              |), ivf1 AS (
+              |  SELECT r.vec_id FROM ranked r
+              |  JOIN assigned a ON a.vec_id = r.vec_id
+              |  JOIN p1 ON a.cell = p1.cell
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |), ivf2 AS (
+              |  SELECT r.vec_id FROM ranked r
+              |  JOIN assigned a ON a.vec_id = r.vec_id
+              |  JOIN p2 ON a.cell = p2.cell
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |), ivf3 AS (
+              |  SELECT r.vec_id FROM ranked r
+              |  JOIN assigned a ON a.vec_id = r.vec_id
+              |  JOIN p3 ON a.cell = p3.cell
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |)
+              |SELECT COUNT(*) AS k,
+              |  COUNT(i1.vec_id) AS n_hit_p1,
+              |  COUNT(i2.vec_id) AS n_hit_p2,
+              |  COUNT(i3.vec_id) AS n_hit_p3,
+              |  CAST(COUNT(i1.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS recall_p1,
+              |  CAST(COUNT(i2.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS recall_p2,
+              |  CAST(COUNT(i3.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS recall_p3
+              |FROM exact x
+              |LEFT JOIN ivf1 i1 ON x.vec_id = i1.vec_id
+              |LEFT JOIN ivf2 i2 ON x.vec_id = i2.vec_id
+              |LEFT JOIN ivf3 i3 ON x.vec_id = i3.vec_id""".stripMargin)),
+
     // Int8 quantization (min/max affine, the embedding-storage
     // compressor): per-vector scale + zero point, elements mapped to
     // 0..255. Pure per-row projection — no shuffle, no join; at 100 TB
