@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * chars → BIGINT < 2^52, mod width) — deterministic, partition-
   * independent, and reproducible bit-for-bit in DuckDB for the
   * oracle gate (q234).
+  *
+  * Mode-agnostic: [[build]] is explode + hash-agg, so it runs
+  * unchanged on a STREAMING DataFrame (complete mode) as the online
+  * frequency monitor — StreamingCmsSpec pins the streamed cells
+  * bit-equal to the batch sketch.
   */
 object CountMinSketch {
 
