@@ -108,6 +108,25 @@ object Bm25 {
       .select("term", "doc_id", "tf")
   }
 
+  /** Serve [[searchCore]] straight from a [[writeIndex]] layout with
+    * partition pruning: the query vocabulary (collected driver-side —
+    * query sets are small by the serving contract) routes through
+    * [[probeIndex]], so only the buckets the terms hash to are READ,
+    * not just filtered after a full-index scan. Everything downstream
+    * (df, saturation, top-k) is identical to the inline path.
+    */
+  def searchCoreStored(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, topK: Int = 10,
+      numBuckets: Int = 64): DataFrame = {
+    val terms = queries
+      .select(explode(col("terms")).as("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    searchCore(
+      Bm25Index(probeIndex(spark, dir, terms, numBuckets),
+        spark.read.parquet(s"$dir/doclens")),
+      queries, topK)
+  }
+
   /** Incremental index maintenance — fold a batch of NEW documents
     * into an existing index without re-tokenizing the old corpus
     * (the q175 partial-fold contract). Batch doc ids must be new;

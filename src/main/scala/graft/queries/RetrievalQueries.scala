@@ -540,10 +540,11 @@ object RetrievalQueries {
     // parquet-partitioned by term-hash bucket (Bm25.writeIndex), then
     // answer q228's exact query set entirely from the STORED index —
     // the corpus text is never touched after the build, and the
-    // query-vocab semi join rides the bucket layout. Must produce
-    // exactly q228's answer (same oracle): the round-trip through
-    // parquet and the bucket partitioning are storage layout, not
-    // semantics.
+    // query vocabulary prunes the read to its hash buckets
+    // (searchCoreStored → probeIndex: PartitionFilters, not a
+    // post-scan filter). Must produce exactly q228's answer (same
+    // oracle): the round-trip through parquet and the bucket
+    // partitioning are storage layout, not semantics.
     QueryDef(
       "q238_bm25_stored_index",
       (s, d) => {
@@ -555,7 +556,7 @@ object RetrievalQueries {
           .filter(col("doc_id") % 100 === 7)
           .select(col("doc_id").as("query_id"),
             slice(words(col("text")), 1, 3).as("terms"))
-        Bm25.searchCore(Bm25.readIndex(s, dir), queries, topK = 10)
+        Bm25.searchCoreStored(s, dir, queries, topK = 10)
       },
       Some("""WITH tf AS (
              |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf

@@ -153,6 +153,19 @@ class Bm25Spec extends AnyFunSuite with SparkFixture with Matchers {
     pf.substring(0, math.min(pf.length, 200)) should include("bucket")
   }
 
+  test("searchCoreStored (pruned read) equals the inline searchCore") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stored").toString + "/idx"
+    val idx = Bm25.index(docsDf)
+    Bm25.writeIndex(idx, dir, numBuckets = 8)
+    val q = queriesDf(Seq(7L -> Seq("cat", "mat"), 8L -> Seq("dog")))
+    val inline = Bm25.searchCore(idx, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val stored = Bm25.searchCoreStored(spark, dir, q, 10, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    stored shouldBe inline
+  }
+
   test("mergeIndex on a new batch equals a full rebuild") {
     val s = spark
     import s.implicits._
