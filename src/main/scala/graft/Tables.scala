@@ -38,9 +38,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (micros, not UTC-adjusted)
-        raw.withColumn("ts",
-          expr("CAST(ts AS TIMESTAMP)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros, not UTC-adjusted — cast to session-TZ timestamp
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case other =>
+        // gate early: the generator has drifted schemas before; an
+        // unrecognized ts type must fail loudly, not coerce silently
+        throw new IllegalStateException(
+          s"events.parquet ts has unexpected type $other — " +
+            "expected LONG (nanos), TIMESTAMP, or TIMESTAMP_NTZ")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame =

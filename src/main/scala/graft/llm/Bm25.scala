@@ -172,12 +172,23 @@ object Bm25 {
     // pushes below the postings aggregate (Catalyst's
     // PushDownLeftSemiAntiJoin), so non-query terms never reach the
     // postings shuffle; the surviving rows are query-vocab-sized, and
-    // pinning them (localCheckpoint) lets document frequencies and
-    // candidate pairs both read the probe result without a second
-    // corpus pass.
+    // pinning them (lazy localCheckpoint) lets document frequencies
+    // and candidate pairs both read the probe result without a second
+    // corpus pass. eager = false keeps PLAN CONSTRUCTION free — no
+    // Spark job runs until the caller acts on the result — so
+    // building many search plans in a session costs nothing until
+    // they execute. Block lifetime: the checkpointed RDD blocks live
+    // until the plan is GC'd (Spark's ContextCleaner releases them
+    // with the RDD reference); a long-lived session issuing thousands
+    // of searches should batch its queries into one call (the
+    // queries side is a DataFrame precisely so many queries amortize
+    // one probe) rather than one call per query. localCheckpoint
+    // trades executor-loss recoverability for not re-scanning the
+    // index — the right trade for a serving path whose index is
+    // re-readable from storage anyway.
     val relPost = idx.postings
       .join(broadcast(qvocab), Seq("term"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val dfreq = relPost.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df"))
     val pairs = relPost

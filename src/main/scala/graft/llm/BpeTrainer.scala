@@ -117,8 +117,16 @@ object BpeTrainer {
   }
 
   /** Apply a learned merge sequence (in training order) to segment the
-    * words of `textCol` — the serving path for new text. One fold per
-    * merge, stacked lazily into a single projection.
+    * words of `textCol` — the expression-only serving path. One fold
+    * per merge, stacked lazily into a single projection.
+    *
+    * MERGE-COUNT BOUND: the projection nests one `transform(aggregate)`
+    * per merge, so the expression tree grows linearly in |merges| —
+    * fine for the tens of merges the oracle gates run, but a real
+    * tokenizer's ~32k merges blow past codegen method limits and
+    * planning time long before data size matters. Past a few hundred
+    * merges use [[encodeBulk]], which applies the WHOLE ranking in one
+    * imperative pass per row (parity-pinned in BpeTrainerSpec).
     */
   def encode(docs: DataFrame, merges: Seq[Merge],
       textCol: String = "text"): DataFrame = {
@@ -131,5 +139,93 @@ object BpeTrainer {
     start
       .withColumn("tokens", flatten(tokens))
       .drop("__words")
+  }
+
+  /** Segment one word against a merge ranking: repeatedly find the
+    * LOWEST-RANK adjacent pair present and merge its occurrences
+    * left-to-right non-overlapping (the [[mergeExpr]] scan), until no
+    * adjacent pair is ranked. Equivalent to applying the merges in
+    * training order ([[encode]]'s fold): a later merge can never
+    * create an instance of an earlier pair — an earlier pair's
+    * constituents are formed only by merges earlier still, and
+    * merging two adjacent tokens never makes two OTHER tokens
+    * adjacent — so processing present pairs in rank order equals the
+    * fold with absent merges skipped.
+    */
+  private[llm] def segmentWord(word: String,
+      rank: collection.Map[(String, String), Int]): Array[String] = {
+    var toks = word.map(_.toString).toArray
+    var done = toks.length < 2
+    while (!done) {
+      // lowest-rank pair present
+      var best = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // apply it fully, left-to-right non-overlapping
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 &&
+              rank.getOrElse((toks(j), toks(j + 1)), Int.MaxValue)
+                == best) {
+            out += toks(j) + toks(j + 1)
+            j += 2
+          } else {
+            out += toks(j)
+            j += 1
+          }
+        }
+        toks = out.result()
+        done = toks.length < 2
+      }
+    }
+    toks
+  }
+
+  /** [[encode]] at real-tokenizer vocab scale: the WHOLE merge
+    * ranking is broadcast as one map and applied per row in a single
+    * `mapPartitions` pass — no per-merge expression, so 32k merges
+    * cost a ~32k-entry broadcast (model metadata) instead of a 32k-
+    * deep expression tree. Output schema = input columns + `tokens`
+    * (array<string>), same as [[encode]]; the per-partition word
+    * cache exploits the Zipf repetition of natural text (each
+    * DISTINCT word per partition is segmented once).
+    *
+    * The one non-codegen operator in the llm package — justified
+    * because the per-row rank-lowest loop is genuinely iterative
+    * (data-dependent trip count) and the alternative is the
+    * [[encode]] expression tower that cannot plan at vocab scale.
+    */
+  def encodeBulk(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val rankB = spark.sparkContext.broadcast(
+      merges.iterator.zipWithIndex
+        .map { case (m, i) => (m.left, m.right) -> i }.toMap)
+    val inSchema = docs.schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "tokens", ArrayType(StringType), nullable = false))
+    val textIdx = inSchema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema))
+    docs.mapPartitions { rows =>
+      val rank = rankB.value
+      val cache = collection.mutable.HashMap.empty[String, Array[String]]
+      rows.map { row =>
+        val toks = row.getString(textIdx).split(' ').iterator
+          .filter(_.nonEmpty)
+          .flatMap(w => cache.getOrElseUpdate(w, segmentWord(w, rank)))
+          .toSeq
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ toks)
+      }
+    }(enc)
   }
 }

@@ -155,7 +155,7 @@ object EmbeddingSearch {
       .select(col("cand_label").as("cell"),
         CosineSimilarityExpr.cosineFast(col("centroid"), col("q_emb"))
           .as("cell_sim"))
-      .orderBy(col("cell_sim").desc)
+      .orderBy(col("cell_sim").desc, col("cell").desc)
       .limit(nProbe)
       .select("cell")
     assigned.join(broadcast(probeCells), "cell")
@@ -209,12 +209,89 @@ object EmbeddingSearch {
       .select(col("cand_label").as("cell"),
         CosineSimilarityExpr.cosineFast(col("centroid"), col("q_emb"))
           .as("cell_sim"))
-      .orderBy(col("cell_sim").desc)
+      .orderBy(col("cell_sim").desc, col("cell").desc)
       .limit(nProbe)
       .select("cell")
     assigned
       .filter(predicate)
       .join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        CosineSimilarityExpr.cosineFast(col("embedding"), col("q_emb"))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Selectivity-ADAPTIVE filtered IVF: [[filteredIvfTopK]] with the
+    * operating rule the q237 measurement demands, as code. A shared
+    * physical index probes cells by query similarity alone, so a
+    * selective predicate can empty the probed cells while true
+    * matches live in unprobed ones (measured: recall@10 0.1/0.1/0.2
+    * at nProbe 1/2/3 under a label filter vs 0.3/0.4/0.7 unfiltered
+    * — BASELINE.md). The fix is to size the probe by the predicate,
+    * not by a fixed nProbe:
+    *
+    *  1. ONE aggregation computes per-cell SURVIVOR counts under the
+    *     predicate (≤ K rows — no cosine paid);
+    *  2. cells are ranked by query similarity as usual;
+    *  3. the probe is the SMALLEST prefix of that ranking whose
+    *     cumulative survivor count reaches `targetCandidates`
+    *     (default 3k) — and when no prefix reaches it, ALL cells,
+    *     which is exactly the filtered brute-force rung (every
+    *     surviving row is in some cell), so the fallback needs no
+    *     separate code path.
+    *
+    * Driver cost: two model-sized collects (K cell counts, K cell
+    * sims) — the probe choice is pure driver arithmetic, no
+    * per-escalation Spark jobs. Corpus cost: the survivor-count pass
+    * touches (cell, predicate columns) only; cosine is still paid
+    * only inside the chosen cells.
+    */
+  def adaptiveFilteredIvfTopK(spark: SparkSession, emb: DataFrame,
+      centroids: DataFrame, queryId: Long, k: Int, predicate: Column,
+      targetCandidates: Int = 0): DataFrame = {
+    CosineSimilarityExpr.register(spark)
+    val target = if (targetCandidates > 0) targetCandidates else 3 * k
+    val extra = emb.columns
+      .filterNot(Set("vec_id", "embedding", "cell")).toSeq
+    val assigned =
+      if (emb.columns.contains("cell")) emb
+      else emb.crossJoin(broadcast(centroids))
+        .withColumn("sim", CosineSimilarityExpr
+          .cosineFast(col("embedding"), col("centroid")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), col("cand_label"))).as("best"),
+          first(col("embedding")).as("embedding") +:
+            extra.map(c => first(col(c)).as(c)): _*)
+        .select(col("vec_id") +: col("best.cand_label").as("cell") +:
+          col("embedding") +: extra.map(col): _*)
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    // per-cell survivor counts under the predicate: <= K rows
+    val survivors = assigned
+      .filter(predicate).filter(col("vec_id") =!= queryId)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    // full cell ranking by query similarity: K rows
+    val rankedCells = centroids.crossJoin(broadcast(qv))
+      .select(col("cand_label").as("cell"),
+        CosineSimilarityExpr.cosineFast(col("centroid"), col("q_emb"))
+          .as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("cell").desc)
+      .collect().map(_.get(0))
+    // smallest prefix reaching the target; exhausted = all cells
+    var cum = 0L
+    var n = 0
+    while (cum < target && n < rankedCells.length) {
+      cum += survivors.getOrElse(rankedCells(n), 0L)
+      n += 1
+    }
+    val probeCells = rankedCells.take(n).toSeq
+    assigned
+      .filter(predicate)
+      .filter(col("cell").isin(probeCells: _*))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),

@@ -32,12 +32,46 @@ import org.apache.spark.sql.functions._
   */
 object CountMinSketch {
 
+  /** A sketch WITH its shape. The cells DataFrame alone cannot tell a
+    * caller what (d, w) built it, and [[estimate]] called with a
+    * LARGER depth than the build silently returns 0 for every key
+    * (the missing rows coalesce to 0 and win the min) — violating the
+    * one-sided never-undershoot guarantee with no error. Carrying the
+    * shape makes the typed estimate/merge overloads mismatch-proof;
+    * prefer them over the raw-DataFrame forms everywhere the sketch
+    * is not a streaming query result.
+    */
+  final case class Sketch(depth: Int, width: Int, cells: DataFrame)
+
   /** Bucket of `key` under hash row `row`: pairwise-independent-ish
     * salted md5, engine-portable.
     */
   def bucket(key: Column, row: Int, width: Int): Column =
     conv(substring(md5(concat(key.cast("string"), lit("#" + row))),
       1, 13), 16, 10).cast("long") % width
+
+  /** [[build]] wrapped with its shape — the mismatch-proof form. */
+  def sketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256): Sketch =
+    Sketch(depth, width, build(df, keyCol, depth, width))
+
+  /** Cell-wise fold of same-shape sketches; shape mismatch is an
+    * immediate error rather than silently-wrong estimates.
+    */
+  def merge(sketches: Sketch*): Sketch = {
+    require(sketches.nonEmpty, "CountMinSketch.merge: no sketches")
+    val Sketch(d, w, _) = sketches.head
+    require(sketches.forall(s => s.depth == d && s.width == w),
+      s"CountMinSketch.merge: shape mismatch — got " +
+        sketches.map(s => s"${s.depth}x${s.width}").distinct.mkString(", "))
+    Sketch(d, w, merge(sketches.map(_.cells): _*))
+  }
+
+  /** Point estimates against a shape-carrying [[Sketch]] — depth and
+    * width always match the build by construction.
+    */
+  def estimate(keys: DataFrame, sk: Sketch, keyCol: String): DataFrame =
+    estimate(keys, sk.cells, keyCol, sk.depth, sk.width)
 
   /** Build a d×w sketch over `df`'s `keyCol`: one row per non-empty
     * cell, (row, bucket, cnt). Empty cells are implicit zeros.
@@ -65,6 +99,14 @@ object CountMinSketch {
     * the key's d cells. Keys whose every cell is empty estimate 0;
     * estimates never undershoot the true count. The keys side is
     * assumed query-sized and broadcast; the sketch side is d·w rows.
+    *
+    * HAZARD (raw-DataFrame form): `depth`/`width` must equal the
+    * build's. A sketch DEEPER than `depth` fails loudly (the guard
+    * below trips on its out-of-range rows); a sketch SHALLOWER than
+    * `depth` is undetectable from the cells alone — the missing rows
+    * coalesce to 0 and the min silently returns 0, breaking the
+    * one-sided guarantee. Use the [[Sketch]]-typed overload unless the
+    * cells come from a streaming query.
     */
   def estimate(keys: DataFrame, sketch: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
@@ -72,11 +114,19 @@ object CountMinSketch {
       struct(lit(r).as("row"),
         bucket(col(keyCol), r, width).as("bucket"))
     }: _*)
+    val guarded = sketch.withColumn("cnt",
+      when(col("row") >= depth || col("bucket") >= width,
+        raise_error(concat(
+          lit(s"CountMinSketch.estimate: cell outside ${depth}x$width"
+            + " — sketch built with a different shape (row="),
+          col("row"), lit(", bucket="), col("bucket"), lit(")")))
+          .cast("long"))
+        .otherwise(col("cnt")))
     keys
       .select(col(keyCol), explode(cells).as("c"))
       .select(col(keyCol), col("c.row").as("row"),
         col("c.bucket").as("bucket"))
-      .join(sketch, Seq("row", "bucket"), "left")
+      .join(guarded, Seq("row", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }

@@ -910,15 +910,14 @@ object CorpusQueries {
         val terms = documents(s, d)
           .select(explode(words(col("text"))).as("term"))
         val sketch = graft.operators.CountMinSketch
-          .build(terms, "term", depth = 4, width = 256)
+          .sketch(terms, "term", depth = 4, width = 256)
         val truth = terms.groupBy("term")
           .agg(count(lit(1)).cast("long").as("true_n"))
         val topk = truth
           .orderBy(col("true_n").desc, col("term").asc)
           .limit(10)
         graft.operators.CountMinSketch
-          .estimate(topk.select("term"), sketch, "term",
-            depth = 4, width = 256)
+          .estimate(topk.select("term"), sketch, "term")
           .join(broadcast(topk), "term")
           .select(col("term"), col("true_n"),
             col("est").as("est_n"),

@@ -1530,15 +1530,46 @@ object TextQueries {
     QueryDef(
       "q216_winnow_index_read",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-winnow-idx").toString + "/idx"
-        graft.operators.WinnowIndex.build(documents(s, d), dir)
+        // serve-path workload: the store builds at most once per JVM
+        // (StoreCache — the bench warm-up pass pays it); the timed
+        // runs measure alignment voting FROM the stored index. The
+        // build itself is the labeled q240 workload.
+        val dir = graft.StoreCache.getOrBuild("winnow", d) { p =>
+          graft.operators.WinnowIndex.build(documents(s, d), p)
+        }
         alignedPairsFrom(graft.operators.WinnowIndex.read(s, dir))
           .orderBy("a_id", "b_id")
       },
       Some(s"""$alignedCte
               |SELECT a_id, b_id, align_delta, n_votes, n_shared
               |FROM aligned ORDER BY a_id, b_id""".stripMargin)),
+
+    // The BUILD workload for q216's store, separated so the bench
+    // prices indexing and serving apart: this row is the cost of the
+    // tokenize + rolling-hash + window selection + fbucket-partitioned
+    // parquet write; q216's row is the alignment-voting serving
+    // latency over the stored index. Forces a REBUILD every
+    // invocation (StoreCache.rebuild) — it is the build being timed —
+    // and the declared stats read back FROM the written store, so the
+    // oracle gate also checks the persistence round-trip.
+    QueryDef(
+      "q240_winnow_index_build",
+      (s, d) => {
+        val dir = graft.StoreCache.rebuild("winnow", d) { p =>
+          graft.operators.WinnowIndex.build(documents(s, d), p)
+        }
+        graft.operators.WinnowIndex.read(s, dir)
+          .agg(count(lit(1)).cast("long").as("n_fps"),
+            countDistinct(col("fph")).as("n_keys"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            max(col("pos")).cast("long").as("max_pos"))
+      },
+      Some(s"""$winnowCte
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+              |  CAST(COUNT(DISTINCT fph) AS BIGINT) AS n_keys,
+              |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(MAX(pos) AS BIGINT) AS max_pos
+              |FROM winn""".stripMargin)),
 
     // Corpus-prep FUNNEL report — the composition the individual
     // operators exist for: per source, how many documents survive

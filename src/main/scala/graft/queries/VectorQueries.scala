@@ -692,6 +692,237 @@ object VectorQueries {
               |LEFT JOIN ivf2 i2 ON x.vec_id = i2.vec_id
               |LEFT JOIN ivf3 i3 ON x.vec_id = i3.vec_id""".stripMargin)),
 
+    // Selectivity-ADAPTIVE filtered IVF — the operating rule q237
+    // quantified, as code (EmbeddingSearch.adaptiveFilteredIvfTopK is
+    // the cosine_fast library form this declared exact-decimal form
+    // witnesses): one aggregation counts the predicate's SURVIVORS
+    // per cell (<= K rows, no cosine paid), and the probe is the
+    // smallest prefix of the similarity-ranked cells whose cumulative
+    // survivor count reaches the target (3k = 30 here); when no
+    // prefix reaches it, all K cells — which IS the filtered
+    // brute-force rung, so the fallback needs no separate path. The
+    // fixed-nProbe q230 form (same label = 2 predicate) probes 3
+    // cells regardless; this form sizes the probe BY the predicate.
+    QueryDef(
+      "q241_adaptive_filtered_ivf",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val kCells = cents.length
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val assigned = emb
+          .select(col("vec_id"), col("embedding"), col("label"),
+            array_max(scored).getField("clabel").as("cell"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("dp").desc, col("cell").desc)
+        val rankedProbe = emb.filter(col("vec_id") === 0)
+          .select(explode(scored).as("sc"))
+          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
+          .withColumn("rn", row_number().over(w)) // K rows — tiny
+        val cellCounts = assigned
+          .filter(col("label") === 2 && col("vec_id") =!= 0)
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy("rn")
+        val withCum = rankedProbe
+          .join(cellCounts, Seq("cell"), "left")
+          .withColumn("cum",
+            sum(coalesce(col("n"), lit(0L))).over(wCum))
+        val chosen = withCum.filter(col("cum") >= 30)
+          .agg(coalesce(min(col("rn")), lit(kCells)).cast("long")
+            .as("n_probe"))
+        val probe = withCum.crossJoin(broadcast(chosen))
+          .filter(col("rn") <= col("n_probe"))
+          .select("cell", "n_probe")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        assigned
+          .filter(col("label") === 2)
+          .join(broadcast(probe), "cell")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("n_probe"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""$centsAndDotsCte, assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), cellcounts AS (
+              |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM assigned a
+              |  JOIN embeddings e ON e.vec_id = a.vec_id
+              |  WHERE e.label = 2 AND a.vec_id <> 0
+              |  GROUP BY a.cell
+              |), rankedprobe AS (
+              |  SELECT clabel AS cell,
+              |    row_number() OVER (ORDER BY dp DESC, clabel DESC)
+              |      AS rn
+              |  FROM dots_c WHERE vec_id = 0
+              |), withcum AS (
+              |  SELECT rp.cell, rp.rn,
+              |    SUM(COALESCE(c.n, 0)) OVER (ORDER BY rp.rn) AS cum
+              |  FROM rankedprobe rp
+              |  LEFT JOIN cellcounts c ON c.cell = rp.cell
+              |), chosen AS (
+              |  SELECT CAST(COALESCE(
+              |    MIN(CASE WHEN cum >= 30 THEN rn END), 10) AS BIGINT)
+              |    AS n_probe
+              |  FROM withcum
+              |), probe AS (
+              |  SELECT w.cell, ch.n_probe
+              |  FROM withcum w CROSS JOIN chosen ch
+              |  WHERE w.rn <= ch.n_probe
+              |)
+              |SELECT a.vec_id, p.n_probe,
+              |  dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |FROM assigned a
+              |JOIN probe p ON a.cell = p.cell
+              |JOIN embeddings e ON e.vec_id = a.vec_id AND e.label = 2
+              |JOIN dots ON dots.vec_id = a.vec_id
+              |JOIN norms ON norms.vec_id = a.vec_id
+              |CROSS JOIN qn
+              |WHERE a.vec_id <> 0
+              |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin)),
+
+    // Recall of the ADAPTIVE filtered path (q241's rule) vs the
+    // filtered exact truth — the q237 measurement for the adaptive
+    // operator. q237 measured 0.1/0.1/0.2 at fixed nprobe 1/2/3
+    // under this predicate; the adaptive probe sizes itself to the
+    // survivor target instead, and this row records both the chosen
+    // probe width and the recall it buys (tracked per round in
+    // BASELINE.md against the unfiltered q209 curve).
+    QueryDef(
+      "q242_adaptive_filtered_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
+          cands.join(emb, "vec_id")
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"),
+              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+            .limit(10)
+            .select("vec_id")
+        val exact = rankTop10(emb
+          .filter(col("label") === 2 && col("vec_id") =!= 0)
+          .select("vec_id"))
+        val cents = centroidArrays(s, d)
+        val kCells = cents.length
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val assigned = emb
+          .select(col("vec_id"), col("label"),
+            array_max(scored).getField("clabel").as("cell"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("dp").desc, col("cell").desc)
+        val rankedProbe = emb.filter(col("vec_id") === 0)
+          .select(explode(scored).as("sc"))
+          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
+          .withColumn("rn", row_number().over(w))
+        val cellCounts = assigned
+          .filter(col("label") === 2 && col("vec_id") =!= 0)
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy("rn")
+        val withCum = rankedProbe
+          .join(cellCounts, Seq("cell"), "left")
+          .withColumn("cum",
+            sum(coalesce(col("n"), lit(0L))).over(wCum))
+        val chosen = withCum.filter(col("cum") >= 30)
+          .agg(coalesce(min(col("rn")), lit(kCells)).cast("long")
+            .as("n_probe"))
+        val probe = withCum.crossJoin(broadcast(chosen))
+          .filter(col("rn") <= col("n_probe"))
+          .select("cell")
+        val hits = rankTop10(assigned
+          .filter(col("label") === 2 && col("vec_id") =!= 0)
+          .join(broadcast(probe), "cell")
+          .select("vec_id"))
+          .withColumn("in_ad", lit(1))
+        exact
+          .join(hits, Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("k"),
+            count(col("in_ad")).as("n_hit_adaptive"))
+          .crossJoin(broadcast(chosen))
+          .select(col("k"), col("n_hit_adaptive"), col("n_probe"),
+            (col("n_hit_adaptive").cast("double") /
+              col("k").cast("double")).as("recall_adaptive"))
+      },
+      Some(s"""$centsAndDotsCte, ranked AS (
+              |  SELECT e.vec_id,
+              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0 AND e.label = 2
+              |), exact AS (
+              |  SELECT vec_id FROM ranked
+              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+              |), assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), cellcounts AS (
+              |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM assigned a
+              |  JOIN embeddings e ON e.vec_id = a.vec_id
+              |  WHERE e.label = 2 AND a.vec_id <> 0
+              |  GROUP BY a.cell
+              |), rankedprobe AS (
+              |  SELECT clabel AS cell,
+              |    row_number() OVER (ORDER BY dp DESC, clabel DESC)
+              |      AS rn
+              |  FROM dots_c WHERE vec_id = 0
+              |), withcum AS (
+              |  SELECT rp.cell, rp.rn,
+              |    SUM(COALESCE(c.n, 0)) OVER (ORDER BY rp.rn) AS cum
+              |  FROM rankedprobe rp
+              |  LEFT JOIN cellcounts c ON c.cell = rp.cell
+              |), chosen AS (
+              |  SELECT CAST(COALESCE(
+              |    MIN(CASE WHEN cum >= 30 THEN rn END), 10) AS BIGINT)
+              |    AS n_probe
+              |  FROM withcum
+              |), probe AS (
+              |  SELECT w.cell FROM withcum w CROSS JOIN chosen ch
+              |  WHERE w.rn <= ch.n_probe
+              |), adaptive AS (
+              |  SELECT r.vec_id FROM ranked r
+              |  JOIN assigned a ON a.vec_id = r.vec_id
+              |  JOIN probe p ON a.cell = p.cell
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |)
+              |SELECT COUNT(*) AS k,
+              |  COUNT(ad.vec_id) AS n_hit_adaptive,
+              |  (SELECT n_probe FROM chosen) AS n_probe,
+              |  CAST(COUNT(ad.vec_id) AS DOUBLE) /
+              |    CAST(COUNT(*) AS DOUBLE) AS recall_adaptive
+              |FROM exact x
+              |LEFT JOIN adaptive ad ON x.vec_id = ad.vec_id""".stripMargin)),
+
     // Int8 quantization (min/max affine, the embedding-storage
     // compressor): per-vector scale + zero point, elements mapped to
     // 0..255. Pure per-row projection — no shuffle, no join; at 100 TB

@@ -7,6 +7,15 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
 /** Custom stateful streaming operators via KeyValueGroupedDataset
   * state APIs (SURVEY.md §2.10: `mapGroupsWithState` /
   * `flatMapGroupsWithState` as the custom-state forms).
+  *
+  * `stateTtl` + `Trigger.AvailableNow` caveat (probed, Spark 4.1):
+  * with `ProcessingTimeTimeout` configured, an AvailableNow query
+  * runs a trailing timeout-only micro-batch after the data drains
+  * (so due evictions DO fire within the run) but then never
+  * self-terminates — `awaitTermination` blocks indefinitely. Batch
+  * drains that set a TTL must stop the query explicitly
+  * (`processAllAvailable()` + a settle wait + `stop()`, the
+  * StatefulTtlSpec harness); continuous deployments are unaffected.
   */
 object StatefulOps {
 
@@ -15,21 +24,38 @@ object StatefulOps {
 
   /** Per-user running event count + value sum maintained in keyed
     * state across micro-batches (Update output mode). State is one
-    * (long, double) pair per user — bounded by key cardinality, not
-    * stream length; add a timeout for unbounded key spaces.
+    * (long, double) pair per user — bounded by key cardinality, but
+    * user cardinality is unbounded over an unbounded stream: for
+    * long-running deployments pass a processing-time `stateTtl`
+    * (e.g. `Some("24 hours")`). A user idle longer than the TTL has
+    * their pair evicted; the eviction invocation re-emits the FINAL
+    * snapshot (idempotent for the Update-mode upsert sink this op
+    * feeds — the same row it last emitted), and the user's next event
+    * restarts the running totals from zero, indistinguishable from a
+    * new user. Size the TTL to the retention the totals are FOR —
+    * the batch groupBy is the reconciled truth past it.
     */
-  def runningUserStats(spark: SparkSession,
-      events: DataFrame): Dataset[UserStats] = {
+  def runningUserStats(spark: SparkSession, events: DataFrame,
+      stateTtl: Option[String] = None): Dataset[UserStats] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.selectExpr("user_id", "value").as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Double), UserStats](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[(Long, Double), UserStats](timeoutConf) {
         case (uid, rows, state) =>
-          var (n, s) = state.getOption.getOrElse((0L, 0.0))
-          rows.foreach { case (_, v) => n += 1; s += v }
-          state.update((n, s))
-          UserStats(uid, n, s)
+          if (state.hasTimedOut) {
+            val (n, s) = state.get
+            state.remove()
+            UserStats(uid, n, s) // final snapshot — idempotent re-emit
+          } else {
+            var (n, s) = state.getOption.getOrElse((0L, 0.0))
+            rows.foreach { case (_, v) => n += 1; s += v }
+            state.update((n, s))
+            stateTtl.foreach(state.setTimeoutDuration)
+            UserStats(uid, n, s)
+          }
       }
   }
 
@@ -43,12 +69,23 @@ object StatefulOps {
     * event-time gap > `gapMinutes` separates it from the next), and
     * keeps the still-open trailing session in state. State is one
     * (count, first, last) triple per user — bounded by key
-    * cardinality; pair with a state timeout to flush abandoned keys
-    * on a live stream.
+    * cardinality, but user cardinality is unbounded over an unbounded
+    * stream: for long-running deployments pass a processing-time
+    * `stateTtl` (e.g. `Some("24 hours")`). A user idle past the TTL
+    * has their open session FLUSHED — emitted as closed, exactly as a
+    * gap would close it — and the state evicted; size the TTL above
+    * `gapMinutes` and the flush is semantically the gap rule firing
+    * on the processing clock instead of the (never-arriving) next
+    * event. This also fixes the open-ended tail: without a TTL the
+    * last session of a user who never returns is never emitted.
     */
   def sessionizeFlat(spark: SparkSession, events: DataFrame,
-      gapMinutes: Int = 5): Dataset[SessionSummary] = {
+      gapMinutes: Int = 5,
+      stateTtl: Option[String] = None): Dataset[SessionSummary] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val gapUs = gapMinutes * 60000000L
     // microsecond longs end-to-end: java.sql.Timestamp.getTime is
     // millis and silently truncates parquet's microsecond timestamps
@@ -62,26 +99,34 @@ object StatefulOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
+        timeoutConf) {
         case (uid, rows, state) =>
-          val newTs = rows.map(_._2).toArray.sorted
-          // seed with the carried open session, if any
-          var sessions = List.empty[(Long, Long, Long)] // (n, first, last)
-          var open = state.getOption
-          newTs.foreach { t =>
-            open match {
-              case Some((n, f, l)) if t - l < gapUs =>
-                open = Some((n + 1, f, math.max(l, t)))
-              case Some(closed) =>
-                sessions ::= closed
-                open = Some((1L, t, t))
-              case None =>
-                open = Some((1L, t, t))
+          if (state.hasTimedOut) {
+            // flush the abandoned open session as closed, then evict
+            val (n, f, l) = state.get
+            state.remove()
+            Iterator.single(SessionSummary(uid, n, toTs(f), toTs(l)))
+          } else {
+            val newTs = rows.map(_._2).toArray.sorted
+            // seed with the carried open session, if any
+            var sessions = List.empty[(Long, Long, Long)] // (n, first, last)
+            var open = state.getOption
+            newTs.foreach { t =>
+              open match {
+                case Some((n, f, l)) if t - l < gapUs =>
+                  open = Some((n + 1, f, math.max(l, t)))
+                case Some(closed) =>
+                  sessions ::= closed
+                  open = Some((1L, t, t))
+                case None =>
+                  open = Some((1L, t, t))
+              }
             }
-          }
-          open.foreach(state.update)
-          sessions.reverseIterator.map { case (n, f, l) =>
-            SessionSummary(uid, n, toTs(f), toTs(l))
+            open.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            sessions.reverseIterator.map { case (n, f, l) =>
+              SessionSummary(uid, n, toTs(f), toTs(l))
+            }
           }
       }
   }
@@ -112,16 +157,27 @@ object StatefulOps {
     * every update; a winning 'error' op marks the key deleted
     * (tombstone) rather than vanishing, so a downstream upsert sink
     * can propagate the delete. State is one (version, op, value,
-    * max_ts, count) record per key — bounded by key cardinality; add
-    * a state timeout for unbounded key spaces.
+    * max_ts, count) record per key — bounded by key cardinality, but
+    * key cardinality is unbounded over an unbounded changelog: for
+    * long-running deployments pass a processing-time `stateTtl`
+    * (e.g. `Some("7 days")`). A key idle past the TTL re-emits its
+    * FINAL state (idempotent for the upsert sink) and is evicted;
+    * the next change for that key restarts `n_changes` at 1 and the
+    * version comparison from scratch — so a change OLDER than the
+    * pre-eviction winner can win post-eviction. Size the TTL above
+    * the changelog's maximum out-of-orderness and that cannot occur;
+    * the q167 batch compaction is the reconciled truth regardless.
     *
     * Parity contract (StatefulOpsSpec): after any micro-batch split
     * of the changelog, the last emitted row per key with
     * `deleted = false` equals the q167 batch compaction exactly.
     */
-  def cdcLatestState(spark: SparkSession,
-      events: DataFrame): Dataset[CdcState] = {
+  def cdcLatestState(spark: SparkSession, events: DataFrame,
+      stateTtl: Option[String] = None): Dataset[CdcState] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     def toTs(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
       t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
@@ -133,18 +189,26 @@ object StatefulOps {
       .as[(Long, String, Double, Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[(String, String, Double, Long, Long), CdcState](
-        GroupStateTimeout.NoTimeout) {
+        timeoutConf) {
         case (uid, rows, st) =>
-          var (ver, op, v, maxUs, n) =
-            st.getOption.getOrElse(("", "", 0.0, Long.MinValue, 0L))
-          rows.foreach { case (_, op2, v2, us2, id2) =>
-            n += 1
-            if (us2 > maxUs) maxUs = us2
-            val ver2 = f"$us2%020d$id2%010d"
-            if (ver2 > ver) { ver = ver2; op = op2; v = v2 }
+          if (st.hasTimedOut) {
+            val (_, op, v, maxUs, n) = st.get
+            st.remove()
+            // final snapshot — idempotent re-emit for the upsert sink
+            CdcState(uid, op, v, toTs(maxUs), n, deleted = op == "error")
+          } else {
+            var (ver, op, v, maxUs, n) =
+              st.getOption.getOrElse(("", "", 0.0, Long.MinValue, 0L))
+            rows.foreach { case (_, op2, v2, us2, id2) =>
+              n += 1
+              if (us2 > maxUs) maxUs = us2
+              val ver2 = f"$us2%020d$id2%010d"
+              if (ver2 > ver) { ver = ver2; op = op2; v = v2 }
+            }
+            st.update((ver, op, v, maxUs, n))
+            stateTtl.foreach(st.setTimeoutDuration)
+            CdcState(uid, op, v, toTs(maxUs), n, deleted = op == "error")
           }
-          st.update((ver, op, v, maxUs, n))
-          CdcState(uid, op, v, toTs(maxUs), n, deleted = op == "error")
       }
   }
 

@@ -86,6 +86,58 @@ class BpeTrainerSpec extends AnyFunSuite with SparkFixture with Matchers {
     got shouldBe (wantToks("low") ++ wantToks("newest"))
   }
 
+  test("encodeBulk equals the fold-form encode on trained merges") {
+    val s = spark
+    import s.implicits._
+    val (merges, _) = BpeTrainer.train(docsDf, 8)
+    val newText = Seq("low newest wider", "newer lowest wide low", "", "x")
+      .toDF("text")
+    val want = BpeTrainer.encode(newText, merges)
+      .select("text", "tokens").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val got = BpeTrainer.encodeBulk(newText, merges)
+      .select("text", "tokens").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    got shouldBe want
+  }
+
+  test("encodeBulk preserves the input columns and row count on the " +
+      "corpus documents") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, _) = BpeTrainer.train(docs, 8)
+    val out = BpeTrainer.encodeBulk(docs, merges)
+    out.columns.toSeq shouldBe (docs.columns.toSeq :+ "tokens")
+    out.count() shouldBe docs.count()
+    // parity on real text too, not just the toy corpus
+    val want = BpeTrainer.encode(docs, merges)
+      .select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val got = out.select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    got shouldBe want
+  }
+
+  test("encodeBulk runs at real-vocab scale (>= 1k merges) where the " +
+      "fold form cannot plan") {
+    val s = spark
+    import s.implicits._
+    // an 1100-entry ranking — far past the fold form's expression-
+    // tree bound. Ranks 0 and 1 fire on this input ((a,b) then
+    // (ab,ab), left-to-right non-overlapping → 300 "abab" tokens,
+    // after which (abab,abab) is unranked and the loop stops); the
+    // other 1098 entries exercise the broadcast-map scale.
+    val word = "ab" * 600
+    val chain = BpeTrainer.Merge("a", "b") +:
+      (1 until 1100).map(i =>
+        BpeTrainer.Merge("ab" * i, "ab")).toSeq
+    val got = BpeTrainer
+      .encodeBulk(Seq(word, "ab ab").toDF("text"), chain)
+      .select("tokens").collect().map(_.getSeq[String](0))
+    got(0) shouldBe Seq.fill(300)("abab")
+    got(0).mkString("") shouldBe word
+    got(1) shouldBe Seq("ab", "ab")
+  }
+
   test("train stops early when no pairs remain") {
     val s = spark
     import s.implicits._

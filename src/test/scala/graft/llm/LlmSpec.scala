@@ -123,6 +123,45 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("EmbeddingSearch: adaptive filtered IVF sizes the probe by the " +
+      "predicate and falls back to filtered brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Centroids.byLabel(spark, emb)
+    val pred = col("label") === 2
+    val filteredEmb = emb.filter(pred || col("vec_id") === 0)
+    val brute = EmbeddingSearch.bruteForceTopK(spark, filteredEmb, 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def adaptive(target: Int): Map[Long, Double] =
+      EmbeddingSearch.adaptiveFilteredIvfTopK(spark, emb, cents, 0L, 10,
+        pred, targetCandidates = target)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // unreachable target -> all cells probed = filtered brute force,
+    // with identical scores (the fallback trigger)
+    val fb = adaptive(1000000)
+    fb.keySet shouldBe brute.keySet
+    fb.foreach { case (id, sim) => brute(id) shouldBe sim +- 1e-12 }
+    // the default 3k target: recall is monotone in the candidate
+    // superset, and the adaptive prefix contains nProbe=1's cell, so
+    // its truth hits must contain the fixed nProbe=1 truth hits
+    val fixed1 = EmbeddingSearch.filteredIvfTopK(spark, emb, cents, 0L,
+        10, pred, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val ad = adaptive(30).keySet
+    (fixed1.intersect(brute.keySet)
+      .subsetOf(ad.intersect(brute.keySet))) shouldBe true
+    // a tiny target stops at the first cell holding a survivor: the
+    // result is nonempty, predicate-pure, and score-consistent with
+    // the exact filtered ranking
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val tiny = adaptive(1)
+    tiny should not be empty
+    tiny.keys.foreach(id => labels(id) shouldBe 2)
+    tiny.foreach { case (id, sim) =>
+      brute.get(id).foreach(_ shouldBe sim +- 1e-12)
+    }
+  }
+
   test("EmbeddingSearch: batched IVF equals the per-query probe for " +
       "each query in the set") {
     val emb = Tables.embeddings(spark, sfDir)

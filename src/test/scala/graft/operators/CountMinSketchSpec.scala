@@ -59,6 +59,37 @@ class CountMinSketchSpec extends AnyFunSuite with SparkFixture
     est("ghost") shouldBe 0L
   }
 
+  test("typed Sketch carries its shape: estimate needs no d/w and matches") {
+    val data = keysA ++ keysB
+    val truth = data.groupBy(identity).map { case (k, o) =>
+      k -> o.size.toLong
+    }
+    val sk = CountMinSketch.sketch(df(data), "k", 4, 4096)
+    val est = CountMinSketch.estimate(df(truth.keys.toSeq), sk, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est shouldBe truth
+  }
+
+  test("typed merge rejects shape mismatch loudly") {
+    val a = CountMinSketch.sketch(df(keysA), "k", 4, 32)
+    val b = CountMinSketch.sketch(df(keysB), "k", 2, 32)
+    val e = intercept[IllegalArgumentException] {
+      CountMinSketch.merge(a, b)
+    }
+    e.getMessage should include("shape mismatch")
+  }
+
+  test("raw estimate against a DEEPER sketch fails loudly, not silently") {
+    // sketch built at depth 4; raw estimate claims depth 2 — the
+    // depth-2..3 cells are outside the claimed shape and must trip
+    // the raise_error guard instead of quietly skewing the min
+    val deep = CountMinSketch.build(df(keysA), "k", 4, 32)
+    val ex = intercept[Exception] {
+      CountMinSketch.estimate(df(Seq("a")), deep, "k", 2, 32).collect()
+    }
+    ex.getMessage should include("different shape")
+  }
+
   test("bucket hashing is stable and within [0, width)") {
     val b = df(Seq("x", "y", "z"))
       .select(CountMinSketch.bucket(col("k"), 1, 64).as("b"))

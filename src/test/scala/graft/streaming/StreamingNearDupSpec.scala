@@ -100,34 +100,45 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkFixture
       .createTempDirectory("graft-sndttl-out").toString + "/out"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-sndttl-ck").toString
-    def runOnce(): Unit = {
+    def runOnce(expect: Long): Unit = {
       val q = StatefulOps.streamingNearDupFlags(spark,
           EventStream.fileStream(spark, inDir, schema),
           stateTtl = Some("1 milliseconds"))
         .toDF().writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000L)
+      // AvailableNow + ProcessingTimeTimeout never self-terminates,
+      // and processAllAvailable never returns (see StatefulOps
+      // scaladoc) — poll the sink for this run's expected cumulative
+      // row count, settle so the trailing timeout-only batch fires
+      // the eviction, then stop explicitly
+      def n(): Long = scala.util.Try(
+        spark.read.parquet(outDir).count()).getOrElse(0L)
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (n() < expect && System.nanoTime() < deadline)
+        Thread.sleep(500L)
+      Thread.sleep(4000L)
+      q.stop()
+      q.awaitTermination(60000L)
     }
 
     // run 1: docs 1 and 2 share bucket (0,"A") — 2 flagged against 1;
     // the bucket state (min id 1) carries a 1 ms TTL
     Seq((1L, 0, "A"), (2L, 0, "A")).toDF("doc_id", "band", "bv")
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce()
-    Thread.sleep(50L)
+    runOnce(expect = 1L)
     // run 2: a batch touching only another bucket fires the expired
     // timeout for (0,"A") — eviction emits nothing
     Seq((5L, 1, "B")).toDF("doc_id", "band", "bv")
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce()
+    runOnce(expect = 1L)
     // run 3: doc 3 lands in the expired bucket — NOT flagged (the
     // documented horizon trade-off: pre-expiry docs are forgotten);
     // doc 4 in the same batch IS flagged against the re-opened
     // representative 3, not the evicted 1
     Seq((3L, 0, "A"), (4L, 0, "A")).toDF("doc_id", "band", "bv")
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce()
+    runOnce(expect = 2L)
 
     val got = spark.read.parquet(outDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_seen")))

@@ -84,7 +84,7 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkFixture
       .createTempDirectory("graft-ttl-out").toString + "/out"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-ttl-ck").toString
-    def runOnce(): Unit = {
+    def runOnce(expect: Long): Unit = {
       val q = StatefulOps.sessionizeGapCap(spark,
           EventStream.fileStream(spark, inDir, schema),
           gapMicros = gapUs, maxLenMicros = capUs,
@@ -92,7 +92,19 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkFixture
         .toDF().writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000L)
+      // AvailableNow + ProcessingTimeTimeout never self-terminates,
+      // and processAllAvailable never returns (see StatefulOps
+      // scaladoc) — poll the sink for this run's expected cumulative
+      // row count, settle so the trailing timeout-only batch fires
+      // the eviction, then stop explicitly
+      def n(): Long = scala.util.Try(
+        spark.read.parquet(outDir).count()).getOrElse(0L)
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (n() < expect && System.nanoTime() < deadline)
+        Thread.sleep(500L)
+      Thread.sleep(4000L)
+      q.stop()
+      q.awaitTermination(60000L)
     }
 
     // run 1: user 1 ends on session_seq 1 (one gap split) — state
@@ -100,19 +112,18 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkFixture
     Seq((1L, 0L, 10L), (1L, gapUs + 1L, 11L))
       .toDF("user_id", "ts_us", "event_id")
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce()
-    Thread.sleep(50L)
+    runOnce(expect = 2L)
     // run 2: a batch with NO user-1 data fires user 1's expired
     // timeout — state removed, and eviction itself emits nothing
     Seq((2L, 0L, 20L)).toDF("user_id", "ts_us", "event_id")
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce()
+    runOnce(expect = 3L)
     // run 3: user 1 returns WITHIN the gap of their last event; with
     // carried state this would continue session 1 — after eviction
     // the user is indistinguishable from new and restarts at 0
     Seq((1L, gapUs + 2L, 12L)).toDF("user_id", "ts_us", "event_id")
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce()
+    runOnce(expect = 4L)
 
     val got = spark.read.parquet(outDir).collect()
       .map(r => r.getAs[Long]("event_id") ->
