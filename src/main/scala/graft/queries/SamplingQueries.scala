@@ -301,9 +301,17 @@ object SamplingQueries {
     // excluded), negatives = 3 docs drawn by deterministic hash order
     // among everything NOT positive and not the anchor (hash-ordered ≡
     // uniform-without-replacement, but reproducible and oracle-able —
-    // the q73 stance against RNG). Anchors are query-sized and
-    // broadcast; both candidate passes are linear in the corpus; both
-    // top-k cuts ride GroupedTopK's bounded heaps.
+    // the q73 stance against RNG). SCALE CONTRACT: the anchor set here
+    // is a CORPUS FRACTION (vec_id % 100), so the exact-cosine
+    // positive pass is anchors × corpus brute force and
+    // broadcast(anchors) grows with the corpus — acceptable as an
+    // oracle gate at sf scale, NOT the production shape. At 100 TB
+    // mine positives through the IVF index instead:
+    // ContrastiveSampling.triplets routes the positive pass through
+    // EmbeddingSearch.ivfTopKBatch (keyed cell shuffle, no anchor
+    // broadcast) and is parity-pinned against this exact form in
+    // ContrastiveSamplingSpec. Both top-k cuts ride GroupedTopK's
+    // bounded heaps.
     QueryDef(
       "q236_negative_sampling",
       (s, d) => {
