@@ -41,6 +41,29 @@ object ContrastiveSampling {
       .select(col("q_id").as("anchor"), col("vec_id").as("doc_id"),
         col("cos_sim"))
 
+  /** SEMI-HARD negative mining (Schroff et al., FaceNet CVPR 2015's
+    * observation in batch form): negatives from cosine ranks
+    * kPos+1 .. kPos+kNeg — near the anchor (informative) but past
+    * the mined-positive band (less likely unlabeled positives). ONE
+    * [[EmbeddingSearch.ivfTopKBatch]] probe with k = kPos + kNeg
+    * serves both roles; callers typically split its output rather
+    * than calling this next to [[minePositives]] twice — this
+    * entry point exists for the q245 declared-band contract.
+    */
+  def mineSemiHardNegatives(spark: SparkSession, emb: DataFrame,
+      centroids: DataFrame, anchorFilter: Column, kPos: Int = 3,
+      kNeg: Int = 3, nProbe: Int = 2,
+      broadcastProbes: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor")
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    minePositives(spark, emb, centroids, anchorFilter, kPos + kNeg,
+      nProbe, broadcastProbes)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank").between(kPos + 1, kPos + kNeg))
+      .select(col("anchor"), col("rank"), col("doc_id"))
+  }
+
   /** Full triplet assembly around [[minePositives]]: q236's output
     * shape (anchor, role, rank, doc_id) with the identical
     * hash-ordered negative rule, positives ANN-mined.

@@ -954,6 +954,121 @@ object CorpusQueries {
              |SELECT k.term, k.true_n, e.est_n,
              |  e.est_n - k.true_n AS overshoot
              |FROM topk k JOIN est e USING (term)
-             |ORDER BY k.true_n DESC, k.term ASC""".stripMargin))
+             |ORDER BY k.true_n DESC, k.term ASC""".stripMargin)),
+
+    // KMV theta-sketch SET OPERATIONS (operators.KmvSketch — an API
+    // gate: the declared query runs the library build/estimate/
+    // intersect entry points): distinct-trigram cardinalities of two
+    // sources and their INTERSECTION estimated from k=256 hash
+    // samples, next to the exact truths. The set-operation support is
+    // what this sketch adds over the HLL rollup (q42): "how much do
+    // two crawls overlap?" from two k-row samples, no re-scan. The
+    // md5 hash family makes every estimate deterministic —
+    // reproducible cross-engine, so even the ESTIMATES hash-gate
+    // (the error vs truth is visible in the row, tracked like q234's
+    // CMS overshoot). Sketch state: <= k longs per source regardless
+    // of corpus size; build is distinct + GroupedTopK bounded heaps.
+    QueryDef(
+      "q247_kmv_overlap",
+      (s, d) => {
+        val grams = documents(s, d)
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.trigrams(
+              words(col("text")))).as("g"))
+        val sketch = graft.operators.KmvSketch
+          .build(grams, "source", "g", 256)
+        val est = graft.operators.KmvSketch
+          .estimate(sketch, "source", 256)
+        val estA = est.filter(col("source") === "src0")
+          .select(col("est_distinct").as("est_a"))
+        val estB = est.filter(col("source") === "src1")
+          .select(col("est_distinct").as("est_b"))
+        val estI = graft.operators.KmvSketch
+          .intersectEstimate(sketch, "source", 256,
+            lit("src0"), lit("src1"))
+        val exact = grams.select("source", "g").distinct()
+          .groupBy("g")
+          .agg(count(lit(1)).as("ns"))
+        val exactRow = exact.agg(
+          sum(when(col("ns") >= 1, 1L)).cast("long").as("exact_union"),
+          sum(when(col("ns") === 2, 1L)).cast("long")
+            .as("exact_intersection"))
+        val exactA = grams.filter(col("source") === "src0")
+          .agg(countDistinct(col("g")).as("exact_a"))
+        val exactB = grams.filter(col("source") === "src1")
+          .agg(countDistinct(col("g")).as("exact_b"))
+        estA.crossJoin(estB).crossJoin(estI)
+          .crossJoin(exactA).crossJoin(exactB).crossJoin(exactRow)
+          .select(col("exact_a"), col("exact_b"),
+            col("exact_intersection"),
+            col("est_a"), col("est_b"), col("est_intersection"))
+      },
+      Some("""WITH w AS (
+             |  SELECT source, string_split(text, ' ') AS ws
+             |  FROM documents WHERE source IN ('src0', 'src1')
+             |), g AS (
+             |  SELECT DISTINCT source,
+             |    unnest(list_transform(generate_series(1, len(ws) - 2),
+             |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             |      AS g
+             |  FROM w WHERE len(ws) >= 3
+             |), hv AS (
+             |  SELECT source, g,
+             |    CAST('0x' || substr(md5('kmv#' || g), 1, 13)
+             |      AS BIGINT) AS hv
+             |  FROM g
+             |), sk AS (
+             |  SELECT source, hv FROM (
+             |    SELECT source, hv,
+             |      row_number() OVER (PARTITION BY source
+             |        ORDER BY hv ASC) AS r
+             |    FROM (SELECT DISTINCT source, hv FROM hv))
+             |  WHERE r <= 256
+             |), est AS (
+             |  SELECT source,
+             |    CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+             |      ELSE 255.0 /
+             |        (CAST(MAX(hv) AS DOUBLE) / 4503599627370496.0)
+             |      END AS est_distinct
+             |  FROM sk GROUP BY source
+             |), th AS (
+             |  SELECT least(a.ka, b.kb) AS theta_raw,
+             |    (a.na < 256 AND b.nb < 256) AS exact
+             |  FROM (SELECT COUNT(*) AS na, MAX(hv) AS ka FROM sk
+             |        WHERE source = 'src0') a
+             |  CROSS JOIN (SELECT COUNT(*) AS nb, MAX(hv) AS kb FROM sk
+             |        WHERE source = 'src1') b
+             |), m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_match
+             |  FROM sk a JOIN sk b ON a.hv = b.hv
+             |    AND a.source = 'src0' AND b.source = 'src1'
+             |  CROSS JOIN th
+             |  WHERE th.exact OR a.hv <= th.theta_raw
+             |), esti AS (
+             |  SELECT CASE WHEN th.exact THEN CAST(n_match AS DOUBLE)
+             |    ELSE CAST(n_match AS DOUBLE) /
+             |      (CAST(theta_raw AS DOUBLE) / 4503599627370496.0)
+             |    END AS est_intersection
+             |  FROM m CROSS JOIN th
+             |), ex AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS exact_a,
+             |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS exact_b
+             |  FROM g
+             |), exi AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+             |  FROM (SELECT g FROM g WHERE source = 'src0') a
+             |  JOIN (SELECT g FROM g WHERE source = 'src1') b USING (g)
+             |)
+             |SELECT ex.exact_a, ex.exact_b, exi.exact_intersection,
+             |  (SELECT est_distinct FROM est WHERE source = 'src0')
+             |    AS est_a,
+             |  (SELECT est_distinct FROM est WHERE source = 'src1')
+             |    AS est_b,
+             |  esti.est_intersection
+             |FROM ex CROSS JOIN exi CROSS JOIN esti""".stripMargin))
   )
 }

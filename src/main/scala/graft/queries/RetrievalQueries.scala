@@ -648,6 +648,98 @@ object RetrievalQueries {
              |  (SELECT CAST(MAX(tf) AS BIGINT) FROM tf) AS max_tf,
              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dl) AS n_docs,
              |  (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
-             |""".stripMargin))
+             |""".stripMargin)),
+
+    // Rank-biased precision (Moffat & Zobel, TOIS 2008) of BM25
+    // self-retrieval at the serving cut — the companion metric to
+    // q233's MRR: RBP = (1−p)·Σ relᵢ·p^(i−1) with persistence
+    // p = 1/2, which for the single self-relevant document reduces to
+    // 2^(−rank) inside the top-10 and 0 outside. p = 1/2 is chosen
+    // deliberately: powers of two are EXACT in binary floating point
+    // (1.0 / (1 << rank), one exact shift and one exact division), so
+    // the metric hash-gates cross-engine where log-discounted nDCG's
+    // transcendental log2 cannot. Unlike MRR (scoreCore, uncut), this
+    // measures what the user of the top-10 SERVING cut experiences —
+    // a miss below the cut scores 0, not 1/rank.
+    QueryDef(
+      "q244_retrieval_rbp",
+      (s, d) => {
+        val docs = documents(s, d)
+        val queries = docs
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        val topk = Bm25.searchCore(Bm25.index(docs), queries, topK = 10)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val self = topk
+          .withColumn("r", row_number().over(w).cast("long"))
+          .filter(col("doc_id") === col("query_id"))
+          .select(col("query_id"), col("r"))
+        queries.select("query_id")
+          .join(self, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("r"), lit(0L)).as("self_rank"),
+            when(col("r").isNotNull,
+              lit(1.0) / expr("shiftleft(1L, CAST(r AS INT))")
+                .cast("double"))
+              .otherwise(lit(0.0)).as("rbp"))
+          .orderBy("query_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q AS (
+             |  SELECT DISTINCT doc_id AS query_id,
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id % 100 = 7
+             |), part AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), agg AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part GROUP BY query_id, doc_id
+             |), ranked AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r
+             |  FROM agg
+             |), self AS (
+             |  SELECT query_id, r FROM ranked
+             |  WHERE doc_id = query_id AND r <= 10
+             |), qids AS (
+             |  SELECT DISTINCT doc_id AS query_id FROM documents
+             |  WHERE doc_id % 100 = 7
+             |)
+             |SELECT qids.query_id,
+             |  COALESCE(self.r, 0) AS self_rank,
+             |  CASE WHEN self.r IS NOT NULL
+             |    THEN 1.0 / CAST(CAST(1 AS BIGINT) << self.r AS DOUBLE)
+             |    ELSE 0.0 END AS rbp
+             |FROM qids LEFT JOIN self USING (query_id)
+             |ORDER BY qids.query_id""".stripMargin))
   )
 }

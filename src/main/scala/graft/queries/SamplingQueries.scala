@@ -408,6 +408,142 @@ object SamplingQueries {
              |  SELECT anchor, 'pos' AS role, rank, doc_id FROM pos
              |  UNION ALL
              |  SELECT anchor, 'neg' AS role, rank, doc_id FROM neg)
-             |ORDER BY anchor, role DESC, rank""".stripMargin))
+             |ORDER BY anchor, role DESC, rank""".stripMargin)),
+
+    // SEMI-HARD negative mining — the refinement contrastive training
+    // actually wants over q236's uniform negatives (Schroff et al.
+    // CVPR'15: negatives NEAR the anchor teach more than random ones,
+    // but the very nearest are often unlabeled positives): take
+    // cosine ranks kPos+1 .. kPos+kNeg — the band just past the
+    // mined positives. Same anchors × corpus exact-cosine oracle
+    // shape as q236 (the gate form); at scale the band comes from the
+    // SAME ivfTopKBatch call that mines positives with
+    // k = kPos + kNeg (ContrastiveSampling.minePositives — one probe
+    // pays for both roles), which is why the declared ranks are a
+    // contiguous prefix band rather than an independent sample.
+    QueryDef(
+      "q245_semihard_negatives",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        def fdot(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          graft.functions.DotExactExpr.dotExactFast(a, b)
+        val embN = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+        val anchors = embN.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("anchor"),
+            col("embedding").as("a_emb"), col("nrm").as("anrm"))
+        val cos = embN.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("anchor"))
+          .select(col("anchor"), col("vec_id").as("doc_id"),
+            (fdot(col("embedding"), col("a_emb")) /
+              (col("nrm") * col("anrm"))).as("cos_sim"))
+        val wP = org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor")
+          .orderBy(col("cos_sim").desc, col("doc_id").asc)
+        graft.plans.GroupedTopK.of(cos, Seq("anchor"),
+          Seq(col("cos_sim").desc, col("doc_id").asc), 6)
+          .withColumn("rank", row_number().over(wP).cast("long"))
+          .filter(col("rank").between(4, 6))
+          .select(col("anchor"), col("rank"), col("doc_id"))
+          .orderBy("anchor", "rank")
+      },
+      Some("""WITH dexp AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings
+             |), norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12)))
+             |      AS DOUBLE)) AS nrm
+             |  FROM dexp GROUP BY vec_id
+             |), qd AS (
+             |  SELECT vec_id AS anchor, i, x AS y FROM dexp
+             |  WHERE vec_id % 100 = 7
+             |), dots AS (
+             |  SELECT q.anchor, d.vec_id,
+             |    CAST(SUM(CAST(d.x * q.y AS DECIMAL(38,12)))
+             |      AS DOUBLE) AS dp
+             |  FROM dexp d JOIN qd q USING (i)
+             |  GROUP BY q.anchor, d.vec_id
+             |)
+             |SELECT anchor, CAST(r AS BIGINT) AS rank, doc_id FROM (
+             |  SELECT dt.anchor, dt.vec_id AS doc_id,
+             |    row_number() OVER (PARTITION BY dt.anchor
+             |      ORDER BY dt.dp / (nd.nrm * nq.nrm) DESC,
+             |        dt.vec_id ASC) AS r
+             |  FROM dots dt
+             |  JOIN norms nd ON nd.vec_id = dt.vec_id
+             |  JOIN norms nq ON nq.vec_id = dt.anchor
+             |  WHERE dt.vec_id <> dt.anchor)
+             |WHERE r BETWEEN 4 AND 6
+             |ORDER BY anchor, r""".stripMargin)),
+
+    // Dataset MIXTURE resampling — the knob between corpus prep and
+    // training: rebalance per-source contributions to a target mix
+    // (uniform here: every source capped to the smallest source's
+    // count) by deterministic hash order, so the "random" subset is
+    // reproducible across runs and engines (the q73 no-RNG stance).
+    // The selected-id checksum pins WHICH docs were chosen, not just
+    // how many. At 100 TB: one per-source count (K rows), one
+    // rank-within-source window (shuffle keyed by source — bounded
+    // groups; a heavily skewed source bounds at its own size, and the
+    // hash-order rank needs no global sort), one per-source re-agg.
+    QueryDef(
+      "q246_mixture_resample",
+      (s, d) => {
+        val key = conv(substring(md5(concat(lit("mix#"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+        val docs0 = documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .withColumn("k", key)
+        val counts = docs0.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+        val nmin = counts.agg(min(col("n_docs")).as("n_target"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("k").asc, col("doc_id").asc)
+        docs0
+          .withColumn("r", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(nmin))
+          .filter(col("r") <= col("n_target"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_selected"),
+            sum(col("doc_id")).cast("long").as("sel_docid_sum"),
+            first(col("n_target")).as("n_target"))
+          .join(broadcast(counts), "source")
+          .select(col("source"), col("n_docs"), col("n_target"),
+            col("n_selected"), col("sel_docid_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH d0 AS (
+             |  SELECT source, doc_id,
+             |    CAST('0x' || substr(md5('mix#' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS k
+             |  FROM documents
+             |), counts AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM d0 GROUP BY source
+             |), nmin AS (
+             |  SELECT CAST(MIN(n_docs) AS BIGINT) AS n_target
+             |  FROM counts
+             |), ranked AS (
+             |  SELECT source, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY k ASC, doc_id ASC) AS BIGINT) AS r
+             |  FROM d0
+             |), sel AS (
+             |  SELECT source,
+             |    CAST(COUNT(*) AS BIGINT) AS n_selected,
+             |    CAST(SUM(doc_id) AS BIGINT) AS sel_docid_sum
+             |  FROM ranked CROSS JOIN nmin
+             |  WHERE r <= n_target GROUP BY source
+             |)
+             |SELECT c.source, c.n_docs, nmin.n_target,
+             |  s.n_selected, s.sel_docid_sum
+             |FROM counts c
+             |JOIN sel s ON s.source = c.source
+             |CROSS JOIN nmin
+             |ORDER BY c.source""".stripMargin))
   )
 }

@@ -1664,6 +1664,65 @@ object TextQueries {
               |LEFT JOIN ndf n ON n.doc_id = e.doc_id
               |LEFT JOIN rep r ON r.doc_id = e.doc_id
               |GROUP BY e.source
-              |ORDER BY e.source""".stripMargin))
+              |ORDER BY e.source""".stripMargin)),
+
+    // Lexical diversity profile per source — corpus-health metrics a
+    // training-data pipeline tracks per snapshot: token/type counts,
+    // type-token ratio, hapax rate (vocabulary freshness), and the
+    // Gini-Simpson collision index Σ nᵢ(nᵢ−1)/(N(N−1)) — chosen over
+    // Shannon entropy deliberately: it is a RATIONAL statistic (two
+    // integer sums and one IEEE division), so it hash-gates
+    // cross-engine where entropy's transcendental ln cannot. At
+    // 100 TB: one (source, term) hash-agg then one per-source
+    // hash-agg — two linear map-side-partial passes, no window.
+    QueryDef(
+      "q243_lexical_diversity",
+      (s, d) => {
+        val termCounts = documents(s, d)
+          .select(col("source"), explode(words(col("text"))).as("term"))
+          .groupBy("source", "term")
+          .agg(count(lit(1)).as("c"))
+        termCounts
+          .groupBy("source")
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L))
+              .cast("long").as("n_hapax"),
+            sum(col("c") * (col("c") - 1)).cast("long").as("n_coll"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            col("n_hapax"),
+            (col("n_types").cast("double") /
+              col("n_tokens").cast("double")).as("type_token_ratio"),
+            (col("n_hapax").cast("double") /
+              col("n_types").cast("double")).as("hapax_rate"),
+            (col("n_coll").cast("double") /
+              (col("n_tokens").cast("double") *
+                (col("n_tokens") - 1).cast("double")))
+              .as("simpson_index"))
+          .orderBy("source")
+      },
+      Some("""WITH tc AS (
+             |  SELECT source, w AS term, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents,
+             |    LATERAL unnest(string_split(text, ' ')) AS u(w)
+             |  GROUP BY source, w
+             |), agg AS (
+             |  SELECT source,
+             |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |    CAST(COUNT(*) AS BIGINT) AS n_types,
+             |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_hapax,
+             |    CAST(SUM(c * (c - 1)) AS BIGINT) AS n_coll
+             |  FROM tc GROUP BY source
+             |)
+             |SELECT source, n_tokens, n_types, n_hapax,
+             |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |    AS type_token_ratio,
+             |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+             |    AS hapax_rate,
+             |  CAST(n_coll AS DOUBLE) /
+             |    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+             |    AS simpson_index
+             |FROM agg ORDER BY source""".stripMargin))
   )
 }

@@ -36,6 +36,22 @@ class ContrastiveSamplingSpec extends AnyFunSuite with SparkFixture
     got should not be empty
   }
 
+  test("exhaustive-probe semi-hard negatives equal the q245 exact band") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Centroids.byLabel(spark, emb)
+    val got = ContrastiveSampling.mineSemiHardNegatives(spark, emb,
+        cents, col("vec_id") % 100 === 7, kPos = 3, kNeg = 3,
+        nProbe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = graft.SparkEntry.queries("q245_semihard_negatives")(
+        spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    got shouldBe want
+    got should not be empty
+  }
+
   test("bucketed negatives: deterministic, pool-pure, full-width") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = Centroids.byLabel(spark, emb)
