@@ -72,6 +72,65 @@ object CheckQueries {
              |  (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
              |    FROM lineitem) AS dup_l_composite,
              |  (SELECT COUNT(*) - COUNT(DISTINCT l_orderkey) FROM lineitem)
-             |    AS dup_l_orderkey""".stripMargin))
+             |    AS dup_l_orderkey""".stripMargin)),
+
+    // ONE-PASS column profiling — the "what does this table even look
+    // like" report every ingestion run emits before constraints are
+    // written (null rates, cardinalities, ranges per column, typed).
+    // The point is the PLAN: all sixteen statistics ride a single
+    // aggregation over a single scan (distincts expand to the
+    // Spark/DuckDB count-distinct rewrite, still one pass over the
+    // fact) — profiling a 100 TB table costs one read, not one read
+    // per column. Typed min/max (bigint/double/varchar/timestamp)
+    // rather than stringified, so the gate also pins type fidelity.
+    QueryDef(
+      "q249_column_profile",
+      (s, d) => {
+        lineitem(s, d).agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("ok_nulls"),
+          countDistinct(col("l_orderkey")).as("ok_distinct"),
+          min(col("l_orderkey")).as("ok_min"),
+          max(col("l_orderkey")).as("ok_max"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+            .cast("long").as("qty_nulls"),
+          countDistinct(col("l_quantity")).as("qty_distinct"),
+          min(col("l_quantity")).as("qty_min"),
+          max(col("l_quantity")).as("qty_max"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+            .cast("long").as("rf_nulls"),
+          countDistinct(col("l_returnflag")).as("rf_distinct"),
+          min(col("l_returnflag")).as("rf_min"),
+          max(col("l_returnflag")).as("rf_max"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+            .cast("long").as("sd_nulls"),
+          countDistinct(col("l_shipdate")).as("sd_distinct"),
+          min(col("l_shipdate")).as("sd_min"),
+          max(col("l_shipdate")).as("sd_max"))
+      },
+      Some("""SELECT
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS ok_nulls,
+             |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ok_distinct,
+             |  MIN(l_orderkey) AS ok_min,
+             |  MAX(l_orderkey) AS ok_max,
+             |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS qty_nulls,
+             |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS qty_distinct,
+             |  MIN(l_quantity) AS qty_min,
+             |  MAX(l_quantity) AS qty_max,
+             |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS rf_nulls,
+             |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS rf_distinct,
+             |  MIN(l_returnflag) AS rf_min,
+             |  MAX(l_returnflag) AS rf_max,
+             |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sd_nulls,
+             |  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS sd_distinct,
+             |  MIN(l_shipdate) AS sd_min,
+             |  MAX(l_shipdate) AS sd_max
+             |FROM lineitem""".stripMargin))
   )
 }

@@ -453,6 +453,172 @@ object RetrievalQueries {
              |WHERE rk <= 10
              |ORDER BY query_id, rrf DESC, doc_id""".stripMargin)),
 
+    // SCORE-normalized hybrid fusion — the other standard fusion next
+    // to q232's RRF: min-max normalize each retriever's top-20 scores
+    // to [0,1] per query and blend 0.5/0.5 (a degenerate list where
+    // max = min normalizes to 1.0; a doc absent from a list
+    // contributes 0). Rank fusion (RRF) discards score GAPS; score
+    // fusion keeps them — when the lexical top-1 is far ahead of
+    // lexical top-2, it stays far ahead after fusion. Same candidate
+    // plumbing as q232 (one BM25 probe, one cosine pass, GroupedTopK
+    // cuts); the normalization adds one per-query window MIN/MAX over
+    // 20-row lists. All arithmetic is IEEE-deterministic: BM25-core
+    // scores are scale-2 decimals, cosines exact-decimal folds, and
+    // the normalization is two exact subtractions and one division.
+    QueryDef(
+      "q250_hybrid_score_fusion",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        def fdot(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          graft.functions.DotExactExpr.dotExactFast(a, b)
+        val docs = documents(s, d)
+        val queries = docs
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        val wQ = Window.partitionBy("query_id")
+        def mmNorm(df: org.apache.spark.sql.DataFrame, sc: String,
+            out: String) =
+          df.withColumn("mn", min(col(sc)).over(wQ))
+            .withColumn("mx", max(col(sc)).over(wQ))
+            .select(col("query_id"), col("doc_id"),
+              when(col("mx") === col("mn"), lit(1.0))
+                .otherwise((col(sc) - col("mn")) /
+                  (col("mx") - col("mn"))).as(out))
+        val normA = mmNorm(
+          Bm25.searchCore(Bm25.index(docs), queries, topK = 20),
+          "score", "na")
+        val embN = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+        val qv = embN.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"), col("nrm").as("qnrm"))
+        val cos = embN.crossJoin(broadcast(qv))
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            (fdot(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("qnrm"))).as("cos_sim"))
+        val normB = mmNorm(
+          graft.plans.GroupedTopK.of(cos, Seq("query_id"),
+            Seq(col("cos_sim").desc, col("doc_id").asc), 20),
+          "cos_sim", "nb")
+        val fused = normA.join(normB, Seq("query_id", "doc_id"), "full")
+          .select(col("query_id"), col("doc_id"),
+            (lit(0.5) * coalesce(col("na"), lit(0.0)) +
+              lit(0.5) * coalesce(col("nb"), lit(0.0))).as("blend"))
+        graft.plans.GroupedTopK.of(fused, Seq("query_id"),
+          Seq(col("blend").desc, col("doc_id").asc), 10)
+          .orderBy(col("query_id"), col("blend").desc, col("doc_id"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q AS (
+             |  SELECT DISTINCT doc_id AS query_id,
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id % 100 = 7
+             |), part AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), agg AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part GROUP BY query_id, doc_id
+             |), atop AS (
+             |  SELECT query_id, doc_id, score FROM (
+             |    SELECT query_id, doc_id, score,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, doc_id ASC) AS r
+             |    FROM agg)
+             |  WHERE r <= 20
+             |), na AS (
+             |  SELECT query_id, doc_id,
+             |    CASE WHEN MAX(score) OVER (PARTITION BY query_id) =
+             |              MIN(score) OVER (PARTITION BY query_id)
+             |      THEN 1.0
+             |      ELSE (score - MIN(score) OVER (PARTITION BY query_id))
+             |        / (MAX(score) OVER (PARTITION BY query_id) -
+             |           MIN(score) OVER (PARTITION BY query_id))
+             |      END AS na
+             |  FROM atop
+             |), dexp AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings
+             |), norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12)))
+             |      AS DOUBLE)) AS nrm
+             |  FROM dexp GROUP BY vec_id
+             |), qd AS (
+             |  SELECT vec_id AS query_id, i, x AS y FROM dexp
+             |  WHERE vec_id % 100 = 7
+             |), dots AS (
+             |  SELECT q.query_id, d.vec_id,
+             |    CAST(SUM(CAST(d.x * q.y AS DECIMAL(38,12)))
+             |      AS DOUBLE) AS dp
+             |  FROM dexp d JOIN qd q USING (i)
+             |  GROUP BY q.query_id, d.vec_id
+             |), btop AS (
+             |  SELECT query_id, doc_id, cs FROM (
+             |    SELECT dt.query_id, dt.vec_id AS doc_id,
+             |      dt.dp / (nd.nrm * nq.nrm) AS cs,
+             |      row_number() OVER (PARTITION BY dt.query_id
+             |        ORDER BY dt.dp / (nd.nrm * nq.nrm) DESC,
+             |          dt.vec_id ASC) AS r
+             |    FROM dots dt
+             |    JOIN norms nd ON nd.vec_id = dt.vec_id
+             |    JOIN norms nq ON nq.vec_id = dt.query_id)
+             |  WHERE r <= 20
+             |), nb AS (
+             |  SELECT query_id, doc_id,
+             |    CASE WHEN MAX(cs) OVER (PARTITION BY query_id) =
+             |              MIN(cs) OVER (PARTITION BY query_id)
+             |      THEN 1.0
+             |      ELSE (cs - MIN(cs) OVER (PARTITION BY query_id))
+             |        / (MAX(cs) OVER (PARTITION BY query_id) -
+             |           MIN(cs) OVER (PARTITION BY query_id))
+             |      END AS nb
+             |  FROM btop
+             |), fused AS (
+             |  SELECT COALESCE(na.query_id, nb.query_id) AS query_id,
+             |    COALESCE(na.doc_id, nb.doc_id) AS doc_id,
+             |    0.5 * COALESCE(na.na, 0.0) +
+             |    0.5 * COALESCE(nb.nb, 0.0) AS blend
+             |  FROM na FULL OUTER JOIN nb
+             |    ON na.query_id = nb.query_id AND na.doc_id = nb.doc_id
+             |)
+             |SELECT query_id, doc_id, blend FROM (
+             |  SELECT query_id, doc_id, blend,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY blend DESC, doc_id ASC) AS rk
+             |  FROM fused)
+             |WHERE rk <= 10
+             |ORDER BY query_id, blend DESC, doc_id""".stripMargin)),
+
     // Retrieval-quality measurement — self-retrieval reciprocal rank
     // (the q200-for-lexical: turn "the index works" into a number).
     // Each query doc queries with its own first 3 words; the metric

@@ -349,6 +349,58 @@ object ScaleQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_docs
              |FROM old o FULL OUTER JOIN new_snap n
              |  ON o.doc_id = n.doc_id
-             |GROUP BY 1 ORDER BY status""".stripMargin))
+             |GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // Small-files COMPACTION planning — the storage-ops chore every
+    // table format (Iceberg/Delta/Hudi rewriteDataFiles) runs: pack
+    // id-ordered items into target-size merge groups. The rule is the
+    // deterministic running-sum form (group = exclusive-prefix-sum
+    // DIV target): declarative, engine-portable, and — unlike true
+    // first-fit bin packing — expressible as ONE window pass. Items
+    // here are documents with size = char length; per SOURCE (the
+    // partition a compactor works within), so the window is keyed —
+    // parallel across sources, no global sort. Output: each planned
+    // merge group with its file count, byte total, and id range (the
+    // manifest a rewrite job would execute).
+    QueryDef(
+      "q248_compaction_plan",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        documents(s, d)
+          .select(col("source"), col("doc_id"),
+            length(col("text")).cast("long").as("sz"))
+          .withColumn("cum_excl",
+            coalesce(sum(col("sz")).over(w), lit(0L)))
+          .withColumn("bin", expr("cum_excl DIV 20000"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).cast("long").as("n_files"),
+            sum(col("sz")).cast("long").as("total_chars"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH f AS (
+             |  SELECT source, doc_id,
+             |    CAST(length(text) AS BIGINT) AS sz
+             |  FROM documents
+             |), planned AS (
+             |  SELECT source, doc_id, sz,
+             |    CAST(COALESCE(SUM(sz) OVER (PARTITION BY source
+             |      ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) // 20000 AS bin
+             |  FROM f
+             |)
+             |SELECT source, CAST(bin AS BIGINT) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n_files,
+             |  CAST(SUM(sz) AS BIGINT) AS total_chars,
+             |  MIN(doc_id) AS first_doc,
+             |  MAX(doc_id) AS last_doc
+             |FROM planned
+             |GROUP BY source, bin
+             |ORDER BY source, bin""".stripMargin))
   )
 }

@@ -1666,8 +1666,10 @@ object TextQueries {
               |GROUP BY e.source
               |ORDER BY e.source""".stripMargin)),
 
-    // Lexical diversity profile per source — corpus-health metrics a
-    // training-data pipeline tracks per snapshot: token/type counts,
+    // Vocabulary profile per SOURCE — corpus-health metrics a
+    // training-data pipeline tracks per snapshot (q163 is the
+    // per-document form; this is the per-source rollup with the
+    // vocabulary-freshness signals that only exist in aggregate): token/type counts,
     // type-token ratio, hapax rate (vocabulary freshness), and the
     // Gini-Simpson collision index Σ nᵢ(nᵢ−1)/(N(N−1)) — chosen over
     // Shannon entropy deliberately: it is a RATIONAL statistic (two
@@ -1676,7 +1678,7 @@ object TextQueries {
     // 100 TB: one (source, term) hash-agg then one per-source
     // hash-agg — two linear map-side-partial passes, no window.
     QueryDef(
-      "q243_lexical_diversity",
+      "q243_source_vocab_profile",
       (s, d) => {
         val termCounts = documents(s, d)
           .select(col("source"), explode(words(col("text"))).as("term"))
