@@ -367,6 +367,29 @@ object EmbeddingSearch {
       Seq(col("cos_sim").desc, col("vec_id").asc), k)
   }
 
+  /** Mutual (reciprocal) kNN pairs — the clustering/dedup primitive
+    * (each side appears in the other's top-k): ONE [[ivfTopKBatch]]
+    * with the corpus as its own query set, then a self-join on the
+    * reversed (query, neighbor) key — an equi-join on ids, NOT a
+    * second ANN pass. Mutuality is the classic high-precision filter
+    * over raw kNN edges (a hub's one-directional edges drop out);
+    * SemDeDup-style pipelines use exactly these pairs as merge
+    * candidates. Returns (a_id, b_id, cos_sim) with a_id < b_id.
+    */
+  def mutualTopK(spark: SparkSession, emb: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 2,
+      broadcastProbes: Boolean = false): DataFrame = {
+    val knn = ivfTopKBatch(spark, emb, centroids,
+      emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k, nProbe, broadcastProbes)
+    knn.as("a").join(knn.as("b"),
+      col("a.q_id") === col("b.vec_id") &&
+        col("a.vec_id") === col("b.q_id") &&
+        col("a.q_id") < col("a.vec_id"))
+      .select(col("a.q_id").as("a_id"), col("a.vec_id").as("b_id"),
+        col("a.cos_sim"))
+  }
+
   /** spark.ml alternative (SURVEY.md §7.5's named built-in):
     * BucketedRandomProjectionLSH over the embedding vectors —
     * Euclidean LSH, which on unit-norm-ish embeddings orders like

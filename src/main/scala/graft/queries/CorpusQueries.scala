@@ -1069,6 +1069,52 @@ object CorpusQueries {
              |  (SELECT est_distinct FROM est WHERE source = 'src1')
              |    AS est_b,
              |  esti.est_intersection
-             |FROM ex CROSS JOIN exi CROSS JOIN esti""".stripMargin))
+             |FROM ex CROSS JOIN exi CROSS JOIN esti""".stripMargin)),
+
+    // Length-CURRICULUM staging — the ordering knob curriculum
+    // training turns (short/simple samples first, long ones later):
+    // each source's documents are cut into 4 equi-depth length
+    // stages (ntile over token count, deterministic under the
+    // (n_tokens, doc_id) total order). Per SOURCE, not global: the
+    // window is keyed, so 100 TB staging parallelizes across sources
+    // with no global sort — the global curriculum is then "stage 1
+    // of every source, stage 2 of every source, ...", which also
+    // keeps the mixture balanced within each stage. Output is the
+    // stage manifest (counts + token ranges) a data loader consumes.
+    QueryDef(
+      "q253_length_curriculum",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("n_tokens").asc, col("doc_id").asc)
+        documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(words(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("stage", ntile(4).over(w).cast("long"))
+          .groupBy("source", "stage")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .orderBy("source", "stage")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents
+             |), staged AS (
+             |  SELECT source, doc_id, n_tokens,
+             |    CAST(ntile(4) OVER (PARTITION BY source
+             |      ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT)
+             |      AS stage
+             |  FROM t
+             |)
+             |SELECT source, stage,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+             |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+             |FROM staged
+             |GROUP BY source, stage
+             |ORDER BY source, stage""".stripMargin))
   )
 }

@@ -569,6 +569,62 @@ object EventQueries {
              |    ON e.user_id = s.user_id AND e.rn = s.rn + 1
              |)
              |SELECT user_id, event_id, session_seq FROM sess
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // LAST-TOUCH ATTRIBUTION — the marketing-analytics composition of
+    // the as-of join (an API gate: the declared query runs
+    // operators.AsOfJoin.asOfWithin, the q70 library path, on its
+    // natural use case): each purchase attributes to the same user's
+    // most recent click-or-view at-or-before it, but only within a
+    // 7-day lookback (a stale touch degrades to unattributed, kept as
+    // NULL-touch rows so the unattributed rate is visible). At 100 TB
+    // the as-of join is one union + one keyed window — no range
+    // self-join blow-up; see AsOfJoin's scaladoc.
+    QueryDef(
+      "q251_last_touch_attribution",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val touches = ev
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("ts").as("t_ts"),
+            col("event_id").as("t_id"),
+            col("event_type").as("t_type"))
+        graft.operators.AsOfJoin.asOfWithin(
+            purchases, touches, "user_id", "ts", "t_ts",
+            Map("t_id" -> "touch_event_id", "t_type" -> "touch_type",
+              "t_ts" -> "touch_ts"),
+            "7 days")
+          .select(col("event_id"), col("user_id"),
+            col("touch_event_id"), col("touch_type"),
+            (unix_micros(col("ts")) - unix_micros(col("touch_ts")))
+              .as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |), t AS (
+             |  SELECT user_id, ts AS t_ts, event_id AS t_id,
+             |    event_type AS t_type
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |), matched AS (
+             |  SELECT p.event_id, p.user_id, p.ts,
+             |    t.t_id, t.t_type, t.t_ts,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY t.t_ts DESC) AS rn
+             |  FROM p JOIN t ON t.user_id = p.user_id
+             |    AND t.t_ts <= p.ts
+             |    AND t.t_ts >= p.ts - INTERVAL 7 DAY
+             |)
+             |SELECT p.event_id, p.user_id,
+             |  m.t_id AS touch_event_id,
+             |  m.t_type AS touch_type,
+             |  CAST(epoch_us(p.ts) - epoch_us(m.t_ts) AS BIGINT)
+             |    AS gap_us
+             |FROM p LEFT JOIN matched m
+             |  ON m.event_id = p.event_id AND m.rn = 1
+             |ORDER BY p.event_id""".stripMargin))
   )
 }

@@ -923,6 +923,77 @@ object VectorQueries {
               |FROM exact x
               |LEFT JOIN adaptive ad ON x.vec_id = ad.vec_id""".stripMargin)),
 
+    // MUTUAL (reciprocal) kNN pairs — the high-precision edge filter
+    // clustering and semantic-dedup pipelines run on raw kNN output:
+    // keep (a, b) only when each is in the OTHER's top-3. A hub
+    // vector's one-directional edges drop out; what survives is the
+    // merge-candidate set. Declared form: exact cosine within the
+    // label = 2 slice (a bounded sub-corpus — the oracle shape);
+    // production form is EmbeddingSearch.mutualTopK — one
+    // ivfTopKBatch with the corpus as its own query set plus an
+    // id-equi self-join (NOT a second ANN pass), parity-pinned in
+    // LlmSpec at nProbe = K.
+    QueryDef(
+      "q252_mutual_knn",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val sub = embeddings(s, d).filter(col("label") === 2)
+          .select(col("vec_id"), col("embedding"))
+        val pairs = sub.as("a").crossJoin(sub.as("b"))
+          .filter(col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("q_id"),
+            col("b.vec_id").as("n_id"),
+            fcos(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("n_id").asc)
+        val knn = pairs.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "n_id", "cos_sim")
+        knn.as("x").join(knn.as("y"),
+            col("x.q_id") === col("y.n_id") &&
+              col("x.n_id") === col("y.q_id") &&
+              col("x.q_id") < col("x.n_id"))
+          .select(col("x.q_id").as("a_id"), col("x.n_id").as("b_id"),
+            col("x.cos_sim"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH sub AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE label = 2
+             |), dexp AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM sub
+             |), norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12)))
+             |      AS DOUBLE)) AS nrm
+             |  FROM dexp GROUP BY vec_id
+             |), dots AS (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12)))
+             |      AS DOUBLE) AS dp
+             |  FROM dexp a JOIN dexp b USING (i)
+             |  WHERE a.vec_id <> b.vec_id
+             |  GROUP BY a.vec_id, b.vec_id
+             |), knn AS (
+             |  SELECT q_id, n_id, cos_sim FROM (
+             |    SELECT d.q_id, d.n_id,
+             |      d.dp / (na.nrm * nb.nrm) AS cos_sim,
+             |      row_number() OVER (PARTITION BY d.q_id
+             |        ORDER BY d.dp / (na.nrm * nb.nrm) DESC,
+             |          d.n_id ASC) AS rnk
+             |    FROM dots d
+             |    JOIN norms na ON na.vec_id = d.q_id
+             |    JOIN norms nb ON nb.vec_id = d.n_id)
+             |  WHERE rnk <= 3
+             |)
+             |SELECT x.q_id AS a_id, x.n_id AS b_id, x.cos_sim
+             |FROM knn x JOIN knn y
+             |  ON x.q_id = y.n_id AND x.n_id = y.q_id
+             |    AND x.q_id < x.n_id
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // Int8 quantization (min/max affine, the embedding-storage
     // compressor): per-vector scale + zero point, elements mapped to
     // 0..255. Pure per-row projection — no shuffle, no join; at 100 TB

@@ -162,6 +162,20 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("EmbeddingSearch: mutual top-k at nProbe = K equals the " +
+      "declared exact reciprocal pairs") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = Centroids.byLabel(spark, all)
+    val got = EmbeddingSearch.mutualTopK(spark,
+        all.filter(col("label") === 2), cents, k = 3, nProbe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.SparkEntry.queries("q252_mutual_knn")(
+        spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe want
+    got should not be empty
+  }
+
   test("EmbeddingSearch: batched IVF equals the per-query probe for " +
       "each query in the set") {
     val emb = Tables.embeddings(spark, sfDir)
