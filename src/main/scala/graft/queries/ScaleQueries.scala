@@ -401,6 +401,56 @@ object ScaleQueries {
              |  MAX(doc_id) AS last_doc
              |FROM planned
              |GROUP BY source, bin
-             |ORDER BY source, bin""".stripMargin))
+             |ORDER BY source, bin""".stripMargin)),
+
+    // Partition-PRUNE planning from collected stats — the dry-run
+    // every lakehouse query planner performs: per day-partition
+    // min/max/count stats (the manifest a table format keeps), then
+    // for a given time predicate, WHICH partitions a pruned scan
+    // touches and which skip. The report makes pruning auditable
+    // ("this query reads 4 of 30 partitions, 12% of rows") before
+    // any data is read — at 100 TB the stats table is O(partitions)
+    // rows and this entire plan runs on it, not the fact. The
+    // overlap rule is interval intersection on the partition's
+    // [min_ts, max_ts] against the predicate window — exactly what
+    // parquet row-group / Iceberg manifest pruning evaluates.
+    QueryDef(
+      "q254_partition_prune_plan",
+      (s, d) => {
+        val stats = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-13 12:00:00").cast("timestamp")
+        stats
+          .select(col("day"), col("n_rows"),
+            (col("min_ts") <= hi && col("max_ts") >= lo).as("read"))
+          .groupBy("read")
+          .agg(count(lit(1)).cast("long").as("n_partitions"),
+            sum(col("n_rows")).cast("long").as("n_rows"),
+            min(col("day")).as("first_day"),
+            max(col("day")).as("last_day"))
+          .orderBy(col("read"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |    MIN(ts) AS min_ts, MAX(ts) AS max_ts
+             |  FROM events GROUP BY 1
+             |), flagged AS (
+             |  SELECT day, n_rows,
+             |    (min_ts <= TIMESTAMP '2024-01-13 12:00:00' AND
+             |     max_ts >= TIMESTAMP '2024-01-10 00:00:00') AS read
+             |  FROM stats
+             |)
+             |SELECT read,
+             |  CAST(COUNT(*) AS BIGINT) AS n_partitions,
+             |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+             |  MIN(day) AS first_day,
+             |  MAX(day) AS last_day
+             |FROM flagged
+             |GROUP BY read
+             |ORDER BY read""".stripMargin))
   )
 }
