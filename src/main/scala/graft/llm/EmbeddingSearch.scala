@@ -125,6 +125,48 @@ object EmbeddingSearch {
       .limit(k)
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al., VLDB 2007's idea applied to
+    * sign-random-projection bands): probe the query's bucket in each
+    * band AND every bucket at Hamming distance 1 from it (one flipped
+    * plane sign). A near neighbor that lands just across ONE
+    * hyperplane — the dominant miss mode of SRP at small R — is
+    * recovered without adding bands or shrinking R (both of which
+    * multiply index size); cost is (R+1)× the probed buckets, still
+    * bucket-local reads, no extra index. Candidates remain the union
+    * over bands; exact cosine ranks them, so precision is unchanged —
+    * only recall moves.
+    */
+  def lshTopKMultiProbe(spark: SparkSession, emb: DataFrame,
+      queryId: Long, k: Int, numBands: Int = 4, planesPerBand: Int = 6,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    CosineSimilarityExpr.register(spark)
+    val bands = srpBands(emb, numBands, planesPerBand, bucketCap)
+    val qb = bands.filter(col("vec_id") === queryId)
+      .select(col("band").as("q_band"), col("bv").as("q_bv"))
+    def flip(j: Int) = concat(
+      substring(col("q_bv"), 1, j),
+      when(substring(col("q_bv"), j + 1, 1) === "1", lit("0"))
+        .otherwise(lit("1")),
+      substring(col("q_bv"), j + 2, planesPerBand - j - 1))
+    val probes = qb.select(col("q_band"),
+      explode(array(col("q_bv") +:
+        (0 until planesPerBand).map(flip): _*)).as("p_bv"))
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    bands
+      .join(broadcast(probes),
+        col("band") === col("q_band") && col("bv") === col("p_bv"))
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id").distinct()
+      .join(emb, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        CosineSimilarityExpr.cosineFast(col("embedding"), col("q_emb"))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN: a trained coarse quantizer — e.g.
     * `Centroids.kmeans` output (cand_label, centroid) — partitions the
     * corpus into cells; the query probes its `nProbe` nearest cells

@@ -994,6 +994,129 @@ object VectorQueries {
              |    AND x.q_id < x.n_id
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // MULTI-PROBE LSH recall (Lv et al., VLDB 2007, on SRP bands —
+    // EmbeddingSearch.lshTopKMultiProbe's declared witness): q200
+    // tracks plain SRP-LSH recall@10 at 0.0 on the weak-neighborhood
+    // query — the classic small-R failure (a true neighbor lands one
+    // hyperplane sign away and the single-bucket probe never sees
+    // it). Multi-probe additionally probes every Hamming-distance-1
+    // bucket per band (R+1 = 7 probes instead of 1) — the textbook
+    // recall/cost knob that needs NO extra bands and NO index
+    // rebuild. This row measures both rungs side by side with their
+    // candidate-set sizes, so the recall-per-candidate trade is the
+    // tracked number (BASELINE.md).
+    QueryDef(
+      "q255_multiprobe_lsh_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
+          cands.join(emb, "vec_id")
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"),
+              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+            .limit(10)
+            .select("vec_id")
+        val exact = rankTop10(
+          emb.filter(col("vec_id") =!= 0).select("vec_id"))
+        val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 6)
+        val qb = bands.filter(col("vec_id") === 0)
+          .select(col("band").as("q_band"), col("bv").as("q_bv"))
+        def flip(j: Int) = concat(
+          substring(col("q_bv"), 1, j),
+          when(substring(col("q_bv"), j + 1, 1) === "1", lit("0"))
+            .otherwise(lit("1")),
+          substring(col("q_bv"), j + 2, 5 - j))
+        val probes = qb.select(col("q_band"),
+          explode(array(col("q_bv") +: (0 until 6).map(flip): _*))
+            .as("p_bv"))
+        val candEx = bands
+          .join(broadcast(qb),
+            col("band") === col("q_band") && col("bv") === col("q_bv"))
+          .filter(col("vec_id") =!= 0).select("vec_id").distinct()
+        val candMp = bands
+          .join(broadcast(probes),
+            col("band") === col("q_band") && col("bv") === col("p_bv"))
+          .filter(col("vec_id") =!= 0).select("vec_id").distinct()
+        val lsh = rankTop10(candEx).withColumn("in_l", lit(1))
+        val mp = rankTop10(candMp).withColumn("in_m", lit(1))
+        exact
+          .join(lsh, Seq("vec_id"), "left")
+          .join(mp, Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("k"),
+            count(col("in_l")).as("n_hit_lsh"),
+            count(col("in_m")).as("n_hit_mp"))
+          .crossJoin(broadcast(
+            candEx.agg(count(lit(1)).cast("long").as("n_cand_lsh"))))
+          .crossJoin(broadcast(
+            candMp.agg(count(lit(1)).cast("long").as("n_cand_mp"))))
+          .select(col("k"), col("n_cand_lsh"), col("n_cand_mp"),
+            col("n_hit_lsh"), col("n_hit_mp"),
+            (col("n_hit_lsh").cast("double") / col("k").cast("double"))
+              .as("recall_lsh"),
+            (col("n_hit_mp").cast("double") / col("k").cast("double"))
+              .as("recall_mp"))
+      },
+      Some(s"""$vecCtes, ${bandsCte(numBands = 4, planesPerBand = 6)},
+              |ranked AS (
+              |  SELECT e.vec_id,
+              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0
+              |), exact AS (
+              |  SELECT vec_id FROM ranked
+              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+              |), qb AS (
+              |  SELECT band AS q_band, bv AS q_bv FROM bands
+              |  WHERE vec_id = 0
+              |), probes AS (
+              |  SELECT q_band, q_bv AS p_bv FROM qb
+              |  UNION ALL
+              |  SELECT q_band,
+              |    substr(q_bv, 1, j) ||
+              |    CASE WHEN substr(q_bv, j + 1, 1) = '1'
+              |      THEN '0' ELSE '1' END ||
+              |    substr(q_bv, j + 2, 5 - j) AS p_bv
+              |  FROM qb, LATERAL unnest(generate_series(0, 5)) AS g(j)
+              |), ce AS (
+              |  SELECT DISTINCT b.vec_id FROM bands b
+              |  JOIN qb ON b.band = qb.q_band AND b.bv = qb.q_bv
+              |  WHERE b.vec_id <> 0
+              |), cm AS (
+              |  SELECT DISTINCT b.vec_id FROM bands b
+              |  JOIN probes p ON b.band = p.q_band AND b.bv = p.p_bv
+              |  WHERE b.vec_id <> 0
+              |), lsh AS (
+              |  SELECT r.vec_id FROM ranked r
+              |  JOIN ce ON ce.vec_id = r.vec_id
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |), mp AS (
+              |  SELECT r.vec_id FROM ranked r
+              |  JOIN cm ON cm.vec_id = r.vec_id
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |)
+              |SELECT COUNT(*) AS k,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ce)
+              |    AS n_cand_lsh,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cm)
+              |    AS n_cand_mp,
+              |  COUNT(l.vec_id) AS n_hit_lsh,
+              |  COUNT(m.vec_id) AS n_hit_mp,
+              |  CAST(COUNT(l.vec_id) AS DOUBLE) /
+              |    CAST(COUNT(*) AS DOUBLE) AS recall_lsh,
+              |  CAST(COUNT(m.vec_id) AS DOUBLE) /
+              |    CAST(COUNT(*) AS DOUBLE) AS recall_mp
+              |FROM exact x
+              |LEFT JOIN lsh l ON x.vec_id = l.vec_id
+              |LEFT JOIN mp m ON x.vec_id = m.vec_id""".stripMargin)),
+
     // Int8 quantization (min/max affine, the embedding-storage
     // compressor): per-vector scale + zero point, elements mapped to
     // 0..255. Pure per-row projection — no shuffle, no join; at 100 TB

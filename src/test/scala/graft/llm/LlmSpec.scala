@@ -162,6 +162,22 @@ class LlmSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("EmbeddingSearch: multi-probe LSH candidates contain the " +
+      "single-probe candidates, scores stay exact") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val single = EmbeddingSearch.lshTopK(spark, emb, 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val multi = EmbeddingSearch.lshTopKMultiProbe(spark, emb, 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    multi.size should be >= single.size
+    // every single-probe hit that survives the wider top-50 cut keeps
+    // its exact score; candidates only grow, so a dropped id means a
+    // better multi-probe candidate displaced it
+    multi.foreach { case (id, sim) =>
+      single.get(id).foreach(_ shouldBe sim +- 1e-12)
+    }
+  }
+
   test("EmbeddingSearch: mutual top-k at nProbe = K equals the " +
       "declared exact reciprocal pairs") {
     val all = Tables.embeddings(spark, "/root/testdata/sf0.01")
