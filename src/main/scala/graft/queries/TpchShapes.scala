@@ -460,6 +460,130 @@ object TpchShapes {
               |  JOIN supplier ON n_nationkey = s_nationkey
               |  JOIN lineitem ON s_suppkey = l_suppkey
               |  GROUP BY n_name)
-              |ORDER BY n_name""".stripMargin))
+              |ORDER BY n_name""".stripMargin)),
+
+    // TPC-H Q17 shape (small-quantity order revenue): revenue from
+    // lineitems whose quantity sits below half the PART's average —
+    // the correlated-scalar-aggregate pattern, decorrelated into one
+    // per-part aggregate joined back to the fact. The per-part
+    // averages are a part-cardinality table (broadcastable at any
+    // realistic part/fact ratio); the fact scans once.
+    QueryDef(
+      "q256_small_qty_revenue",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val avgQ = li.groupBy("l_partkey")
+          .agg(davg(col("l_quantity")).as("avg_qty"))
+        li.join(broadcast(avgQ), "l_partkey")
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(dsum(col("l_extendedprice")).as("total_price"),
+            count(lit(1)).cast("long").as("n_rows"))
+      },
+      Some(s"""WITH avgq AS (
+              |  SELECT l_partkey, ${sqlDavg("l_quantity")} AS avg_qty
+              |  FROM lineitem GROUP BY l_partkey
+              |)
+              |SELECT ${sqlDsum("l_extendedprice")} AS total_price,
+              |  CAST(COUNT(*) AS BIGINT) AS n_rows
+              |FROM lineitem JOIN avgq USING (l_partkey)
+              |WHERE l_quantity < 0.5 * avg_qty""".stripMargin)),
+
+    // TPC-H Q2 shape (min-cost supplier, adapted — no partsupp
+    // table, so "cost" is the supplier's average observed unit price
+    // on the part): for each part in a part-key slice, the EUROPE
+    // supplier with the lowest average unit price, ties to the lower
+    // suppkey. Region/nation prune the supplier dim BEFORE the fact
+    // join (broadcast both); the argmin is a per-part window over the
+    // (part, supplier) aggregate, not the fact.
+    QueryDef(
+      "q257_min_cost_supplier",
+      (s, d) => {
+        val li = lineitem(s, d).filter(col("l_partkey") % 50 === 0)
+        val eur = supplier(s, d)
+          .join(broadcast(nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name")
+        val perSupp = li
+          .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"))
+          .agg(davg(col("l_extendedprice") / col("l_quantity"))
+            .as("avg_unit"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_partkey")
+          .orderBy(col("avg_unit").asc, col("s_suppkey").asc)
+        perSupp
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
+            col("avg_unit"))
+          .orderBy("l_partkey")
+      },
+      Some(s"""WITH eur AS (
+              |  SELECT s_suppkey, s_name FROM supplier
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  JOIN region ON n_regionkey = r_regionkey
+              |  WHERE r_name = 'EUROPE'
+              |), persupp AS (
+              |  SELECT l_partkey, s_suppkey, s_name,
+              |    ${sqlDavg("l_extendedprice / l_quantity")} AS avg_unit
+              |  FROM lineitem
+              |  JOIN eur ON l_suppkey = s_suppkey
+              |  WHERE l_partkey % 50 = 0
+              |  GROUP BY l_partkey, s_suppkey, s_name
+              |)
+              |SELECT l_partkey, s_suppkey, s_name, avg_unit FROM (
+              |  SELECT l_partkey, s_suppkey, s_name, avg_unit,
+              |    row_number() OVER (PARTITION BY l_partkey
+              |      ORDER BY avg_unit ASC, s_suppkey ASC) AS rn
+              |  FROM persupp)
+              |WHERE rn = 1
+              |ORDER BY l_partkey""".stripMargin)),
+
+    // TPC-H Q20 shape (dominant suppliers, adapted — shipped volume
+    // instead of stocked volume): suppliers who shipped more than 12%
+    // of some part's total shipped quantity, with how many parts they
+    // dominate. Two aggregates over the same fact at different keys
+    // ((part, supplier) then (part)) joined on the part key — the
+    // double-aggregation + ratio-threshold pattern; supplier names
+    // join AFTER the per-supplier rollup (a supplier-cardinality
+    // table, broadcast).
+    QueryDef(
+      "q258_dominant_suppliers",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val ps = li.groupBy("l_partkey", "l_suppkey")
+          .agg(dsum(col("l_quantity")).as("supp_qty"))
+        val tot = li.groupBy("l_partkey")
+          .agg(dsum(col("l_quantity")).as("tot_qty"))
+        ps.join(tot, "l_partkey")
+          .filter(col("supp_qty") > lit(0.12) * col("tot_qty"))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).cast("long").as("n_parts_dominated"))
+          .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("n_parts_dominated"))
+          .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
+      },
+      Some(s"""WITH ps AS (
+              |  SELECT l_partkey, l_suppkey,
+              |    ${sqlDsum("l_quantity")} AS supp_qty
+              |  FROM lineitem GROUP BY l_partkey, l_suppkey
+              |), tot AS (
+              |  SELECT l_partkey, ${sqlDsum("l_quantity")} AS tot_qty
+              |  FROM lineitem GROUP BY l_partkey
+              |)
+              |SELECT s_suppkey, s_name,
+              |  CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+              |FROM ps
+              |JOIN tot USING (l_partkey)
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE supp_qty > 0.12 * tot_qty
+              |GROUP BY s_suppkey, s_name
+              |ORDER BY n_parts_dominated DESC, s_suppkey""".stripMargin))
   )
 }
