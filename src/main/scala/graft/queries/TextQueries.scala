@@ -1725,6 +1725,98 @@ object TextQueries {
              |  CAST(n_coll AS DOUBLE) /
              |    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
              |    AS simpson_index
-             |FROM agg ORDER BY source""".stripMargin))
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // Dedup-signal AGREEMENT — the diagnostic a pipeline owner runs
+    // before trusting one near-dup detector: confusion counts between
+    // the exact-Jaccard rule (q31: capped-gram Jaccard >= 0.5) and
+    // the SimHash rule (q56: 60-bit banded, Hamming <= 3) over the
+    // same corpus. Both signals are recomputed from their shared
+    // capped-gram base (one gram pass feeds both), so the comparison
+    // is apples-to-apples; the output row quantifies how much of the
+    // exact signal the sketch-based one captures (and what it adds).
+    QueryDef(
+      "q259_dedup_signal_agreement",
+      (s, d) => {
+        val jp = jaccardPairs(s, d)
+          .select(col("a_id"), col("b_id"))
+          .withColumn("in_j", lit(1))
+        val grams = sparkGramsCapped(s, d)
+          .select(col("doc_id"), md5(col("gram")).as("m1"),
+            md5(concat(lit("x:"), col("gram"))).as("m2"))
+        val aggs = simhashBitAggs60Pre(col("m1"), col("m2"))
+        val sh = grams.groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            simhashCombine((1 to 60).map(j => col(s"b$j"))).as("s"))
+        val bands = sh.select(col("doc_id"), col("s"), posexplode(array(
+            (0 to 3).map(b =>
+              shiftright(col("s"), b * 15).bitwiseAND(lit(32767L))): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bv")
+        val sp = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.s").as("sa"), col("b.s").as("sb"))
+          .distinct()
+          .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+          .select(col("a_id"), col("b_id"))
+          .withColumn("in_s", lit(1))
+        jp.join(sp, Seq("a_id", "b_id"), "full")
+          .agg(count(lit(1)).cast("long").as("n_union"),
+            sum(when(col("in_j").isNotNull && col("in_s").isNotNull, 1L)
+              .otherwise(0L)).cast("long").as("n_both"),
+            sum(when(col("in_j").isNotNull && col("in_s").isNull, 1L)
+              .otherwise(0L)).cast("long").as("n_jaccard_only"),
+            sum(when(col("in_j").isNull && col("in_s").isNotNull, 1L)
+              .otherwise(0L)).cast("long").as("n_simhash_only"))
+          .select(col("n_union"), col("n_both"), col("n_jaccard_only"),
+            col("n_simhash_only"),
+            (col("n_both").cast("double") /
+              (col("n_both") + col("n_jaccard_only")).cast("double"))
+              .as("simhash_recall_of_jaccard"))
+      },
+      Some(s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |bits AS (
+              |  SELECT doc_id,
+              |    $sqlSimhash60Bits
+              |  FROM grams_rare GROUP BY doc_id
+              |), sh AS (
+              |  SELECT doc_id, CAST($sqlSimhash60Combine AS BIGINT) AS s
+              |  FROM bits
+              |), sbands AS (
+              |  SELECT doc_id, s, band, (s >> (band * 15)) & 32767 AS bv
+              |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs
+              |), scand AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    a.s AS sa, b.s AS sb
+              |  FROM sbands a JOIN sbands b
+              |    ON a.band = b.band AND a.bv = b.bv
+              |      AND a.doc_id < b.doc_id
+              |), sp AS (
+              |  SELECT a_id, b_id FROM scand
+              |  WHERE bit_count(xor(sa, sb)) <= 3
+              |), m AS (
+              |  SELECT COALESCE(jp.a_id, sp.a_id) AS a_id,
+              |    jp.a_id IS NOT NULL AS in_j,
+              |    sp.a_id IS NOT NULL AS in_s
+              |  FROM jp FULL OUTER JOIN sp
+              |    ON jp.a_id = sp.a_id AND jp.b_id = sp.b_id
+              |)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+              |  CAST(SUM(CASE WHEN in_j AND in_s THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_both,
+              |  CAST(SUM(CASE WHEN in_j AND NOT in_s THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_jaccard_only,
+              |  CAST(SUM(CASE WHEN NOT in_j AND in_s THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_simhash_only,
+              |  CAST(SUM(CASE WHEN in_j AND in_s THEN 1 ELSE 0 END)
+              |    AS DOUBLE) /
+              |  CAST(SUM(CASE WHEN in_j THEN 1 ELSE 0 END) AS DOUBLE)
+              |    AS simhash_recall_of_jaccard
+              |FROM m""".stripMargin))
   )
 }
