@@ -2048,6 +2048,353 @@ object VectorQueries {
               |SELECT CAST(10 AS BIGINT) AS k,
               |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
               |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
-              |FROM rerank_top r JOIN exact_top x ON x.vec_id = r.vec_id""".stripMargin))
+              |FROM rerank_top r JOIN exact_top x ON x.vec_id = r.vec_id""".stripMargin)),
+
+    // ---- Binary (sign) quantization: 1 bit per dimension ----------
+    //
+    // The cheapest ANN rung below PQ: each 64-dim float vector
+    // compresses to 64 BITS (two 32-bit words packed into BIGINTs so
+    // every intermediate stays in non-negative signed range in both
+    // engines). Distance is Hamming — two XORs and two popcounts per
+    // candidate, no float math at all. At 100 TB the code table is
+    // 512× smaller than the raw vectors and the scan is pure integer
+    // SIMD; the standard serving funnel is hamming-shortlist → exact
+    // rerank, measured by q262. Packing is a per-row HOF fold
+    // (aggregate over sequence(0,31)) — map-side, shuffle-free.
+    QueryDef(
+      "q260_binary_hamming_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val codes = binCodes(emb)
+        val qc = codes.filter(col("vec_id") === 0)
+          .select(col("lo").as("q_lo"), col("hi").as("q_hi"))
+        codes.crossJoin(broadcast(qc))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)"))
+              .cast("int").as("ham"))
+          .orderBy(col("ham").asc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some(s"""WITH $binCodesCte, $hamCte
+              |SELECT vec_id, ham FROM ham
+              |ORDER BY ham ASC, vec_id ASC LIMIT 20""".stripMargin)),
+
+    // Hamming shortlist → exact cosine rerank: the binary codes cut
+    // the candidate set to 64 before any float math; only the
+    // shortlist pays the exact-decimal cosine. Same two-tier funnel
+    // as IVF-PQ's ADC→rerank, one rung cheaper.
+    QueryDef(
+      "q261_binary_rerank",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val codes = binCodes(emb)
+        val qc = codes.filter(col("vec_id") === 0)
+          .select(col("lo").as("q_lo"), col("hi").as("q_hi"))
+        val shortl = codes.crossJoin(broadcast(qc))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)"))
+              .cast("int").as("ham"))
+          .orderBy(col("ham").asc, col("vec_id").asc)
+          .limit(64)
+          .select("vec_id")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        shortl.join(emb, "vec_id")
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""$vecCtes, $binCodesCte, $hamCte,
+              |shortl AS (
+              |  SELECT vec_id FROM ham
+              |  ORDER BY ham ASC, vec_id ASC LIMIT 64
+              |)
+              |SELECT sh.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |FROM shortl sh
+              |JOIN dots ON dots.vec_id = sh.vec_id
+              |JOIN norms ON norms.vec_id = sh.vec_id
+              |CROSS JOIN qn
+              |ORDER BY cos_sim DESC, sh.vec_id ASC LIMIT 10""".stripMargin)),
+
+    // Binary-quantization quality: recall@10 of the raw Hamming
+    // ranking and of the rerank funnel vs the exact cosine top-10 —
+    // the tracked quality row for this rung (q200/q220/q223 family).
+    QueryDef(
+      "q262_binary_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        def cosTop10(cands: org.apache.spark.sql.DataFrame) =
+          cands.join(emb, "vec_id")
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"),
+              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+            .limit(10)
+            .select("vec_id")
+        val exact = cosTop10(
+          emb.filter(col("vec_id") =!= 0).select("vec_id"))
+        val codes = binCodes(emb)
+        val qc = codes.filter(col("vec_id") === 0)
+          .select(col("lo").as("q_lo"), col("hi").as("q_hi"))
+        val hamRanked = codes.crossJoin(broadcast(qc))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)"))
+              .cast("int").as("ham"))
+        val hamTop = hamRanked
+          .orderBy(col("ham").asc, col("vec_id").asc).limit(10)
+          .select("vec_id")
+        val rerankTop = cosTop10(hamRanked
+          .orderBy(col("ham").asc, col("vec_id").asc).limit(64)
+          .select("vec_id"))
+        exact
+          .join(hamTop.withColumn("in_ham", lit(1)), Seq("vec_id"), "left")
+          .join(rerankTop.withColumn("in_rr", lit(1)), Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("k"),
+            count(col("in_ham")).as("n_hit_ham"),
+            count(col("in_rr")).as("n_hit_rerank"))
+          .select(col("k"), col("n_hit_ham"), col("n_hit_rerank"),
+            (col("n_hit_ham").cast("double") / col("k").cast("double"))
+              .as("recall_ham"),
+            (col("n_hit_rerank").cast("double") / col("k").cast("double"))
+              .as("recall_rerank"))
+      },
+      Some(s"""$vecCtes, $binCodesCte, $hamCte,
+              |ranked AS (
+              |  SELECT e.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0
+              |), exact AS (
+              |  SELECT vec_id FROM ranked
+              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+              |), ham_top AS (
+              |  SELECT vec_id FROM ham ORDER BY ham ASC, vec_id ASC LIMIT 10
+              |), shortl AS (
+              |  SELECT vec_id FROM ham ORDER BY ham ASC, vec_id ASC LIMIT 64
+              |), rr_top AS (
+              |  SELECT r.vec_id FROM ranked r JOIN shortl sh ON sh.vec_id = r.vec_id
+              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(COUNT(h.vec_id) AS BIGINT) AS n_hit_ham,
+              |  CAST(COUNT(rr.vec_id) AS BIGINT) AS n_hit_rerank,
+              |  CAST(COUNT(h.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS recall_ham,
+              |  CAST(COUNT(rr.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS recall_rerank
+              |FROM exact x
+              |LEFT JOIN ham_top h ON h.vec_id = x.vec_id
+              |LEFT JOIN rr_top rr ON rr.vec_id = x.vec_id""".stripMargin)),
+
+    // ---- Matryoshka (prefix-dimension) retrieval curve ------------
+    //
+    // Matryoshka-style embeddings order information by dimension
+    // prefix: searching on just the first d dims costs d/64 of the
+    // float math (and at 100 TB, d/64 of the scan bytes if the
+    // prefix is stored as its own column). This query measures the
+    // quality side of that trade: recall@10 of prefix-d cosine
+    // ranking vs the full-dim exact top-10, for d ∈ {8, 16, 32} —
+    // the operating curve for choosing a serving prefix.
+    QueryDef(
+      "q263_matryoshka_curve",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val exact = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+          .select("vec_id")
+        def prefixRow(dd: Int) = {
+          val top = emb.filter(col("vec_id") =!= 0)
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"),
+              fcos(slice(col("embedding"), 1, dd),
+                slice(col("q_emb"), 1, dd)).as("ps"))
+            .orderBy(col("ps").desc, col("vec_id").asc)
+            .limit(10)
+            .select("vec_id")
+          exact
+            .join(top.withColumn("h", lit(1)), Seq("vec_id"), "left")
+            .agg(count(lit(1)).as("k"), count(col("h")).as("n_hit"))
+            .select(lit(dd).as("d_prefix"), col("k"), col("n_hit"),
+              (col("n_hit").cast("double") / col("k").cast("double"))
+                .as("recall"))
+        }
+        Seq(8, 16, 32).map(prefixRow)
+          .reduce(_ unionByName _)
+          .orderBy("d_prefix")
+      },
+      Some(s"""$vecCtes,
+              |exact AS (
+              |  SELECT e.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
+              |  FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0
+              |  ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+              |)${Seq(8, 16, 32).map(matryoshkaCtes).mkString(",\n", ",\n", "")}
+              |${Seq(8, 16, 32).map(matryoshkaRow).mkString("\nUNION ALL\n")}
+              |ORDER BY d_prefix""".stripMargin)),
+
+    // ---- Clustering quality: per-cell inertia ---------------------
+    //
+    // The k-means evaluation number: every vector is assigned to its
+    // argmax-dot centroid (the q67 literal-centroid, zero-shuffle
+    // assignment) and each cell reports member count, total inertia
+    // (Σ ‖x − c‖²) and mean squared distance. ‖x − c‖² expands to
+    // ss − 2·(x·c) + ‖c‖² so the scan reuses the dot products the
+    // assignment already computed — no second pass over the floats.
+    // The only shuffle is the K-row hash-agg; centroids and their
+    // self-norms ride along as literals (model metadata, O(K·D)).
+    // At 100 TB this is the monitoring query a clustering pipeline
+    // runs per epoch to decide whether to re-train centroids.
+    QueryDef(
+      "q265_cluster_inertia",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        // ‖c‖² as a label→double literal map; the Scala fold starts
+        // at 0.0, which is exact for non-negative squares, so it
+        // matches DuckDB's init-free list_reduce bit-for-bit.
+        val cn2 = map(cents.flatMap { case (lbl, arr) =>
+          Seq(lit(lbl), lit(arr.map(x => x * x).sum))
+        }: _*)
+        emb
+          .select(col("vec_id"), array_max(scored).as("am"),
+            fdot(col("embedding"), col("embedding")).as("ss"))
+          .select(col("am.clabel").as("cell"),
+            (col("ss") - lit(2.0) * col("am.dp") +
+              element_at(cn2, col("am.clabel"))).as("dist2"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_members"),
+            dsum(col("dist2")).as("inertia"))
+          .select(col("cell"), col("n_members"), col("inertia"),
+            (col("inertia") / col("n_members").cast("double"))
+              .as("mean_dist2"))
+          .orderBy("cell")
+      },
+      Some(s"""$centsAndDotsCte,
+              |ssq AS (
+              |  SELECT vec_id,
+              |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS ss
+              |  FROM dexp GROUP BY vec_id
+              |), cn AS (
+              |  SELECT clabel,
+              |    list_reduce(list_transform(cvec, x -> x * x),
+              |      (a, b) -> a + b) AS cnorm2
+              |  FROM cents_l
+              |), assigned AS (
+              |  SELECT vec_id, clabel, dp FROM (
+              |    SELECT vec_id, clabel, dp,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), mrows AS (
+              |  SELECT a.clabel AS cell,
+              |    s.ss - 2.0 * a.dp + cn.cnorm2 AS dist2
+              |  FROM assigned a
+              |  JOIN ssq s USING (vec_id)
+              |  JOIN cn ON cn.clabel = a.clabel
+              |)
+              |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+              |  ${sqlDsum("dist2")} AS inertia,
+              |  ${sqlDsum("dist2")} / CAST(COUNT(*) AS DOUBLE) AS mean_dist2
+              |FROM mrows GROUP BY cell
+              |ORDER BY cell""".stripMargin))
   )
+
+  /** Sign-bit packing for [[binCodes]]: bit i of the word at element
+    * offset `off` is set iff embedding[i + off] ≥ 0. A map-side HOF
+    * fold — 32 adds per row, no shuffle, no UDF.
+    */
+  private def packBits(off: Int) = expr(
+    s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
+       | acc + IF(element_at(embedding, i + $off) >= 0, shiftleft(1L, i), 0L))"""
+      .stripMargin.replace("\n", " "))
+
+  /** 64-dim float vector → two 32-bit sign words (`lo` dims 1–32,
+    * `hi` dims 33–64), each in a BIGINT so both engines stay in
+    * non-negative signed range.
+    */
+  private def binCodes(emb: org.apache.spark.sql.DataFrame) =
+    emb.select(col("vec_id"), packBits(1).as("lo"), packBits(33).as("hi"))
+
+  /** DuckDB spelling of [[binCodes]] (embedding is 1-based LIST). */
+  private def binCodesCte: String =
+    """codes AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[CAST(i + 1 AS INT)] >= 0
+      |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END),
+      |      (a, b) -> a + b) AS lo,
+      |    list_reduce(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[CAST(i + 33 AS INT)] >= 0
+      |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END),
+      |      (a, b) -> a + b) AS hi
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** Hamming distance of every non-query code to the query's code. */
+  private def hamCte: String =
+    """ham AS (
+      |  SELECT c.vec_id,
+      |    CAST(bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi))
+      |         AS INTEGER) AS ham
+      |  FROM codes c
+      |  CROSS JOIN (SELECT lo, hi FROM codes WHERE vec_id = 0) q
+      |  WHERE c.vec_id <> 0
+      |)""".stripMargin
+
+  /** Prefix-d dot/norm/rank CTEs for [[matryoshkaRow]]. */
+  private def matryoshkaCtes(dd: Int): String =
+    s"""pdots_$dd AS (
+       |  SELECT d.vec_id,
+       |    CAST(SUM(CAST(d.x * q.y AS DECIMAL(38,12))) AS DOUBLE) AS dp
+       |  FROM dexp d JOIN qexp q USING (i) WHERE d.i <= $dd
+       |  GROUP BY d.vec_id
+       |), pnorms_$dd AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+       |  FROM dexp WHERE i <= $dd GROUP BY vec_id
+       |), ptop_$dd AS (
+       |  SELECT e.vec_id
+       |  FROM embeddings e
+       |  JOIN pdots_$dd pd ON pd.vec_id = e.vec_id
+       |  JOIN pnorms_$dd pn ON pn.vec_id = e.vec_id
+       |  CROSS JOIN (SELECT nrm AS qnrm FROM pnorms_$dd WHERE vec_id = 0) pq
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY pd.dp / (pn.nrm * pq.qnrm) DESC, e.vec_id ASC LIMIT 10
+       |)""".stripMargin
+
+  /** One output row of the matryoshka curve for prefix length d. */
+  private def matryoshkaRow(dd: Int): String =
+    s"""SELECT $dd AS d_prefix, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(p.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM exact x LEFT JOIN ptop_$dd p ON p.vec_id = x.vec_id""".stripMargin
 }
