@@ -49,8 +49,28 @@ object Tables {
             "expected LONG (nanos), TIMESTAMP, or TIMESTAMP_NTZ")
     }
   }
+  /** embeddings arrives as a SINGLE parquet split at every test SF
+    * (one small file), so without a spread every per-row-heavy scan —
+    * the n² exact-decimal folds under a broadcast join, the PQ
+    * encode's 128-way argmin — runs in ONE task no matter how many
+    * cores the session has (measured at sf0.1: q252 4.2 → 1.1 s,
+    * q218 4.0 → 2.2, q236 2.8 → 1.5 once spread). At 100 TB the same
+    * table arrives in thousands of splits and this round-robin is a
+    * no-op in spirit; it exists to make the local plan shaped like
+    * the cluster plan. Round-robin repartition sorts locally first
+    * (Spark's deterministic-retry rule), and every downstream query
+    * is order-insensitive by the determinism contract, so results
+    * are unchanged under the spread. documents deliberately stays
+    * unspread: its heavy consumers explode into an immediate
+    * hash-agg (already parallel past the scan) and several reuse the
+    * scan subtree across branches — the extra exchange measurably
+    * HURT them (q31 2.7 → 6.0 s).
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sessionState.conf.numShufflePartitions)
+
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings")
+    spread(s, table(s, d, "embeddings"))
 }

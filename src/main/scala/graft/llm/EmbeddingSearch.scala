@@ -421,9 +421,14 @@ object EmbeddingSearch {
   def mutualTopK(spark: SparkSession, emb: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int = 2,
       broadcastProbes: Boolean = false): DataFrame = {
+    // the self-join below reads the kNN table twice; checkpoint the
+    // O(n·k) id/score triples once so the IVF batch search (the
+    // expensive half: probe join + per-cell cosine) runs a single
+    // time instead of once per join side
     val knn = ivfTopKBatch(spark, emb, centroids,
       emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       k, nProbe, broadcastProbes)
+      .localCheckpoint()
     knn.as("a").join(knn.as("b"),
       col("a.q_id") === col("b.vec_id") &&
         col("a.vec_id") === col("b.q_id") &&

@@ -1030,15 +1030,22 @@ object AnalyticsQueries {
           .groupBy("node").agg(count(lit(1)).as("dg"))
         val lower = col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v"))
+        // carry the target's degree so wedges enumerate each {v, w}
+        // pair ONCE in rank order (halves the wedge stream vs the
+        // naive t≠t' form; the closing edge v→w is then exactly the
+        // oriented spelling, no second direction to discard)
         val oe = e
           .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
           .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
           .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-            when(lower, col("v")).otherwise(col("u")).as("t"))
+            when(lower, col("v")).otherwise(col("u")).as("t"),
+            when(lower, col("dv")).otherwise(col("du")).as("dt"))
           .localCheckpoint()
+        val wedgeOrder = col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
         val tri = oe.as("e1")
           .join(oe.as("e2"),
-            col("e2.s") === col("e1.s") && col("e2.t") =!= col("e1.t"))
+            col("e2.s") === col("e1.s") && wedgeOrder)
           .join(oe.as("e3"),
             col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
           .select(col("e1.s").as("x"), col("e1.t").as("y"),
@@ -1066,14 +1073,18 @@ object AnalyticsQueries {
              |              THEN e.u ELSE e.v END AS s,
              |         CASE WHEN da.dg < db.dg
              |                OR (da.dg = db.dg AND e.u < e.v)
-             |              THEN e.v ELSE e.u END AS t
+             |              THEN e.v ELSE e.u END AS t,
+             |         CASE WHEN da.dg < db.dg
+             |                OR (da.dg = db.dg AND e.u < e.v)
+             |              THEN db.dg ELSE da.dg END AS dt
              |  FROM e
              |  JOIN deg da ON da.node = e.u
              |  JOIN deg db ON db.node = e.v
              |), tri AS (
              |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
              |  FROM oe e1
-             |  JOIN oe e2 ON e2.s = e1.s AND e2.t <> e1.t
+             |  JOIN oe e2 ON e2.s = e1.s
+             |    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
              |  JOIN oe e3 ON e3.s = e1.t AND e3.t = e2.t
              |), corners AS (
              |  SELECT x AS node FROM tri

@@ -937,19 +937,31 @@ object VectorQueries {
       "q252_mutual_knn",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
+        // norms hoisted per VECTOR (n exact folds, not n² — the
+        // oracle's norms CTE shape), so each pair pays exactly one
+        // exact-decimal dot; cos_sim value is bit-identical to
+        // fcos(a, b) because the divisor is the same nrm_a · nrm_b
         val sub = embeddings(s, d).filter(col("label") === 2)
-          .select(col("vec_id"), col("embedding"))
-        val pairs = sub.as("a").crossJoin(sub.as("b"))
+          .select(col("vec_id"), col("embedding"),
+            fnorm(col("embedding")).as("nrm"))
+        // the filtered slice arrives as ONE file split, so without a
+        // spread the n² exact scoring runs in a single task; fan the
+        // streamed side out so each core folds a pair stripe
+        val pairs = sub.repartition(32).as("a").crossJoin(sub.as("b"))
           .filter(col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("q_id"),
             col("b.vec_id").as("n_id"),
-            fcos(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+            (fdot(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("q_id")
           .orderBy(col("cos_sim").desc, col("n_id").asc)
+        // the mutuality self-join reads knn twice — checkpoint the
+        // O(n·k) triples so the n² scoring pass runs once
         val knn = pairs.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select("q_id", "n_id", "cos_sim")
+          .localCheckpoint()
         knn.as("x").join(knn.as("y"),
             col("x.q_id") === col("y.n_id") &&
               col("x.n_id") === col("y.q_id") &&

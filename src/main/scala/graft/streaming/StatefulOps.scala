@@ -398,4 +398,52 @@ object StatefulOps {
           }
       }
   }
+
+  final case class KmvGroupSketch(group: String, hashes: Array[Long])
+
+  /** Streaming KMV theta sketch: per-group k-minimum-values distinct
+    * monitor maintained in keyed state (the online counterpart of
+    * [[graft.operators.KmvSketch.build]], the way the streaming CMS
+    * witnesses q234's batch build). Each invocation folds the
+    * batch's key hashes into the group's sorted ≤ k smallest-hash
+    * sample and re-emits the sketch; because "k smallest distinct
+    * of a union" is associative and order-insensitive, the final
+    * state is bit-equal to the batch sketch over the same rows —
+    * StreamingKmvSpec asserts exactly that.
+    *
+    * 100 TB stance: state is ≤ k longs per group NO MATTER how many
+    * events stream through — the entire point of the sketch; the
+    * same `stateTtl` contract as the other keyed ops bounds the
+    * group set itself (eviction re-emits the final sketch, an
+    * idempotent upsert for an Update-mode sink).
+    */
+  def streamingKmv(spark: SparkSession, rows: DataFrame,
+      groupCol: String, keyCol: String, k: Int,
+      stateTtl: Option[String] = None): Dataset[KmvGroupSketch] = {
+    import spark.implicits._
+    require(k >= 2, s"streamingKmv: k must be >= 2, got $k")
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows
+      .select(col(groupCol).cast("string"),
+        graft.operators.KmvSketch.khash(col(keyCol)))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvGroupSketch](timeoutConf) {
+        case (g, it, state) =>
+          if (state.hasTimedOut) {
+            val h = state.get
+            state.remove()
+            KmvGroupSketch(g, h) // final snapshot — idempotent
+          } else {
+            val cur = state.getOption.getOrElse(Array.empty[Long])
+            val merged = (cur.iterator ++ it.map(_._2))
+              .toArray.distinct.sorted.take(k)
+            state.update(merged)
+            stateTtl.foreach(state.setTimeoutDuration)
+            KmvGroupSketch(g, merged)
+          }
+      }
+  }
 }
