@@ -484,4 +484,44 @@ object EmbeddingSearch {
           col("ea.embedding"), col("eb.embedding")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Binary (sign) quantization: each `dims`-dim vector compresses to
+    * one bit per dimension, packed into ⌈dims/32⌉ 32-bit words (each
+    * carried in a BIGINT so intermediates stay in non-negative signed
+    * range on any engine). The cheapest ANN rung below PQ — the code
+    * table is 32×(bytes/float-dim) smaller than the raw vectors and
+    * distance is pure integer XOR+popcount. Packing is a per-row HOF
+    * fold: map-side, shuffle-free, codegen'd. Declared/oracle-gated
+    * forms: q260–q262.
+    */
+  def binaryCodes(emb: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims % 32 == 0, s"binaryCodes: dims must be a multiple of 32, got $dims")
+    val words = (0 until dims / 32).map { w =>
+      expr(s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
+          acc + IF(element_at(embedding, i + ${w * 32 + 1}) >= 0,
+                   shiftleft(1L, i), 0L))""").as(s"w$w")
+    }
+    emb.select(col("vec_id") +: words: _*)
+  }
+
+  /** Hamming top-k over [[binaryCodes]]: the query's code words are
+    * broadcast as one row; every candidate pays ⌈dims/32⌉ XOR+popcount
+    * ops — no float math until (optionally) an exact rerank of the
+    * short list. Ties break on vec_id for a total order.
+    */
+  def hammingTopK(spark: SparkSession, emb: DataFrame, queryId: Long,
+      k: Int, dims: Int = 64): DataFrame = {
+    val codes = binaryCodes(emb, dims)
+    val nw = dims / 32
+    val qc = codes.filter(col("vec_id") === queryId)
+      .select((0 until nw).map(w => col(s"w$w").as(s"q$w")): _*)
+    val ham = (0 until nw)
+      .map(w => expr(s"bit_count(w$w ^ q$w)"))
+      .reduce(_ + _).cast("int")
+    codes.crossJoin(broadcast(qc))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), ham.as("ham"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -1095,6 +1095,181 @@ object AnalyticsQueries {
              |FROM corners GROUP BY node
              |ORDER BY n_tri DESC, partkey ASC LIMIT 20""".stripMargin)),
 
+    // Local clustering coefficient — cc(v) = 2·tri(v) / (deg·(deg−1))
+    // — on a SPARSER slice of the co-purchase graph (l_quantity ≥ 35;
+    // q264 measures the ≥ 25 slice) so the two graph-topology rows
+    // exercise different densities. Same degree-oriented triangle
+    // core as q264 (each wedge enumerated once in rank order); the
+    // per-node triangle counts then LEFT-join back onto the degree
+    // table so zero-triangle nodes report cc = 0 rather than
+    // vanishing. All-integer until the final division, which both
+    // engines spell identically.
+    QueryDef(
+      "q266_clustering_coefficient",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_quantity") >= 35)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val lower = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val oe = e
+          .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+          .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+            when(lower, col("v")).otherwise(col("u")).as("t"),
+            when(lower, col("dv")).otherwise(col("du")).as("dt"))
+          .localCheckpoint()
+        val wedgeOrder = col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
+        val tri = oe.as("e1")
+          .join(oe.as("e2"),
+            col("e2.s") === col("e1.s") && wedgeOrder)
+          .join(oe.as("e3"),
+            col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
+          .select(col("e1.s").as("x"), col("e1.t").as("y"),
+            col("e2.t").as("z"))
+        val tcnt = tri
+          .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        deg.join(tcnt, Seq("node"), "left")
+          .filter(col("dg") >= 2)
+          .select(col("node").as("partkey"), col("dg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            ((lit(2) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+              (col("dg") * (col("dg") - 1)).cast("double")).as("cc"))
+          .orderBy(col("cc").desc, col("partkey").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem WHERE l_quantity >= 35
+             |), e AS (
+             |  SELECT DISTINCT a.pk AS u, b.pk AS v
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |), deg AS (
+             |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+             |    SELECT u AS node FROM e
+             |    UNION ALL SELECT v AS node FROM e)
+             |  GROUP BY node
+             |), oe AS (
+             |  SELECT CASE WHEN da.dg < db.dg
+             |                OR (da.dg = db.dg AND e.u < e.v)
+             |              THEN e.u ELSE e.v END AS s,
+             |         CASE WHEN da.dg < db.dg
+             |                OR (da.dg = db.dg AND e.u < e.v)
+             |              THEN e.v ELSE e.u END AS t,
+             |         CASE WHEN da.dg < db.dg
+             |                OR (da.dg = db.dg AND e.u < e.v)
+             |              THEN db.dg ELSE da.dg END AS dt
+             |  FROM e
+             |  JOIN deg da ON da.node = e.u
+             |  JOIN deg db ON db.node = e.v
+             |), tri AS (
+             |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+             |  FROM oe e1
+             |  JOIN oe e2 ON e2.s = e1.s
+             |    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+             |  JOIN oe e3 ON e3.s = e1.t AND e3.t = e2.t
+             |), corners AS (
+             |  SELECT x AS node FROM tri
+             |  UNION ALL SELECT y AS node FROM tri
+             |  UNION ALL SELECT z AS node FROM tri
+             |), tcnt AS (
+             |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+             |  FROM corners GROUP BY node
+             |)
+             |SELECT d.node AS partkey, d.dg,
+             |  COALESCE(t.n_tri, 0) AS n_tri,
+             |  CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE) /
+             |    CAST(d.dg * (d.dg - 1) AS DOUBLE) AS cc
+             |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+             |WHERE d.dg >= 2
+             |ORDER BY cc DESC, partkey ASC LIMIT 20""".stripMargin)),
+
+    // Degree assortativity — the Pearson correlation of endpoint
+    // degrees over (both directions of) every edge: positive means
+    // hubs link to hubs. The whole computation is INTEGER until one
+    // final double expression (sums of degree products over edges —
+    // counts bounded well inside int64 at any test SF), so the value
+    // is bit-reproducible with no decimal machinery at all. One edge
+    // scan + one 6-sum aggregate; at 100 TB the degree join is the
+    // only shuffle and the moments fold map-side.
+    QueryDef(
+      "q267_degree_assortativity",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val de = e
+          .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+        val sym = de.select(col("du").as("x"), col("dv").as("y"))
+          .unionAll(de.select(col("dv").as("x"), col("du").as("y")))
+        sym.agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n").as("n_pairs"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("assortativity"))
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem WHERE l_quantity >= 25
+             |), e AS (
+             |  SELECT DISTINCT a.pk AS u, b.pk AS v
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |), deg AS (
+             |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+             |    SELECT u AS node FROM e
+             |    UNION ALL SELECT v AS node FROM e)
+             |  GROUP BY node
+             |), de AS (
+             |  SELECT da.dg AS du, db.dg AS dv
+             |  FROM e
+             |  JOIN deg da ON da.node = e.u
+             |  JOIN deg db ON db.node = e.v
+             |), sym AS (
+             |  SELECT du AS x, dv AS y FROM de
+             |  UNION ALL SELECT dv AS x, du AS y FROM de
+             |), m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM sym
+             |)
+             |SELECT n AS n_pairs,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+             |FROM m""".stripMargin)),
+
     // Space-Saving heavy hitters (operators.HeavyHitters), oracle-
     // gated in its EXACT regime: capacity 2048 exceeds the distinct
     // supplier count at every test SF (100 at sf0.01, 1000 at
