@@ -451,6 +451,100 @@ object ScaleQueries {
              |  MAX(day) AS last_day
              |FROM flagged
              |GROUP BY read
-             |ORDER BY read""".stripMargin))
+             |ORDER BY read""".stripMargin)),
+
+    // Zone-map pruning audit: q148 gates the Z-curve ARITHMETIC; this
+    // measures the LAYOUT'S PAYOFF. The same lineitem rows are laid
+    // out two ways — ingestion order (orderkey, linenumber) vs
+    // Z-order on (shipdate-day ÷ 16, partkey ÷ 79) — cut into
+    // 4096-row "files", and a two-column range predicate (a 61-day
+    // ship window × a partkey band) is planned against each file's
+    // min/max stats exactly the way a parquet reader prunes row
+    // groups. Output: files read, rows read and their fractions per
+    // layout — the number a table owner looks at before paying for a
+    // re-cluster. The audit itself is one global sort per layout
+    // (that IS the relayout being priced) + a per-file min/max agg;
+    // at 100 TB you run it on a sample or on existing footer stats.
+    QueryDef(
+      "q268_pruning_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = lineitem(s, d).select(
+          datediff(col("l_shipdate"), to_date(lit("1992-01-01")))
+            .cast("long").as("day"),
+          col("l_partkey").as("pk"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        val zv = graft.operators.ZOrder.zValue(
+          Seq(expr("day DIV 16"), expr("pk DIV 79")), bits = 8)
+        def audit(name: String, ordered: Seq[org.apache.spark.sql.Column]) =
+          base
+            .withColumn("rn", row_number().over(Window.orderBy(ordered: _*)))
+            .select(col("day"), col("pk"),
+              expr("(rn - 1) DIV 4096").as("f"))
+            .groupBy("f")
+            .agg(count(lit(1)).cast("long").as("n_rows"),
+              min(col("day")).as("d_lo"), max(col("day")).as("d_hi"),
+              min(col("pk")).as("p_lo"), max(col("pk")).as("p_hi"))
+            .select(col("n_rows"),
+              (col("d_lo") <= 1560 && col("d_hi") >= 1500 &&
+                col("p_lo") <= 900 && col("p_hi") >= 500).as("read"))
+            .agg(count(lit(1)).cast("long").as("n_files"),
+              sum(when(col("read"), 1L).otherwise(0L)).cast("long")
+                .as("n_files_read"),
+              sum(when(col("read"), col("n_rows")).otherwise(0L))
+                .cast("long").as("n_rows_read"),
+              sum(col("n_rows")).cast("long").as("n_rows_total"))
+            .select(lit(name).as("layout"), col("n_files"),
+              col("n_files_read"), col("n_rows_read"),
+              (col("n_files_read").cast("double") /
+                col("n_files").cast("double")).as("file_read_frac"),
+              (col("n_rows_read").cast("double") /
+                col("n_rows_total").cast("double")).as("row_read_frac"))
+        audit("natural", Seq(col("ok"), col("ln")))
+          .unionByName(audit("zorder",
+            Seq(zv, col("ok"), col("ln"))))
+          .orderBy("layout")
+      },
+      Some {
+        val zsql = sqlZ(Seq("day // 16", "pk // 79"), 8)
+        s"""WITH base AS (
+           |  SELECT date_diff('day', DATE '1992-01-01', l_shipdate)
+           |      AS day,
+           |    l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln
+           |  FROM lineitem
+           |), lay AS (
+           |  SELECT 'natural' AS layout, day, pk,
+           |    (row_number() OVER (ORDER BY ok, ln) - 1) // 4096 AS f
+           |  FROM base
+           |  UNION ALL
+           |  SELECT 'zorder' AS layout, day, pk,
+           |    (row_number() OVER (ORDER BY $zsql, ok, ln) - 1) // 4096
+           |      AS f
+           |  FROM base
+           |), files AS (
+           |  SELECT layout, f, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    MIN(day) AS d_lo, MAX(day) AS d_hi,
+           |    MIN(pk) AS p_lo, MAX(pk) AS p_hi
+           |  FROM lay GROUP BY layout, f
+           |), flagged AS (
+           |  SELECT layout, n_rows,
+           |    (d_lo <= 1560 AND d_hi >= 1500 AND
+           |     p_lo <= 900 AND p_hi >= 500) AS read
+           |  FROM files
+           |)
+           |SELECT layout,
+           |  CAST(COUNT(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(CASE WHEN read THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_files_read,
+           |  CAST(SUM(CASE WHEN read THEN n_rows ELSE 0 END) AS BIGINT)
+           |    AS n_rows_read,
+           |  CAST(SUM(CASE WHEN read THEN 1 ELSE 0 END) AS DOUBLE) /
+           |    CAST(COUNT(*) AS DOUBLE) AS file_read_frac,
+           |  CAST(SUM(CASE WHEN read THEN n_rows ELSE 0 END) AS DOUBLE) /
+           |    CAST(SUM(n_rows) AS DOUBLE) AS row_read_frac
+           |FROM flagged
+           |GROUP BY layout
+           |ORDER BY layout""".stripMargin
+      })
   )
 }
