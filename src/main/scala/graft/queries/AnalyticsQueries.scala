@@ -1270,6 +1270,84 @@ object AnalyticsQueries {
              |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
              |FROM m""".stripMargin)),
 
+    // k-core backbone of the co-purchase graph (operators.KCore) —
+    // the dense-subgraph extraction next to the triangle (q264) and
+    // assortativity (q267) rows: peel nodes with degree < 16 until
+    // the cascade settles. Five fixed rounds converge at every test
+    // SF (measured: the last two round sizes agree by round 4), and
+    // the output row WITNESSES it — n_edges_r4 = n_edges_r5 — so a
+    // drifted dataset that needs more rounds fails the hash rather
+    // than passing silently. Peeling is degree-agg + keyed filters
+    // only (strictly cheaper than the wedge join); the oracle chain
+    // is GENERATED from the same round count, with MATERIALIZED CTEs
+    // so DuckDB evaluates each round once instead of exponentially
+    // re-inlining the chain.
+    QueryDef(
+      "q271_kcore",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val (core, counts) = graft.operators.KCore
+          .peelWithCounts(e, k = 16, rounds = 5)
+        val deg = core.select(col("u").as("node"))
+          .unionAll(core.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        deg.agg(count(lit(1)).cast("long").as("n_core_nodes"),
+            min(col("dg")).as("min_core_deg"),
+            max(col("dg")).as("max_core_deg"))
+          .select(lit(16).as("k"),
+            lit(counts(3)).as("n_edges_r4"),
+            lit(counts(4)).as("n_edges_r5"),
+            col("n_core_nodes"), col("min_core_deg"),
+            col("max_core_deg"))
+      },
+      Some {
+        val sb = new StringBuilder(
+          """WITH li AS MATERIALIZED (
+            |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            |  FROM lineitem WHERE l_quantity >= 25
+            |), e0 AS MATERIALIZED (
+            |  SELECT DISTINCT a.pk AS u, b.pk AS v
+            |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            |)""".stripMargin)
+        for (r <- 1 to 5) {
+          sb.append(s""", d$r AS MATERIALIZED (
+            |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+            |    SELECT u AS node FROM e${r - 1}
+            |    UNION ALL SELECT v AS node FROM e${r - 1})
+            |  GROUP BY node
+            |), keep$r AS MATERIALIZED (
+            |  SELECT node FROM d$r WHERE dg >= 16
+            |), e$r AS MATERIALIZED (
+            |  SELECT u, v FROM e${r - 1}
+            |  JOIN keep$r ku ON ku.node = e${r - 1}.u
+            |  JOIN keep$r kv ON kv.node = e${r - 1}.v
+            |)""".stripMargin)
+        }
+        sb.append("""
+          |, cdeg AS (
+          |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+          |    SELECT u AS node FROM e5
+          |    UNION ALL SELECT v AS node FROM e5)
+          |  GROUP BY node
+          |)
+          |SELECT 16 AS k,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e4) AS n_edges_r4,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e5) AS n_edges_r5,
+          |  CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+          |  MIN(dg) AS min_core_deg,
+          |  MAX(dg) AS max_core_deg
+          |FROM cdeg""".stripMargin)
+        sb.toString
+      }),
+
     // Space-Saving heavy hitters (operators.HeavyHitters), oracle-
     // gated in its EXACT regime: capacity 2048 exceeds the distinct
     // supplier count at every test SF (100 at sf0.01, 1000 at
@@ -1367,6 +1445,108 @@ object AnalyticsQueries {
              |SELECT event_type, p, q,
              |  abs(p - q) / 2 AS tv_term,
              |  (p - q) * (p - q) / q AS chi2_term
-             |FROM pq ORDER BY event_type""".stripMargin))
+             |FROM pq ORDER BY event_type""".stripMargin)),
+
+    // Theil–Sen slope — the robust trend estimator (median of all
+    // pairwise slopes) next to q161's OLS: one gross outlier day
+    // shifts OLS arbitrarily but moves a median-of-16k-slopes not at
+    // all. Series = daily 1995-H1 revenue (exact-decimal sums, so
+    // the slope operands are bit-identical cross-engine); the median
+    // is the LOWER median under a total order on (slope, day_i,
+    // day_j) — rank-picked, no averaging, no float ambiguity. The
+    // O(days²) pair join is over the AGGREGATED series (≈180 rows →
+    // 16k pairs), never the fact table — the standard way Theil–Sen
+    // stays cheap at any corpus size.
+    QueryDef(
+      "q269_theil_sen",
+      (s, d) => {
+        val daily = lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1995-07-01"))
+          .groupBy(datediff(col("l_shipdate"),
+            to_date(lit("1992-01-01"))).cast("long").as("day"))
+          .agg(dsum(col("l_extendedprice")).as("rev"))
+          .localCheckpoint() // O(days) rows, read twice by the self-join
+        val slopes = daily.as("a").join(daily.as("b"),
+            col("a.day") < col("b.day"))
+          .select(col("a.day").as("d1"), col("b.day").as("d2"),
+            ((col("b.rev") - col("a.rev")) /
+              (col("b.day") - col("a.day")).cast("double")).as("slope"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("slope"), col("d1"), col("d2"))
+        slopes
+          .withColumn("rnk", row_number().over(w))
+          .crossJoin(slopes.agg(count(lit(1)).as("n_pairs")))
+          .filter(col("rnk") === expr("(n_pairs + 1) DIV 2"))
+          .select(col("n_pairs"), col("slope").as("median_slope"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT date_diff('day', DATE '1992-01-01', l_shipdate)
+              |      AS day,
+              |    ${sqlDsum("l_extendedprice")} AS rev
+              |  FROM lineitem
+              |  WHERE l_shipdate >= DATE '1995-01-01'
+              |    AND l_shipdate < DATE '1995-07-01'
+              |  GROUP BY 1
+              |), slopes AS (
+              |  SELECT a.day AS d1, b.day AS d2,
+              |    (b.rev - a.rev) / CAST(b.day - a.day AS DOUBLE) AS slope
+              |  FROM daily a JOIN daily b ON a.day < b.day
+              |), ranked AS (
+              |  SELECT slope,
+              |    row_number() OVER (ORDER BY slope, d1, d2) AS rnk,
+              |    CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+              |  FROM slopes
+              |)
+              |SELECT n_pairs, slope AS median_slope
+              |FROM ranked WHERE rnk = (n_pairs + 1) // 2""".stripMargin)),
+
+    // Trimmed (10%-symmetric) mean — the robust location estimate
+    // beside MAD (q164) and the weighted quantiles (q188): per order
+    // priority, drop the bottom and top 5% of o_totalprice by rank
+    // (total order, orderkey tiebreak — no percentile interpolation
+    // ambiguity) and average the rest in exact decimal. One window
+    // rank + one hash-agg, both partitioned by the group key.
+    QueryDef(
+      "q270_trimmed_mean",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val ranked = orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderkey"))
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_orderpriority")))
+        val cut = expr("n DIV 20")
+        ranked
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(when(col("rnk") > cut && col("rnk") <= col("n") - cut, 1L)
+              .otherwise(0L)).cast("long").as("n_kept"),
+            davg(when(col("rnk") > cut && col("rnk") <= col("n") - cut,
+              col("o_totalprice"))).as("trimmed_mean"),
+            davg(col("o_totalprice")).as("raw_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH ranked AS (
+              |  SELECT o_orderpriority, o_totalprice,
+              |    row_number() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY o_totalprice, o_orderkey) AS rnk,
+              |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+              |  FROM orders
+              |)
+              |SELECT o_orderpriority,
+              |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  CAST(SUM(CASE WHEN rnk > n // 20 AND rnk <= n - n // 20
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  ${sqlDavg("CASE WHEN rnk > n // 20 AND rnk <= n - n // 20 " +
+                "THEN o_totalprice END")} AS trimmed_mean,
+              |  ${sqlDavg("o_totalprice")} AS raw_mean
+              |FROM ranked
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin))
   )
 }
