@@ -33,7 +33,7 @@ object KCore {
   def peelWithCounts(edges: DataFrame, k: Int,
       rounds: Int): (DataFrame, Seq[Long]) = {
     require(k >= 1 && rounds >= 1, s"need k/rounds >= 1: $k/$rounds")
-    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    var e = edges.select(col("u"), col("v")).localCheckpoint(eager = false)
     val counts = Seq.newBuilder[Long]
     for (_ <- 1 to rounds) {
       val deg = e.select(col("u").as("node"))
@@ -44,7 +44,7 @@ object KCore {
         .join(keep.select(col("node").as("u")), "u")
         .join(keep.select(col("node").as("v")), "v")
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       counts += e.count()
     }
     (e, counts.result())

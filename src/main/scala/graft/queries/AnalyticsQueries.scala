@@ -951,7 +951,7 @@ object AnalyticsQueries {
         val edges = e0
           .unionByName(e0.select(col("dst").as("src"),
             col("src").as("dst")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         graft.operators.GraphPropagation
           .pageRank(edges, "src", "dst", iters = 3)
           .orderBy(col("rank").desc, col("node")).limit(10)
@@ -1040,7 +1040,7 @@ object AnalyticsQueries {
           .select(when(lower, col("u")).otherwise(col("v")).as("s"),
             when(lower, col("v")).otherwise(col("u")).as("t"),
             when(lower, col("dv")).otherwise(col("du")).as("dt"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val wedgeOrder = col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
         val tri = oe.as("e1")
@@ -1127,7 +1127,7 @@ object AnalyticsQueries {
           .select(when(lower, col("u")).otherwise(col("v")).as("s"),
             when(lower, col("v")).otherwise(col("u")).as("t"),
             when(lower, col("dv")).otherwise(col("du")).as("dt"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val wedgeOrder = col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
         val tri = oe.as("e1")
@@ -1466,7 +1466,7 @@ object AnalyticsQueries {
           .groupBy(datediff(col("l_shipdate"),
             to_date(lit("1992-01-01"))).cast("long").as("day"))
           .agg(dsum(col("l_extendedprice")).as("rev"))
-          .localCheckpoint() // O(days) rows, read twice by the self-join
+          .localCheckpoint(eager = false) // O(days) rows, read twice by the self-join
         val slopes = daily.as("a").join(daily.as("b"),
             col("a.day") < col("b.day"))
           .select(col("a.day").as("d1"), col("b.day").as("d2"),

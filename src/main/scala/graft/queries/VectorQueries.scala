@@ -961,7 +961,7 @@ object VectorQueries {
         val knn = pairs.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select("q_id", "n_id", "cos_sim")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         knn.as("x").join(knn.as("y"),
             col("x.q_id") === col("y.n_id") &&
               col("x.n_id") === col("y.q_id") &&
