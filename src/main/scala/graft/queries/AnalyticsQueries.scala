@@ -1016,31 +1016,8 @@ object AnalyticsQueries {
     QueryDef(
       "q264_triangle_count",
       (s, d) => {
-        val li = lineitem(s, d)
-          .filter(col("l_quantity") >= 25)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
-        val deg = e.select(col("u").as("node"))
-          .unionAll(e.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("dg"))
-        val lower = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        // carry the target's degree so wedges enumerate each {v, w}
-        // pair ONCE in rank order (halves the wedge stream vs the
-        // naive t≠t' form; the closing edge v→w is then exactly the
-        // oriented spelling, no second direction to discard)
-        val oe = e
-          .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
-          .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
-          .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-            when(lower, col("v")).otherwise(col("u")).as("t"),
-            when(lower, col("dv")).otherwise(col("du")).as("dt"))
-          .localCheckpoint(eager = false)
+        val e = coPurchaseEdges(s, d, minQty = 25)
+        val oe = orientByDegree(e, degreesOf(e))
         val wedgeOrder = col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
         val tri = oe.as("e1")
@@ -1107,27 +1084,9 @@ object AnalyticsQueries {
     QueryDef(
       "q266_clustering_coefficient",
       (s, d) => {
-        val li = lineitem(s, d)
-          .filter(col("l_quantity") >= 35)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
-        val deg = e.select(col("u").as("node"))
-          .unionAll(e.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("dg"))
-        val lower = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val oe = e
-          .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
-          .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
-          .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-            when(lower, col("v")).otherwise(col("u")).as("t"),
-            when(lower, col("dv")).otherwise(col("du")).as("dt"))
-          .localCheckpoint(eager = false)
+        val e = coPurchaseEdges(s, d, minQty = 35)
+        val deg = degreesOf(e)
+        val oe = orientByDegree(e, deg)
         val wedgeOrder = col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
         val tri = oe.as("e1")
@@ -1206,18 +1165,8 @@ object AnalyticsQueries {
     QueryDef(
       "q267_degree_assortativity",
       (s, d) => {
-        val li = lineitem(s, d)
-          .filter(col("l_quantity") >= 25)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
-        val deg = e.select(col("u").as("node"))
-          .unionAll(e.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val e = coPurchaseEdges(s, d, minQty = 25)
+        val deg = degreesOf(e)
         val de = e
           .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
           .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
@@ -1285,15 +1234,7 @@ object AnalyticsQueries {
     QueryDef(
       "q271_kcore",
       (s, d) => {
-        val li = lineitem(s, d)
-          .filter(col("l_quantity") >= 25)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
+        val e = coPurchaseEdges(s, d, minQty = 25)
         val (core, counts) = graft.operators.KCore
           .peelWithCounts(e, k = 16, rounds = 5)
         val deg = core.select(col("u").as("node"))
@@ -1549,4 +1490,51 @@ object AnalyticsQueries {
               |GROUP BY o_orderpriority
               |ORDER BY o_orderpriority""".stripMargin))
   )
+
+  /** Distinct co-purchase part pairs (u < v): parts sharing an order
+    * whose line quantity ≥ `minQty` — the graph behind
+    * q264/q266/q267/q271. Per-order fan-out is bounded (≤ 13 items ⇒
+    * ≤ 78 pairs) and the quantity filter pushes to the parquet scan.
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, minQty: Int): org.apache.spark.sql.DataFrame = {
+    val li = lineitem(s, d)
+      .filter(col("l_quantity") >= minQty)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
+  /** Undirected degree table of an edge list: `(node, dg)`. */
+  private def degreesOf(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+
+  /** Degree orientation: each edge directed from its (degree, id)-
+    * smaller endpoint, with the target's degree carried as `dt` so
+    * wedge enumeration can stay in rank order. Out-degree is then
+    * O(√m) (arboricity bound) — the guard that keeps the triangle
+    * wedge join linear-ish instead of Σdeg² (84 M → 6 M wedges at
+    * sf0.1). Lazily checkpointed: the triangle join reads the
+    * oriented list three times. The degree join stays a shuffle
+    * join — deg is O(nodes), NOT broadcastable at 100 TB.
+    */
+  private def orientByDegree(e: org.apache.spark.sql.DataFrame,
+      deg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e.join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"),
+        when(lower, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint(eager = false)
+  }
 }

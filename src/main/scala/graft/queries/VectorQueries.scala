@@ -2340,21 +2340,14 @@ object VectorQueries {
               |ORDER BY cell""".stripMargin))
   )
 
-  /** Sign-bit packing for [[binCodes]]: bit i of the word at element
-    * offset `off` is set iff embedding[i + off] ≥ 0. A map-side HOF
-    * fold — 32 adds per row, no shuffle, no UDF.
-    */
-  private def packBits(off: Int) = expr(
-    s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
-       | acc + IF(element_at(embedding, i + $off) >= 0, shiftleft(1L, i), 0L))"""
-      .stripMargin.replace("\n", " "))
-
   /** 64-dim float vector → two 32-bit sign words (`lo` dims 1–32,
-    * `hi` dims 33–64), each in a BIGINT so both engines stay in
-    * non-negative signed range.
+    * `hi` dims 33–64) — the production packing
+    * ([[graft.llm.EmbeddingSearch.binaryCodes]]) under the column
+    * names the oracle CTE uses.
     */
   private def binCodes(emb: org.apache.spark.sql.DataFrame) =
-    emb.select(col("vec_id"), packBits(1).as("lo"), packBits(33).as("hi"))
+    graft.llm.EmbeddingSearch.binaryCodes(emb, dims = 64)
+      .select(col("vec_id"), col("w0").as("lo"), col("w1").as("hi"))
 
   /** DuckDB spelling of [[binCodes]] (embedding is 1-based LIST). */
   private def binCodesCte: String =
