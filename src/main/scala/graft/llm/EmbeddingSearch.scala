@@ -524,4 +524,28 @@ object EmbeddingSearch {
       .orderBy(col("ham").asc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** The binary serving funnel (declared form: q261/q262): a Hamming
+    * shortlist of `shortlist` candidates pays integer-only scan cost,
+    * then ONLY the shortlist pays exact cosine — recall@10 measured
+    * 0.8 vs 0.3 for raw Hamming at shortlist = 64 on the tracked
+    * query. Same two-tier shape as IVF-PQ's ADC→rerank, one rung
+    * cheaper and with a 512× smaller index.
+    */
+  def binaryRerankTopK(spark: SparkSession, emb: DataFrame,
+      queryId: Long, k: Int, shortlist: Int = 64,
+      dims: Int = 64): DataFrame = {
+    CosineSimilarityExpr.register(spark)
+    val cands = hammingTopK(spark, emb, queryId, shortlist, dims)
+      .select("vec_id")
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    cands.join(emb, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        CosineSimilarityExpr.cosineFast(col("embedding"), col("q_emb"))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -39,6 +39,17 @@ class BinaryCodesSpec extends AnyFunSuite with SparkFixture
     got(34L) shouldBe 0
   }
 
+  test("binaryRerankTopK with a full-corpus shortlist equals brute force") {
+    val s = spark
+    val emb = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+    val got = EmbeddingSearch
+      .binaryRerankTopK(s, emb, queryId = 0L, k = 5, shortlist = 10000)
+      .collect().map(_.getLong(0))
+    val want = EmbeddingSearch.bruteForceTopK(s, emb, queryId = 0L, k = 5)
+      .collect().map(_.getLong(0))
+    got shouldBe want
+  }
+
   test("codes pack 64 dims into two words; full flip lands at 64") {
     val s = spark
     import s.implicits._
