@@ -906,6 +906,112 @@ object RetrievalQueries {
              |    THEN 1.0 / CAST(CAST(1 AS BIGINT) << self.r AS DOUBLE)
              |    ELSE 0.0 END AS rbp
              |FROM qids LEFT JOIN self USING (query_id)
-             |ORDER BY qids.query_id""".stripMargin))
+             |ORDER BY qids.query_id""".stripMargin)),
+
+    // Pseudo-relevance feedback (Rocchio/RM-style query EXPANSION —
+    // Lavrenko & Croft SIGIR'01 is the relevance-model reading): run
+    // the original 3-term query, take the top-3 feedback documents,
+    // harvest their 5 highest-total-tf terms from the SAME postings
+    // the search already uses (no second corpus pass), union them
+    // into the term set, re-score. Every stage is rank-cut under a
+    // total order (score desc/doc asc; tf desc/term asc) and the
+    // scorer is the transcendental-free integer-ratio BM25 core, so
+    // the full two-round pipeline gates bit-for-bit in DuckDB. At
+    // 100 TB both rounds ride the same serving machinery as q228 —
+    // the feedback term harvest touches |fb docs| postings rows.
+    QueryDef(
+      "q272_prf_expansion",
+      (s, d) => {
+        val docs = documents(s, d)
+        val idx = Bm25.index(docs)
+        val q0 = docs.filter(col("doc_id") === 7)
+          .select(lit(7L).as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        val fb = Bm25.searchCore(idx, q0, topK = 3).select("doc_id")
+        val expTerms = idx.postings.join(fb, "doc_id")
+          .groupBy("term").agg(sum(col("tf")).cast("long").as("w"))
+          .orderBy(col("w").desc, col("term").asc)
+          .limit(5).select("term")
+        val expanded = q0.select(explode(col("terms")).as("term"))
+          .unionByName(expTerms)
+          .agg(sort_array(collect_set(col("term"))).as("terms"))
+          .select(lit(7L).as("query_id"), col("terms"))
+        Bm25.searchCore(idx, expanded, topK = 10)
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q0t AS (
+             |  SELECT DISTINCT
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id = 7
+             |), part0 AS (
+             |  SELECT tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q0t
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), agg0 AS (
+             |  SELECT doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part0 GROUP BY doc_id
+             |), fb AS (
+             |  SELECT doc_id FROM (
+             |    SELECT doc_id,
+             |      row_number() OVER (ORDER BY score DESC, doc_id ASC)
+             |        AS rk
+             |    FROM agg0)
+             |  WHERE rk <= 3
+             |), expt AS (
+             |  SELECT term FROM (
+             |    SELECT tf.term, CAST(SUM(tf.tf) AS BIGINT) AS w
+             |    FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+             |    GROUP BY tf.term)
+             |  ORDER BY w DESC, term ASC LIMIT 5
+             |), q1 AS (
+             |  SELECT term FROM q0t UNION SELECT term FROM expt
+             |), part1 AS (
+             |  SELECT tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q1
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), agg1 AS (
+             |  SELECT doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part1 GROUP BY doc_id
+             |)
+             |SELECT CAST(7 AS BIGINT) AS query_id, doc_id, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id ASC)
+             |      AS rk
+             |  FROM agg1)
+             |WHERE rk <= 10
+             |ORDER BY query_id, score DESC, doc_id""".stripMargin))
   )
 }
