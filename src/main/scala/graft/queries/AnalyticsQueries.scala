@@ -1015,24 +1015,11 @@ object AnalyticsQueries {
     // and at 100 TB is NOT broadcastable.
     QueryDef(
       "q264_triangle_count",
-      (s, d) => {
-        val e = coPurchaseEdges(s, d, minQty = 25)
-        val oe = orientByDegree(e, degreesOf(e))
-        val wedgeOrder = col("e1.dt") < col("e2.dt") ||
-          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
-        val tri = oe.as("e1")
-          .join(oe.as("e2"),
-            col("e2.s") === col("e1.s") && wedgeOrder)
-          .join(oe.as("e3"),
-            col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
-          .select(col("e1.s").as("x"), col("e1.t").as("y"),
-            col("e2.t").as("z"))
-        tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-          .groupBy("node").agg(count(lit(1)).as("n_tri"))
-          .select(col("node").as("partkey"), col("n_tri"))
-          .orderBy(col("n_tri").desc, col("partkey").asc)
-          .limit(20)
-      },
+      (s, d) => graft.operators.Triangles
+        .perNode(coPurchaseEdges(s, d, minQty = 25))
+        .select(col("node").as("partkey"), col("n_tri"))
+        .orderBy(col("n_tri").desc, col("partkey").asc)
+        .limit(20),
       Some("""WITH li AS (
              |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
              |  FROM lineitem WHERE l_quantity >= 25
@@ -1085,20 +1072,8 @@ object AnalyticsQueries {
       "q266_clustering_coefficient",
       (s, d) => {
         val e = coPurchaseEdges(s, d, minQty = 35)
-        val deg = degreesOf(e)
-        val oe = orientByDegree(e, deg)
-        val wedgeOrder = col("e1.dt") < col("e2.dt") ||
-          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
-        val tri = oe.as("e1")
-          .join(oe.as("e2"),
-            col("e2.s") === col("e1.s") && wedgeOrder)
-          .join(oe.as("e3"),
-            col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
-          .select(col("e1.s").as("x"), col("e1.t").as("y"),
-            col("e2.t").as("z"))
-        val tcnt = tri
-          .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        val deg = graft.operators.Triangles.degreesOf(e)
+        val tcnt = graft.operators.Triangles.perNode(e)
         deg.join(tcnt, Seq("node"), "left")
           .filter(col("dg") >= 2)
           .select(col("node").as("partkey"), col("dg"),
@@ -1166,7 +1141,7 @@ object AnalyticsQueries {
       "q267_degree_assortativity",
       (s, d) => {
         val e = coPurchaseEdges(s, d, minQty = 25)
-        val deg = degreesOf(e)
+        val deg = graft.operators.Triangles.degreesOf(e)
         val de = e
           .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
           .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
@@ -1509,32 +1484,4 @@ object AnalyticsQueries {
       .distinct()
   }
 
-  /** Undirected degree table of an edge list: `(node, dg)`. */
-  private def degreesOf(e: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("dg"))
-
-  /** Degree orientation: each edge directed from its (degree, id)-
-    * smaller endpoint, with the target's degree carried as `dt` so
-    * wedge enumeration can stay in rank order. Out-degree is then
-    * O(√m) (arboricity bound) — the guard that keeps the triangle
-    * wedge join linear-ish instead of Σdeg² (84 M → 6 M wedges at
-    * sf0.1). Lazily checkpointed: the triangle join reads the
-    * oriented list three times. The degree join stays a shuffle
-    * join — deg is O(nodes), NOT broadcastable at 100 TB.
-    */
-  private def orientByDegree(e: org.apache.spark.sql.DataFrame,
-      deg: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val lower = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    e.join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
-      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-        when(lower, col("v")).otherwise(col("u")).as("t"),
-        when(lower, col("dv")).otherwise(col("du")).as("dt"))
-      .localCheckpoint(eager = false)
-  }
 }
