@@ -399,6 +399,75 @@ object StatefulOps {
       }
   }
 
+  final case class SequenceMatch(user_id: Long, a_event_id: Long,
+      b_event_id: Long, a_ts_us: Long, b_ts_us: Long)
+
+  /** CEP-lite sequence detection: per user, emit every B event that
+    * follows an A event within `maxGapMicros` event time — each B
+    * matched to the MOST RECENT qualifying A (the last-touch rule,
+    * q251's streaming form). State per user is ONE (ts, event_id)
+    * pair — the latest A seen — so state is O(users) regardless of
+    * stream length; the same `stateTtl` contract as the other keyed
+    * ops bounds the user set (an evicted user's next B simply finds
+    * no pending A, exactly as if the gap had expired — safe whenever
+    * TTL ≥ maxGap).
+    *
+    * Ordering contract: events WITHIN a micro-batch are sorted by
+    * (ts, event_id) before the scan, and the carried state is the
+    * latest-(ts, event_id) A across batches, so any micro-batch
+    * split of an in-order stream yields the same matches
+    * (StreamingSequenceSpec's batch-parity witness). Late A's that
+    * cross batch boundaries out of order resolve to the
+    * max-(ts, event_id) A, matching the batch as-of rule; a B with
+    * NO prior A in-range emits nothing.
+    */
+  def detectSequence(spark: SparkSession, events: DataFrame,
+      aType: String, bType: String, maxGapMicros: Long,
+      stateTtl: Option[String] = None): Dataset[SequenceMatch] = {
+    import spark.implicits._
+    require(maxGapMicros > 0, s"maxGapMicros must be positive")
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .filter(col("event_type").isin(aType, bType))
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"),
+        (col("event_type") === aType).as("is_a"))
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), SequenceMatch](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        timeoutConf) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastA = state.getOption // (ts_us, event_id) of latest A
+            val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+              case (_, ts, eid, isA) =>
+                if (isA) {
+                  if (lastA.forall(p =>
+                      ts > p._1 || (ts == p._1 && eid > p._2)))
+                    lastA = Some((ts, eid))
+                  None
+                } else lastA.collect {
+                  case (ats, aid) if ts - ats <= maxGapMicros && ts >= ats =>
+                    SequenceMatch(uid, aid, eid, ats, ts)
+                }
+            }
+            lastA match {
+              case Some(p) => state.update(p)
+              case None    => // no A yet — nothing to carry
+            }
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   final case class KmvGroupSketch(group: String, hashes: Array[Long])
 
   /** Streaming KMV theta sketch: per-group k-minimum-values distinct
