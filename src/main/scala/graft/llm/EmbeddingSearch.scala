@@ -496,12 +496,20 @@ object EmbeddingSearch {
     */
   def binaryCodes(emb: DataFrame, dims: Int = 64): DataFrame = {
     require(dims % 32 == 0, s"binaryCodes: dims must be a multiple of 32, got $dims")
+    // gate early (the Winnowing.MaxPos convention): a vector shorter
+    // than `dims` would otherwise read NULL elements, whose sign test
+    // silently contributes 0-bits — corrupt codes instead of an error
+    val guarded = emb.withColumn("embedding",
+      when(size(col("embedding")) >= dims, col("embedding"))
+        .otherwise(raise_error(format_string(
+          s"binaryCodes: embedding has %d dims, need >= $dims",
+          size(col("embedding"))))))
     val words = (0 until dims / 32).map { w =>
       expr(s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
           acc + IF(element_at(embedding, i + ${w * 32 + 1}) >= 0,
                    shiftleft(1L, i), 0L))""").as(s"w$w")
     }
-    emb.select(col("vec_id") +: words: _*)
+    guarded.select(col("vec_id") +: words: _*)
   }
 
   /** Hamming top-k over [[binaryCodes]]: the query's code words are

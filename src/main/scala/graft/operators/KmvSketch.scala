@@ -99,4 +99,37 @@ object KmvSketch {
             (col("theta_raw").cast("double") / lit(HashSpace)))
           .as("est_intersection"))
   }
+
+  /** Shape-carrying sketch (the CountMinSketch.Sketch convention):
+    * [[estimate]] called with a LARGER k than the build silently
+    * treats capped groups as exact (`n_hv < k'` reads a full sample
+    * of k as a complete key set) — a massive undercount with no
+    * error. The typed overloads below make the mismatch impossible;
+    * prefer them everywhere the sample is not a streaming query
+    * result.
+    */
+  final case class Kmv(k: Int, sample: DataFrame)
+
+  /** [[build]] wrapped with its k — the mismatch-proof form. */
+  def sketchOf(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): Kmv = Kmv(k, build(df, groupCol, keyCol, k))
+
+  /** k-checked merge of disjoint-build samples. */
+  def merge(sketches: Kmv*): Kmv = {
+    require(sketches.nonEmpty, "KmvSketch.merge: no sketches")
+    val k = sketches.head.k
+    require(sketches.forall(_.k == k),
+      s"KmvSketch.merge: k mismatch — got " +
+        sketches.map(_.k).distinct.mkString(", "))
+    Kmv(k, merge(k, sketches.map(_.sample): _*))
+  }
+
+  /** Distinct estimate from a shape-carrying [[Kmv]]. */
+  def estimate(sketch: Kmv, groupCol: String): DataFrame =
+    estimate(sketch.sample, groupCol, sketch.k)
+
+  /** Intersection estimate from a shape-carrying [[Kmv]]. */
+  def intersectEstimate(sketch: Kmv, groupCol: String,
+      groupA: Column, groupB: Column): DataFrame =
+    intersectEstimate(sketch.sample, groupCol, sketch.k, groupA, groupB)
 }

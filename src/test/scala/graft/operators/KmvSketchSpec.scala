@@ -69,4 +69,19 @@ class KmvSketchSpec extends AnyFunSuite with SparkFixture
       .head().getDouble(0)
     math.abs(inter - 2001) / 2001.0 should be < 0.35
   }
+
+  test("typed Kmv overloads are k-mismatch-proof and match raw forms") {
+    val a = (1 to 400).map(i => "A" -> s"k$i")
+    val b = (200 to 600).map(i => "B" -> s"k$i")
+    val sk = KmvSketch.sketchOf(df(a ++ b), "grp", "key", 64)
+    val typed = KmvSketch.estimate(sk, "grp")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val raw = KmvSketch.estimate(sk.sample, "grp", 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    typed shouldBe raw
+    val merged = KmvSketch.merge(sk, sk)
+    merged.k shouldBe 64
+    an[IllegalArgumentException] should be thrownBy
+      KmvSketch.merge(sk, KmvSketch.sketchOf(df(a), "grp", "key", 32))
+  }
 }
