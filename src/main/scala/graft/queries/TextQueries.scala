@@ -657,6 +657,78 @@ object TextQueries {
               |  id = label AS is_survivor
               |FROM l3 ORDER BY doc_id""".stripMargin)),
 
+    // Canonical selection per duplicate cluster — the step after q55
+    // that real corpus pipelines (CCNet/RefinedWeb lineage) run:
+    // instead of keeping the arbitrary min-id member, keep the BEST
+    // copy (here: most tokens, ties to min doc_id — swap in any
+    // per-doc quality score). Output also flags where the quality
+    // pick DIFFERS from the min-id survivor rule — the measure of
+    // what naive dedup throws away. Costs the q55 clustering plus
+    // one window argmax partitioned by cluster.
+    QueryDef(
+      "q273_cluster_canonical",
+      (s, d) => {
+        val labels = graft.llm.DedupClusters.componentsUnrolled(
+          jaccardPairs(s, d).select("a_id", "b_id"), rounds = 3)
+        val lens = documents(s, d)
+          .select(col("doc_id"),
+            size(words(col("text"))).cast("long").as("n_toks"))
+        val members = labels
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .join(lens, "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("n_toks").desc, col("doc_id").asc)
+        members.withColumn("rk", row_number().over(w))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            max(when(col("rk") === 1, col("doc_id"))).as("canonical_id"),
+            max(when(col("rk") === 1, col("n_toks"))).as("canonical_toks"))
+          .select(col("cluster_id"), col("n_members"),
+            col("canonical_id"), col("canonical_toks"),
+            (col("canonical_id") =!= col("cluster_id"))
+              .as("differs_from_min_id"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM jp
+              |  UNION SELECT b_id, a_id FROM jp
+              |  UNION SELECT a_id, a_id FROM jp
+              |  UNION SELECT b_id, b_id FROM jp
+              |), l0 AS (
+              |  SELECT DISTINCT src AS id, src AS label FROM edges
+              |), l1 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst
+              |), l2 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst
+              |), l3 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
+              |), members AS (
+              |  SELECT l3.id AS doc_id, l3.label AS cluster_id,
+              |    CAST(len(string_split(dx.text, ' ')) AS BIGINT)
+              |      AS n_toks
+              |  FROM l3 JOIN documents dx ON dx.doc_id = l3.id
+              |), ranked AS (
+              |  SELECT doc_id, cluster_id, n_toks,
+              |    row_number() OVER (PARTITION BY cluster_id
+              |      ORDER BY n_toks DESC, doc_id ASC) AS rk
+              |  FROM members
+              |)
+              |SELECT cluster_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_members,
+              |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id,
+              |  MAX(CASE WHEN rk = 1 THEN n_toks END) AS canonical_toks,
+              |  MAX(CASE WHEN rk = 1 THEN doc_id END) <> cluster_id
+              |    AS differs_from_min_id
+              |FROM ranked
+              |GROUP BY cluster_id
+              |ORDER BY cluster_id""".stripMargin)),
+
     // Vocabulary build: token document-frequency + total count, top
     // 100 — the corpus-stats pass a tokenizer/BPE training pipeline
     // starts from. One explode + one hash agg; top-k plans as
