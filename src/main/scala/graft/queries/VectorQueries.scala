@@ -2337,7 +2337,77 @@ object VectorQueries {
               |  ${sqlDsum("dist2")} AS inertia,
               |  ${sqlDsum("dist2")} / CAST(COUNT(*) AS DOUBLE) AS mean_dist2
               |FROM mrows GROUP BY cell
-              |ORDER BY cell""".stripMargin))
+              |ORDER BY cell""".stripMargin)),
+
+    // ---- Semantic train/val contamination ------------------------
+    //
+    // Eval hygiene at the EMBEDDING level, complementing the n-gram
+    // decontamination rows (q85/q225): hash-split the corpus into a
+    // val slice (vec_id % 10 = 3) and train rest, find each val
+    // vector's nearest TRAIN vector by exact cosine, and report the
+    // 15 most-contaminated val items — near-identical train
+    // neighbors that lexical overlap checks can miss entirely. Val
+    // is broadcast (the 10% slice); train streams once with hoisted
+    // norms, so every (train, val) pair pays exactly one exact fold;
+    // the per-val argmax is ONE struct-max hash-agg, no window. At
+    // 100 TB the same report routes through ivfTopKBatch — this
+    // declared form is the exact-oracle shape.
+    QueryDef(
+      "q274_semantic_contamination",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val withN = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            fnorm(col("embedding")).as("nrm"))
+        val va = withN.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id").as("val_id"),
+            col("embedding").as("v_emb"), col("nrm").as("v_nrm"))
+        val tr = withN.filter(col("vec_id") % 10 =!= 3)
+        tr.crossJoin(broadcast(va))
+          .select(col("val_id"), col("vec_id").as("train_id"),
+            (fdot(col("embedding"), col("v_emb")) /
+              (col("nrm") * col("v_nrm"))).as("cos"))
+          .groupBy("val_id")
+          .agg(max(struct(col("cos"), col("train_id"))).as("b"))
+          .select(col("val_id"), col("b.train_id").as("best_train_id"),
+            col("b.cos").as("best_cos"))
+          .orderBy(col("best_cos").desc, col("val_id").asc)
+          .limit(15)
+      },
+      Some("""WITH dexp AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings
+             |), norms AS (
+             |  SELECT vec_id,
+             |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE))
+             |      AS nrm
+             |  FROM dexp GROUP BY vec_id
+             |), pairdots AS (
+             |  SELECT t.vec_id AS train_id, v.vec_id AS val_id,
+             |    CAST(SUM(CAST(t.x * v.x AS DECIMAL(38,12))) AS DOUBLE)
+             |      AS dp
+             |  FROM dexp t JOIN dexp v USING (i)
+             |  WHERE t.vec_id % 10 <> 3 AND v.vec_id % 10 = 3
+             |  GROUP BY t.vec_id, v.vec_id
+             |), scored AS (
+             |  SELECT p.val_id, p.train_id,
+             |    p.dp / (nt.nrm * nv.nrm) AS cos
+             |  FROM pairdots p
+             |  JOIN norms nt ON nt.vec_id = p.train_id
+             |  JOIN norms nv ON nv.vec_id = p.val_id
+             |), best AS (
+             |  SELECT val_id, train_id AS best_train_id, cos AS best_cos
+             |  FROM (
+             |    SELECT val_id, train_id, cos,
+             |      row_number() OVER (PARTITION BY val_id
+             |        ORDER BY cos DESC, train_id DESC) AS rn
+             |    FROM scored)
+             |  WHERE rn = 1
+             |)
+             |SELECT val_id, best_train_id, best_cos
+             |FROM best
+             |ORDER BY best_cos DESC, val_id ASC LIMIT 15""".stripMargin))
   )
 
   /** 64-dim float vector → two 32-bit sign words (`lo` dims 1–32,
