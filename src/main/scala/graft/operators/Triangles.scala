@@ -49,7 +49,11 @@ object Triangles {
 
   /** One row per triangle `(x, y, z)` in orientation-rank order. */
   def enumerate(edges: DataFrame): DataFrame = {
-    val oe = orientByDegree(edges, degreesOf(edges))
+    // the edge list feeds both the degree agg and the orientation
+    // join — pin it once instead of recomputing its (possibly
+    // expensive) lineage twice
+    val e = edges.localCheckpoint(eager = false)
+    val oe = orientByDegree(e, degreesOf(e))
     val wedgeOrder = col("e1.dt") < col("e2.dt") ||
       (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
     oe.as("e1")

@@ -1072,6 +1072,7 @@ object AnalyticsQueries {
       "q266_clustering_coefficient",
       (s, d) => {
         val e = coPurchaseEdges(s, d, minQty = 35)
+          .localCheckpoint(eager = false) // deg + triangle core share it
         val deg = graft.operators.Triangles.degreesOf(e)
         val tcnt = graft.operators.Triangles.perNode(e)
         deg.join(tcnt, Seq("node"), "left")
@@ -1141,6 +1142,7 @@ object AnalyticsQueries {
       "q267_degree_assortativity",
       (s, d) => {
         val e = coPurchaseEdges(s, d, minQty = 25)
+          .localCheckpoint(eager = false) // deg + the moment join share it
         val deg = graft.operators.Triangles.degreesOf(e)
         val de = e
           .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
