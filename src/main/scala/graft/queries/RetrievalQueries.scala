@@ -182,6 +182,9 @@ object RetrievalQueries {
           .select(col("doc_id"), array_distinct(
             graft.functions.TextFunctions.trigrams(col("__ws")))
             .as("__tri"))
+          // grams, sizes, and their query-slice filters all read this
+          // projection — pin the (CPU-heavy) shingling once
+          .localCheckpoint(eager = false)
         val grams = withTri
           .select(col("doc_id"), explode(col("__tri")).as("gram"))
         val sizes = withTri

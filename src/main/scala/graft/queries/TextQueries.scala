@@ -236,8 +236,11 @@ object TextQueries {
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
       d: String) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // both sides of the self-join read the gram table — pin the
+    // (split + explode + hot-gram cap + window) lineage once
     val grams = sparkGramsCapped(s, d)
       .withColumn("n", count(lit(1)).over(w))
+      .localCheckpoint(eager = false)
     grams.as("a")
       .join(grams.as("b"),
         col("a.gram") === col("b.gram") &&
