@@ -170,4 +170,68 @@ class StatefulTtlSpec extends AnyFunSuite with SparkFixture
     // post-eviction the older version WINS from a fresh state
     (u1.last._2, u1.last._3, u1.last._4) shouldBe (("insert", 9.0, 1L))
   }
+
+  test("detectSequence stateTtl: an evicted pending A no longer " +
+      "matches a later B") {
+    val s0 = spark
+    import s0.implicits._
+    def row(uid: Long, eid: Long, t: Long, et: String) =
+      (eid, ts(t), uid, et, 0.0)
+    val mk = (df: DataFrame) => StatefulOps.detectSequence(spark, df,
+      "view", "purchase", maxGapMicros = 3600L * 1000000L,
+      stateTtl = Some("1 milliseconds")).toDF()
+    val schema = Seq(row(1L, 1L, 0L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value").schema
+    val inDir = tmp("graft-seqttl-in")
+    val outDir = tmp("graft-seqttl-out") + "/out"
+    val ckpt = tmp("graft-seqttl-ck")
+
+    // run 1: user 1 leaves a pending A; user 2's complete A→B pair is
+    // the commit canary (its match row is what runOnce polls for).
+    // The 1 ms TTL then evicts user 1's pending A in the trailing
+    // timeout batch before the query stops.
+    Seq(row(1L, 10L, 0L, "view"),
+      row(2L, 20L, 0L, "view"), row(2L, 21L, 1000000L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce(mk, inDir, schema, outDir, ckpt, "append", expectRows = 1L)
+
+    // run 2: user 1's B arrives WITHIN the event-time gap — with
+    // carried state this would match; the eviction means it must
+    // not. User 2's second pair is again the commit canary.
+    Seq(row(1L, 11L, 2000000L, "purchase"),
+      row(2L, 22L, 5000000L, "view"),
+      row(2L, 23L, 6000000L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce(mk, inDir, schema, outDir, ckpt, "append", expectRows = 2L)
+
+    val matches = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_event_id"),
+        r.getAs[Long]("b_event_id"))).toSet
+    matches.filter(_._1 == 1L) shouldBe empty // pending A was evicted
+    matches.filter(_._1 == 2L) shouldBe
+      Set((2L, 20L, 21L), (2L, 22L, 23L))
+
+    // control: same two-run split WITHOUT a TTL carries the pending A
+    // across runs and the q251-rule match fires
+    val inDir2 = tmp("graft-seqttl2-in")
+    val outDir2 = tmp("graft-seqttl2-out") + "/out"
+    val ckpt2 = tmp("graft-seqttl2-ck")
+    val mkNoTtl = (df: DataFrame) => StatefulOps.detectSequence(spark,
+      df, "view", "purchase", maxGapMicros = 3600L * 1000000L).toDF()
+    Seq(row(1L, 10L, 0L, "view"),
+      row(2L, 20L, 0L, "view"), row(2L, 21L, 1000000L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(inDir2)
+    runOnce(mkNoTtl, inDir2, schema, outDir2, ckpt2, "append", 1L)
+    Seq(row(1L, 11L, 2000000L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(inDir2)
+    runOnce(mkNoTtl, inDir2, schema, outDir2, ckpt2, "append", 2L)
+    spark.read.parquet(outDir2).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_event_id"),
+        r.getAs[Long]("b_event_id"))).toSet should
+      contain((1L, 10L, 11L))
+  }
 }
