@@ -625,6 +625,81 @@ object EventQueries {
              |    AS gap_us
              |FROM p LEFT JOIN matched m
              |  ON m.event_id = p.event_id AND m.rn = 1
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Conversion latency distribution — the metric on TOP of q251's
+    // attribution rule: for every purchase with a view inside a
+    // 6-hour window (the conversion), how long did it take? One row:
+    // count, min/max and rank-picked quartiles of the latency — all
+    // integer MICROSECONDS under a (latency, event_id) total order,
+    // so no percentile interpolation and no float anywhere. The
+    // as-of match is the same bounded window-join machinery as q251;
+    // the quartile pick is one global sort of the (small) matched
+    // set — at 100 TB the conversions table is orders of magnitude
+    // smaller than the event log that produced it.
+    QueryDef(
+      "q275_conversion_latency",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("t_ts"),
+            col("event_id").as("t_id"))
+        val lat = graft.operators.AsOfJoin.asOfWithin(
+            purchases, views, "user_id", "ts", "t_ts",
+            Map("t_id" -> "touch_event_id", "t_ts" -> "touch_ts"),
+            "6 hours")
+          .filter(col("touch_event_id").isNotNull)
+          .select(col("event_id"),
+            (unix_micros(col("ts")) - unix_micros(col("touch_ts")))
+              .as("lat_us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("lat_us"), col("event_id"))
+        lat.withColumn("rk", row_number().over(w))
+          .crossJoin(lat.agg(count(lit(1)).as("n")))
+          .agg(max(col("n")).as("n_conversions"),
+            min(col("lat_us")).as("min_us"),
+            max(when(col("rk") === expr("(n + 3) DIV 4"),
+              col("lat_us"))).as("p25_us"),
+            max(when(col("rk") === expr("(n + 1) DIV 2"),
+              col("lat_us"))).as("med_us"),
+            max(when(col("rk") === expr("(3 * n + 3) DIV 4"),
+              col("lat_us"))).as("p75_us"),
+            max(col("lat_us")).as("max_us"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |), t AS (
+             |  SELECT user_id, ts AS t_ts, event_id AS t_id
+             |  FROM events WHERE event_type = 'view'
+             |), matched AS (
+             |  SELECT p.event_id,
+             |    CAST(epoch_us(p.ts) - epoch_us(t.t_ts) AS BIGINT)
+             |      AS lat_us,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY t.t_ts DESC) AS rn
+             |  FROM p JOIN t ON t.user_id = p.user_id
+             |    AND t.t_ts <= p.ts
+             |    AND t.t_ts >= p.ts - INTERVAL 6 HOUR
+             |), lat AS (
+             |  SELECT event_id, lat_us FROM matched WHERE rn = 1
+             |), ranked AS (
+             |  SELECT lat_us,
+             |    row_number() OVER (ORDER BY lat_us, event_id) AS rk,
+             |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+             |  FROM lat
+             |)
+             |SELECT MAX(n) AS n_conversions,
+             |  MIN(lat_us) AS min_us,
+             |  MAX(CASE WHEN rk = (n + 3) // 4 THEN lat_us END)
+             |    AS p25_us,
+             |  MAX(CASE WHEN rk = (n + 1) // 2 THEN lat_us END)
+             |    AS med_us,
+             |  MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN lat_us END)
+             |    AS p75_us,
+             |  MAX(lat_us) AS max_us
+             |FROM ranked""".stripMargin))
   )
 }
