@@ -1115,6 +1115,76 @@ object CorpusQueries {
              |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
              |FROM staged
              |GROUP BY source, stage
-             |ORDER BY source, stage""".stripMargin))
+             |ORDER BY source, stage""".stripMargin)),
+
+    // Deterministic span corruption (T5-style denoising targets,
+    // Raffel et al. JMLR'20) — the AUGMENTATION rung of the corpus
+    // pipeline: each token position is masked iff a salted md5 of
+    // (doc_id, position) lands under the 15% rate (reproducible
+    // across runs and engines — no RNG), and ADJACENT masked
+    // positions collapse into one sentinel, the span-corruption
+    // signature. Everything is per-row HOF array work — zero
+    // shuffle until the final order-by — so at 100 TB augmentation
+    // is a map-only pass over the corpus. Gated on the doc_id % 50
+    // slice to keep the declared output bounded.
+    QueryDef(
+      "q276_span_corruption",
+      (s, d) => {
+        val mask =
+          """(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+            | CAST(i AS STRING))), 1, 13), 16, 10) % 100) < 15"""
+            .stripMargin.replace("\n", "")
+        documents(s, d)
+          .filter(col("doc_id") % 50 === 1)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.words(col("text")).as("ws"))
+          .withColumn("flags",
+            expr(s"transform(sequence(1, size(ws)), i -> $mask)"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            size(expr("filter(flags, f -> f)")).cast("long")
+              .as("n_masked"),
+            // i = 1 arms guard element_at(flags, 0), which would
+            // throw (Spark arrays are 1-based through element_at)
+            size(expr("""filter(sequence(1, size(ws)), i ->
+                element_at(flags, i) AND
+                IF(i = 1, true, NOT element_at(flags, i - 1)))"""))
+              .cast("long").as("n_spans"),
+            array_join(expr("""filter(
+                transform(sequence(1, size(ws)), i ->
+                  CASE WHEN NOT element_at(flags, i)
+                         THEN element_at(ws, i)
+                       WHEN i = 1 THEN '<X>'
+                       WHEN NOT element_at(flags, i - 1) THEN '<X>'
+                       END),
+                x -> x IS NOT NULL)"""), " ").as("corrupted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE doc_id % 50 = 1
+             |), flagged AS (
+             |  SELECT doc_id, ws,
+             |    list_transform(range(1, len(ws) + 1), i ->
+             |      (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+             |         || ':' || CAST(i AS VARCHAR)), 1, 13) AS BIGINT)
+             |       % 100) < 15) AS flags
+             |  FROM base
+             |)
+             |SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(flags, f -> f)) AS BIGINT)
+             |    AS n_masked,
+             |  CAST(len(list_filter(range(1, len(ws) + 1), i ->
+             |    flags[i] AND (i = 1 OR NOT flags[i - 1]))) AS BIGINT)
+             |    AS n_spans,
+             |  array_to_string(list_filter(
+             |    list_transform(range(1, len(ws) + 1), i ->
+             |      CASE WHEN NOT flags[i] THEN ws[i]
+             |           WHEN i = 1 OR NOT flags[i - 1] THEN '<X>'
+             |           END),
+             |    x -> x IS NOT NULL), ' ') AS corrupted
+             |FROM flagged
+             |ORDER BY doc_id""".stripMargin))
   )
 }
