@@ -110,25 +110,177 @@ object ProductQuantizer {
   def encode(emb: DataFrame,
       codebook: Array[Array[Array[Double]]]): DataFrame = {
     graft.functions.DotDoubleExpr.register(emb.sparkSession)
-    emb.select(col("vec_id"), posexplode(array(codeExprs(codebook): _*)))
+    emb.select(col("vec_id"), posexplode(array(
+        codeExprs(codebook, col("embedding").cast("array<double>")): _*)))
       .withColumnRenamed("pos", "m")
       .withColumnRenamed("col", "code")
   }
 
   /** Per-subspace code expressions (the [[encode]] argmin) over the
-    * `embedding` column — shared by encode-to-rows and the fused ADC
-    * scans.
+    * given double-array vector column — shared by encode-to-rows,
+    * the fused ADC scans, and the residual variants (which pass the
+    * residual column instead of the raw embedding).
     */
-  private def codeExprs(
-      codebook: Array[Array[Array[Double]]]): Seq[Column] = {
+  private def codeExprs(codebook: Array[Array[Array[Double]]],
+      vd: Column): Seq[Column] = {
     val sub = codebook(0)(0).length
-    val vd = col("embedding").cast("array<double>")
     codebook.indices.map { m =>
       array_min(array(codebook(m).indices.map { kk =>
         struct(subDist(vd, m, sub, codebook(m)(kk)).as("dist"),
           lit(kk).as("k"))
       }: _*)).getField("k")
     }
+  }
+
+  // ---- Residual encoding (IVFADC proper, Jégou et al. §V.A) -------
+  //
+  // Plain PQ quantizes the vector itself; FAISS-style IVFADC
+  // quantizes the RESIDUAL r = v − centroid(cell(v)), so one shared
+  // codebook only has to cover the within-cell displacement instead
+  // of the whole space — a large recall win when cells are tight
+  // (real embedding corpora) and a measured no-op when they aren't
+  // (the q279 recall row quantifies exactly that on the synthetic
+  // corpus, the same measuring-device framing as the matryoshka
+  // curve q263). All shapes below stay identical to the plain path:
+  // cell assignment + residual + codes + ADC ride in ONE narrow
+  // projection — scan → filter → TakeOrderedAndProject, no joins.
+
+  /** Cell-assignment expression (argmax centroid dot, ties to the
+    * larger label — same struct-max as EmbeddingSearch.ivfTopK).
+    */
+  private def cellExprOf(
+      centroids: Seq[(Int, Array[Double])]): Column =
+    array_max(array(centroids.map { case (lbl, arr) =>
+      struct(graft.functions.DotDoubleExpr
+          .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+        lit(lbl).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Centroids as a dense matrix indexed by label (labels must be
+    * 0..K−1 so `element_at(lit, cell+1)` is the in-plan lookup).
+    */
+  private def centMatrix(
+      centroids: Seq[(Int, Array[Double])]): Array[Array[Double]] = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == sorted.indices,
+      s"residual PQ needs contiguous 0-based cell labels, got " +
+        sorted.map(_._1).mkString(","))
+    sorted.map(_._2).toArray
+  }
+
+  /** Residual of the vector column against its assigned cell's
+    * centroid: element-wise double subtraction (exact, single op —
+    * reproducible cross-engine).
+    */
+  private def residualCol(cell: Column,
+      cents: Array[Array[Double]]): Column =
+    zip_with(col("embedding").cast("array<double>"),
+      element_at(typedLit(cents), cell + 1), (x, c) => x - c)
+
+  /** Codebook sampled from corpus RESIDUALS: code k of subspace m =
+    * residual subvector m of the vector with vec_id = k+1 (residual
+    * against that vector's own cell — computed driver-side with the
+    * same fold/tie-break the in-plan assignment uses).
+    */
+  def residualCodebookFromCorpus(emb: DataFrame,
+      centroids: Seq[(Int, Array[Double])], numSub: Int,
+      codesPerSub: Int): Array[Array[Array[Double]]] = {
+    val cents = centMatrix(centroids)
+    val rows = emb
+      .filter(col("vec_id").between(1, codesPerSub))
+      .select("vec_id", "embedding")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.length == codesPerSub,
+      s"residualCodebookFromCorpus needs vectors with vec_id " +
+        s"1..$codesPerSub (found ${rows.length})")
+    val d = rows.head.length
+    require(d % numSub == 0,
+      s"dim $d not divisible into $numSub subspaces")
+    val sub = d / numSub
+    val residuals = rows.map { v =>
+      val c = cents(nearestCell(v, centroids))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    Array.tabulate(numSub, codesPerSub) { (m, k) =>
+      residuals(k).slice(m * sub, (m + 1) * sub)
+    }
+  }
+
+  /** Driver-side cell assignment: same left-to-right dot fold and
+    * (dp, label) max tie-break as the in-plan [[cellExprOf]].
+    */
+  private def nearestCell(v: Array[Double],
+      centroids: Seq[(Int, Array[Double])]): Int =
+    centroids.map { case (lbl, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += v(i) * c(i); i += 1 }
+      (s, lbl)
+    }.maxBy { case (dp, lbl) => (dp, lbl) }._2
+
+  /** One (vec_id, cell, m, code) row per vector per subspace over the
+    * RESIDUAL — the stored representation of an IVFADC index. Still
+    * one narrow shuffle-free pass; centroids and codebook ride as
+    * literals.
+    */
+  def encodeResidual(emb: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.DotDoubleExpr.register(emb.sparkSession)
+    val cents = centMatrix(centroids)
+    emb
+      .select(col("vec_id"), cellExprOf(centroids).as("cell"),
+        col("embedding"))
+      .withColumn("__rv", residualCol(col("cell"), cents))
+      .select(col("vec_id"), col("cell"),
+        posexplode(array(codeExprs(codebook, col("__rv")): _*)))
+      .withColumnRenamed("pos", "m")
+      .withColumnRenamed("col", "code")
+  }
+
+  /** Residual IVF-PQ top-k: the query's LUT is PER PROBED CELL
+    * (LUT_c[m][k] = ‖(q − centroid_c)_m − C[m][k]‖², nProbe × M × K
+    * scaled longs of model metadata), because stored codes quantize
+    * residuals against their own cell. Everything else matches
+    * [[ivfAdcTopK]]: one narrow projection computes cell, residual
+    * codes, and the cell-indexed LUT sum; probed-cell filter; top-k.
+    */
+  def ivfResidualAdcTopK(spark: SparkSession, emb: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      codebook: Array[Array[Array[Double]]], queryId: Long, k: Int,
+      nProbe: Int): DataFrame = {
+    graft.functions.DotDoubleExpr.register(spark)
+    val cents = centMatrix(centroids)
+    val qv = queryVector(emb, queryId)
+    val probed: Seq[Int] = centroids.map { case (lbl, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += qv(i) * c(i); i += 1 }
+      (s, lbl)
+    }.sortBy { case (dp, lbl) => (-dp, -lbl) }.take(nProbe).map(_._2)
+    // LUT per cell, pre-scaled to exact longs (see adcDistCol).
+    val lutByCell: Array[Array[Array[Long]]] =
+      cents.map { c =>
+        val qr = Array.tabulate(qv.length)(i => qv(i) - c(i))
+        adcLut(qr, codebook).map(_.map(d =>
+          BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+            .underlying.unscaledValue.longValueExact))
+      }
+    val cell = col("cell")
+    val ce = codeExprs(codebook, col("__rv"))
+    val lutCols = codebook.indices.map { m =>
+      val lutM: Array[Array[Long]] = cents.indices.map(lutByCell(_)(m)).toArray
+      element_at(element_at(typedLit(lutM), cell + 1), ce(m) + 1)
+    }
+    val dist = lutCols.reduce(_ + _).cast(DoubleType) / lit(1e12)
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), cellExprOf(centroids).as("cell"),
+        col("embedding"))
+      .filter(cell.isin(probed: _*))
+      .withColumn("__rv", residualCol(cell, cents))
+      .select(col("vec_id"), cell, dist.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
   }
 
   /** The ADC distance Σ_m LUT[m][code_m] as a single Column. The LUT
@@ -145,7 +297,7 @@ object ProductQuantizer {
     val lutScaled: Array[Array[Long]] = adcLut(qv, codebook).map(_.map(
       d => BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
         .underlying.unscaledValue.longValueExact))
-    val ce = codeExprs(codebook)
+    val ce = codeExprs(codebook, col("embedding").cast("array<double>"))
     val lutCols = codebook.indices.map { m =>
       element_at(typedLit(lutScaled(m)), ce(m) + 1)
     }

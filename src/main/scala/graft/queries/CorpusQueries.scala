@@ -1185,6 +1185,60 @@ object CorpusQueries {
              |           END),
              |    x -> x IS NOT NULL), ' ') AS corrupted
              |FROM flagged
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Exact duplicate-SPAN detection (Lee et al. ACL'22 ExactSubstr) —
+    // the substring rung of the dedup ladder: per-document maximal
+    // regions whose 5-grams all occur ≥ 2 times corpus-wide, i.e.
+    // what substring dedup would CUT where document-level dedup keeps
+    // or drops whole docs. gram-hash freq + join-back + keyed
+    // gaps-and-islands — see llm.DuplicateSpans for the 100 TB
+    // argument (no suffix arrays, no corpus-wide sort). At sf0.01
+    // the report splits cleanly: coverage-1.0 rows are exact-dup
+    // docs, 5-token spans are shared boilerplate phrases.
+    QueryDef(
+      "q277_duplicate_spans",
+      (s, d) => graft.llm.DuplicateSpans
+        .coverage(documents(s, d), 5)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    md5(array_to_string(ws[i:i+4], ' ')) AS gh
+             |  FROM w, LATERAL unnest(generate_series(1, len(ws) - 4))
+             |    AS t(i)
+             |  WHERE len(ws) >= 5
+             |), dupg AS (
+             |  SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+             |), dup AS (
+             |  SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)
+             |), lagd AS (
+             |  SELECT doc_id, pos,
+             |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |      AS lagp
+             |  FROM dup
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    SUM(CASE WHEN lagp IS NOT NULL AND pos - lagp <= 5
+             |        THEN 0 ELSE 1 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM lagd
+             |), sp AS (
+             |  SELECT doc_id, island, MIN(pos) AS s,
+             |    MAX(pos) + 4 AS e
+             |  FROM isl GROUP BY doc_id, island
+             |), agg AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+             |    CAST(MAX(e - s + 1) AS BIGINT) AS max_span
+             |  FROM sp GROUP BY doc_id
+             |)
+             |SELECT a.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+             |  n_spans, dup_tokens, max_span,
+             |  CAST(dup_tokens AS DOUBLE) / len(w.ws) AS dup_coverage
+             |FROM agg a JOIN w ON a.doc_id = w.doc_id
+             |ORDER BY a.doc_id""".stripMargin))
   )
 }

@@ -237,6 +237,84 @@ object VectorQueries {
       |    FROM dists) WHERE rn = 1
       |)""".stripMargin
 
+  /** DuckDB CTEs mirroring the RESIDUAL IVF-PQ path (append after
+    * [[centsAndDotsCte]]): cell assignment, residual vectors,
+    * residual-sampled codebook, residual codes, the per-probed-cell
+    * query LUT, and `radc(vec_id, adc_dist)` over `rprobed` cells —
+    * mirrors `ProductQuantizer.encodeResidual` / `ivfResidualAdcTopK`
+    * bit-for-bit (all folds left-to-right double, LUT summed exact).
+    */
+  private def residPqCtes(nProbe: Int) =
+    s"""rassigned AS (
+       |  SELECT vec_id, clabel AS cell FROM (
+       |    SELECT vec_id, clabel,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dp DESC, clabel DESC) AS rn
+       |    FROM dots_c)
+       |  WHERE rn = 1
+       |), rvec AS (
+       |  SELECT e.vec_id, a.cell,
+       |    list_transform(range(1, len(e.v) + 1),
+       |      k -> e.v[k] - c.cvec[k]) AS rv
+       |  FROM evec e JOIN rassigned a USING (vec_id)
+       |  JOIN cents_l c ON c.clabel = a.cell
+       |), rms AS (SELECT unnest(range(0,8)) AS m),
+       |rsubs AS (
+       |  SELECT r.vec_id, r.cell, rms.m,
+       |    list_transform(range(1,9),
+       |      j -> r.rv[CAST(rms.m*8+j AS INTEGER)]) AS sv
+       |  FROM rvec r CROSS JOIN rms
+       |), rcb AS (
+       |  SELECT vec_id - 1 AS k, m, sv AS cv FROM rsubs
+       |  WHERE vec_id BETWEEN 1 AND 16
+       |), rdists AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    ((list_reduce(list_transform(range(1,9),
+       |          j -> s.sv[j]*s.sv[j]), (a,b) -> a+b)
+       |      - (list_reduce(list_transform(range(1,9),
+       |          j -> s.sv[j]*c.cv[j]), (a,b) -> a+b) * 2))
+       |     + list_reduce(list_transform(range(1,9),
+       |          j -> c.cv[j]*c.cv[j]), (a,b) -> a+b)) AS dist
+       |  FROM rsubs s JOIN rcb c ON c.m = s.m
+       |), rcodes AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist ASC, k ASC) AS rn
+       |    FROM rdists) WHERE rn = 1
+       |), qres AS (
+       |  SELECT c.clabel AS cell,
+       |    list_transform(range(1, len(e.v) + 1),
+       |      k -> e.v[k] - c.cvec[k]) AS rv
+       |  FROM evec e CROSS JOIN cents_l c WHERE e.vec_id = 0
+       |), qsubs AS (
+       |  SELECT q.cell, rms.m,
+       |    list_transform(range(1,9),
+       |      j -> q.rv[CAST(rms.m*8+j AS INTEGER)]) AS sv
+       |  FROM qres q CROSS JOIN rms
+       |), rlut AS (
+       |  SELECT q.cell, q.m, c.k,
+       |    ((list_reduce(list_transform(range(1,9),
+       |          j -> q.sv[j]*q.sv[j]), (a,b) -> a+b)
+       |      - (list_reduce(list_transform(range(1,9),
+       |          j -> q.sv[j]*c.cv[j]), (a,b) -> a+b) * 2))
+       |     + list_reduce(list_transform(range(1,9),
+       |          j -> c.cv[j]*c.cv[j]), (a,b) -> a+b)) AS ldist
+       |  FROM qsubs q JOIN rcb c ON c.m = q.m
+       |), rprobed AS (
+       |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
+       |  ORDER BY dp DESC, clabel DESC LIMIT $nProbe
+       |), radc AS (
+       |  SELECT cd.vec_id,
+       |    CAST(SUM(CAST(l.ldist AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS adc_dist
+       |  FROM rcodes cd
+       |  JOIN rassigned a ON a.vec_id = cd.vec_id
+       |  JOIN rprobed p ON p.cell = a.cell
+       |  JOIN rlut l ON l.cell = a.cell AND l.m = cd.m AND l.k = cd.k
+       |  WHERE cd.vec_id <> 0 GROUP BY cd.vec_id
+       |)""".stripMargin
+
   /** ADC distances for query vec_id 0 (appends to [[pqCtes]]):
     * `adc(vec_id, adc_dist)` with the LUT summed in exact decimal —
     * mirrors `ProductQuantizer.adcTopK` bit-for-bit.
@@ -2061,6 +2139,83 @@ object VectorQueries {
               |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
               |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
               |FROM rerank_top r JOIN exact_top x ON x.vec_id = r.vec_id""".stripMargin)),
+
+    // RESIDUAL IVF-PQ (IVFADC proper, Jégou et al. §V.A / FAISS):
+    // codes quantize r = v − centroid(cell(v)) instead of v, so one
+    // shared codebook only covers within-cell displacement — the
+    // production IVFADC structure. The query LUT becomes per-probed-
+    // cell (nProbe × 8 × 16 scaled longs, still model metadata);
+    // cell, residual, codes, and the cell-indexed LUT sum all ride
+    // in ONE narrow projection — scan → filter →
+    // TakeOrderedAndProject, identical shape to q221. Gates
+    // `ProductQuantizer.encodeResidual` + `ivfResidualAdcTopK`.
+    QueryDef(
+      "q278_residual_ivfpq_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .residualCodebookFromCorpus(emb, cents, numSub = 8,
+            codesPerSub = 16)
+        graft.llm.ProductQuantizer.ivfResidualAdcTopK(s, emb, cents,
+          cb, queryId = 0, k = 20, nProbe = 2)
+      },
+      Some(s"""$centsAndDotsCte, ${residPqCtes(nProbe = 2)}
+              |SELECT r.vec_id, a.cell, r.adc_dist
+              |FROM radc r JOIN rassigned a ON a.vec_id = r.vec_id
+              |ORDER BY r.adc_dist ASC, r.vec_id ASC LIMIT 20""".stripMargin)),
+
+    // Residual-PQ quality: residual ADC top-10 (nProbe=2) vs the
+    // exact cosine top-10 — the recall row that MEASURES what
+    // residual encoding buys on this corpus. On real embeddings with
+    // tight cells the residual codebook wins big; on this synthetic
+    // corpus cells are wide (inter-cell variance ≈ within-cell), so
+    // residual ≈ plain — the row is the measuring device, same
+    // framing as the matryoshka curve (q263). Tracked per round in
+    // BASELINE.md next to q220/q223.
+    QueryDef(
+      "q279_residual_ivfpq_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .residualCodebookFromCorpus(emb, cents, numSub = 8,
+            codesPerSub = 16)
+        val adcTop = graft.llm.ProductQuantizer
+          .ivfResidualAdcTopK(s, emb, cents, cb, queryId = 0, k = 10,
+            nProbe = 2)
+          .select("vec_id")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val exactTop = emb.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+          .select("vec_id")
+        adcTop.join(exactTop, Seq("vec_id"))
+          .agg(lit(10L).as("k"), count(lit(1)).as("overlap_cnt"),
+            (count(lit(1)).cast("double") / lit(10.0)).as("recall"))
+      },
+      Some(s"""$centsAndDotsCte, ${residPqCtes(nProbe = 2)},
+              |adc_top AS (
+              |  SELECT vec_id FROM radc
+              |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+              |), exact_top AS (
+              |  SELECT e.vec_id FROM embeddings e
+              |  JOIN dots ON dots.vec_id = e.vec_id
+              |  JOIN norms ON norms.vec_id = e.vec_id
+              |  CROSS JOIN qn
+              |  WHERE e.vec_id <> 0
+              |  ORDER BY dots.dp / (norms.nrm * qn.qnrm) DESC,
+              |    e.vec_id ASC LIMIT 10
+              |)
+              |SELECT CAST(10 AS BIGINT) AS k,
+              |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
+              |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
+              |FROM adc_top JOIN exact_top USING (vec_id)""".stripMargin)),
 
     // ---- Binary (sign) quantization: 1 bit per dimension ----------
     //
