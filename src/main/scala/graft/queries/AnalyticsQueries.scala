@@ -1465,7 +1465,198 @@ object AnalyticsQueries {
               |  ${sqlDavg("o_totalprice")} AS raw_mean
               |FROM ranked
               |GROUP BY o_orderpriority
-              |ORDER BY o_orderpriority""".stripMargin))
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Lag-7 autocorrelation of the daily event-value series — the
+    // periodicity detector next to the day-of-week seasonality profile
+    // (q185) and CUSUM (q184): Pearson r between v(day) and v(day+7)
+    // over the exact-decimal daily sums, computed with the q161
+    // moment formula (every sum order-independent decimal, every
+    // final op a single correctly-rounded double step). The daily agg
+    // is the only corpus-wide pass; the lag join and moments run on
+    // the O(days) series (localCheckpoint pins it — read twice by the
+    // self-join). A strong weekly cycle drives r toward 1; this
+    // synthetic series measures what it measures — the row is the
+    // detector, tracked like the drift and seasonality rows.
+    QueryDef(
+      "q280_autocorr_lag7",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(datediff(to_date(col("ts")),
+            to_date(lit("2024-01-01"))).cast("long").as("day"))
+          .agg(dsum(col("value")).as("v"))
+          .localCheckpoint(eager = false)
+        val pairs = daily.as("a")
+          .join(daily.as("b"), col("b.day") === col("a.day") + 7)
+          .select(col("a.v").as("x"), col("b.v").as("y"))
+        pairs
+          .agg(count(lit(1)).as("n"),
+            dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+            dsum(col("x") * col("x")).as("sxx"),
+            dsum(col("y") * col("y")).as("syy"),
+            dsum(col("x") * col("y")).as("sxy"))
+          .select(lit(7L).as("lag"), col("n").cast("long").as("n_pairs"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("autocorr"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT date_diff('day', DATE '2024-01-01',
+              |      CAST(ts AS DATE)) AS day,
+              |    ${sqlDsum("value")} AS v
+              |  FROM events GROUP BY 1
+              |), pairs AS (
+              |  SELECT a.v AS x, b.v AS y
+              |  FROM daily a JOIN daily b ON b.day = a.day + 7
+              |), sums AS (
+              |  SELECT COUNT(*) AS n,
+              |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+              |    ${sqlDsum("x * x")} AS sxx,
+              |    ${sqlDsum("y * y")} AS syy,
+              |    ${sqlDsum("x * y")} AS sxy
+              |  FROM pairs
+              |)
+              |SELECT CAST(7 AS BIGINT) AS lag,
+              |  CAST(n AS BIGINT) AS n_pairs,
+              |  (n * sxy - sx * sy) /
+              |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+              |    AS autocorr
+              |FROM sums""".stripMargin)),
+
+    // Exponentially-weighted moving average (α = 1/2) of the daily
+    // event-value series — the smoothing rung beside gap-fill (q125)
+    // and CUSUM. The recursion e_t = ½x_t + ½e_{t−1} is made EXACT
+    // and order-safe by integer scaling: with C_i = round(100·x_i),
+    // E_t ≡ 100·2^t·e_t satisfies E_t = C_0 + Σ_{i≥1} C_i·2^{i−1} —
+    // a plain cumulative LONG sum (associative, engine-exact); the
+    // final e_t = E_t / 2^t / 100 is two correctly-rounded double
+    // steps. Exact through ~2^63/(100·max|x|) lags — 30 here; a
+    // longer series would truncate the lookback at 64 lags (terms
+    // beyond 53 halvings are sub-ULP anyway, so the truncated form
+    // is the production path at any horizon). The daily agg is the
+    // only corpus-wide pass; the window runs on the O(days) series.
+    QueryDef(
+      "q281_ewma_daily",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("day")
+        val daily = events(s, d)
+          .groupBy(datediff(to_date(col("ts")),
+            to_date(lit("2024-01-01"))).cast("long").as("day"))
+          .agg(dsum(col("value")).as("v"))
+        daily
+          .withColumn("rn", row_number().over(w))
+          .withColumn("c", round(col("v") * 100).cast("long"))
+          .withColumn("term", when(col("rn") === 1, col("c"))
+            .otherwise(col("c") *
+              expr("CAST(power(2, rn - 2) AS BIGINT)")))
+          .withColumn("e_scaled", sum(col("term")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+          .select(col("day"), col("v").as("daily_value"),
+            (col("e_scaled").cast("double") /
+              expr("power(2, rn - 1)") / lit(100.0)).as("ewma"))
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT date_diff('day', DATE '2024-01-01',
+              |      CAST(ts AS DATE)) AS day,
+              |    ${sqlDsum("value")} AS v
+              |  FROM events GROUP BY 1
+              |), seq AS (
+              |  SELECT day, v,
+              |    CAST(round(v * 100) AS BIGINT) AS c,
+              |    row_number() OVER (ORDER BY day) AS rn
+              |  FROM daily
+              |), acc AS (
+              |  SELECT day, v, rn,
+              |    SUM(CASE WHEN rn = 1 THEN c
+              |        ELSE c * CAST(power(2, rn - 2) AS BIGINT) END)
+              |      OVER (ORDER BY rn) AS e_scaled
+              |  FROM seq
+              |)
+              |SELECT day, v AS daily_value,
+              |  CAST(e_scaled AS DOUBLE) / power(2, rn - 1) / 100.0
+              |    AS ewma
+              |FROM acc ORDER BY day""".stripMargin)),
+
+    // Link prediction by common neighbors + neighborhood Jaccard
+    // (Liben-Nowell & Kleinberg CIKM'03) on the co-purchase graph —
+    // the recommendation rung beside co-occurrence lift (q169, which
+    // scores EXISTING pairs; this predicts ABSENT edges). CN(a,b) =
+    // wedges a—s—b; the wedge join enumerates Σ deg² rows, so apexes
+    // are capped at deg ≤ 64 — the q208 df-cap transplanted to
+    // graphs: super-hubs carry no pair discrimination but deg² join
+    // rows (the cap doesn't bind on this graph, max deg 61 at sf0.1 —
+    // exact here, skew guard at 100 TB). Candidate pairs inherit the
+    // u < v normalization, so one anti-join on the edge list removes
+    // existing links; Jaccard = cn / (deg(a)+deg(b)−cn) uses FULL
+    // degrees (int/int double division, exact). Top-20 under a total
+    // order.
+    QueryDef(
+      "q282_link_prediction",
+      (s, d) => {
+        val e = coPurchaseEdges(s, d, minQty = 30)
+          .localCheckpoint(eager = false)
+        val deg = graft.operators.Triangles.degreesOf(e)
+          .localCheckpoint(eager = false)
+        val adj = e.select(col("u").as("apex"), col("v").as("t"))
+          .unionAll(e.select(col("v").as("apex"), col("u").as("t")))
+          .join(deg.select(col("node").as("apex"),
+            col("dg").as("apex_dg")), "apex")
+          .filter(col("apex_dg") <= 64)
+          .select("apex", "t")
+        val cn = adj.as("x")
+          .join(adj.as("y"),
+            col("x.apex") === col("y.apex") && col("x.t") < col("y.t"))
+          .groupBy(col("x.t").as("u"), col("y.t").as("v"))
+          .agg(count(lit(1)).cast("long").as("n_common"))
+        cn
+          .join(e, Seq("u", "v"), "left_anti")
+          .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+          .select(col("u"), col("v"), col("n_common"),
+            (col("n_common").cast("double") /
+              (col("du") + col("dv") - col("n_common")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("n_common").desc, col("u").asc, col("v").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem WHERE l_quantity >= 30
+             |), e AS (
+             |  SELECT DISTINCT a.pk AS u, b.pk AS v
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |), deg AS (
+             |  SELECT node, COUNT(*) AS dg FROM (
+             |    SELECT u AS node FROM e
+             |    UNION ALL SELECT v FROM e)
+             |  GROUP BY node
+             |), adj AS (
+             |  SELECT a.apex, a.t FROM (
+             |    SELECT u AS apex, v AS t FROM e
+             |    UNION ALL SELECT v AS apex, u AS t FROM e) a
+             |  JOIN deg ON deg.node = a.apex
+             |  WHERE deg.dg <= 64
+             |), cn AS (
+             |  SELECT x.t AS u, y.t AS v,
+             |    CAST(COUNT(*) AS BIGINT) AS n_common
+             |  FROM adj x JOIN adj y
+             |    ON x.apex = y.apex AND x.t < y.t
+             |  GROUP BY x.t, y.t
+             |)
+             |SELECT cn.u, cn.v, cn.n_common,
+             |  CAST(cn.n_common AS DOUBLE) /
+             |    CAST(du.dg + dv.dg - cn.n_common AS DOUBLE) AS jaccard
+             |FROM cn
+             |JOIN deg du ON du.node = cn.u
+             |JOIN deg dv ON dv.node = cn.v
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)
+             |ORDER BY cn.n_common DESC, cn.u ASC, cn.v ASC
+             |LIMIT 20""".stripMargin))
   )
 
   /** Distinct co-purchase part pairs (u < v): parts sharing an order

@@ -468,6 +468,62 @@ object StatefulOps {
       }
   }
 
+  final case class EwmaSnapshot(user_id: Long, n_events: Long,
+      last_ts_us: Long, ewma: Double)
+
+  /** Streaming per-key EWMA — online feature smoothing (the
+    * feature-store counterpart of the corpus-level q281 series form):
+    * per user, e ← α·x + (1−α)·e over event values in event-time
+    * order, state = ONE (n, last_ts, e) triple per user regardless
+    * of stream length. Emits the updated snapshot every micro-batch
+    * (Update-mode sink upserts by user).
+    *
+    * Ordering contract (same as [[detectSequence]]): rows WITHIN a
+    * micro-batch fold in (ts, event_id) order, so any micro-batch
+    * split of an in-order stream produces the same final state as
+    * one batch (StreamingEwmaSpec's parity witness); cross-batch
+    * late rows fold at arrival — the recursion is order-sensitive
+    * by definition, so exact event-time replay needs a watermarked
+    * re-sort upstream. `stateTtl` evicts idle users (the snapshot
+    * re-emitted on eviction is final — idempotent for the sink).
+    */
+  def ewmaPerKey(spark: SparkSession, events: DataFrame, alpha: Double,
+      stateTtl: Option[String] = None): Dataset[EwmaSnapshot] = {
+    import spark.implicits._
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Double), EwmaSnapshot](
+        timeoutConf) {
+        case (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val (n, ts, e) = state.get
+            state.remove()
+            EwmaSnapshot(uid, n, ts, e) // final snapshot — idempotent
+          } else {
+            var (n, lastTs, e) =
+              state.getOption.getOrElse((0L, Long.MinValue, 0.0))
+            it.toSeq.sortBy(r => (r._2, r._3)).foreach {
+              case (_, ts, _, x) =>
+                e = if (n == 0L) x else alpha * x + (1.0 - alpha) * e
+                n += 1
+                lastTs = math.max(lastTs, ts)
+            }
+            state.update((n, lastTs, e))
+            stateTtl.foreach(state.setTimeoutDuration)
+            EwmaSnapshot(uid, n, lastTs, e)
+          }
+      }
+  }
+
   final case class KmvGroupSketch(group: String, hashes: Array[Long])
 
   /** Streaming KMV theta sketch: per-group k-minimum-values distinct
