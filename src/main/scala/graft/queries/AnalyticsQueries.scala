@@ -1656,7 +1656,182 @@ object AnalyticsQueries {
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)
              |ORDER BY cn.n_common DESC, cn.u ASC, cn.v ASC
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // Exact AUC via the Mann–Whitney rank statistic — the
+    // classifier-eval rung beside RBP (q244) and MRR (q233): does
+    // event value separate purchases from the rest? AUC =
+    // (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻), tie-corrected with
+    // MID ranks kept INTEGER by doubling: midrank·2 = 2·rank() +
+    // ties − 1, so every sum is a long and the single final double
+    // division is correctly rounded — engine-exact, no float rank
+    // arithmetic. The global rank is one unpartitioned window at
+    // this scale; at 100 TB ranks come from the two-pass
+    // histogram-offset form (per-partition counts → prefix offsets),
+    // same statistic.
+    QueryDef(
+      "q285_auc_mann_whitney",
+      (s, d) => {
+        val wv = org.apache.spark.sql.expressions.Window
+          .orderBy("value")
+        val wt = org.apache.spark.sql.expressions.Window
+          .partitionBy("value")
+        val ranked = events(s, d)
+          .select(col("value"),
+            (col("event_type") === "purchase").as("is_pos"))
+          .withColumn("rnk", rank().over(wv))
+          .withColumn("ties", count(lit(1)).over(wt))
+          .withColumn("mid2",
+            lit(2L) * col("rnk") + col("ties") - lit(1L))
+        ranked.agg(
+            sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+            sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
+            sum(when(col("is_pos"), col("mid2")).otherwise(0L))
+              .as("sum_mid2"))
+          .select(col("n_pos").cast("long").as("n_pos"),
+            col("n_neg").cast("long").as("n_neg"),
+            ((col("sum_mid2") - col("n_pos") * (col("n_pos") + 1))
+              .cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+              .as("auc"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT (event_type = 'purchase') AS is_pos,
+             |    rank() OVER (ORDER BY value) AS rnk,
+             |    COUNT(*) OVER (PARTITION BY value) AS ties
+             |  FROM events
+             |), mids AS (
+             |  SELECT is_pos, 2 * rnk + ties - 1 AS mid2 FROM ranked
+             |), sums AS (
+             |  SELECT
+             |    SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_pos,
+             |    SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS n_neg,
+             |    SUM(CASE WHEN is_pos THEN mid2 ELSE 0 END) AS sum_mid2
+             |  FROM mids
+             |)
+             |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  CAST(sum_mid2 - n_pos * (n_pos + 1) AS DOUBLE) /
+             |    CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+             |FROM sums""".stripMargin)),
+
+    // Incremental view maintenance for a JOIN-aggregate — the
+    // two-sided delta rule (Γ(A⋈B) over A = A₀∪ΔA, B = B₀∪ΔB splits
+    // into the four pair terms, and a SUM view merges them by
+    // addition) that q175 witnessed for a single table. The Spark
+    // side computes revenue-per-priority ONLY through the delta
+    // algebra — base view Γ(L₀⋈O₀) plus the three delta terms, each
+    // kept as an UNROUNDED decimal partial so the merge is exact and
+    // associative — while the oracle recomputes the full join: the
+    // gate is the algebra itself. At refresh time only the Δ terms
+    // run (ΔL⋈O is delta-sized against the indexed base), which is
+    // why a 100 TB nightly view refresh touches GBs, not the corpus.
+    QueryDef(
+      "q286_ivm_join_agg",
+      (s, d) => {
+        val lCut = "1996-01-01" // ΔL: recent shipments
+        val oCut = "1995-07-01" // ΔO: recent orders
+        val li = lineitem(s, d)
+        val or0 = orders(s, d).filter(col("o_orderdate") < oCut)
+        val or1 = orders(s, d).filter(col("o_orderdate") >= oCut)
+        val li0 = li.filter(col("l_shipdate") < lCut)
+        val li1 = li.filter(col("l_shipdate") >= lCut)
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        def term(l: org.apache.spark.sql.DataFrame,
+            o: org.apache.spark.sql.DataFrame) =
+          l.join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"), sum(rev.cast(Dec)).as("s"))
+        term(li0, or0).unionByName(term(li0, or1))
+          .unionByName(term(li1, or0)).unionByName(term(li1, or1))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n")).cast("long").as("n_rows"),
+            sum(col("s")).cast(Dec2).cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+              |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |  ${sqlDsum("l_extendedprice * (1 - l_discount)")}
+              |    AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Join-size estimation from count-min sketches (the AMS inner
+    // product, Cormode & Muthukrishnan §4.2): |A ⋈_k B| = Σ_k
+    // fA(k)·fB(k), estimated as min_r Σ_b cntA[r][b]·cntB[r][b] —
+    // never under the truth, from two d×w sketches. This is the
+    // planner's "would this join blow up" answer at 100 TB: sketch
+    // each partition/day ONCE (q234's mergeable build), then any
+    // cross-partition join size costs an O(d·w) fold of stored
+    // metadata — no re-scan of either side. Gated here on full-
+    // history × recent-shipment lineitem partkeys vs the exact
+    // frequency-product truth; the overshoot is the w=256 collision
+    // cost, tracked in-row like q234's.
+    QueryDef(
+      "q287_cms_join_size",
+      (s, d) => {
+        val cms = graft.operators.CountMinSketch
+        val keysA = lineitem(s, d).select(col("l_partkey").as("k"))
+        val keysB = lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01")
+          .select(col("l_partkey").as("k"))
+        val skA = cms.build(keysA, "k", 4, 256)
+          .withColumnRenamed("cnt", "cnt_a")
+        val skB = cms.build(keysB, "k", 4, 256)
+          .withColumnRenamed("cnt", "cnt_b")
+        val est = skA.join(skB, Seq("row", "bucket"))
+          .groupBy("row")
+          .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+          .agg(min(col("ip")).cast("long").as("est_join_size"))
+        val fA = keysA.groupBy("k").agg(count(lit(1)).as("na"))
+        val fB = keysB.groupBy("k").agg(count(lit(1)).as("nb"))
+        val exact = fA.join(fB, "k")
+          .agg(sum(col("na") * col("nb")).cast("long")
+            .as("exact_join_size"))
+        exact.crossJoin(est)
+          .select(col("exact_join_size"), col("est_join_size"),
+            (col("est_join_size") - col("exact_join_size"))
+              .as("overshoot"),
+            (col("est_join_size").cast("double") /
+              col("exact_join_size").cast("double")).as("ratio"))
+      },
+      Some("""WITH ka AS (
+             |  SELECT l_partkey AS k FROM lineitem
+             |), kb AS (
+             |  SELECT l_partkey AS k FROM lineitem
+             |  WHERE l_shipdate >= DATE '1996-01-01'
+             |), ca AS (
+             |  SELECT r, CAST('0x' || substr(md5(k || '#' || r), 1, 13)
+             |      AS BIGINT) % 256 AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt_a
+             |  FROM ka, LATERAL unnest([0, 1, 2, 3]) AS rr(r)
+             |  GROUP BY 1, 2
+             |), cb AS (
+             |  SELECT r, CAST('0x' || substr(md5(k || '#' || r), 1, 13)
+             |      AS BIGINT) % 256 AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt_b
+             |  FROM kb, LATERAL unnest([0, 1, 2, 3]) AS rr(r)
+             |  GROUP BY 1, 2
+             |), ip AS (
+             |  SELECT ca.r, SUM(ca.cnt_a * cb.cnt_b) AS ip
+             |  FROM ca JOIN cb ON cb.r = ca.r AND cb.bucket = ca.bucket
+             |  GROUP BY ca.r
+             |), est AS (
+             |  SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip
+             |), fa AS (
+             |  SELECT k, COUNT(*) AS na FROM ka GROUP BY k
+             |), fb AS (
+             |  SELECT k, COUNT(*) AS nb FROM kb GROUP BY k
+             |), ex AS (
+             |  SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_join_size
+             |  FROM fa JOIN fb USING (k)
+             |)
+             |SELECT ex.exact_join_size, est.est_join_size,
+             |  est.est_join_size - ex.exact_join_size AS overshoot,
+             |  CAST(est.est_join_size AS DOUBLE) /
+             |    CAST(ex.exact_join_size AS DOUBLE) AS ratio
+             |FROM ex CROSS JOIN est""".stripMargin))
   )
 
   /** Distinct co-purchase part pairs (u < v): parts sharing an order

@@ -125,6 +125,61 @@ object CheckQueries {
              |  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS sd_distinct,
              |  MIN(l_shipdate) AS sd_min,
              |  MAX(l_shipdate) AS sd_max
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // k-anonymity profile (Sweeney, IJUFKS'02) — the privacy audit a
+    // training-data release runs beside PII masking (q113): group the
+    // table by its quasi-identifier tuple (nation, market segment,
+    // account-balance bucket of 500) and report the dataset's
+    // k-anonymity (the MIN group size — any member of a smaller
+    // group is re-identifiable by those attributes alone) plus how
+    // many groups/rows fall under k = 2 / 5 / 10. One hash-agg over
+    // the QI tuple + a one-row summary fold — linear, partial aggs
+    // map-side; the QI bucketing is the knob (coarser buckets raise
+    // k, the generalization move k-anonymization automates).
+    QueryDef(
+      "q283_k_anonymity",
+      (s, d) => {
+        val groups = customer(s, d)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 500) AS BIGINT)").as("bal_bucket"))
+          .agg(count(lit(1)).as("gsz"))
+        groups.agg(
+          count(lit(1)).cast("long").as("n_groups"),
+          min(col("gsz")).cast("long").as("k_anonymity"),
+          sum(when(col("gsz") < 2, 1L).otherwise(0L)).cast("long")
+            .as("groups_lt_2"),
+          sum(when(col("gsz") < 2, col("gsz")).otherwise(0L))
+            .cast("long").as("rows_lt_2"),
+          sum(when(col("gsz") < 5, 1L).otherwise(0L)).cast("long")
+            .as("groups_lt_5"),
+          sum(when(col("gsz") < 5, col("gsz")).otherwise(0L))
+            .cast("long").as("rows_lt_5"),
+          sum(when(col("gsz") < 10, 1L).otherwise(0L)).cast("long")
+            .as("groups_lt_10"),
+          sum(when(col("gsz") < 10, col("gsz")).otherwise(0L))
+            .cast("long").as("rows_lt_10"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_bucket,
+             |    COUNT(*) AS gsz
+             |  FROM customer GROUP BY 1, 2, 3
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(MIN(gsz) AS BIGINT) AS k_anonymity,
+             |  CAST(SUM(CASE WHEN gsz < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS groups_lt_2,
+             |  CAST(SUM(CASE WHEN gsz < 2 THEN gsz ELSE 0 END) AS BIGINT)
+             |    AS rows_lt_2,
+             |  CAST(SUM(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS groups_lt_5,
+             |  CAST(SUM(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT)
+             |    AS rows_lt_5,
+             |  CAST(SUM(CASE WHEN gsz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS groups_lt_10,
+             |  CAST(SUM(CASE WHEN gsz < 10 THEN gsz ELSE 0 END) AS BIGINT)
+             |    AS rows_lt_10
+             |FROM g""".stripMargin))
   )
 }

@@ -1239,6 +1239,54 @@ object CorpusQueries {
              |  n_spans, dup_tokens, max_span,
              |  CAST(dup_tokens AS DOUBLE) / len(w.ws) AS dup_coverage
              |FROM agg a JOIN w ON a.doc_id = w.doc_id
-             |ORDER BY a.doc_id""".stripMargin))
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    // Tokenizer OOV-rate audit — the fit check run before committing
+    // a vocabulary: fix the vocab to the top-16 corpus tokens (by
+    // frequency, token-ASC ties — a deterministic cut), then report
+    // per source how many token OCCURRENCES fall outside it. The
+    // vocab is model metadata (top-K of a hash-agg — broadcastable at
+    // any corpus size); the audit is one explode → broadcast-join →
+    // hash-agg pass, all linear. A source with an outlier oov_rate
+    // is the one that needs vocab growth or its own tokenizer —
+    // the per-source mix report's (q99) vocabulary counterpart.
+    QueryDef(
+      "q284_oov_rate",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("source"), explode(words(col("text"))).as("tok"))
+        val vocab = toks
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc)
+          .limit(16)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        toks
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_oov"),
+            (sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"))
+              .as("oov_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents
+             |), vocab AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+             |  ORDER BY cnt DESC, tok ASC LIMIT 16
+             |)
+             |SELECT t.source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov,
+             |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+             |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+             |GROUP BY t.source
+             |ORDER BY t.source""".stripMargin))
   )
 }
