@@ -179,6 +179,49 @@ object GraphPropagation {
     rank
   }
 
+  /** Personalized PageRank (Haveliwala WWW'02): the restart mass
+    * lands ONLY on the seed set, so scores measure proximity TO the
+    * seeds instead of global centrality — the "related items"
+    * primitive behind graph-based recommendation and seed-expansion
+    * retrieval. Same iteration shape and scaled-long gather as
+    * [[pageRank]] (one edges ⋈ rank join per round, order-free
+    * exact sums); the only changes are the seed-indicator start
+    * vector (1 on seeds, 0 elsewhere) and the seed-gated teleport
+    * floor. Seeds ride as an isin literal — query-sized model
+    * metadata, never a join.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[Long], iters: Int,
+      teleport: Double = 0.15, damping: Double = 0.85): DataFrame = {
+    require(iters > 0, s"iters must be positive: $iters")
+    require(seeds.nonEmpty, "personalizedPageRank needs >= 1 seed")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node")))
+      .distinct().localCheckpoint()
+    val edgesW = edges
+      .join(edges.groupBy(srcCol).agg(count(lit(1)).as("__outdeg")),
+        Seq(srcCol))
+      .localCheckpoint()
+    val isSeed = col("node").isin(seeds: _*)
+    var rank = nodes.withColumn("rank",
+      when(isSeed, lit(1.0)).otherwise(lit(0.0)))
+    for (i <- 1 to iters) {
+      val next = edgesW
+        .join(rank, edgesW(srcCol) === rank("node"))
+        .groupBy(dstCol)
+        .agg(sum9(col("rank") / col("__outdeg")).as("__s9"))
+      val out = nodes
+        .join(next, nodes("node") === next(dstCol), "left")
+        .select(col("node"),
+          (when(isSeed, lit(teleport)).otherwise(lit(0.0)) +
+            lit(damping) *
+            (coalesce(col("__s9"), lit(0L)).cast("double") /
+              lit(1000000000.0))).as("rank"))
+      rank = if (i < iters) out.localCheckpoint() else out
+    }
+    rank
+  }
+
   /** Incremental PageRank state: the folded edge list (src, dst,
     * `__outdeg`), the per-src out-degree table, the node set, and the
     * latest rank — everything the next delta epoch needs, so nothing

@@ -1831,7 +1831,77 @@ object AnalyticsQueries {
              |  est.est_join_size - ex.exact_join_size AS overshoot,
              |  CAST(est.est_join_size AS DOUBLE) /
              |    CAST(ex.exact_join_size AS DOUBLE) AS ratio
-             |FROM ex CROSS JOIN est""".stripMargin))
+             |FROM ex CROSS JOIN est""".stripMargin)),
+
+    // Personalized PageRank from a two-customer seed set over the
+    // bidirected customer↔supplier purchase graph (q192's graph) —
+    // proximity TO the seeds rather than global centrality, the
+    // graph-recommendation primitive ("suppliers related to these
+    // accounts"). Restart mass lands only on seeds; scores decay
+    // with hop distance, so the top-15 reads as the seeds' 1–3-hop
+    // neighborhood ranked by connection strength. Same scaled-long
+    // gather as q192 (order-free exact sums → cross-engine hash
+    // parity); seeds are isin literals, never a join.
+    QueryDef(
+      "q289_personalized_pagerank",
+      (s, d) => {
+        val e0 = orders(s, d)
+          .join(lineitem(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0
+          .unionByName(e0.select(col("dst").as("src"),
+            col("src").as("dst")))
+          .localCheckpoint(eager = false)
+        graft.operators.GraphPropagation
+          .personalizedPageRank(edges, "src", "dst",
+            seeds = Seq(2L, 4L), iters = 3)
+          .orderBy(col("rank").desc, col("node")).limit(15)
+      },
+      Some {
+        val sb = new StringBuilder(
+          """WITH e0 AS (
+            |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+            |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            |), edges AS (
+            |  SELECT src, dst FROM e0
+            |  UNION ALL SELECT dst AS src, src AS dst FROM e0
+            |), nodes AS (
+            |  SELECT src AS node FROM edges
+            |  UNION SELECT dst FROM edges
+            |), outdeg AS (
+            |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+            |), r0 AS (
+            |  SELECT node,
+            |    CASE WHEN node IN (2, 4) THEN CAST(1.0 AS DOUBLE)
+            |         ELSE CAST(0.0 AS DOUBLE) END AS rank
+            |  FROM nodes
+            |)""".stripMargin)
+        for (i <- 1 to 3) {
+          sb.append(s""", c$i AS (
+            |  SELECT src, rank / outdeg AS contrib
+            |  FROM r${i - 1} JOIN outdeg ON node = src
+            |), g$i AS (
+            |  SELECT dst,
+            |    SUM(CAST(floor(contrib * 1000000000.0 + 0.5)
+            |      AS BIGINT)) AS s9
+            |  FROM edges JOIN c$i USING (src) GROUP BY dst
+            |), r$i AS (
+            |  SELECT node,
+            |    CASE WHEN node IN (2, 4) THEN 0.15 ELSE 0.0 END +
+            |    0.85 * (CAST(COALESCE(s9, 0) AS DOUBLE)
+            |      / 1000000000.0) AS rank
+            |  FROM nodes LEFT JOIN g$i ON dst = node
+            |)""".stripMargin)
+        }
+        sb.append("""
+            |SELECT node, rank FROM r3
+            |ORDER BY rank DESC, node LIMIT 15""".stripMargin)
+        sb.toString
+      })
   )
 
   /** Distinct co-purchase part pairs (u < v): parts sharing an order

@@ -1287,6 +1287,87 @@ object CorpusQueries {
              |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
              |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
              |GROUP BY t.source
-             |ORDER BY t.source""".stripMargin))
+             |ORDER BY t.source""".stripMargin)),
+
+    // Duplicate-span SCRUB — the removal pass q277 builds toward
+    // (Lee et al. cut every duplicated region; document-level dedup
+    // would drop none of these partially-duplicated docs): each doc
+    // with spans re-emits with the covered tokens deleted. The span
+    // list arrives as a per-doc array (collect_list of (start,end)
+    // structs — spans per doc are few by construction, they're
+    // maximal and disjoint), and deletion is one HOF pass over token
+    // positions — so after the q277 machinery the scrub itself is
+    // map-only, the augmentation-pass shape of q276. Docs without
+    // spans are untouched and not re-emitted (the output IS the
+    // patch set).
+    QueryDef(
+      "q288_span_scrub",
+      (s, d) => {
+        val sps = graft.llm.DuplicateSpans
+          .spans(documents(s, d), 5)
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("span_start").as("s"),
+            col("span_end").as("e"))).as("sps"))
+        documents(s, d)
+          .join(sps, "doc_id")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.words(col("text")).as("ws"),
+            col("sps"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            size(expr("""filter(sequence(1, size(ws)), i ->
+                exists(sps, sp -> i >= sp.s AND i <= sp.e))"""))
+              .cast("long").as("n_removed"),
+            array_join(expr("""transform(
+                filter(sequence(1, size(ws)), i ->
+                  NOT exists(sps, sp -> i >= sp.s AND i <= sp.e)),
+                i -> element_at(ws, i))"""), " ").as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    md5(array_to_string(ws[i:i+4], ' ')) AS gh
+             |  FROM w, LATERAL unnest(generate_series(1, len(ws) - 4))
+             |    AS t(i)
+             |  WHERE len(ws) >= 5
+             |), dupg AS (
+             |  SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+             |), dup AS (
+             |  SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)
+             |), lagd AS (
+             |  SELECT doc_id, pos,
+             |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |      AS lagp
+             |  FROM dup
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    SUM(CASE WHEN lagp IS NOT NULL AND pos - lagp <= 5
+             |        THEN 0 ELSE 1 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM lagd
+             |), sp AS (
+             |  SELECT doc_id, island, MIN(pos) AS s,
+             |    MAX(pos) + 4 AS e
+             |  FROM isl GROUP BY doc_id, island
+             |), spl AS (
+             |  SELECT doc_id, list({'s': s, 'e': e}) AS sps
+             |  FROM sp GROUP BY doc_id
+             |)
+             |SELECT w.doc_id,
+             |  CAST(len(w.ws) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(range(1, len(w.ws) + 1), i ->
+             |    len(list_filter(spl.sps,
+             |      x -> i >= x.s AND i <= x.e)) > 0)) AS BIGINT)
+             |    AS n_removed,
+             |  COALESCE(array_to_string(list_transform(
+             |    list_filter(range(1, len(w.ws) + 1), i ->
+             |      len(list_filter(spl.sps,
+             |        x -> i >= x.s AND i <= x.e)) = 0),
+             |    i -> w.ws[i]), ' '), '') AS scrubbed
+             |FROM w JOIN spl ON spl.doc_id = w.doc_id
+             |ORDER BY w.doc_id""".stripMargin))
   )
 }

@@ -231,4 +231,31 @@ class GraphPropagationSpec extends AnyFunSuite with SparkFixture
     r(2L) shouldBe r(1L)
     r(4L) shouldBe r(3L)
   }
+
+  test("personalizedPageRank confines restart mass to the seeds and " +
+      "decays with hop distance") {
+    // bidirected path 1–2–3–4, seed {1}, one iteration: only the
+    // seed keeps its teleport floor, only its neighbor receives mass
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val r = GraphPropagation
+      .personalizedPageRank(path, "src", "dst", Seq(1L), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r(1L) shouldBe 0.15 // teleport floor only (neighbor started at 0)
+    r(2L) shouldBe 0.85 // seed's full mass (outdeg(1) = 1)
+    r(3L) shouldBe 0.0
+    r(4L) shouldBe 0.0
+  }
+
+  test("personalizedPageRank with seeds = all nodes equals pageRank") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L),
+      (2L, 1L)).toDF("src", "dst")
+    val ppr = GraphPropagation
+      .personalizedPageRank(g, "src", "dst", Seq(1L, 2L, 3L),
+        iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val pr = GraphPropagation.pageRank(g, "src", "dst", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    ppr shouldBe pr // bit-exact: same scaled-long gathers throughout
+  }
 }
