@@ -1607,6 +1607,7 @@ object AnalyticsQueries {
             col("dg").as("apex_dg")), "apex")
           .filter(col("apex_dg") <= 64)
           .select("apex", "t")
+          .localCheckpoint(eager = false) // read twice by the self-join
         val cn = adj.as("x")
           .join(adj.as("y"),
             col("x.apex") === col("y.apex") && col("x.t") < col("y.t"))
@@ -1901,7 +1902,69 @@ object AnalyticsQueries {
             |SELECT node, rank FROM r3
             |ORDER BY rank DESC, node LIMIT 15""".stripMargin)
         sb.toString
-      })
+      }),
+
+    // Monotone streaks over the daily event-value series — the
+    // run-length analytic beside CUSUM (q184, level shifts) and
+    // autocorrelation (q280, periodicity): every maximal run of
+    // strictly-increasing consecutive days, reported with its length
+    // and value travel. Gaps-and-islands on the sign of the daily
+    // delta (island break = non-increase or a calendar gap), all on
+    // the O(days) post-agg series — the corpus pass is the daily
+    // hash-agg alone. Exact: deltas compare scale-2 decimals as
+    // doubles (bit-identical both engines), counts and day ids are
+    // integers.
+    QueryDef(
+      "q291_increase_streaks",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val daily = events(s, d)
+          .groupBy(datediff(to_date(col("ts")),
+            to_date(lit("2024-01-01"))).cast("long").as("day"))
+          .agg(dsum(col("value")).as("v"))
+        daily
+          .withColumn("pv", lag("v", 1).over(w))
+          .withColumn("pd", lag("day", 1).over(w))
+          .withColumn("brk",
+            when(col("pv").isNotNull && col("v") > col("pv") &&
+              col("day") === col("pd") + 1, lit(0)).otherwise(lit(1)))
+          .withColumn("grp", sum("brk").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+          .groupBy("grp")
+          .agg(min("day").as("start_day"), max("day").as("end_day"),
+            count(lit(1)).cast("long").as("run_len"),
+            (max("v") - min("v")).as("travel"))
+          .filter(col("run_len") >= 3)
+          .select("start_day", "end_day", "run_len", "travel")
+          .orderBy("start_day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT date_diff('day', DATE '2024-01-01',
+              |      CAST(ts AS DATE)) AS day,
+              |    ${sqlDsum("value")} AS v
+              |  FROM events GROUP BY 1
+              |), lagged AS (
+              |  SELECT day, v,
+              |    lag(v) OVER (ORDER BY day) AS pv,
+              |    lag(day) OVER (ORDER BY day) AS pd
+              |  FROM daily
+              |), brks AS (
+              |  SELECT day, v,
+              |    CASE WHEN pv IS NOT NULL AND v > pv AND day = pd + 1
+              |      THEN 0 ELSE 1 END AS brk
+              |  FROM lagged
+              |), grps AS (
+              |  SELECT day, v,
+              |    SUM(brk) OVER (ORDER BY day) AS grp
+              |  FROM brks
+              |)
+              |SELECT MIN(day) AS start_day, MAX(day) AS end_day,
+              |  CAST(COUNT(*) AS BIGINT) AS run_len,
+              |  MAX(v) - MIN(v) AS travel
+              |FROM grps GROUP BY grp
+              |HAVING COUNT(*) >= 3
+              |ORDER BY start_day""".stripMargin))
   )
 
   /** Distinct co-purchase part pairs (u < v): parts sharing an order

@@ -2217,6 +2217,70 @@ object VectorQueries {
               |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
               |FROM adc_top JOIN exact_top USING (vec_id)""".stripMargin)),
 
+    // Embedding outlier audit — the vector-side data-quality rung
+    // beside the cell-balance (q211) and centroid-drift (q212)
+    // index-health checks: rank vectors by squared distance to their
+    // OWN cell centroid and surface the top-15 farthest. A far
+    // vector is noise, a mislabeled row, or a cell that needs
+    // splitting — the triage list an embedding-quality pass hands
+    // back. dist² = (‖v‖² − 2·(v·c)) + ‖c‖² with every fold the
+    // plain left-to-right double the assignment already computes:
+    // the dp comes FREE from the argmax struct, ‖v‖² is one more
+    // fold in the same narrow projection, ‖c‖² is a driver literal —
+    // scan → project → TakeOrderedAndProject, no joins.
+    QueryDef(
+      "q290_embedding_outliers",
+      (s, d) => {
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val cents = centroidArrays(s, d)
+        val vd = col("embedding").cast("array<double>")
+        val scored = array_max(array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*))
+        val c2 = cents.sortBy(_._1).map { case (_, arr) =>
+          var acc = 0.0; var i = 0
+          while (i < arr.length) { acc += arr(i) * arr(i); i += 1 }
+          acc
+        }.toArray
+        emb
+          .select(col("vec_id"), scored.getField("clabel").as("cell"),
+            scored.getField("dp").as("__dp"),
+            graft.functions.DotDoubleExpr.dotDouble(vd, vd).as("__v2"))
+          .select(col("vec_id"), col("cell"),
+            ((col("__v2") - col("__dp") * lit(2.0)) +
+              element_at(typedLit(c2), col("cell") + 1))
+              .as("dist_sq"))
+          .orderBy(col("dist_sq").desc, col("vec_id").asc)
+          .limit(15)
+      },
+      Some(s"""$centsAndDotsCte, assigned AS (
+              |  SELECT vec_id, clabel AS cell, dp FROM (
+              |    SELECT vec_id, clabel, dp,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |), v2 AS (
+              |  SELECT vec_id, list_reduce(
+              |      list_transform(range(1, len(v) + 1),
+              |        k -> v[k] * v[k]), (a, b) -> a + b) AS v2
+              |  FROM evec
+              |), c2 AS (
+              |  SELECT clabel, list_reduce(
+              |      list_transform(range(1, len(cvec) + 1),
+              |        k -> cvec[k] * cvec[k]), (a, b) -> a + b) AS c2
+              |  FROM cents_l
+              |)
+              |SELECT a.vec_id, a.cell,
+              |  ((v2.v2 - a.dp * 2) + c2.c2) AS dist_sq
+              |FROM assigned a
+              |JOIN v2 ON v2.vec_id = a.vec_id
+              |JOIN c2 ON c2.clabel = a.cell
+              |ORDER BY dist_sq DESC, a.vec_id ASC LIMIT 15""".stripMargin)),
+
     // ---- Binary (sign) quantization: 1 bit per dimension ----------
     //
     // The cheapest ANN rung below PQ: each 64-dim float vector
