@@ -1964,7 +1964,227 @@ object AnalyticsQueries {
               |  MAX(v) - MIN(v) AS travel
               |FROM grps GROUP BY grp
               |HAVING COUNT(*) >= 3
-              |ORDER BY start_day""".stripMargin))
+              |ORDER BY start_day""".stripMargin)),
+
+    // Binary-segmentation changepoint: the best single split of the
+    // daily series — argmin over split points of within-segment SSE
+    // (SSE = Σx² − (Σx)²/n per side, prefix-sum form) with ≥ 3 days
+    // per side — the structural-break LOCATOR refining CUSUM's
+    // detector (q184): CUSUM says "a level shift exists", this says
+    // "it is at day k, and explains this much variance". Prefix sums
+    // ride one O(days) window; every candidate split is then a
+    // per-row expression — no per-split scan. Exactness: all
+    // Σ are order-free decimals surfaced as scale-2 doubles, and the
+    // SSE arithmetic is a fixed sequence of correctly-rounded double
+    // ops, identical in both engines.
+    QueryDef(
+      "q292_best_split",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val cum = w.rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding, 0)
+        val daily = events(s, d)
+          .groupBy(datediff(to_date(col("ts")),
+            to_date(lit("2024-01-01"))).cast("long").as("day"))
+          .agg(dsum(col("value")).as("v"))
+        val pre = daily
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("xs", sum(col("v").cast(Dec)).over(cum)
+            .cast(Dec2).cast("double"))
+          .withColumn("x2s", sum((col("v") * col("v")).cast(Dec))
+            .over(cum).cast(Dec2).cast("double"))
+        val tot = pre.agg(max("rn").as("n_all"),
+          max("xs").as("xs_all"), max("x2s").as("x2s_all"))
+        def sse(x2: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          x2 - (x * x) / n.cast("double")
+        val cand = pre.crossJoin(broadcast(tot))
+          .filter(col("rn") >= 3 && col("rn") <= col("n_all") - 3)
+          .withColumn("sse_split",
+            sse(col("x2s"), col("xs"), col("rn")) +
+              sse(col("x2s_all") - col("x2s"),
+                col("xs_all") - col("xs"),
+                col("n_all") - col("rn")))
+          .withColumn("sse_total",
+            sse(col("x2s_all"), col("xs_all"), col("n_all")))
+        cand
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("sse_split").asc, col("day").asc)))
+          .filter(col("rk") === 1)
+          .select(col("day").as("split_day"),
+            col("rn").as("n_left"),
+            (col("n_all") - col("rn")).as("n_right"),
+            col("sse_total"), col("sse_split"),
+            (col("sse_total") - col("sse_split")).as("reduction"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT date_diff('day', DATE '2024-01-01',
+              |      CAST(ts AS DATE)) AS day,
+              |    ${sqlDsum("value")} AS v
+              |  FROM events GROUP BY 1
+              |), pre AS (
+              |  SELECT day, v,
+              |    CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+              |      AS rn,
+              |    CAST(round(SUM(CAST(v AS DECIMAL(38,12)))
+              |      OVER (ORDER BY day), 2) AS DOUBLE) AS xs,
+              |    CAST(round(SUM(CAST(v * v AS DECIMAL(38,12)))
+              |      OVER (ORDER BY day), 2) AS DOUBLE) AS x2s
+              |  FROM daily
+              |), tot AS (
+              |  SELECT MAX(rn) AS n_all, MAX(xs) AS xs_all,
+              |    MAX(x2s) AS x2s_all
+              |  FROM pre
+              |), cand AS (
+              |  SELECT p.day, p.rn, t.n_all,
+              |    (p.x2s - (p.xs * p.xs) / CAST(p.rn AS DOUBLE)) +
+              |    ((t.x2s_all - p.x2s) -
+              |      ((t.xs_all - p.xs) * (t.xs_all - p.xs)) /
+              |        CAST(t.n_all - p.rn AS DOUBLE)) AS sse_split,
+              |    t.x2s_all - (t.xs_all * t.xs_all) /
+              |      CAST(t.n_all AS DOUBLE) AS sse_total
+              |  FROM pre p CROSS JOIN tot t
+              |  WHERE p.rn >= 3 AND p.rn <= t.n_all - 3
+              |)
+              |SELECT day AS split_day, rn AS n_left,
+              |  n_all - rn AS n_right, sse_total, sse_split,
+              |  sse_total - sse_split AS reduction
+              |FROM cand
+              |ORDER BY sse_split ASC, day ASC LIMIT 1""".stripMargin)),
+
+    // Wilson-score interval on the daily conversion rate — the
+    // uncertainty-aware rate the raw ratio misleads on at small n
+    // (a 3/5 day is NOT better than a 480/1000 day once the interval
+    // is drawn): per day, purchases / events with the 95% Wilson
+    // bounds. Integer counts come from one hash-agg; the interval is
+    // a fixed per-row sequence of correctly-rounded double ops
+    // (division, sqrt) spelled IDENTICALLY in both engines, so even
+    // the bounds hash-gate. The shrink-toward-½ at small n is the
+    // reason ranking by wilson_lo beats ranking by rate — the
+    // standard sorted-by-rating rule.
+    QueryDef(
+      "q293_wilson_rate",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(datediff(to_date(col("ts")),
+            to_date(lit("2024-01-01"))).cast("long").as("day"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).cast("long").as("k"))
+        // The oracle must CAST(1.96 AS DOUBLE): DuckDB parses a bare
+        // 1.96 as DECIMAL(3,2), making 1.96*1.96 the exact decimal
+        // 3.8416 where binary doubles give 3.8415999999999997 — a
+        // last-ULP divergence in the bounds. Spark literals are
+        // already double.
+        val n = col("n").cast("double")
+        val p = col("k").cast("double") / n
+        val z = lit(1.96)
+        val z2 = z * z
+        val denom = lit(1.0) + z2 / n
+        val center = (p + (z2 / lit(2.0)) / n) / denom
+        val half = (z * sqrt(p * (lit(1.0) - p) / n +
+          (z2 / lit(4.0)) / (n * n))) / denom
+        daily
+          .select(col("day"), col("n"), col("k"), p.as("rate"),
+            (center - half).as("wilson_lo"),
+            (center + half).as("wilson_hi"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+             |  FROM events GROUP BY 1
+             |), rates AS (
+             |  SELECT day, n, k,
+             |    CAST(n AS DOUBLE) AS nd,
+             |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+             |  FROM daily
+             |)
+             |SELECT day, n, k, p AS rate,
+             |  ((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / 2.0) / nd) /
+             |    (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / nd)) -
+             |  ((CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / nd +
+             |    (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / 4.0) / (nd * nd))) /
+             |    (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / nd)) AS wilson_lo,
+             |  ((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / 2.0) / nd) /
+             |    (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / nd)) +
+             |  ((CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / nd +
+             |    (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / 4.0) / (nd * nd))) /
+             |    (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / nd)) AS wilson_hi
+             |FROM rates ORDER BY day""".stripMargin)),
+
+    // Cohort LTV curves — the VALUE companion of the retention
+    // matrix (q129, which counts who comes back; this accumulates
+    // what they're worth): users are cohorted by their first signup
+    // week, every later event lands in a week offset, and the
+    // running decimal sum gives each cohort's cumulative value
+    // trajectory — the curve whose plateau is the cohort's lifetime
+    // value. The signup anchor is one min-agg per user (the q251
+    // first-touch shape); the matrix is a keyed hash-agg; the
+    // cumulative is an O(weeks) keyed window. All money stays in
+    // order-free decimals until the final scale-2 cast.
+    QueryDef(
+      "q294_cohort_ltv",
+      (s, d) => {
+        val anchors = events(s, d)
+          .filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(datediff(to_date(col("ts")),
+            to_date(lit("2024-01-01"))).cast("long")).as("c_day"))
+        val acts = events(s, d)
+          .select(col("user_id"), col("value"),
+            datediff(to_date(col("ts")),
+              to_date(lit("2024-01-01"))).cast("long").as("day"))
+        val mat = acts.join(anchors, "user_id")
+          .filter(col("day") >= col("c_day"))
+          .groupBy(expr("c_day DIV 7").as("cohort_week"),
+            expr("(day - c_day) DIV 7").as("week_offset"))
+          .agg(countDistinct(col("user_id")).cast("long")
+            .as("n_users"),
+            sum(col("value").cast(Dec)).as("s"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort_week").orderBy("week_offset")
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, 0)
+        mat
+          .select(col("cohort_week"), col("week_offset"),
+            col("n_users"),
+            col("s").cast(Dec2).cast("double").as("wk_value"),
+            sum(col("s")).over(w).cast(Dec2).cast("double")
+              .as("cum_value"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH anchors AS (
+             |  SELECT user_id,
+             |    MIN(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE))) AS c_day
+             |  FROM events WHERE event_type = 'signup'
+             |  GROUP BY user_id
+             |), acts AS (
+             |  SELECT user_id, value,
+             |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             |      AS day
+             |  FROM events
+             |), mat AS (
+             |  SELECT a.c_day // 7 AS cohort_week,
+             |    (e.day - a.c_day) // 7 AS week_offset,
+             |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             |    SUM(CAST(e.value AS DECIMAL(38,12))) AS s
+             |  FROM acts e JOIN anchors a USING (user_id)
+             |  WHERE e.day >= a.c_day
+             |  GROUP BY 1, 2
+             |)
+             |SELECT cohort_week, week_offset, n_users,
+             |  CAST(round(s, 2) AS DOUBLE) AS wk_value,
+             |  CAST(round(SUM(s) OVER (PARTITION BY cohort_week
+             |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING), 2)
+             |    AS DOUBLE) AS cum_value
+             |FROM mat ORDER BY cohort_week, week_offset""".stripMargin))
   )
 
   /** Distinct co-purchase part pairs (u < v): parts sharing an order

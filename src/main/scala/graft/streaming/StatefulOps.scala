@@ -468,6 +468,88 @@ object StatefulOps {
       }
   }
 
+  final case class FunnelCompletion(user_id: Long, s1_event_id: Long,
+      s2_event_id: Long, s3_event_id: Long, s1_ts_us: Long,
+      s3_ts_us: Long)
+
+  /** Three-stage funnel state machine — the CEP rung above
+    * [[detectSequence]]'s A→B pairs: emit one row per completed
+    * stage1 → stage2 → stage3 progression (each stage strictly after
+    * the previous, total span ≤ `maxSpanMicros`), tracking per user
+    * the EARLIEST viable partial progress (first-touch semantics,
+    * the complement of q251's last-touch). State per user is at most
+    * one (stage, s1_ts, s1_id, s2_id) tuple — O(users) regardless of
+    * stream length, same `stateTtl` contract as the other keyed ops
+    * (eviction ≡ expired progress; safe whenever TTL ≥ maxSpan).
+    * After a completion the machine resets, so completions never
+    * overlap — "how many full journeys", not "how many pair
+    * matches".
+    *
+    * Ordering contract (as [[detectSequence]]): rows within a batch
+    * fold in (ts, event_id) order; the carried state makes any
+    * micro-batch split of an in-order stream emit identical
+    * completions (StreamingFunnelSpec's parity witness).
+    */
+  def funnelProgress(spark: SparkSession, events: DataFrame,
+      s1: String, s2: String, s3: String, maxSpanMicros: Long,
+      stateTtl: Option[String] = None): Dataset[FunnelCompletion] = {
+    import spark.implicits._
+    require(maxSpanMicros > 0, "maxSpanMicros must be positive")
+    require(Set(s1, s2, s3).size == 3,
+      s"funnel stages must be distinct, got ($s1, $s2, $s3)")
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .filter(col("event_type").isin(s1, s2, s3))
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long, Long),
+        FunnelCompletion](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        timeoutConf) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // (stage reached, s1_ts, s1_id, s2_id)
+            var st = state.getOption.getOrElse((0, 0L, 0L, 0L))
+            val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+              case (_, ts, eid, tpe) =>
+                // expire stale progress before considering the event
+                if (st._1 > 0 && ts - st._2 > maxSpanMicros)
+                  st = (0, 0L, 0L, 0L)
+                tpe match {
+                  case `s1` =>
+                    if (st._1 == 0) st = (1, ts, eid, 0L)
+                    None // first-touch: later s1's don't reset
+                  case `s2` =>
+                    if (st._1 == 1) st = (2, st._2, st._3, eid)
+                    None
+                  case _ =>
+                    if (st._1 == 2 && ts - st._2 <= maxSpanMicros) {
+                      val done = FunnelCompletion(uid, st._3, st._4,
+                        eid, st._2, ts)
+                      st = (0, 0L, 0L, 0L) // reset after completion
+                      Some(done)
+                    } else None
+                }
+            }
+            if (st._1 == 0) {
+              if (state.exists) state.remove()
+            } else {
+              state.update(st)
+              stateTtl.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class EwmaSnapshot(user_id: Long, n_events: Long,
       last_ts_us: Long, ewma: Double)
 
