@@ -2184,7 +2184,128 @@ object AnalyticsQueries {
              |  CAST(round(SUM(s) OVER (PARTITION BY cohort_week
              |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING), 2)
              |    AS DOUBLE) AS cum_value
-             |FROM mat ORDER BY cohort_week, week_offset""".stripMargin))
+             |FROM mat ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // Leave-one-out target encoding — the tabular-ML categorical
+    // feature that avoids self-leakage: each row's category value is
+    // replaced by the mean target of its OTHER members, loo =
+    // (Σ_group − own) / (n_group − 1). Naive mean encoding leaks the
+    // row's own target into its feature (the classic CV-score
+    // inflation); LOO subtracts it exactly. One keyed window carries
+    // (decimal Σ, n) to every row — no second scan, no join; the
+    // subtraction stays decimal until the final scale-2 cast, so the
+    // feature hash-gates. Gated on an orderkey slice for bounded
+    // declared output; groups are priority classes (n ≈ 3k each).
+    QueryDef(
+      "q296_target_encoding",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .withColumn("grp_sum",
+            sum(col("o_totalprice").cast(Dec)).over(w))
+          .withColumn("grp_n", count(lit(1)).over(w))
+          .filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"),
+            ((col("grp_sum") - col("o_totalprice").cast(Dec))
+              .cast(Dec2).cast("double") /
+              (col("grp_n") - 1).cast("double")).as("loo_encoding"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH stats AS (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |    SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+             |      OVER (PARTITION BY o_orderpriority) AS grp_sum,
+             |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS grp_n
+             |  FROM orders
+             |)
+             |SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  CAST(round(grp_sum -
+             |      CAST(o_totalprice AS DECIMAL(38,12)), 2) AS DOUBLE)
+             |    / CAST(grp_n - 1 AS DOUBLE) AS loo_encoding
+             |FROM stats WHERE o_orderkey % 500 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // k-hop BFS reachability profile from a seed part — exact hop
+    // distances where personalized PageRank (q289) gives decayed
+    // proximity: frontier-at-a-time expansion (the Pregel shape —
+    // each hop is ONE join of the previous frontier against the
+    // adjacency list, anti-joined against the visited set for
+    // min-hop semantics), profiled as nodes-per-hop. Three hops =
+    // three keyed joins over frontier-sized inputs — never a
+    // transitive closure materialization; the visited anti-join is
+    // what keeps frontier growth monotone on cyclic graphs. Seed =
+    // the smallest node id in the edge list (one 1-row driver
+    // lookup, model metadata).
+    QueryDef(
+      "q297_khop_reachability",
+      (s, d) => {
+        val e = coPurchaseEdges(s, d, minQty = 30)
+          .localCheckpoint(eager = false)
+        val adj = e.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint(eager = false)
+        val seed = adj.agg(min(col("a"))).head().getLong(0)
+        var frontier = s.range(1).select(lit(seed).as("node"))
+          .localCheckpoint(eager = false)
+        var visited = frontier
+        var out = frontier.withColumn("hop", lit(0L))
+        for (h <- 1 to 3) {
+          frontier = adj
+            .join(frontier, adj("a") === frontier("node"))
+            .select(col("b").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .localCheckpoint(eager = false)
+          visited = visited.unionByName(frontier)
+            .localCheckpoint(eager = false)
+          out = out.unionByName(
+            frontier.withColumn("hop", lit(h.toLong)))
+        }
+        out.groupBy("hop")
+          .agg(count(lit(1)).cast("long").as("n_nodes"),
+            min("node").as("min_node"), max("node").as("max_node"))
+          .orderBy("hop")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem WHERE l_quantity >= 30
+             |), e AS (
+             |  SELECT DISTINCT a.pk AS u, b.pk AS v
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |), adj AS (
+             |  SELECT u AS a, v AS b FROM e
+             |  UNION ALL SELECT v AS a, u AS b FROM e
+             |), seed AS (SELECT MIN(a) AS node FROM adj),
+             |h0 AS (SELECT node FROM seed),
+             |h1 AS (
+             |  SELECT DISTINCT adj.b AS node FROM adj
+             |  JOIN h0 ON adj.a = h0.node
+             |  WHERE adj.b NOT IN (SELECT node FROM h0)
+             |), h2 AS (
+             |  SELECT DISTINCT adj.b AS node FROM adj
+             |  JOIN h1 ON adj.a = h1.node
+             |  WHERE adj.b NOT IN (SELECT node FROM h0
+             |    UNION ALL SELECT node FROM h1)
+             |), h3 AS (
+             |  SELECT DISTINCT adj.b AS node FROM adj
+             |  JOIN h2 ON adj.a = h2.node
+             |  WHERE adj.b NOT IN (SELECT node FROM h0
+             |    UNION ALL SELECT node FROM h1
+             |    UNION ALL SELECT node FROM h2)
+             |), all_hops AS (
+             |  SELECT 0 AS hop, node FROM h0
+             |  UNION ALL SELECT 1, node FROM h1
+             |  UNION ALL SELECT 2, node FROM h2
+             |  UNION ALL SELECT 3, node FROM h3
+             |)
+             |SELECT CAST(hop AS BIGINT) AS hop,
+             |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             |  CAST(MIN(node) AS BIGINT) AS min_node,
+             |  CAST(MAX(node) AS BIGINT) AS max_node
+             |FROM all_hops GROUP BY hop ORDER BY hop""".stripMargin))
   )
 
   /** Distinct co-purchase part pairs (u < v): parts sharing an order

@@ -1368,6 +1368,50 @@ object CorpusQueries {
              |        x -> i >= x.s AND i <= x.e)) = 0),
              |    i -> w.ws[i]), ' '), '') AS scrubbed
              |FROM w JOIN spl ON spl.doc_id = w.doc_id
-             |ORDER BY w.doc_id""".stripMargin))
+             |ORDER BY w.doc_id""".stripMargin)),
+
+    // Feature hashing (the "hashing trick", Weinberger et al.
+    // ICML'09) — fixed-dimension bag-of-words features with NO
+    // vocabulary pass: token → bucket md5(tok) % 16, sign from an
+    // independent salted hash (the unbiased-inner-product variant),
+    // feature value = signed count. One explode + hash-agg per doc —
+    // map-side partial, no vocabulary state, which is the entire
+    // point at 100 TB: the feature space is fixed before the data is
+    // seen, so sharded featurization needs zero coordination.
+    // Gated on the doc_id % 50 slice; sparse (doc, idx, val) rows.
+    QueryDef(
+      "q295_feature_hash",
+      (s, d) => {
+        val idx = expr(
+          "CAST(conv(substring(md5(tok), 1, 13), 16, 10) AS BIGINT) % 16")
+        val sign = when(expr(
+          "CAST(conv(substring(md5(concat('s:', tok)), 1, 13), 16, 10) AS BIGINT) % 2")
+          === 0, lit(1L)).otherwise(lit(-1L))
+        documents(s, d)
+          .filter(col("doc_id") % 50 === 1)
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .select(col("doc_id"), idx.as("idx"), sign.as("sgn"))
+          .groupBy("doc_id", "idx")
+          .agg(sum(col("sgn")).cast("long").as("val"))
+          .filter(col("val") =!= 0)
+          .orderBy("doc_id", "idx")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id % 50 = 1
+             |), hashed AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substring(md5(tok), 1, 13) AS BIGINT)
+             |      % 16 AS idx,
+             |    CASE WHEN CAST('0x' ||
+             |        substring(md5('s:' || tok), 1, 13) AS BIGINT)
+             |        % 2 = 0
+             |      THEN 1 ELSE -1 END AS sgn
+             |  FROM toks
+             |)
+             |SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS val
+             |FROM hashed GROUP BY doc_id, idx
+             |HAVING SUM(sgn) <> 0
+             |ORDER BY doc_id, idx""".stripMargin))
   )
 }
