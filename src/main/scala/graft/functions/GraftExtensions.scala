@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fingerprintDescriptor)
     ext.injectFunction(GraftExtensions.redactPiiDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -1,0 +1,127 @@
+package graft.plans
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The materialized-summary rewrite: matching aggregates must READ
+  * THE SUMMARY (plan-asserted) and return exactly the fact-scan
+  * answer; non-decomposable or unsafe shapes must be left untouched.
+  */
+class SummaryRewriteSpec extends AnyFunSuite with SparkFixture
+    with Matchers with BeforeAndAfterEach {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def fact: DataFrame = Tables.lineitem(spark, sfDir)
+
+  private lazy val summaryPath = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-summary").toString
+    fact.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_linenumber")).as("sum_ln"),
+        min(col("l_shipdate")).as("min_sd"),
+        max(col("l_shipdate")).as("max_sd"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def installRule(): Unit = {
+    if (!spark.experimental.extraOptimizations
+        .contains(SummaryRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register(fact,
+      spark.read.parquet(summaryPath),
+      keys = Seq("l_returnflag", "l_linestatus"),
+      partials = Map(
+        ("count", "*") -> "n_rows",
+        ("sum", "l_linenumber") -> "sum_ln",
+        ("min", "l_shipdate") -> "min_sd",
+        ("max", "l_shipdate") -> "max_sd"))
+  }
+
+  override def afterEach(): Unit = {
+    SummaryRewriteRule.clear()
+    super.afterEach()
+  }
+
+  private def readsSummary(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation =>
+          h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten.exists(_.contains(
+      new java.io.File(summaryPath).getName))
+
+  test("subset-grouped aggregate reads the summary and matches the " +
+      "fact answer") {
+    installRule()
+    val q = fact.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("s"),
+        min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+    readsSummary(q) shouldBe true
+
+    SummaryRewriteRule.clear() // direct answer without the rule
+    val direct = fact.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("s"),
+        min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    installRule()
+    val got = q.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    got shouldBe direct
+  }
+
+  test("full-key grouping rewrites too (partials pass through one " +
+      "group each)") {
+    installRule()
+    val q = fact.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_linenumber")).as("s"))
+    readsSummary(q) shouldBe true
+    SummaryRewriteRule.clear()
+    val direct = fact.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_linenumber")).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    installRule()
+    q.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap shouldBe direct
+  }
+
+  test("a DOUBLE sum never rewrites (re-aggregation reorders float " +
+      "addition)") {
+    installRule()
+    val q = fact.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("s"))
+    readsSummary(q) shouldBe false
+  }
+
+  test("grouping outside the summary keys never rewrites") {
+    installRule()
+    val q = fact.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"))
+    readsSummary(q) shouldBe false
+  }
+
+  test("an unmapped aggregate never rewrites") {
+    installRule()
+    val q = fact.groupBy("l_returnflag")
+      .agg(sum(col("l_partkey")).as("s")) // no ("sum","l_partkey") partial
+    readsSummary(q) shouldBe false
+  }
+
+  test("distinct aggregates never rewrite (not decomposable)") {
+    installRule()
+    val q = fact.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linenumber")).as("nd"))
+    readsSummary(q) shouldBe false
+  }
+}
