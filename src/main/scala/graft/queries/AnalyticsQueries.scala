@@ -2305,7 +2305,69 @@ object AnalyticsQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
              |  CAST(MIN(node) AS BIGINT) AS min_node,
              |  CAST(MAX(node) AS BIGINT) AS max_node
-             |FROM all_hops GROUP BY hop ORDER BY hop""".stripMargin))
+             |FROM all_hops GROUP BY hop ORDER BY hop""".stripMargin)),
+
+    // The materialized-summary rewrite GATE: builds the rollup once
+    // per JVM (StoreCache, the q216/q238 pattern), registers it with
+    // SummaryRewriteRule, and runs a subset-grouped aggregate over
+    // the FACT — which the optimizer must serve from the summary.
+    // The declared output carries the plan-derived `read_summary`
+    // flag next to the aggregate values, so the oracle (which
+    // recomputes from the raw fact, knowing nothing of summaries)
+    // hash-gates BOTH the rewrite's answer parity and the fact that
+    // the rewrite actually fired. At 100 TB this plan is the point:
+    // the query touches a rollup of |keys| rows instead of the
+    // corpus.
+    QueryDef(
+      "q298_summary_rewrite",
+      (s, d) => {
+        val fact = lineitem(s, d)
+        val path = graft.StoreCache.getOrBuild("summary", d) { p =>
+          fact.groupBy("l_returnflag", "l_linestatus")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_linenumber")).as("sum_ln"))
+            .write.mode("overwrite").parquet(p)
+        }
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.SummaryRewriteRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+
+              graft.plans.SummaryRewriteRule
+        graft.plans.SummaryRewriteRule.clear()
+        graft.plans.SummaryRewriteRule.register(fact,
+          s.read.parquet(path),
+          keys = Seq("l_returnflag", "l_linestatus"),
+          partials = Map(("count", "*") -> "n_rows",
+            ("sum", "l_linenumber") -> "sum_ln"))
+        // aggregate shapes must stay bare Alias(AggregateExpression)
+        // for the rule's structural match — no outer casts (count and
+        // sum-over-int are LongType already)
+        val agg = fact.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_linenumber")).as("sum_ln"))
+        val readSummary = agg.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+        }.flatten.exists(_.contains("graft-stores/summary"))
+        agg
+          .crossJoin(broadcast(s.range(1)
+            .select(lit(readSummary).as("read_summary"))))
+          .select(col("l_returnflag"), col("n_rows"), col("sum_ln"),
+            col("read_summary"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+             |    AS sum_ln,
+             |  true AS read_summary
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 
   /** Distinct co-purchase part pairs (u < v): parts sharing an order
