@@ -1892,6 +1892,114 @@ object TextQueries {
               |    AS DOUBLE) /
               |  CAST(SUM(CASE WHEN in_j THEN 1 ELSE 0 END) AS DOUBLE)
               |    AS simhash_recall_of_jaccard
-              |FROM m""".stripMargin))
+              |FROM m""".stripMargin)),
+
+    // Cluster-CHAINING audit — the dedup-quality question transitive
+    // closure raises and nothing upstream answers: connected
+    // components (q55) merge A–B and B–C into one cluster even when
+    // A and C would never pass the pair rule, so a cluster's WEAKEST
+    // intra-pair similarity is the honest measure of how far
+    // chaining stretched it. Every intra-cluster pair (clusters are
+    // dup-group-sized; at scale cap cluster size the q208 way) gets
+    // an exact Jaccard — LEFT join, because a fully chained pair may
+    // share ZERO grams and must surface as 0.0, not vanish — and
+    // each cluster reports its min. chained = the min fell below
+    // the 0.5 pair threshold that built the graph.
+    QueryDef(
+      "q299_cluster_chaining",
+      (s, d) => {
+        val jp = jaccardPairs(s, d).select("a_id", "b_id")
+          .localCheckpoint(eager = false)
+        val labels = graft.llm.DedupClusters
+          .componentsUnrolled(jp, rounds = 3)
+          .select(col("id"), col("cluster_id"))
+          .localCheckpoint(eager = false)
+        val allPairs = labels.as("x")
+          .join(labels.as("y"),
+            col("x.cluster_id") === col("y.cluster_id") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+            col("x.cluster_id").as("cluster_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+        val grams = sparkGramsCapped(s, d)
+          .withColumn("n", count(lit(1)).over(w))
+          .localCheckpoint(eager = false)
+        val ji = allPairs
+          .join(grams.as("ga"), col("ga.doc_id") === col("a_id"))
+          .join(grams.as("gb"), col("gb.doc_id") === col("b_id") &&
+            col("gb.gram") === col("ga.gram"))
+          .groupBy("cluster_id", "a_id", "b_id")
+          .agg(count(lit(1)).as("ni"),
+            first(col("ga.n")).as("na"), first(col("gb.n")).as("nb"))
+          .select(col("a_id"), col("b_id"),
+            (col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni"))).as("jac"))
+        val pj = allPairs
+          .join(ji, Seq("a_id", "b_id"), "left")
+          .select(col("cluster_id"),
+            coalesce(col("jac"), lit(0.0)).as("jac"))
+        val sizes = labels.groupBy("cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+        pj.groupBy("cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            min("jac").as("min_jaccard"))
+          .join(sizes, "cluster_id")
+          .select(col("cluster_id"), col("n_docs"), col("n_pairs"),
+            col("min_jaccard"),
+            (col("min_jaccard") < 0.5).as("chained"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM jp
+              |  UNION SELECT b_id, a_id FROM jp
+              |  UNION SELECT a_id, a_id FROM jp
+              |  UNION SELECT b_id, b_id FROM jp
+              |), l0 AS (
+              |  SELECT DISTINCT src AS id, src AS label FROM edges
+              |), l1 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst
+              |), l2 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst
+              |), l3 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
+              |), lab AS (
+              |  SELECT id, label AS cluster_id FROM l3
+              |), ap AS (
+              |  SELECT x.id AS a_id, y.id AS b_id, x.cluster_id
+              |  FROM lab x JOIN lab y
+              |    ON x.cluster_id = y.cluster_id AND x.id < y.id
+              |), ji AS (
+              |  SELECT ap.a_id, ap.b_id, COUNT(*) AS ni
+              |  FROM ap
+              |  JOIN grams_rare ga ON ga.doc_id = ap.a_id
+              |  JOIN grams_rare gb ON gb.doc_id = ap.b_id
+              |    AND gb.gram = ga.gram
+              |  GROUP BY ap.a_id, ap.b_id
+              |), pj AS (
+              |  SELECT ap.cluster_id,
+              |    CASE WHEN ji.ni IS NULL THEN 0.0
+              |      ELSE CAST(ji.ni AS DOUBLE) /
+              |        (ca.n + cb.n - ji.ni) END AS jac
+              |  FROM ap
+              |  LEFT JOIN ji ON ji.a_id = ap.a_id AND ji.b_id = ap.b_id
+              |  JOIN cnt ca ON ca.doc_id = ap.a_id
+              |  JOIN cnt cb ON cb.doc_id = ap.b_id
+              |), sizes AS (
+              |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |  FROM lab GROUP BY cluster_id
+              |)
+              |SELECT p.cluster_id, s.n_docs,
+              |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |  MIN(p.jac) AS min_jaccard,
+              |  MIN(p.jac) < 0.5 AS chained
+              |FROM pj p JOIN sizes s ON s.cluster_id = p.cluster_id
+              |GROUP BY p.cluster_id, s.n_docs
+              |ORDER BY p.cluster_id""".stripMargin))
   )
 }
