@@ -145,16 +145,25 @@ object ProductQuantizer {
   // cell assignment + residual + codes + ADC ride in ONE narrow
   // projection — scan → filter → TakeOrderedAndProject, no joins.
 
-  /** Cell-assignment expression (argmax centroid dot, ties to the
-    * larger label — same struct-max as EmbeddingSearch.ivfTopK).
+  /** The winning (dp, cell) struct of the centroid argmax (ties to
+    * the larger label — same struct-max as EmbeddingSearch.ivfTopK).
+    * Public single source of truth for assignment semantics; callers
+    * needing only the cell use [[cellExprOf]], callers needing the
+    * winning dot too (q290's distance recovery) read both fields of
+    * ONE shared expression.
     */
-  private def cellExprOf(
+  def scoredStructOf(
       centroids: Seq[(Int, Array[Double])]): Column =
     array_max(array(centroids.map { case (lbl, arr) =>
       struct(graft.functions.DotDoubleExpr
           .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
         lit(lbl).as("cell"))
-    }: _*)).getField("cell")
+    }: _*))
+
+  /** Cell-assignment expression — see [[scoredStructOf]]. */
+  def cellExprOf(
+      centroids: Seq[(Int, Array[Double])]): Column =
+    scoredStructOf(centroids).getField("cell")
 
   /** Centroids as a dense matrix indexed by label (labels must be
     * 0..K−1 so `element_at(lit, cell+1)` is the in-plan lookup).
@@ -258,19 +267,28 @@ object ProductQuantizer {
       while (i < c.length) { s += qv(i) * c(i); i += 1 }
       (s, lbl)
     }.sortBy { case (dp, lbl) => (-dp, -lbl) }.take(nProbe).map(_._2)
-    // LUT per cell, pre-scaled to exact longs (see adcDistCol).
-    val lutByCell: Array[Array[Array[Long]]] =
-      cents.map { c =>
+    // LUT for PROBED cells only (nProbe × M × K scaled longs — the
+    // documented footprint; unprobed cells never survive the filter,
+    // so their LUTs would be dead literal weight in the plan). The
+    // cell label remaps to its probe index with a small when-chain.
+    val lutByProbe: Array[Array[Array[Long]]] =
+      probed.map { lbl =>
+        val c = cents(lbl)
         val qr = Array.tabulate(qv.length)(i => qv(i) - c(i))
         adcLut(qr, codebook).map(_.map(d =>
           BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
             .underlying.unscaledValue.longValueExact))
-      }
+      }.toArray
     val cell = col("cell")
+    val probeIdx = probed.zipWithIndex.tail
+      .foldLeft(when(cell === probed.head, lit(0))) {
+        case (acc, (p, i)) => acc.when(cell === p, lit(i))
+      }
     val ce = codeExprs(codebook, col("__rv"))
     val lutCols = codebook.indices.map { m =>
-      val lutM: Array[Array[Long]] = cents.indices.map(lutByCell(_)(m)).toArray
-      element_at(element_at(typedLit(lutM), cell + 1), ce(m) + 1)
+      val lutM: Array[Array[Long]] =
+        probed.indices.map(pi => lutByProbe(pi)(m)).toArray
+      element_at(element_at(typedLit(lutM), probeIdx + 1), ce(m) + 1)
     }
     val dist = lutCols.reduce(_ + _).cast(DoubleType) / lit(1e12)
     emb.filter(col("vec_id") =!= queryId)

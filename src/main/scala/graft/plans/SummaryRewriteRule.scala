@@ -114,9 +114,20 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
                 if orderFree(attr.dataType) =>
               partialFor("sum", attr.name).map(pa =>
                 Cast(Sum(pa).toAggregateExpression(), al.dataType))
-            case Count(Seq(Literal(_, _))) | Count(Seq()) =>
+            // COUNT(NULL) is 0 per group, not the row count — only a
+            // non-null literal is COUNT(*); and an UNGROUPED count
+            // over an empty fact must yield 0 where SUM over the
+            // empty summary yields NULL, hence the coalesce.
+            case Count(Seq(Literal(v, _))) if v != null =>
               partialFor("count", "*").map(pa =>
-                Cast(Sum(pa).toAggregateExpression(), LongType))
+                Coalesce(Seq(
+                  Cast(Sum(pa).toAggregateExpression(), LongType),
+                  Literal(0L))))
+            case Count(Seq()) =>
+              partialFor("count", "*").map(pa =>
+                Coalesce(Seq(
+                  Cast(Sum(pa).toAggregateExpression(), LongType),
+                  Literal(0L))))
             case Min(attr: AttributeReference) =>
               partialFor("min", attr.name).map(pa =>
                 Cast(Min(pa).toAggregateExpression(), al.dataType))

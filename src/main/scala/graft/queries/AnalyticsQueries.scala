@@ -1531,11 +1531,14 @@ object AnalyticsQueries {
     // E_t ≡ 100·2^t·e_t satisfies E_t = C_0 + Σ_{i≥1} C_i·2^{i−1} —
     // a plain cumulative LONG sum (associative, engine-exact); the
     // final e_t = E_t / 2^t / 100 is two correctly-rounded double
-    // steps. Exact through ~2^63/(100·max|x|) lags — 30 here; a
-    // longer series would truncate the lookback at 64 lags (terms
-    // beyond 53 halvings are sub-ULP anyway, so the truncated form
-    // is the production path at any horizon). The daily agg is the
-    // only corpus-wide pass; the window runs on the O(days) series.
+    // steps. The scaled terms grow as 2^t, so the trick is exact
+    // only while C·2^(t−1) fits a long — a LOUD raise_error guard
+    // trips past 55 rows (Spark's non-ANSI double→long cast would
+    // otherwise saturate SILENTLY where DuckDB errors); a longer
+    // horizon needs a windowed restatement (terms beyond 53 halvings
+    // are sub-ULP), which is deliberately NOT smuggled in here. The
+    // daily agg is the only corpus-wide pass; the window runs on the
+    // O(days) series.
     QueryDef(
       "q281_ewma_daily",
       (s, d) => {
@@ -1547,6 +1550,10 @@ object AnalyticsQueries {
           .agg(dsum(col("value")).as("v"))
         daily
           .withColumn("rn", row_number().over(w))
+          .withColumn("rn", when(col("rn") > 55, raise_error(lit(
+            "q281 scaled-integer EWMA exceeds its 55-row exactness " +
+              "envelope — use a truncated-lookback restatement")))
+            .otherwise(col("rn")))
           .withColumn("c", round(col("v") * 100).cast("long"))
           .withColumn("term", when(col("rn") === 1, col("c"))
             .otherwise(col("c") *
@@ -1993,8 +2000,13 @@ object AnalyticsQueries {
             .cast(Dec2).cast("double"))
           .withColumn("x2s", sum((col("v") * col("v")).cast(Dec))
             .over(cum).cast(Dec2).cast("double"))
+        // totals = the prefix values AT the last row (argmax by rn) —
+        // max(xs) itself would be wrong the moment any daily sum is
+        // negative (cumulative sums are not monotone then)
         val tot = pre.agg(max("rn").as("n_all"),
-          max("xs").as("xs_all"), max("x2s").as("x2s_all"))
+          max(struct(col("rn"), col("xs"))).getField("xs").as("xs_all"),
+          max(struct(col("rn"), col("x2s"))).getField("x2s")
+            .as("x2s_all"))
         def sse(x2: org.apache.spark.sql.Column,
             x: org.apache.spark.sql.Column,
             n: org.apache.spark.sql.Column) =
@@ -2034,8 +2046,8 @@ object AnalyticsQueries {
               |      OVER (ORDER BY day), 2) AS DOUBLE) AS x2s
               |  FROM daily
               |), tot AS (
-              |  SELECT MAX(rn) AS n_all, MAX(xs) AS xs_all,
-              |    MAX(x2s) AS x2s_all
+              |  SELECT MAX(rn) AS n_all, arg_max(xs, rn) AS xs_all,
+              |    arg_max(x2s, rn) AS x2s_all
               |  FROM pre
               |), cand AS (
               |  SELECT p.day, p.rn, t.n_all,
@@ -2354,11 +2366,17 @@ object AnalyticsQueries {
             case _ => Seq.empty[String]
           }
         }.flatten.exists(_.contains("graft-stores/summary"))
-        agg
-          .crossJoin(broadcast(s.range(1)
-            .select(lit(readSummary).as("read_summary"))))
-          .select(col("l_returnflag"), col("n_rows"), col("sum_ln"),
-            col("read_summary"))
+        // execute WHILE registered (3 rows — O(keys) model scale),
+        // then DEREGISTER so no later query in this session is
+        // silently re-routed: the rewrite must never make unrelated
+        // plans order-dependent on whether q298 ran first.
+        val rows = agg.orderBy("l_returnflag").collect()
+        graft.plans.SummaryRewriteRule.clear()
+        import s.implicits._
+        rows.toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            readSummary))
+          .toDF("l_returnflag", "n_rows", "sum_ln", "read_summary")
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,

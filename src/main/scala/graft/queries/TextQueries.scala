@@ -1910,8 +1910,14 @@ object TextQueries {
       (s, d) => {
         val jp = jaccardPairs(s, d).select("a_id", "b_id")
           .localCheckpoint(eager = false)
+        // converged components (loud failure past maxIters), NOT the
+        // fixed-round unroll: an audit of chaining must not itself
+        // mislabel long chains. The oracle unrolls 6 rounds — a
+        // no-op past convergence (min-label propagation is a fixed
+        // point), and a diameter > 6 corpus would surface as a LOUD
+        // oracle mismatch rather than a silently split cluster.
         val labels = graft.llm.DedupClusters
-          .componentsUnrolled(jp, rounds = 3)
+          .components(jp)
           .select(col("id"), col("cluster_id"))
           .localCheckpoint(eager = false)
         val allPairs = labels.as("x")
@@ -1968,8 +1974,17 @@ object TextQueries {
               |), l3 AS (
               |  SELECT e.dst AS id, MIN(l.label) AS label
               |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
+              |), l4 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l3 l ON l.id = e.src GROUP BY e.dst
+              |), l5 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l4 l ON l.id = e.src GROUP BY e.dst
+              |), l6 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l5 l ON l.id = e.src GROUP BY e.dst
               |), lab AS (
-              |  SELECT id, label AS cluster_id FROM l3
+              |  SELECT id, label AS cluster_id FROM l6
               |), ap AS (
               |  SELECT x.id AS a_id, y.id AS b_id, x.cluster_id
               |  FROM lab x JOIN lab y

@@ -2235,18 +2235,17 @@ object VectorQueries {
         val emb = embeddings(s, d)
         val cents = centroidArrays(s, d)
         val vd = col("embedding").cast("array<double>")
-        val scored = array_max(array(cents.map { case (lbl, arr) =>
-          struct(graft.functions.DotDoubleExpr
-              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
-            lit(lbl).as("clabel"))
-        }: _*))
+        // assignment semantics live in ONE place — the shared
+        // struct-max from ProductQuantizer; cell and winning dp both
+        // read fields of that single expression
+        val scored = graft.llm.ProductQuantizer.scoredStructOf(cents)
         val c2 = cents.sortBy(_._1).map { case (_, arr) =>
           var acc = 0.0; var i = 0
           while (i < arr.length) { acc += arr(i) * arr(i); i += 1 }
           acc
         }.toArray
         emb
-          .select(col("vec_id"), scored.getField("clabel").as("cell"),
+          .select(col("vec_id"), scored.getField("cell").as("cell"),
             scored.getField("dp").as("__dp"),
             graft.functions.DotDoubleExpr.dotDouble(vd, vd).as("__v2"))
           .select(col("vec_id"), col("cell"),

@@ -474,11 +474,12 @@ object StatefulOps {
 
   /** Three-stage funnel state machine — the CEP rung above
     * [[detectSequence]]'s A→B pairs: emit one row per completed
-    * stage1 → stage2 → stage3 progression (each stage strictly after
-    * the previous, total span ≤ `maxSpanMicros`), tracking per user
+    * stage1 → stage2 → stage3 progression (each stage STRICTLY after
+    * the previous in event time — same-microsecond ties are not
+    * progressions — total span ≤ `maxSpanMicros`), tracking per user
     * the EARLIEST viable partial progress (first-touch semantics,
     * the complement of q251's last-touch). State per user is at most
-    * one (stage, s1_ts, s1_id, s2_id) tuple — O(users) regardless of
+    * one (stage, s1_ts, s1_id, s2_id, s2_ts) tuple — O(users) regardless of
     * stream length, same `stateTtl` contract as the other keyed ops
     * (eviction ≡ expired progress; safe whenever TTL ≥ maxSpan).
     * After a completion the machine resets, so completions never
@@ -507,7 +508,7 @@ object StatefulOps {
         col("event_id").cast("long"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Int, Long, Long, Long),
+      .flatMapGroupsWithState[(Int, Long, Long, Long, Long),
         FunnelCompletion](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         timeoutConf) {
@@ -516,25 +517,29 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else {
-            // (stage reached, s1_ts, s1_id, s2_id)
-            var st = state.getOption.getOrElse((0, 0L, 0L, 0L))
+            // (stage reached, s1_ts, s1_id, s2_id, s2_ts)
+            var st = state.getOption.getOrElse((0, 0L, 0L, 0L, 0L))
             val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
               case (_, ts, eid, tpe) =>
                 // expire stale progress before considering the event
                 if (st._1 > 0 && ts - st._2 > maxSpanMicros)
-                  st = (0, 0L, 0L, 0L)
+                  st = (0, 0L, 0L, 0L, 0L)
                 tpe match {
                   case `s1` =>
-                    if (st._1 == 0) st = (1, ts, eid, 0L)
+                    if (st._1 == 0) st = (1, ts, eid, 0L, 0L)
                     None // first-touch: later s1's don't reset
                   case `s2` =>
-                    if (st._1 == 1) st = (2, st._2, st._3, eid)
+                    // STRICTLY after s1 — a same-microsecond tie is
+                    // not a progression
+                    if (st._1 == 1 && ts > st._2)
+                      st = (2, st._2, st._3, eid, ts)
                     None
                   case _ =>
-                    if (st._1 == 2 && ts - st._2 <= maxSpanMicros) {
+                    if (st._1 == 2 && ts > st._5 &&
+                        ts - st._2 <= maxSpanMicros) {
                       val done = FunnelCompletion(uid, st._3, st._4,
                         eid, st._2, ts)
-                      st = (0, 0L, 0L, 0L) // reset after completion
+                      st = (0, 0L, 0L, 0L, 0L) // reset on completion
                       Some(done)
                     } else None
                 }

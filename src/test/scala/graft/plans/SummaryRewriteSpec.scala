@@ -124,4 +124,33 @@ class SummaryRewriteSpec extends AnyFunSuite with SparkFixture
       .agg(countDistinct(col("l_linenumber")).as("nd"))
     readsSummary(q) shouldBe false
   }
+
+  test("COUNT of a null literal is not treated as COUNT(*)") {
+    installRule()
+    val q = fact.groupBy("l_returnflag")
+      .agg(count(lit(null)).as("n"))
+    readsSummary(q) shouldBe false
+    q.collect().map(_.getLong(1)).toSet shouldBe Set(0L)
+  }
+
+  test("ungrouped COUNT over an empty fact still returns 0 through " +
+      "the rewrite") {
+    val emptyFact = fact.filter(col("l_orderkey") < 0)
+    val emptyPath = java.nio.file.Files
+      .createTempDirectory("graft-summary-empty").toString
+    emptyFact.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(emptyPath)
+    if (!spark.experimental.extraOptimizations
+        .contains(SummaryRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register(emptyFact,
+      spark.read.parquet(emptyPath),
+      keys = Seq("l_returnflag", "l_linestatus"),
+      partials = Map(("count", "*") -> "n_rows"))
+    val q = emptyFact.agg(count(lit(1)).as("n"))
+    q.collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+  }
 }

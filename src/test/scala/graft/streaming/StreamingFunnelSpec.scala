@@ -28,20 +28,20 @@ class StreamingFunnelSpec extends AnyFunSuite with SparkFixture
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3)))
     rows.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
-      var st = (0, 0L, 0L, 0L) // (stage, s1_ts, s1_id, s2_id)
+      var st = (0, 0L, 0L, 0L, 0L) // (stage, s1_ts, s1_id, s2_id, s2_ts)
       evs.sortBy(e => (e._2, e._3)).flatMap { case (_, ts, eid, tpe) =>
-        if (st._1 > 0 && ts - st._2 > SpanUs) st = (0, 0L, 0L, 0L)
+        if (st._1 > 0 && ts - st._2 > SpanUs) st = (0, 0L, 0L, 0L, 0L)
         tpe match {
           case "view" =>
-            if (st._1 == 0) st = (1, ts, eid, 0L)
+            if (st._1 == 0) st = (1, ts, eid, 0L, 0L)
             None
           case "click" =>
-            if (st._1 == 1) st = (2, st._2, st._3, eid)
+            if (st._1 == 1 && ts > st._2) st = (2, st._2, st._3, eid, ts)
             None
           case _ =>
-            if (st._1 == 2 && ts - st._2 <= SpanUs) {
+            if (st._1 == 2 && ts > st._5 && ts - st._2 <= SpanUs) {
               val done = (uid, st._3, st._4, eid)
-              st = (0, 0L, 0L, 0L)
+              st = (0, 0L, 0L, 0L, 0L)
               Some(done)
             } else None
         }
