@@ -2015,6 +2015,142 @@ object TextQueries {
               |  MIN(p.jac) < 0.5 AS chained
               |FROM pj p JOIN sizes s ON s.cluster_id = p.cluster_id
               |GROUP BY p.cluster_id, s.n_docs
-              |ORDER BY p.cluster_id""".stripMargin))
+              |ORDER BY p.cluster_id""".stripMargin)),
+
+    // The removal LEDGER — the decision the whole corpus-prep stack
+    // exists to make, written down per document: which rule fires
+    // FIRST in the canonical order exact-dup → duplicate-span-heavy
+    // (coverage ≥ 0.5) → near-dup cluster non-survivor → low-quality
+    // (q166's length/diversity rule), else kept. Stage order is the
+    // semantics (an exact dup is also span-covered at 1.0 — the
+    // ledger names the cheapest rule that would have caught it), and
+    // one row per doc is the artifact downstream systems consume:
+    // audits ("why is doc X gone"), per-rule attribution counts, and
+    // reproducible re-runs. Every stage reuses the established
+    // machinery — nothing here is a new rule, only the composition.
+    QueryDef(
+      "q300_removal_ledger",
+      (s, d) => {
+        val docs = documents(s, d)
+        val exact = docs
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .withColumn("keep_exact", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("fp").orderBy("doc_id")) === 1)
+          .select("doc_id", "keep_exact")
+        val cov = graft.llm.DuplicateSpans.coverage(docs, 5)
+          .select(col("doc_id"), col("dup_coverage"))
+        val labels = graft.llm.DedupClusters
+          .components(jaccardPairs(s, d).select("a_id", "b_id"))
+          .select(col("id").as("doc_id"),
+            (col("id") === col("cluster_id")).as("nd_survivor"))
+        val ws = words(col("text"))
+        val qual = docs
+          .select(col("doc_id"), size(ws).as("n_tokens"),
+            size(array_distinct(ws)).as("n_types"))
+          .select(col("doc_id"),
+            (col("n_tokens") >= 20 &&
+              col("n_types").cast("double") / col("n_tokens") >= 0.3)
+              .as("quality_ok"))
+        docs.select("doc_id")
+          .join(exact, "doc_id")
+          .join(cov, Seq("doc_id"), "left")
+          .join(labels, Seq("doc_id"), "left")
+          .join(qual, "doc_id")
+          .select(col("doc_id"),
+            when(!col("keep_exact"), lit("exact_dup"))
+              .when(coalesce(col("dup_coverage"), lit(0.0)) >= 0.5,
+                lit("span_heavy"))
+              .when(coalesce(col("nd_survivor"), lit(true)) === false,
+                lit("near_dup"))
+              .when(!col("quality_ok"), lit("low_quality"))
+              .otherwise(lit("kept")).as("removed_by"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM jp
+              |  UNION SELECT b_id, a_id FROM jp
+              |  UNION SELECT a_id, a_id FROM jp
+              |  UNION SELECT b_id, b_id FROM jp
+              |), l0 AS (
+              |  SELECT DISTINCT src AS id, src AS label FROM edges
+              |), l1 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst
+              |), l2 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst
+              |), l3 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
+              |), l4 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l3 l ON l.id = e.src GROUP BY e.dst
+              |), l5 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l4 l ON l.id = e.src GROUP BY e.dst
+              |), l6 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l5 l ON l.id = e.src GROUP BY e.dst
+              |), lab AS (
+              |  SELECT id, label AS cluster_id FROM l6
+              |), fpr AS (
+              |  SELECT doc_id, row_number() OVER (
+              |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |  FROM documents
+              |), s5 AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              |    md5(array_to_string(ws[i:i+4], ' ')) AS gh
+              |  FROM words, LATERAL unnest(generate_series(1,
+              |    len(ws) - 4)) AS t(i)
+              |  WHERE len(ws) >= 5
+              |), sdupg AS (
+              |  SELECT gh FROM s5 GROUP BY gh HAVING COUNT(*) >= 2
+              |), sdup AS (
+              |  SELECT s5.doc_id, s5.pos FROM s5
+              |  JOIN sdupg USING (gh)
+              |), slag AS (
+              |  SELECT doc_id, pos,
+              |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              |      AS lagp
+              |  FROM sdup
+              |), sisl AS (
+              |  SELECT doc_id, pos,
+              |    SUM(CASE WHEN lagp IS NOT NULL AND pos - lagp <= 5
+              |        THEN 0 ELSE 1 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |  FROM slag
+              |), ssp AS (
+              |  SELECT doc_id, island, MIN(pos) AS sp_s,
+              |    MAX(pos) + 4 AS sp_e
+              |  FROM sisl GROUP BY doc_id, island
+              |), scov AS (
+              |  SELECT doc_id,
+              |    CAST(SUM(sp_e - sp_s + 1) AS BIGINT) AS dup_tokens
+              |  FROM ssp GROUP BY doc_id
+              |), qual AS (
+              |  SELECT doc_id, len(ws) AS n_tokens,
+              |    len(list_distinct(ws)) AS n_types
+              |  FROM words
+              |)
+              |SELECT d.doc_id,
+              |  CASE
+              |    WHEN f.rn > 1 THEN 'exact_dup'
+              |    WHEN COALESCE(CAST(sc.dup_tokens AS DOUBLE)
+              |        / q.n_tokens, 0.0) >= 0.5 THEN 'span_heavy'
+              |    WHEN lab.id IS NOT NULL AND lab.cluster_id <> lab.id
+              |      THEN 'near_dup'
+              |    WHEN NOT (q.n_tokens >= 20 AND
+              |        CAST(q.n_types AS DOUBLE) / q.n_tokens >= 0.3)
+              |      THEN 'low_quality'
+              |    ELSE 'kept' END AS removed_by
+              |FROM documents d
+              |JOIN fpr f ON f.doc_id = d.doc_id
+              |LEFT JOIN scov sc ON sc.doc_id = d.doc_id
+              |LEFT JOIN lab ON lab.id = d.doc_id
+              |JOIN qual q ON q.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }
