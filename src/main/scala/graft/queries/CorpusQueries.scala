@@ -1412,6 +1412,50 @@ object CorpusQueries {
              |SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS val
              |FROM hashed GROUP BY doc_id, idx
              |HAVING SUM(sgn) <> 0
-             |ORDER BY doc_id, idx""".stripMargin))
+             |ORDER BY doc_id, idx""".stripMargin)),
+
+    // Blocklist content filter — the keyword-rule rung of the safety
+    // / policy pass (the shape NSFW and spam filters take before any
+    // model-based scoring): per-category term lists ride as array
+    // literals inside per-row HOF counts — a MAP-ONLY pass, no
+    // explode, no shuffle before the per-source report — and a doc
+    // flags when a category's hit count crosses its threshold.
+    // Reported per source: the mix owner sees which slices carry the
+    // policy load. Category lists here are illustrative (the corpus
+    // vocabulary is synthetic); the operator is the list-driven
+    // counting machinery.
+    QueryDef(
+      "q301_blocklist_filter",
+      (s, d) => {
+        val perf = expr(
+          "size(filter(__ws, t -> t IN ('slow', 'fast')))")
+        val sz = expr(
+          "size(filter(__ws, t -> t IN ('big', 'small')))")
+        documents(s, d)
+          .select(col("source"), words(col("text")).as("__ws"))
+          .select(col("source"), perf.as("perf_hits"),
+            sz.as("size_hits"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("perf_hits") >= 3, 1L).otherwise(0L))
+              .cast("long").as("docs_flagged"),
+            sum(col("perf_hits")).cast("long").as("perf_total"),
+            sum(col("size_hits")).cast("long").as("size_total"))
+          .orderBy("source")
+      },
+      Some("""WITH hits AS (
+             |  SELECT source,
+             |    len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('slow', 'fast'))) AS perf_hits,
+             |    len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('big', 'small'))) AS size_hits
+             |  FROM documents
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN perf_hits >= 3 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS docs_flagged,
+             |  CAST(SUM(perf_hits) AS BIGINT) AS perf_total,
+             |  CAST(SUM(size_hits) AS BIGINT) AS size_total
+             |FROM hits GROUP BY source ORDER BY source""".stripMargin))
   )
 }
