@@ -2151,6 +2151,128 @@ object TextQueries {
               |LEFT JOIN scov sc ON sc.doc_id = d.doc_id
               |LEFT JOIN lab ON lab.id = d.doc_id
               |JOIN qual q ON q.doc_id = d.doc_id
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // LSH banding SWEEP — the (b, r) knob of MinHash near-dup
+    // detection measured instead of assumed: the SAME 8-component
+    // signatures grouped as 4 bands × 2 rows (S-curve threshold
+    // (1/b)^(1/r) = 0.50) vs 2 bands × 4 rows (≈ 0.84), each scored
+    // for candidate volume, recall, and precision against the exact
+    // Jaccard ≥ 0.5 truth — the q209 nprobe-curve idea transplanted
+    // to the dedup index. Signatures are computed ONCE (pinned) and
+    // re-banded per config — re-banding is free, which is exactly
+    // why the sweep is cheap to run before committing a config at
+    // 100 TB.
+    QueryDef(
+      "q302_lsh_band_sweep",
+      (s, d) => {
+        val grams = sparkGramsCapped(s, d)
+        val aggs = graft.functions.TextFunctions
+          .minhashSlicedAggs(col("gram"), 8)
+        val sigs = grams.groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint(eager = false) // both configs re-band this
+        def candidates(bandExprs: Seq[org.apache.spark.sql.Column]) = {
+          val bands = sigs
+            .select(col("doc_id"), posexplode(array(bandExprs: _*)))
+            .withColumnRenamed("pos", "band")
+            .withColumnRenamed("col", "bv")
+          bands.as("a")
+            .join(bands.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bv") === col("b.bv") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("a_id"),
+              col("b.doc_id").as("b_id"))
+            .distinct()
+        }
+        val cfgA = candidates(Seq(
+          concat_ws("|", col("h0"), col("h1")),
+          concat_ws("|", col("h2"), col("h3")),
+          concat_ws("|", col("h4"), col("h5")),
+          concat_ws("|", col("h6"), col("h7"))))
+        val cfgB = candidates(Seq(
+          concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3")),
+          concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))))
+        val truth = jaccardPairs(s, d).select("a_id", "b_id")
+          .localCheckpoint(eager = false)
+        def rowFor(name: String, nBands: Int, rowsPer: Int,
+            cand: org.apache.spark.sql.DataFrame) =
+          cand.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(cand.join(truth, Seq("a_id", "b_id"))
+              .agg(count(lit(1)).as("n_hit")))
+            .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+            .select(lit(name).as("config"),
+              lit(nBands.toLong).as("n_bands"),
+              lit(rowsPer.toLong).as("rows_per_band"),
+              col("n_candidates").cast("long").as("n_candidates"),
+              col("n_hit").cast("long").as("n_hit"),
+              col("n_true").cast("long").as("n_true"),
+              (col("n_hit").cast("double") /
+                col("n_true").cast("double")).as("recall"),
+              (col("n_hit").cast("double") /
+                col("n_candidates").cast("double")).as("precision"))
+        rowFor("4x2", 4, 2, cfgA)
+          .unionByName(rowFor("2x4", 2, 4, cfgB))
+          .orderBy("config")
+      },
+      Some(s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |sigs AS (
+              |  SELECT doc_id,
+              |    min(substring(md5(gram), 1, 8)) AS h0,
+              |    min(substring(md5(gram), 9, 8)) AS h1,
+              |    min(substring(md5(gram), 17, 8)) AS h2,
+              |    min(substring(md5(gram), 25, 8)) AS h3,
+              |    min(substring(md5('1:' || gram), 1, 8)) AS h4,
+              |    min(substring(md5('1:' || gram), 9, 8)) AS h5,
+              |    min(substring(md5('1:' || gram), 17, 8)) AS h6,
+              |    min(substring(md5('1:' || gram), 25, 8)) AS h7
+              |  FROM grams_rare GROUP BY doc_id
+              |), bands_a AS (
+              |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sigs
+              |  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sigs
+              |  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sigs
+              |  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sigs
+              |), bands_b AS (
+              |  SELECT doc_id, 0 AS band,
+              |    h0 || '|' || h1 || '|' || h2 || '|' || h3 AS bv
+              |  FROM sigs
+              |  UNION ALL SELECT doc_id, 1,
+              |    h4 || '|' || h5 || '|' || h6 || '|' || h7
+              |  FROM sigs
+              |), cand_a AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands_a a JOIN bands_a b
+              |    ON a.band = b.band AND a.bv = b.bv
+              |    AND a.doc_id < b.doc_id
+              |), cand_b AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM bands_b a JOIN bands_b b
+              |    ON a.band = b.band AND a.bv = b.bv
+              |    AND a.doc_id < b.doc_id
+              |), stats AS (
+              |  SELECT '4x2' AS config, CAST(4 AS BIGINT) AS n_bands,
+              |    CAST(2 AS BIGINT) AS rows_per_band,
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_a)
+              |      AS n_candidates,
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_a c
+              |      JOIN jp ON jp.a_id = c.a_id AND jp.b_id = c.b_id)
+              |      AS n_hit,
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM jp) AS n_true
+              |  UNION ALL
+              |  SELECT '2x4', 2, 4,
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_b),
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_b c
+              |      JOIN jp ON jp.a_id = c.a_id AND jp.b_id = c.b_id),
+              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM jp)
+              |)
+              |SELECT config, n_bands, rows_per_band, n_candidates,
+              |  n_hit, n_true,
+              |  CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+              |    AS recall,
+              |  CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+              |    AS precision
+              |FROM stats ORDER BY config""".stripMargin))
   )
 }
