@@ -1015,6 +1015,130 @@ object RetrievalQueries {
              |      AS rk
              |  FROM agg1)
              |WHERE rk <= 10
+             |ORDER BY query_id, score DESC, doc_id""".stripMargin)),
+
+    // Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    // Croft SIGIR'98 / Zhai & Lafferty SIGIR'01) — the THIRD
+    // classical lexical family beside BM25 (q228) and the vector
+    // stack: score(q, d) = Π_t (tf_{t,d} + μ·p(t|C)) / (|d| + μ),
+    // μ = 10. Kept in PRODUCT form (3 query terms → two chained
+    // double multiplications, fixed left-assoc order both engines)
+    // instead of the usual log-sum precisely so the score itself
+    // hash-gates — no transcendentals anywhere. Smoothing scores
+    // EVERY doc, so this declared form is the exhaustive variant
+    // (queries × corpus with three broadcast tf lookups); at 100 TB
+    // serving prunes to docs containing ≥ 1 query term and ranks the
+    // all-background tail by |d| alone — same scores, candidate-
+    // bounded work. Query set = the q228 rule (doc_id % 100 = 7,
+    // own first 3 words).
+    QueryDef(
+      "q303_query_likelihood",
+      (s, d) => {
+        val docs = documents(s, d)
+        val toks = docs
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+          .localCheckpoint(eager = false) // tf, ctf, dlen all read it
+        val tf = toks.groupBy("doc_id", "term")
+          .agg(count(lit(1)).cast("long").as("tf"))
+        val dlen = toks.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("dlen"))
+        val ctf = toks.groupBy("term")
+          .agg(count(lit(1)).cast("long").as("ctf"))
+        val clen = toks.agg(count(lit(1)).cast("long").as("clen"))
+        val qterms = docs.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            posexplode(slice(words(col("text")), 1, 3)))
+          .select(col("query_id"), (col("pos") + 1).as("qpos"),
+            col("col").as("term"))
+          .join(ctf, "term")
+          .crossJoin(clen)
+          .select(col("query_id"), col("qpos"), col("term"),
+            (col("ctf").cast("double") / col("clen").cast("double"))
+              .as("p_bg"))
+        val mu = lit(10.0)
+        def comp(qpos: Int) = {
+          val t = qterms.filter(col("qpos") === qpos)
+            .select(col("query_id"), col("term").as(s"t$qpos"),
+              col("p_bg").as(s"bg$qpos"))
+          t
+        }
+        val scored = docs.select(col("doc_id"))
+          .join(dlen, "doc_id")
+          .crossJoin(broadcast(comp(1)))
+          .join(tf.select(col("doc_id"), col("term").as("t1"),
+            col("tf").as("tf1")), Seq("doc_id", "t1"), "left")
+          .join(broadcast(comp(2)), "query_id")
+          .join(tf.select(col("doc_id"), col("term").as("t2"),
+            col("tf").as("tf2")), Seq("doc_id", "t2"), "left")
+          .join(broadcast(comp(3)), "query_id")
+          .join(tf.select(col("doc_id"), col("term").as("t3"),
+            col("tf").as("tf3")), Seq("doc_id", "t3"), "left")
+        def c(i: Int) =
+          (coalesce(col(s"tf$i"), lit(0L)).cast("double") +
+            mu * col(s"bg$i")) /
+            (col("dlen").cast("double") + mu)
+        val withScore = scored.select(col("query_id"), col("doc_id"),
+          ((c(1) * c(2)) * c(3)).as("score"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        withScore
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("doc_id"), col("score"))
+          .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY doc_id, term
+             |), dlen AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen
+             |  FROM toks GROUP BY doc_id
+             |), ctf AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf
+             |  FROM toks GROUP BY term
+             |), clen AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS clen FROM toks
+             |), qt AS (
+             |  SELECT q.doc_id AS query_id, t.i AS qpos,
+             |    ws[t.i] AS term,
+             |    CAST(ctf.ctf AS DOUBLE) / CAST(clen.clen AS DOUBLE)
+             |      AS p_bg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |        FROM documents WHERE doc_id % 100 = 7) q,
+             |    LATERAL unnest(generate_series(1, 3)) AS t(i),
+             |    clen
+             |  JOIN ctf ON ctf.term = ws[t.i]
+             |), scored AS (
+             |  SELECT q1.query_id, d.doc_id,
+             |    ((((COALESCE(tf1.tf, 0) + 10.0 * q1.p_bg) /
+             |        (dl.dlen + 10.0)) *
+             |      ((COALESCE(tf2.tf, 0) + 10.0 * q2.p_bg) /
+             |        (dl.dlen + 10.0))) *
+             |      ((COALESCE(tf3.tf, 0) + 10.0 * q3.p_bg) /
+             |        (dl.dlen + 10.0))) AS score
+             |  FROM documents d
+             |  JOIN dlen dl ON dl.doc_id = d.doc_id
+             |  CROSS JOIN (SELECT * FROM qt WHERE qpos = 1) q1
+             |  LEFT JOIN tf tf1 ON tf1.doc_id = d.doc_id
+             |    AND tf1.term = q1.term
+             |  JOIN (SELECT * FROM qt WHERE qpos = 2) q2
+             |    ON q2.query_id = q1.query_id
+             |  LEFT JOIN tf tf2 ON tf2.doc_id = d.doc_id
+             |    AND tf2.term = q2.term
+             |  JOIN (SELECT * FROM qt WHERE qpos = 3) q3
+             |    ON q3.query_id = q1.query_id
+             |  LEFT JOIN tf tf3 ON tf3.doc_id = d.doc_id
+             |    AND tf3.term = q3.term
+             |)
+             |SELECT query_id, doc_id, score FROM (
+             |  SELECT query_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id ASC) AS rk
+             |  FROM scored)
+             |WHERE rk <= 10
              |ORDER BY query_id, score DESC, doc_id""".stripMargin))
   )
 }
