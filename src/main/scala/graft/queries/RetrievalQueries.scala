@@ -20,6 +20,64 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalQueries {
 
+  /** Dirichlet query-likelihood top-10 per tracked query (q303's
+    * scorer, shared with the q304 ranker-agreement row): score =
+    * Π_t (tf + μ·p(t|C)) / (|d| + μ), μ = 10, kept in product form
+    * so the doubles hash-gate.
+    */
+  private def qlTop10(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .localCheckpoint(eager = false) // tf, ctf, dlen all read it
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dlen = toks.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("dlen"))
+    val ctf = toks.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("ctf"))
+    val clen = toks.agg(count(lit(1)).cast("long").as("clen"))
+    val qterms = docs.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("query_id"),
+        posexplode(slice(words(col("text")), 1, 3)))
+      .select(col("query_id"), (col("pos") + 1).as("qpos"),
+        col("col").as("term"))
+      .join(ctf, "term")
+      .crossJoin(clen)
+      .select(col("query_id"), col("qpos"), col("term"),
+        (col("ctf").cast("double") / col("clen").cast("double"))
+          .as("p_bg"))
+    val mu = lit(10.0)
+    def comp(qpos: Int) =
+      qterms.filter(col("qpos") === qpos)
+        .select(col("query_id"), col("term").as(s"t$qpos"),
+          col("p_bg").as(s"bg$qpos"))
+    val scored = docs.select(col("doc_id"))
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(comp(1)))
+      .join(tf.select(col("doc_id"), col("term").as("t1"),
+        col("tf").as("tf1")), Seq("doc_id", "t1"), "left")
+      .join(broadcast(comp(2)), "query_id")
+      .join(tf.select(col("doc_id"), col("term").as("t2"),
+        col("tf").as("tf2")), Seq("doc_id", "t2"), "left")
+      .join(broadcast(comp(3)), "query_id")
+      .join(tf.select(col("doc_id"), col("term").as("t3"),
+        col("tf").as("tf3")), Seq("doc_id", "t3"), "left")
+    def c(i: Int) =
+      (coalesce(col(s"tf$i"), lit(0L)).cast("double") +
+        mu * col(s"bg$i")) /
+        (col("dlen").cast("double") + mu)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .select(col("query_id"), col("doc_id"),
+        ((c(1) * c(2)) * c(3)).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "doc_id", "score")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // BM25 top-k retrieval (transcendental-free core — integer idf,
@@ -1033,60 +1091,8 @@ object RetrievalQueries {
     // own first 3 words).
     QueryDef(
       "q303_query_likelihood",
-      (s, d) => {
-        val docs = documents(s, d)
-        val toks = docs
-          .select(col("doc_id"), explode(words(col("text"))).as("term"))
-          .localCheckpoint(eager = false) // tf, ctf, dlen all read it
-        val tf = toks.groupBy("doc_id", "term")
-          .agg(count(lit(1)).cast("long").as("tf"))
-        val dlen = toks.groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("dlen"))
-        val ctf = toks.groupBy("term")
-          .agg(count(lit(1)).cast("long").as("ctf"))
-        val clen = toks.agg(count(lit(1)).cast("long").as("clen"))
-        val qterms = docs.filter(col("doc_id") % 100 === 7)
-          .select(col("doc_id").as("query_id"),
-            posexplode(slice(words(col("text")), 1, 3)))
-          .select(col("query_id"), (col("pos") + 1).as("qpos"),
-            col("col").as("term"))
-          .join(ctf, "term")
-          .crossJoin(clen)
-          .select(col("query_id"), col("qpos"), col("term"),
-            (col("ctf").cast("double") / col("clen").cast("double"))
-              .as("p_bg"))
-        val mu = lit(10.0)
-        def comp(qpos: Int) = {
-          val t = qterms.filter(col("qpos") === qpos)
-            .select(col("query_id"), col("term").as(s"t$qpos"),
-              col("p_bg").as(s"bg$qpos"))
-          t
-        }
-        val scored = docs.select(col("doc_id"))
-          .join(dlen, "doc_id")
-          .crossJoin(broadcast(comp(1)))
-          .join(tf.select(col("doc_id"), col("term").as("t1"),
-            col("tf").as("tf1")), Seq("doc_id", "t1"), "left")
-          .join(broadcast(comp(2)), "query_id")
-          .join(tf.select(col("doc_id"), col("term").as("t2"),
-            col("tf").as("tf2")), Seq("doc_id", "t2"), "left")
-          .join(broadcast(comp(3)), "query_id")
-          .join(tf.select(col("doc_id"), col("term").as("t3"),
-            col("tf").as("tf3")), Seq("doc_id", "t3"), "left")
-        def c(i: Int) =
-          (coalesce(col(s"tf$i"), lit(0L)).cast("double") +
-            mu * col(s"bg$i")) /
-            (col("dlen").cast("double") + mu)
-        val withScore = scored.select(col("query_id"), col("doc_id"),
-          ((c(1) * c(2)) * c(3)).as("score"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        withScore
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 10)
-          .select(col("query_id"), col("doc_id"), col("score"))
-          .orderBy(col("query_id"), col("score").desc, col("doc_id"))
-      },
+      (s, d) => qlTop10(s, d)
+        .orderBy(col("query_id"), col("score").desc, col("doc_id")),
       Some("""WITH toks AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
              |  FROM documents
@@ -1139,6 +1145,149 @@ object RetrievalQueries {
              |      ORDER BY score DESC, doc_id ASC) AS rk
              |  FROM scored)
              |WHERE rk <= 10
-             |ORDER BY query_id, score DESC, doc_id""".stripMargin))
+             |ORDER BY query_id, score DESC, doc_id""".stripMargin)),
+
+    // Ranker AGREEMENT — the measured premise of RRF fusion (q231:
+    // fusing rankers helps exactly when they disagree in useful
+    // ways): per tracked query, how many of BM25's top-10 also
+    // appear in query-likelihood's top-10, plus the Jaccard@10.
+    // Low overlap with both rankers individually competitive is the
+    // signal to fuse; overlap ≈ 10 means the second ranker adds
+    // nothing. Both rankers ride their established machinery
+    // (Bm25.searchCore, the q303 scorer) — this row only joins
+    // their outputs.
+    QueryDef(
+      "q304_ranker_agreement",
+      (s, d) => {
+        val docs = documents(s, d)
+        val queries = docs
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("query_id"),
+            slice(words(col("text")), 1, 3).as("terms"))
+        val bm = Bm25.searchCore(Bm25.index(docs), queries, topK = 10)
+          .select("query_id", "doc_id")
+        val ql = qlTop10(s, d).select("query_id", "doc_id")
+        val overlap = bm.join(ql, Seq("query_id", "doc_id"))
+          .groupBy("query_id")
+          .agg(count(lit(1)).cast("long").as("n_overlap"))
+        queries.select("query_id")
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+              (lit(20L) - coalesce(col("n_overlap"), lit(0L)))
+                .cast("double")).as("jaccard_at_10"))
+          .orderBy("query_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM documents, LATERAL unnest(string_split(text, ' '))
+             |    AS u(w)
+             |  GROUP BY w, doc_id
+             |), dl AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(dl) AS BIGINT) AS total_len
+             |  FROM dl
+             |), dfq AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), q AS (
+             |  SELECT DISTINCT doc_id AS query_id,
+             |    unnest((string_split(text, ' '))[1:3]) AS term
+             |  FROM documents WHERE doc_id % 100 = 7
+             |), part AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |    CAST(n_docs - df + 1 AS DOUBLE) *
+             |      (CAST(22 * tf * total_len AS DOUBLE) /
+             |       CAST(10 * tf * total_len + 3 * total_len
+             |            + 9 * dl * n_docs AS DOUBLE)) AS s
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dfq USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN stats
+             |), bmagg AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(SUM(CAST(s AS DECIMAL(38,12))), 2)
+             |      AS DOUBLE) AS score
+             |  FROM part GROUP BY query_id, doc_id
+             |), bmtop AS (
+             |  SELECT query_id, doc_id FROM (
+             |    SELECT query_id, doc_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, doc_id ASC) AS rk
+             |    FROM bmagg)
+             |  WHERE rk <= 10
+             |), toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), ltf AS (
+             |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY doc_id, term
+             |), dlen AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen
+             |  FROM toks GROUP BY doc_id
+             |), ctf AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf
+             |  FROM toks GROUP BY term
+             |), clen AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS clen FROM toks
+             |), qt AS (
+             |  SELECT qq.doc_id AS query_id, t.i AS qpos,
+             |    ws[t.i] AS term,
+             |    CAST(ctf.ctf AS DOUBLE) / CAST(clen.clen AS DOUBLE)
+             |      AS p_bg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |        FROM documents WHERE doc_id % 100 = 7) qq,
+             |    LATERAL unnest(generate_series(1, 3)) AS t(i),
+             |    clen
+             |  JOIN ctf ON ctf.term = ws[t.i]
+             |), qlscored AS (
+             |  SELECT q1.query_id, d.doc_id,
+             |    ((((COALESCE(tf1.tf, 0) + 10.0 * q1.p_bg) /
+             |        (dd.dlen + 10.0)) *
+             |      ((COALESCE(tf2.tf, 0) + 10.0 * q2.p_bg) /
+             |        (dd.dlen + 10.0))) *
+             |      ((COALESCE(tf3.tf, 0) + 10.0 * q3.p_bg) /
+             |        (dd.dlen + 10.0))) AS score
+             |  FROM documents d
+             |  JOIN dlen dd ON dd.doc_id = d.doc_id
+             |  CROSS JOIN (SELECT * FROM qt WHERE qpos = 1) q1
+             |  LEFT JOIN ltf tf1 ON tf1.doc_id = d.doc_id
+             |    AND tf1.term = q1.term
+             |  JOIN (SELECT * FROM qt WHERE qpos = 2) q2
+             |    ON q2.query_id = q1.query_id
+             |  LEFT JOIN ltf tf2 ON tf2.doc_id = d.doc_id
+             |    AND tf2.term = q2.term
+             |  JOIN (SELECT * FROM qt WHERE qpos = 3) q3
+             |    ON q3.query_id = q1.query_id
+             |  LEFT JOIN ltf tf3 ON tf3.doc_id = d.doc_id
+             |    AND tf3.term = q3.term
+             |), qltop AS (
+             |  SELECT query_id, doc_id FROM (
+             |    SELECT query_id, doc_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, doc_id ASC) AS rk
+             |    FROM qlscored)
+             |  WHERE rk <= 10
+             |), ov AS (
+             |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+             |  FROM bmtop b JOIN qltop l
+             |    ON l.query_id = b.query_id AND l.doc_id = b.doc_id
+             |  GROUP BY b.query_id
+             |)
+             |SELECT qs.query_id,
+             |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+             |  CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) /
+             |    CAST(20 - COALESCE(ov.n_overlap, 0) AS DOUBLE)
+             |    AS jaccard_at_10
+             |FROM (SELECT DISTINCT doc_id AS query_id FROM documents
+             |      WHERE doc_id % 100 = 7) qs
+             |LEFT JOIN ov ON ov.query_id = qs.query_id
+             |ORDER BY qs.query_id""".stripMargin))
   )
 }
