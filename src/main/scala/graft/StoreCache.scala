@@ -19,6 +19,16 @@ package graft
   *
   * Correctness is unaffected: the dataset dir identifies the content,
   * and a store is a pure function of it.
+  *
+  * CONCURRENCY / STALENESS CONTRACT: the `built` memo is per-JVM but
+  * the path is host-global, so two JVMs building the same (kind,
+  * dataset) concurrently race (overwrite deletes files mid-scan of a
+  * reader), and regenerating a dataset IN PLACE at the same dir
+  * serves stale stores with no error. The driver's execution model —
+  * one sequential JVM per verify/bench run, immutable dataset dirs —
+  * satisfies both assumptions; any other deployment must either
+  * isolate `java.io.tmpdir` per JVM or clear `graft-stores/` when a
+  * dataset changes under its path.
   */
 object StoreCache {
   private val built = scala.collection.mutable.Set.empty[String]

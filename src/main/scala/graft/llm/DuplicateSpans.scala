@@ -72,15 +72,50 @@ object DuplicateSpans {
     g.join(dup, "gh").select("doc_id", "pos")
   }
 
+  /** Duplicated positions EXCLUDING each gram's canonical FIRST
+    * occurrence (ordered by (doc_id, pos)) — the keep-one removal
+    * semantic ExactSubstr dedup actually applies: symmetric
+    * [[duplicatedPositions]] marks every copy (right for REPORTING,
+    * q277/q288), but a removal decision built on it deletes all
+    * copies of fully-duplicated content. Rank > 1 under a per-hash
+    * window keeps exactly one occurrence corpus-wide; the window is
+    * one shuffle+sort on the gram hash — heavier than the agg+join
+    * of the symmetric form, and only the decision pass (q300) pays
+    * it.
+    */
+  def removablePositions(docs: DataFrame, k: Int): DataFrame =
+    gramPositions(docs, k)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("gh").orderBy("doc_id", "pos")))
+      .filter(col("__rn") > 1)
+      .select("doc_id", "pos")
+
+  /** [[spans]] under the keep-first rule: maximal regions of
+    * NON-canonical duplicated grams — what a keep-one dedup would
+    * actually cut. The first copy of duplicated content gets no
+    * spans; later copies get full coverage.
+    */
+  def spansKeepFirst(docs: DataFrame, k: Int): DataFrame =
+    spansFrom(removablePositions(docs, k), k)
+
+  /** Per-document removal report over [[spansKeepFirst]] — the
+    * decision-grade counterpart of [[coverage]].
+    */
+  def coverageKeepFirst(docs: DataFrame, k: Int): DataFrame =
+    coverageFrom(spansKeepFirst(docs, k), docs)
+
   /** Maximal duplicated spans: (doc_id, span_start, span_end,
     * span_len) in 1-based inclusive token coordinates. Two duplicated
     * grams at p1 < p2 merge iff p2 ≤ p1 + k (ranges overlap or
     * touch); the window is keyed by doc, so 100 TB islands-merge
     * parallelizes across documents.
     */
-  def spans(docs: DataFrame, k: Int): DataFrame = {
+  def spans(docs: DataFrame, k: Int): DataFrame =
+    spansFrom(duplicatedPositions(docs, k), k)
+
+  private def spansFrom(positions: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    duplicatedPositions(docs, k)
+    positions
       .withColumn("__lagp", lag("pos", 1).over(w))
       .withColumn("__brk",
         when(col("__lagp").isNotNull &&
@@ -100,8 +135,11 @@ object DuplicateSpans {
     * appear; a doc with dup_coverage 1.0 is an exact-dup candidate,
     * small spans are boilerplate phrases.
     */
-  def coverage(docs: DataFrame, k: Int): DataFrame = {
-    val perDoc = spans(docs, k)
+  def coverage(docs: DataFrame, k: Int): DataFrame =
+    coverageFrom(spans(docs, k), docs)
+
+  private def coverageFrom(sp: DataFrame, docs: DataFrame): DataFrame = {
+    val perDoc = sp
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_spans"),
         sum("span_len").cast("long").as("dup_tokens"),

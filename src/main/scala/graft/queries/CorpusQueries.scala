@@ -1437,7 +1437,9 @@ object CorpusQueries {
             sz.as("size_hits"))
           .groupBy("source")
           .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(when(col("perf_hits") >= 3, 1L).otherwise(0L))
+            // a doc flags when ANY category crosses its threshold
+            sum(when(col("perf_hits") >= 3 || col("size_hits") >= 3,
+              1L).otherwise(0L))
               .cast("long").as("docs_flagged"),
             sum(col("perf_hits")).cast("long").as("perf_total"),
             sum(col("size_hits")).cast("long").as("size_total"))
@@ -1452,8 +1454,8 @@ object CorpusQueries {
              |  FROM documents
              |)
              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  CAST(SUM(CASE WHEN perf_hits >= 3 THEN 1 ELSE 0 END)
-             |    AS BIGINT) AS docs_flagged,
+             |  CAST(SUM(CASE WHEN perf_hits >= 3 OR size_hits >= 3
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
              |  CAST(SUM(perf_hits) AS BIGINT) AS perf_total,
              |  CAST(SUM(size_hits) AS BIGINT) AS size_total
              |FROM hits GROUP BY source ORDER BY source""".stripMargin))

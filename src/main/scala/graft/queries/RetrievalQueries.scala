@@ -1170,12 +1170,24 @@ object RetrievalQueries {
         val overlap = bm.join(ql, Seq("query_id", "doc_id"))
           .groupBy("query_id")
           .agg(count(lit(1)).cast("long").as("n_overlap"))
+        // union size must be |bm| + |ql| − overlap PER QUERY: BM25
+        // only scores docs containing ≥ 1 query term, so its list
+        // can be shorter than 10 and a hardcoded 20 would understate
+        // the Jaccard
+        val nBm = bm.groupBy("query_id")
+          .agg(count(lit(1)).cast("long").as("n_bm"))
+        val nQl = ql.groupBy("query_id")
+          .agg(count(lit(1)).cast("long").as("n_ql"))
         queries.select("query_id")
           .join(overlap, Seq("query_id"), "left")
+          .join(nBm, Seq("query_id"), "left")
+          .join(nQl, Seq("query_id"), "left")
           .select(col("query_id"),
             coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
             (coalesce(col("n_overlap"), lit(0L)).cast("double") /
-              (lit(20L) - coalesce(col("n_overlap"), lit(0L)))
+              (coalesce(col("n_bm"), lit(0L)) +
+                coalesce(col("n_ql"), lit(0L)) -
+                coalesce(col("n_overlap"), lit(0L)))
                 .cast("double")).as("jaccard_at_10"))
           .orderBy("query_id")
       },
@@ -1279,15 +1291,24 @@ object RetrievalQueries {
              |  FROM bmtop b JOIN qltop l
              |    ON l.query_id = b.query_id AND l.doc_id = b.doc_id
              |  GROUP BY b.query_id
+             |), nbm AS (
+             |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_bm
+             |  FROM bmtop GROUP BY query_id
+             |), nql AS (
+             |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ql
+             |  FROM qltop GROUP BY query_id
              |)
              |SELECT qs.query_id,
              |  COALESCE(ov.n_overlap, 0) AS n_overlap,
              |  CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) /
-             |    CAST(20 - COALESCE(ov.n_overlap, 0) AS DOUBLE)
+             |    CAST(COALESCE(nbm.n_bm, 0) + COALESCE(nql.n_ql, 0)
+             |      - COALESCE(ov.n_overlap, 0) AS DOUBLE)
              |    AS jaccard_at_10
              |FROM (SELECT DISTINCT doc_id AS query_id FROM documents
              |      WHERE doc_id % 100 = 7) qs
              |LEFT JOIN ov ON ov.query_id = qs.query_id
+             |LEFT JOIN nbm ON nbm.query_id = qs.query_id
+             |LEFT JOIN nql ON nql.query_id = qs.query_id
              |ORDER BY qs.query_id""".stripMargin))
   )
 }

@@ -147,20 +147,20 @@ object TextQueries {
     * The selection itself lives in [[graft.operators.Winnowing]]
     * (property-tested against an in-memory reference there).
     */
-  /** Served from a per-(JVM, dataset) parquet store like the capped
-    * grams: q207/q208/q213/q215 each re-ran the fingerprint pass per
-    * invocation (the r10 verdict's "5th recompute per suite run");
-    * the selection is a pure function of the dataset, so one build
-    * (paid by the bench warm-up) serves them all. Same rows, every
-    * oracle unchanged.
+  /** Served from q216's EXISTING "winnow" store: q207/q208/q213 each
+    * re-ran the fingerprint pass per invocation (the r10 verdict's
+    * "5th recompute per suite run"), yet `WinnowIndex.build`
+    * materializes exactly `Winnowing.fingerprints(documents)` — same
+    * (doc_id, pos, fph) longs, same w=4 — so ONE build (paid by the
+    * bench warm-up, or the labeled q240 workload) serves the whole
+    * ladder. Same rows, every oracle unchanged, no second store.
     */
   private def winnowedFps(s: org.apache.spark.sql.SparkSession,
       d: String) = {
-    val path = graft.StoreCache.getOrBuild("winnowfps", d) { p =>
-      graft.operators.Winnowing.fingerprints(documents(s, d))
-        .write.mode("overwrite").parquet(p)
+    val path = graft.StoreCache.getOrBuild("winnow", d) { p =>
+      graft.operators.WinnowIndex.build(documents(s, d), p)
     }
-    s.read.parquet(path)
+    graft.operators.WinnowIndex.read(s, path)
   }
 
   /** The winnowing CTE chain shared by q207/q208's oracles: `winn` is
@@ -2066,7 +2066,13 @@ object TextQueries {
             org.apache.spark.sql.expressions.Window
               .partitionBy("fp").orderBy("doc_id")) === 1)
           .select("doc_id", "keep_exact")
-        val cov = graft.llm.DuplicateSpans.coverage(docs, 5)
+        // KEEP-FIRST coverage, not the symmetric report: the
+        // symmetric form marks every copy of duplicated content, so
+        // a ledger built on it would remove ALL copies of an exact
+        // pair (the survivor too — its coverage is also 1.0). The
+        // keep-first rule exempts each gram's canonical first
+        // occurrence, so one copy always survives the span rule.
+        val cov = graft.llm.DuplicateSpans.coverageKeepFirst(docs, 5)
           .select(col("doc_id"), col("dup_coverage"))
         val labels = graft.llm.DedupClusters
           .components(jaccardPairs(s, d).select("a_id", "b_id"))
@@ -2134,11 +2140,13 @@ object TextQueries {
               |  FROM words, LATERAL unnest(generate_series(1,
               |    len(ws) - 4)) AS t(i)
               |  WHERE len(ws) >= 5
-              |), sdupg AS (
-              |  SELECT gh FROM s5 GROUP BY gh HAVING COUNT(*) >= 2
               |), sdup AS (
-              |  SELECT s5.doc_id, s5.pos FROM s5
-              |  JOIN sdupg USING (gh)
+              |  SELECT doc_id, pos FROM (
+              |    SELECT doc_id, pos,
+              |      row_number() OVER (PARTITION BY gh
+              |        ORDER BY doc_id, pos) AS rn
+              |    FROM s5)
+              |  WHERE rn > 1
               |), slag AS (
               |  SELECT doc_id, pos,
               |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)

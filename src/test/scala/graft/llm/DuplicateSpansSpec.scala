@@ -69,4 +69,27 @@ class DuplicateSpansSpec extends AnyFunSuite with SparkFixture
     val d = docs(1L -> "a b", 2L -> "x y z w", 3L -> "q r s t")
     DuplicateSpans.spans(d, 3).count() shouldBe 0L
   }
+
+  test("keep-first spans exempt the canonical copy of an exact pair") {
+    // docs 1 and 2 are identical: symmetric spans cover BOTH fully;
+    // keep-first covers only doc 2 (doc 1 holds every gram's first
+    // occurrence), so a removal decision always keeps one copy
+    val d = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f",
+      3L -> "z1 z2 z3 z4 z5")
+    DuplicateSpans.spans(d, 3)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    val kf = DuplicateSpans.spansKeepFirst(d, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    kf.toSeq shouldBe Seq((2L, 1L, 6L))
+  }
+
+  test("within-doc repetition keeps its first occurrence too") {
+    val d = docs(7L -> "p q r m1 m2 m3 m4 m5 p q r")
+    val kf = DuplicateSpans.spansKeepFirst(d, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    kf.toSeq shouldBe Seq((9L, 11L)) // second occurrence only
+  }
 }

@@ -49,16 +49,33 @@ class CmsInnerProductPropSpec extends AnyFunSuite with SparkFixture
     }
   }
 
-  test("wide sketches with collision-free keys are exact") {
-    // keys 0..19 at width 256: collisions are possible in principle,
-    // so construct keys that land in distinct buckets per row
+  test("verified-collision-free keys make the estimate EXACT") {
+    // select keys whose buckets are pairwise distinct in EVERY hash
+    // row (checked with the operator's own bucket function), so the
+    // inner product has no cross terms and est == truth is a hard
+    // assertion — a systematic overshoot (e.g. a double-counting
+    // join bug) fails here where `>=` alone would pass
+    val s = spark
+    import s.implicits._
+    val d = 4; val w = 256
+    val cand = (0L until 64L)
+    val bucketRows = cand.toDF("k")
+      .select(col("k") +: (0 until d).map(r =>
+        CountMinSketch.bucket(col("k"), r, w).as(s"b$r")): _*)
+      .collect()
+      .map(row => row.getLong(0) ->
+        (0 until d).map(i => row.getLong(i + 1)))
+      .toMap
+    val picked = cand.foldLeft(Vector.empty[Long]) { (acc, k) =>
+      if (acc.size >= 8) acc
+      else if (acc.forall(p => (0 until d).forall(i =>
+        bucketRows(p)(i) != bucketRows(k)(i)))) acc :+ k
+      else acc
+    }
+    picked.size shouldBe 8
     val rnd = new Random(7)
-    val keys = Seq.fill(250)(rnd.nextInt(8).toLong) // 8 distinct keys
-    val est = joinSizeEst(keys, keys, d = 4, w = 256)
-    val truth = joinSizeTrue(keys, keys)
-    // 8 keys in 256 buckets: verify exactness holds OR a collision
-    // made it overshoot — never under
-    est should be >= truth
-    if (est != truth) info(s"collision overshoot: $est vs $truth")
+    val keys = Seq.fill(250)(picked(rnd.nextInt(picked.size)))
+    val est = joinSizeEst(keys, keys, d, w)
+    est shouldBe joinSizeTrue(keys, keys)
   }
 }
