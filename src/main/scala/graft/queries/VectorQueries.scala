@@ -2280,6 +2280,95 @@ object VectorQueries {
               |JOIN c2 ON c2.clabel = a.cell
               |ORDER BY dist_sq DESC, a.vec_id ASC LIMIT 15""".stripMargin)),
 
+    // Incremental IVF maintenance — the vector-index counterpart of
+    // the BM25 delta merge and the PageRank delta epochs: a NEW
+    // vector batch (vec_id % 10 = 3 plays the arrival) is added to
+    // an index whose centroids were trained on the BASE corpus and
+    // STAY FIXED — adding is one narrow assignment pass over the
+    // delta only (base assignments are already stored), which is
+    // exactly how FAISS IVF add works; re-training only happens when
+    // the drift monitor (q212) says the centroids no longer fit.
+    // The report is the post-add cell census: base/delta counts and
+    // the delta share per cell — a skewed delta share is the early
+    // sign the new data lives off-manifold.
+    QueryDef(
+      "q305_ivf_add_batch",
+      (s, d) => {
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val isDelta = col("vec_id") % 10 === 3
+        // centroids from the BASE slice only (the trained model)
+        val baseCents = emb.filter(!isDelta)
+          .select(col("label").as("clabel"), posexplode(col("embedding")))
+          .select(col("clabel"), (col("pos") + 1).as("i"),
+            col("col").cast("double").as("x"))
+          .groupBy("clabel", "i")
+          .agg(davg(col("x")).as("mean_x"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .toSeq
+          .map { case (lbl, rows) =>
+            lbl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          }
+          .sortBy(_._1)
+        val cell = graft.llm.ProductQuantizer.cellExprOf(baseCents)
+        val census = emb
+          .select(cell.as("cell"), isDelta.as("is_delta"))
+          .groupBy("cell")
+          .agg(sum(when(!col("is_delta"), 1L).otherwise(0L))
+            .cast("long").as("n_base"),
+            sum(when(col("is_delta"), 1L).otherwise(0L))
+              .cast("long").as("n_delta"))
+        census
+          .select(col("cell"), col("n_base"), col("n_delta"),
+            (col("n_base") + col("n_delta")).as("n_total"),
+            (col("n_delta").cast("double") /
+              (col("n_base") + col("n_delta")).cast("double"))
+              .as("delta_share"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH evec AS (
+              |  SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              |    (vec_id % 10 = 3) AS is_delta
+              |  FROM embeddings
+              |), cents AS (
+              |  SELECT label AS clabel, CAST(i AS INTEGER) AS i,
+              |    ${sqlDavg("x")} AS mean_x
+              |  FROM (
+              |    SELECT label, generate_subscripts(embedding, 1) AS i,
+              |      CAST(unnest(embedding) AS DOUBLE) AS x
+              |    FROM embeddings WHERE vec_id % 10 <> 3)
+              |  GROUP BY label, i
+              |), cents_l AS (
+              |  SELECT clabel, list(mean_x ORDER BY i) AS cvec
+              |  FROM cents GROUP BY clabel
+              |), dots_c AS (
+              |  SELECT e.vec_id, e.is_delta, c.clabel,
+              |    list_reduce(
+              |      list_transform(range(1, len(e.v) + 1),
+              |        k -> e.v[k] * c.cvec[k]),
+              |      (a, b) -> a + b) AS dp
+              |  FROM evec e CROSS JOIN cents_l c
+              |), assigned AS (
+              |  SELECT vec_id, is_delta, clabel AS cell FROM (
+              |    SELECT vec_id, is_delta, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c)
+              |  WHERE rn = 1
+              |)
+              |SELECT cell,
+              |  CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END)
+              |    AS BIGINT) AS n_base,
+              |  CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_delta,
+              |  CAST(COUNT(*) AS BIGINT) AS n_total,
+              |  CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS delta_share
+              |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin)),
+
     // ---- Binary (sign) quantization: 1 bit per dimension ----------
     //
     // The cheapest ANN rung below PQ: each 64-dim float vector
