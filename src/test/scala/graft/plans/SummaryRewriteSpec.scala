@@ -133,6 +133,37 @@ class SummaryRewriteSpec extends AnyFunSuite with SparkFixture
     q.collect().map(_.getLong(1)).toSet shouldBe Set(0L)
   }
 
+  test("randomized shapes: rewritten results equal the fact-scan " +
+      "answers exactly") {
+    // random grouping subsets × aggregate combinations: whatever the
+    // rule decides (rewrite or leave), the answer must be the
+    // fact-scan answer — run each shape with the catalog registered,
+    // then cleared, and compare row sets
+    val rnd = new scala.util.Random(11)
+    val groupings = Seq(Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"))
+    val aggPool = Seq(
+      () => count(lit(1)).as("a_cnt"),
+      () => sum(col("l_linenumber")).as("a_sum"),
+      () => min(col("l_shipdate")).as("a_min"),
+      () => max(col("l_shipdate")).as("a_max"))
+    (1 to 6).foreach { i =>
+      val g = groupings(rnd.nextInt(groupings.size))
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+        .map(_.apply())
+      def run() = fact.groupBy(g.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map(_.toSeq).toSet
+      installRule()
+      val withRule = run()
+      SummaryRewriteRule.clear()
+      val direct = run()
+      withClue(s"shape $i (group=$g, ${aggs.size} aggs):") {
+        withRule shouldBe direct
+      }
+    }
+  }
+
   test("ungrouped COUNT over an empty fact still returns 0 through " +
       "the rewrite") {
     val emptyFact = fact.filter(col("l_orderkey") < 0)
