@@ -319,6 +319,148 @@ object TextQueries {
     .map(j => s"CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
     .mkString(" + ")
 
+
+  /** The q300 removal-ledger frame (doc_id, removed_by) — shared by
+    * the declared gate (q300) and the export-manifest step (q306,
+    * which materializes it once per session via StoreCache).
+    */
+  private def ledgerDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+        val docs = documents(s, d)
+        val exact = docs
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .withColumn("keep_exact", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("fp").orderBy("doc_id")) === 1)
+          .select("doc_id", "keep_exact")
+        // KEEP-FIRST coverage, not the symmetric report: the
+        // symmetric form marks every copy of duplicated content, so
+        // a ledger built on it would remove ALL copies of an exact
+        // pair (the survivor too — its coverage is also 1.0). The
+        // keep-first rule exempts each gram's canonical first
+        // occurrence, so one copy always survives the span rule.
+        val cov = graft.llm.DuplicateSpans.coverageKeepFirst(docs, 5)
+          .select(col("doc_id"), col("dup_coverage"))
+        val labels = graft.llm.DedupClusters
+          .components(jaccardPairs(s, d).select("a_id", "b_id"))
+          .select(col("id").as("doc_id"),
+            (col("id") === col("cluster_id")).as("nd_survivor"))
+        val ws = words(col("text"))
+        val qual = docs
+          .select(col("doc_id"), size(ws).as("n_tokens"),
+            size(array_distinct(ws)).as("n_types"))
+          .select(col("doc_id"),
+            (col("n_tokens") >= 20 &&
+              col("n_types").cast("double") / col("n_tokens") >= 0.3)
+              .as("quality_ok"))
+        docs.select("doc_id")
+          .join(exact, "doc_id")
+          .join(cov, Seq("doc_id"), "left")
+          .join(labels, Seq("doc_id"), "left")
+          .join(qual, "doc_id")
+          .select(col("doc_id"),
+            when(!col("keep_exact"), lit("exact_dup"))
+              .when(coalesce(col("dup_coverage"), lit(0.0)) >= 0.5,
+                lit("span_heavy"))
+              .when(coalesce(col("nd_survivor"), lit(true)) === false,
+                lit("near_dup"))
+              .when(!col("quality_ok"), lit("low_quality"))
+              .otherwise(lit("kept")).as("removed_by"))
+  }
+
+  /** The q300 ledger oracle chain: every CTE through `qual`, plus
+    * the `ledger(doc_id, removed_by)` CTE — shared by q300 and the
+    * q306 export manifest.
+    */
+  private val ledgerOracleCtes: String =
+    s"""$cappedGramsCte,
+              |$jaccardPairsCte,
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM jp
+              |  UNION SELECT b_id, a_id FROM jp
+              |  UNION SELECT a_id, a_id FROM jp
+              |  UNION SELECT b_id, b_id FROM jp
+              |), l0 AS (
+              |  SELECT DISTINCT src AS id, src AS label FROM edges
+              |), l1 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst
+              |), l2 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst
+              |), l3 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
+              |), l4 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l3 l ON l.id = e.src GROUP BY e.dst
+              |), l5 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l4 l ON l.id = e.src GROUP BY e.dst
+              |), l6 AS (
+              |  SELECT e.dst AS id, MIN(l.label) AS label
+              |  FROM edges e JOIN l5 l ON l.id = e.src GROUP BY e.dst
+              |), lab AS (
+              |  SELECT id, label AS cluster_id FROM l6
+              |), fpr AS (
+              |  SELECT doc_id, row_number() OVER (
+              |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |  FROM documents
+              |), s5 AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              |    md5(array_to_string(ws[i:i+4], ' ')) AS gh
+              |  FROM words, LATERAL unnest(generate_series(1,
+              |    len(ws) - 4)) AS t(i)
+              |  WHERE len(ws) >= 5
+              |), sdup AS (
+              |  SELECT doc_id, pos FROM (
+              |    SELECT doc_id, pos,
+              |      row_number() OVER (PARTITION BY gh
+              |        ORDER BY doc_id, pos) AS rn
+              |    FROM s5)
+              |  WHERE rn > 1
+              |), slag AS (
+              |  SELECT doc_id, pos,
+              |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              |      AS lagp
+              |  FROM sdup
+              |), sisl AS (
+              |  SELECT doc_id, pos,
+              |    SUM(CASE WHEN lagp IS NOT NULL AND pos - lagp <= 5
+              |        THEN 0 ELSE 1 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |  FROM slag
+              |), ssp AS (
+              |  SELECT doc_id, island, MIN(pos) AS sp_s,
+              |    MAX(pos) + 4 AS sp_e
+              |  FROM sisl GROUP BY doc_id, island
+              |), scov AS (
+              |  SELECT doc_id,
+              |    CAST(SUM(sp_e - sp_s + 1) AS BIGINT) AS dup_tokens
+              |  FROM ssp GROUP BY doc_id
+              |), qual AS (
+              |  SELECT doc_id, len(ws) AS n_tokens,
+              |    len(list_distinct(ws)) AS n_types
+              |  FROM words
+              |), ledger AS (
+       |SELECT d.doc_id,
+              |  CASE
+              |    WHEN f.rn > 1 THEN 'exact_dup'
+              |    WHEN COALESCE(CAST(sc.dup_tokens AS DOUBLE)
+              |        / q.n_tokens, 0.0) >= 0.5 THEN 'span_heavy'
+              |    WHEN lab.id IS NOT NULL AND lab.cluster_id <> lab.id
+              |      THEN 'near_dup'
+              |    WHEN NOT (q.n_tokens >= 20 AND
+              |        CAST(q.n_types AS DOUBLE) / q.n_tokens >= 0.3)
+              |      THEN 'low_quality'
+              |    ELSE 'kept' END AS removed_by
+              |FROM documents d
+              |JOIN fpr f ON f.doc_id = d.doc_id
+              |LEFT JOIN scov sc ON sc.doc_id = d.doc_id
+              |LEFT JOIN lab ON lab.id = d.doc_id
+              |JOIN qual q ON q.doc_id = d.doc_id
+              |)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // Exact deduplication profile: hash-groupBy on md5(text).
     QueryDef(
@@ -2058,136 +2200,59 @@ object TextQueries {
     // machinery — nothing here is a new rule, only the composition.
     QueryDef(
       "q300_removal_ledger",
+      (s, d) => ledgerDf(s, d).orderBy("doc_id"),
+      Some(s"""$ledgerOracleCtes
+              |SELECT doc_id, removed_by FROM ledger
+              |ORDER BY doc_id""".stripMargin)),
+
+    // EXPORT manifests — the step that turns the kept corpus into
+    // training shards a loader consumes: ledger-kept docs hash into
+    // 8 shards (md5 — deterministic, balanced, placement needs no
+    // coordination), and each shard's manifest row carries doc and
+    // token counts plus an order-insensitive content checksum
+    // (md5 of the sorted doc-id list) — the receipt a downstream
+    // trainer verifies before reading a single byte. The ledger
+    // itself materializes once per session (StoreCache — q300 is
+    // the oracle-gated build; this row is the serving step).
+    QueryDef(
+      "q306_export_manifest",
       (s, d) => {
-        val docs = documents(s, d)
-        val exact = docs
-          .select(col("doc_id"), md5(col("text")).as("fp"))
-          .withColumn("keep_exact", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("fp").orderBy("doc_id")) === 1)
-          .select("doc_id", "keep_exact")
-        // KEEP-FIRST coverage, not the symmetric report: the
-        // symmetric form marks every copy of duplicated content, so
-        // a ledger built on it would remove ALL copies of an exact
-        // pair (the survivor too — its coverage is also 1.0). The
-        // keep-first rule exempts each gram's canonical first
-        // occurrence, so one copy always survives the span rule.
-        val cov = graft.llm.DuplicateSpans.coverageKeepFirst(docs, 5)
-          .select(col("doc_id"), col("dup_coverage"))
-        val labels = graft.llm.DedupClusters
-          .components(jaccardPairs(s, d).select("a_id", "b_id"))
-          .select(col("id").as("doc_id"),
-            (col("id") === col("cluster_id")).as("nd_survivor"))
-        val ws = words(col("text"))
-        val qual = docs
-          .select(col("doc_id"), size(ws).as("n_tokens"),
-            size(array_distinct(ws)).as("n_types"))
-          .select(col("doc_id"),
-            (col("n_tokens") >= 20 &&
-              col("n_types").cast("double") / col("n_tokens") >= 0.3)
-              .as("quality_ok"))
-        docs.select("doc_id")
-          .join(exact, "doc_id")
-          .join(cov, Seq("doc_id"), "left")
-          .join(labels, Seq("doc_id"), "left")
-          .join(qual, "doc_id")
-          .select(col("doc_id"),
-            when(!col("keep_exact"), lit("exact_dup"))
-              .when(coalesce(col("dup_coverage"), lit(0.0)) >= 0.5,
-                lit("span_heavy"))
-              .when(coalesce(col("nd_survivor"), lit(true)) === false,
-                lit("near_dup"))
-              .when(!col("quality_ok"), lit("low_quality"))
-              .otherwise(lit("kept")).as("removed_by"))
-          .orderBy("doc_id")
+        val path = graft.StoreCache.getOrBuild("ledger", d) { p =>
+          ledgerDf(s, d).write.mode("overwrite").parquet(p)
+        }
+        val kept = s.read.parquet(path)
+          .filter(col("removed_by") === "kept").select("doc_id")
+        val toks = documents(s, d).select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        kept.join(toks, "doc_id")
+          .withColumn("shard", expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT) % 8"))
+          .groupBy("shard")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_tokens").cast("long").as("n_tokens"),
+            md5(concat_ws(",", transform(
+              sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")))).as("checksum"))
+          .orderBy("shard")
       },
-      Some(s"""$cappedGramsCte,
-              |$jaccardPairsCte,
-              |edges AS (
-              |  SELECT a_id AS src, b_id AS dst FROM jp
-              |  UNION SELECT b_id, a_id FROM jp
-              |  UNION SELECT a_id, a_id FROM jp
-              |  UNION SELECT b_id, b_id FROM jp
-              |), l0 AS (
-              |  SELECT DISTINCT src AS id, src AS label FROM edges
-              |), l1 AS (
-              |  SELECT e.dst AS id, MIN(l.label) AS label
-              |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst
-              |), l2 AS (
-              |  SELECT e.dst AS id, MIN(l.label) AS label
-              |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst
-              |), l3 AS (
-              |  SELECT e.dst AS id, MIN(l.label) AS label
-              |  FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst
-              |), l4 AS (
-              |  SELECT e.dst AS id, MIN(l.label) AS label
-              |  FROM edges e JOIN l3 l ON l.id = e.src GROUP BY e.dst
-              |), l5 AS (
-              |  SELECT e.dst AS id, MIN(l.label) AS label
-              |  FROM edges e JOIN l4 l ON l.id = e.src GROUP BY e.dst
-              |), l6 AS (
-              |  SELECT e.dst AS id, MIN(l.label) AS label
-              |  FROM edges e JOIN l5 l ON l.id = e.src GROUP BY e.dst
-              |), lab AS (
-              |  SELECT id, label AS cluster_id FROM l6
-              |), fpr AS (
-              |  SELECT doc_id, row_number() OVER (
-              |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
-              |  FROM documents
-              |), s5 AS (
-              |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-              |    md5(array_to_string(ws[i:i+4], ' ')) AS gh
-              |  FROM words, LATERAL unnest(generate_series(1,
-              |    len(ws) - 4)) AS t(i)
-              |  WHERE len(ws) >= 5
-              |), sdup AS (
-              |  SELECT doc_id, pos FROM (
-              |    SELECT doc_id, pos,
-              |      row_number() OVER (PARTITION BY gh
-              |        ORDER BY doc_id, pos) AS rn
-              |    FROM s5)
-              |  WHERE rn > 1
-              |), slag AS (
-              |  SELECT doc_id, pos,
-              |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-              |      AS lagp
-              |  FROM sdup
-              |), sisl AS (
-              |  SELECT doc_id, pos,
-              |    SUM(CASE WHEN lagp IS NOT NULL AND pos - lagp <= 5
-              |        THEN 0 ELSE 1 END)
-              |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-              |  FROM slag
-              |), ssp AS (
-              |  SELECT doc_id, island, MIN(pos) AS sp_s,
-              |    MAX(pos) + 4 AS sp_e
-              |  FROM sisl GROUP BY doc_id, island
-              |), scov AS (
+      Some(s"""$ledgerOracleCtes, kept AS (
+              |  SELECT doc_id FROM ledger WHERE removed_by = 'kept'
+              |), toks2 AS (
               |  SELECT doc_id,
-              |    CAST(SUM(sp_e - sp_s + 1) AS BIGINT) AS dup_tokens
-              |  FROM ssp GROUP BY doc_id
-              |), qual AS (
-              |  SELECT doc_id, len(ws) AS n_tokens,
-              |    len(list_distinct(ws)) AS n_types
-              |  FROM words
+              |    CAST(len(string_split(text, ' ')) AS BIGINT)
+              |      AS n_tokens
+              |  FROM documents
+              |), sharded AS (
+              |  SELECT k.doc_id, t.n_tokens,
+              |    CAST('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)),
+              |      1, 13) AS BIGINT) % 8 AS shard
+              |  FROM kept k JOIN toks2 t USING (doc_id)
               |)
-              |SELECT d.doc_id,
-              |  CASE
-              |    WHEN f.rn > 1 THEN 'exact_dup'
-              |    WHEN COALESCE(CAST(sc.dup_tokens AS DOUBLE)
-              |        / q.n_tokens, 0.0) >= 0.5 THEN 'span_heavy'
-              |    WHEN lab.id IS NOT NULL AND lab.cluster_id <> lab.id
-              |      THEN 'near_dup'
-              |    WHEN NOT (q.n_tokens >= 20 AND
-              |        CAST(q.n_types AS DOUBLE) / q.n_tokens >= 0.3)
-              |      THEN 'low_quality'
-              |    ELSE 'kept' END AS removed_by
-              |FROM documents d
-              |JOIN fpr f ON f.doc_id = d.doc_id
-              |LEFT JOIN scov sc ON sc.doc_id = d.doc_id
-              |LEFT JOIN lab ON lab.id = d.doc_id
-              |JOIN qual q ON q.doc_id = d.doc_id
-              |ORDER BY d.doc_id""".stripMargin)),
+              |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+              |    ORDER BY doc_id)) AS checksum
+              |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin)),
 
     // LSH banding SWEEP — the (b, r) knob of MinHash near-dup
     // detection measured instead of assumed: the SAME 8-component
