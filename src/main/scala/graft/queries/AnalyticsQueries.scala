@@ -2319,6 +2319,97 @@ object AnalyticsQueries {
              |  CAST(MAX(node) AS BIGINT) AS max_node
              |FROM all_hops GROUP BY hop ORDER BY hop""".stripMargin)),
 
+    // First-journey funnel in BATCH form — the SQL-expressible slice
+    // of the streaming state machine (StatefulOps.funnelProgress):
+    // anchor at each user's FIRST view (first-touch), take the first
+    // click STRICTLY after it, then the first purchase strictly
+    // after that with total span ≤ 5 days. Three keyed argmin
+    // windows + two keyed joins — no state, no scan order. Whenever
+    // this row emits, the state machine's first completion for that
+    // user is IDENTICAL (the machine can additionally complete
+    // users whose first attempt expired and a later anchor
+    // succeeded — exactly the journeys no first-anchored SQL can
+    // express, which is why the streaming op exists); the
+    // FunnelCrossSpec witnesses that containment against the live
+    // machine.
+    QueryDef(
+      "q307_first_journey",
+      (s, d) => {
+        val spanUs = 5L * 24 * 3600 * 1000000
+        def firstOf(df: org.apache.spark.sql.DataFrame,
+            tsCol: String, idCol: String) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(col(tsCol).asc, col(idCol).asc)
+          df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
+        val ev = events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"))
+        val s1 = firstOf(ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts_us").as("s1_ts"),
+              col("event_id").as("s1_id")), "s1_ts", "s1_id")
+        val s2 = firstOf(ev.filter(col("event_type") === "click")
+            .join(s1, "user_id")
+            .filter(col("ts_us") > col("s1_ts"))
+            .select(col("user_id"), col("s1_ts"), col("s1_id"),
+              col("ts_us").as("s2_ts"), col("event_id").as("s2_id")),
+          "s2_ts", "s2_id")
+        val s3 = firstOf(ev.filter(col("event_type") === "purchase")
+            .join(s2, "user_id")
+            .filter(col("ts_us") > col("s2_ts") &&
+              col("ts_us") - col("s1_ts") <= spanUs)
+            .select(col("user_id"), col("s1_ts"), col("s1_id"),
+              col("s2_id"), col("ts_us").as("s3_ts"),
+              col("event_id").as("s3_id")),
+          "s3_ts", "s3_id")
+        s3.select(col("user_id"), col("s1_id"), col("s2_id"),
+            col("s3_id"),
+            (col("s3_ts") - col("s1_ts")).as("latency_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |    event_type
+             |  FROM events
+             |), s1 AS (
+             |  SELECT user_id, ts_us AS s1_ts, event_id AS s1_id
+             |  FROM (
+             |    SELECT user_id, ts_us, event_id,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts_us, event_id) AS rn
+             |    FROM ev WHERE event_type = 'view')
+             |  WHERE rn = 1
+             |), s2 AS (
+             |  SELECT user_id, s1_ts, s1_id, ts_us AS s2_ts,
+             |    event_id AS s2_id
+             |  FROM (
+             |    SELECT e.user_id, s1.s1_ts, s1.s1_id, e.ts_us,
+             |      e.event_id,
+             |      row_number() OVER (PARTITION BY e.user_id
+             |        ORDER BY e.ts_us, e.event_id) AS rn
+             |    FROM ev e JOIN s1 ON s1.user_id = e.user_id
+             |    WHERE e.event_type = 'click' AND e.ts_us > s1.s1_ts)
+             |  WHERE rn = 1
+             |), s3 AS (
+             |  SELECT user_id, s1_id, s2_id, event_id AS s3_id,
+             |    ts_us - s1_ts AS latency_us
+             |  FROM (
+             |    SELECT e.user_id, s2.s1_ts, s2.s1_id, s2.s2_id,
+             |      e.ts_us, e.event_id,
+             |      row_number() OVER (PARTITION BY e.user_id
+             |        ORDER BY e.ts_us, e.event_id) AS rn
+             |    FROM ev e JOIN s2 ON s2.user_id = e.user_id
+             |    WHERE e.event_type = 'purchase'
+             |      AND e.ts_us > s2.s2_ts
+             |      AND e.ts_us - s2.s1_ts <= 432000000000)
+             |  WHERE rn = 1
+             |)
+             |SELECT user_id, s1_id, s2_id, s3_id,
+             |  CAST(latency_us AS BIGINT) AS latency_us
+             |FROM s3 ORDER BY user_id""".stripMargin)),
+
     // The materialized-summary rewrite GATE: builds the rollup once
     // per JVM (StoreCache, the q216/q238 pattern), registers it with
     // SummaryRewriteRule, and runs a subset-grouped aggregate over
