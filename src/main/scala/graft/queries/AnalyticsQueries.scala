@@ -1527,18 +1527,24 @@ object AnalyticsQueries {
     // Exponentially-weighted moving average (α = 1/2) of the daily
     // event-value series — the smoothing rung beside gap-fill (q125)
     // and CUSUM. The recursion e_t = ½x_t + ½e_{t−1} is made EXACT
-    // and order-safe by integer scaling: with C_i = round(100·x_i),
-    // E_t ≡ 100·2^t·e_t satisfies E_t = C_0 + Σ_{i≥1} C_i·2^{i−1} —
-    // a plain cumulative LONG sum (associative, engine-exact); the
-    // final e_t = E_t / 2^t / 100 is two correctly-rounded double
-    // steps. The scaled terms grow as 2^t, so the trick is exact
-    // only while C·2^(t−1) fits a long — a LOUD raise_error guard
-    // trips past 55 rows (Spark's non-ANSI double→long cast would
-    // otherwise saturate SILENTLY where DuckDB errors); a longer
-    // horizon needs a windowed restatement (terms beyond 53 halvings
-    // are sub-ULP), which is deliberately NOT smuggled in here. The
-    // daily agg is the only corpus-wide pass; the window runs on the
-    // O(days) series.
+    // and order-safe by integer scaling (C_i = round(100·x_i)), and
+    // made UNBOUNDED-horizon by a truncated-lookback restatement:
+    // row t sums only its trailing L = min(t, 55) rows, with the
+    // oldest surviving row absorbing the dropped tail's weight —
+    // scaled term C_{t−j}·2^max(L−2−j, 0) for lookback j, divided by
+    // 2^(L−1). For t ≤ 55 this is algebraically IDENTICAL to the
+    // full recursion (the head row's doubled weight 2^−(t−1) is
+    // exactly the first term's weight); for t > 55 the replaced tail
+    // Σ_{j≥54} x_{t−j}·2^−(j+1) and its stand-in x_{t−54}·2^−54
+    // differ by at most 2^−54·max|x_i − x_j| — below one ULP of any
+    // same-magnitude result, so the truncated value rounds to the
+    // same double as the exact one (property-tested in
+    // EwmaTruncationSpec). The scaled terms now top out at C·2^53
+    // regardless of series length (summed as exact DECIMAL/HUGEINT —
+    // associative, engine-exact, overflow-safe for any daily C), so
+    // the old 55-row raise_error envelope is gone. The daily agg is
+    // the only corpus-wide pass; the banded self-join runs on the
+    // O(days) series (55 pair rows per day — driver-scale at any SF).
     QueryDef(
       "q281_ewma_daily",
       (s, d) => {
@@ -1548,22 +1554,24 @@ object AnalyticsQueries {
           .groupBy(datediff(to_date(col("ts")),
             to_date(lit("2024-01-01"))).cast("long").as("day"))
           .agg(dsum(col("value")).as("v"))
-        daily
+        val seq = daily
           .withColumn("rn", row_number().over(w))
-          .withColumn("rn", when(col("rn") > 55, raise_error(lit(
-            "q281 scaled-integer EWMA exceeds its 55-row exactness " +
-              "envelope — use a truncated-lookback restatement")))
-            .otherwise(col("rn")))
           .withColumn("c", round(col("v") * 100).cast("long"))
-          .withColumn("term", when(col("rn") === 1, col("c"))
-            .otherwise(col("c") *
-              expr("CAST(power(2, rn - 2) AS BIGINT)")))
-          .withColumn("e_scaled", sum(col("term")).over(
-            w.rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, 0)))
+          .localCheckpoint(eager = false)
+        seq.as("a")
+          .join(seq.as("b"),
+            col("b.rn").between(col("a.rn") - 54, col("a.rn")))
+          .select(col("a.day").as("day"), col("a.v").as("v"),
+            col("a.rn").as("rn"),
+            (col("b.c").cast("decimal(20,0)") *
+              expr("CAST(power(2, greatest(least(a.rn, 55) - 2 - " +
+                "(a.rn - b.rn), 0)) AS DECIMAL(18,0))")).as("term"))
+          .groupBy("day", "v", "rn")
+          .agg(sum(col("term")).as("e_scaled"))
           .select(col("day"), col("v").as("daily_value"),
             (col("e_scaled").cast("double") /
-              expr("power(2, rn - 1)") / lit(100.0)).as("ewma"))
+              expr("power(2, least(rn, 55) - 1)") / lit(100.0))
+              .as("ewma"))
           .orderBy("day")
       },
       Some(s"""WITH daily AS (
@@ -1577,15 +1585,17 @@ object AnalyticsQueries {
               |    row_number() OVER (ORDER BY day) AS rn
               |  FROM daily
               |), acc AS (
-              |  SELECT day, v, rn,
-              |    SUM(CASE WHEN rn = 1 THEN c
-              |        ELSE c * CAST(power(2, rn - 2) AS BIGINT) END)
-              |      OVER (ORDER BY rn) AS e_scaled
-              |  FROM seq
+              |  SELECT a.day, a.v, a.rn,
+              |    SUM(CAST(b.c AS HUGEINT) *
+              |        CAST(power(2, greatest(least(a.rn, 55) - 2 -
+              |          (a.rn - b.rn), 0)) AS HUGEINT)) AS e_scaled
+              |  FROM seq a JOIN seq b
+              |    ON b.rn BETWEEN a.rn - 54 AND a.rn
+              |  GROUP BY a.day, a.v, a.rn
               |)
               |SELECT day, v AS daily_value,
-              |  CAST(e_scaled AS DOUBLE) / power(2, rn - 1) / 100.0
-              |    AS ewma
+              |  CAST(e_scaled AS DOUBLE) / power(2, least(rn, 55) - 1)
+              |    / 100.0 AS ewma
               |FROM acc ORDER BY day""".stripMargin)),
 
     // Link prediction by common neighbors + neighborhood Jaccard

@@ -2209,11 +2209,21 @@ object TextQueries {
     // training shards a loader consumes: ledger-kept docs hash into
     // 8 shards (md5 — deterministic, balanced, placement needs no
     // coordination), and each shard's manifest row carries doc and
-    // token counts plus an order-insensitive content checksum
-    // (md5 of the sorted doc-id list) — the receipt a downstream
-    // trainer verifies before reading a single byte. The ledger
-    // itself materializes once per session (StoreCache — q300 is
-    // the oracle-gated build; this row is the serving step).
+    // token counts plus an order-insensitive content checksum —
+    // the receipt a downstream trainer verifies before reading a
+    // single byte. The checksum is the SUM of per-doc 60-bit hashes
+    // (md5 tail, disjoint from the shard-routing prefix) reduced mod
+    // the largest sub-2^63 prime: addition is commutative and
+    // associative, so the result is independent of row order AND of
+    // Spark's partial-aggregation tree — and the aggregation state
+    // is ONE number per shard, not the full doc-id list (the sorted
+    // collect_list form this replaces held a shard's every id in a
+    // single buffer row — GBs at 100 TB; this is constant-size).
+    // Any single changed/missing/extra doc shifts the sum by its
+    // 60-bit hash, so corruption detection matches the md5-list form
+    // up to a ~2^-60 collision bound. The ledger itself materializes
+    // once per session (StoreCache — q300 is the oracle-gated build;
+    // this row is the serving step).
     QueryDef(
       "q306_export_manifest",
       (s, d) => {
@@ -2230,9 +2240,10 @@ object TextQueries {
           .groupBy("shard")
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum("n_tokens").cast("long").as("n_tokens"),
-            md5(concat_ws(",", transform(
-              sort_array(collect_list(col("doc_id"))),
-              x => x.cast("string")))).as("checksum"))
+            (sum(expr("CAST(conv(substring(md5(CAST(doc_id AS " +
+                "STRING)), 18, 15), 16, 10) AS DECIMAL(38,0))"))
+              % lit(9223372036854775783L))
+              .cast("long").as("checksum"))
           .orderBy("shard")
       },
       Some(s"""$ledgerOracleCtes, kept AS (
@@ -2250,8 +2261,10 @@ object TextQueries {
               |)
               |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-              |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
-              |    ORDER BY doc_id)) AS checksum
+              |  CAST(SUM(CAST('0x' ||
+              |      substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)
+              |      AS BIGINT)) % 9223372036854775783 AS BIGINT)
+              |    AS checksum
               |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin)),
 
     // LSH banding SWEEP — the (b, r) knob of MinHash near-dup
