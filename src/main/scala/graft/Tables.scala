@@ -73,4 +73,15 @@ object Tables {
     table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "embeddings"))
+
+  /** embeddings WITHOUT the parallelism spread — for consumers whose
+    * per-row work is light (one argmax over K literal centroids, a
+    * metadata projection): there the spread's extra exchange+stage is
+    * pure overhead with nothing to amortize it (q212 measured 1.3 s
+    * unspread vs 2.8 s spread at sf0.1, same result either way —
+    * the round-12 riser adjudication in BASELINE.md). Heavy per-row
+    * consumers (PQ encode towers, exact n² folds) keep [[embeddings]].
+    */
+  def embeddingsUnspread(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
 }

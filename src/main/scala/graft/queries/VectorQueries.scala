@@ -490,7 +490,7 @@ object VectorQueries {
       "q67_ivf_assign",
       (s, d) => {
         graft.functions.DotDoubleExpr.register(s)
-        val emb = embeddings(s, d)
+        val emb = graft.Tables.embeddingsUnspread(s, d)
         // Centroids are model metadata (K labels × dim means = a few
         // hundred rows): one explode+agg pass computes them, then they
         // ride along as LITERAL double arrays — the r2 literal-plane
@@ -1713,7 +1713,7 @@ object VectorQueries {
       "q211_ivf_cell_balance",
       (s, d) => {
         graft.functions.DotDoubleExpr.register(s)
-        val emb = embeddings(s, d)
+        val emb = graft.Tables.embeddingsUnspread(s, d)
         val cents = centroidArrays(s, d)
         val k = cents.size
         val scored = array(cents.map { case (lbl, arr) =>
@@ -1768,7 +1768,7 @@ object VectorQueries {
       "q212_centroid_drift",
       (s, d) => {
         graft.functions.DotDoubleExpr.register(s)
-        val emb = embeddings(s, d)
+        val emb = graft.Tables.embeddingsUnspread(s, d)
         val cents = centroidArrays(s, d)
         val scored = array(cents.map { case (lbl, arr) =>
           struct(graft.functions.DotDoubleExpr
