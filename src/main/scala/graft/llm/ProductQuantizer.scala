@@ -415,6 +415,90 @@ object ProductQuantizer {
       .limit(k)
   }
 
+  /** Scale-12 scaled-long of a double (the engines' double →
+    * DECIMAL(38,12) HALF_UP cast) — the exact-sum trick of
+    * [[adcDistCol]], reused by the panel LUT tables.
+    */
+  private def scaled12(d: Double): Long =
+    BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  /** ADC distances for a PANEL of in-corpus queries (vec_id <
+    * panelN) in ONE pass: per-query LUTs ride as a broadcast
+    * (panelN × M × K)-row table joined to the codes on (m, code) —
+    * the multi-query generalization of [[adcTopK]]'s literal LUT.
+    * Returns (qid, vec_id, adc_dist) for every non-self pair; at
+    * 100 TB the codes scan is shared by the whole panel instead of
+    * re-run per query. Distances are scaled-long sums / 1e12 —
+    * bit-identical to a DECIMAL(38,12) accumulation.
+    */
+  def adcDistsPanel(spark: SparkSession, emb: DataFrame,
+      codebook: Array[Array[Array[Double]]],
+      panelN: Long): DataFrame = {
+    import spark.implicits._
+    val qrows = emb.filter(col("vec_id") < panelN)
+      .select("vec_id", "embedding").collect()
+    val lutRows = qrows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val lut = adcLut(qv, codebook)
+      for (m <- lut.indices; k <- lut(m).indices)
+        yield (qid, m, k, scaled12(lut(m)(k)))
+    }.toDF("qid", "lm", "lk", "ldist_scaled")
+    encode(emb, codebook)
+      .join(broadcast(lutRows),
+        col("m") === col("lm") && col("code") === col("lk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg((sum(col("ldist_scaled")).cast(DoubleType) / lit(1e12))
+        .as("adc_dist"))
+  }
+
+  /** Residual-ADC distances for a panel of in-corpus queries over
+    * their probed cells only — the multi-query generalization of
+    * [[ivfResidualAdcTopK]]. Per query the LUT is PER PROBED CELL
+    * (LUT_c[m][k] = ‖(q − centroid_c)_m − C[m][k]‖²), so the
+    * broadcast table is (panelN × nProbe × M × K) rows keyed by
+    * (qid, cell, m, k); stored residual codes join it on (cell, m,
+    * code) and only (query, vector) pairs in probed cells survive —
+    * exactly the IVFADC pruning, shared across the panel in one
+    * codes-scan.
+    */
+  def residualAdcDistsPanel(spark: SparkSession, emb: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      codebook: Array[Array[Array[Double]]], panelN: Long,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.DotDoubleExpr.register(spark)
+    val cents = centMatrix(centroids)
+    val qrows = emb.filter(col("vec_id") < panelN)
+      .select("vec_id", "embedding").collect()
+    val lutRows = qrows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val probed: Seq[Int] = centroids.map { case (lbl, c) =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += qv(i) * c(i); i += 1 }
+        (s, lbl)
+      }.sortBy { case (dp, lbl) => (-dp, -lbl) }.take(nProbe).map(_._2)
+      probed.flatMap { cell =>
+        val c = cents(cell)
+        val qr = Array.tabulate(qv.length)(i => qv(i) - c(i))
+        val lut = adcLut(qr, codebook)
+        for (m <- lut.indices; k <- lut(m).indices)
+          yield (qid, cell, m, k, scaled12(lut(m)(k)))
+      }
+    }.toDF("qid", "lcell", "lm", "lk", "ldist_scaled")
+    encodeResidual(emb, centroids, codebook)
+      .join(broadcast(lutRows),
+        col("cell") === col("lcell") && col("m") === col("lm") &&
+          col("code") === col("lk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg((sum(col("ldist_scaled")).cast(DoubleType) / lit(1e12))
+        .as("adc_dist"))
+  }
+
   /** LUT[m][k] = ((‖q_m‖² − (q_m·C[m][k])·2) + ‖C[m][k]‖²), every
     * fold left-to-right in double — bit-identical to the in-plan
     * [[subDist]] arithmetic and to a list_reduce fold.

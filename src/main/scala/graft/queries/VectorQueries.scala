@@ -237,52 +237,59 @@ object VectorQueries {
       |    FROM dists) WHERE rn = 1
       |)""".stripMargin
 
-  /** DuckDB CTEs mirroring the RESIDUAL IVF-PQ path (append after
+  /** Shared RESIDUAL IVF-PQ code CTEs (append after
     * [[centsAndDotsCte]]): cell assignment, residual vectors,
-    * residual-sampled codebook, residual codes, the per-probed-cell
-    * query LUT, and `radc(vec_id, adc_dist)` over `rprobed` cells —
-    * mirrors `ProductQuantizer.encodeResidual` / `ivfResidualAdcTopK`
-    * bit-for-bit (all folds left-to-right double, LUT summed exact).
+    * residual-sampled codebook, and the stored residual codes —
+    * mirrors `ProductQuantizer.encodeResidual` bit-for-bit. The
+    * query-side LUT/probe/ADC tails come from [[residPqCtes]]
+    * (single query 0) or [[residPqPanelCtes]] (the 20-query panel).
+    */
+  private val residCodesCtes =
+    """rassigned AS (
+      |  SELECT vec_id, clabel AS cell FROM (
+      |    SELECT vec_id, clabel,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dp DESC, clabel DESC) AS rn
+      |    FROM dots_c)
+      |  WHERE rn = 1
+      |), rvec AS (
+      |  SELECT e.vec_id, a.cell,
+      |    list_transform(range(1, len(e.v) + 1),
+      |      k -> e.v[k] - c.cvec[k]) AS rv
+      |  FROM evec e JOIN rassigned a USING (vec_id)
+      |  JOIN cents_l c ON c.clabel = a.cell
+      |), rms AS (SELECT unnest(range(0,8)) AS m),
+      |rsubs AS (
+      |  SELECT r.vec_id, r.cell, rms.m,
+      |    list_transform(range(1,9),
+      |      j -> r.rv[CAST(rms.m*8+j AS INTEGER)]) AS sv
+      |  FROM rvec r CROSS JOIN rms
+      |), rcb AS (
+      |  SELECT vec_id - 1 AS k, m, sv AS cv FROM rsubs
+      |  WHERE vec_id BETWEEN 1 AND 16
+      |), rdists AS (
+      |  SELECT s.vec_id, s.m, c.k,
+      |    ((list_reduce(list_transform(range(1,9),
+      |          j -> s.sv[j]*s.sv[j]), (a,b) -> a+b)
+      |      - (list_reduce(list_transform(range(1,9),
+      |          j -> s.sv[j]*c.cv[j]), (a,b) -> a+b) * 2))
+      |     + list_reduce(list_transform(range(1,9),
+      |          j -> c.cv[j]*c.cv[j]), (a,b) -> a+b)) AS dist
+      |  FROM rsubs s JOIN rcb c ON c.m = s.m
+      |), rcodes AS (
+      |  SELECT vec_id, m, k FROM (
+      |    SELECT vec_id, m, k,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |        ORDER BY dist ASC, k ASC) AS rn
+      |    FROM rdists) WHERE rn = 1
+      |)""".stripMargin
+
+  /** Single-query (vec_id 0) residual LUT/probe/ADC tail — appends
+    * [[residCodesCtes]]; yields `radc(vec_id, adc_dist)` over the
+    * probed cells. Mirrors `ProductQuantizer.ivfResidualAdcTopK`.
     */
   private def residPqCtes(nProbe: Int) =
-    s"""rassigned AS (
-       |  SELECT vec_id, clabel AS cell FROM (
-       |    SELECT vec_id, clabel,
-       |      row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY dp DESC, clabel DESC) AS rn
-       |    FROM dots_c)
-       |  WHERE rn = 1
-       |), rvec AS (
-       |  SELECT e.vec_id, a.cell,
-       |    list_transform(range(1, len(e.v) + 1),
-       |      k -> e.v[k] - c.cvec[k]) AS rv
-       |  FROM evec e JOIN rassigned a USING (vec_id)
-       |  JOIN cents_l c ON c.clabel = a.cell
-       |), rms AS (SELECT unnest(range(0,8)) AS m),
-       |rsubs AS (
-       |  SELECT r.vec_id, r.cell, rms.m,
-       |    list_transform(range(1,9),
-       |      j -> r.rv[CAST(rms.m*8+j AS INTEGER)]) AS sv
-       |  FROM rvec r CROSS JOIN rms
-       |), rcb AS (
-       |  SELECT vec_id - 1 AS k, m, sv AS cv FROM rsubs
-       |  WHERE vec_id BETWEEN 1 AND 16
-       |), rdists AS (
-       |  SELECT s.vec_id, s.m, c.k,
-       |    ((list_reduce(list_transform(range(1,9),
-       |          j -> s.sv[j]*s.sv[j]), (a,b) -> a+b)
-       |      - (list_reduce(list_transform(range(1,9),
-       |          j -> s.sv[j]*c.cv[j]), (a,b) -> a+b) * 2))
-       |     + list_reduce(list_transform(range(1,9),
-       |          j -> c.cv[j]*c.cv[j]), (a,b) -> a+b)) AS dist
-       |  FROM rsubs s JOIN rcb c ON c.m = s.m
-       |), rcodes AS (
-       |  SELECT vec_id, m, k FROM (
-       |    SELECT vec_id, m, k,
-       |      row_number() OVER (PARTITION BY vec_id, m
-       |        ORDER BY dist ASC, k ASC) AS rn
-       |    FROM rdists) WHERE rn = 1
-       |), qres AS (
+    s"""$residCodesCtes, qres AS (
        |  SELECT c.clabel AS cell,
        |    list_transform(range(1, len(e.v) + 1),
        |      k -> e.v[k] - c.cvec[k]) AS rv
@@ -315,6 +322,50 @@ object VectorQueries {
        |  WHERE cd.vec_id <> 0 GROUP BY cd.vec_id
        |)""".stripMargin
 
+  /** Panel residual LUT/probe/ADC tail — appends [[residCodesCtes]];
+    * yields `pradc(qid, vec_id, adc_dist)` over each panel query's
+    * probed cells. Mirrors `ProductQuantizer.residualAdcDistsPanel`.
+    */
+  private def residPqPanelCtes(nProbe: Int) =
+    s"""$residCodesCtes, qres AS (
+       |  SELECT e.vec_id AS qid, c.clabel AS cell,
+       |    list_transform(range(1, len(e.v) + 1),
+       |      k -> e.v[k] - c.cvec[k]) AS rv
+       |  FROM evec e CROSS JOIN cents_l c WHERE e.vec_id < 20
+       |), qsubs AS (
+       |  SELECT q.qid, q.cell, rms.m,
+       |    list_transform(range(1,9),
+       |      j -> q.rv[CAST(rms.m*8+j AS INTEGER)]) AS sv
+       |  FROM qres q CROSS JOIN rms
+       |), rlut AS (
+       |  SELECT q.qid, q.cell, q.m, c.k,
+       |    ((list_reduce(list_transform(range(1,9),
+       |          j -> q.sv[j]*q.sv[j]), (a,b) -> a+b)
+       |      - (list_reduce(list_transform(range(1,9),
+       |          j -> q.sv[j]*c.cv[j]), (a,b) -> a+b) * 2))
+       |     + list_reduce(list_transform(range(1,9),
+       |          j -> c.cv[j]*c.cv[j]), (a,b) -> a+b)) AS ldist
+       |  FROM qsubs q JOIN rcb c ON c.m = q.m
+       |), rprobed AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT vec_id AS qid, clabel AS cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dp DESC, clabel DESC) AS rn
+       |    FROM dots_c WHERE vec_id < 20)
+       |  WHERE rn <= $nProbe
+       |), pradc AS (
+       |  SELECT p.qid, cd.vec_id,
+       |    CAST(SUM(CAST(l.ldist AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS adc_dist
+       |  FROM rcodes cd
+       |  JOIN rassigned a ON a.vec_id = cd.vec_id
+       |  JOIN rprobed p ON p.cell = a.cell
+       |  JOIN rlut l ON l.qid = p.qid AND l.cell = a.cell
+       |    AND l.m = cd.m AND l.k = cd.k
+       |  WHERE cd.vec_id <> p.qid
+       |  GROUP BY p.qid, cd.vec_id
+       |)""".stripMargin
+
   /** ADC distances for query vec_id 0 (appends to [[pqCtes]]):
     * `adc(vec_id, adc_dist)` with the LUT summed in exact decimal —
     * mirrors `ProductQuantizer.adcTopK` bit-for-bit.
@@ -330,6 +381,130 @@ object VectorQueries {
       |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.k
       |  WHERE cd.vec_id <> 0 GROUP BY cd.vec_id
       |)""".stripMargin
+
+  /** Panel ADC distances (appends to [[pqCtes]]): per-query LUTs are
+    * the panel queries' own `dists` rows; distances summed exact —
+    * `padc(qid, vec_id, adc_dist)`. Mirrors
+    * `ProductQuantizer.adcDistsPanel` bit-for-bit.
+    */
+  private val padcCte =
+    """plut AS (
+      |  SELECT vec_id AS qid, m, k, dist AS ldist
+      |  FROM dists WHERE vec_id < 20
+      |), padc AS (
+      |  SELECT l.qid, cd.vec_id,
+      |    CAST(SUM(CAST(l.ldist AS DECIMAL(38,12))) AS DOUBLE)
+      |      AS adc_dist
+      |  FROM codes cd JOIN plut l ON l.m = cd.m AND l.k = cd.k
+      |  WHERE cd.vec_id <> l.qid
+      |  GROUP BY l.qid, cd.vec_id
+      |)""".stripMargin
+
+  // ---- 20-query retrieval-quality panel -------------------------
+  //
+  // Every recall rung used to score ONE tracked query (vec_id 0) —
+  // a knob tuned on an anecdote. The rungs now report MEAN recall@10
+  // over a fixed deterministic panel: queries = vec_id 0..19, corpus
+  // per query = every other vector (vec_id <> qid — q201's batch
+  // convention). The exact-cosine truth for all panel×corpus pairs
+  // is ONE measurement artifact, built once per dataset and served
+  // from parquet (StoreCache — the q216/q238 build/serve split;
+  // q308 is the labeled, oracle-gated build), so ten rungs share one
+  // exact pass instead of paying 20 brute-force rankings each. At
+  // 100 TB the panel is a sampled query set and the store is the
+  // standing eval table a serving deployment re-scores per index
+  // build.
+  private[queries] val PanelN = 20
+
+  /** Panel query vectors as (qid, q_emb). */
+  private def panelQs(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") < PanelN)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+
+  /** The panel ranking store: exact-decimal cosine of every
+    * (panel query, other-vector) pair, one parquet per dataset.
+    */
+  private def panelRanked(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = graft.StoreCache.getOrBuild("panelrank", d) { p =>
+      buildPanelRankStore(s, d, p)
+    }
+    s.read.parquet(path)
+  }
+
+  private def buildPanelRankStore(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      p: String): Unit = {
+    graft.functions.DotExactExpr.register(s)
+    val emb = embeddings(s, d)
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(panelQs(emb)))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        fcos(col("embedding"), col("q_emb")).as("cos_sim"))
+      .write.mode("overwrite").parquet(p)
+  }
+
+  /** Exact-cosine top-10 per panel query restricted to the given
+    * (qid, vec_id) candidate pairs — a store read + GroupedTopK, no
+    * vector math at serve time.
+    */
+  private def panelTop10(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      cands: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    graft.plans.GroupedTopK.of(
+      panelRanked(s, d).join(cands, Seq("qid", "vec_id")),
+      Seq("qid"), Seq(col("cos_sim").desc, col("vec_id").asc), 10)
+      .select("qid", "vec_id")
+
+  /** The panel exact truth: unrestricted top-10 per query. */
+  private def panelExact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.plans.GroupedTopK.of(panelRanked(s, d),
+      Seq("qid"), Seq(col("cos_sim").desc, col("vec_id").asc), 10)
+      .select("qid", "vec_id")
+
+  /** DuckDB mirror of the store + truth (append after `vecCtes`):
+    * `pranked(qid, vec_id, cos_sim)` over all panel pairs and
+    * `pexact(qid, vec_id)` — the store build recomputed per oracle
+    * run (the oracle has no store; values are deterministic).
+    */
+  private val panelCtes =
+    """pdots AS (
+      |  SELECT q.vec_id AS qid, d.vec_id,
+      |    CAST(SUM(CAST(d.x * q.x AS DECIMAL(38,12))) AS DOUBLE) AS dp
+      |  FROM dexp d JOIN dexp q USING (i)
+      |  WHERE q.vec_id < 20 AND d.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, d.vec_id
+      |), pranked AS (
+      |  SELECT p.qid, p.vec_id,
+      |    p.dp / (nd.nrm * nq.nrm) AS cos_sim
+      |  FROM pdots p
+      |  JOIN norms nd ON nd.vec_id = p.vec_id
+      |  JOIN norms nq ON nq.vec_id = p.qid
+      |), pexact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      |    FROM pranked)
+      |  WHERE rn <= 10
+      |)""".stripMargin
+
+  /** SQL template: top-10 per qid within a (qid, vec_id) candidate
+    * CTE, ranked by the stored exact cosine.
+    */
+  private def panelSubRank(cands: String, out: String,
+      k: Int = 10): String =
+    s"""$out AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT r.qid, r.vec_id,
+       |      row_number() OVER (PARTITION BY r.qid
+       |        ORDER BY r.cos_sim DESC, r.vec_id ASC) AS rn
+       |    FROM pranked r JOIN $cands c
+       |      ON c.qid = r.qid AND c.vec_id = r.vec_id)
+       |  WHERE rn <= $k
+       |)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     // Brute-force cosine top-20 neighbors of vec_id 0.
@@ -647,32 +822,27 @@ object VectorQueries {
               |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin)),
 
     // Recall of FILTERED IVF (q230's path) vs the filtered exact
-    // truth — the q200 measurement applied to predicate-constrained
-    // serving, quantifying the documented recall-vs-nProbe trade-off
-    // UNDER a filter (a selective predicate can empty probed cells
-    // while matches live in unprobed ones, so filtered recall decays
-    // faster than q209's unfiltered curve): one summary row with
-    // recall@10 at nprobe 1, 2, 3 over label = 2 candidates.
+    // truth, over the 20-query panel — the q200 measurement applied
+    // to predicate-constrained serving, quantifying the documented
+    // recall-vs-nProbe trade-off UNDER a filter (a selective
+    // predicate can empty probed cells while matches live in
+    // unprobed ones, so filtered recall decays faster than q209's
+    // unfiltered curve): one summary row with MEAN panel recall@10
+    // at nprobe 1, 2, 3 over label = 2 candidates. Both the truth
+    // and the method rank from the shared panel store.
     QueryDef(
       "q237_filtered_ann_recall",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
-          cands.join(emb, "vec_id")
-            .crossJoin(broadcast(qv))
-            .select(col("vec_id"),
-              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id").asc)
-            .limit(10)
-            .select("vec_id")
-        val filteredIds = emb
-          .filter(col("label") === 2 && col("vec_id") =!= 0)
-          .select("vec_id")
-        val exact = rankTop10(filteredIds)
+        val qids = emb.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"))
+        val fc = emb.filter(col("label") === 2).select("vec_id")
+          .crossJoin(broadcast(qids))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+        val fexact = panelTop10(s, d, fc)
         val cents = centroidArrays(s, d)
         val scored = array(cents.map { case (lbl, arr) =>
           struct(graft.functions.DotDoubleExpr
@@ -682,93 +852,90 @@ object VectorQueries {
         val assigned = emb
           .select(col("vec_id"), col("label"),
             array_max(scored).getField("clabel").as("cell"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("dp").desc, col("cell").desc)
+        val probeRanked = emb.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"), explode(scored).as("sc"))
+          .select(col("qid"), col("sc.dp").as("dp"),
+            col("sc.clabel").as("cell"))
+          .withColumn("rk", row_number().over(wq))
         def ivfHits(nProbe: Int) = {
-          val probe = emb.filter(col("vec_id") === 0)
-            .select(explode(scored).as("sc"))
-            .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
-            .orderBy(col("dp").desc, col("cell").desc)
-            .limit(nProbe)
-            .select("cell")
-          rankTop10(assigned
-            .filter(col("label") === 2 && col("vec_id") =!= 0)
-            .join(broadcast(probe), "cell")
-            .select("vec_id"))
+          val cands = assigned
+            .filter(col("label") === 2)
+            .join(broadcast(probeRanked.filter(col("rk") <= nProbe)
+              .select("qid", "cell")), "cell")
+            .filter(col("vec_id") =!= col("qid"))
+            .select("qid", "vec_id")
+          panelTop10(s, d, cands)
             .withColumn(s"in_p$nProbe", lit(1))
         }
-        exact
-          .join(ivfHits(1), Seq("vec_id"), "left")
-          .join(ivfHits(2), Seq("vec_id"), "left")
-          .join(ivfHits(3), Seq("vec_id"), "left")
-          .agg(count(lit(1)).as("k"),
-            count(col("in_p1")).as("n_hit_p1"),
-            count(col("in_p2")).as("n_hit_p2"),
-            count(col("in_p3")).as("n_hit_p3"))
-          .select(col("k"), col("n_hit_p1"), col("n_hit_p2"),
+        fexact
+          .join(ivfHits(1), Seq("qid", "vec_id"), "left")
+          .join(ivfHits(2), Seq("qid", "vec_id"), "left")
+          .join(ivfHits(3), Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).cast("long").as("k_total"),
+            count(col("in_p1")).cast("long").as("n_hit_p1"),
+            count(col("in_p2")).cast("long").as("n_hit_p2"),
+            count(col("in_p3")).cast("long").as("n_hit_p3"))
+          .select(col("k_total"), col("n_hit_p1"), col("n_hit_p2"),
             col("n_hit_p3"),
-            (col("n_hit_p1").cast("double") / col("k").cast("double"))
-              .as("recall_p1"),
-            (col("n_hit_p2").cast("double") / col("k").cast("double"))
-              .as("recall_p2"),
-            (col("n_hit_p3").cast("double") / col("k").cast("double"))
-              .as("recall_p3"))
+            (col("n_hit_p1").cast("double") /
+              col("k_total").cast("double")).as("recall_p1"),
+            (col("n_hit_p2").cast("double") /
+              col("k_total").cast("double")).as("recall_p2"),
+            (col("n_hit_p3").cast("double") /
+              col("k_total").cast("double")).as("recall_p3"))
       },
-      Some(s"""$centsAndDotsCte, ranked AS (
-              |  SELECT e.vec_id,
-              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0 AND e.label = 2
-              |), exact AS (
-              |  SELECT vec_id FROM ranked
-              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-              |), assigned AS (
-              |  SELECT vec_id, clabel AS cell FROM (
-              |    SELECT vec_id, clabel,
-              |      row_number() OVER (PARTITION BY vec_id
-              |        ORDER BY dp DESC, clabel DESC) AS rn
-              |    FROM dots_c)
-              |  WHERE rn = 1
-              |), p1 AS (
-              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
-              |  ORDER BY dp DESC, clabel DESC LIMIT 1
-              |), p2 AS (
-              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
-              |  ORDER BY dp DESC, clabel DESC LIMIT 2
-              |), p3 AS (
-              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
-              |  ORDER BY dp DESC, clabel DESC LIMIT 3
-              |), ivf1 AS (
-              |  SELECT r.vec_id FROM ranked r
-              |  JOIN assigned a ON a.vec_id = r.vec_id
-              |  JOIN p1 ON a.cell = p1.cell
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
-              |), ivf2 AS (
-              |  SELECT r.vec_id FROM ranked r
-              |  JOIN assigned a ON a.vec_id = r.vec_id
-              |  JOIN p2 ON a.cell = p2.cell
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
-              |), ivf3 AS (
-              |  SELECT r.vec_id FROM ranked r
-              |  JOIN assigned a ON a.vec_id = r.vec_id
-              |  JOIN p3 ON a.cell = p3.cell
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
-              |)
-              |SELECT COUNT(*) AS k,
-              |  COUNT(i1.vec_id) AS n_hit_p1,
-              |  COUNT(i2.vec_id) AS n_hit_p2,
-              |  COUNT(i3.vec_id) AS n_hit_p3,
+      Some(s"""$centsAndDotsCte, $panelCtes,
+              |fc AS (
+              |  SELECT q.vec_id AS qid, e.vec_id FROM embeddings e
+              |  CROSS JOIN embeddings q
+              |  WHERE q.vec_id < 20 AND e.label = 2
+              |    AND e.vec_id <> q.vec_id
+              |), ${panelSubRank("fc", "fexact")},
+              |assigned AS (
+              |  SELECT a.vec_id, e.label, a.cell FROM (
+              |    SELECT vec_id, clabel AS cell FROM (
+              |      SELECT vec_id, clabel,
+              |        row_number() OVER (PARTITION BY vec_id
+              |          ORDER BY dp DESC, clabel DESC) AS rn
+              |      FROM dots_c)
+              |    WHERE rn = 1) a
+              |  JOIN embeddings e ON e.vec_id = a.vec_id
+              |), probe_ranked AS (
+              |  SELECT vec_id AS qid, clabel AS cell,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY dp DESC, clabel DESC) AS rk
+              |  FROM dots_c WHERE vec_id < 20
+              |), c1 AS (
+              |  SELECT pr.qid, a.vec_id FROM assigned a
+              |  JOIN probe_ranked pr ON pr.cell = a.cell AND pr.rk <= 1
+              |  WHERE a.label = 2 AND a.vec_id <> pr.qid
+              |), c2 AS (
+              |  SELECT pr.qid, a.vec_id FROM assigned a
+              |  JOIN probe_ranked pr ON pr.cell = a.cell AND pr.rk <= 2
+              |  WHERE a.label = 2 AND a.vec_id <> pr.qid
+              |), c3 AS (
+              |  SELECT pr.qid, a.vec_id FROM assigned a
+              |  JOIN probe_ranked pr ON pr.cell = a.cell AND pr.rk <= 3
+              |  WHERE a.label = 2 AND a.vec_id <> pr.qid
+              |), ${panelSubRank("c1", "ivf1")},
+              |${panelSubRank("c2", "ivf2")},
+              |${panelSubRank("c3", "ivf3")}
+              |SELECT CAST(COUNT(*) AS BIGINT) AS k_total,
+              |  CAST(COUNT(i1.vec_id) AS BIGINT) AS n_hit_p1,
+              |  CAST(COUNT(i2.vec_id) AS BIGINT) AS n_hit_p2,
+              |  CAST(COUNT(i3.vec_id) AS BIGINT) AS n_hit_p3,
               |  CAST(COUNT(i1.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS recall_p1,
               |  CAST(COUNT(i2.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS recall_p2,
               |  CAST(COUNT(i3.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS recall_p3
-              |FROM exact x
-              |LEFT JOIN ivf1 i1 ON x.vec_id = i1.vec_id
-              |LEFT JOIN ivf2 i2 ON x.vec_id = i2.vec_id
-              |LEFT JOIN ivf3 i3 ON x.vec_id = i3.vec_id""".stripMargin)),
+              |FROM fexact x
+              |LEFT JOIN ivf1 i1 ON i1.qid = x.qid AND i1.vec_id = x.vec_id
+              |LEFT JOIN ivf2 i2 ON i2.qid = x.qid AND i2.vec_id = x.vec_id
+              |LEFT JOIN ivf3 i3 ON i3.qid = x.qid AND i3.vec_id = x.vec_id""".stripMargin)),
 
     // Selectivity-ADAPTIVE filtered IVF — the operating rule q237
     // quantified, as code (EmbeddingSearch.adaptiveFilteredIvfTopK is
@@ -875,31 +1042,28 @@ object VectorQueries {
               |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin)),
 
     // Recall of the ADAPTIVE filtered path (q241's rule) vs the
-    // filtered exact truth — the q237 measurement for the adaptive
-    // operator. q237 measured 0.1/0.1/0.2 at fixed nprobe 1/2/3
-    // under this predicate; the adaptive probe sizes itself to the
-    // survivor target instead, and this row records both the chosen
-    // probe width and the recall it buys (tracked per round in
-    // BASELINE.md against the unfiltered q209 curve).
+    // filtered exact truth, over the 20-query panel — the q237
+    // measurement for the adaptive operator. The probe now sizes
+    // itself PER QUERY: each panel query walks its own
+    // similarity-ranked cells until the cumulative label = 2
+    // survivor count reaches the 3k = 30 target (fallback: all K
+    // cells), so the row records the total probe budget the rule
+    // actually spent across the panel next to the mean recall it
+    // bought (tracked per round in BASELINE.md against the
+    // unfiltered q209 curve).
     QueryDef(
       "q242_adaptive_filtered_recall",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
-          cands.join(emb, "vec_id")
-            .crossJoin(broadcast(qv))
-            .select(col("vec_id"),
-              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id").asc)
-            .limit(10)
-            .select("vec_id")
-        val exact = rankTop10(emb
-          .filter(col("label") === 2 && col("vec_id") =!= 0)
-          .select("vec_id"))
+        val qids = emb.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"))
+        val fc = emb.filter(col("label") === 2).select("vec_id")
+          .crossJoin(broadcast(qids))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+        val fexact = panelTop10(s, d, fc)
         val cents = centroidArrays(s, d)
         val kCells = cents.length
         val scored = array(cents.map { case (lbl, arr) =>
@@ -910,96 +1074,114 @@ object VectorQueries {
         val assigned = emb
           .select(col("vec_id"), col("label"),
             array_max(scored).getField("clabel").as("cell"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("dp").desc, col("cell").desc)
-        val rankedProbe = emb.filter(col("vec_id") === 0)
-          .select(explode(scored).as("sc"))
-          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
-          .withColumn("rn", row_number().over(w))
-        val cellCounts = assigned
-          .filter(col("label") === 2 && col("vec_id") =!= 0)
-          .groupBy("cell").agg(count(lit(1)).as("n"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("dp").desc, col("cell").desc)
+        val probeRanked = emb.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"), explode(scored).as("sc"))
+          .select(col("qid"), col("sc.dp").as("dp"),
+            col("sc.clabel").as("cell"))
+          .withColumn("rk", row_number().over(wq))
+        val surv = assigned.filter(col("label") === 2)
+          .crossJoin(broadcast(qids))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "cell").agg(count(lit(1)).as("n"))
         val wCum = org.apache.spark.sql.expressions.Window
-          .orderBy("rn")
-        val withCum = rankedProbe
-          .join(cellCounts, Seq("cell"), "left")
+          .partitionBy("qid").orderBy("rk")
+        val withCum = probeRanked
+          .join(surv, Seq("qid", "cell"), "left")
           .withColumn("cum",
             sum(coalesce(col("n"), lit(0L))).over(wCum))
-        val chosen = withCum.filter(col("cum") >= 30)
-          .agg(coalesce(min(col("rn")), lit(kCells)).cast("long")
-            .as("n_probe"))
-        val probe = withCum.crossJoin(broadcast(chosen))
-          .filter(col("rn") <= col("n_probe"))
-          .select("cell")
-        val hits = rankTop10(assigned
-          .filter(col("label") === 2 && col("vec_id") =!= 0)
+        val chosen = qids
+          .join(withCum.filter(col("cum") >= 30)
+            .groupBy("qid").agg(min(col("rk")).as("np")),
+            Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("np"), lit(kCells)).cast("long")
+              .as("n_probe"))
+        val probe = withCum.join(broadcast(chosen), Seq("qid"))
+          .filter(col("rk") <= col("n_probe"))
+          .select("qid", "cell")
+        val cands = assigned.filter(col("label") === 2)
           .join(broadcast(probe), "cell")
-          .select("vec_id"))
-          .withColumn("in_ad", lit(1))
-        exact
-          .join(hits, Seq("vec_id"), "left")
-          .agg(count(lit(1)).as("k"),
-            count(col("in_ad")).as("n_hit_adaptive"))
-          .crossJoin(broadcast(chosen))
-          .select(col("k"), col("n_hit_adaptive"), col("n_probe"),
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+        val hits = panelTop10(s, d, cands).withColumn("in_ad", lit(1))
+        fexact
+          .join(hits, Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).cast("long").as("k_total"),
+            count(col("in_ad")).cast("long").as("n_hit_adaptive"))
+          .crossJoin(broadcast(chosen
+            .agg(sum(col("n_probe")).cast("long").as("total_probes"))))
+          .select(col("k_total"), col("n_hit_adaptive"),
+            col("total_probes"),
             (col("n_hit_adaptive").cast("double") /
-              col("k").cast("double")).as("recall_adaptive"))
+              col("k_total").cast("double")).as("recall_adaptive"))
       },
-      Some(s"""$centsAndDotsCte, ranked AS (
-              |  SELECT e.vec_id,
-              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0 AND e.label = 2
-              |), exact AS (
-              |  SELECT vec_id FROM ranked
-              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-              |), assigned AS (
-              |  SELECT vec_id, clabel AS cell FROM (
-              |    SELECT vec_id, clabel,
-              |      row_number() OVER (PARTITION BY vec_id
-              |        ORDER BY dp DESC, clabel DESC) AS rn
-              |    FROM dots_c)
-              |  WHERE rn = 1
-              |), cellcounts AS (
-              |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n
-              |  FROM assigned a
+      Some(s"""$centsAndDotsCte, $panelCtes,
+              |fc AS (
+              |  SELECT q.vec_id AS qid, e.vec_id FROM embeddings e
+              |  CROSS JOIN embeddings q
+              |  WHERE q.vec_id < 20 AND e.label = 2
+              |    AND e.vec_id <> q.vec_id
+              |), ${panelSubRank("fc", "fexact")},
+              |assigned AS (
+              |  SELECT a.vec_id, e.label, a.cell FROM (
+              |    SELECT vec_id, clabel AS cell FROM (
+              |      SELECT vec_id, clabel,
+              |        row_number() OVER (PARTITION BY vec_id
+              |          ORDER BY dp DESC, clabel DESC) AS rn
+              |      FROM dots_c)
+              |    WHERE rn = 1) a
               |  JOIN embeddings e ON e.vec_id = a.vec_id
-              |  WHERE e.label = 2 AND a.vec_id <> 0
-              |  GROUP BY a.cell
-              |), rankedprobe AS (
-              |  SELECT clabel AS cell,
-              |    row_number() OVER (ORDER BY dp DESC, clabel DESC)
-              |      AS rn
-              |  FROM dots_c WHERE vec_id = 0
+              |), probe_ranked AS (
+              |  SELECT vec_id AS qid, clabel AS cell,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY dp DESC, clabel DESC) AS rk
+              |  FROM dots_c WHERE vec_id < 20
+              |), surv AS (
+              |  SELECT q.vec_id AS qid, a.cell,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM assigned a CROSS JOIN embeddings q
+              |  WHERE q.vec_id < 20 AND a.label = 2
+              |    AND a.vec_id <> q.vec_id
+              |  GROUP BY q.vec_id, a.cell
               |), withcum AS (
-              |  SELECT rp.cell, rp.rn,
-              |    SUM(COALESCE(c.n, 0)) OVER (ORDER BY rp.rn) AS cum
-              |  FROM rankedprobe rp
-              |  LEFT JOIN cellcounts c ON c.cell = rp.cell
+              |  SELECT pr.qid, pr.cell, pr.rk,
+              |    SUM(COALESCE(sv.n, 0)) OVER (PARTITION BY pr.qid
+              |      ORDER BY pr.rk) AS cum
+              |  FROM probe_ranked pr
+              |  LEFT JOIN surv sv
+              |    ON sv.qid = pr.qid AND sv.cell = pr.cell
               |), chosen AS (
-              |  SELECT CAST(COALESCE(
-              |    MIN(CASE WHEN cum >= 30 THEN rn END), 10) AS BIGINT)
-              |    AS n_probe
-              |  FROM withcum
+              |  SELECT q.vec_id AS qid,
+              |    CAST(COALESCE(m.np, 10) AS BIGINT) AS n_probe
+              |  FROM embeddings q LEFT JOIN (
+              |    SELECT qid, MIN(CASE WHEN cum >= 30 THEN rk END) AS np
+              |    FROM withcum GROUP BY qid) m ON m.qid = q.vec_id
+              |  WHERE q.vec_id < 20
               |), probe AS (
-              |  SELECT w.cell FROM withcum w CROSS JOIN chosen ch
-              |  WHERE w.rn <= ch.n_probe
-              |), adaptive AS (
-              |  SELECT r.vec_id FROM ranked r
-              |  JOIN assigned a ON a.vec_id = r.vec_id
-              |  JOIN probe p ON a.cell = p.cell
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
+              |  SELECT w.qid, w.cell FROM withcum w
+              |  JOIN chosen ch ON ch.qid = w.qid
+              |  WHERE w.rk <= ch.n_probe
+              |), ac AS (
+              |  SELECT p.qid, a.vec_id FROM assigned a
+              |  JOIN probe p ON p.cell = a.cell
+              |  WHERE a.label = 2 AND a.vec_id <> p.qid
+              |), ${panelSubRank("ac", "adaptive")},
+              |tot AS (
+              |  SELECT CAST(SUM(n_probe) AS BIGINT) AS total_probes
+              |  FROM chosen
               |)
-              |SELECT COUNT(*) AS k,
-              |  COUNT(ad.vec_id) AS n_hit_adaptive,
-              |  (SELECT n_probe FROM chosen) AS n_probe,
+              |SELECT CAST(COUNT(*) AS BIGINT) AS k_total,
+              |  CAST(COUNT(ad.vec_id) AS BIGINT) AS n_hit_adaptive,
+              |  tot.total_probes,
               |  CAST(COUNT(ad.vec_id) AS DOUBLE) /
               |    CAST(COUNT(*) AS DOUBLE) AS recall_adaptive
-              |FROM exact x
-              |LEFT JOIN adaptive ad ON x.vec_id = ad.vec_id""".stripMargin)),
+              |FROM fexact x
+              |LEFT JOIN adaptive ad
+              |  ON ad.qid = x.qid AND ad.vec_id = x.vec_id
+              |CROSS JOIN tot
+              |GROUP BY tot.total_probes""".stripMargin)),
 
     // MUTUAL (reciprocal) kNN pairs — the high-precision edge filter
     // clustering and semantic-dedup pipelines run on raw kNN output:
@@ -1085,127 +1267,102 @@ object VectorQueries {
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // MULTI-PROBE LSH recall (Lv et al., VLDB 2007, on SRP bands —
-    // EmbeddingSearch.lshTopKMultiProbe's declared witness): q200
-    // tracks plain SRP-LSH recall@10 at 0.0 on the weak-neighborhood
-    // query — the classic small-R failure (a true neighbor lands one
-    // hyperplane sign away and the single-bucket probe never sees
-    // it). Multi-probe additionally probes every Hamming-distance-1
-    // bucket per band (R+1 = 7 probes instead of 1) — the textbook
-    // recall/cost knob that needs NO extra bands and NO index
-    // rebuild. This row measures both rungs side by side with their
-    // candidate-set sizes, so the recall-per-candidate trade is the
-    // tracked number (BASELINE.md).
+    // EmbeddingSearch.lshTopKMultiProbe's declared witness), over
+    // the 20-query panel: plain SRP-LSH probes one bucket per band
+    // and misses true neighbors that land one hyperplane sign away
+    // (the classic small-R failure); multi-probe additionally probes
+    // every Hamming-distance-1 bucket per band (R+1 = 7 probes
+    // instead of 1) — the textbook recall/cost knob that needs NO
+    // extra bands and NO index rebuild. This row measures both rungs
+    // side by side with their TOTAL candidate volumes across the
+    // panel, so the recall-per-candidate trade is the tracked number
+    // (BASELINE.md).
     QueryDef(
       "q255_multiprobe_lsh_recall",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
-          cands.join(emb, "vec_id")
-            .crossJoin(broadcast(qv))
-            .select(col("vec_id"),
-              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id").asc)
-            .limit(10)
-            .select("vec_id")
-        val exact = rankTop10(
-          emb.filter(col("vec_id") =!= 0).select("vec_id"))
+        val exact = panelExact(s, d)
         val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 6)
-        val qb = bands.filter(col("vec_id") === 0)
-          .select(col("band").as("q_band"), col("bv").as("q_bv"))
+        val qb = bands.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"), col("band").as("q_band"),
+            col("bv").as("q_bv"))
         def flip(j: Int) = concat(
           substring(col("q_bv"), 1, j),
           when(substring(col("q_bv"), j + 1, 1) === "1", lit("0"))
             .otherwise(lit("1")),
           substring(col("q_bv"), j + 2, 5 - j))
-        val probes = qb.select(col("q_band"),
+        val probes = qb.select(col("qid"), col("q_band"),
           explode(array(col("q_bv") +: (0 until 6).map(flip): _*))
             .as("p_bv"))
         val candEx = bands
           .join(broadcast(qb),
             col("band") === col("q_band") && col("bv") === col("q_bv"))
-          .filter(col("vec_id") =!= 0).select("vec_id").distinct()
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
         val candMp = bands
           .join(broadcast(probes),
             col("band") === col("q_band") && col("bv") === col("p_bv"))
-          .filter(col("vec_id") =!= 0).select("vec_id").distinct()
-        val lsh = rankTop10(candEx).withColumn("in_l", lit(1))
-        val mp = rankTop10(candMp).withColumn("in_m", lit(1))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+        val lsh = panelTop10(s, d, candEx).withColumn("in_l", lit(1))
+        val mp = panelTop10(s, d, candMp).withColumn("in_m", lit(1))
         exact
-          .join(lsh, Seq("vec_id"), "left")
-          .join(mp, Seq("vec_id"), "left")
-          .agg(count(lit(1)).as("k"),
-            count(col("in_l")).as("n_hit_lsh"),
-            count(col("in_m")).as("n_hit_mp"))
+          .join(lsh, Seq("qid", "vec_id"), "left")
+          .join(mp, Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).cast("long").as("k_total"),
+            count(col("in_l")).cast("long").as("n_hit_lsh"),
+            count(col("in_m")).cast("long").as("n_hit_mp"))
           .crossJoin(broadcast(
             candEx.agg(count(lit(1)).cast("long").as("n_cand_lsh"))))
           .crossJoin(broadcast(
             candMp.agg(count(lit(1)).cast("long").as("n_cand_mp"))))
-          .select(col("k"), col("n_cand_lsh"), col("n_cand_mp"),
+          .select(col("k_total"), col("n_cand_lsh"), col("n_cand_mp"),
             col("n_hit_lsh"), col("n_hit_mp"),
-            (col("n_hit_lsh").cast("double") / col("k").cast("double"))
-              .as("recall_lsh"),
-            (col("n_hit_mp").cast("double") / col("k").cast("double"))
-              .as("recall_mp"))
+            (col("n_hit_lsh").cast("double") /
+              col("k_total").cast("double")).as("recall_lsh"),
+            (col("n_hit_mp").cast("double") /
+              col("k_total").cast("double")).as("recall_mp"))
       },
       Some(s"""$vecCtes, ${bandsCte(numBands = 4, planesPerBand = 6)},
-              |ranked AS (
-              |  SELECT e.vec_id,
-              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0
-              |), exact AS (
-              |  SELECT vec_id FROM ranked
-              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-              |), qb AS (
-              |  SELECT band AS q_band, bv AS q_bv FROM bands
-              |  WHERE vec_id = 0
+              |$panelCtes,
+              |qb AS (
+              |  SELECT vec_id AS qid, band AS q_band, bv AS q_bv
+              |  FROM bands WHERE vec_id < 20
               |), probes AS (
-              |  SELECT q_band, q_bv AS p_bv FROM qb
+              |  SELECT qid, q_band, q_bv AS p_bv FROM qb
               |  UNION ALL
-              |  SELECT q_band,
+              |  SELECT qid, q_band,
               |    substr(q_bv, 1, j) ||
               |    CASE WHEN substr(q_bv, j + 1, 1) = '1'
               |      THEN '0' ELSE '1' END ||
               |    substr(q_bv, j + 2, 5 - j) AS p_bv
               |  FROM qb, LATERAL unnest(generate_series(0, 5)) AS g(j)
               |), ce AS (
-              |  SELECT DISTINCT b.vec_id FROM bands b
+              |  SELECT DISTINCT qb.qid, b.vec_id FROM bands b
               |  JOIN qb ON b.band = qb.q_band AND b.bv = qb.q_bv
-              |  WHERE b.vec_id <> 0
+              |  WHERE b.vec_id <> qb.qid
               |), cm AS (
-              |  SELECT DISTINCT b.vec_id FROM bands b
+              |  SELECT DISTINCT p.qid, b.vec_id FROM bands b
               |  JOIN probes p ON b.band = p.q_band AND b.bv = p.p_bv
-              |  WHERE b.vec_id <> 0
-              |), lsh AS (
-              |  SELECT r.vec_id FROM ranked r
-              |  JOIN ce ON ce.vec_id = r.vec_id
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
-              |), mp AS (
-              |  SELECT r.vec_id FROM ranked r
-              |  JOIN cm ON cm.vec_id = r.vec_id
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
-              |)
-              |SELECT COUNT(*) AS k,
+              |  WHERE b.vec_id <> p.qid
+              |), ${panelSubRank("ce", "lsh")},
+              |${panelSubRank("cm", "mp")}
+              |SELECT CAST(COUNT(*) AS BIGINT) AS k_total,
               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ce)
               |    AS n_cand_lsh,
               |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cm)
               |    AS n_cand_mp,
-              |  COUNT(l.vec_id) AS n_hit_lsh,
-              |  COUNT(m.vec_id) AS n_hit_mp,
+              |  CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit_lsh,
+              |  CAST(COUNT(m.vec_id) AS BIGINT) AS n_hit_mp,
               |  CAST(COUNT(l.vec_id) AS DOUBLE) /
               |    CAST(COUNT(*) AS DOUBLE) AS recall_lsh,
               |  CAST(COUNT(m.vec_id) AS DOUBLE) /
               |    CAST(COUNT(*) AS DOUBLE) AS recall_mp
-              |FROM exact x
-              |LEFT JOIN lsh l ON x.vec_id = l.vec_id
-              |LEFT JOIN mp m ON x.vec_id = m.vec_id""".stripMargin)),
+              |FROM pexact x
+              |LEFT JOIN lsh l ON l.qid = x.qid AND l.vec_id = x.vec_id
+              |LEFT JOIN mp m ON m.qid = x.qid AND m.vec_id = x.vec_id""".stripMargin)),
 
     // Int8 quantization (min/max affine, the embedding-storage
     // compressor): per-vector scale + zero point, elements mapped to
@@ -1398,123 +1555,110 @@ object VectorQueries {
               |JOIN moms mj ON mj.i = p.j
               |ORDER BY p.i, p.j""".stripMargin)),
 
-    // ANN recall@10 measurement — turns "the ANN paths work" (q38,
-    // q98 gate their outputs) into "the ANN paths are THIS good":
-    // recall of the SRP-LSH (q38 shape: 4 bands × 6 planes,
-    // OR-amplified buckets) and IVF nprobe=2 (q98 shape) top-10
-    // against the brute-force top-10 truth (q37 shape), as one
-    // summary row. Everything is deterministic — fixed planes
-    // (corpus vectors 1..24), exact-average centroids, exact-decimal
-    // ranking scores with vec_id tie-breaks — so the recall numbers
-    // hash-match cross-engine. This is the number a 100 TB operator
-    // tunes nprobe / band structure against; at scale the truth set
-    // comes from a sampled query panel, and the measurement plan is
-    // unchanged: three top-k subtrees and two tiny left joins.
+    // ANN recall@10 over the 20-query PANEL (mean recall; panel
+    // helpers above): recall of the SRP-LSH (q38 shape: 4 bands × 6
+    // planes, OR-amplified buckets) and IVF nprobe=2 (q98 shape)
+    // top-10 against the exact top-10 truth, averaged over the fixed
+    // panel vec_id 0..19, as one summary row. Everything stays
+    // deterministic — fixed planes (corpus vectors 1..24),
+    // exact-average centroids, exact-decimal ranking scores with
+    // vec_id tie-breaks — so the mean recall hash-matches
+    // cross-engine. This is the number a 100 TB operator tunes
+    // nprobe / band structure against, now measured on a panel
+    // instead of an anecdote; the exact truth is served from the
+    // q308-built panel store.
     QueryDef(
       "q200_ann_recall",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
-          cands.join(emb, "vec_id")
-            .crossJoin(broadcast(qv))
-            .select(col("vec_id"),
-              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id").asc)
-            .limit(10)
-            .select("vec_id")
-        val exact = rankTop10(
-          emb.filter(col("vec_id") =!= 0).select("vec_id"))
+        val exact = panelExact(s, d)
         val bands = srpBandsExact(emb, numBands = 4, planesPerBand = 6)
-        val qb = bands.filter(col("vec_id") === 0)
-          .select(col("band").as("q_band"), col("bv").as("q_bv"))
-        val lsh = rankTop10(bands
+        val qb = bands.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"), col("band").as("q_band"),
+            col("bv").as("q_bv"))
+        val lshCands = bands
           .join(broadcast(qb),
             col("band") === col("q_band") && col("bv") === col("q_bv"))
-          .filter(col("vec_id") =!= 0)
-          .select("vec_id").distinct())
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+        val lsh = panelTop10(s, d, lshCands)
         val cents = centroidArrays(s, d)
         val scored = array(cents.map { case (lbl, arr) =>
           struct(graft.functions.DotDoubleExpr
               .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
             lit(lbl).as("clabel"))
         }: _*)
-        val probe = emb.filter(col("vec_id") === 0)
-          .select(explode(scored).as("sc"))
-          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
-          .orderBy(col("dp").desc, col("cell").desc)
-          .limit(2)
-          .select("cell")
-        val ivf = rankTop10(emb
-          .select(col("vec_id"),
-            array_max(scored).getField("clabel").as("cell"))
-          .join(broadcast(probe), "cell")
-          .filter(col("vec_id") =!= 0)
-          .select("vec_id"))
+        val probes = graft.plans.GroupedTopK.of(
+          emb.filter(col("vec_id") < PanelN)
+            .select(col("vec_id").as("qid"), explode(scored).as("sc"))
+            .select(col("qid"), col("sc.dp").as("dp"),
+              col("sc.clabel").as("cell")),
+          Seq("qid"), Seq(col("dp").desc, col("cell").desc), 2)
+          .select("qid", "cell")
+        val assigned = emb.select(col("vec_id"),
+          array_max(scored).getField("clabel").as("cell"))
+        val ivfCands = assigned.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+        val ivf = panelTop10(s, d, ivfCands)
         exact
-          .join(lsh.withColumn("in_lsh", lit(1)), Seq("vec_id"), "left")
-          .join(ivf.withColumn("in_ivf", lit(1)), Seq("vec_id"), "left")
-          .agg(count(lit(1)).as("k"),
-            count(col("in_lsh")).as("n_hit_lsh"),
-            count(col("in_ivf")).as("n_hit_ivf"))
-          .select(col("k"), col("n_hit_lsh"), col("n_hit_ivf"),
-            (col("n_hit_lsh").cast("double") / col("k").cast("double"))
-              .as("recall_lsh"),
-            (col("n_hit_ivf").cast("double") / col("k").cast("double"))
-              .as("recall_ivf"))
+          .join(lsh.withColumn("in_lsh", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .join(ivf.withColumn("in_ivf", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(countDistinct(col("qid")).cast("long").as("n_queries"),
+            count(lit(1)).cast("long").as("k_total"),
+            count(col("in_lsh")).cast("long").as("n_hit_lsh"),
+            count(col("in_ivf")).cast("long").as("n_hit_ivf"))
+          .select(col("n_queries"), col("k_total"),
+            col("n_hit_lsh"), col("n_hit_ivf"),
+            (col("n_hit_lsh").cast("double") /
+              col("k_total").cast("double")).as("recall_lsh"),
+            (col("n_hit_ivf").cast("double") /
+              col("k_total").cast("double")).as("recall_ivf"))
       },
       Some(s"""$vecCtes, ${bandsCte(numBands = 4, planesPerBand = 6)},
-              |$centsDotsCte,
-              |ranked AS (
-              |  SELECT e.vec_id,
-              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0
-              |), exact AS (
-              |  SELECT vec_id FROM ranked
-              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-              |), qb AS (
-              |  SELECT band AS q_band, bv AS q_bv FROM bands
-              |  WHERE vec_id = 0
-              |), lsh AS (
-              |  SELECT r.vec_id FROM ranked r
-              |  JOIN (SELECT DISTINCT b.vec_id
-              |        FROM bands b
-              |        JOIN qb ON b.band = qb.q_band AND b.bv = qb.q_bv
-              |        WHERE b.vec_id <> 0) c ON c.vec_id = r.vec_id
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
-              |), assigned AS (
+              |$centsDotsCte, $panelCtes,
+              |qb AS (
+              |  SELECT vec_id AS qid, band, bv FROM bands
+              |  WHERE vec_id < 20
+              |), lshc AS (
+              |  SELECT DISTINCT qb.qid, b.vec_id FROM bands b
+              |  JOIN qb ON b.band = qb.band AND b.bv = qb.bv
+              |  WHERE b.vec_id <> qb.qid
+              |), ${panelSubRank("lshc", "lsh")},
+              |assigned AS (
               |  SELECT vec_id, clabel AS cell FROM (
               |    SELECT vec_id, clabel,
               |      row_number() OVER (PARTITION BY vec_id
               |        ORDER BY dp DESC, clabel DESC) AS rn
               |    FROM dots_c)
               |  WHERE rn = 1
-              |), probe AS (
-              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
-              |  ORDER BY dp DESC, clabel DESC LIMIT 2
-              |), ivf AS (
-              |  SELECT r.vec_id FROM ranked r
-              |  JOIN assigned a ON a.vec_id = r.vec_id
-              |  JOIN probe p ON a.cell = p.cell
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
-              |)
-              |SELECT COUNT(*) AS k,
-              |  COUNT(l.vec_id) AS n_hit_lsh,
-              |  COUNT(i.vec_id) AS n_hit_ivf,
+              |), pprobe AS (
+              |  SELECT qid, cell FROM (
+              |    SELECT vec_id AS qid, clabel AS cell,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c WHERE vec_id < 20)
+              |  WHERE rn <= 2
+              |), ivfc AS (
+              |  SELECT p.qid, a.vec_id FROM assigned a
+              |  JOIN pprobe p ON a.cell = p.cell
+              |  WHERE a.vec_id <> p.qid
+              |), ${panelSubRank("ivfc", "ivf")}
+              |SELECT CAST(COUNT(DISTINCT x.qid) AS BIGINT) AS n_queries,
+              |  CAST(COUNT(*) AS BIGINT) AS k_total,
+              |  CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit_lsh,
+              |  CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit_ivf,
               |  CAST(COUNT(l.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS recall_lsh,
               |  CAST(COUNT(i.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS recall_ivf
-              |FROM exact x
-              |LEFT JOIN lsh l ON x.vec_id = l.vec_id
-              |LEFT JOIN ivf i ON x.vec_id = i.vec_id""".stripMargin)),
+              |FROM pexact x
+              |LEFT JOIN lsh l ON l.qid = x.qid AND l.vec_id = x.vec_id
+              |LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id""".stripMargin)),
 
     // BATCH-query IVF search (EmbeddingSearch.ivfTopKBatch's declared
     // witness): top-10 per query for 20 query vectors (vec_id 0..19)
@@ -1599,34 +1743,24 @@ object VectorQueries {
               |WHERE rn <= 10
               |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)),
 
-    // IVF recall TUNING CURVE — q200 measures one operating point
-    // (nprobe = 2); this row sweeps nprobe ∈ {1, 2, 4} and reports
-    // recall@10 at each, which is THE tuning loop a 100 TB ANN
-    // deployment runs: pick the smallest nprobe whose recall clears
-    // the product bar, because probe count is directly proportional
-    // to the fraction of the corpus each query touches. The probe
-    // ranking and exact truth are computed once per form; at scale
-    // the sweep runs on a sampled query panel and the plan per point
-    // is unchanged (cell join + top-k). Monotone by construction:
-    // candidates at nprobe n are a superset of n−1.
+    // IVF recall TUNING CURVE over the 20-query panel — q200
+    // measures one operating point (nprobe = 2); this row sweeps
+    // nprobe ∈ {1, 2, 4} and reports MEAN panel recall@10 at each,
+    // which is THE tuning loop a 100 TB ANN deployment runs: pick the
+    // smallest nprobe whose recall clears the product bar, because
+    // probe count is directly proportional to the fraction of the
+    // corpus each query touches. Probe ranking is per query (one
+    // window over K cells × 20 queries); the exact truth is the
+    // shared panel store. Monotone by construction: candidates at
+    // nprobe n are a superset of n−1.
     QueryDef(
       "q209_ivf_tuning_curve",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        def rankTop10(cands: org.apache.spark.sql.DataFrame) =
-          cands.join(emb, "vec_id")
-            .crossJoin(broadcast(qv))
-            .select(col("vec_id"),
-              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id").asc)
-            .limit(10)
-            .select("vec_id")
-        val exact = rankTop10(
-          emb.filter(col("vec_id") =!= 0).select("vec_id"))
+        val exact = panelExact(s, d)
+        val kTot = exact.agg(count(lit(1)).cast("long").as("k_total"))
         val cents = centroidArrays(s, d)
         val scored = array(cents.map { case (lbl, arr) =>
           struct(graft.functions.DotDoubleExpr
@@ -1636,39 +1770,31 @@ object VectorQueries {
         val assigned = emb
           .select(col("vec_id"),
             array_max(scored).getField("clabel").as("cell"))
-        val probeRanked = emb.filter(col("vec_id") === 0)
-          .select(explode(scored).as("sc"))
-          .select(col("sc.dp").as("dp"), col("sc.clabel").as("cell"))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("dp").desc, col("cell").desc)))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("dp").desc, col("cell").desc)
+        val probeRanked = emb.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"), explode(scored).as("sc"))
+          .select(col("qid"), col("sc.dp").as("dp"),
+            col("sc.clabel").as("cell"))
+          .withColumn("rk", row_number().over(wq))
         val curves = Seq(1, 2, 4).map { n =>
-          rankTop10(assigned
+          val cands = assigned
             .join(broadcast(probeRanked.filter(col("rk") <= n)
-              .select("cell")), "cell")
-            .filter(col("vec_id") =!= 0)
-            .select("vec_id"))
-            .join(exact.withColumn("in_exact", lit(1)),
-              Seq("vec_id"), "inner")
+              .select("qid", "cell")), "cell")
+            .filter(col("vec_id") =!= col("qid"))
+            .select("qid", "vec_id")
+          panelTop10(s, d, cands)
+            .join(exact, Seq("qid", "vec_id"))
             .agg(count(lit(1)).cast("long").as("n_hit"))
-            .select(lit(n).as("nprobe"), col("n_hit"),
-              (col("n_hit").cast("double") / lit(10.0)).as("recall"))
+            .crossJoin(broadcast(kTot))
+            .select(lit(n).as("nprobe"), col("k_total"), col("n_hit"),
+              (col("n_hit").cast("double") /
+                col("k_total").cast("double")).as("recall"))
         }
         curves.reduce(_ unionByName _).orderBy("nprobe")
       },
-      Some(s"""$centsAndDotsCte,
-              |ranked AS (
-              |  SELECT e.vec_id,
-              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0
-              |), exact AS (
-              |  SELECT vec_id FROM ranked
-              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-              |), assigned AS (
+      Some(s"""$centsAndDotsCte, $panelCtes,
+              |assigned AS (
               |  SELECT vec_id, clabel AS cell FROM (
               |    SELECT vec_id, clabel,
               |      row_number() OVER (PARTITION BY vec_id
@@ -1676,28 +1802,39 @@ object VectorQueries {
               |    FROM dots_c)
               |  WHERE rn = 1
               |), probe_ranked AS (
-              |  SELECT clabel AS cell,
-              |    row_number() OVER (ORDER BY dp DESC, clabel DESC) AS rk
-              |  FROM dots_c WHERE vec_id = 0
+              |  SELECT vec_id AS qid, clabel AS cell,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY dp DESC, clabel DESC) AS rk
+              |  FROM dots_c WHERE vec_id < 20
+              |), kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_total
+              |  FROM pexact
               |), pts AS (SELECT CAST(n AS INTEGER) AS nprobe
               |  FROM (VALUES (1), (2), (4)) AS v(n)
               |), ivf AS (
-              |  SELECT p.nprobe, r.vec_id FROM pts p
+              |  SELECT p.nprobe, t.qid, t.vec_id FROM pts p
               |  CROSS JOIN LATERAL (
-              |    SELECT r2.vec_id FROM ranked r2
-              |    JOIN assigned a ON a.vec_id = r2.vec_id
-              |    JOIN probe_ranked pr
-              |      ON pr.cell = a.cell AND pr.rk <= p.nprobe
-              |    ORDER BY r2.cos_sim DESC, r2.vec_id ASC LIMIT 10
-              |  ) r
+              |    SELECT qid, vec_id FROM (
+              |      SELECT r.qid, r.vec_id,
+              |        row_number() OVER (PARTITION BY r.qid
+              |          ORDER BY r.cos_sim DESC, r.vec_id ASC) AS rn
+              |      FROM pranked r
+              |      JOIN assigned a ON a.vec_id = r.vec_id
+              |      JOIN probe_ranked pr
+              |        ON pr.qid = r.qid AND pr.cell = a.cell
+              |          AND pr.rk <= p.nprobe)
+              |    WHERE rn <= 10
+              |  ) t
               |)
-              |SELECT p.nprobe, CAST(COUNT(h.vec_id) AS BIGINT) AS n_hit,
-              |  CAST(COUNT(h.vec_id) AS DOUBLE) / 10.0 AS recall
-              |FROM pts p LEFT JOIN (
-              |  SELECT i.nprobe, i.vec_id FROM ivf i
-              |  JOIN exact x ON i.vec_id = x.vec_id) h
-              |  ON h.nprobe = p.nprobe
-              |GROUP BY p.nprobe
+              |SELECT p.nprobe, kt.k_total,
+              |  CAST(COUNT(h.vec_id) AS BIGINT) AS n_hit,
+              |  CAST(COUNT(h.vec_id) AS DOUBLE) /
+              |    CAST(kt.k_total AS DOUBLE) AS recall
+              |FROM pts p CROSS JOIN kt
+              |LEFT JOIN (
+              |  SELECT i.nprobe, i.qid, i.vec_id FROM ivf i
+              |  JOIN pexact x ON x.qid = i.qid AND x.vec_id = i.vec_id
+              |) h ON h.nprobe = p.nprobe
+              |GROUP BY p.nprobe, kt.k_total
               |ORDER BY p.nprobe""".stripMargin)),
 
     // IVF index health #1: CELL BALANCE. Probe cost at query time is
@@ -1951,10 +2088,13 @@ object VectorQueries {
               |SELECT vec_id, adc_dist FROM adc
               |ORDER BY adc_dist ASC, vec_id ASC LIMIT 20""".stripMargin)),
 
-    // PQ recall: ADC top-20 vs the EXACT L2 top-20 (exact-decimal
-    // distances, double-cast before ranking so both engines compare
-    // the same values). One summary row — the quantization-quality
-    // number tracked round-over-round like q200 tracks IVF recall.
+    // PQ recall over the 20-query panel: ADC top-20 vs the EXACT L2
+    // top-20 per query (exact-decimal distances, double-cast before
+    // ranking so both engines compare the same values), reported as
+    // MEAN overlap — the quantization-quality number tracked
+    // round-over-round like q200 tracks IVF recall. The per-query
+    // LUTs ride as ONE broadcast table joined to a single shared
+    // codes scan (ProductQuantizer.adcDistsPanel).
     QueryDef(
       "q220_pq_recall",
       (s, d) => {
@@ -1962,42 +2102,62 @@ object VectorQueries {
         val emb = embeddings(s, d)
         val cb = graft.llm.ProductQuantizer
           .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
-        val adcTop = graft.llm.ProductQuantizer
-          .adcTopK(s, emb, cb, queryId = 0, k = 20)
-          .select("vec_id")
-        val qv = emb.filter(col("vec_id") === 0)
-          .select("embedding").collect().head
-          .getSeq[Float](0).map(_.toDouble).toArray
+        val adc = graft.llm.ProductQuantizer
+          .adcDistsPanel(s, emb, cb, PanelN)
+        val adcTop = graft.plans.GroupedTopK.of(adc, Seq("qid"),
+          Seq(col("adc_dist").asc, col("vec_id").asc), 20)
+          .select("qid", "vec_id")
+        val qs2 = panelQs(emb)
         val diff = zip_with(col("embedding").cast("array<double>"),
-          typedLit(qv), (x, y) => x - y)
-        val exactTop = emb
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), fdot(diff, diff).as("dist2"))
-          .orderBy(col("dist2").asc, col("vec_id").asc)
-          .limit(20)
-          .select("vec_id")
-        adcTop.join(exactTop, Seq("vec_id"))
-          .agg(lit(20L).as("k"), count(lit(1)).as("overlap_cnt"),
-            (count(lit(1)).cast("double") / lit(20.0)).as("recall"))
+          col("q_emb").cast("array<double>"), (x, y) => x - y)
+        val exactTop = graft.plans.GroupedTopK.of(
+          emb.crossJoin(broadcast(qs2))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              fdot(diff, diff).as("dist2")),
+          Seq("qid"), Seq(col("dist2").asc, col("vec_id").asc), 20)
+          .select("qid", "vec_id")
+        adcTop.join(exactTop, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).cast("long").as("overlap_cnt"))
+          .crossJoin(broadcast(exactTop
+            .agg(count(lit(1)).cast("long").as("k_total"))))
+          .select(col("k_total"), col("overlap_cnt"),
+            (col("overlap_cnt").cast("double") /
+              col("k_total").cast("double")).as("recall"))
       },
-      Some(s"""$vecCtes, $evecCte, $pqCtes, $adcCte,
-              |l2 AS (
-              |  SELECT d.vec_id,
-              |    CAST(SUM(CAST((d.x - q.y) * (d.x - q.y)
+      Some(s"""$vecCtes, $evecCte, $pqCtes, $padcCte,
+              |pl2 AS (
+              |  SELECT q.vec_id AS qid, d.vec_id,
+              |    CAST(SUM(CAST((d.x - q.x) * (d.x - q.x)
               |      AS DECIMAL(38,12))) AS DOUBLE) AS dist2
-              |  FROM dexp d JOIN qexp q USING (i)
-              |  WHERE d.vec_id <> 0 GROUP BY d.vec_id
+              |  FROM dexp d JOIN dexp q USING (i)
+              |  WHERE q.vec_id < 20 AND d.vec_id <> q.vec_id
+              |  GROUP BY q.vec_id, d.vec_id
               |), exact_top AS (
-              |  SELECT vec_id FROM l2
-              |  ORDER BY dist2 ASC, vec_id ASC LIMIT 20
+              |  SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC)
+              |      AS rn
+              |    FROM pl2)
+              |  WHERE rn <= 20
               |), adc_top AS (
-              |  SELECT vec_id FROM adc
-              |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 20
+              |  SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC)
+              |      AS rn
+              |    FROM padc)
+              |  WHERE rn <= 20
+              |), kt AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS k_total
+              |  FROM exact_top
               |)
-              |SELECT CAST(20 AS BIGINT) AS k,
+              |SELECT kt.k_total,
               |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
-              |  CAST(COUNT(*) AS DOUBLE) / 20.0 AS recall
-              |FROM adc_top JOIN exact_top USING (vec_id)""".stripMargin)),
+              |  CAST(COUNT(*) AS DOUBLE) / CAST(kt.k_total AS DOUBLE)
+              |    AS recall
+              |FROM adc_top JOIN exact_top USING (qid, vec_id)
+              |CROSS JOIN kt
+              |GROUP BY kt.k_total""".stripMargin)),
 
     // IVF-PQ (IVFADC, Jégou et al. §V): the full-scale ANN serving
     // scan. Coarse quantizer = the label centroids (argmax as q67);
@@ -2075,34 +2235,55 @@ object VectorQueries {
               |CROSS JOIN qn
               |ORDER BY cos_sim DESC, sh.vec_id ASC LIMIT 10""".stripMargin)),
 
-    // IVF-PQ end-to-end recall: the reranked top-10 vs the exact
-    // brute-force cosine top-10 — the quality number the whole
-    // stack (probe width × shortlist depth × codebook) is tuned
-    // against, tracked per round alongside q200/q209/q220.
+    // IVF-PQ end-to-end recall over the 20-query panel: the
+    // probed-cell ADC shortlist-50 → exact-cosine rerank top-10 vs
+    // the exact top-10 per query, as MEAN recall — the quality
+    // number the whole stack (probe width × shortlist depth ×
+    // codebook) is tuned against, tracked per round alongside
+    // q200/q209/q220. One shared codes scan serves all 20 queries
+    // (adcDistsPanel); the rerank reads the shared panel store.
     QueryDef(
       "q223_ivfpq_recall",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
         val emb = embeddings(s, d)
+        val exact = panelExact(s, d)
+        val cents = centroidArrays(s, d)
         val cb = graft.llm.ProductQuantizer
           .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
-        val reranked = graft.llm.ProductQuantizer.ivfAdcRerank(s, emb,
-          centroidArrays(s, d), cb, queryId = 0, shortlist = 50,
-          k = 10, nProbe = 2).select("vec_id")
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        val exactTop = emb.crossJoin(broadcast(qv))
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"),
-            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)
-          .limit(10)
-          .select("vec_id")
-        reranked.join(exactTop, Seq("vec_id"))
-          .agg(lit(10L).as("k"), count(lit(1)).as("overlap_cnt"),
-            (count(lit(1)).cast("double") / lit(10.0)).as("recall"))
+        val adc = graft.llm.ProductQuantizer
+          .adcDistsPanel(s, emb, cb, PanelN)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val assigned = emb.select(col("vec_id"),
+          array_max(scored).getField("clabel").as("cell"))
+        val probes = graft.plans.GroupedTopK.of(
+          emb.filter(col("vec_id") < PanelN)
+            .select(col("vec_id").as("qid"), explode(scored).as("sc"))
+            .select(col("qid"), col("sc.dp").as("dp"),
+              col("sc.clabel").as("cell")),
+          Seq("qid"), Seq(col("dp").desc, col("cell").desc), 2)
+          .select("qid", "cell")
+        val shortl = graft.plans.GroupedTopK.of(
+          adc.join(assigned, "vec_id")
+            .join(broadcast(probes), Seq("qid", "cell")),
+          Seq("qid"), Seq(col("adc_dist").asc, col("vec_id").asc), 50)
+          .select("qid", "vec_id")
+        val rerank = panelTop10(s, d, shortl)
+        exact
+          .join(rerank.withColumn("in_rr", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).cast("long").as("k_total"),
+            count(col("in_rr")).cast("long").as("overlap_cnt"))
+          .select(col("k_total"), col("overlap_cnt"),
+            (col("overlap_cnt").cast("double") /
+              col("k_total").cast("double")).as("recall"))
       },
-      Some(s"""$centsAndDotsCte, $pqCtes, $adcCte,
+      Some(s"""$centsAndDotsCte, $pqCtes, $padcCte, $panelCtes,
               |assigned AS (
               |  SELECT vec_id, clabel AS cell FROM (
               |    SELECT vec_id, clabel,
@@ -2110,35 +2291,30 @@ object VectorQueries {
               |        ORDER BY dp DESC, clabel DESC) AS rn
               |    FROM dots_c)
               |  WHERE rn = 1
-              |), probed AS (
-              |  SELECT clabel AS cell FROM dots_c WHERE vec_id = 0
-              |  ORDER BY dp DESC, clabel DESC LIMIT 2
+              |), pprobe AS (
+              |  SELECT qid, cell FROM (
+              |    SELECT vec_id AS qid, clabel AS cell,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_c WHERE vec_id < 20)
+              |  WHERE rn <= 2
               |), shortl AS (
-              |  SELECT a.vec_id FROM adc a
-              |  JOIN assigned s ON s.vec_id = a.vec_id
-              |  JOIN probed p ON p.cell = s.cell
-              |  ORDER BY a.adc_dist ASC, a.vec_id ASC LIMIT 50
-              |), rerank_top AS (
-              |  SELECT sh.vec_id,
-              |    dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM shortl sh
-              |  JOIN dots ON dots.vec_id = sh.vec_id
-              |  JOIN norms ON norms.vec_id = sh.vec_id
-              |  CROSS JOIN qn
-              |  ORDER BY cos_sim DESC, sh.vec_id ASC LIMIT 10
-              |), exact_top AS (
-              |  SELECT e.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0
-              |  ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
-              |)
-              |SELECT CAST(10 AS BIGINT) AS k,
-              |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
-              |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
-              |FROM rerank_top r JOIN exact_top x ON x.vec_id = r.vec_id""".stripMargin)),
+              |  SELECT qid, vec_id FROM (
+              |    SELECT a.qid, a.vec_id, row_number() OVER (
+              |      PARTITION BY a.qid
+              |      ORDER BY a.adc_dist ASC, a.vec_id ASC) AS rn
+              |    FROM padc a
+              |    JOIN assigned s2 ON s2.vec_id = a.vec_id
+              |    JOIN pprobe p ON p.qid = a.qid AND p.cell = s2.cell)
+              |  WHERE rn <= 50
+              |), ${panelSubRank("shortl", "rerank_top")}
+              |SELECT CAST(COUNT(*) AS BIGINT) AS k_total,
+              |  CAST(COUNT(rr.vec_id) AS BIGINT) AS overlap_cnt,
+              |  CAST(COUNT(rr.vec_id) AS DOUBLE) /
+              |    CAST(COUNT(*) AS DOUBLE) AS recall
+              |FROM pexact x
+              |LEFT JOIN rerank_top rr
+              |  ON rr.qid = x.qid AND rr.vec_id = x.vec_id""".stripMargin)),
 
     // RESIDUAL IVF-PQ (IVFADC proper, Jégou et al. §V.A / FAISS):
     // codes quantize r = v − centroid(cell(v)) instead of v, so one
@@ -2165,57 +2341,55 @@ object VectorQueries {
               |FROM radc r JOIN rassigned a ON a.vec_id = r.vec_id
               |ORDER BY r.adc_dist ASC, r.vec_id ASC LIMIT 20""".stripMargin)),
 
-    // Residual-PQ quality: residual ADC top-10 (nProbe=2) vs the
-    // exact cosine top-10 — the recall row that MEASURES what
-    // residual encoding buys on this corpus. On real embeddings with
-    // tight cells the residual codebook wins big; on this synthetic
-    // corpus cells are wide (inter-cell variance ≈ within-cell), so
-    // residual ≈ plain — the row is the measuring device, same
-    // framing as the matryoshka curve (q263). Tracked per round in
-    // BASELINE.md next to q220/q223.
+    // Residual IVF-PQ recall over the 20-query panel: the
+    // probed-cell residual-ADC top-10 vs the exact cosine top-10 per
+    // query, as MEAN recall — quantifying what residual quantization
+    // buys over plain PQ (q220/q223) on this corpus, tracked per
+    // round. Per-query per-probed-cell LUTs ride as one broadcast
+    // table over a single shared residual-codes scan
+    // (ProductQuantizer.residualAdcDistsPanel).
     QueryDef(
       "q279_residual_ivfpq_recall",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         val emb = embeddings(s, d)
+        val exact = panelExact(s, d)
         val cents = centroidArrays(s, d)
         val cb = graft.llm.ProductQuantizer
           .residualCodebookFromCorpus(emb, cents, numSub = 8,
             codesPerSub = 16)
-        val adcTop = graft.llm.ProductQuantizer
-          .ivfResidualAdcTopK(s, emb, cents, cb, queryId = 0, k = 10,
-            nProbe = 2)
-          .select("vec_id")
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        val exactTop = emb.crossJoin(broadcast(qv))
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"),
-            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)
-          .limit(10)
-          .select("vec_id")
-        adcTop.join(exactTop, Seq("vec_id"))
-          .agg(lit(10L).as("k"), count(lit(1)).as("overlap_cnt"),
-            (count(lit(1)).cast("double") / lit(10.0)).as("recall"))
+        val adc = graft.llm.ProductQuantizer
+          .residualAdcDistsPanel(s, emb, cents, cb, PanelN, nProbe = 2)
+        val adcTop = graft.plans.GroupedTopK.of(adc, Seq("qid"),
+          Seq(col("adc_dist").asc, col("vec_id").asc), 10)
+          .select("qid", "vec_id")
+        adcTop.join(exact, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).cast("long").as("overlap_cnt"))
+          .crossJoin(broadcast(exact
+            .agg(count(lit(1)).cast("long").as("k_total"))))
+          .select(col("k_total"), col("overlap_cnt"),
+            (col("overlap_cnt").cast("double") /
+              col("k_total").cast("double")).as("recall"))
       },
-      Some(s"""$centsAndDotsCte, ${residPqCtes(nProbe = 2)},
+      Some(s"""$centsAndDotsCte, ${residPqPanelCtes(nProbe = 2)},
+              |$panelCtes,
               |adc_top AS (
-              |  SELECT vec_id FROM radc
-              |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
-              |), exact_top AS (
-              |  SELECT e.vec_id FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0
-              |  ORDER BY dots.dp / (norms.nrm * qn.qnrm) DESC,
-              |    e.vec_id ASC LIMIT 10
+              |  SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (
+              |      PARTITION BY qid
+              |      ORDER BY adc_dist ASC, vec_id ASC) AS rn
+              |    FROM pradc)
+              |  WHERE rn <= 10
+              |), kt AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS k_total FROM pexact
               |)
-              |SELECT CAST(10 AS BIGINT) AS k,
+              |SELECT kt.k_total,
               |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
-              |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
-              |FROM adc_top JOIN exact_top USING (vec_id)""".stripMargin)),
+              |  CAST(COUNT(*) AS DOUBLE) / CAST(kt.k_total AS DOUBLE)
+              |    AS recall
+              |FROM adc_top JOIN pexact USING (qid, vec_id)
+              |CROSS JOIN kt
+              |GROUP BY kt.k_total""".stripMargin)),
 
     // Embedding outlier audit — the vector-side data-quality rung
     // beside the cell-balance (q211) and centroid-drift (q212)
@@ -2440,81 +2614,84 @@ object VectorQueries {
               |CROSS JOIN qn
               |ORDER BY cos_sim DESC, sh.vec_id ASC LIMIT 10""".stripMargin)),
 
-    // Binary-quantization quality: recall@10 of the raw Hamming
-    // ranking and of the rerank funnel vs the exact cosine top-10 —
-    // the tracked quality row for this rung (q200/q220/q223 family).
+    // Binary-quantization quality over the 20-query panel: MEAN
+    // recall@10 of the raw 64-bit Hamming ranking and of the
+    // Hamming-shortlist-64 → exact-cosine rerank funnel vs the exact
+    // top-10 — the tracked quality row for this rung (q200/q220/q223
+    // family). Codes are XOR+popcount per pair; the rerank reads the
+    // shared panel store, so the funnel's serve cost stays
+    // shortlist-sized.
     QueryDef(
       "q262_binary_recall",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         val emb = embeddings(s, d)
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        def cosTop10(cands: org.apache.spark.sql.DataFrame) =
-          cands.join(emb, "vec_id")
-            .crossJoin(broadcast(qv))
-            .select(col("vec_id"),
-              fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id").asc)
-            .limit(10)
-            .select("vec_id")
-        val exact = cosTop10(
-          emb.filter(col("vec_id") =!= 0).select("vec_id"))
+        val exact = panelExact(s, d)
         val codes = binCodes(emb)
-        val qc = codes.filter(col("vec_id") === 0)
-          .select(col("lo").as("q_lo"), col("hi").as("q_hi"))
+        val qc = codes.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"), col("lo").as("q_lo"),
+            col("hi").as("q_hi"))
         val hamRanked = codes.crossJoin(broadcast(qc))
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"),
-            (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)"))
-              .cast("int").as("ham"))
-        val hamTop = hamRanked
-          .orderBy(col("ham").asc, col("vec_id").asc).limit(10)
-          .select("vec_id")
-        val rerankTop = cosTop10(hamRanked
-          .orderBy(col("ham").asc, col("vec_id").asc).limit(64)
-          .select("vec_id"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (expr("bit_count(lo ^ q_lo)") +
+              expr("bit_count(hi ^ q_hi)")).cast("int").as("ham"))
+        val hamTop = graft.plans.GroupedTopK.of(hamRanked,
+          Seq("qid"), Seq(col("ham").asc, col("vec_id").asc), 10)
+          .select("qid", "vec_id")
+        val shortl = graft.plans.GroupedTopK.of(hamRanked,
+          Seq("qid"), Seq(col("ham").asc, col("vec_id").asc), 64)
+          .select("qid", "vec_id")
+        val rerankTop = panelTop10(s, d, shortl)
         exact
-          .join(hamTop.withColumn("in_ham", lit(1)), Seq("vec_id"), "left")
-          .join(rerankTop.withColumn("in_rr", lit(1)), Seq("vec_id"), "left")
-          .agg(count(lit(1)).as("k"),
-            count(col("in_ham")).as("n_hit_ham"),
-            count(col("in_rr")).as("n_hit_rerank"))
-          .select(col("k"), col("n_hit_ham"), col("n_hit_rerank"),
-            (col("n_hit_ham").cast("double") / col("k").cast("double"))
-              .as("recall_ham"),
-            (col("n_hit_rerank").cast("double") / col("k").cast("double"))
-              .as("recall_rerank"))
+          .join(hamTop.withColumn("in_ham", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .join(rerankTop.withColumn("in_rr", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).cast("long").as("k_total"),
+            count(col("in_ham")).cast("long").as("n_hit_ham"),
+            count(col("in_rr")).cast("long").as("n_hit_rerank"))
+          .select(col("k_total"), col("n_hit_ham"),
+            col("n_hit_rerank"),
+            (col("n_hit_ham").cast("double") /
+              col("k_total").cast("double")).as("recall_ham"),
+            (col("n_hit_rerank").cast("double") /
+              col("k_total").cast("double")).as("recall_rerank"))
       },
-      Some(s"""$vecCtes, $binCodesCte, $hamCte,
-              |ranked AS (
-              |  SELECT e.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0
-              |), exact AS (
-              |  SELECT vec_id FROM ranked
-              |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+      Some(s"""$vecCtes, $binCodesCte, $panelCtes,
+              |pham AS (
+              |  SELECT q.vec_id AS qid, c.vec_id,
+              |    CAST(bit_count(xor(c.lo, q.lo)) +
+              |         bit_count(xor(c.hi, q.hi)) AS INTEGER) AS ham
+              |  FROM codes c CROSS JOIN codes q
+              |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
               |), ham_top AS (
-              |  SELECT vec_id FROM ham ORDER BY ham ASC, vec_id ASC LIMIT 10
+              |  SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY ham ASC, vec_id ASC)
+              |      AS rn
+              |    FROM pham)
+              |  WHERE rn <= 10
               |), shortl AS (
-              |  SELECT vec_id FROM ham ORDER BY ham ASC, vec_id ASC LIMIT 64
-              |), rr_top AS (
-              |  SELECT r.vec_id FROM ranked r JOIN shortl sh ON sh.vec_id = r.vec_id
-              |  ORDER BY r.cos_sim DESC, r.vec_id ASC LIMIT 10
-              |)
-              |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              |  SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY ham ASC, vec_id ASC)
+              |      AS rn
+              |    FROM pham)
+              |  WHERE rn <= 64
+              |), ${panelSubRank("shortl", "rr_top")}
+              |SELECT CAST(COUNT(*) AS BIGINT) AS k_total,
               |  CAST(COUNT(h.vec_id) AS BIGINT) AS n_hit_ham,
               |  CAST(COUNT(rr.vec_id) AS BIGINT) AS n_hit_rerank,
               |  CAST(COUNT(h.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS recall_ham,
               |  CAST(COUNT(rr.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS recall_rerank
-              |FROM exact x
-              |LEFT JOIN ham_top h ON h.vec_id = x.vec_id
-              |LEFT JOIN rr_top rr ON rr.vec_id = x.vec_id""".stripMargin)),
+              |FROM pexact x
+              |LEFT JOIN ham_top h
+              |  ON h.qid = x.qid AND h.vec_id = x.vec_id
+              |LEFT JOIN rr_top rr
+              |  ON rr.qid = x.qid AND rr.vec_id = x.vec_id""".stripMargin)),
 
     // ---- Matryoshka (prefix-dimension) retrieval curve ------------
     //
@@ -2522,54 +2699,44 @@ object VectorQueries {
     // prefix: searching on just the first d dims costs d/64 of the
     // float math (and at 100 TB, d/64 of the scan bytes if the
     // prefix is stored as its own column). This query measures the
-    // quality side of that trade: recall@10 of prefix-d cosine
-    // ranking vs the full-dim exact top-10, for d ∈ {8, 16, 32} —
-    // the operating curve for choosing a serving prefix.
+    // quality side of that trade over the 20-query panel: MEAN
+    // recall@10 of prefix-d cosine ranking vs the full-dim exact
+    // top-10 (the shared panel store), for d ∈ {8, 16, 32} — the
+    // operating curve for choosing a serving prefix.
     QueryDef(
       "q263_matryoshka_curve",
       (s, d) => {
         graft.functions.DotExactExpr.register(s)
         val emb = embeddings(s, d)
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"))
-        val exact = emb.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id"),
-            fcos(col("embedding"), col("q_emb")).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)
-          .limit(10)
-          .select("vec_id")
+        val exact = panelExact(s, d)
+        val qs = panelQs(emb)
         def prefixRow(dd: Int) = {
-          val top = emb.filter(col("vec_id") =!= 0)
-            .crossJoin(broadcast(qv))
-            .select(col("vec_id"),
-              fcos(slice(col("embedding"), 1, dd),
-                slice(col("q_emb"), 1, dd)).as("ps"))
-            .orderBy(col("ps").desc, col("vec_id").asc)
-            .limit(10)
-            .select("vec_id")
+          val top = graft.plans.GroupedTopK.of(
+            emb.crossJoin(broadcast(qs))
+              .filter(col("vec_id") =!= col("qid"))
+              .select(col("qid"), col("vec_id"),
+                fcos(slice(col("embedding"), 1, dd),
+                  slice(col("q_emb"), 1, dd)).as("ps")),
+            Seq("qid"), Seq(col("ps").desc, col("vec_id").asc), 10)
+            .select("qid", "vec_id")
           exact
-            .join(top.withColumn("h", lit(1)), Seq("vec_id"), "left")
-            .agg(count(lit(1)).as("k"), count(col("h")).as("n_hit"))
-            .select(lit(dd).as("d_prefix"), col("k"), col("n_hit"),
-              (col("n_hit").cast("double") / col("k").cast("double"))
-                .as("recall"))
+            .join(top.withColumn("h", lit(1)),
+              Seq("qid", "vec_id"), "left")
+            .agg(count(lit(1)).cast("long").as("k_total"),
+              count(col("h")).cast("long").as("n_hit"))
+            .select(lit(dd).as("d_prefix"), col("k_total"),
+              col("n_hit"),
+              (col("n_hit").cast("double") /
+                col("k_total").cast("double")).as("recall"))
         }
         Seq(8, 16, 32).map(prefixRow)
           .reduce(_ unionByName _)
           .orderBy("d_prefix")
       },
-      Some(s"""$vecCtes,
-              |exact AS (
-              |  SELECT e.vec_id, dots.dp / (norms.nrm * qn.qnrm) AS cos_sim
-              |  FROM embeddings e
-              |  JOIN dots ON dots.vec_id = e.vec_id
-              |  JOIN norms ON norms.vec_id = e.vec_id
-              |  CROSS JOIN qn
-              |  WHERE e.vec_id <> 0
-              |  ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
-              |)${Seq(8, 16, 32).map(matryoshkaCtes).mkString(",\n", ",\n", "")}
-              |${Seq(8, 16, 32).map(matryoshkaRow).mkString("\nUNION ALL\n")}
+      Some(s"""$vecCtes, $panelCtes${Seq(8, 16, 32)
+                .map(matryoshkaCtes).mkString(",\n", ",\n", "")}
+              |${Seq(8, 16, 32).map(matryoshkaRow)
+                .mkString("\nUNION ALL\n")}
               |ORDER BY d_prefix""".stripMargin)),
 
     // ---- Clustering quality: per-cell inertia ---------------------
@@ -2714,7 +2881,46 @@ object VectorQueries {
              |)
              |SELECT val_id, best_train_id, best_cos
              |FROM best
-             |ORDER BY best_cos DESC, val_id ASC LIMIT 15""".stripMargin))
+             |ORDER BY best_cos DESC, val_id ASC LIMIT 15""".stripMargin)),
+
+    // The labeled BUILD workload for the panel ranking store (the
+    // q239/q240 pattern): force-rebuild the exact-cosine panel×corpus
+    // ranking parquet every recall rung serves from, and emit an
+    // oracle-gated receipt — per panel query, the pair count and the
+    // exact nearest neighbor with its cosine. The bench row carries
+    // the honest build cost; the rungs' serve rows stay store reads.
+    QueryDef(
+      "q308_panel_rank_build",
+      (s, d) => {
+        val path = graft.StoreCache.rebuild("panelrank", d) { p =>
+          buildPanelRankStore(s, d, p)
+        }
+        val st = s.read.parquet(path)
+        graft.plans.GroupedTopK.of(st, Seq("qid"),
+          Seq(col("cos_sim").desc, col("vec_id").asc), 1)
+          .join(st.groupBy("qid")
+            .agg(count(lit(1)).cast("long").as("n_pairs")), Seq("qid"))
+          .select(col("qid"), col("n_pairs"),
+            col("vec_id").as("top1_vec_id"),
+            col("cos_sim").as("top1_cos"))
+          .orderBy("qid")
+      },
+      Some(s"""$vecCtes, $panelCtes,
+              |top1 AS (
+              |  SELECT qid, vec_id, cos_sim FROM (
+              |    SELECT qid, vec_id, cos_sim,
+              |      row_number() OVER (PARTITION BY qid
+              |        ORDER BY cos_sim DESC, vec_id ASC) AS rn
+              |    FROM pranked)
+              |  WHERE rn = 1
+              |), np AS (
+              |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              |  FROM pranked GROUP BY qid
+              |)
+              |SELECT t.qid, np.n_pairs, t.vec_id AS top1_vec_id,
+              |  t.cos_sim AS top1_cos
+              |FROM top1 t JOIN np USING (qid)
+              |ORDER BY qid""".stripMargin))
   )
 
   /** 64-dim float vector → two 32-bit sign words (`lo` dims 1–32,
@@ -2752,31 +2958,37 @@ object VectorQueries {
       |  WHERE c.vec_id <> 0
       |)""".stripMargin
 
-  /** Prefix-d dot/norm/rank CTEs for [[matryoshkaRow]]. */
+  /** Panel prefix-d dot/norm/rank CTEs for [[matryoshkaRow]]:
+    * `ptop_d(qid, vec_id)` = prefix-d cosine top-10 per panel query.
+    */
   private def matryoshkaCtes(dd: Int): String =
     s"""pdots_$dd AS (
-       |  SELECT d.vec_id,
-       |    CAST(SUM(CAST(d.x * q.y AS DECIMAL(38,12))) AS DOUBLE) AS dp
-       |  FROM dexp d JOIN qexp q USING (i) WHERE d.i <= $dd
-       |  GROUP BY d.vec_id
+       |  SELECT q.vec_id AS qid, d.vec_id,
+       |    CAST(SUM(CAST(d.x * q.x AS DECIMAL(38,12))) AS DOUBLE) AS dp
+       |  FROM dexp d JOIN dexp q USING (i)
+       |  WHERE q.vec_id < 20 AND d.vec_id <> q.vec_id AND d.i <= $dd
+       |  GROUP BY q.vec_id, d.vec_id
        |), pnorms_$dd AS (
        |  SELECT vec_id,
        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
        |  FROM dexp WHERE i <= $dd GROUP BY vec_id
        |), ptop_$dd AS (
-       |  SELECT e.vec_id
-       |  FROM embeddings e
-       |  JOIN pdots_$dd pd ON pd.vec_id = e.vec_id
-       |  JOIN pnorms_$dd pn ON pn.vec_id = e.vec_id
-       |  CROSS JOIN (SELECT nrm AS qnrm FROM pnorms_$dd WHERE vec_id = 0) pq
-       |  WHERE e.vec_id <> 0
-       |  ORDER BY pd.dp / (pn.nrm * pq.qnrm) DESC, e.vec_id ASC LIMIT 10
+       |  SELECT qid, vec_id FROM (
+       |    SELECT pd.qid, pd.vec_id,
+       |      row_number() OVER (PARTITION BY pd.qid
+       |        ORDER BY pd.dp / (pn.nrm * pq.nrm) DESC,
+       |          pd.vec_id ASC) AS rn
+       |    FROM pdots_$dd pd
+       |    JOIN pnorms_$dd pn ON pn.vec_id = pd.vec_id
+       |    JOIN pnorms_$dd pq ON pq.vec_id = pd.qid)
+       |  WHERE rn <= 10
        |)""".stripMargin
 
   /** One output row of the matryoshka curve for prefix length d. */
   private def matryoshkaRow(dd: Int): String =
-    s"""SELECT $dd AS d_prefix, CAST(COUNT(*) AS BIGINT) AS k,
+    s"""SELECT $dd AS d_prefix, CAST(COUNT(*) AS BIGINT) AS k_total,
        |  CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
        |  CAST(COUNT(p.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
-       |FROM exact x LEFT JOIN ptop_$dd p ON p.vec_id = x.vec_id""".stripMargin
+       |FROM pexact x LEFT JOIN ptop_$dd p
+       |  ON p.qid = x.qid AND p.vec_id = x.vec_id""".stripMargin
 }
