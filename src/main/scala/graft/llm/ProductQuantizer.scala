@@ -57,8 +57,10 @@ object ProductQuantizer {
   /** One or more Lloyd iterations per subspace over the assignment
     * produced by the current codebook. Runs as numSub parallel
     * explode-free passes (one groupBy per iteration over (m, code)
-    * keys); empty codes keep their old center. Production path —
-    * plain double means, not cross-engine exact.
+    * keys); empty codes keep their old center. Production path — the
+    * means accumulate in exact DECIMAL(38,12) (order- and
+    * partitioning-independent, so the trained codebook is
+    * deterministic run to run) and divide once at the end.
     */
   def refineCodebook(emb: DataFrame,
       codebook: Array[Array[Array[Double]]],
@@ -73,7 +75,9 @@ object ProductQuantizer {
           posexplode(slice(col("embedding").cast("array<double>"),
             col("m") * lit(sub) + lit(1), lit(sub))))
         .groupBy(col("m"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("mean_x"))
+        .agg(avg(col("col")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast(DoubleType).as("mean_x"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case ((m, k), rs) =>
@@ -84,6 +88,62 @@ object ProductQuantizer {
       }
     }
     cb
+  }
+
+  /** TRAIN a codebook instead of sampling one: deterministic
+    * farthest-point (maximin) initialization per subspace — the
+    * RNG-free stand-in for k-means++ seeding: code 0 = subvector of
+    * the lowest-id sample vector, each next code = the sample
+    * subvector maximizing its min squared distance to the codes
+    * chosen so far (ties to the lower sample index) — followed by
+    * `iterations` distributed Lloyd rounds ([[refineCodebook]]).
+    * The init runs on the lowest-`sampleN` corpus vectors collected
+    * to the driver (at 100 TB: a fixed-size sample — codebook
+    * training is a model-metadata job, never a corpus-wide one);
+    * the Lloyd rounds are full corpus passes with exact-decimal
+    * means, so the result is deterministic end to end.
+    */
+  def trainCodebook(emb: DataFrame, numSub: Int, codesPerSub: Int,
+      iterations: Int = 3,
+      sampleN: Int = 256): Array[Array[Array[Double]]] = {
+    val rows = emb
+      .filter(col("vec_id").between(1, sampleN))
+      .select("vec_id", "embedding")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.length >= codesPerSub,
+      s"trainCodebook needs >= $codesPerSub sample vectors " +
+        s"(found ${rows.length})")
+    val d = rows.head.length
+    require(d % numSub == 0,
+      s"dim $d not divisible into $numSub subspaces")
+    val sub = d / numSub
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val init = Array.tabulate(numSub) { m =>
+      val subs = rows.map(_.slice(m * sub, (m + 1) * sub))
+      val chosen = scala.collection.mutable.ArrayBuffer(subs(0))
+      while (chosen.length < codesPerSub) {
+        var bestIdx = 0
+        var bestD = -1.0
+        var i = 0
+        while (i < subs.length) {
+          var dmin = Double.MaxValue
+          chosen.foreach { c =>
+            val dd = sq(subs(i), c); if (dd < dmin) dmin = dd
+          }
+          if (dmin > bestD) { bestD = dmin; bestIdx = i }
+          i += 1
+        }
+        chosen += subs(bestIdx)
+      }
+      chosen.toArray
+    }
+    refineCodebook(emb, init, iterations)
   }
 
   /** Distance from subspace m of the (double-cast) vector column to a

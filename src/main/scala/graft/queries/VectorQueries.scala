@@ -2920,7 +2920,61 @@ object VectorQueries {
               |SELECT t.qid, np.n_pairs, t.vec_id AS top1_vec_id,
               |  t.cos_sim AS top1_cos
               |FROM top1 t JOIN np USING (qid)
-              |ORDER BY qid""".stripMargin))
+              |ORDER BY qid""".stripMargin)),
+
+    // TRAINED-codebook PQ recall on the panel (the r11 verdict's
+    // item 3): q220 scores the deterministic SAMPLED codebook (code
+    // k = subvector of corpus vector k+1 — the cross-engine-exact
+    // oracle shape); this row scores the TRAINED one
+    // (ProductQuantizer.trainCodebook: deterministic farthest-point
+    // init + 3 exact-decimal Lloyd rounds) side by side on the same
+    // panel, ADC top-20 vs exact L2 top-20. Lloyd means are exact
+    // DECIMAL (deterministic run to run) but a K-step iterative
+    // training loop is not one SQL expression — declared rows-only,
+    // with the recall pair tracked in BASELINE.md's quality table
+    // like every other rung.
+    QueryDef(
+      "q309_pq_trained_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val cbS = graft.llm.ProductQuantizer
+          .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+        val cbT = graft.llm.ProductQuantizer
+          .trainCodebook(emb, numSub = 8, codesPerSub = 16,
+            iterations = 3)
+        def top20(cb: Array[Array[Array[Double]]]) =
+          graft.plans.GroupedTopK.of(
+            graft.llm.ProductQuantizer.adcDistsPanel(s, emb, cb,
+              PanelN),
+            Seq("qid"), Seq(col("adc_dist").asc, col("vec_id").asc),
+            20).select("qid", "vec_id")
+        val qs2 = panelQs(emb)
+        val diff = zip_with(col("embedding").cast("array<double>"),
+          col("q_emb").cast("array<double>"), (x, y) => x - y)
+        val exactTop = graft.plans.GroupedTopK.of(
+          emb.crossJoin(broadcast(qs2))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              fdot(diff, diff).as("dist2")),
+          Seq("qid"), Seq(col("dist2").asc, col("vec_id").asc), 20)
+          .select("qid", "vec_id")
+        exactTop
+          .join(top20(cbS).withColumn("in_s", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .join(top20(cbT).withColumn("in_t", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).cast("long").as("k_total"),
+            count(col("in_s")).cast("long").as("n_hit_sampled"),
+            count(col("in_t")).cast("long").as("n_hit_trained"))
+          .select(col("k_total"), col("n_hit_sampled"),
+            col("n_hit_trained"),
+            (col("n_hit_sampled").cast("double") /
+              col("k_total").cast("double")).as("recall_sampled"),
+            (col("n_hit_trained").cast("double") /
+              col("k_total").cast("double")).as("recall_trained"))
+      },
+      None)
   )
 
   /** 64-dim float vector → two 32-bit sign words (`lo` dims 1–32,

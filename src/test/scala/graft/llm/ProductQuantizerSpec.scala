@@ -172,4 +172,66 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkFixture
     val cb1 = ProductQuantizer.refineCodebook(emb, cb0, iterations = 1)
     distortion(cb1) should be <= distortion(cb0) + 1e-9
   }
+
+  test("trainCodebook (maximin + Lloyd) beats the sampled codebook " +
+      "on distortion and is deterministic") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .cache()
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def distortion(cb: Array[Array[Array[Double]]]): Double = {
+      val sub = cb(0)(0).length
+      rows.map { v =>
+        cb.indices.map { m =>
+          cb(m).map { c =>
+            var d = 0.0; var i = 0
+            while (i < sub) {
+              val t = v(m * sub + i) - c(i); d += t * t; i += 1
+            }
+            d
+          }.min
+        }.sum
+      }.sum
+    }
+    val sampled = ProductQuantizer.codebookFromCorpus(emb, numSub = 8,
+      codesPerSub = 16)
+    val trained = ProductQuantizer.trainCodebook(emb, numSub = 8,
+      codesPerSub = 16, iterations = 3)
+    distortion(trained) should be < distortion(sampled)
+    // exact-decimal Lloyd means -> bit-identical retrain
+    val again = ProductQuantizer.trainCodebook(emb, numSub = 8,
+      codesPerSub = 16, iterations = 3)
+    trained.flatten.flatten.toSeq shouldBe again.flatten.flatten.toSeq
+  }
+
+  test("trained-path encode parity: every code is the argmin of " +
+      "driver-recomputed subspace distances") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .cache()
+    val trained = ProductQuantizer.trainCodebook(emb, numSub = 8,
+      codesPerSub = 16, iterations = 3)
+    val sub = trained(0)(0).length
+    val vecs = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val codes = ProductQuantizer.encode(
+      emb.filter(col("vec_id") < 10), trained)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    for ((vid, v) <- vecs; m <- trained.indices) {
+      // same fold order as the in-plan subDist expression:
+      // (norm - 2*dot) + cnorm, ties to the smaller k
+      val expected = trained(m).zipWithIndex.map { case (c, k) =>
+        val vs = v.slice(m * sub, (m + 1) * sub)
+        var nv = 0.0; var dp = 0.0; var nc = 0.0; var i = 0
+        while (i < sub) {
+          nv += vs(i) * vs(i); dp += vs(i) * c(i); nc += c(i) * c(i)
+          i += 1
+        }
+        ((nv - dp * 2.0) + nc, k)
+      }.minBy { case (dd, k) => (dd, k) }._2
+      codes((vid, m)) shouldBe expected
+    }
+  }
 }
