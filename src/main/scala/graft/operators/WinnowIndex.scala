@@ -38,7 +38,29 @@ object WinnowIndex {
   /** Persist an already-computed fingerprint frame (doc_id, pos,
     * fph) at `path`, hive-partitioned by fingerprint bucket.
     */
-  def write(fps: DataFrame, path: String, buckets: Int = 64): Unit = {
+  def write(fps: DataFrame, path: String, buckets: Int = 64): Unit =
+    writeAs(fps, path, buckets, "overwrite")
+
+  /** Incremental maintenance: fingerprint ONLY the new batch and
+    * append its rows to the existing index's bucket directories —
+    * the delta path of this index family (BM25 has the posting
+    * merge, IVF the q305 add-batch; this is the winnow store's).
+    * The fingerprint pass costs O(|batch|), not O(corpus); the
+    * append adds one file per touched bucket (row-group-sorted by
+    * fph like the base files, so value probes still prune), and
+    * every reader — [[read]], [[probe]] — sees base ∪ delta with no
+    * code change because hive partition listing unions files per
+    * directory. Repeated small deltas grow file counts; fold them
+    * back with a q248-style compaction pass when a bucket's file
+    * count crosses the planning threshold.
+    */
+  def addDelta(newDocs: DataFrame, path: String, w: Int = 4,
+      buckets: Int = 64): Unit =
+    writeAs(Winnowing.fingerprints(newDocs, w = w), path, buckets,
+      "append")
+
+  private def writeAs(fps: DataFrame, path: String, buckets: Int,
+      mode: String): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     fps
       .withColumn("fbucket",
@@ -47,7 +69,7 @@ object WinnowIndex {
       // min/max stats prune value probes inside a bucket
       .repartition(col("fbucket"))
       .sortWithinPartitions("fbucket", "fph")
-      .write.partitionBy("fbucket").mode("overwrite").parquet(path)
+      .write.partitionBy("fbucket").mode(mode).parquet(path)
   }
 
   /** Read a stored index back as the (doc_id, pos, fph) frame the

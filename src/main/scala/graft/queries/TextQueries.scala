@@ -1816,6 +1816,38 @@ object TextQueries {
               |  CAST(MAX(pos) AS BIGINT) AS max_pos
               |FROM winn""".stripMargin)),
 
+    // The DELTA-maintenance workload for the winnow store
+    // (WinnowIndex.addDelta — the r11 verdict's item 7: BM25 has the
+    // posting merge, PageRank delta epochs, IVF the q305 add-batch;
+    // the fingerprint store rebuilt whole). Build the store from the
+    // base corpus (doc_id % 10 <> 7), then fingerprint ONLY the held
+    // -out batch and append it per fbucket; the declared stats read
+    // back from the delta'd store and the oracle computes them over
+    // the WHOLE corpus — the gate is exactly "base build + delta
+    // append ≡ full build" including the persistence round-trip. A
+    // separate store kind keeps the q216/q240 serving store intact.
+    QueryDef(
+      "q310_winnow_delta_build",
+      (s, d) => {
+        val base = documents(s, d).filter(col("doc_id") % 10 =!= 7)
+        val batch = documents(s, d).filter(col("doc_id") % 10 === 7)
+        val dir = graft.StoreCache.rebuild("winnow_delta", d) { p =>
+          graft.operators.WinnowIndex.build(base, p)
+          graft.operators.WinnowIndex.addDelta(batch, p)
+        }
+        graft.operators.WinnowIndex.read(s, dir)
+          .agg(count(lit(1)).cast("long").as("n_fps"),
+            countDistinct(col("fph")).as("n_keys"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            max(col("pos")).cast("long").as("max_pos"))
+      },
+      Some(s"""$winnowCte
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+              |  CAST(COUNT(DISTINCT fph) AS BIGINT) AS n_keys,
+              |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(MAX(pos) AS BIGINT) AS max_pos
+              |FROM winn""".stripMargin)),
+
     // Corpus-prep FUNNEL report — the composition the individual
     // operators exist for: per source, how many documents survive
     // each pipeline stage, in order: raw → exact dedup (keep the

@@ -51,4 +51,27 @@ class WinnowIndexSpec extends AnyFunSuite with SparkFixture
     val plan = got.queryExecution.executedPlan.toString
     plan should include("fbucket")
   }
+
+  test("addDelta: base build + batch append equals the full build, " +
+      "and probes see delta rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-widx-d").toString + "/idx"
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    batch.count() should be > 0L
+    WinnowIndex.build(base, dir)
+    WinnowIndex.addDelta(batch, dir)
+    asSet(WinnowIndex.read(spark, dir)) shouldBe
+      asSet(Winnowing.fingerprints(docs))
+    // a probe keyed on a DELTA document's fingerprints finds them
+    val batchFps = Winnowing.fingerprints(batch)
+    val probeSet = batchFps
+      .select("doc_id").distinct().limit(1)
+      .join(batchFps, "doc_id").select("fph")
+    val got = WinnowIndex.probe(spark, dir, probeSet)
+    asSet(got.select("doc_id", "pos", "fph")) shouldBe
+      asSet(Winnowing.fingerprints(docs)
+        .join(probeSet.distinct(), "fph")
+        .select("doc_id", "pos", "fph"))
+  }
 }
