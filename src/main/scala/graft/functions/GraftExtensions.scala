@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.redactPiiDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.ZoneMapPruneRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

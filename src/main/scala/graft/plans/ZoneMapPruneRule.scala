@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Zone-map file pruning as an automatic optimizer rule — the
+  * planner half of the Z-order story (q148 gates the curve
+  * arithmetic, q268 measures the layout's payoff, this rule makes
+  * queries COLLECT it without hand-written pruning): a `Filter`
+  * over a registered file-bucketed table whose condition bounds the
+  * table's clustered columns gets an extra `fileCol IN (survivors)`
+  * filter injected directly above the scan, where survivors are the
+  * files whose registered per-file [min, max] zones intersect the
+  * predicate's ranges. `fileCol` is the layout's hive-partition
+  * column, so the injected IN becomes a partition filter at
+  * planning time and pruned files are never opened — at 100 TB on a
+  * Z-ordered layout that is q268's measured 4-of-147-files scan,
+  * now applied by the planner to ANY query with a qualifying
+  * predicate.
+  *
+  * Correctness constraints, enforced structurally:
+  *  - only conjuncts of the forms `col (=, <, <=, >, >=) literal`
+  *    (either operand order) over INTEGRAL clustered columns
+  *    contribute bounds; every unrecognized conjunct is simply
+  *    ignored — it can only make the true row set SMALLER than the
+  *    bounds imply, so pruning by the recognized bounds alone never
+  *    drops a matching row. Strict bounds tighten by ±1 (integers).
+  *  - a file survives unless SOME bounded column's zone is fully
+  *    outside the predicate's range — the exact row-group rule a
+  *    parquet reader applies to footer stats.
+  *  - no recognized bounds → no rewrite; the rule re-applied to its
+  *    own output is a no-op (the injected IN bounds only `fileCol`,
+  *    which is never a clustered column).
+  *
+  * The registered stats are collected ONCE at register time (one
+  * O(files)-row aggregate — the manifest a table format keeps); the
+  * caller owns their freshness, exactly like SummaryRewriteRule's
+  * summary contract. Table matching uses `sameResult` on the
+  * project-stripped child, so the rule still fires after column
+  * pruning inserts a Project over the scan.
+  *
+  * Injection paths: cluster-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or on a
+  * live session via `spark.experimental.extraOptimizations`.
+  */
+object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Per-file zones: fileId → (col → (lo, hi)). */
+  final case class Entry(tablePlan: LogicalPlan, fileCol: String,
+      cols: Seq[String], stats: Seq[(Long, Map[String, (Long, Long)])])
+
+  private val entries =
+    new java.util.concurrent.CopyOnWriteArrayList[Entry]()
+
+  /** Register `table` (its analyzed plan is the match key) as
+    * file-bucketed by integral column `fileCol` and Z-clustered on
+    * integral columns `cols`; collects the per-file min/max zone
+    * stats in one aggregate pass.
+    */
+  def register(table: DataFrame, fileCol: String,
+      cols: Seq[String]): Entry = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"lo_$c"),
+        max(col(c)).cast("long").as(s"hi_$c")))
+    val stats = table.groupBy(col(fileCol).cast("long").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        r.getLong(0) -> cols.zipWithIndex.map { case (c, i) =>
+          c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        }.toMap
+      }.toSeq
+    val e = Entry(table.queryExecution.analyzed, fileCol, cols, stats)
+    entries.add(e)
+    e
+  }
+
+  def clear(): Unit = entries.clear()
+
+  /** The decision function, shared with the q311 gate's files-read
+    * receipt so the declared number IS the rule's own pruning:
+    * survivors = files whose every bounded column's zone intersects
+    * the bound.
+    */
+  def survivors(e: Entry,
+      bounds: Map[String, (Option[Long], Option[Long])]): Seq[Long] =
+    e.stats.collect {
+      case (f, zones)
+          if bounds.forall { case (c, (lo, hi)) =>
+            zones.get(c).forall { case (zlo, zhi) =>
+              lo.forall(zhi >= _) && hi.forall(zlo <= _)
+            }
+          } => f
+    }
+
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(child)
+    case other => other
+  }
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** Extract per-column [lo, hi] bounds from the condition's
+    * recognized conjuncts over the entry's clustered columns.
+    */
+  def extractBounds(cond: Expression,
+      cols: Seq[String]): Map[String, (Option[Long], Option[Long])] = {
+    val colSet = cols.toSet
+    def intAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if colSet.contains(a.name) &&
+            (a.dataType == LongType || a.dataType == IntegerType) =>
+        Some(a.name)
+      case _ => None
+    }
+    var b = Map.empty[String, (Option[Long], Option[Long])]
+      .withDefaultValue((None, None))
+    def addLo(c: String, v: Long): Unit = {
+      val (lo, hi) = b(c); b += c -> (Some(lo.fold(v)(_ max v)), hi)
+    }
+    def addHi(c: String, v: Long): Unit = {
+      val (lo, hi) = b(c); b += c -> (lo, Some(hi.fold(v)(_ min v)))
+    }
+    splitConjunctivePredicates(cond).foreach {
+      case GreaterThanOrEqual(a, l) =>
+        for (c <- intAttr(a); v <- litLong(l)) addLo(c, v)
+      case GreaterThan(a, l) =>
+        for (c <- intAttr(a); v <- litLong(l)) addLo(c, v + 1)
+      case LessThanOrEqual(a, l) =>
+        for (c <- intAttr(a); v <- litLong(l)) addHi(c, v)
+      case LessThan(a, l) =>
+        for (c <- intAttr(a); v <- litLong(l)) addHi(c, v - 1)
+      case EqualTo(a, l) if intAttr(a).isDefined =>
+        for (c <- intAttr(a); v <- litLong(l)) { addLo(c, v); addHi(c, v) }
+      // literal-on-the-left spellings
+      case GreaterThanOrEqual(l, a) if litLong(l).isDefined =>
+        for (c <- intAttr(a); v <- litLong(l)) addHi(c, v)
+      case GreaterThan(l, a) if litLong(l).isDefined =>
+        for (c <- intAttr(a); v <- litLong(l)) addHi(c, v - 1)
+      case LessThanOrEqual(l, a) if litLong(l).isDefined =>
+        for (c <- intAttr(a); v <- litLong(l)) addLo(c, v)
+      case LessThan(l, a) if litLong(l).isDefined =>
+        for (c <- intAttr(a); v <- litLong(l)) addLo(c, v + 1)
+      case EqualTo(l, a) if litLong(l).isDefined =>
+        for (c <- intAttr(a); v <- litLong(l)) { addLo(c, v); addHi(c, v) }
+      case _ => ()
+    }
+    b.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val stripped = stripProjects(child)
+      val it = entries.iterator()
+      var done: Option[Filter] = None
+      while (done.isEmpty && it.hasNext) {
+        val e = it.next()
+        if (stripped.sameResult(e.tablePlan)) {
+          val bounds = extractBounds(cond, e.cols)
+          if (bounds.nonEmpty) {
+            val surv = survivors(e, bounds).sorted
+            if (surv.length < e.stats.length) {
+              stripped.output.find(_.name == e.fileCol).foreach { fa =>
+                val lits: Seq[Expression] = fa.dataType match {
+                  case IntegerType => surv.map(v => Literal(v.toInt))
+                  case _ => surv.map(v => Literal(v))
+                }
+                val pruned = Filter(In(fa, lits), stripped)
+                val newChild = child.transformUp {
+                  case p if p eq stripped => pruned
+                }
+                done = Some(Filter(cond, newChild))
+              }
+            }
+          }
+        }
+      }
+      done.getOrElse(f)
+  }
+}

@@ -545,6 +545,101 @@ object ScaleQueries {
            |FROM flagged
            |GROUP BY layout
            |ORDER BY layout""".stripMargin
+      }),
+
+    // Zone-map pruning as an AUTOMATIC planner rule — the r11
+    // verdict's item 2: q268 measured the Z-order layout's payoff
+    // with hand-written pruning; this gate drives
+    // plans.ZoneMapPruneRule instead. The store materializes
+    // lineitem Z-ordered on (day÷16, pk÷79) into 4096-row files
+    // hive-partitioned by zfile; registering it collects the
+    // per-file min/max zones (the manifest), and the rule rewrites
+    // any Filter bounding the clustered columns into a
+    // zfile-IN-survivors partition filter — so the timed query here
+    // is a PLAIN filter+agg with no pruning code in it. The oracle
+    // recomputes the aggregate over the FULL corpus under the same
+    // predicate (over-pruning would drop rows and hash-mismatch) and
+    // the zone/survivor counts from scratch; n_files_read comes from
+    // ZoneMapPruneRule.survivors — the rule's own decision function,
+    // so the declared receipt IS the pruning the plan performs (the
+    // physical PartitionFilters contract is pinned in
+    // ZoneMapPruneRuleSpec).
+    QueryDef(
+      "q311_zonemap_rule_gate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val path = graft.StoreCache.getOrBuild("zmap", d) { p =>
+          val zv = graft.operators.ZOrder.zValue(
+            Seq(expr("day DIV 16"), expr("pk DIV 79")), bits = 8)
+          lineitem(s, d).select(
+              datediff(col("l_shipdate"), to_date(lit("1992-01-01")))
+                .cast("long").as("day"),
+              col("l_partkey").as("pk"),
+              col("l_orderkey").as("ok"),
+              col("l_linenumber").as("ln"),
+              col("l_quantity").as("qty"))
+            .withColumn("rn", row_number().over(
+              Window.orderBy(zv, col("ok"), col("ln"))))
+            .select(col("day"), col("pk"), col("qty"),
+              expr("(rn - 1) DIV 4096").as("zfile"))
+            .write.partitionBy("zfile").mode("overwrite").parquet(p)
+        }
+        val tbl = s.read.parquet(path)
+        graft.plans.ZoneMapPruneRule.clear()
+        val entry = graft.plans.ZoneMapPruneRule
+          .register(tbl, "zfile", Seq("day", "pk"))
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.ZoneMapPruneRule)) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+
+              graft.plans.ZoneMapPruneRule
+        }
+        val bounds = Map(
+          "day" -> (Option(1500L), Option(1560L)),
+          "pk" -> (Option(500L), Option(900L)))
+        val nTotal = entry.stats.length.toLong
+        val nRead = graft.plans.ZoneMapPruneRule
+          .survivors(entry, bounds).length.toLong
+        tbl
+          .filter(col("day").between(1500, 1560) &&
+            col("pk").between(500, 900))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            graft.queries.Exact.dsum(col("qty")).as("sum_qty"))
+          .select(col("n_rows"), col("sum_qty"),
+            lit(nTotal).as("n_files_total"),
+            lit(nRead).as("n_files_read"))
+      },
+      Some {
+        val zsql = sqlZ(Seq("day // 16", "pk // 79"), 8)
+        s"""WITH base AS (
+           |  SELECT date_diff('day', DATE '1992-01-01', l_shipdate)
+           |      AS day,
+           |    l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln,
+           |    l_quantity AS qty
+           |  FROM lineitem
+           |), zoned AS (
+           |  SELECT day, pk, qty,
+           |    (row_number() OVER (ORDER BY $zsql, ok, ln) - 1) // 4096
+           |      AS zfile
+           |  FROM base
+           |), files AS (
+           |  SELECT zfile, MIN(day) AS d_lo, MAX(day) AS d_hi,
+           |    MIN(pk) AS p_lo, MAX(pk) AS p_hi
+           |  FROM zoned GROUP BY zfile
+           |), surv AS (
+           |  SELECT zfile FROM files
+           |  WHERE d_lo <= 1560 AND d_hi >= 1500
+           |    AND p_lo <= 900 AND p_hi >= 500
+           |)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  ${graft.queries.Exact.sqlDsum("qty")} AS sum_qty,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM files)
+           |    AS n_files_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+           |    AS n_files_read
+           |FROM zoned
+           |WHERE day BETWEEN 1500 AND 1560 AND pk BETWEEN 500 AND 900
+           |""".stripMargin
       })
   )
 }
