@@ -65,16 +65,46 @@ object ProductQuantizer {
   def refineCodebook(emb: DataFrame,
       codebook: Array[Array[Array[Double]]],
       iterations: Int = 1): Array[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.DotDoubleExpr.register(spark)
+    val dot = graft.functions.DotDoubleExpr.dotDouble _
     var cb = codebook
+    val numSub = cb.length
     val sub = cb(0)(0).length
+    // one cached subvector explode serves every iteration; the
+    // codebook rides as a BROADCAST TABLE instead of a literal
+    // expression tower, so the plan (and its codegen) is identical
+    // across iterations — only the broadcast data changes. The
+    // distance arithmetic matches [[subDist]] exactly:
+    // (‖sv‖² − 2·(sv·cv)) + ‖cv‖², every fold left-to-right double.
+    val subs = emb.select(col("vec_id"), posexplode(array(
+        (0 until numSub).map(m =>
+          slice(col("embedding").cast("array<double>"),
+            m * sub + 1, sub)): _*)))
+      .withColumnRenamed("pos", "m")
+      .withColumnRenamed("col", "sv")
+      .localCheckpoint()
     (0 until iterations).foreach { _ =>
-      val enc = encode(emb, cb)
-      val means = enc
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-        .select(col("m"), col("code"),
-          posexplode(slice(col("embedding").cast("array<double>"),
-            col("m") * lit(sub) + lit(1), lit(sub))))
-        .groupBy(col("m"), col("code"), col("pos"))
+      val cbRows = for (m <- cb.indices; k <- cb(m).indices) yield {
+        val c = cb(m)(k)
+        var s2 = 0.0; var i = 0
+        while (i < c.length) { s2 += c(i) * c(i); i += 1 }
+        (m, k, c.toSeq, s2)
+      }
+      val cbDf = cbRows.toDF("m", "k", "cv", "cnorm")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "m")
+        .orderBy(col("dist").asc, col("k").asc)
+      val means = subs.join(broadcast(cbDf), "m")
+        .select(col("vec_id"), col("m"), col("k"), col("sv"),
+          ((dot(col("sv"), col("sv")) -
+            dot(col("sv"), col("cv")) * lit(2.0)) + col("cnorm"))
+            .as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("m"), col("k"), posexplode(col("sv")))
+        .groupBy(col("m"), col("k"), col("pos"))
         .agg(avg(col("col")
           .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
           .cast(DoubleType).as("mean_x"))
@@ -493,8 +523,8 @@ object ProductQuantizer {
     * bit-identical to a DECIMAL(38,12) accumulation.
     */
   def adcDistsPanel(spark: SparkSession, emb: DataFrame,
-      codebook: Array[Array[Array[Double]]],
-      panelN: Long): DataFrame = {
+      codebook: Array[Array[Array[Double]]], panelN: Long,
+      codes: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val qrows = emb.filter(col("vec_id") < panelN)
       .select("vec_id", "embedding").collect()
@@ -505,7 +535,9 @@ object ProductQuantizer {
       for (m <- lut.indices; k <- lut(m).indices)
         yield (qid, m, k, scaled12(lut(m)(k)))
     }.toDF("qid", "lm", "lk", "ldist_scaled")
-    encode(emb, codebook)
+    // codes: a pre-materialized (vec_id, m, code) table (the stored
+    // index a serving deployment reads) or a fresh encode pass
+    codes.getOrElse(encode(emb, codebook))
       .join(broadcast(lutRows),
         col("m") === col("lm") && col("code") === col("lk"))
       .filter(col("vec_id") =!= col("qid"))
@@ -527,7 +559,7 @@ object ProductQuantizer {
   def residualAdcDistsPanel(spark: SparkSession, emb: DataFrame,
       centroids: Seq[(Int, Array[Double])],
       codebook: Array[Array[Array[Double]]], panelN: Long,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, codes: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     graft.functions.DotDoubleExpr.register(spark)
     val cents = centMatrix(centroids)
@@ -549,7 +581,7 @@ object ProductQuantizer {
           yield (qid, cell, m, k, scaled12(lut(m)(k)))
       }
     }.toDF("qid", "lcell", "lm", "lk", "ldist_scaled")
-    encodeResidual(emb, centroids, codebook)
+    codes.getOrElse(encodeResidual(emb, centroids, codebook))
       .join(broadcast(lutRows),
         col("cell") === col("lcell") && col("m") === col("lm") &&
           col("code") === col("lk"))

@@ -465,6 +465,40 @@ object VectorQueries {
       Seq("qid"), Seq(col("cos_sim").desc, col("vec_id").asc), 10)
       .select("qid", "vec_id")
 
+  /** PQ codes store (sampled codebook — the declared oracle shape):
+    * (vec_id, m, code) materialized once per dataset — the codes
+    * table an IVFADC deployment scans instead of re-encoding the
+    * corpus per query; q220/q223/q309 serve from it.
+    */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = graft.StoreCache.getOrBuild("pqcodes", d) { p =>
+      val emb = embeddings(s, d)
+      val cb = graft.llm.ProductQuantizer
+        .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+      graft.llm.ProductQuantizer.encode(emb, cb)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Residual-PQ codes store: (vec_id, cell, m, code) over residuals
+    * against the label centroids — q279's serving table.
+    */
+  private def pqResCodes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = graft.StoreCache.getOrBuild("pqrescodes", d) { p =>
+      val emb = embeddings(s, d)
+      val cents = centroidArrays(s, d)
+      val cb = graft.llm.ProductQuantizer
+        .residualCodebookFromCorpus(emb, cents, numSub = 8,
+          codesPerSub = 16)
+      graft.llm.ProductQuantizer.encodeResidual(emb, cents, cb)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** DuckDB mirror of the store + truth (append after `vecCtes`):
     * `pranked(qid, vec_id, cos_sim)` over all panel pairs and
     * `pexact(qid, vec_id)` — the store build recomputed per oracle
@@ -2103,7 +2137,7 @@ object VectorQueries {
         val cb = graft.llm.ProductQuantizer
           .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
         val adc = graft.llm.ProductQuantizer
-          .adcDistsPanel(s, emb, cb, PanelN)
+          .adcDistsPanel(s, emb, cb, PanelN, Some(pqCodes(s, d)))
         val adcTop = graft.plans.GroupedTopK.of(adc, Seq("qid"),
           Seq(col("adc_dist").asc, col("vec_id").asc), 20)
           .select("qid", "vec_id")
@@ -2253,7 +2287,7 @@ object VectorQueries {
         val cb = graft.llm.ProductQuantizer
           .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
         val adc = graft.llm.ProductQuantizer
-          .adcDistsPanel(s, emb, cb, PanelN)
+          .adcDistsPanel(s, emb, cb, PanelN, Some(pqCodes(s, d)))
         val scored = array(cents.map { case (lbl, arr) =>
           struct(graft.functions.DotDoubleExpr
               .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
@@ -2359,7 +2393,8 @@ object VectorQueries {
           .residualCodebookFromCorpus(emb, cents, numSub = 8,
             codesPerSub = 16)
         val adc = graft.llm.ProductQuantizer
-          .residualAdcDistsPanel(s, emb, cents, cb, PanelN, nProbe = 2)
+          .residualAdcDistsPanel(s, emb, cents, cb, PanelN,
+            nProbe = 2, codes = Some(pqResCodes(s, d)))
         val adcTop = graft.plans.GroupedTopK.of(adc, Seq("qid"),
           Seq(col("adc_dist").asc, col("vec_id").asc), 10)
           .select("qid", "vec_id")
@@ -2943,10 +2978,11 @@ object VectorQueries {
         val cbT = graft.llm.ProductQuantizer
           .trainCodebook(emb, numSub = 8, codesPerSub = 16,
             iterations = 3)
-        def top20(cb: Array[Array[Array[Double]]]) =
+        def top20(cb: Array[Array[Array[Double]]],
+            codes: Option[org.apache.spark.sql.DataFrame]) =
           graft.plans.GroupedTopK.of(
             graft.llm.ProductQuantizer.adcDistsPanel(s, emb, cb,
-              PanelN),
+              PanelN, codes),
             Seq("qid"), Seq(col("adc_dist").asc, col("vec_id").asc),
             20).select("qid", "vec_id")
         val qs2 = panelQs(emb)
@@ -2960,9 +2996,10 @@ object VectorQueries {
           Seq("qid"), Seq(col("dist2").asc, col("vec_id").asc), 20)
           .select("qid", "vec_id")
         exactTop
-          .join(top20(cbS).withColumn("in_s", lit(1)),
+          .join(top20(cbS, Some(pqCodes(s, d)))
+              .withColumn("in_s", lit(1)),
             Seq("qid", "vec_id"), "left")
-          .join(top20(cbT).withColumn("in_t", lit(1)),
+          .join(top20(cbT, None).withColumn("in_t", lit(1)),
             Seq("qid", "vec_id"), "left")
           .agg(count(lit(1)).cast("long").as("k_total"),
             count(col("in_s")).cast("long").as("n_hit_sampled"),
