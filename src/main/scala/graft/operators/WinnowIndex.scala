@@ -59,6 +59,32 @@ object WinnowIndex {
     writeAs(Winnowing.fingerprints(newDocs, w = w), path, buckets,
       "append")
 
+  /** Compaction EXECUTION for a delta'd index (q248 plans file
+    * folds; this performs one): rewrite every bucket directory's
+    * accumulated base+delta files into one file each, restoring the
+    * one-file-per-bucket invariant and the full (fbucket, fph) sort
+    * (delta appends are sorted per FILE; after many appends a value
+    * probe opens every file in a bucket — compaction makes row-group
+    * pruning whole again). Runs as read → re-spread → atomic-ish
+    * swap via a sibling temp dir + two renames; readers in THIS
+    * JVM's sequential execution model never observe the gap (the
+    * StoreCache contract documents the no-concurrent-reader
+    * assumption).
+    */
+  def compact(spark: SparkSession, path: String,
+      buckets: Int = 64): Unit = {
+    val tmp = path + ".compact-tmp"
+    writeAs(read(spark, path), tmp, buckets, "overwrite")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    fs.rename(p, old)
+    fs.rename(t, p)
+    fs.delete(old, true)
+  }
+
   private def writeAs(fps: DataFrame, path: String, buckets: Int,
       mode: String): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")

@@ -95,7 +95,7 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
               lo.forall(zhi >= _) && hi.forall(zlo <= _)
             }
           } => f
-    }
+    }.toSeq.sorted
 
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
     case Project(projList, child)
@@ -155,6 +155,14 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         for (c <- intAttr(a); v <- litLong(l)) addLo(c, v + 1)
       case EqualTo(l, a) if litLong(l).isDefined =>
         for (c <- intAttr(a); v <- litLong(l)) { addLo(c, v); addHi(c, v) }
+      // IN-list: bound by the list's min/max (zones are intervals, so
+      // the hull is the tightest sound bound without per-value zones)
+      case In(a, vs) if intAttr(a).isDefined && vs.nonEmpty =>
+        val longs = vs.map(litLong)
+        if (longs.forall(_.isDefined)) {
+          val ls = longs.flatten
+          for (c <- intAttr(a)) { addLo(c, ls.min); addHi(c, ls.max) }
+        }
       case _ => ()
     }
     b.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
@@ -170,7 +178,7 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         if (stripped.sameResult(e.tablePlan)) {
           val bounds = extractBounds(cond, e.cols)
           if (bounds.nonEmpty) {
-            val surv = survivors(e, bounds).sorted
+            val surv = survivors(e, bounds)
             if (surv.length < e.stats.length) {
               stripped.output.find(_.name == e.fileCol).foreach { fa =>
                 val lits: Seq[Expression] = fa.dataType match {

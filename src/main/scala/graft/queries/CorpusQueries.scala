@@ -1458,6 +1458,118 @@ object CorpusQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
              |  CAST(SUM(perf_hits) AS BIGINT) AS perf_total,
              |  CAST(SUM(size_hits) AS BIGINT) AS size_total
-             |FROM hits GROUP BY source ORDER BY source""".stripMargin))
+             |FROM hits GROUP BY source ORDER BY source""".stripMargin)),
+
+    // LM-perplexity quality filter (the CCNet/KenLM gate), spelled
+    // transcendental-free: train a Dirichlet-smoothed bigram LM on
+    // the corpus itself, score every document by its MEAN in-context
+    // token probability, and flag the low-probability (gibberish /
+    // boilerplate-shredded) tail. Mean token probability replaces
+    // log-space perplexity deliberately: each per-token probability
+    //   p(cur | prev) = (c(prev,cur) + mu * c(cur)/T) / (c(prev) + mu)
+    // is a short chain of IEEE double ops on exactly-representable
+    // BIGINT counts (identical bit-for-bit in Spark and DuckDB, no
+    // ln() seam), and the per-doc reduction is a sum of per-token
+    // round(p * 1e6) SCALED LONGS — order-free integer addition, so
+    // the declared numbers are exact under any partitioning. The
+    // decision threshold is on the same scaled-integer axis.
+    //
+    // Scale stance (100 TB): token stream is explode → two hash-agg
+    // count tables (bigram, unigram — map-side partial) → per-doc
+    // DISTINCT-bigram aggregation (doc_id,prev,cur,m) BEFORE the
+    // count-table joins, so join fan-in is distinct-bigrams-per-doc,
+    // not tokens; the joins are linear shuffled equi-joins (the
+    // unigram side broadcasts when the vocabulary fits). No windows,
+    // no self-joins, driver state = the 1-row total only.
+    //
+    // The 0.0325 threshold is a low-tail gate calibrated on this
+    // corpus (≈ the 10th percentile of mean token probability at
+    // sf0.01) — the CCNet stance of dropping the worst decile, not a
+    // universal constant; a production pipeline re-fits it per corpus
+    // from the same score column.
+    QueryDef(
+      "q313_lm_quality_filter",
+      (s, d) => {
+        val ws = col("__ws")
+        val docs = documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("__ws"))
+        val toks = docs.select(col("doc_id"), explode(ws).as("w"))
+        val uni = toks.groupBy("w")
+          .agg(count(lit(1)).cast("long").as("cu"))
+        val total = toks.agg(count(lit(1)).cast("long").as("t"))
+        val pairs = docs.filter(size(ws) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(ws, lit(1), size(ws) - 1),
+            slice(ws, lit(2), size(ws) - 1),
+            (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+          .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
+        val docBg = pairs.groupBy("doc_id", "prev", "cur")
+          .agg(count(lit(1)).cast("long").as("m"))
+        val big = pairs.groupBy("prev", "cur")
+          .agg(count(lit(1)).cast("long").as("cb"))
+        val mu = lit(20.0)
+        val prob = (col("cb").cast("double") +
+          mu * (col("cu2").cast("double") / col("t").cast("double"))) /
+          (col("cu1").cast("double") + mu)
+        docBg
+          .join(big, Seq("prev", "cur"))
+          .join(uni.select(col("w").as("prev"), col("cu").as("cu1")),
+            "prev")
+          .join(uni.select(col("w").as("cur"), col("cu").as("cu2")),
+            "cur")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            (col("m") * round(prob * lit(1000000.0)).cast("long"))
+              .as("pe6"), col("m"))
+          .groupBy("doc_id")
+          .agg(sum(col("m")).cast("long").as("n_scored"),
+            sum(col("pe6")).cast("long").as("sum_p_e6"))
+          .withColumn("mean_p_e6",
+            expr("sum_p_e6 DIV n_scored"))
+          .withColumn("verdict",
+            when(col("mean_p_e6") < 32500L, "drop").otherwise("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), toks AS (
+             |  SELECT doc_id, unnest(ws) AS w FROM w
+             |), uni AS (
+             |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+             |  FROM toks GROUP BY w
+             |), tot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks
+             |), pairs AS (
+             |  SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+             |  FROM w, LATERAL unnest(generate_series(1, len(ws)-1))
+             |    AS g(i)
+             |  WHERE len(ws) >= 2
+             |), doc_bg AS (
+             |  SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS m
+             |  FROM pairs GROUP BY doc_id, prev, cur
+             |), big AS (
+             |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+             |  FROM pairs GROUP BY prev, cur
+             |), scored AS (
+             |  SELECT doc_id, m, m * CAST(round(
+             |    (CAST(cb AS DOUBLE)
+             |       + 20.0 * (CAST(u2.cu AS DOUBLE) / CAST(t AS DOUBLE)))
+             |    / (CAST(u1.cu AS DOUBLE) + 20.0) * 1000000.0)
+             |    AS BIGINT) AS pe6
+             |  FROM doc_bg
+             |  JOIN big USING (prev, cur)
+             |  JOIN uni u1 ON doc_bg.prev = u1.w
+             |  JOIN uni u2 ON doc_bg.cur = u2.w
+             |  CROSS JOIN tot
+             |), agg AS (
+             |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_scored,
+             |    CAST(SUM(pe6) AS BIGINT) AS sum_p_e6
+             |  FROM scored GROUP BY doc_id
+             |)
+             |SELECT doc_id, n_scored, sum_p_e6,
+             |  sum_p_e6 // n_scored AS mean_p_e6,
+             |  CASE WHEN sum_p_e6 // n_scored < 32500
+             |    THEN 'drop' ELSE 'keep' END AS verdict
+             |FROM agg ORDER BY doc_id""".stripMargin))
   )
 }

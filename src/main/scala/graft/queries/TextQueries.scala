@@ -1848,6 +1848,39 @@ object TextQueries {
               |  CAST(MAX(pos) AS BIGINT) AS max_pos
               |FROM winn""".stripMargin)),
 
+    // Compaction EXECUTION over the delta'd store (q248 is the
+    // planning half — which folds pay; WinnowIndex.compact performs
+    // one): build base + delta append as q310, then fold every
+    // bucket's accumulated files back to one, restoring the
+    // one-file-per-bucket, fully-(fbucket, fph)-sorted invariant
+    // that keeps value probes row-group-prunable. The declared stats
+    // are read from the COMPACTED store against the whole-corpus
+    // oracle, so the gate is "base + delta + compaction ≡ full
+    // build" — compaction must move bytes without changing one row;
+    // the file-count collapse itself is pinned in WinnowIndexSpec.
+    QueryDef(
+      "q312_winnow_compaction",
+      (s, d) => {
+        val base = documents(s, d).filter(col("doc_id") % 10 =!= 7)
+        val batch = documents(s, d).filter(col("doc_id") % 10 === 7)
+        val dir = graft.StoreCache.rebuild("winnow_delta", d) { p =>
+          graft.operators.WinnowIndex.build(base, p)
+          graft.operators.WinnowIndex.addDelta(batch, p)
+          graft.operators.WinnowIndex.compact(s, p)
+        }
+        graft.operators.WinnowIndex.read(s, dir)
+          .agg(count(lit(1)).cast("long").as("n_fps"),
+            countDistinct(col("fph")).as("n_keys"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            max(col("pos")).cast("long").as("max_pos"))
+      },
+      Some(s"""$winnowCte
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+              |  CAST(COUNT(DISTINCT fph) AS BIGINT) AS n_keys,
+              |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(MAX(pos) AS BIGINT) AS max_pos
+              |FROM winn""".stripMargin)),
+
     // Corpus-prep FUNNEL report — the composition the individual
     // operators exist for: per source, how many documents survive
     // each pipeline stage, in order: raw → exact dedup (keep the

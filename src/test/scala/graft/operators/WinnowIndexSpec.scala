@@ -74,4 +74,28 @@ class WinnowIndexSpec extends AnyFunSuite with SparkFixture
         .join(probeSet.distinct(), "fph")
         .select("doc_id", "pos", "fph"))
   }
+
+  test("compact folds delta files back to one per bucket without " +
+      "changing rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-widx-c").toString + "/idx"
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    WinnowIndex.build(base, dir)
+    WinnowIndex.addDelta(batch, dir)
+    def parquetFiles(): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("fbucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    // after the delta, buckets touched by BOTH writes hold 2 files
+    parquetFiles().values.max should be >= 2
+    val before = asSet(WinnowIndex.read(spark, dir))
+    WinnowIndex.compact(spark, dir)
+    val after = parquetFiles()
+    after.values.max shouldBe 1
+    asSet(WinnowIndex.read(spark, dir)) shouldBe before
+  }
 }

@@ -93,6 +93,31 @@ class ZoneMapPruneRuleSpec extends AnyFunSuite with SparkFixture
     }
   }
 
+  test("IN-list predicates prune by the list hull") {
+    withRule {
+      val t = table
+      val e = ZoneMapPruneRule.register(t, "zfile", Seq("k"))
+      // hull [110, 315] -> files 1..3
+      ZoneMapPruneRule.survivors(e,
+        Map("k" -> (Some(110L), Some(315L)))) shouldBe Seq(1L, 2L, 3L)
+      val q = t.filter(col("k").isin(110L, 315L, 220L))
+      val want = {
+        ZoneMapPruneRule.clear()
+        val n = spark.read.parquet(dir)
+          .filter(col("k").isin(110L, 315L, 220L)).count()
+        ZoneMapPruneRule.register(t, "zfile", Seq("k"))
+        n
+      }
+      q.count() shouldBe want
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.partitionCount
+        }
+      scanned shouldBe Some(3)
+    }
+  }
+
   test("refuses to fire on unclustered or unregistered predicates") {
     withRule {
       val t = table
