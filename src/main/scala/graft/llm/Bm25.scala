@@ -108,24 +108,52 @@ object Bm25 {
       .select("term", "doc_id", "tf")
   }
 
+  /** The query vocabulary of a (query_id, terms) queries frame,
+    * collected driver-side — query sets are small by the serving
+    * contract, so this is a |vocab|-row pull, not a corpus action.
+    */
+  def queryVocab(queries: DataFrame): Seq[String] =
+    queries.select(explode(col("terms")).as("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** A pruned [[Bm25Index]] view over a [[writeIndex]] layout for a
+    * known query vocabulary: postings come from [[probeIndex]]
+    * (partition-pruned to the buckets the terms hash to), doc lengths
+    * from the stored doclens. Pruning keeps EVERY postings row of the
+    * probed terms, so per-term document frequencies and the corpus
+    * stats (n_docs, total_len — computed from the unpruned doclens)
+    * are unchanged: every downstream scorer is bit-identical to the
+    * inline path.
+    */
+  def prunedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String],
+      numBuckets: Int = 64): Bm25Index =
+    Bm25Index(probeIndex(spark, dir, terms, numBuckets),
+      spark.read.parquet(s"$dir/doclens"))
+
   /** Serve [[searchCore]] straight from a [[writeIndex]] layout with
-    * partition pruning: the query vocabulary (collected driver-side —
-    * query sets are small by the serving contract) routes through
+    * partition pruning: the query vocabulary routes through
     * [[probeIndex]], so only the buckets the terms hash to are READ,
     * not just filtered after a full-index scan. Everything downstream
     * (df, saturation, top-k) is identical to the inline path.
     */
   def searchCoreStored(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, topK: Int = 10,
-      numBuckets: Int = 64): DataFrame = {
-    val terms = queries
-      .select(explode(col("terms")).as("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      numBuckets: Int = 64): DataFrame =
     searchCore(
-      Bm25Index(probeIndex(spark, dir, terms, numBuckets),
-        spark.read.parquet(s"$dir/doclens")),
+      prunedIndex(spark, dir, queryVocab(queries), numBuckets),
       queries, topK)
-  }
+
+  /** [[scoreCore]] (the uncut candidate scoring) from a [[writeIndex]]
+    * layout, with the same partition-pruned probe as
+    * [[searchCoreStored]].
+    */
+  def scoreCoreStored(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame,
+      numBuckets: Int = 64): DataFrame =
+    scoreCore(
+      prunedIndex(spark, dir, queryVocab(queries), numBuckets),
+      queries)
 
   /** Incremental index maintenance — fold a batch of NEW documents
     * into an existing index without re-tokenizing the old corpus

@@ -20,29 +20,48 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalQueries {
 
+  /** The corpus BM25 inverted index served from the per-session
+    * StoreCache — q238's exact kind and build closure, so the serve
+    * rows here and q238 share ONE store per dataset (the labeled
+    * q230_bm25_index / q239-style build rows pay the build; serve
+    * rows probe the store with partition pruning instead of
+    * re-tokenizing the corpus per bench query).
+    */
+  private def bm25Store(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.StoreCache.getOrBuild("bm25", d) { p =>
+      Bm25.writeIndex(Bm25.index(documents(s, d)), p)
+    }
+
   /** Dirichlet query-likelihood top-10 per tracked query (q303's
     * scorer, shared with the q304 ranker-agreement row): score =
     * Π_t (tf + μ·p(t|C)) / (|d| + μ), μ = 10, kept in product form
-    * so the doubles hash-gate.
+    * so the doubles hash-gate. Serves from the stored inverted index:
+    * per-(doc, term) tf and corpus term frequency both come from the
+    * partition-pruned postings probe (every postings row of a probed
+    * term survives pruning, so ctf is exact), and per-doc/corpus
+    * lengths come from the stored doclens — identical numbers to the
+    * explode-and-count inline form, without the tokenization pass.
     */
   private def qlTop10(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    val dir = bm25Store(s, d)
     val docs = documents(s, d)
-    val toks = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .localCheckpoint(eager = false) // tf, ctf, dlen all read it
-    val tf = toks.groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("long").as("tf"))
-    val dlen = toks.groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("dlen"))
-    val ctf = toks.groupBy("term")
-      .agg(count(lit(1)).cast("long").as("ctf"))
-    val clen = toks.agg(count(lit(1)).cast("long").as("clen"))
-    val qterms = docs.filter(col("doc_id") % 100 === 7)
+    val qtermRows = docs.filter(col("doc_id") % 100 === 7)
       .select(col("doc_id").as("query_id"),
         posexplode(slice(words(col("text")), 1, 3)))
       .select(col("query_id"), (col("pos") + 1).as("qpos"),
         col("col").as("term"))
+    val vocab = qtermRows.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val tf = Bm25.probeIndex(s, dir, vocab)
+    val doclens = s.read.parquet(s"$dir/doclens")
+    val dlen = doclens
+      .select(col("doc_id"), col("dl").as("dlen"))
+    val ctf = tf.groupBy("term")
+      .agg(sum(col("tf")).cast("long").as("ctf"))
+    val clen = doclens.agg(sum(col("dl")).cast("long").as("clen"))
+    val qterms = qtermRows
       .join(ctf, "term")
       .crossJoin(clen)
       .select(col("query_id"), col("qpos"), col("term"),
@@ -53,8 +72,7 @@ object RetrievalQueries {
       qterms.filter(col("qpos") === qpos)
         .select(col("query_id"), col("term").as(s"t$qpos"),
           col("p_bg").as(s"bg$qpos"))
-    val scored = docs.select(col("doc_id"))
-      .join(dlen, "doc_id")
+    val scored = dlen.select(col("doc_id"), col("dlen"))
       .crossJoin(broadcast(comp(1)))
       .join(tf.select(col("doc_id"), col("term").as("t1"),
         col("tf").as("tf1")), Seq("doc_id", "t1"), "left")
@@ -223,7 +241,8 @@ object RetrievalQueries {
           .filter(col("doc_id") % 100 === 7)
           .select(col("doc_id").as("query_id"),
             slice(words(col("text")), 1, 3).as("terms"))
-        val bm = Bm25.searchCore(Bm25.index(docs), queries, topK = 20)
+        val bm = Bm25.searchCoreStored(s, bm25Store(s, d), queries,
+          topK = 20)
         val wA = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)
         val rankA = bm.withColumn("r", row_number().over(wA))
@@ -391,7 +410,8 @@ object RetrievalQueries {
           .filter(col("doc_id") % 100 === 7)
           .select(col("doc_id").as("query_id"),
             slice(words(col("text")), 1, 3).as("terms"))
-        val bm = Bm25.searchCore(Bm25.index(docs), queries, topK = 20)
+        val bm = Bm25.searchCoreStored(s, bm25Store(s, d), queries,
+          topK = 20)
         val wA = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)
         val rankA = bm.withColumn("r", row_number().over(wA))
@@ -548,7 +568,8 @@ object RetrievalQueries {
                 .otherwise((col(sc) - col("mn")) /
                   (col("mx") - col("mn"))).as(out))
         val normA = mmNorm(
-          Bm25.searchCore(Bm25.index(docs), queries, topK = 20),
+          Bm25.searchCoreStored(s, bm25Store(s, d), queries,
+            topK = 20),
           "score", "na")
         val embN = embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
@@ -698,7 +719,7 @@ object RetrievalQueries {
           .filter(col("doc_id") % 100 === 7)
           .select(col("doc_id").as("query_id"),
             slice(words(col("text")), 1, 3).as("terms"))
-        val all = Bm25.scoreCore(Bm25.index(docs), queries)
+        val all = Bm25.scoreCoreStored(s, bm25Store(s, d), queries)
         val w = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)
         val nW = Window.partitionBy("query_id")
@@ -896,7 +917,8 @@ object RetrievalQueries {
           .filter(col("doc_id") % 100 === 7)
           .select(col("doc_id").as("query_id"),
             slice(words(col("text")), 1, 3).as("terms"))
-        val topk = Bm25.searchCore(Bm25.index(docs), queries, topK = 10)
+        val topk = Bm25.searchCoreStored(s, bm25Store(s, d), queries,
+          topK = 10)
         val w = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)
         val self = topk
@@ -972,24 +994,31 @@ object RetrievalQueries {
     // Pseudo-relevance feedback (Rocchio/RM-style query EXPANSION —
     // Lavrenko & Croft SIGIR'01 is the relevance-model reading): run
     // the original 3-term query, take the top-3 feedback documents,
-    // harvest their 5 highest-total-tf terms from the SAME postings
-    // the search already uses (no second corpus pass), union them
-    // into the term set, re-score. Every stage is rank-cut under a
-    // total order (score desc/doc asc; tf desc/term asc) and the
-    // scorer is the transcendental-free integer-ratio BM25 core, so
-    // the full two-round pipeline gates bit-for-bit in DuckDB. At
-    // 100 TB both rounds ride the same serving machinery as q228 —
-    // the feedback term harvest touches |fb docs| postings rows.
+    // harvest their 5 highest-total-tf terms from the STORED postings
+    // the search already serves from (a columnar index read, not a
+    // corpus re-tokenization), union them into the term set,
+    // re-score. Every stage is rank-cut under a total order (score
+    // desc/doc asc; tf desc/term asc) and the scorer is the
+    // transcendental-free integer-ratio BM25 core, so the full
+    // two-round pipeline gates bit-for-bit in DuckDB. At 100 TB both
+    // rounds ride the same serving machinery as q238 — the feedback
+    // term harvest is the one stage keyed by doc_id, which the
+    // term-bucketed layout cannot prune, so it scans postings
+    // columnar-only (term, doc_id, tf) with the 3-row feedback set
+    // broadcast.
     QueryDef(
       "q272_prf_expansion",
       (s, d) => {
         val docs = documents(s, d)
-        val idx = Bm25.index(docs)
+        val dir = bm25Store(s, d)
         val q0 = docs.filter(col("doc_id") === 7)
           .select(lit(7L).as("query_id"),
             slice(words(col("text")), 1, 3).as("terms"))
-        val fb = Bm25.searchCore(idx, q0, topK = 3).select("doc_id")
-        val expTerms = idx.postings.join(fb, "doc_id")
+        val fb = Bm25.searchCoreStored(s, dir, q0, topK = 3)
+          .select("doc_id")
+        val expTerms = s.read.parquet(s"$dir/postings")
+          .select("term", "doc_id", "tf")
+          .join(broadcast(fb), "doc_id")
           .groupBy("term").agg(sum(col("tf")).cast("long").as("w"))
           .orderBy(col("w").desc, col("term").asc)
           .limit(5).select("term")
@@ -997,7 +1026,7 @@ object RetrievalQueries {
           .unionByName(expTerms)
           .agg(sort_array(collect_set(col("term"))).as("terms"))
           .select(lit(7L).as("query_id"), col("terms"))
-        Bm25.searchCore(idx, expanded, topK = 10)
+        Bm25.searchCoreStored(s, dir, expanded, topK = 10)
       },
       Some("""WITH tf AS (
              |  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1164,7 +1193,8 @@ object RetrievalQueries {
           .filter(col("doc_id") % 100 === 7)
           .select(col("doc_id").as("query_id"),
             slice(words(col("text")), 1, 3).as("terms"))
-        val bm = Bm25.searchCore(Bm25.index(docs), queries, topK = 10)
+        val bm = Bm25.searchCoreStored(s, bm25Store(s, d), queries,
+          topK = 10)
           .select("query_id", "doc_id")
         val ql = qlTop10(s, d).select("query_id", "doc_id")
         val overlap = bm.join(ql, Seq("query_id", "doc_id"))

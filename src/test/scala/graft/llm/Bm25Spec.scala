@@ -166,6 +166,19 @@ class Bm25Spec extends AnyFunSuite with SparkFixture with Matchers {
     stored shouldBe inline
   }
 
+  test("scoreCoreStored (pruned read) equals the inline scoreCore") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-scored").toString + "/idx"
+    val idx = Bm25.index(docsDf)
+    Bm25.writeIndex(idx, dir, numBuckets = 8)
+    val q = queriesDf(Seq(7L -> Seq("cat", "mat"), 8L -> Seq("dog")))
+    val inline = Bm25.scoreCore(idx, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stored = Bm25.scoreCoreStored(spark, dir, q, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    stored shouldBe inline
+  }
+
   test("mergeIndex on a new batch equals a full rebuild") {
     val s = spark
     import s.implicits._
