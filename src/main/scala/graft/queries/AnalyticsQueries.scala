@@ -880,13 +880,11 @@ object AnalyticsQueries {
         // gather + scale-9 quantize + MAX-normalize + checkpoint all
         // live in operators.GraphPropagation (shared with q192's
         // PageRank) — see its Scaladoc for the 100 TB contract;
-        // hits() checkpoints the edge copies, truncating the
-        // orders⋈lineitem lineage (the DedupClusters lesson)
-        val edges = orders(s, d)
-          .join(lineitem(s, d),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-          .distinct()
+        // hits() checkpoints the edge copies, truncating the lineage
+        // (the DedupClusters lesson). Edges come from the shared
+        // csEdges store (one orders⋈lineitem distinct per dataset,
+        // not per graph row).
+        val edges = csEdges(s, d)
         val (_, auth) = graft.operators.GraphPropagation
           .hits(edges, "c", "sp", iters = 3)
         auth.select(col("sp").as("suppkey"), col("auth"))
@@ -942,12 +940,9 @@ object AnalyticsQueries {
     QueryDef(
       "q192_pagerank",
       (s, d) => {
-        val e0 = orders(s, d)
-          .join(lineitem(s, d),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey").cast("long") * 2).as("src"),
-            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
-          .distinct()
+        val e0 = csEdges(s, d)
+          .select((col("c").cast("long") * 2).as("src"),
+            (col("sp").cast("long") * 2 + 1).as("dst"))
         val edges = e0
           .unionByName(e0.select(col("dst").as("src"),
             col("src").as("dst")))
@@ -1863,12 +1858,9 @@ object AnalyticsQueries {
     QueryDef(
       "q289_personalized_pagerank",
       (s, d) => {
-        val e0 = orders(s, d)
-          .join(lineitem(s, d),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey").cast("long") * 2).as("src"),
-            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
-          .distinct()
+        val e0 = csEdges(s, d)
+          .select((col("c").cast("long") * 2).as("src"),
+            (col("sp").cast("long") * 2 + 1).as("dst"))
         val edges = e0
           .unionByName(e0.select(col("dst").as("src"),
             col("src").as("dst")))
@@ -2486,7 +2478,82 @@ object AnalyticsQueries {
              |    AS sum_ln,
              |  true AS read_summary
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Labeled BUILD workload for the shared graph edge stores (the
+    // q239/q240 pattern: serve rows measure serving, this row prices
+    // the materializations). Forces a rebuild of every edge store the
+    // graph family probes — the three co-purchase quantity slices and
+    // the customer↔supplier bipartite list — then reports each
+    // store's edge/node counts from the STORE (not the inline form),
+    // so the oracle gate certifies the materialized content itself.
+    // Bipartite node count is |customers| + |suppliers| counted
+    // separately (custkey 5 and suppkey 5 are distinct nodes — a
+    // naive union would merge them).
+    QueryDef(
+      "q314_edge_stores_build",
+      (s, d) => {
+        val co = Seq(25, 30, 35).map { q =>
+          val dir = graft.StoreCache.rebuild(s"copurch$q", d) { p =>
+            coPurchaseEdgesInline(s, d, q)
+              .write.mode("overwrite").parquet(p)
+          }
+          val e = s.read.parquet(dir)
+          val nE = e.agg(count(lit(1)).cast("long").as("n_edges"))
+          val nN = e.select(col("u").as("n"))
+            .unionAll(e.select(col("v").as("n"))).distinct()
+            .agg(count(lit(1)).cast("long").as("n_nodes"))
+          nE.crossJoin(nN)
+            .select(lit(s"copurch$q").as("store"),
+              col("n_edges"), col("n_nodes"))
+        }
+        val csDir = graft.StoreCache.rebuild("csedges", d) { p =>
+          csEdgesInline(s, d).write.mode("overwrite").parquet(p)
+        }
+        val cs = s.read.parquet(csDir)
+        val csRow = cs.agg(count(lit(1)).cast("long").as("n_edges"))
+          .crossJoin(cs.select("c").distinct()
+            .agg(count(lit(1)).as("nc")))
+          .crossJoin(cs.select("sp").distinct()
+            .agg(count(lit(1)).as("ns")))
+          .select(lit("csedges").as("store"), col("n_edges"),
+            (col("nc") + col("ns")).cast("long").as("n_nodes"))
+        co.reduce(_ unionByName _).unionByName(csRow)
+          .orderBy("store")
+      },
+      Some {
+        def cop(q: Int) =
+          s"""li$q AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem WHERE l_quantity >= $q
+             |), e$q AS (
+             |  SELECT DISTINCT a.pk AS u, b.pk AS v
+             |  FROM li$q a JOIN li$q b ON a.ok = b.ok AND a.pk < b.pk
+             |)""".stripMargin
+        def copRow(q: Int) =
+          s"""SELECT 'copurch$q' AS store,
+             |  CAST((SELECT COUNT(*) FROM e$q) AS BIGINT) AS n_edges,
+             |  CAST((SELECT COUNT(*) FROM (
+             |    SELECT u FROM e$q UNION SELECT v FROM e$q))
+             |    AS BIGINT) AS n_nodes""".stripMargin
+        s"""WITH ${cop(25)}, ${cop(30)}, ${cop(35)}, cs AS (
+           |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |)
+           |SELECT * FROM (
+           |${copRow(25)}
+           |UNION ALL
+           |${copRow(30)}
+           |UNION ALL
+           |${copRow(35)}
+           |UNION ALL
+           |SELECT 'csedges' AS store,
+           |  CAST((SELECT COUNT(*) FROM cs) AS BIGINT) AS n_edges,
+           |  CAST((SELECT COUNT(DISTINCT c) FROM cs) +
+           |       (SELECT COUNT(DISTINCT sp) FROM cs)
+           |    AS BIGINT) AS n_nodes)
+           |ORDER BY store""".stripMargin
+      })
   )
 
   /** Distinct co-purchase part pairs (u < v): parts sharing an order
@@ -2494,7 +2561,12 @@ object AnalyticsQueries {
     * q264/q266/q267/q271. Per-order fan-out is bounded (≤ 13 items ⇒
     * ≤ 78 pairs) and the quantity filter pushes to the parquet scan.
     */
-  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  /** The co-purchase edge list computed inline: distinct part pairs
+    * sharing an order at the quantity slice — the (order, part)
+    * self-join every graph-topology row starts from.
+    */
+  private[queries] def coPurchaseEdgesInline(
+      s: org.apache.spark.sql.SparkSession,
       d: String, minQty: Int): org.apache.spark.sql.DataFrame = {
     val li = lineitem(s, d)
       .filter(col("l_quantity") >= minQty)
@@ -2505,6 +2577,53 @@ object AnalyticsQueries {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+  }
+
+  /** Co-purchase edges served from the per-session StoreCache: the
+    * graph-topology family (q264/q266/q267/q271/q282/q297) shares the
+    * same self-join-derived edge list per quantity slice, so each
+    * slice is materialized ONCE per dataset (the labeled q314 build
+    * row rebuilds and prices all edge stores) and every serve row
+    * starts from a columnar edge scan instead of re-running the
+    * (order, part) self-join. Parquet round-trips the integer keys
+    * exactly and all consumers are order-insensitive, so results are
+    * bit-identical to the inline form. At 100 TB this IS the design:
+    * an edge list is a first-class materialization, not a per-query
+    * derivation.
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, minQty: Int): org.apache.spark.sql.DataFrame = {
+    val dir = graft.StoreCache.getOrBuild(s"copurch$minQty", d) { p =>
+      coPurchaseEdgesInline(s, d, minQty)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir).select("u", "v")
+  }
+
+  /** The customer↔supplier bipartite edge list computed inline:
+    * distinct (custkey, suppkey) pairs linked through an order.
+    */
+  private[queries] def csEdgesInline(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+
+  /** Customer↔supplier edges served from the per-session StoreCache
+    * (shared by q191/q192/q289 — HITS, PageRank, and PPR all
+    * propagate over the same bipartite graph). Stored RAW (c, sp):
+    * the parity-disjoint long encoding q192/q289 use is an injective
+    * per-row map, so deriving it from the stored pairs preserves
+    * distinctness and types exactly.
+    */
+  private def csEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = graft.StoreCache.getOrBuild("csedges", d) { p =>
+      csEdgesInline(s, d).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir).select("c", "sp")
   }
 
 }
