@@ -138,7 +138,13 @@ object DuplicateSpans {
   def coverage(docs: DataFrame, k: Int): DataFrame =
     coverageFrom(spans(docs, k), docs)
 
-  private def coverageFrom(sp: DataFrame, docs: DataFrame): DataFrame = {
+  /** [[coverage]] over an ALREADY-COMPUTED span frame (doc_id,
+    * span_start, span_end, span_len) — the serving form when spans are
+    * materialized once per corpus (the q277/q288 store): the report is
+    * then one hash-agg over the sparse span table plus a token-count
+    * join, never re-running the gram-frequency machinery.
+    */
+  def coverageFrom(sp: DataFrame, docs: DataFrame): DataFrame = {
     val perDoc = sp
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_spans"),

@@ -89,6 +89,34 @@ object CountMinSketch {
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
 
+  /** Two same-shape sketches over ONE pass: cells (row, bucket, cnt,
+    * cnt_tag) where `cnt` counts every key and `cnt_tag` only keys
+    * whose boolean `tagCol` holds. Cell-equivalent to building
+    * `build(df)` and `build(df.filter(tagCol))` separately — the spec
+    * pins that — but with one scan of the input and one salted-md5
+    * evaluation per (key, row) instead of two of each. This is the
+    * join-size-estimation shape (q287): sketch the full key stream
+    * and a predicate-filtered sub-stream together, then the AMS inner
+    * product Σ cnt·cnt_tag never touches the input again. Cells where
+    * cnt_tag = 0 contribute 0 to any product, exactly as their absence
+    * from a separately built filtered sketch drops them from the
+    * inner join.
+    */
+  def buildPair(df: DataFrame, keyCol: String, tagCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"CountMinSketch: need depth >= 1 and width >= 2, got d=$depth w=$width")
+    val cells = array((0 until depth).map { r =>
+      struct(lit(r).as("row"),
+        bucket(col(keyCol), r, width).as("bucket"))
+    }: _*)
+    df.select(explode(cells).as("c"),
+        col(tagCol).cast("boolean").as("_tag"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        count_if(col("_tag")).cast("long").as("cnt_tag"))
+  }
+
   /** Cell-wise sum of independently built sketches (same d, w). */
   def merge(sketches: DataFrame*): DataFrame =
     sketches.reduce(_ unionByName _)

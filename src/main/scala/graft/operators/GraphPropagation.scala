@@ -112,6 +112,50 @@ object GraphPropagation {
     (hub, auth)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected edge list, made DETERMINISTIC: every node starts as
+    * its own label; each round, every node adopts the most frequent
+    * label among its neighbors' PREVIOUS-round labels, ties broken by
+    * the SMALLEST label (the standard neighbor-only vote — a node
+    * keeps its own label only by winning it back through a
+    * neighbor). Fixed `rounds`, no convergence test: the oracle
+    * unrolls the identical rounds, and a data-dependent stopping rule
+    * would make the gate's answer depend on float-free tie cascades
+    * that differ round-to-round.
+    *
+    * Returns (n, lbl) for every node of the edge list. One round is
+    * one edge-sized join + two hash-aggs (vote count, then argmax as
+    * a struct MAX — no window sort): linear, keyed shuffles only,
+    * state one row per node, per-round localCheckpoint bounding plan
+    * depth (the hits/pageRank lesson). Community detection over
+    * near-dup/citation graphs is the corpus use — clustering at the
+    * community grain rather than the connected-component grain, which
+    * over-merges through chain links (q299's audit is the evidence).
+    */
+  def labelPropagation(edges: DataFrame, uCol: String, vCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val und = edges.select(col(uCol).as("n"), col(vCol).as("m"))
+      .unionByName(edges.select(col(vCol).as("n"), col(uCol).as("m")))
+      .localCheckpoint()
+    var labels = und.select(col("n")).distinct()
+      .withColumn("lbl", col("n"))
+    for (i <- 1 to rounds) {
+      val next = und
+        .join(labels.select(col("n").as("m"), col("lbl")), "m")
+        .groupBy("n", "lbl").agg(count(lit(1)).as("__c"))
+        // argmax by (count DESC, label ASC): max over (count, −label)
+        // structs — ties on count pick the largest negated label,
+        // i.e. the smallest label, with no per-node sort
+        .groupBy("n")
+        .agg(max(struct(col("__c"), (-col("lbl")).as("__neg")))
+          .as("__best"))
+        .select(col("n"), (-col("__best.__neg")).as("lbl"))
+      labels = if (i < rounds) next.localCheckpoint() else next
+    }
+    labels
+  }
+
   /** PageRank in the UNNORMALIZED (×N) convention over a directed
     * edge list: r⁰ = 1 everywhere, then `iters` rounds of
     * `r' = (1−d) + d·Σ_in r/outdeg`, with the inbound sum as scaled

@@ -1785,21 +1785,19 @@ object AnalyticsQueries {
       "q287_cms_join_size",
       (s, d) => {
         val cms = graft.operators.CountMinSketch
-        val keysA = lineitem(s, d).select(col("l_partkey").as("k"))
-        val keysB = lineitem(s, d)
-          .filter(col("l_shipdate") >= "1996-01-01")
-          .select(col("l_partkey").as("k"))
-        val skA = cms.build(keysA, "k", 4, 256)
-          .withColumnRenamed("cnt", "cnt_a")
-        val skB = cms.build(keysB, "k", 4, 256)
-          .withColumnRenamed("cnt", "cnt_b")
-        val est = skA.join(skB, Seq("row", "bucket"))
+        // ONE lineitem pass serves all four legs: buildPair sketches
+        // the full key stream and the recent-shipment sub-stream
+        // together (one salted-md5 per (key, row) instead of two),
+        // and the exact side is one conditional hash-agg per key —
+        // na·nb with nb = 0 contributes 0, exactly the inner join.
+        val keys = lineitem(s, d).select(col("l_partkey").as("k"),
+          (col("l_shipdate") >= "1996-01-01").as("recent"))
+        val est = cms.buildPair(keys, "k", "recent", 4, 256)
           .groupBy("row")
-          .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+          .agg(sum(col("cnt") * col("cnt_tag")).as("ip"))
           .agg(min(col("ip")).cast("long").as("est_join_size"))
-        val fA = keysA.groupBy("k").agg(count(lit(1)).as("na"))
-        val fB = keysB.groupBy("k").agg(count(lit(1)).as("nb"))
-        val exact = fA.join(fB, "k")
+        val exact = keys.groupBy("k")
+          .agg(count(lit(1)).as("na"), count_if(col("recent")).as("nb"))
           .agg(sum(col("na") * col("nb")).cast("long")
             .as("exact_join_size"))
         exact.crossJoin(est)

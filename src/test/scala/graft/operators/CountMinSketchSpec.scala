@@ -90,6 +90,21 @@ class CountMinSketchSpec extends AnyFunSuite with SparkFixture
     ex.getMessage should include("different shape")
   }
 
+  test("buildPair is cell-equivalent to two separate builds") {
+    val s = spark
+    import s.implicits._
+    val tagged = (keysA.map(_ -> true) ++ keysB.map(_ -> false))
+      .toDF("k", "t")
+    val pair = tagged.transform(d =>
+      CountMinSketch.buildPair(d, "k", "t", 4, 32))
+    val full = cells(pair.select(col("row"), col("bucket"), col("cnt")))
+    val tag = cells(pair.filter(col("cnt_tag") > 0)
+      .select(col("row"), col("bucket"), col("cnt_tag")))
+    full shouldBe cells(
+      CountMinSketch.build(df(keysA ++ keysB), "k", 4, 32))
+    tag shouldBe cells(CountMinSketch.build(df(keysA), "k", 4, 32))
+  }
+
   test("bucket hashing is stable and within [0, width)") {
     val b = df(Seq("x", "y", "z"))
       .select(CountMinSketch.bucket(col("k"), 1, 64).as("b"))
