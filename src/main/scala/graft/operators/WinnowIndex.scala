@@ -70,19 +70,43 @@ object WinnowIndex {
     * JVM's sequential execution model never observe the gap (the
     * StoreCache contract documents the no-concurrent-reader
     * assumption).
+    *
+    * Crash robustness: leftovers of a crashed prior compaction are
+    * removed BEFORE the rewrite (a stale `.compact-tmp`/`.compact-old`
+    * would otherwise make `rename` NEST the new directory inside the
+    * stale one — Hadoop rename-into-existing-dir semantics — and
+    * silently duplicate every row on the next read), and every
+    * `rename`/`delete` boolean is checked: a false return aborts
+    * loudly, with the live store restored if the swap's second
+    * rename is the step that failed. The store is therefore always
+    * either the old content or the compacted content, never a union.
     */
   def compact(spark: SparkSession, path: String,
       buckets: Int = 64): Unit = {
-    val tmp = path + ".compact-tmp"
-    writeAs(read(spark, path), tmp, buckets, "overwrite")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
-    val t = new org.apache.hadoop.fs.Path(tmp)
+    val t = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
-    fs.rename(p, old)
-    fs.rename(t, p)
-    fs.delete(old, true)
+    Seq(t, old).foreach { stale =>
+      if (fs.exists(stale) && !fs.delete(stale, true))
+        sys.error(s"compact: cannot delete stale leftover $stale " +
+          "from a crashed prior compaction")
+    }
+    writeAs(read(spark, path), t.toString, buckets, "overwrite")
+    if (!fs.rename(p, old))
+      sys.error(s"compact: cannot move live store $p aside to $old")
+    if (!fs.rename(t, p)) {
+      // roll the live store back so a failed swap never leaves the
+      // path empty; only then report
+      val restored = fs.rename(old, p)
+      sys.error(s"compact: cannot swap $t into $p" +
+        (if (restored) " (live store restored)"
+         else s" AND rollback of $old failed — store left at $old"))
+    }
+    if (!fs.delete(old, true))
+      sys.error(s"compact: compacted store is live but cannot " +
+        s"delete previous content at $old")
   }
 
   private def writeAs(fps: DataFrame, path: String, buckets: Int,

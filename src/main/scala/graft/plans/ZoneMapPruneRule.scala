@@ -49,9 +49,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Per-file zones: fileId → (col → (lo, hi)). */
+  /** Per-file zones: fileId → (col → (lo, hi)). `hasNullFile` marks
+    * rows whose file column is NULL — those rows belong to no zone
+    * and the injected filter must keep them (`fileCol IN (...)`
+    * alone evaluates to NULL on them and would silently drop them).
+    */
   final case class Entry(tablePlan: LogicalPlan, fileCol: String,
-      cols: Seq[String], stats: Seq[(Long, Map[String, (Long, Long)])])
+      cols: Seq[String], stats: Seq[(Long, Map[String, (Long, Long)])],
+      hasNullFile: Boolean = false)
 
   private val entries =
     new java.util.concurrent.CopyOnWriteArrayList[Entry]()
@@ -59,22 +64,34 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   /** Register `table` (its analyzed plan is the match key) as
     * file-bucketed by integral column `fileCol` and Z-clustered on
     * integral columns `cols`; collects the per-file min/max zone
-    * stats in one aggregate pass.
+    * stats in one aggregate pass. Re-registering the same table plan
+    * REPLACES its previous entry — the freshness hook: after a store
+    * delta/rewrite, call register again and the stale zones are gone
+    * (they can otherwise over-prune rows the delta added outside the
+    * old bounds). A zone column that is all-NULL within a file
+    * contributes no bound for that file (the file always survives on
+    * that column), matching the parquet-footer convention.
     */
   def register(table: DataFrame, fileCol: String,
       cols: Seq[String]): Entry = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("long").as(s"lo_$c"),
         max(col(c)).cast("long").as(s"hi_$c")))
-    val stats = table.groupBy(col(fileCol).cast("long").as("__f"))
+    val rows = table.groupBy(col(fileCol).cast("long").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    val hasNullFile = rows.exists(_.isNullAt(0))
+    val stats = rows.filterNot(_.isNullAt(0))
       .map { r =>
-        r.getLong(0) -> cols.zipWithIndex.map { case (c, i) =>
-          c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        r.getLong(0) -> cols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+          else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
         }.toMap
       }.toSeq
-    val e = Entry(table.queryExecution.analyzed, fileCol, cols, stats)
+    val analyzed = table.queryExecution.analyzed
+    val e = Entry(analyzed, fileCol, cols, stats, hasNullFile)
+    entries.removeIf(
+      (prev: Entry) => prev.tablePlan.sameResult(analyzed))
     entries.add(e)
     e
   }
@@ -133,26 +150,35 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     def addHi(c: String, v: Long): Unit = {
       val (lo, hi) = b(c); b += c -> (lo, Some(hi.fold(v)(_ min v)))
     }
+    // strict bounds tighten by ±1 — guarded: at Long.MaxValue/MinValue
+    // the ±1 would wrap and INVERT the bound (`col > Long.MaxValue`
+    // becoming `col >= Long.MinValue`), so an overflowing strict
+    // conjunct is treated as unrecognized and simply dropped — always
+    // sound (pruning only weakens)
+    def inc(v: Long): Option[Long] =
+      if (v == Long.MaxValue) None else Some(v + 1)
+    def dec(v: Long): Option[Long] =
+      if (v == Long.MinValue) None else Some(v - 1)
     splitConjunctivePredicates(cond).foreach {
       case GreaterThanOrEqual(a, l) =>
         for (c <- intAttr(a); v <- litLong(l)) addLo(c, v)
       case GreaterThan(a, l) =>
-        for (c <- intAttr(a); v <- litLong(l)) addLo(c, v + 1)
+        for (c <- intAttr(a); v <- litLong(l); w <- inc(v)) addLo(c, w)
       case LessThanOrEqual(a, l) =>
         for (c <- intAttr(a); v <- litLong(l)) addHi(c, v)
       case LessThan(a, l) =>
-        for (c <- intAttr(a); v <- litLong(l)) addHi(c, v - 1)
+        for (c <- intAttr(a); v <- litLong(l); w <- dec(v)) addHi(c, w)
       case EqualTo(a, l) if intAttr(a).isDefined =>
         for (c <- intAttr(a); v <- litLong(l)) { addLo(c, v); addHi(c, v) }
       // literal-on-the-left spellings
       case GreaterThanOrEqual(l, a) if litLong(l).isDefined =>
         for (c <- intAttr(a); v <- litLong(l)) addHi(c, v)
       case GreaterThan(l, a) if litLong(l).isDefined =>
-        for (c <- intAttr(a); v <- litLong(l)) addHi(c, v - 1)
+        for (c <- intAttr(a); v <- litLong(l); w <- dec(v)) addHi(c, w)
       case LessThanOrEqual(l, a) if litLong(l).isDefined =>
         for (c <- intAttr(a); v <- litLong(l)) addLo(c, v)
       case LessThan(l, a) if litLong(l).isDefined =>
-        for (c <- intAttr(a); v <- litLong(l)) addLo(c, v + 1)
+        for (c <- intAttr(a); v <- litLong(l); w <- inc(v)) addLo(c, w)
       case EqualTo(l, a) if litLong(l).isDefined =>
         for (c <- intAttr(a); v <- litLong(l)) { addLo(c, v); addHi(c, v) }
       // IN-list: bound by the list's min/max (zones are intervals, so
@@ -185,7 +211,12 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
                   case IntegerType => surv.map(v => Literal(v.toInt))
                   case _ => surv.map(v => Literal(v))
                 }
-                val pruned = Filter(In(fa, lits), stripped)
+                // rows with a NULL file column belong to no zone and
+                // must survive (IN alone yields NULL on them)
+                val keep: Expression =
+                  if (e.hasNullFile) Or(In(fa, lits), IsNull(fa))
+                  else In(fa, lits)
+                val pruned = Filter(keep, stripped)
                 val newChild = child.transformUp {
                   case p if p eq stripped => pruned
                 }

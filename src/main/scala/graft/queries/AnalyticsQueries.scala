@@ -2551,6 +2551,68 @@ object AnalyticsQueries {
            |       (SELECT COUNT(DISTINCT sp) FROM cs)
            |    AS BIGINT) AS n_nodes)
            |ORDER BY store""".stripMargin
+      }),
+
+    // Community detection via synchronous label propagation (Raghavan
+    // et al. 2007, made deterministic — see
+    // operators.GraphPropagation.labelPropagation) over the q314
+    // copurch35 edge store: 3 fixed rounds of neighbor-majority
+    // voting (count DESC, label ASC tie-break), then the community
+    // size distribution. Community grain sits BETWEEN connected
+    // components (q299's audit shows components over-merge through
+    // chain links) and per-node scores (q191/q192) — the clustering a
+    // near-dup/citation corpus actually wants. Everything is integer
+    // (labels are node ids, votes are counts), so the unrolled DuckDB
+    // CTE chain reproduces the rounds bit-for-bit; per round one
+    // edge-sized join + two hash-aggs, O(nodes) state, per-round
+    // localCheckpoint — linear and keyed at any graph size.
+    QueryDef(
+      "q316_label_propagation",
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d, 35)
+          .select(col("u").cast("long").as("u"),
+            col("v").cast("long").as("v"))
+        graft.operators.GraphPropagation
+          .labelPropagation(edges, "u", "v", rounds = 3)
+          .groupBy(col("lbl").cast("long").as("community"))
+          .agg(count(lit(1)).cast("long").as("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("community").asc)
+          .limit(10)
+      },
+      Some {
+        val sb = new StringBuilder(
+          """WITH li AS (
+            |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            |  FROM lineitem WHERE l_quantity >= 35
+            |), e0 AS (
+            |  SELECT DISTINCT a.pk AS u, b.pk AS v
+            |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            |), und AS (
+            |  SELECT u AS n, v AS m FROM e0
+            |  UNION ALL SELECT v AS n, u AS m FROM e0
+            |), l0 AS (
+            |  SELECT DISTINCT n, n AS lbl FROM und
+            |)""".stripMargin)
+        for (i <- 1 to 3) {
+          sb.append(s""", v$i AS (
+            |  SELECT und.n, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+            |  FROM und JOIN l${i - 1} l ON und.m = l.n
+            |  GROUP BY und.n, l.lbl
+            |), l$i AS (
+            |  SELECT n, lbl FROM (
+            |    SELECT n, lbl, row_number() OVER (
+            |      PARTITION BY n ORDER BY c DESC, lbl ASC) AS rn
+            |    FROM v$i)
+            |  WHERE rn = 1
+            |)""".stripMargin)
+        }
+        sb.append("""
+            |SELECT CAST(lbl AS BIGINT) AS community,
+            |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+            |FROM l3 GROUP BY lbl
+            |ORDER BY n_nodes DESC, community ASC
+            |LIMIT 10""".stripMargin)
+        sb.toString
       })
   )
 

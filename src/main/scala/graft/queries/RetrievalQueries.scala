@@ -1003,9 +1003,15 @@ object RetrievalQueries {
     // two-round pipeline gates bit-for-bit in DuckDB. At 100 TB both
     // rounds ride the same serving machinery as q238 — the feedback
     // term harvest is the one stage keyed by doc_id, which the
-    // term-bucketed layout cannot prune, so it scans postings
-    // columnar-only (term, doc_id, tf) with the 3-row feedback set
-    // broadcast.
+    // TERM-bucketed postings layout cannot prune (the r12 form
+    // scanned all 64 buckets for 3 documents and tripled the query's
+    // time — the r13 VERDICT riser), so it goes back to the source
+    // table instead: the feedback ids (≤ topK rows, the serving
+    // contract's bound) collect to the driver and push down as a
+    // doc_id IN filter on the documents parquet scan, re-tokenizing
+    // exactly 3 documents. Per-doc tokenization IS the postings
+    // definition, so the harvested (term, tf) pairs are identical to
+    // the stored rows and the oracle is unchanged.
     QueryDef(
       "q272_prf_expansion",
       (s, d) => {
@@ -1014,12 +1020,12 @@ object RetrievalQueries {
         val q0 = docs.filter(col("doc_id") === 7)
           .select(lit(7L).as("query_id"),
             slice(words(col("text")), 1, 3).as("terms"))
-        val fb = Bm25.searchCoreStored(s, dir, q0, topK = 3)
-          .select("doc_id")
-        val expTerms = s.read.parquet(s"$dir/postings")
-          .select("term", "doc_id", "tf")
-          .join(broadcast(fb), "doc_id")
-          .groupBy("term").agg(sum(col("tf")).cast("long").as("w"))
+        val fbIds = Bm25.searchCoreStored(s, dir, q0, topK = 3)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        val expTerms = docs
+          .filter(col("doc_id").isin(fbIds: _*))
+          .select(explode(words(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).cast("long").as("w"))
           .orderBy(col("w").desc, col("term").asc)
           .limit(5).select("term")
         val expanded = q0.select(explode(col("terms")).as("term"))

@@ -26,4 +26,23 @@ class RegistrySpec extends AnyFunSuite with Matchers {
   test("the flagship entry is a registered declared query") {
     SparkEntry.allQueries.exists(_.name == "q07_join_agg") shouldBe true
   }
+
+  test("README declared-query counts match the registry (no stale " +
+      "prose)") {
+    // the VERDICT r12/r13 finding: README's hand-written counts
+    // drifted twice. Pin every "<N> declared queries" occurrence and
+    // the "q01..qNNN" index range to the registry itself.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val declared = "(\\d+) declared queries".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    declared should not be empty
+    all(declared) shouldBe SparkEntry.allQueries.size
+    val maxIdx = SparkEntry.allQueries
+      .map(_.name.drop(1).takeWhile(_.isDigit).toInt).max
+    val range = "q01\\.\\.q(\\d+)".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    range should not be empty
+    all(range) shouldBe maxIdx
+  }
 }

@@ -258,4 +258,65 @@ class GraphPropagationSpec extends AnyFunSuite with SparkFixture
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     ppr shouldBe pr // bit-exact: same scaled-long gathers throughout
   }
+
+  /** In-memory reference for synchronous label propagation with the
+    * operator's exact tie rule: every node adopts the most frequent
+    * PREVIOUS-round label among its neighbors, ties to the smallest
+    * label.
+    */
+  private def bruteLabelProp(edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = nbrs.map { case (n, ms) =>
+        val votes = ms.map(lbl).groupBy(identity)
+          .map { case (l, occ) => l -> occ.size.toLong }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  private def runLabelProp(edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] =
+    GraphPropagation
+      .labelPropagation(edges.toDF("u", "v"), "u", "v", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation finds the two triangle communities across " +
+      "a bridge (brute-force parity)") {
+    // two triangles joined by one bridge edge: community detection
+    // must NOT merge them (connected components would — the q299
+    // over-merge) — each triangle converges to its own minimum label
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    for (rounds <- 1 to 4) {
+      runLabelProp(g, rounds) shouldBe bruteLabelProp(g, rounds)
+    }
+    val converged = runLabelProp(g, 4)
+    converged(1L) shouldBe converged(2L)
+    converged(2L) shouldBe converged(3L)
+    converged(10L) shouldBe converged(11L)
+    converged(11L) shouldBe converged(12L)
+    converged(1L) should not be converged(10L)
+  }
+
+  test("labelPropagation matches brute force on a random graph, " +
+      "independent of partitioning") {
+    val rnd = new scala.util.Random(42)
+    val nodes = 30
+    val g = Seq.tabulate(70) { _ =>
+      val u = rnd.nextInt(nodes).toLong
+      val v = rnd.nextInt(nodes).toLong
+      (u, if (v == u) (v + 1) % nodes else v)
+    }.distinct
+    val expected = bruteLabelProp(g, 3)
+    runLabelProp(g, 3) shouldBe expected
+    GraphPropagation
+      .labelPropagation(g.toDF("u", "v").repartition(7), "u", "v", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe expected
+  }
 }

@@ -98,4 +98,27 @@ class WinnowIndexSpec extends AnyFunSuite with SparkFixture
     after.values.max shouldBe 1
     asSet(WinnowIndex.read(spark, dir)) shouldBe before
   }
+
+  test("compact survives crashed-compaction leftovers without " +
+      "duplicating rows (stale tmp/old dirs are cleared first)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-widx-x").toString + "/idx"
+    WinnowIndex.build(docs, dir)
+    val before = asSet(WinnowIndex.read(spark, dir))
+    // simulate a prior compaction that crashed mid-flight: a full
+    // stale copy at .compact-tmp (crashed before the swap) AND a
+    // stale .compact-old (crashed between the two renames). Without
+    // the pre-clean, rename(tmp, path) would NEST the new tmp inside
+    // the stale dir and the next read would see every row twice.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+    fs.mkdirs(new Path(dir + ".compact-old"))
+    WinnowIndex.write(WinnowIndex.read(spark, dir),
+      dir + ".compact-tmp")
+    WinnowIndex.compact(spark, dir)
+    asSet(WinnowIndex.read(spark, dir)) shouldBe before
+    fs.exists(new Path(dir + ".compact-tmp")) shouldBe false
+    fs.exists(new Path(dir + ".compact-old")) shouldBe false
+  }
 }

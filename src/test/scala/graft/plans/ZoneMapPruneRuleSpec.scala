@@ -139,4 +139,87 @@ class ZoneMapPruneRuleSpec extends AnyFunSuite with SparkFixture
       scanned shouldBe Some(8)
     }
   }
+
+  test("all-NULL zone columns register without error and their " +
+      "files always survive") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-zmap-null").toString + "/t"
+      // file 0: k all NULL (no usable zone); file 1: k in [100, 199]
+      (0 until 200)
+        .map(i => (if (i < 100) None else Some(i.toLong),
+          (i / 100).toLong))
+        .toDF("k", "zfile")
+        .write.partitionBy("zfile").parquet(d)
+      val t = spark.read.parquet(d)
+      // r13 ADVICE finding: this used to NPE on getLong of the null
+      // min/max aggregate
+      val e = ZoneMapPruneRule.register(t, "zfile", Seq("k"))
+      // file 0 has no k zone -> survives ANY k bound; file 1 prunes
+      ZoneMapPruneRule.survivors(e,
+        Map("k" -> (Some(500L), None))) shouldBe Seq(0L)
+      val q = t.filter(col("k") >= 500)
+      q.count() shouldBe 0L
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.partitionCount
+        }
+      scanned shouldBe Some(1) // file 1 pruned, file 0 kept
+    }
+  }
+
+  test("strict bounds at Long extremes drop the conjunct instead of " +
+      "wrapping (k > Long.MaxValue must not invert the bound)") {
+    withRule {
+      val t = table
+      ZoneMapPruneRule.register(t, "zfile", Seq("k"))
+      // wrap would turn this into k >= Long.MinValue (every file
+      // survives but also every OTHER conjunct's pruning is polluted
+      // by the broken lo) — the guarded form simply ignores it.
+      // extractBounds needs RESOLVED attrs: pull the analyzed
+      // Filter condition (long literals, so no cast wraps them)
+      def condOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.analyzed.collectFirst {
+          case org.apache.spark.sql.catalyst.plans.logical
+              .Filter(c, _) => c
+        }.get
+      val bounds = ZoneMapPruneRule.extractBounds(
+        condOf(t.filter(col("k") > Long.MaxValue &&
+          col("k") < 200L)), Seq("k"))
+      bounds.get("k") shouldBe Some((None, Some(199L)))
+      val bounds2 = ZoneMapPruneRule.extractBounds(
+        condOf(t.filter(col("k") < Long.MinValue)), Seq("k"))
+      bounds2 shouldBe empty
+      // end-to-end: the unsatisfiable conjunct still yields 0 rows
+      // (Spark evaluates it), with pruning from the sane conjunct
+      t.filter(col("k") > Long.MaxValue && col("k") < 200L)
+        .count() shouldBe 0L
+    }
+  }
+
+  test("re-register REPLACES the previous entry for the same table " +
+      "plan (the freshness hook after a store rewrite)") {
+    withRule {
+      val t = table
+      def scanned(q: org.apache.spark.sql.DataFrame): Option[Int] = {
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.partitionCount
+        }
+      }
+      ZoneMapPruneRule.register(t, "zfile", Seq("k"))
+      scanned(t.filter(col("k") >= 700)) shouldBe Some(1)
+      // re-register the SAME plan with different clustered columns:
+      // the stale entry must be REPLACED, not stacked — otherwise
+      // apply() keeps consulting the old zones forever (the
+      // delta-append staleness failure mode, observed here as the k
+      // pruning surviving a registration that dropped k)
+      ZoneMapPruneRule.register(t, "zfile", Seq("u"))
+      scanned(t.filter(col("k") >= 700)) shouldBe Some(8)
+    }
+  }
 }
