@@ -68,7 +68,15 @@ object VectorQueries {
     */
   private def centroidArrays(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(Int, Array[Double])] =
-    embeddings(s, d)
+    centroidArraysOf(embeddings(s, d))
+
+  /** [[centroidArrays]] over an explicit vector frame — the held-out
+    * rungs (q318) compute cells from the INDEX CORPUS only, with the
+    * reserved query vectors excluded from the means.
+    */
+  private def centroidArraysOf(emb: org.apache.spark.sql.DataFrame)
+      : Seq[(Int, Array[Double])] =
+    emb
       .select(col("label").as("clabel"), posexplode(col("embedding")))
       .select(col("clabel"), (col("pos") + 1).as("i"),
         col("col").cast("double").as("x"))
@@ -81,6 +89,35 @@ object VectorQueries {
         lbl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
       }
       .sortBy(_._1)
+
+  /** UNSUPERVISED coarse-quantizer centroids: k-means over the full
+    * vectors via [[graft.llm.ProductQuantizer.trainCodebook]] at
+    * numSub = 1 (a product quantizer with one subspace IS a plain
+    * vector quantizer — same deterministic farthest-point init, same
+    * exact-decimal Lloyd rounds). This is the production form of
+    * [[centroidArrays]]: a 100 TB corpus has no `label` column to
+    * average — the labeled cells exist only because the test data
+    * carries planted classes and they make the assignment
+    * cross-engine-gateable; a real deployment trains its cells, and
+    * q317 measures the recall cost of switching. Same footprint
+    * class: K×dim doubles collected once, Lloyd rounds are full
+    * corpus passes with decimal means (deterministic end to end).
+    */
+  private def trainedCentroidArrays(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int = 10): Seq[(Int, Array[Double])] =
+    trainedCentroidArraysOf(embeddings(s, d), k)
+
+  /** [[trainedCentroidArrays]] over an explicit vector frame — q319
+    * trains cells on the index corpus ONLY (held-out queries never
+    * touch the training set).
+    */
+  private def trainedCentroidArraysOf(
+      emb: org.apache.spark.sql.DataFrame, k: Int)
+      : Seq[(Int, Array[Double])] =
+    graft.llm.ProductQuantizer
+      .trainCodebook(emb, numSub = 1, codesPerSub = k,
+        iterations = 3)(0)
+      .zipWithIndex.map { case (c, i) => i -> c }.toSeq
 
   /** DuckDB CTEs mirroring [[centroidArrays]] + the per-(vector,
     * centroid) exact dot products (appends to `vecCtes`, reusing its
@@ -3010,6 +3047,333 @@ object VectorQueries {
               col("k_total").cast("double")).as("recall_sampled"),
             (col("n_hit_trained").cast("double") /
               col("k_total").cast("double")).as("recall_trained"))
+      },
+      None),
+
+    // UNSUPERVISED IVF cells vs the labeled crutch (the r13 verdict's
+    // item 6 — the last label-supervised piece of the ANN stack):
+    // train K = 10 coarse-quantizer cells with NO labels
+    // (trainedCentroidArrays — farthest-point init + 3 exact-decimal
+    // Lloyd rounds at numSub = 1) and score the q209 panel recall
+    // curve side by side with the label-mean cells at the same K and
+    // the same max-dot assignment rule, plus each side's candidate
+    // fraction (probe cost — recall alone can hide a skewed cell map
+    // that probes half the corpus). Training is an iterative loop,
+    // not one SQL expression — declared rows-only (the q309
+    // precedent); the labeled half of the comparison is the
+    // already-oracle-gated q209 machinery, and the trained cells'
+    // numSub=1 path is pinned by ProductQuantizerSpec parity tests.
+    QueryDef(
+      "q317_ivf_trained_cells",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val exact = panelExact(s, d)
+        val kTot = exact.agg(count(lit(1)).cast("long").as("k_total"))
+        val nPairs = emb.agg(((count(lit(1)) - 1) * PanelN)
+          .cast("long").as("n_pairs"))
+        def curve(cents: Seq[(Int, Array[Double])], tag: String) = {
+          val scored = array(cents.map { case (lbl, arr) =>
+            struct(graft.functions.DotDoubleExpr
+                .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+              lit(lbl).as("clabel"))
+          }: _*)
+          val assigned = emb
+            .select(col("vec_id"),
+              array_max(scored).getField("clabel").as("cell"))
+            .localCheckpoint()
+          val wq = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid")
+            .orderBy(col("dp").desc, col("cell").desc)
+          val probeRanked = emb.filter(col("vec_id") < PanelN)
+            .select(col("vec_id").as("qid"), explode(scored).as("sc"))
+            .select(col("qid"), col("sc.dp").as("dp"),
+              col("sc.clabel").as("cell"))
+            .withColumn("rk", row_number().over(wq))
+            .localCheckpoint()
+          Seq(1, 2, 4).map { n =>
+            val cands = assigned
+              .join(broadcast(probeRanked.filter(col("rk") <= n)
+                .select("qid", "cell")), "cell")
+              .filter(col("vec_id") =!= col("qid"))
+              .select("qid", "vec_id")
+            n -> panelTop10(s, d, cands)
+              .join(exact, Seq("qid", "vec_id"))
+              .agg(count(lit(1)).cast("long").as(s"n_hit_$tag"))
+              .crossJoin(cands
+                .agg(count(lit(1)).cast("long").as(s"n_cand_$tag")))
+          }
+        }
+        val lab = curve(centroidArrays(s, d), "labeled")
+        val trn = curve(trainedCentroidArrays(s, d, 10), "trained")
+        lab.zip(trn).map { case ((n, l), (_, t)) =>
+          l.crossJoin(t).crossJoin(broadcast(kTot))
+            .crossJoin(broadcast(nPairs))
+            .select(lit(n).as("nprobe"), col("k_total"),
+              (col("n_hit_labeled").cast("double") /
+                col("k_total").cast("double")).as("recall_labeled"),
+              (col("n_hit_trained").cast("double") /
+                col("k_total").cast("double")).as("recall_trained"),
+              (col("n_cand_labeled").cast("double") /
+                col("n_pairs").cast("double")).as("frac_labeled"),
+              (col("n_cand_trained").cast("double") /
+                col("n_pairs").cast("double")).as("frac_trained"))
+        }.reduce(_ unionByName _).orderBy("nprobe")
+      },
+      None),
+
+    // HELD-OUT query panel (the r13 verdict's item 7): every in-suite
+    // recall rung scores queries that sit INSIDE the index — serving
+    // reality is out-of-corpus queries. Here the 20 panel vectors are
+    // RESERVED OUT of every index structure — SRP planes come from
+    // corpus vectors 20..43 (not 1..24), the labeled cell means
+    // average only vec_id >= 20, the bucket/cell tables hold corpus
+    // rows only — and the truth is the exact top-10 within the index
+    // corpus (the panel store filtered to vec_id >= 20). One row per
+    // rung: SRP-LSH (4 bands × 6 planes) and IVF at nprobe 1/2/4.
+    // Everything stays deterministic (fixed planes, exact-average
+    // cells, exact-decimal ranking with vec_id ties), so the held-out
+    // recalls hash-match cross-engine — the in-corpus/held-out pair
+    // (q200/q209 vs this row) is the transfer check BASELINE.md's
+    // quality table tracks.
+    QueryDef(
+      "q318_heldout_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") >= PanelN)
+        val exact = graft.plans.GroupedTopK.of(
+          panelRanked(s, d).filter(col("vec_id") >= PanelN),
+          Seq("qid"), Seq(col("cos_sim").desc, col("vec_id").asc), 10)
+          .select("qid", "vec_id")
+        val kTot = exact.agg(count(lit(1)).cast("long").as("k_total"))
+        def rungRow(name: String,
+            cands: org.apache.spark.sql.DataFrame) =
+          panelTop10(s, d, cands)
+            .join(exact, Seq("qid", "vec_id"))
+            .agg(count(lit(1)).cast("long").as("n_hit"))
+            .crossJoin(broadcast(kTot))
+            .select(lit(name).as("rung"), col("k_total"),
+              col("n_hit"),
+              (col("n_hit").cast("double") /
+                col("k_total").cast("double")).as("recall"))
+        // SRP-LSH with planes drawn from the CORPUS (vec_id 20..43)
+        val planes = corpus
+          .filter(col("vec_id").between(PanelN, PanelN + 23))
+          .select("vec_id", "embedding").collect()
+          .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+        require(planes.length == 24,
+          s"held-out SRP needs corpus vectors 20..43 (${planes.length})")
+        val bandExprs = (0 until 4).map { b =>
+          concat((0 until 6).map { j =>
+            fsign(col("embedding"), typedLit(planes(b * 6 + j)))
+          }: _*)
+        }
+        val bands = emb
+          .select(col("vec_id"), posexplode(array(bandExprs: _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bv")
+        val qb = bands.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"), col("band").as("q_band"),
+            col("bv").as("q_bv"))
+        val lshCands = bands.filter(col("vec_id") >= PanelN)
+          .join(broadcast(qb),
+            col("band") === col("q_band") && col("bv") === col("q_bv"))
+          .select("qid", "vec_id").distinct()
+        // IVF cells: label means over the CORPUS only
+        val cents = centroidArraysOf(corpus)
+        val scored = array(cents.map { case (lbl, arr) =>
+          struct(graft.functions.DotDoubleExpr
+              .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+            lit(lbl).as("clabel"))
+        }: _*)
+        val assigned = corpus
+          .select(col("vec_id"),
+            array_max(scored).getField("clabel").as("cell"))
+          .localCheckpoint()
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("dp").desc, col("cell").desc)
+        val probeRanked = emb.filter(col("vec_id") < PanelN)
+          .select(col("vec_id").as("qid"), explode(scored).as("sc"))
+          .select(col("qid"), col("sc.dp").as("dp"),
+            col("sc.clabel").as("cell"))
+          .withColumn("rk", row_number().over(wq))
+          .localCheckpoint()
+        val rows = rungRow("srp_lsh", lshCands) +:
+          Seq(1, 2, 4).map { n =>
+            rungRow(s"ivf_np$n", assigned
+              .join(broadcast(probeRanked.filter(col("rk") <= n)
+                .select("qid", "cell")), "cell")
+              .select("qid", "vec_id"))
+          }
+        rows.reduce(_ unionByName _).orderBy("rung")
+      },
+      Some(s"""$vecCtes, $panelCtes, $evecCte,
+              |pexact_h AS (
+              |  SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id,
+              |      row_number() OVER (PARTITION BY qid
+              |        ORDER BY cos_sim DESC, vec_id ASC) AS rn
+              |    FROM pranked WHERE vec_id >= 20)
+              |  WHERE rn <= 10
+              |), kt AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS k_total FROM pexact_h
+              |), pl AS (
+              |  SELECT vec_id - 20 AS pidx, v AS pvec FROM evec
+              |  WHERE vec_id BETWEEN 20 AND 43
+              |), proj AS (
+              |  SELECT e.vec_id, p.pidx,
+              |    CASE WHEN list_reduce(
+              |        list_transform(range(1, len(e.v) + 1),
+              |          k -> e.v[k] * p.pvec[k]),
+              |        (a, b) -> a + b) >= 0
+              |      THEN '1' ELSE '0' END AS bit
+              |  FROM evec e CROSS JOIN pl p
+              |), bands AS (
+              |  SELECT vec_id,
+              |    CAST(floor(pidx / 6) AS INTEGER) AS band,
+              |    string_agg(bit, '' ORDER BY pidx) AS bv
+              |  FROM proj
+              |  GROUP BY vec_id, CAST(floor(pidx / 6) AS INTEGER)
+              |), qb AS (
+              |  SELECT vec_id AS qid, band, bv FROM bands
+              |  WHERE vec_id < 20
+              |), lshc AS (
+              |  SELECT DISTINCT qb.qid, b.vec_id FROM bands b
+              |  JOIN qb ON b.band = qb.band AND b.bv = qb.bv
+              |  WHERE b.vec_id >= 20
+              |), ${panelSubRank("lshc", "lsh")},
+              |cents_h AS (
+              |  SELECT label AS clabel, CAST(i AS INTEGER) AS i,
+              |    ${sqlDavg("x")} AS mean_x
+              |  FROM (
+              |    SELECT label, generate_subscripts(embedding, 1) AS i,
+              |      CAST(unnest(embedding) AS DOUBLE) AS x
+              |    FROM embeddings WHERE vec_id >= 20)
+              |  GROUP BY label, i
+              |), cents_hl AS (
+              |  SELECT clabel, list(mean_x ORDER BY i) AS cvec
+              |  FROM cents_h GROUP BY clabel
+              |), dots_ch AS (
+              |  SELECT e.vec_id, c.clabel,
+              |    list_reduce(
+              |      list_transform(range(1, len(e.v) + 1),
+              |        k -> e.v[k] * c.cvec[k]),
+              |      (a, b) -> a + b) AS dp
+              |  FROM evec e CROSS JOIN cents_hl c
+              |), assigned AS (
+              |  SELECT vec_id, clabel AS cell FROM (
+              |    SELECT vec_id, clabel,
+              |      row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY dp DESC, clabel DESC) AS rn
+              |    FROM dots_ch WHERE vec_id >= 20)
+              |  WHERE rn = 1
+              |), pprobe AS (
+              |  SELECT vec_id AS qid, clabel AS cell,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY dp DESC, clabel DESC) AS rk
+              |  FROM dots_ch WHERE vec_id < 20
+              |), ivfc1 AS (
+              |  SELECT p.qid, a.vec_id FROM assigned a
+              |  JOIN pprobe p ON a.cell = p.cell AND p.rk <= 1
+              |), ivfc2 AS (
+              |  SELECT p.qid, a.vec_id FROM assigned a
+              |  JOIN pprobe p ON a.cell = p.cell AND p.rk <= 2
+              |), ivfc4 AS (
+              |  SELECT p.qid, a.vec_id FROM assigned a
+              |  JOIN pprobe p ON a.cell = p.cell AND p.rk <= 4
+              |), ${panelSubRank("ivfc1", "ivf1")},
+              |${panelSubRank("ivfc2", "ivf2")},
+              |${panelSubRank("ivfc4", "ivf4")},
+              |hits AS (
+              |  SELECT 'srp_lsh' AS rung, (SELECT k_total FROM kt)
+              |    AS k_total,
+              |    CAST((SELECT COUNT(*) FROM lsh t JOIN pexact_h x
+              |      ON x.qid = t.qid AND x.vec_id = t.vec_id)
+              |      AS BIGINT) AS n_hit
+              |  UNION ALL
+              |  SELECT 'ivf_np1', (SELECT k_total FROM kt),
+              |    CAST((SELECT COUNT(*) FROM ivf1 t JOIN pexact_h x
+              |      ON x.qid = t.qid AND x.vec_id = t.vec_id)
+              |      AS BIGINT)
+              |  UNION ALL
+              |  SELECT 'ivf_np2', (SELECT k_total FROM kt),
+              |    CAST((SELECT COUNT(*) FROM ivf2 t JOIN pexact_h x
+              |      ON x.qid = t.qid AND x.vec_id = t.vec_id)
+              |      AS BIGINT)
+              |  UNION ALL
+              |  SELECT 'ivf_np4', (SELECT k_total FROM kt),
+              |    CAST((SELECT COUNT(*) FROM ivf4 t JOIN pexact_h x
+              |      ON x.qid = t.qid AND x.vec_id = t.vec_id)
+              |      AS BIGINT)
+              |)
+              |SELECT rung, k_total, n_hit,
+              |  CAST(n_hit AS DOUBLE) / CAST(k_total AS DOUBLE)
+              |    AS recall
+              |FROM hits ORDER BY rung""".stripMargin)),
+
+    // Held-out TRAINED cells (q317 × q318): does the unsupervised
+    // quantizer's in-corpus win transfer to out-of-corpus queries?
+    // Cells train on the index corpus ONLY (vec_id >= 20 — the
+    // reserved queries never touch the farthest-point sample or the
+    // Lloyd passes), labeled cells average the same corpus, both
+    // score the q318 held-out truth at nprobe 1/2/4. Rows-only like
+    // q317 (the training loop is not one SQL expression); the
+    // labeled half cross-checks against q318's oracle-gated
+    // ivf_np1/2/4 recalls, which are the same numbers by
+    // construction.
+    QueryDef(
+      "q319_heldout_trained_cells",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        graft.functions.DotDoubleExpr.register(s)
+        val emb = embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") >= PanelN)
+        val exact = graft.plans.GroupedTopK.of(
+          panelRanked(s, d).filter(col("vec_id") >= PanelN),
+          Seq("qid"), Seq(col("cos_sim").desc, col("vec_id").asc), 10)
+          .select("qid", "vec_id")
+        val kTot = exact.agg(count(lit(1)).cast("long").as("k_total"))
+        def curve(cents: Seq[(Int, Array[Double])], tag: String) = {
+          val scored = array(cents.map { case (lbl, arr) =>
+            struct(graft.functions.DotDoubleExpr
+                .dotDouble(col("embedding"), typedLit(arr)).as("dp"),
+              lit(lbl).as("clabel"))
+          }: _*)
+          val assigned = corpus
+            .select(col("vec_id"),
+              array_max(scored).getField("clabel").as("cell"))
+            .localCheckpoint()
+          val wq = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid")
+            .orderBy(col("dp").desc, col("cell").desc)
+          val probeRanked = emb.filter(col("vec_id") < PanelN)
+            .select(col("vec_id").as("qid"), explode(scored).as("sc"))
+            .select(col("qid"), col("sc.dp").as("dp"),
+              col("sc.clabel").as("cell"))
+            .withColumn("rk", row_number().over(wq))
+            .localCheckpoint()
+          Seq(1, 2, 4).map { n =>
+            n -> panelTop10(s, d, assigned
+                .join(broadcast(probeRanked.filter(col("rk") <= n)
+                  .select("qid", "cell")), "cell")
+                .select("qid", "vec_id"))
+              .join(exact, Seq("qid", "vec_id"))
+              .agg(count(lit(1)).cast("long").as(s"n_hit_$tag"))
+          }
+        }
+        val lab = curve(centroidArraysOf(corpus), "labeled")
+        val trn = curve(trainedCentroidArraysOf(corpus, 10), "trained")
+        lab.zip(trn).map { case ((n, l), (_, t)) =>
+          l.crossJoin(t).crossJoin(broadcast(kTot))
+            .select(lit(n).as("nprobe"), col("k_total"),
+              (col("n_hit_labeled").cast("double") /
+                col("k_total").cast("double")).as("recall_labeled"),
+              (col("n_hit_trained").cast("double") /
+                col("k_total").cast("double")).as("recall_trained"))
+        }.reduce(_ unionByName _).orderBy("nprobe")
       },
       None)
   )

@@ -234,4 +234,33 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkFixture
       codes((vid, m)) shouldBe expected
     }
   }
+
+  test("numSub=1 trainCodebook is a plain vector quantizer: full-dim " +
+      "centroids, deterministic, beats sampled cells on distortion") {
+    // the unsupervised IVF coarse quantizer (q317): one subspace =
+    // k-means over whole vectors, same init + exact-decimal Lloyd
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .cache()
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    def distortion1(cb: Array[Array[Double]]): Double =
+      rows.map(v => cb.map(c => sq(v, c)).min).sum
+    val trained = ProductQuantizer.trainCodebook(emb, numSub = 1,
+      codesPerSub = 8, iterations = 3)
+    trained.length shouldBe 1
+    trained(0).length shouldBe 8
+    all(trained(0).map(_.length).toSeq) shouldBe rows.head.length
+    val sampled = ProductQuantizer.codebookFromCorpus(emb, numSub = 1,
+      codesPerSub = 8)
+    distortion1(trained(0)) should be < distortion1(sampled(0))
+    // exact-decimal Lloyd means -> bit-identical retrain
+    val again = ProductQuantizer.trainCodebook(emb, numSub = 1,
+      codesPerSub = 8, iterations = 3)
+    trained.flatten.flatten.toSeq shouldBe again.flatten.flatten.toSeq
+  }
 }
