@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{col, max, min}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.functions.{col, max, min, unix_date}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 
 /** Zone-map file pruning as an automatic optimizer rule — the
   * planner half of the Z-order story (q148 gates the curve
@@ -74,9 +74,16 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   def register(table: DataFrame, fileCol: String,
       cols: Seq[String]): Entry = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"lo_$c"),
-        max(col(c)).cast("long").as(s"hi_$c")))
+    // DATE zones ride as days-since-epoch longs (unix_date) — the
+    // same integral form extractBounds produces from a folded
+    // DateType literal, so date predicates prune like integer ones
+    val aggs = cols.flatMap { c =>
+      val v =
+        if (table.schema(c).dataType == DateType) unix_date(col(c))
+        else col(c)
+      Seq(min(v).cast("long").as(s"lo_$c"),
+        max(v).cast("long").as(s"hi_$c"))
+    }
     val rows = table.groupBy(col(fileCol).cast("long").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -114,6 +121,35 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
           } => f
     }.toSeq.sorted
 
+  /** The FULL per-condition decision: the conjunction's combined
+    * plain bounds (today's path), intersected with — for every
+    * top-level OR conjunct whose EVERY disjunct yields recognized
+    * bounds — the union of the disjuncts' survivor sets. A row
+    * satisfying the OR satisfies some disjunct, whose recognized
+    * bounds it therefore meets, so its file is in that disjunct's
+    * survivor set and in the union — pruning by the intersection
+    * never drops a matching row. An OR with ANY unrecognized
+    * disjunct is ignored entirely (that disjunct could match rows
+    * anywhere). Returns None when nothing is recognized.
+    */
+  def survivorsForCond(e: Entry,
+      cond: Expression): Option[Seq[Long]] = {
+    val plain = extractBounds(cond, e.cols)
+    var surv: Option[Set[Long]] =
+      if (plain.nonEmpty) Some(survivors(e, plain).toSet) else None
+    splitConjunctivePredicates(cond).foreach {
+      case o: Or =>
+        val bs = splitDisjunctivePredicates(o)
+          .map(extractBounds(_, e.cols))
+        if (bs.forall(_.nonEmpty)) {
+          val u = bs.flatMap(b => survivors(e, b)).toSet
+          surv = Some(surv.fold(u)(_ intersect u))
+        }
+      case _ => ()
+    }
+    surv.map(_.toSeq.sorted)
+  }
+
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
     case Project(projList, child)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
@@ -122,6 +158,8 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def litLong(e: Expression): Option[Long] = e match {
+    // DateType literals carry days-since-epoch as Int — the first
+    // case already covers them; listed cases are the integral widths
     case Literal(v: Int, _) => Some(v.toLong)
     case Literal(v: Long, _) => Some(v)
     case Literal(v: Short, _) => Some(v.toLong)
@@ -138,7 +176,8 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     def intAttr(e: Expression): Option[String] = e match {
       case a: AttributeReference
           if colSet.contains(a.name) &&
-            (a.dataType == LongType || a.dataType == IntegerType) =>
+            (a.dataType == LongType || a.dataType == IntegerType ||
+              a.dataType == DateType) =>
         Some(a.name)
       case _ => None
     }
@@ -202,9 +241,7 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       while (done.isEmpty && it.hasNext) {
         val e = it.next()
         if (stripped.sameResult(e.tablePlan)) {
-          val bounds = extractBounds(cond, e.cols)
-          if (bounds.nonEmpty) {
-            val surv = survivors(e, bounds)
+          survivorsForCond(e, cond).foreach { surv =>
             if (surv.length < e.stats.length) {
               stripped.output.find(_.name == e.fileCol).foreach { fa =>
                 val lits: Seq[Expression] = fa.dataType match {

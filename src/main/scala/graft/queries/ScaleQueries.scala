@@ -640,6 +640,111 @@ object ScaleQueries {
            |FROM zoned
            |WHERE day BETWEEN 1500 AND 1560 AND pk BETWEEN 500 AND 900
            |""".stripMargin
+      }),
+
+    // Zone-map breadth gate (the r13 verdict's item 8 — the next two
+    // predicates a user actually writes): a DATE column pruned
+    // directly (zones stored as days-since-epoch via unix_date, the
+    // folded DateType literal's own unit) and an OR-of-ranges
+    // (per-disjunct survivor UNION intersected with the other
+    // conjuncts' bounds — ZoneMapPruneRule.survivorsForCond). Same
+    // receipt discipline as q311: n_files_read IS the rule's own
+    // decision on the query's optimized condition, oracle-recomputed
+    // from per-file min/max in DuckDB, so the declared pruning is the
+    // pruning that ran.
+    QueryDef(
+      "q320_zonemap_date_or_gate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val path = graft.StoreCache.getOrBuild("zmapd", d) { p =>
+          val zv = graft.operators.ZOrder.zValue(
+            Seq(expr("day DIV 16"), expr("pk DIV 79")), bits = 8)
+          lineitem(s, d).select(
+              // l_shipdate is TIMESTAMP_NTZ in the testdata — store
+              // the DATE projection (the zone-map's date-column case)
+              col("l_shipdate").cast("date").as("sd"),
+              datediff(col("l_shipdate"), to_date(lit("1992-01-01")))
+                .cast("long").as("day"),
+              col("l_partkey").as("pk"),
+              col("l_orderkey").as("ok"),
+              col("l_linenumber").as("ln"),
+              col("l_quantity").as("qty"))
+            .withColumn("rn", row_number().over(
+              Window.orderBy(zv, col("ok"), col("ln"))))
+            .select(col("sd"), col("pk"), col("qty"),
+              expr("(rn - 1) DIV 4096").as("zfile"))
+            .write.partitionBy("zfile").mode("overwrite").parquet(p)
+        }
+        val tbl = s.read.parquet(path)
+        graft.plans.ZoneMapPruneRule.clear()
+        val entry = graft.plans.ZoneMapPruneRule
+          .register(tbl, "zfile", Seq("sd", "pk"))
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.ZoneMapPruneRule)) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+
+              graft.plans.ZoneMapPruneRule
+        }
+        val q = tbl.filter(
+          (col("sd").between(lit(java.sql.Date.valueOf("1994-03-01")),
+            lit(java.sql.Date.valueOf("1994-05-31"))) ||
+            col("sd").between(lit(java.sql.Date.valueOf("1996-07-01")),
+              lit(java.sql.Date.valueOf("1996-09-30")))) &&
+            col("pk").between(500, 900))
+        // the receipt is the rule's OWN decision on the query's
+        // optimized condition (collectFirst is pre-order: the TOP
+        // Filter is the original predicate, above the injected IN)
+        val cond = q.queryExecution.optimizedPlan.collectFirst {
+          case org.apache.spark.sql.catalyst.plans.logical
+              .Filter(c, _) => c
+        }.get
+        val nTotal = entry.stats.length.toLong
+        val nRead = graft.plans.ZoneMapPruneRule
+          .survivorsForCond(entry, cond)
+          .map(_.length).getOrElse(entry.stats.length).toLong
+        q.agg(count(lit(1)).cast("long").as("n_rows"),
+            graft.queries.Exact.dsum(col("qty")).as("sum_qty"))
+          .select(col("n_rows"), col("sum_qty"),
+            lit(nTotal).as("n_files_total"),
+            lit(nRead).as("n_files_read"))
+      },
+      Some {
+        val zsql = sqlZ(Seq("day // 16", "pk // 79"), 8)
+        s"""WITH base AS (
+           |  SELECT CAST(l_shipdate AS DATE) AS sd,
+           |    date_diff('day', DATE '1992-01-01', l_shipdate)
+           |      AS day,
+           |    l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln,
+           |    l_quantity AS qty
+           |  FROM lineitem
+           |), zoned AS (
+           |  SELECT sd, pk, qty,
+           |    (row_number() OVER (ORDER BY $zsql, ok, ln) - 1) // 4096
+           |      AS zfile
+           |  FROM base
+           |), files AS (
+           |  SELECT zfile, MIN(sd) AS s_lo, MAX(sd) AS s_hi,
+           |    MIN(pk) AS p_lo, MAX(pk) AS p_hi
+           |  FROM zoned GROUP BY zfile
+           |), surv AS (
+           |  SELECT zfile FROM files
+           |  WHERE ((s_lo <= DATE '1994-05-31'
+           |            AND s_hi >= DATE '1994-03-01')
+           |      OR (s_lo <= DATE '1996-09-30'
+           |            AND s_hi >= DATE '1996-07-01'))
+           |    AND p_lo <= 900 AND p_hi >= 500
+           |)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  ${graft.queries.Exact.sqlDsum("qty")} AS sum_qty,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM files)
+           |    AS n_files_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+           |    AS n_files_read
+           |FROM zoned
+           |WHERE (sd BETWEEN DATE '1994-03-01' AND DATE '1994-05-31'
+           |    OR sd BETWEEN DATE '1996-07-01' AND DATE '1996-09-30')
+           |  AND pk BETWEEN 500 AND 900
+           |""".stripMargin
       })
   )
 }

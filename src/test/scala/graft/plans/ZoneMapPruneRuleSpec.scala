@@ -222,4 +222,94 @@ class ZoneMapPruneRuleSpec extends AnyFunSuite with SparkFixture
       scanned(t.filter(col("k") >= 700)) shouldBe Some(8)
     }
   }
+
+  private def scannedParts(
+      q: org.apache.spark.sql.DataFrame): Option[Int] = {
+    q.collect()
+    q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+  }
+
+  test("DATE predicates prune: day-since-epoch zones match folded " +
+      "DateType literals") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-zmap-date").toString + "/t"
+      // 4 files, one month each (1994-01 .. 1994-04)
+      (0 until 4).flatMap { f =>
+        (1 to 28).map(day =>
+          (java.sql.Date.valueOf(f"1994-${f + 1}%02d-$day%02d"),
+            f.toLong))
+      }.toDF("sd", "zfile")
+        .write.partitionBy("zfile").parquet(d)
+      val t = spark.read.parquet(d)
+      ZoneMapPruneRule.register(t, "zfile", Seq("sd"))
+      val q = t.filter(col("sd")
+        .between(lit(java.sql.Date.valueOf("1994-02-05")),
+          lit(java.sql.Date.valueOf("1994-02-20"))))
+      q.count() shouldBe 16L
+      scannedParts(q) shouldBe Some(1)
+      // strict date bound tightens by one DAY
+      val q2 = t.filter(col("sd") >
+        lit(java.sql.Date.valueOf("1994-03-28")))
+      q2.count() shouldBe 28L
+      scannedParts(q2) shouldBe Some(1)
+    }
+  }
+
+  test("OR-of-ranges prunes to the union of per-disjunct survivors, " +
+      "intersected with the other conjuncts") {
+    withRule {
+      val t = table
+      ZoneMapPruneRule.register(t, "zfile", Seq("k"))
+      // two disjoint ranges -> files 1 and 6 only
+      val q = t.filter(col("k").between(110, 190) ||
+        col("k").between(610, 690))
+      val want = {
+        ZoneMapPruneRule.clear()
+        val n = spark.read.parquet(dir)
+          .filter(col("k").between(110, 190) ||
+            col("k").between(610, 690)).count()
+        ZoneMapPruneRule.register(t, "zfile", Seq("k"))
+        n
+      }
+      q.count() shouldBe want
+      scannedParts(q) shouldBe Some(2)
+      // OR with an unrecognized disjunct must NOT prune by the OR
+      // (only the other conjuncts may) — soundness guard
+      val q2 = t.filter((col("k").between(110, 190) ||
+        col("u") < 5) && col("k") < 400)
+      scannedParts(q2) shouldBe Some(4) // k < 400 alone: files 0..3
+      // AND-composition: the OR's union intersects a plain bound
+      val q3 = t.filter((col("k").between(110, 190) ||
+        col("k").between(610, 690)) && col("k") < 400)
+      scannedParts(q3) shouldBe Some(1) // {1, 6} ∩ files 0..3 = {1}
+    }
+  }
+
+  test("delta-append + re-register workflow: appended ranges are " +
+      "found, scanned tightly, never over-pruned") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-zmap-delta").toString + "/t"
+      (0 until 200).map(i => (i.toLong, (i / 100).toLong))
+        .toDF("k", "zfile").write.partitionBy("zfile").parquet(d)
+      ZoneMapPruneRule.register(spark.read.parquet(d), "zfile",
+        Seq("k"))
+      // delta lands a new file whose range the OLD zones never saw
+      (0 until 100).map(i => (1000L + i, 2L)).toDF("k", "zfile")
+        .write.mode("append").partitionBy("zfile").parquet(d)
+      val t2 = spark.read.parquet(d)
+      ZoneMapPruneRule.register(t2, "zfile", Seq("k"))
+      val q = t2.filter(col("k") >= 1000)
+      q.count() shouldBe 100L // nothing over-pruned
+      scannedParts(q) shouldBe Some(1) // and the fresh zones prune
+    }
+  }
 }
