@@ -436,6 +436,32 @@ object ProductQuantizer {
       .limit(k)
   }
 
+  /** ADC top-k for ONE query served from a STORED codes table
+    * (vec_id, m, code) — the per-query serving mode: every query
+    * re-scans the codes store with its own literal LUT (flattened to
+    * one (M·K)-long array indexed by m·K + code). q322 prices a
+    * panel of these sequential scans against [[adcDistsPanel]]'s
+    * single shared scan — the broadcast-LUT-join form that amortizes
+    * the store read across the whole query batch; results are
+    * identical by construction (same codes, same scaled-long sums).
+    */
+  def adcTopKStored(emb: DataFrame, codes: DataFrame,
+      codebook: Array[Array[Array[Double]]], queryId: Long,
+      k: Int): DataFrame = {
+    val lut = adcLut(queryVector(emb, queryId), codebook)
+    val kk = lut(0).length
+    val flat: Array[Long] = lut.flatten.map(scaled12)
+    codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        element_at(typedLit(flat),
+          (col("m") * kk + col("code") + 1).cast("int")).as("ds"))
+      .groupBy("vec_id")
+      .agg((sum(col("ds")).cast(DoubleType) / lit(1e12))
+        .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF-PQ: the full-scale ANN serving scan. The coarse quantizer
     * (IVF cells = the label centroids, plain-double argmax as in
     * `EmbeddingSearch.ivfTopK`) prunes the corpus to the query's

@@ -2270,6 +2270,65 @@ object TextQueries {
               |SELECT doc_id, removed_by FROM ledger
               |ORDER BY doc_id""".stripMargin)),
 
+    // DELTA ledger (the r13 verdict's stretch item 10 — the
+    // incremental form that completes the dedup pipeline's
+    // build/serve/delta triad): a production corpus never re-judges
+    // shipped documents — base decisions are FROZEN, and a new batch
+    // is judged against the base's materialized fingerprint store
+    // plus itself. Split is by doc_id PREFIX (base = ids below the
+    // 4/5 quantile of max id, batch = the rest), which makes
+    // keep-first PROVABLY stable: every base id precedes every batch
+    // id, so the frozen-base judgment equals the full keep-first
+    // rebuild restricted to batch rows — the invariant
+    // DeltaLedgerSpec witnesses against an actual rebuild. The base
+    // store is one (fp, canonical_id) parquet (StoreCache, built
+    // once per dataset — O(distinct contents), the only state the
+    // delta path ever needs); the batch pass is one scan + one
+    // broadcast-ish fp join + one fp-window — O(|batch|), never
+    // O(corpus).
+    QueryDef(
+      "q321_delta_exact_ledger",
+      (s, d) => {
+        val docs = documents(s, d)
+        val thrDf = docs
+          .agg(expr("CAST(max(doc_id) * 4 DIV 5 AS BIGINT)").as("thr"))
+        val path = graft.StoreCache.getOrBuild("exactfp", d) { p =>
+          docs.crossJoin(broadcast(thrDf))
+            .filter(col("doc_id") < col("thr"))
+            .select(col("doc_id"), md5(col("text")).as("fp"))
+            .groupBy("fp").agg(min("doc_id").as("canonical_id"))
+            .write.mode("overwrite").parquet(p)
+        }
+        val base = s.read.parquet(path)
+        val batch = docs.crossJoin(broadcast(thrDf))
+          .filter(col("doc_id") >= col("thr"))
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        graft.llm.DedupClusters.deltaExactLedger(base, batch)
+          .orderBy("doc_id")
+      },
+      Some("""WITH thr AS (
+             |  SELECT CAST(MAX(doc_id) * 4 // 5 AS BIGINT) AS t
+             |  FROM documents
+             |), base AS (
+             |  SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id
+             |  FROM documents, thr WHERE doc_id < t
+             |  GROUP BY md5(text)
+             |), batch AS (
+             |  SELECT doc_id, md5(text) AS fp
+             |  FROM documents, thr WHERE doc_id >= t
+             |), j AS (
+             |  SELECT b.doc_id,
+             |    base.fp IS NOT NULL AS in_base,
+             |    row_number() OVER (PARTITION BY b.fp
+             |      ORDER BY b.doc_id) AS rnb
+             |  FROM batch b LEFT JOIN base ON base.fp = b.fp
+             |)
+             |SELECT doc_id,
+             |  CASE WHEN in_base THEN 'exact_dup_base'
+             |       WHEN rnb > 1 THEN 'exact_dup_batch'
+             |       ELSE 'kept' END AS removed_by
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
     // EXPORT manifests — the step that turns the kept corpus into
     // training shards a loader consumes: ledger-kept docs hash into
     // 8 shards (md5 — deterministic, balanced, placement needs no

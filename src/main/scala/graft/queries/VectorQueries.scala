@@ -424,6 +424,46 @@ object VectorQueries {
     * `padc(qid, vec_id, adc_dist)`. Mirrors
     * `ProductQuantizer.adcDistsPanel` bit-for-bit.
     */
+  /** The q220 panel-recall oracle (sampled-codebook ADC@20 vs exact
+    * L2@20 over the 20-query panel) — shared verbatim by q322, whose
+    * per-query stored-codes serving mode produces the identical
+    * result set by construction.
+    */
+  private lazy val pqPanelRecallOracle: String =
+    s"""$vecCtes, $evecCte, $pqCtes, $padcCte,
+       |pl2 AS (
+       |  SELECT q.vec_id AS qid, d.vec_id,
+       |    CAST(SUM(CAST((d.x - q.x) * (d.x - q.x)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS dist2
+       |  FROM dexp d JOIN dexp q USING (i)
+       |  WHERE q.vec_id < 20 AND d.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, d.vec_id
+       |), exact_top AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC)
+       |      AS rn
+       |    FROM pl2)
+       |  WHERE rn <= 20
+       |), adc_top AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC)
+       |      AS rn
+       |    FROM padc)
+       |  WHERE rn <= 20
+       |), kt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k_total
+       |  FROM exact_top
+       |)
+       |SELECT kt.k_total,
+       |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(kt.k_total AS DOUBLE)
+       |    AS recall
+       |FROM adc_top JOIN exact_top USING (qid, vec_id)
+       |CROSS JOIN kt
+       |GROUP BY kt.k_total""".stripMargin
+
   private val padcCte =
     """plut AS (
       |  SELECT vec_id AS qid, m, k, dist AS ldist
@@ -2196,39 +2236,7 @@ object VectorQueries {
             (col("overlap_cnt").cast("double") /
               col("k_total").cast("double")).as("recall"))
       },
-      Some(s"""$vecCtes, $evecCte, $pqCtes, $padcCte,
-              |pl2 AS (
-              |  SELECT q.vec_id AS qid, d.vec_id,
-              |    CAST(SUM(CAST((d.x - q.x) * (d.x - q.x)
-              |      AS DECIMAL(38,12))) AS DOUBLE) AS dist2
-              |  FROM dexp d JOIN dexp q USING (i)
-              |  WHERE q.vec_id < 20 AND d.vec_id <> q.vec_id
-              |  GROUP BY q.vec_id, d.vec_id
-              |), exact_top AS (
-              |  SELECT qid, vec_id FROM (
-              |    SELECT qid, vec_id, row_number() OVER (
-              |      PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC)
-              |      AS rn
-              |    FROM pl2)
-              |  WHERE rn <= 20
-              |), adc_top AS (
-              |  SELECT qid, vec_id FROM (
-              |    SELECT qid, vec_id, row_number() OVER (
-              |      PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC)
-              |      AS rn
-              |    FROM padc)
-              |  WHERE rn <= 20
-              |), kt AS (
-              |  SELECT CAST(COUNT(*) AS BIGINT) AS k_total
-              |  FROM exact_top
-              |)
-              |SELECT kt.k_total,
-              |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
-              |  CAST(COUNT(*) AS DOUBLE) / CAST(kt.k_total AS DOUBLE)
-              |    AS recall
-              |FROM adc_top JOIN exact_top USING (qid, vec_id)
-              |CROSS JOIN kt
-              |GROUP BY kt.k_total""".stripMargin)),
+      Some(pqPanelRecallOracle)),
 
     // IVF-PQ (IVFADC, Jégou et al. §V): the full-scale ANN serving
     // scan. Coarse quantizer = the label centroids (argmax as q67);
@@ -3375,7 +3383,163 @@ object VectorQueries {
                 col("k_total").cast("double")).as("recall_trained"))
         }.reduce(_ unionByName _).orderBy("nprobe")
       },
-      None)
+      None),
+
+    // PER-QUERY serving mode priced against the panel-shared scan
+    // (the r13 verdict's stretch item 9): q220 serves the whole
+    // 20-query panel from ONE stored-codes scan (adcDistsPanel's
+    // broadcast-LUT join); this row computes the IDENTICAL result by
+    // the naive serving shape — one codes-store scan PER QUERY, each
+    // with its own literal LUT (ProductQuantizer.adcTopKStored). Same
+    // codes, same scaled-long sums, so the oracle is q220's verbatim;
+    // the bench delta between this row and q220 is the measured price
+    // of not batching queries — the number that justifies the
+    // panel-shared architecture at 100 TB, where the codes scan is
+    // the dominant cost and a query batch amortizes it.
+    QueryDef(
+      "q322_adc_per_query_serving",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val cb = graft.llm.ProductQuantizer
+          .codebookFromCorpus(emb, numSub = 8, codesPerSub = 16)
+        val codes = pqCodes(s, d)
+        val adcTop = (0L until PanelN.toLong).map { qid =>
+          graft.llm.ProductQuantizer
+            .adcTopKStored(emb, codes, cb, qid, 20)
+            .select(lit(qid).as("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        val qs2 = panelQs(emb)
+        val diff = zip_with(col("embedding").cast("array<double>"),
+          col("q_emb").cast("array<double>"), (x, y) => x - y)
+        val exactTop = graft.plans.GroupedTopK.of(
+          emb.crossJoin(broadcast(qs2))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              fdot(diff, diff).as("dist2")),
+          Seq("qid"), Seq(col("dist2").asc, col("vec_id").asc), 20)
+          .select("qid", "vec_id")
+        adcTop.join(exactTop, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).cast("long").as("overlap_cnt"))
+          .crossJoin(broadcast(exactTop
+            .agg(count(lit(1)).cast("long").as("k_total"))))
+          .select(col("k_total"), col("overlap_cnt"),
+            (col("overlap_cnt").cast("double") /
+              col("k_total").cast("double")).as("recall"))
+      },
+      Some(pqPanelRecallOracle)),
+
+    // Held-out PQ ADC (extends the q318 held-out table to the PQ
+    // rung): codebook sampled from CORPUS vectors 20..35 (q220
+    // samples 1..16 — held-out ids), codes encoded for the corpus
+    // only, ADC@20 vs the held-out exact L2@20 truth. Same
+    // scaled-long/decimal precision parity as q220, so the held-out
+    // recall hash-gates cross-engine; the in-corpus/held-out pair
+    // (q220 vs this row) is the PQ transfer check.
+    QueryDef(
+      "q323_heldout_pq_recall",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") >= PanelN)
+        val rows = emb.filter(col("vec_id").between(PanelN, PanelN + 15))
+          .select("vec_id", "embedding").collect()
+          .sortBy(_.getLong(0))
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        require(rows.length == 16,
+          s"held-out codebook needs corpus vectors 20..35 (${rows.length})")
+        val cbH = Array.tabulate(8, 16)((m, k) =>
+          rows(k).slice(m * 8, (m + 1) * 8))
+        val adc = graft.llm.ProductQuantizer.adcDistsPanel(s, emb,
+          cbH, PanelN,
+          Some(graft.llm.ProductQuantizer.encode(corpus, cbH)))
+        val adcTop = graft.plans.GroupedTopK.of(adc, Seq("qid"),
+          Seq(col("adc_dist").asc, col("vec_id").asc), 20)
+          .select("qid", "vec_id")
+        val qs2 = panelQs(emb)
+        val diff = zip_with(col("embedding").cast("array<double>"),
+          col("q_emb").cast("array<double>"), (x, y) => x - y)
+        val exactTop = graft.plans.GroupedTopK.of(
+          corpus.crossJoin(broadcast(qs2))
+            .select(col("qid"), col("vec_id"),
+              fdot(diff, diff).as("dist2")),
+          Seq("qid"), Seq(col("dist2").asc, col("vec_id").asc), 20)
+          .select("qid", "vec_id")
+        adcTop.join(exactTop, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).cast("long").as("overlap_cnt"))
+          .crossJoin(broadcast(exactTop
+            .agg(count(lit(1)).cast("long").as("k_total"))))
+          .select(col("k_total"), col("overlap_cnt"),
+            (col("overlap_cnt").cast("double") /
+              col("k_total").cast("double")).as("recall"))
+      },
+      Some(s"""$vecCtes, $evecCte,
+              |ms AS (SELECT unnest(range(0,8)) AS m),
+              |subs AS (
+              |  SELECT e.vec_id, ms.m,
+              |    list_transform(range(1,9),
+              |      j -> e.v[CAST(ms.m*8+j AS INTEGER)]) AS sv
+              |  FROM evec e CROSS JOIN ms
+              |), cb_h AS (
+              |  SELECT vec_id - 20 AS k, m, sv AS cv FROM subs
+              |  WHERE vec_id BETWEEN 20 AND 35
+              |), dists_h AS (
+              |  SELECT s.vec_id, s.m, c.k,
+              |    ((list_reduce(list_transform(range(1,9),
+              |          j -> s.sv[j]*s.sv[j]), (a,b) -> a+b)
+              |      - (list_reduce(list_transform(range(1,9),
+              |          j -> s.sv[j]*c.cv[j]), (a,b) -> a+b) * 2))
+              |     + list_reduce(list_transform(range(1,9),
+              |          j -> c.cv[j]*c.cv[j]), (a,b) -> a+b)) AS dist
+              |  FROM subs s JOIN cb_h c ON c.m = s.m
+              |), codes_h AS (
+              |  SELECT vec_id, m, k FROM (
+              |    SELECT vec_id, m, k,
+              |      row_number() OVER (PARTITION BY vec_id, m
+              |        ORDER BY dist ASC, k ASC) AS rn
+              |    FROM dists_h WHERE vec_id >= 20) WHERE rn = 1
+              |), plut_h AS (
+              |  SELECT vec_id AS qid, m, k, dist AS ldist
+              |  FROM dists_h WHERE vec_id < 20
+              |), padc_h AS (
+              |  SELECT l.qid, cd.vec_id,
+              |    CAST(SUM(CAST(l.ldist AS DECIMAL(38,12))) AS DOUBLE)
+              |      AS adc_dist
+              |  FROM codes_h cd JOIN plut_h l
+              |    ON l.m = cd.m AND l.k = cd.k
+              |  GROUP BY l.qid, cd.vec_id
+              |), pl2_h AS (
+              |  SELECT q.vec_id AS qid, d.vec_id,
+              |    CAST(SUM(CAST((d.x - q.x) * (d.x - q.x)
+              |      AS DECIMAL(38,12))) AS DOUBLE) AS dist2
+              |  FROM dexp d JOIN dexp q USING (i)
+              |  WHERE q.vec_id < 20 AND d.vec_id >= 20
+              |  GROUP BY q.vec_id, d.vec_id
+              |), exact_top_h AS (
+              |  SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC)
+              |      AS rn
+              |    FROM pl2_h)
+              |  WHERE rn <= 20
+              |), adc_top_h AS (
+              |  SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC)
+              |      AS rn
+              |    FROM padc_h)
+              |  WHERE rn <= 20
+              |), kt AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS k_total
+              |  FROM exact_top_h
+              |)
+              |SELECT kt.k_total,
+              |  CAST(COUNT(*) AS BIGINT) AS overlap_cnt,
+              |  CAST(COUNT(*) AS DOUBLE) / CAST(kt.k_total AS DOUBLE)
+              |    AS recall
+              |FROM adc_top_h JOIN exact_top_h USING (qid, vec_id)
+              |CROSS JOIN kt
+              |GROUP BY kt.k_total""".stripMargin))
   )
 
   /** 64-dim float vector → two 32-bit sign words (`lo` dims 1–32,
