@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, max, min, unix_date}
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Zone-map file pruning as an automatic optimizer rule — the
   * planner half of the Z-order story (q148 gates the curve
@@ -24,11 +25,16 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
   *
   * Correctness constraints, enforced structurally:
   *  - only conjuncts of the forms `col (=, <, <=, >, >=) literal`
-  *    (either operand order) over INTEGRAL clustered columns
-  *    contribute bounds; every unrecognized conjunct is simply
-  *    ignored — it can only make the true row set SMALLER than the
-  *    bounds imply, so pruning by the recognized bounds alone never
-  *    drops a matching row. Strict bounds tighten by ±1 (integers).
+  *    (either operand order) and `col IN (...)` over INTEGRAL,
+  *    DATE (days-since-epoch zones), or STRING (binary-order
+  *    min/max zones; plus ASCII-prefix `LIKE 'p%'`) clustered
+  *    columns contribute bounds; an OR conjunct whose every
+  *    disjunct is recognized prunes to the union of disjunct
+  *    survivors. Every unrecognized conjunct is simply ignored — it
+  *    can only make the true row set SMALLER than the bounds imply,
+  *    so pruning by the recognized bounds alone never drops a
+  *    matching row. Strict bounds tighten by ±1 (integers/dates;
+  *    strings stay inclusive).
   *  - a file survives unless SOME bounded column's zone is fully
   *    outside the predicate's range — the exact row-group rule a
   *    parquet reader applies to footer stats.
@@ -56,7 +62,8 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   final case class Entry(tablePlan: LogicalPlan, fileCol: String,
       cols: Seq[String], stats: Seq[(Long, Map[String, (Long, Long)])],
-      hasNullFile: Boolean = false)
+      hasNullFile: Boolean = false,
+      strStats: Map[Long, Map[String, (String, String)]] = Map.empty)
 
   private val entries =
     new java.util.concurrent.CopyOnWriteArrayList[Entry]()
@@ -76,27 +83,44 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       cols: Seq[String]): Entry = {
     // DATE zones ride as days-since-epoch longs (unix_date) — the
     // same integral form extractBounds produces from a folded
-    // DateType literal, so date predicates prune like integer ones
-    val aggs = cols.flatMap { c =>
+    // DateType literal, so date predicates prune like integer ones.
+    // STRING columns get min/max string zones (UTF8String binary
+    // order on both the aggregate and the driver-side decision).
+    val strCols = cols.filter(c =>
+      table.schema(c).dataType == StringType)
+    val numCols = cols.filterNot(strCols.contains)
+    val aggs = numCols.flatMap { c =>
       val v =
         if (table.schema(c).dataType == DateType) unix_date(col(c))
         else col(c)
       Seq(min(v).cast("long").as(s"lo_$c"),
         max(v).cast("long").as(s"hi_$c"))
-    }
+    } ++ strCols.flatMap(c =>
+      Seq(min(col(c)).as(s"slo_$c"), max(col(c)).as(s"shi_$c")))
     val rows = table.groupBy(col(fileCol).cast("long").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val hasNullFile = rows.exists(_.isNullAt(0))
     val stats = rows.filterNot(_.isNullAt(0))
       .map { r =>
-        r.getLong(0) -> cols.zipWithIndex.flatMap { case (c, i) =>
+        r.getLong(0) -> numCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
           else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
         }.toMap
       }.toSeq
+    val sBase = 1 + 2 * numCols.length
+    val strStats = rows.filterNot(_.isNullAt(0))
+      .map { r =>
+        r.getLong(0) -> strCols.zipWithIndex.flatMap { case (c, j) =>
+          if (r.isNullAt(sBase + 2 * j) || r.isNullAt(sBase + 2 * j + 1))
+            None
+          else Some(c -> (r.getString(sBase + 2 * j),
+            r.getString(sBase + 2 * j + 1)))
+        }.toMap
+      }.toMap
     val analyzed = table.queryExecution.analyzed
-    val e = Entry(analyzed, fileCol, cols, stats, hasNullFile)
+    val e = Entry(analyzed, fileCol, cols, stats, hasNullFile,
+      strStats)
     entries.removeIf(
       (prev: Entry) => prev.tablePlan.sameResult(analyzed))
     entries.add(e)
@@ -121,8 +145,124 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
           } => f
     }.toSeq.sorted
 
+  /** UTF8String binary comparison — the order Spark's string min/max
+    * aggregates and DuckDB's default collation both use, so the
+    * driver-side decision can never disagree with the stored zones.
+    */
+  private def sCmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  /** Exclusive-ish successor of an ASCII prefix: the smallest string
+    * (binary order) above every string starting with `p`, by
+    * incrementing the last char. Restricted to pure-ASCII prefixes —
+    * byte order and char order coincide there; any other prefix is
+    * unrecognized (sound: the LIKE conjunct just contributes only
+    * its lower bound).
+    */
+  private def asciiNextPrefix(p: String): Option[String] =
+    if (p.isEmpty || !p.forall(_ < 0x80.toChar)) None
+    else Some(p.init + (p.last + 1).toChar)
+
+  /** String-zone check: survives unless some bounded column's string
+    * zone is fully outside [lo, hi] (binary order, inclusive — a
+    * strict string bound is treated as inclusive, over-including
+    * only).
+    */
+  private def strOk(zones: Map[String, (String, String)],
+      bounds: Map[String, (Option[String], Option[String])]): Boolean =
+    bounds.forall { case (c, (lo, hi)) =>
+      zones.get(c).forall { case (zlo, zhi) =>
+        lo.forall(l => sCmp(zhi, l) >= 0) &&
+          hi.forall(h => sCmp(zlo, h) <= 0)
+      }
+    }
+
+  /** Extract per-column string [lo, hi] bounds: equality, IN hulls,
+    * range comparisons (strict treated as inclusive — strings have
+    * no ±1), and ASCII-prefix `LIKE 'p%'` (StartsWith) as
+    * [p, asciiNextPrefix(p)].
+    */
+  def extractStrBounds(cond: Expression, cols: Seq[String])
+      : Map[String, (Option[String], Option[String])] = {
+    val colSet = cols.toSet
+    def strAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if colSet.contains(a.name) && a.dataType == StringType =>
+        Some(a.name)
+      case _ => None
+    }
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
+      case _ => None
+    }
+    var b = Map.empty[String, (Option[String], Option[String])]
+      .withDefaultValue((None, None))
+    def addLo(c: String, v: String): Unit = {
+      val (lo, hi) = b(c)
+      b += c -> (Some(lo.fold(v)(l => if (sCmp(l, v) >= 0) l else v)),
+        hi)
+    }
+    def addHi(c: String, v: String): Unit = {
+      val (lo, hi) = b(c)
+      b += c -> (lo,
+        Some(hi.fold(v)(h => if (sCmp(h, v) <= 0) h else v)))
+    }
+    splitConjunctivePredicates(cond).foreach {
+      case EqualTo(a, l) if strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) { addLo(c, v); addHi(c, v) }
+      case EqualTo(l, a) if litStr(l).isDefined && strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) { addLo(c, v); addHi(c, v) }
+      case GreaterThanOrEqual(a, l) if strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) addLo(c, v)
+      case GreaterThan(a, l) if strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) addLo(c, v)
+      case LessThanOrEqual(a, l) if strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) addHi(c, v)
+      case LessThan(a, l) if strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) addHi(c, v)
+      // literal-on-the-left spellings
+      case GreaterThanOrEqual(l, a)
+          if litStr(l).isDefined && strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) addHi(c, v)
+      case GreaterThan(l, a)
+          if litStr(l).isDefined && strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) addHi(c, v)
+      case LessThanOrEqual(l, a)
+          if litStr(l).isDefined && strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) addLo(c, v)
+      case LessThan(l, a)
+          if litStr(l).isDefined && strAttr(a).isDefined =>
+        for (c <- strAttr(a); v <- litStr(l)) addLo(c, v)
+      case In(a, vs) if strAttr(a).isDefined && vs.nonEmpty =>
+        val ss = vs.map(litStr)
+        if (ss.forall(_.isDefined)) {
+          val l = ss.flatten
+          for (c <- strAttr(a)) {
+            addLo(c, l.reduce((x, y) => if (sCmp(x, y) <= 0) x else y))
+            addHi(c, l.reduce((x, y) => if (sCmp(x, y) >= 0) x else y))
+          }
+        }
+      case StartsWith(a, l) if strAttr(a).isDefined =>
+        for (c <- strAttr(a); p <- litStr(l)) {
+          addLo(c, p)
+          asciiNextPrefix(p).foreach(addHi(c, _))
+        }
+      case _ => ()
+    }
+    b.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
+  }
+
+  /** Survivors under BOTH bound classes — numeric and string zones
+    * must each intersect for a file to survive.
+    */
+  private def survivorsBoth(e: Entry,
+      nb: Map[String, (Option[Long], Option[Long])],
+      sb: Map[String, (Option[String], Option[String])]): Seq[Long] =
+    survivors(e, nb).filter(f =>
+      strOk(e.strStats.getOrElse(f, Map.empty), sb))
+
   /** The FULL per-condition decision: the conjunction's combined
-    * plain bounds (today's path), intersected with — for every
+    * plain bounds (numeric + string), intersected with — for every
     * top-level OR conjunct whose EVERY disjunct yields recognized
     * bounds — the union of the disjuncts' survivor sets. A row
     * satisfying the OR satisfies some disjunct, whose recognized
@@ -134,15 +274,18 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   def survivorsForCond(e: Entry,
       cond: Expression): Option[Seq[Long]] = {
-    val plain = extractBounds(cond, e.cols)
-    var surv: Option[Set[Long]] =
-      if (plain.nonEmpty) Some(survivors(e, plain).toSet) else None
+    def one(c: Expression): Option[Set[Long]] = {
+      val nb = extractBounds(c, e.cols)
+      val sb = extractStrBounds(c, e.cols)
+      if (nb.isEmpty && sb.isEmpty) None
+      else Some(survivorsBoth(e, nb, sb).toSet)
+    }
+    var surv: Option[Set[Long]] = one(cond)
     splitConjunctivePredicates(cond).foreach {
       case o: Or =>
-        val bs = splitDisjunctivePredicates(o)
-          .map(extractBounds(_, e.cols))
-        if (bs.forall(_.nonEmpty)) {
-          val u = bs.flatMap(b => survivors(e, b)).toSet
+        val ds = splitDisjunctivePredicates(o).map(one)
+        if (ds.forall(_.isDefined)) {
+          val u = ds.flatMap(_.get).toSet
           surv = Some(surv.fold(u)(_ intersect u))
         }
       case _ => ()

@@ -745,6 +745,85 @@ object ScaleQueries {
            |    OR sd BETWEEN DATE '1996-07-01' AND DATE '1996-09-30')
            |  AND pk BETWEEN 500 AND 900
            |""".stripMargin
-      })
+      }),
+
+    // STRING zone-map gate (the third predicate class after
+    // integral/date q311 and OR-of-dates q320): a documents layout
+    // clustered by (lang, source) gets string min/max zones
+    // (UTF8String binary order on both the aggregate and the
+    // driver decision — the order DuckDB's default collation also
+    // uses), and the query mixes string equality, ASCII-prefix
+    // LIKE (StartsWith → [p, nextPrefix(p)]), and an OR — the
+    // corpus-slicing predicate ("this language from these sources")
+    // every training-data pipeline runs. Receipt discipline as
+    // q311/q320: n_files_read is survivorsForCond on the optimized
+    // condition, oracle-recomputed from per-file min/max strings.
+    QueryDef(
+      "q324_zonemap_string_gate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val path = graft.StoreCache.getOrBuild("zmaps", d) { p =>
+          documents(s, d)
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"))
+            .withColumn("rn", row_number().over(
+              Window.orderBy(col("lang"), col("source"),
+                col("doc_id"))))
+            .select(col("lang"), col("source"), col("n_chars"),
+              expr("(rn - 1) DIV 64").as("zfile"))
+            .write.partitionBy("zfile").mode("overwrite").parquet(p)
+        }
+        val tbl = s.read.parquet(path)
+        graft.plans.ZoneMapPruneRule.clear()
+        val entry = graft.plans.ZoneMapPruneRule
+          .register(tbl, "zfile", Seq("lang", "source"))
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.ZoneMapPruneRule)) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+
+              graft.plans.ZoneMapPruneRule
+        }
+        val q = tbl.filter(
+          (col("lang") === "en" && col("source").like("src1%")) ||
+            col("lang") === "de")
+        val cond = q.queryExecution.optimizedPlan.collectFirst {
+          case org.apache.spark.sql.catalyst.plans.logical
+              .Filter(c, _) => c
+        }.get
+        val nTotal = entry.stats.length.toLong
+        val nRead = graft.plans.ZoneMapPruneRule
+          .survivorsForCond(entry, cond)
+          .map(_.length).getOrElse(entry.stats.length).toLong
+        q.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(col("n_rows"), col("sum_chars"),
+            lit(nTotal).as("n_files_total"),
+            lit(nRead).as("n_files_read"))
+      },
+      Some("""WITH zoned AS (
+             |  SELECT lang, source, n_chars,
+             |    (row_number() OVER (ORDER BY lang, source, doc_id)
+             |      - 1) // 64 AS zfile
+             |  FROM documents
+             |), files AS (
+             |  SELECT zfile,
+             |    MIN(lang) AS l_lo, MAX(lang) AS l_hi,
+             |    MIN(source) AS s_lo, MAX(source) AS s_hi
+             |  FROM zoned GROUP BY zfile
+             |), surv AS (
+             |  SELECT zfile FROM files
+             |  WHERE (l_lo <= 'en' AND l_hi >= 'en'
+             |          AND s_lo <= 'src2' AND s_hi >= 'src1')
+             |     OR (l_lo <= 'de' AND l_hi >= 'de')
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM files)
+             |    AS n_files_total,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+             |    AS n_files_read
+             |FROM zoned
+             |WHERE (lang = 'en' AND source LIKE 'src1%')
+             |   OR lang = 'de'""".stripMargin))
   )
 }

@@ -291,6 +291,51 @@ class ZoneMapPruneRuleSpec extends AnyFunSuite with SparkFixture
     }
   }
 
+  private lazy val strDir = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-zmap-str").toString + "/t"
+    // 4 files, lang perfectly clustered; v clustered 100-blocks
+    Seq("de", "en", "fr", "it").zipWithIndex.flatMap { case (lg, f) =>
+      (0 until 100).map(i => (lg, (f * 100 + i).toLong, f.toLong))
+    }.toDF("lang", "v", "zfile")
+      .write.partitionBy("zfile").parquet(d)
+    d
+  }
+
+  test("STRING zones prune equality, IN hulls, ranges, and " +
+      "ASCII-prefix LIKE") {
+    withRule {
+      val t = spark.read.parquet(strDir)
+      ZoneMapPruneRule.register(t, "zfile", Seq("lang", "v"))
+      def sc(q: org.apache.spark.sql.DataFrame): Option[Int] =
+        scannedParts(q)
+      val qe = t.filter(col("lang") === "en")
+      qe.count() shouldBe 100L
+      sc(qe) shouldBe Some(1)
+      val qi = t.filter(col("lang").isin("de", "en"))
+      qi.count() shouldBe 200L
+      sc(qi) shouldBe Some(2) // hull [de, en]
+      val qp = t.filter(col("lang").like("f%"))
+      qp.count() shouldBe 100L
+      sc(qp) shouldBe Some(1) // [f, g) via asciiNextPrefix
+      val qr = t.filter(col("lang") >= "fr")
+      qr.count() shouldBe 200L
+      sc(qr) shouldBe Some(2)
+      // mixed classes AND-compose: string bound ∩ numeric bound = ∅
+      // (an empty IN folds to false and the scan itself may be
+      // optimized away — 0 scanned or no scan node both mean pruned)
+      val qm = t.filter(col("lang") >= "en" && col("v") < 50)
+      qm.count() shouldBe 0L
+      sc(qm).getOrElse(0) shouldBe 0
+      // string OR-of-equalities prunes to the union {de, it}
+      val qo = t.filter(col("lang") === "de" || col("lang") === "it")
+      qo.count() shouldBe 200L
+      sc(qo) shouldBe Some(2)
+    }
+  }
+
   test("delta-append + re-register workflow: appended ranges are " +
       "found, scanned tightly, never over-pruned") {
     withRule {
