@@ -613,6 +613,59 @@ object StatefulOps {
 
   final case class KmvGroupSketch(group: String, hashes: Array[Long])
 
+  /** Parallel-array snapshot of a group's bottom-k-hash quantile
+    * sample (hv(i), v(i) pairs sorted by (hv, v)).
+    */
+  final case class QuantileGroupSketch(group: String,
+      hv: Array[Long], v: Array[Long])
+
+  /** Streaming quantile sample: per-group bottom-k-hash uniform
+    * sample maintained in keyed state — the online counterpart of
+    * [[graft.operators.QuantileSample.build]], the way streamingKmv
+    * mirrors the batch KMV. Each invocation folds the batch's
+    * (rowKeyHash, value) pairs into the group's ≤ k smallest-hash
+    * sample; "k smallest of a union" is associative and
+    * order-insensitive, so the final state is bit-equal to the batch
+    * sketch over the same rows (StreamingQuantileSpec). State is
+    * ≤ k (long, long) pairs per group at any stream length; the
+    * usual `stateTtl` contract bounds the group set (eviction
+    * re-emits the final sketch, idempotent for an Update-mode sink).
+    */
+  def streamingQuantileSample(spark: SparkSession, rows: DataFrame,
+      groupCol: String, keyCol: String, valueCol: String, k: Int,
+      stateTtl: Option[String] = None): Dataset[QuantileGroupSketch] = {
+    import spark.implicits._
+    require(k >= 1, s"streamingQuantileSample: k must be >= 1, got $k")
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string"),
+        graft.operators.QuantileSample.qhash(col(keyCol)),
+        col(valueCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[(Long, Long)], QuantileGroupSketch](
+        timeoutConf) {
+        case (g, it, state) =>
+          def snap(s: Array[(Long, Long)]) =
+            QuantileGroupSketch(g, s.map(_._1), s.map(_._2))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            snap(s) // final snapshot — idempotent
+          } else {
+            val cur = state.getOption.getOrElse(Array.empty[(Long, Long)])
+            val merged = (cur.iterator ++ it.map(r => (r._2, r._3)))
+              .toArray.sorted.take(k)
+            state.update(merged)
+            stateTtl.foreach(state.setTimeoutDuration)
+            snap(merged)
+          }
+      }
+  }
+
   /** Streaming KMV theta sketch: per-group k-minimum-values distinct
     * monitor maintained in keyed state (the online counterpart of
     * [[graft.operators.KmvSketch.build]], the way the streaming CMS
