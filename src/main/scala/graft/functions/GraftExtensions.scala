@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapPruneRule)
+    ext.injectOptimizerRule(_ => graft.plans.BloomSkipRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

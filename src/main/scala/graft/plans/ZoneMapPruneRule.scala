@@ -129,6 +129,63 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
   def clear(): Unit = entries.clear()
 
+  /** Incremental freshness: fold ONLY the appended rows' zones into
+    * a previous registration — at 100 TB a full re-register re-scans
+    * the table to rebuild stats the delta didn't touch, while this
+    * is one O(delta)-row aggregate (the manifest-update a table
+    * format performs on commit). `newTable` is the post-append read
+    * (its analyzed plan replaces the stale match key, so the updated
+    * zones serve the new plan); `delta` holds exactly the appended
+    * rows with the same schema. A delta file already present merges
+    * by interval union (min of mins / max of maxes — an appended row
+    * can only WIDEN a zone, never shrink it, so merged zones are the
+    * zones a full rebuild would produce; ZoneMapPruneRuleSpec pins
+    * the equivalence).
+    */
+  def addDelta(prev: Entry, newTable: DataFrame,
+      delta: DataFrame): Entry = {
+    val d = register(delta, prev.fileCol, prev.cols)
+    entries.remove(d) // register() added the delta-only entry; drop it
+    val files = (prev.stats.map(_._1) ++ d.stats.map(_._1)).distinct
+    val dNum = d.stats.toMap
+    val pNum = prev.stats.toMap
+    val stats = files.map { f =>
+      val merged = (pNum.getOrElse(f, Map.empty).keySet ++
+        dNum.getOrElse(f, Map.empty).keySet).map { c =>
+        (pNum.getOrElse(f, Map.empty).get(c),
+            dNum.getOrElse(f, Map.empty).get(c)) match {
+          case (Some((alo, ahi)), Some((blo, bhi))) =>
+            c -> (math.min(alo, blo), math.max(ahi, bhi))
+          case (Some(z), None) => c -> z
+          case (None, Some(z)) => c -> z
+          case (None, None) => c -> (Long.MinValue, Long.MaxValue)
+        }
+      }.toMap
+      f -> merged
+    }
+    val strStats = files.map { f =>
+      val p = prev.strStats.getOrElse(f, Map.empty)
+      val q = d.strStats.getOrElse(f, Map.empty)
+      f -> (p.keySet ++ q.keySet).map { c =>
+        (p.get(c), q.get(c)) match {
+          case (Some((alo, ahi)), Some((blo, bhi))) =>
+            c -> (if (sCmp(alo, blo) <= 0) alo else blo,
+              if (sCmp(ahi, bhi) >= 0) ahi else bhi)
+          case (Some(z), None) => c -> z
+          case (None, Some(z)) => c -> z
+          case (None, None) => c -> ("", "")
+        }
+      }.toMap
+    }.filter(_._2.nonEmpty).toMap
+    val analyzed = newTable.queryExecution.analyzed
+    val e = Entry(analyzed, prev.fileCol, prev.cols, stats,
+      prev.hasNullFile || d.hasNullFile, strStats)
+    entries.removeIf(
+      (p: Entry) => p.tablePlan.sameResult(analyzed))
+    entries.add(e)
+    e
+  }
+
   /** The decision function, shared with the q311 gate's files-read
     * receipt so the declared number IS the rule's own pruning:
     * survivors = files whose every bounded column's zone intersects

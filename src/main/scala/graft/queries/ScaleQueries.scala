@@ -824,6 +824,140 @@ object ScaleQueries {
              |    AS n_files_read
              |FROM zoned
              |WHERE (lang = 'en' AND source LIKE 'src1%')
-             |   OR lang = 'de'""".stripMargin))
+             |   OR lang = 'de'""".stripMargin)),
+
+    // Bloom file-skipping gate: the point-lookup complement to the
+    // zone-map family (q311/q320/q324). The store is hash-bucketed by
+    // doc_id — deliberately UNCLUSTERED, the layout where every
+    // file's [min, max] zone spans the whole domain and zone maps
+    // prune nothing — and BloomSkipRule's per-file md5-derived
+    // filters (m=4096 bits, k=3 probes) prune a doc_id IN (...)
+    // lookup to just the files whose filters hit. Receipt discipline
+    // as the zone gates: n_files_read is survivorsForCond on the
+    // query's optimized condition, and the oracle recomputes the
+    // SAME filter bits and the SAME survivor decision in DuckDB
+    // (identical md5 bit positions), so the declared receipt is the
+    // rule's pruning, bit for bit. Bloom false positives only ADD
+    // surviving files — both engines compute them identically, and
+    // the aggregate itself is over the full predicate either way.
+    QueryDef(
+      "q325_bloomskip_point_lookup",
+      (s, d) => {
+        val path = graft.StoreCache.getOrBuild("bloomf", d) { p =>
+          documents(s, d)
+            .where(col("doc_id").isNotNull)
+            .select(col("doc_id"), col("n_chars"),
+              (expr("cast(conv(substring(md5(cast(doc_id as " +
+                "string)),1,13),16,10) as bigint)") % 32)
+                .as("zfile"))
+            .write.partitionBy("zfile").mode("overwrite").parquet(p)
+        }
+        val tbl = s.read.parquet(path)
+        graft.plans.BloomSkipRule.clear()
+        val entry = graft.plans.BloomSkipRule
+          .register(tbl, "zfile", Seq("doc_id"))
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.BloomSkipRule)) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+
+              graft.plans.BloomSkipRule
+        }
+        val q = tbl.filter(col("doc_id").isin(42L, 123L, 321L))
+        val cond = q.queryExecution.optimizedPlan.collectFirst {
+          case org.apache.spark.sql.catalyst.plans.logical
+              .Filter(c, _) => c
+        }.get
+        val nTotal = entry.files.length.toLong
+        val nRead = graft.plans.BloomSkipRule
+          .survivorsForCond(entry, cond)
+          .map(_.length).getOrElse(entry.files.length).toLong
+        q.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(col("n_rows"), col("sum_chars"),
+            lit(nTotal).as("n_files_total"),
+            lit(nRead).as("n_files_read"))
+      },
+      Some("""WITH zoned AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+             |      1, 13) AS BIGINT) % 32 AS zfile
+             |  FROM documents WHERE doc_id IS NOT NULL
+             |), probes AS (SELECT range AS i FROM range(3)),
+             |bits AS (
+             |  SELECT DISTINCT zfile,
+             |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+             |      || ':' || CAST(i AS VARCHAR)), 1, 13) AS BIGINT)
+             |      % 4096 AS bp
+             |  FROM zoned, probes
+             |), lits(v) AS (VALUES (42), (123), (321)),
+             |litbits AS (
+             |  SELECT DISTINCT v,
+             |    CAST('0x' || substring(md5(CAST(v AS VARCHAR)
+             |      || ':' || CAST(i AS VARCHAR)), 1, 13) AS BIGINT)
+             |      % 4096 AS bp
+             |  FROM lits, probes
+             |), need AS (
+             |  SELECT v, COUNT(*) AS k FROM litbits GROUP BY v
+             |), hitcnt AS (
+             |  SELECT b.zfile, lb.v, COUNT(DISTINCT lb.bp) AS hit
+             |  FROM litbits lb JOIN bits b ON b.bp = lb.bp
+             |  GROUP BY b.zfile, lb.v
+             |), surv AS (
+             |  SELECT DISTINCT h.zfile
+             |  FROM hitcnt h JOIN need n ON n.v = h.v
+             |  WHERE h.hit = n.k
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  (SELECT CAST(COUNT(DISTINCT zfile) AS BIGINT)
+             |    FROM zoned) AS n_files_total,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+             |    AS n_files_read
+             |FROM zoned WHERE doc_id IN (42, 123, 321)""".stripMargin)),
+
+    // Mergeable quantile sketch (QuantileSample): per-group p50/p90
+    // by bottom-k-hash uniform sampling — the quantile member of the
+    // deterministic sketch family (KMV q247, CMS q287, HLL q42). The
+    // sample is the k=128 rows with smallest salted md5(doc_id) per
+    // lang (one GroupedTopK pass, map-side bounded heaps; sketch
+    // state ≤ k rows per group at any corpus size), and the estimate
+    // is the nearest-rank value on the sorted sample with the rank
+    // in INTEGER arithmetic — so DuckDB recomputes the identical
+    // sample and the identical estimate (float ceil(p·n) would
+    // diverge when p·n is decimal-integral). Merge ≡ fresh build is
+    // pinned in QuantileSampleSpec.
+    QueryDef(
+      "q326_quantile_sample",
+      (s, d) => {
+        val sk = graft.operators.QuantileSample.build(
+          documents(s, d), "lang", "doc_id", "n_chars", 128)
+        graft.operators.QuantileSample.quantiles(sk, "lang",
+            Seq((1, 2, "p50_est"), (9, 10, "p90_est")))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH hashed AS (
+             |  SELECT lang, n_chars,
+             |    CAST('0x' || substring(md5('qsk#'
+             |      || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+             |      AS hv
+             |  FROM documents WHERE n_chars IS NOT NULL
+             |), sample AS (
+             |  SELECT lang, n_chars FROM (
+             |    SELECT lang, n_chars,
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY hv, n_chars) AS rn
+             |    FROM hashed) t
+             |  WHERE rn <= 128
+             |), agg AS (
+             |  SELECT lang, list_sort(list(n_chars)) AS vs,
+             |    COUNT(*) AS n
+             |  FROM sample GROUP BY lang
+             |)
+             |SELECT lang,
+             |  CAST(vs[CAST((1 * n + 1) // 2 AS INT)] AS BIGINT)
+             |    AS p50_est,
+             |  CAST(vs[CAST((9 * n + 9) // 10 AS INT)] AS BIGINT)
+             |    AS p90_est
+             |FROM agg ORDER BY lang""".stripMargin))
   )
 }

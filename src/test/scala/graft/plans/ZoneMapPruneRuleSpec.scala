@@ -336,6 +336,45 @@ class ZoneMapPruneRuleSpec extends AnyFunSuite with SparkFixture
     }
   }
 
+  test("addDelta folds appended zones in O(delta) and equals a " +
+      "full re-register exactly") {
+    withRule {
+      val s = spark
+      import s.implicits._
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-zmap-adelta").toString + "/t"
+      (0 until 200).map(i =>
+          (i.toLong, s"w${i / 100}", (i / 100).toLong))
+        .toDF("k", "w", "zfile").write.partitionBy("zfile").parquet(d)
+      val prev = ZoneMapPruneRule.register(spark.read.parquet(d),
+        "zfile", Seq("k", "w"))
+      // the delta WIDENS file 1 (k up to 1099, new max string) and
+      // lands a brand-new file 2
+      val deltaRows = (0 until 100).map(i =>
+        (1000L + i, "z9", 1L)) ++ (0 until 50).map(i =>
+        (5000L + i, "m5", 2L))
+      deltaRows.toDF("k", "w", "zfile")
+        .write.mode("append").partitionBy("zfile").parquet(d)
+      val t2 = spark.read.parquet(d)
+      val incr = ZoneMapPruneRule.addDelta(prev, t2,
+        deltaRows.toDF("k", "w", "zfile"))
+      // pruning through the incremental entry: appended ranges are
+      // found and scanned tightly
+      val q = t2.filter(col("k") >= 5000)
+      q.count() shouldBe 50L
+      scannedParts(q) shouldBe Some(1)
+      val q2 = t2.filter(col("w") === "z9")
+      q2.count() shouldBe 100L
+      scannedParts(q2) shouldBe Some(1)
+      // and the merged stats are EXACTLY a full rebuild's
+      ZoneMapPruneRule.clear()
+      val full = ZoneMapPruneRule.register(t2, "zfile", Seq("k", "w"))
+      incr.stats.toMap shouldBe full.stats.toMap
+      incr.strStats shouldBe full.strStats
+      incr.hasNullFile shouldBe full.hasNullFile
+    }
+  }
+
   test("delta-append + re-register workflow: appended ranges are " +
       "found, scanned tightly, never over-pruned") {
     withRule {
