@@ -150,6 +150,66 @@ object BloomSkipRule extends Rule[LogicalPlan] with PredicateHelper {
     e
   }
 
+  /** Persist a registration's filters as a parquet manifest — the
+    * durable half of the table-format contract (same as
+    * ZoneMapPruneRule.saveManifest): a new session re-arms pruning
+    * from the manifest alone, never re-scanning the table. Row
+    * kinds: "bit" carries one set bit position for one (file, col);
+    * "file" marks file presence; one "meta" row carries fileCol,
+    * the column list, m, k, and the null-file flag.
+    */
+  def saveManifest(e: Entry,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val bitRows = e.bits.toSeq.flatMap { case (f, perCol) =>
+      perCol.toSeq.flatMap { case (c, set) =>
+        set.toSeq.map(b => ("bit", f, c, b.toLong))
+      }
+    }
+    val files = e.files.map(f => ("file", f, "", 0L))
+    val meta = Seq(("meta", if (e.hasNullFile) 1L else 0L,
+      s"${e.fileCol},${e.cols.mkString(",")}",
+      e.m.toLong * 1000000L + e.k.toLong))
+    (bitRows ++ files ++ meta)
+      .toDF("kind", "f", "c", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Re-arm pruning for `table` from a saved manifest: registers an
+    * entry identical to the one [[saveManifest]] captured (pinned in
+    * BloomSkipRuleSpec) without touching the table's data files.
+    */
+  def loadManifest(table: DataFrame, path: String): Entry = {
+    val rows = table.sparkSession.read.parquet(path).collect()
+    val meta = rows.find(_.getString(0) == "meta").getOrElse(
+      throw new IllegalArgumentException(
+        s"BloomSkipRule.loadManifest: no meta row in $path"))
+    val names = meta.getString(2).split(",").toSeq
+    val fileCol = names.head
+    val cols = names.tail
+    val hasNullFile = meta.getLong(1) == 1L
+    val mk = meta.getLong(3)
+    val m = (mk / 1000000L).toInt
+    val k = (mk % 1000000L).toInt
+    val files = rows.filter(_.getString(0) == "file")
+      .map(_.getLong(1)).toSeq.sorted
+    val bits = rows.filter(_.getString(0) == "bit")
+      .groupBy(_.getLong(1))
+      .map { case (f, rs) =>
+        f -> rs.groupBy(_.getString(2)).map { case (c, cr) =>
+          c -> scala.collection.immutable.BitSet(
+            cr.map(_.getLong(3).toInt): _*)
+        }
+      }
+    val analyzed = table.queryExecution.analyzed
+    val e = Entry(analyzed, fileCol, cols, m, k, files, bits,
+      hasNullFile)
+    entries.removeIf(
+      (prev: Entry) => prev.tablePlan.sameResult(analyzed))
+    entries.add(e)
+    e
+  }
+
   /** Literal → the string Spark's `cast(col as string)` produces for
     * the same value; None for literal shapes we don't recognize
     * (that conjunct is then ignored — sound).

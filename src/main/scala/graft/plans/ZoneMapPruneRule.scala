@@ -202,6 +202,78 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
           } => f
     }.toSeq.sorted
 
+  /** Persist a registration's zone stats as a parquet manifest —
+    * the durable half of the table-format contract: a NEW session
+    * (or a new driver after restart) re-arms pruning from the
+    * KB-scale manifest alone, never re-scanning the table (at 100 TB
+    * the register()-time aggregate is a full-corpus pass; the
+    * manifest read is O(files) rows). Row kinds: "num"/"str" carry
+    * one column's zone for one file; "file" marks file presence
+    * (needed for files whose zone columns are all-NULL); one "meta"
+    * row carries fileCol, the clustered column list, and the
+    * null-file flag.
+    */
+  def saveManifest(e: Entry,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val num = e.stats.flatMap { case (f, zones) =>
+      zones.map { case (c, (lo, hi)) =>
+        ("num", f, c, lo, hi, null.asInstanceOf[String],
+          null.asInstanceOf[String])
+      }
+    }
+    val str = e.strStats.toSeq.flatMap { case (f, zones) =>
+      zones.map { case (c, (lo, hi)) =>
+        ("str", f, c, 0L, 0L, lo, hi)
+      }
+    }
+    val files = e.stats.map { case (f, _) =>
+      ("file", f, "", 0L, 0L, null.asInstanceOf[String],
+        null.asInstanceOf[String])
+    }
+    val meta = Seq(("meta", if (e.hasNullFile) 1L else 0L,
+      e.fileCol, 0L, 0L, e.cols.mkString(","),
+      null.asInstanceOf[String]))
+    (num ++ str ++ files ++ meta)
+      .toDF("kind", "f", "c", "lo", "hi", "slo", "shi")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Re-arm pruning for `table` from a saved manifest: registers an
+    * entry identical to the one [[saveManifest]] captured (pinned in
+    * ZoneMapPruneRuleSpec) without touching the table's data files.
+    */
+  def loadManifest(table: DataFrame, path: String): Entry = {
+    val rows = table.sparkSession.read.parquet(path).collect()
+    val meta = rows.find(_.getString(0) == "meta").getOrElse(
+      throw new IllegalArgumentException(
+        s"ZoneMapPruneRule.loadManifest: no meta row in $path"))
+    val fileCol = meta.getString(2)
+    val cols = meta.getString(5).split(",").toSeq.filter(_.nonEmpty)
+    val hasNullFile = meta.getLong(1) == 1L
+    val numRows = rows.filter(_.getString(0) == "num")
+    val fileIds = rows.filter(_.getString(0) == "file")
+      .map(_.getLong(1)).toSeq
+    val stats = fileIds.map { f =>
+      f -> numRows.filter(_.getLong(1) == f)
+        .map(r => r.getString(2) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+    }
+    val strStats = rows.filter(_.getString(0) == "str")
+      .groupBy(_.getLong(1))
+      .map { case (f, rs) =>
+        f -> rs.map(r =>
+          r.getString(2) -> (r.getString(5), r.getString(6))).toMap
+      }
+    val analyzed = table.queryExecution.analyzed
+    val e = Entry(analyzed, fileCol, cols, stats, hasNullFile,
+      strStats)
+    entries.removeIf(
+      (prev: Entry) => prev.tablePlan.sameResult(analyzed))
+    entries.add(e)
+    e
+  }
+
   /** UTF8String binary comparison — the order Spark's string min/max
     * aggregates and DuckDB's default collation both use, so the
     * driver-side decision can never disagree with the stored zones.

@@ -958,6 +958,77 @@ object ScaleQueries {
              |    AS p50_est,
              |  CAST(vs[CAST((9 * n + 9) // 10 AS INT)] AS BIGINT)
              |    AS p90_est
-             |FROM agg ORDER BY lang""".stripMargin))
+             |FROM agg ORDER BY lang""".stripMargin)),
+
+    // Distribution-drift monitor: per-bin proportion shift between a
+    // reference slice and a current slice (here: lang mix of source
+    // src0 vs src1 — the "did the new crawl's language mix move?"
+    // check a training-data pipeline runs per ingest). All
+    // arithmetic is INTEGER — proportions as round-half-up ppm via
+    // (2·10^6·n + N) DIV (2N) — because the classic PSI/chi-square
+    // forms need ln / float division whose last-ULP behavior differs
+    // across engines; ppm shifts carry the same monitoring signal
+    // and are exact everywhere. The drifted flag trips at |shift| >
+    // 50 000 ppm (5 points). One pass per slice, a broadcast-size
+    // per-bin join; at 100 TB the slices aggregate before anything
+    // joins, so the shuffled state is bins, not rows.
+    QueryDef(
+      "q327_drift_monitor",
+      (s, d) => {
+        val base = documents(s, d).where(col("lang").isNotNull)
+        def slice(src: String, n: String) =
+          base.where(col("source") === src)
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).cast("long").as(n))
+        val j = slice("src0", "n_ref")
+          .join(slice("src1", "n_cur"), Seq("lang"), "full_outer")
+          .select(col("lang"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(lit(1))
+        j.withColumn("t_ref", sum(col("n_ref")).over(w))
+          .withColumn("t_cur", sum(col("n_cur")).over(w))
+          .select(col("lang"), col("n_ref"), col("n_cur"),
+            expr("(2000000 * n_ref + t_ref) DIV (2 * t_ref)")
+              .as("ref_ppm"),
+            expr("(2000000 * n_cur + t_cur) DIV (2 * t_cur)")
+              .as("cur_ppm"))
+          .withColumn("shift_ppm", col("cur_ppm") - col("ref_ppm"))
+          .withColumn("drifted", abs(col("shift_ppm")) > 50000)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH base AS (
+             |  SELECT lang, source FROM documents
+             |  WHERE lang IS NOT NULL
+             |), r AS (
+             |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ref
+             |  FROM base WHERE source = 'src0' GROUP BY lang
+             |), c AS (
+             |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cur
+             |  FROM base WHERE source = 'src1' GROUP BY lang
+             |), j AS (
+             |  SELECT COALESCE(r.lang, c.lang) AS lang,
+             |    COALESCE(n_ref, 0) AS n_ref,
+             |    COALESCE(n_cur, 0) AS n_cur
+             |  FROM r FULL OUTER JOIN c ON r.lang = c.lang
+             |), t AS (
+             |  SELECT lang, n_ref, n_cur,
+             |    SUM(n_ref) OVER () AS t_ref,
+             |    SUM(n_cur) OVER () AS t_cur
+             |  FROM j
+             |)
+             |SELECT lang, n_ref, n_cur,
+             |  CAST((2000000 * n_ref + t_ref) // (2 * t_ref)
+             |    AS BIGINT) AS ref_ppm,
+             |  CAST((2000000 * n_cur + t_cur) // (2 * t_cur)
+             |    AS BIGINT) AS cur_ppm,
+             |  CAST((2000000 * n_cur + t_cur) // (2 * t_cur)
+             |    - (2000000 * n_ref + t_ref) // (2 * t_ref)
+             |    AS BIGINT) AS shift_ppm,
+             |  abs((2000000 * n_cur + t_cur) // (2 * t_cur)
+             |    - (2000000 * n_ref + t_ref) // (2 * t_ref)) > 50000
+             |    AS drifted
+             |FROM t ORDER BY lang""".stripMargin))
   )
 }

@@ -27,6 +27,18 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     SparkEntry.allQueries.exists(_.name == "q07_join_agg") shouldBe true
   }
 
+  test("every declared query carries an oracle except the pinned " +
+      "rows-only set") {
+    // rows-only is a deliberate, documented exception (iterative
+    // k-means training loops are not one SQL expression) — pin the
+    // exact set so a forgotten oracle can't silently downgrade a new
+    // query to the weaker rows-only check
+    val rowsOnly = SparkEntry.allQueries
+      .filter(_.oracle.isEmpty).map(_.name).toSet
+    rowsOnly shouldBe Set("q309_pq_trained_recall",
+      "q317_ivf_trained_cells", "q319_heldout_trained_cells")
+  }
+
   test("README declared-query counts match the registry (no stale " +
       "prose)") {
     // the VERDICT r12/r13 finding: README's hand-written counts

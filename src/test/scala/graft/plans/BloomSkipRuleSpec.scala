@@ -171,6 +171,31 @@ class BloomSkipRuleSpec extends AnyFunSuite with SparkFixture
     }
   }
 
+  test("manifest round-trip: save, clear, load re-arms identical " +
+      "pruning without a table scan") {
+    withRule {
+      val t = table
+      val e = BloomSkipRule.register(t, "zfile", Seq("id", "tag"),
+        m = 2048, k = 2)
+      val mp = java.nio.file.Files
+        .createTempDirectory("graft-bloom-man").toString + "/m"
+      BloomSkipRule.saveManifest(e, spark, mp)
+      BloomSkipRule.clear()
+      val e2 = BloomSkipRule.loadManifest(table, mp)
+      e2.fileCol shouldBe e.fileCol
+      e2.cols shouldBe e.cols
+      e2.m shouldBe e.m
+      e2.k shouldBe e.k
+      e2.files shouldBe e.files
+      e2.bits shouldBe e.bits
+      e2.hasNullFile shouldBe e.hasNullFile
+      // and the loaded entry actually prunes
+      val q = t.filter(col("id") === 417L)
+      q.collect().map(_.getLong(0)).toSeq shouldBe Seq(417L)
+      scannedParts(q).get should be <= 2
+    }
+  }
+
   test("addDelta folds appended filter bits in O(delta) and equals " +
       "a full re-register exactly") {
     withRule {

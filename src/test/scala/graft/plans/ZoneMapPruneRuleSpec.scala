@@ -336,6 +336,29 @@ class ZoneMapPruneRuleSpec extends AnyFunSuite with SparkFixture
     }
   }
 
+  test("manifest round-trip: save, clear, load re-arms identical " +
+      "pruning without a table scan") {
+    withRule {
+      val t = spark.read.parquet(strDir)
+      val e = ZoneMapPruneRule.register(t, "zfile", Seq("lang", "v"))
+      val mp = java.nio.file.Files
+        .createTempDirectory("graft-zmap-man").toString + "/m"
+      ZoneMapPruneRule.saveManifest(e, spark, mp)
+      ZoneMapPruneRule.clear()
+      val e2 = ZoneMapPruneRule.loadManifest(
+        spark.read.parquet(strDir), mp)
+      e2.fileCol shouldBe e.fileCol
+      e2.cols shouldBe e.cols
+      e2.stats.toMap shouldBe e.stats.toMap
+      e2.strStats shouldBe e.strStats
+      e2.hasNullFile shouldBe e.hasNullFile
+      // and the loaded entry actually prunes
+      val q = t.filter(col("lang") === "en" && col("v") >= 100)
+      q.count() shouldBe 100L
+      scannedParts(q) shouldBe Some(1)
+    }
+  }
+
   test("addDelta folds appended zones in O(delta) and equals a " +
       "full re-register exactly") {
     withRule {
