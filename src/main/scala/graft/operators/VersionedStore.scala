@@ -1,0 +1,539 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Commit-log versioned parquet store — the minimal table format the
+  * delta-maintenance family (q305 IVF add-batch, q310 winnow delta,
+  * q321 dedup ledger) has been converging on, made explicit. The
+  * reference pipeline rewrites its lake paths in place (copy into a
+  * dated partition, `mode("overwrite")` dbt materializations); at
+  * 100 TB in-place rewrite is unusable — a reader mid-scan observes
+  * a half-deleted directory, a crashed writer leaves a truncated
+  * table, and yesterday's rows are simply gone. The industry answer
+  * (Delta Lake / Iceberg, both public designs) is a commit log:
+  * immutable data file-groups plus an append-only log of
+  * add/remove actions, where publishing one new log entry IS the
+  * atomic commit. This is that answer built from parquet primitives:
+  *
+  *   <path>/data/f<fid>/       one immutable parquet file-group per
+  *                             committed add (never rewritten)
+  *   <path>/log/v%09d/         one parquet commit record per version;
+  *                             the single directory RENAME that puts
+  *                             a record at its final name is the
+  *                             commit point
+  *
+  * Log record rows: (action "add"|"remove", fid, rows). Version v's
+  * visible content = parquet union of fids added minus removed by
+  * records ≤ v. Readers resolve the file list from the log only —
+  * NEVER by listing `data/` — so a half-written file-group from a
+  * crashed append is invisible (no log record names it) and an
+  * eventually-consistent object listing cannot corrupt a read.
+  *
+  * What this buys over the rename-swap stores ([[WinnowIndex.compact]]):
+  *  - atomic append: data lands fully before the log rename; a crash
+  *    at ANY point leaves the previous version intact and visible;
+  *  - crash-safe compaction: remove-all + add-one in ONE commit
+  *    record — old and new content never coexist, no rollback dance;
+  *  - time travel: `readAt(v)` reproduces any retained version —
+  *    the "which corpus snapshot trained this model" audit question;
+  *  - snapshot isolation: a reader that resolved its file list at
+  *    version v scans immutable file-groups, unaffected by
+  *    concurrent appends/compactions until `vacuum` passes its
+  *    retention horizon;
+  *  - targeted delete: `deleteWhere` rewrites ONLY the file-groups
+  *    that contain matching rows (removal-request compliance at
+  *    O(affected files), not O(table)).
+  *
+  * Scale shape: the log is O(commits) KB-scale parquet read once per
+  * query plan on the driver; data stays distributed and is read by
+  * one multi-path parquet scan, so pushdown/pruning work unchanged.
+  * Single-writer per store (the reference's Airflow model — one DAG
+  * owns a path); a racing second writer loses the commit rename and
+  * fails loudly rather than corrupting (pinned in the spec).
+  */
+object VersionedStore {
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(path: String) = new Path(s"$path/log")
+  private def dataDir(path: String, fid: Long) =
+    new Path(s"$path/data/f$fid")
+  private def versionName(v: Long) = f"v$v%09d"
+
+  /** Start an empty store at `path`, clearing any prior content. */
+  def create(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark)
+    val p = new Path(path)
+    if (f.exists(p) && !f.delete(p, true))
+      sys.error(s"VersionedStore.create: cannot clear $path")
+    if (!f.mkdirs(logDir(path)))
+      sys.error(s"VersionedStore.create: cannot create log at $path")
+  }
+
+  /** Committed versions at `path`, ascending. Tmp dirs from crashed
+    * commits (`.tmp-*`) never match the `v%09d` name and are
+    * invisible here — ignoring them IS the crash recovery.
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark)
+    val ld = logDir(path)
+    if (!f.exists(ld)) sys.error(
+      s"VersionedStore: no store at $path (missing log dir)")
+    f.listStatus(ld).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{9}")).map(_.drop(1).toLong).sorted
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Long =
+    versions(spark, path).lastOption.getOrElse(0L)
+
+  /** Per-file-group zone stats carried in the commit record: min/max
+    * of one numeric column, computed from the group's written parquet
+    * (footer-cheap) at commit time. `None` = unstatted group (always
+    * a candidate for any key range).
+    */
+  final case class GroupAdd(fid: Long, n: Long,
+      stats: Option[(String, Long, Long)] = None)
+
+  private def commit(spark: SparkSession, path: String,
+      adds: Seq[GroupAdd], removes: Seq[Long]): Long =
+    commitAt(spark, path, latestVersion(spark, path) + 1, adds,
+      removes)
+
+  /** The commit body at an EXPLICIT version — separated so the spec
+    * can reproduce the two-writers race (both computed the same next
+    * version; the loser's rename must fail, not clobber). `txn` tags
+    * the record for [[appendIdempotent]]; -1 = untagged. The
+    * tmp-write + rename makes the log record appear atomically;
+    * rename-into-existing would NEST (the WinnowIndex lesson), so an
+    * existing destination — a concurrent writer won the version —
+    * fails the commit loudly and the loser's orphan data stays
+    * invisible.
+    */
+  private[operators] def commitAt(spark: SparkSession, path: String,
+      v: Long, adds: Seq[GroupAdd], removes: Seq[Long],
+      txn: Long = -1L): Long = {
+    import spark.implicits._
+    val f = fs(spark)
+    val tmp = new Path(s"$path/log/.tmp-${versionName(v)}")
+    if (f.exists(tmp) && !f.delete(tmp, true))
+      sys.error(s"VersionedStore.commit: cannot clear stale $tmp")
+    (adds.map { a =>
+      val (sc, lo, hi) = a.stats
+        .map { case (c, l, h) => (c, Some(l), Some(h)) }
+        .getOrElse((null: String, None, None))
+      ("add", a.fid, a.n, txn, sc, lo, hi)
+    } ++ removes.map(fid =>
+      ("remove", fid, 0L, txn, null: String,
+        None: Option[Long], None: Option[Long])))
+      .toDF("action", "fid", "rows", "txn",
+        "stat_col", "stat_min", "stat_max")
+      .coalesce(1).write.parquet(tmp.toString)
+    val dest = new Path(s"$path/log/${versionName(v)}")
+    if (f.exists(dest))
+      sys.error(s"VersionedStore.commit: version $v already " +
+        s"committed at $path — concurrent writer conflict")
+    if (!f.rename(tmp, dest))
+      sys.error(s"VersionedStore.commit: cannot publish $dest")
+    v
+  }
+
+  /** All log actions up to and including `v`, collected driver-side
+    * (O(commits) metadata rows, independent of data size).
+    */
+  private def actions(spark: SparkSession, path: String,
+      v: Long): Seq[(Long, String, Long, Long)] = {
+    val vs = versions(spark, path).filter(_ <= v)
+    if (vs.isEmpty) Seq.empty
+    else spark.read
+      .parquet(vs.map(x => s"$path/log/${versionName(x)}"): _*)
+      .select(regexp_extract(input_file_name(), "v(\\d{9})", 1)
+        .cast("long").as("v"),
+        col("action"), col("fid"), col("rows"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+  }
+
+  /** File-groups visible at version `v`. */
+  private def liveFids(spark: SparkSession, path: String,
+      v: Long): Seq[Long] = {
+    val as = actions(spark, path, v)
+    val removed = as.collect { case (_, "remove", fid, _) => fid }.toSet
+    as.collect { case (_, "add", fid, _) if !removed(fid) => fid }
+      .sorted
+  }
+
+  /** Zone stats of every statted file-group (fids are never reused
+    * once committed, so at most one add record per fid). Records
+    * written before the stats columns existed read as NULL under
+    * mergeSchema → simply absent here.
+    */
+  private def groupStats(spark: SparkSession, path: String)
+      : Map[Long, (String, Long, Long)] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return Map.empty
+    val log = spark.read.option("mergeSchema", "true")
+      .parquet(vs.map(x => s"$path/log/${versionName(x)}"): _*)
+    if (!log.columns.contains("stat_col")) return Map.empty
+    log.filter(col("action") === "add" && col("stat_col").isNotNull)
+      .select(col("fid"), col("stat_col"), col("stat_min"),
+        col("stat_max"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  /** The store's maintained stats column, if EVERY live file-group
+    * carries stats on the same column — mutators use this to keep
+    * the discipline self-propagating (their new groups get stats on
+    * the same column), and key-range pruning is only sound when no
+    * live group is a stats blind spot.
+    */
+  def storeStatsCol(spark: SparkSession,
+      path: String): Option[String] = {
+    val live = liveFids(spark, path, latestVersion(spark, path))
+    val stats = groupStats(spark, path)
+    val cols = live.map(stats.get(_).map(_._1))
+    if (live.nonEmpty && cols.forall(_ == cols.head)) cols.head
+    else None
+  }
+
+  /** Live file-groups whose `keyCol` zone [min,max] overlaps
+    * [lo,hi]; unstatted groups are always candidates. This is the
+    * 100 TB lever for [[merge]]/[[deleteWhere]]: a keyed mutation
+    * against a range-clustered store touches O(overlapping groups),
+    * never O(table).
+    */
+  private[operators] def candidateFids(spark: SparkSession,
+      path: String, v: Long, keyCol: String, lo: Long,
+      hi: Long): Seq[Long] = {
+    val stats = groupStats(spark, path)
+    liveFids(spark, path, v).filter { fid =>
+      stats.get(fid) match {
+        case Some((c, mn, mx)) if c == keyCol => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
+  }
+
+  /** Write `df` as file-group `fid` and return its commit entry —
+    * count and (when `statsCol` set) min/max are computed from the
+    * WRITTEN parquet, so `df` is evaluated exactly once and the
+    * count is footer-cheap. An empty or all-NULL stat column commits
+    * the group unstatted (always a candidate), never a bogus zone.
+    */
+  private def writeGroup(df: DataFrame, path: String, fid: Long,
+      statsCol: Option[String]): GroupAdd = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").parquet(dataDir(path, fid).toString)
+    val written = spark.read.parquet(dataDir(path, fid).toString)
+    statsCol match {
+      case Some(c) =>
+        val r = written.agg(count(lit(1)).as("n"),
+          min(col(c)).cast("long").as("lo"),
+          max(col(c)).cast("long").as("hi")).head
+        if (r.getLong(0) == 0 || r.isNullAt(1)) GroupAdd(fid, r.getLong(0))
+        else GroupAdd(fid, r.getLong(0),
+          Some((c, r.getLong(1), r.getLong(2))))
+      case None => GroupAdd(fid, written.count())
+    }
+  }
+
+  private def nextFid(spark: SparkSession, path: String): Long = {
+    val as = actions(spark, path, Long.MaxValue)
+    (0L +: as.map(_._3)).max + 1
+  }
+
+  /** Append `df` as one new immutable file-group; returns the new
+    * version. A crash before the final log rename leaves an orphan
+    * data dir that no reader can see (vacuum reclaims it); the
+    * overwrite mode reclaims a previous crash's orphan at this fid.
+    * `statsCol` commits the group with min/max zone stats on that
+    * numeric column — feed every append the same column to arm
+    * key-range pruning in [[merge]]/[[deleteWhere]].
+    */
+  def append(df: DataFrame, path: String,
+      statsCol: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val fid = nextFid(spark, path)
+    commit(spark, path,
+      Seq(writeGroup(df, path, fid, statsCol)), Seq.empty)
+  }
+
+  /** Content at version `v` (error if nothing is visible — an empty
+    * store has no schema to return).
+    */
+  def readAt(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val fids = liveFids(spark, path, v)
+    if (fids.isEmpty) sys.error(
+      s"VersionedStore.readAt: version $v of $path is empty " +
+        "(or vacuumed past)")
+    val f = fs(spark)
+    fids.foreach { fid =>
+      if (!f.exists(dataDir(path, fid))) sys.error(
+        s"VersionedStore.readAt: file-group f$fid of version $v " +
+          s"was vacuumed — raise the vacuum retention horizon")
+    }
+    spark.read.parquet(fids.map(dataDir(path, _).toString): _*)
+  }
+
+  /** Latest content. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readAt(spark, path, latestVersion(spark, path))
+
+  /** Fold every live file-group into one — remove-all + add-one in a
+    * single commit record, so readers see the old file set or the
+    * new one, never a mixture and never an empty gap (contrast the
+    * rename-swap compaction, which has to restore the live dir by
+    * hand if its second rename fails). Pre-compaction versions stay
+    * readable until vacuum.
+    */
+  def compact(spark: SparkSession, path: String,
+      clusterBy: Seq[String] = Nil): Long = {
+    val v = latestVersion(spark, path)
+    val old = liveFids(spark, path, v)
+    val cur = readAt(spark, path, v)
+    // range-cluster the rewrite when asked: each part file of the
+    // folded group gets a disjoint key range, so parquet min/max
+    // pushdown (and the store's own zone stats) prune sharply after
+    // compaction — the Z-order/OPTIMIZE idea at its simplest
+    val out =
+      if (clusterBy.isEmpty) cur
+      else cur.repartitionByRange(clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val fid = nextFid(spark, path)
+    commit(spark, path,
+      Seq(writeGroup(out, path, fid, storeStatsCol(spark, path))), old)
+  }
+
+  /** The live content with each row's file-group id attached. */
+  private def withFidOf(spark: SparkSession, path: String,
+      fids: Seq[Long]): DataFrame =
+    spark.read.parquet(fids.map(dataDir(path, _).toString): _*)
+      .withColumn("_vs_fid",
+        regexp_extract(input_file_name(), "/f(\\d+)/", 1)
+          .cast("long"))
+
+  /** Remove the rows matching `pred`, rewriting ONLY the file-groups
+    * that contain matches (one scan finds them via the file path of
+    * each matching row); untouched groups are carried over by
+    * reference. One commit record publishes the whole delete.
+    * `keyRange` is a caller-asserted pruning hint — "`pred` can only
+    * match rows whose store stats column lies in [lo,hi]" — that
+    * bounds even the FIND scan to the overlapping file-groups when
+    * the store maintains zone stats.
+    */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column,
+      keyRange: Option[(Long, Long)] = None): Long = {
+    val v = latestVersion(spark, path)
+    val scanFids = (keyRange, storeStatsCol(spark, path)) match {
+      case (Some((lo, hi)), Some(c)) =>
+        candidateFids(spark, path, v, c, lo, hi)
+      case _ => liveFids(spark, path, v)
+    }
+    if (scanFids.isEmpty) return v
+    val withFid = withFidOf(spark, path, scanFids)
+    val affected = withFid.filter(pred).select("_vs_fid")
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return v
+    val statsCol = storeStatsCol(spark, path)
+    val first = nextFid(spark, path)
+    val adds = affected.zipWithIndex.map { case (oldFid, i) =>
+      val kept = withFid.filter(col("_vs_fid") === oldFid)
+        .filter(!coalesce(pred, lit(false))).drop("_vs_fid")
+      // groups rewritten to zero rows still commit (an empty parquet
+      // dir reads fine inside a multi-path union)
+      writeGroup(kept, path, first + i, statsCol)
+    }
+    commit(spark, path, adds.toSeq, affected.toSeq)
+  }
+
+  /** Keyed upsert (the MERGE of SQL lakehouses): every store row
+    * whose `keyCols` tuple matches a row of `updates` is REPLACED by
+    * that update row; update rows matching nothing are INSERTED.
+    * `updates` must carry the store schema and at most one row per
+    * key (enforced — a duplicate-key source would make the result
+    * order-dependent).
+    *
+    * Scale shape: one store scan finds the affected file-groups via
+    * a broadcast semi-join against the update keys (updates are the
+    * small side of a merge by construction — removal lists, metadata
+    * corrections, re-scored batches); only those groups are
+    * rewritten (matched rows anti-joined away), untouched groups are
+    * carried by reference, and ALL update rows land as one new
+    * file-group. One commit record publishes the whole merge.
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val dupKeys = updates.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    if (dupKeys > 0) sys.error(
+      "VersionedStore.merge: updates carry duplicate keys — " +
+        "the merge result would be order-dependent")
+    val v = latestVersion(spark, path)
+    val statsCol = storeStatsCol(spark, path)
+    // when the store maintains zone stats ON the merge key, the
+    // update-key span (two scalars off the small side) prunes both
+    // the affected-group detection scan and the rewrites to the
+    // overlapping file-groups — O(touched groups), not O(table)
+    val scanFids = statsCol match {
+      case Some(c) if keyCols == Seq(c) =>
+        val r = updates.agg(min(col(c)).cast("long"),
+          max(col(c)).cast("long")).head
+        if (r.isNullAt(0)) Seq.empty
+        else candidateFids(spark, path, v, c, r.getLong(0),
+          r.getLong(1))
+      case _ => liveFids(spark, path, v)
+    }
+    val keys = broadcast(updates.select(keyCols.map(col): _*))
+    val withFid =
+      if (scanFids.isEmpty) None
+      else Some(withFidOf(spark, path, scanFids))
+    val affected = withFid.map { w =>
+      w.join(keys, keyCols, "left_semi").select("_vs_fid")
+        .distinct().collect().map(_.getLong(0)).sorted
+    }.getOrElse(Array.empty[Long])
+    val first = nextFid(spark, path)
+    val rewrites = affected.zipWithIndex.map { case (oldFid, i) =>
+      val kept = withFid.get.filter(col("_vs_fid") === oldFid)
+        .join(keys, keyCols, "left_anti").drop("_vs_fid")
+      writeGroup(kept, path, first + i, statsCol)
+    }
+    val insFid = first + affected.length
+    val live = liveFids(spark, path, v)
+    val cols =
+      if (live.isEmpty) updates.columns
+      else readAt(spark, path, v).columns
+    val ins = updates.select(cols.map(col): _*)
+    commit(spark, path,
+      rewrites.toSeq :+ writeGroup(ins, path, insFid, statsCol),
+      affected.toSeq)
+  }
+
+  /** Row-level change feed between two committed versions: what a
+    * downstream consumer must apply to move a copy from `fromV` to
+    * `toV`. Returns the store schema plus a `_change` column
+    * ("insert" | "delete"); a row replaced by [[merge]] appears as a
+    * delete of the old row and an insert of the new one.
+    *
+    * Scale shape: the group-level log diff bounds the work — only
+    * file-groups added or removed in the window are read (a
+    * compaction's add cancels against its removes row-for-row, so
+    * pure rewrites net out), then one `exceptAll` each way turns the
+    * group diff into a row diff. Cost is O(changed groups), never
+    * O(table); both versions must still be within the vacuum horizon.
+    */
+  def changes(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV,
+      s"VersionedStore.changes: fromV $fromV > toV $toV")
+    val before = liveFids(spark, path, fromV).toSet
+    val after = liveFids(spark, path, toV).toSet
+    val gained = (after -- before).toSeq.sorted
+    val lost = (before -- after).toSeq.sorted
+    val f = fs(spark)
+    (gained ++ lost).foreach { fid =>
+      if (!f.exists(dataDir(path, fid))) sys.error(
+        s"VersionedStore.changes: file-group f$fid was vacuumed — " +
+          "raise the vacuum retention horizon")
+    }
+    def content(fids: Seq[Long]): Option[DataFrame] =
+      if (fids.isEmpty) None
+      else Some(spark.read.parquet(fids.map(dataDir(path, _).toString): _*))
+    (content(gained), content(lost)) match {
+      case (None, None) =>
+        // no group churn in the window → empty feed in store schema
+        val schema = read(spark, path).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .withColumn("_change", lit("insert")).limit(0)
+      case (g, l) =>
+        val empty = (g orElse l).get.limit(0)
+        val ins = g.map(_.exceptAll(l.getOrElse(empty))).getOrElse(empty)
+        val del = l.map(_.exceptAll(g.getOrElse(empty))).getOrElse(empty)
+        ins.withColumn("_change", lit("insert"))
+          .unionAll(del.withColumn("_change", lit("delete")))
+    }
+  }
+
+  /** [[append]] with an exactly-once transaction tag for streaming
+    * sinks: a `foreachBatch` that crashed between writing and
+    * checkpointing replays its batch; tagging each commit with the
+    * batch id makes the replay a no-op instead of a duplicate
+    * file-group. Returns the (existing or new) version that carries
+    * `txn`.
+    */
+  def appendIdempotent(df: DataFrame, path: String, txn: Long,
+      statsCol: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    require(txn >= 0, "VersionedStore.appendIdempotent: txn must be >= 0")
+    committedTxn(spark, path, txn) match {
+      case Some(v) => v
+      case None =>
+        val fid = nextFid(spark, path)
+        val add = writeGroup(df, path, fid, statsCol)
+        commitAt(spark, path, latestVersion(spark, path) + 1,
+          Seq(add), Seq.empty, txn)
+    }
+  }
+
+  /** The version that committed transaction `txn`, if any. Old
+    * commit records (pre-txn schema) read as txn NULL → -1, never
+    * colliding with the `txn >= 0` contract.
+    */
+  private def committedTxn(spark: SparkSession, path: String,
+      txn: Long): Option[Long] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) None
+    else {
+      val log = spark.read.option("mergeSchema", "true")
+        .parquet(vs.map(x => s"$path/log/${versionName(x)}"): _*)
+      if (!log.columns.contains("txn")) None
+      else log
+        .select(regexp_extract(input_file_name(), "v(\\d{9})", 1)
+          .cast("long").as("v"),
+          coalesce(col("txn"), lit(-1L)).as("txn"))
+        .filter(col("txn") === txn)
+        .collect().headOption.map(_.getLong(0))
+    }
+  }
+
+  /** Commit history as a DataFrame: (version, action, fid, n_rows)
+    * — `n_rows`, not `rows`, because ROWS is a reserved word in the
+    * oracle engine's SQL.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    actions(spark, path, Long.MaxValue)
+      .toDF("version", "action", "fid", "n_rows")
+      .orderBy("version", "action", "fid")
+  }
+
+  /** Reclaim file-groups not visible at any version ≥ `retainFrom`
+    * — both groups removed before the horizon and orphans from
+    * crashed appends. After vacuum, `readAt` below the horizon fails
+    * loudly (the existence check above), never returns partial data.
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retainFrom: Long): Seq[Long] = {
+    val f = fs(spark)
+    val vs = versions(spark, path)
+    val keep = vs.filter(_ >= retainFrom)
+      .flatMap(liveFids(spark, path, _)).toSet
+    val dd = new Path(s"$path/data")
+    val onDisk =
+      if (!f.exists(dd)) Seq.empty[Long]
+      else f.listStatus(dd).toSeq.map(_.getPath.getName)
+        .filter(_.matches("f\\d+")).map(_.drop(1).toLong)
+    val victims = onDisk.filterNot(keep).sorted
+    victims.foreach { fid =>
+      if (!f.delete(dataDir(path, fid), true))
+        sys.error(s"VersionedStore.vacuum: cannot delete f$fid")
+    }
+    victims
+  }
+}

@@ -1029,6 +1029,254 @@ object ScaleQueries {
              |  abs((2000000 * n_cur + t_cur) // (2 * t_cur)
              |    - (2000000 * n_ref + t_ref) // (2 * t_ref)) > 50000
              |    AS drifted
-             |FROM t ORDER BY lang""".stripMargin))
+             |FROM t ORDER BY lang""".stripMargin)),
+
+    // Versioned snapshot store, build + latest read: the commit-log
+    // table format (VersionedStore — immutable parquet file-groups +
+    // an append-only add/remove log; one log-dir rename is the
+    // atomic commit). The build replays a realistic lifecycle —
+    // three ingest batches, a removal-request delete between them,
+    // a compaction — and the query reads the LATEST version. The
+    // oracle recomputes the surviving row set arithmetically: a row
+    // is gone iff it was in the store when the delete ran (batches
+    // 0,1 = doc_id%3 IN (0,1)) and matched the predicate (doc_id%7
+    // = 0). Any atomicity bug — compaction duplicating a group, a
+    // delete dropping an untouched group, a crashed-append orphan
+    // surfacing — shifts the counts/checksums and fails the hash.
+    QueryDef(
+      "q328_versioned_store",
+      (s, d) => {
+        val p = versionedDocStore(s, d, rebuild = true)
+        graft.operators.VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 3 = 2 OR doc_id % 7 <> 0
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Time travel on the same store: readAt(v2) reproduces the
+    // corpus as of the second ingest — before the removal-request
+    // delete, before batch 2, ACROSS the later compaction (pre-
+    // compaction file-groups stay readable until vacuum). This is
+    // the "which snapshot trained this model" audit read; it serves
+    // from the store the q328 build left (per-JVM StoreCache, the
+    // q216/q238 build-vs-serve convention).
+    QueryDef(
+      "q329_time_travel",
+      (s, d) => {
+        val p = versionedDocStore(s, d, rebuild = false)
+        graft.operators.VersionedStore.readAt(s, p, 2L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 3 IN (0, 1)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // The commit log itself, cross-engine: the build's lifecycle is
+    // deterministic, so every (version, action, fid, row-count) of
+    // the history is derivable from documents by arithmetic — v1/v2
+    // add the two batches, v3 rewrites BOTH affected groups (f1→f3,
+    // f2→f4; new fids in affected-fid order) minus the deleted rows,
+    // v4 adds batch 2, v5 compacts (one add, three removes). Pins
+    // fid allocation, the rewrite-only-affected-groups contract, and
+    // per-commit row accounting against an independent computation.
+    QueryDef(
+      "q330_store_history",
+      (s, d) => {
+        val p = versionedDocStore(s, d, rebuild = false)
+        graft.operators.VersionedStore.history(s, p)
+          .orderBy(col("version"), col("action"), col("fid"))
+      },
+      Some("""WITH c AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n0,
+             |    CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN doc_id % 3 = 0 AND doc_id % 7
+             |      <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0k,
+             |    CAST(SUM(CASE WHEN doc_id % 3 = 1 AND doc_id % 7
+             |      <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1k
+             |  FROM documents
+             |)
+             |SELECT CAST(version AS BIGINT) AS version, action,
+             |  CAST(fid AS BIGINT) AS fid,
+             |  CAST(n_rows AS BIGINT) AS n_rows
+             |FROM (
+             |  SELECT 1 AS version, 'add' AS action, 1 AS fid,
+             |    n0 AS n_rows FROM c
+             |  UNION ALL SELECT 2, 'add', 2, n1 FROM c
+             |  UNION ALL SELECT 3, 'add', 3, n0k FROM c
+             |  UNION ALL SELECT 3, 'add', 4, n1k FROM c
+             |  UNION ALL SELECT 3, 'remove', 1, 0 FROM c
+             |  UNION ALL SELECT 3, 'remove', 2, 0 FROM c
+             |  UNION ALL SELECT 4, 'add', 5, n2 FROM c
+             |  UNION ALL SELECT 5, 'add', 6, n0k + n1k + n2 FROM c
+             |  UNION ALL SELECT 5, 'remove', 3, 0 FROM c
+             |  UNION ALL SELECT 5, 'remove', 4, 0 FROM c
+             |  UNION ALL SELECT 5, 'remove', 5, 0 FROM c
+             |) t ORDER BY version, action, fid""".stripMargin)),
+
+    // MERGE (keyed upsert) on the versioned store: update rows
+    // (doc_id%5=0 → source='merged', n_chars+1000) replace their
+    // store rows IN PLACE of the file-groups that contain them;
+    // insert rows (fresh ids offset by 10M) land as a new group;
+    // untouched groups carry by reference. The oracle recomputes the
+    // merged corpus arithmetically — a lost update, a surviving old
+    // row, a dropped non-matching neighbor, or a double-applied
+    // insert all shift the per-source counts/checksums.
+    QueryDef(
+      "q331_store_merge",
+      (s, d) => {
+        val p = graft.StoreCache.rebuild("mrgstore", d) { p =>
+          import graft.operators.VersionedStore
+          val docs = documents(s, d)
+          VersionedStore.create(s, p)
+          // statted appends arm the merge's key-range pruning path
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(3)) === 0), p,
+            statsCol = Some("doc_id"))                         // f1
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(3)) =!= 0), p,
+            statsCol = Some("doc_id"))                         // f2
+          val upd = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+            .withColumn("source", lit("merged"))
+            .withColumn("n_chars", col("n_chars") + 1000)
+            .unionByName(
+              docs.where(pmod(col("doc_id"), lit(11)) === 0)
+                .select((col("doc_id") + 10000000L).as("doc_id"),
+                  lit("").as("text"), lit("xx").as("lang"),
+                  lit("inserted").as("source"),
+                  pmod(col("doc_id"), lit(997)).as("n_chars")))
+          VersionedStore.merge(s, p, upd, Seq("doc_id"))
+        }
+        graft.operators.VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN 'merged'
+             |      ELSE source END AS source,
+             |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+             |      ELSE n_chars END AS n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, 'inserted', doc_id % 997
+             |  FROM documents WHERE doc_id % 11 = 0
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM merged GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Row-level change feed (CDC) between two retained versions of
+    // the q328 store: v2 (both pre-delete batches resident) → v5
+    // (post-delete, post-append, post-compaction). The group-level
+    // log diff bounds the scan to changed file-groups, and the
+    // compaction must net out row-for-row — so the feed is exactly
+    // "inserts = batch %3=2, deletes = the removal-request rows",
+    // which the oracle recomputes independently.
+    QueryDef(
+      "q332_store_changes",
+      (s, d) => {
+        val p = versionedDocStore(s, d, rebuild = false)
+        import graft.operators.VersionedStore
+        VersionedStore.changes(s, p, 2L,
+          VersionedStore.latestVersion(s, p))
+          .groupBy(col("_change"), col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("_change"), col("source"))
+      },
+      Some("""SELECT 'delete' AS "_change", source,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 = 0
+             |GROUP BY source
+             |UNION ALL
+             |SELECT 'insert', source, CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(doc_id) AS BIGINT),
+             |  CAST(SUM(n_chars) AS BIGINT)
+             |FROM documents WHERE doc_id % 3 = 2
+             |GROUP BY source
+             |ORDER BY "_change", source""".stripMargin)),
+
+    // Exactly-once ingestion: replay every batch TWICE with its
+    // transaction tag (the crashed-foreachBatch pattern — a sink
+    // write that lost its checkpoint commit re-delivers the batch).
+    // The tagged commit makes each replay a no-op, so the store holds
+    // the corpus exactly once and the plain-documents oracle gates
+    // it: any duplicate file-group doubles a count and fails the hash.
+    QueryDef(
+      "q333_idempotent_replay",
+      (s, d) => {
+        val p = graft.StoreCache.rebuild("idemstore", d) { p =>
+          import graft.operators.VersionedStore
+          val docs = documents(s, d)
+          VersionedStore.create(s, p)
+          (0 until 3).foreach { i =>
+            val b = docs.where(pmod(col("doc_id"), lit(3)) === i)
+            VersionedStore.appendIdempotent(b, p, txn = i.toLong)
+            VersionedStore.appendIdempotent(b, p, txn = i.toLong)
+          }
+        }
+        graft.operators.VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
+
+  /** Build (or reuse — per-JVM StoreCache) the versioned documents
+    * store whose lifecycle q328/q329/q330 gate: append batches
+    * doc_id%3=0 and =1, delete doc_id%7=0 (a removal-request pass
+    * over the two resident batches), append batch %3=2, compact.
+    */
+  private def versionedDocStore(s: org.apache.spark.sql.SparkSession,
+      d: String, rebuild: Boolean): String = {
+    val build: String => Unit = { p =>
+      import graft.operators.VersionedStore
+      val docs = documents(s, d)
+      def b(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
+      VersionedStore.create(s, p)                          // —
+      VersionedStore.append(b(0), p)                       // v1, f1
+      VersionedStore.append(b(1), p)                       // v2, f2
+      VersionedStore.deleteWhere(s, p,
+        pmod(col("doc_id"), lit(7)) === 0)                 // v3, f3+f4
+      VersionedStore.append(b(2), p)                       // v4, f5
+      VersionedStore.compact(s, p)                         // v5, f6
+    }
+    if (rebuild) graft.StoreCache.rebuild("verstore", d)(build)
+    else graft.StoreCache.getOrBuild("verstore", d)(build)
+  }
 }

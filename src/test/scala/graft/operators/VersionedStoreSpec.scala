@@ -1,0 +1,329 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class VersionedStoreSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-vstore").toString +
+      "/store"
+
+  private def batch(ids: Range) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, s"doc-$i", i % 5)).toDF("id", "body", "g")
+  }
+
+  private def idsAt(path: String, v: Long): Seq[Long] =
+    VersionedStore.readAt(spark, path, v)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  private def ids(path: String): Seq[Long] =
+    VersionedStore.read(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("append/read parity: latest content is the union of appends") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p) shouldBe 1L
+    VersionedStore.append(batch(10 until 25), p) shouldBe 2L
+    ids(p) shouldBe (0L until 25L)
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+  }
+
+  test("time travel: readAt reproduces every retained version") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)
+    VersionedStore.append(batch(10 until 25), p)
+    VersionedStore.deleteWhere(spark, p, col("id") % 7 === 0)
+    idsAt(p, 1) shouldBe (0L until 10L)
+    idsAt(p, 2) shouldBe (0L until 25L)
+    idsAt(p, 3) shouldBe (0L until 25L).filter(_ % 7 != 0)
+  }
+
+  test("deleteWhere rewrites only affected file-groups and carries " +
+      "the rest by reference") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)   // f1: has id 7
+    VersionedStore.append(batch(20 until 30), p)  // f2: has 21,28
+    VersionedStore.append(batch(40 until 45), p)  // f3: has 42
+    VersionedStore.append(batch(50 until 55), p)  // f4: NO multiple of 7
+    VersionedStore.deleteWhere(spark, p, col("id") % 7 === 0)
+    ids(p) shouldBe
+      ((0 until 10) ++ (20 until 30) ++ (40 until 45) ++ (50 until 55))
+        .map(_.toLong).filter(_ % 7 != 0)
+    // f4 contained no match → must still be live, NOT rewritten
+    val hist = VersionedStore.history(spark, p)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    hist.filter(_._1 == 5L).filter(_._2 == "remove").map(_._3)
+      .sorted shouldBe Seq(1L, 2L, 3L)
+    hist.filter(_._2 == "remove").map(_._3) should not contain 4L
+  }
+
+  test("deleteWhere with no matches is a no-op commit-wise") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(1 until 5), p)
+    VersionedStore.deleteWhere(spark, p, col("id") > 100) shouldBe 1L
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+  }
+
+  test("compaction folds to one file-group in one commit and " +
+      "preserves content and prior versions") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)
+    VersionedStore.append(batch(10 until 20), p)
+    val before = ids(p)
+    VersionedStore.compact(spark, p) shouldBe 3L
+    ids(p) shouldBe before
+    // post-compaction live set is exactly one group
+    val hist = VersionedStore.history(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    hist.filter(_._1 == 3L).filter(_._2 == "add") should have size 1
+    hist.filter(_._1 == 3L).filter(_._2 == "remove")
+      .map(_._3).sorted shouldBe Seq(1L, 2L)
+    // time travel across the compaction still works until vacuum
+    idsAt(p, 1) shouldBe (0L until 10L)
+  }
+
+  test("crash robustness: an orphan data dir without a log record " +
+      "is invisible, and the next append reclaims its fid") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 5), p)
+    // simulate an append that crashed after writing data, before the
+    // log commit: a full file-group at the next fid, no log record
+    batch(900 until 999).write
+      .parquet(s"$p/data/f2")
+    ids(p) shouldBe (0L until 5L)
+    // the next real append writes at fid 2 (overwrite reclaims the
+    // orphan) and commits — the crashed batch's rows never surface
+    VersionedStore.append(batch(5 until 9), p) shouldBe 2L
+    ids(p) shouldBe (0L until 9L)
+  }
+
+  test("crash robustness: a stale .tmp log dir from a crashed " +
+      "commit is ignored by readers and cleared by the next commit") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 5), p)
+    val s = spark
+    import s.implicits._
+    Seq(("add", 99L, 1L)).toDF("action", "fid", "rows")
+      .write.parquet(s"$p/log/.tmp-v000000002")
+    VersionedStore.versions(spark, p) shouldBe Seq(1L)
+    ids(p) shouldBe (0L until 5L)
+    VersionedStore.append(batch(5 until 7), p) shouldBe 2L
+    ids(p) shouldBe (0L until 7L)
+  }
+
+  test("concurrent-commit conflict fails loudly, never corrupts") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 5), p)
+    // both writers computed next version = 2; the winner publishes
+    val s = spark
+    import s.implicits._
+    Seq(("add", 77L, 3L)).toDF("action", "fid", "rows")
+      .write.parquet(s"$p/log/v000000002")
+    batch(100 until 103).write.parquet(s"$p/data/f77")
+    val e = intercept[RuntimeException] {
+      // the loser's commit at the same version must NOT clobber
+      VersionedStore.commitAt(spark, p, 2L,
+        Seq(VersionedStore.GroupAdd(78L, 0L)), Seq.empty)
+    }
+    e.getMessage should include("concurrent writer conflict")
+    // the winner's commit is intact
+    ids(p) shouldBe ((0L until 5L) ++ (100L until 103L))
+  }
+
+  test("vacuum reclaims groups behind the horizon and orphans; " +
+      "readAt past the horizon fails loudly") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)   // v1, f1
+    VersionedStore.append(batch(10 until 20), p)  // v2, f2
+    VersionedStore.compact(spark, p)              // v3, f3 (removes f1,f2)
+    batch(500 until 600).write.parquet(s"$p/data/f9") // orphan
+    val victims = VersionedStore.vacuum(spark, p, retainFrom = 3L)
+    victims shouldBe Seq(1L, 2L, 9L)
+    ids(p) shouldBe (0L until 20L)
+    val e = intercept[RuntimeException] {
+      VersionedStore.readAt(spark, p, 1L)
+    }
+    e.getMessage should include("vacuumed")
+    // retention keeps versions ≥ horizon readable
+    idsAt(p, 3) shouldBe (0L until 20L)
+  }
+
+  test("merge upserts: matched rows replaced, unmatched inserted, " +
+      "only affected file-groups rewritten") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)   // f1: ids 0-9
+    VersionedStore.append(batch(10 until 20), p)  // f2: ids 10-19
+    VersionedStore.append(batch(20 until 30), p)  // f3: ids 20-29
+    val s = spark
+    import s.implicits._
+    // updates touch f1 (id 3) and f3 (id 25), plus a new id 100
+    val upd = Seq((3L, "UPDATED-3", 99), (25L, "UPDATED-25", 99),
+      (100L, "NEW-100", 99)).toDF("id", "body", "g")
+    VersionedStore.merge(spark, p, upd, Seq("id")) shouldBe 4L
+    val rows = VersionedStore.read(spark, p)
+      .select("id", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.keySet shouldBe ((0L until 30L).toSet + 100L)
+    rows(3L) shouldBe "UPDATED-3"
+    rows(25L) shouldBe "UPDATED-25"
+    rows(100L) shouldBe "NEW-100"
+    rows(4L) shouldBe "doc-4"
+    // f2 untouched: v4 removes exactly f1 and f3
+    val hist = VersionedStore.history(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    hist.filter(_._1 == 4L).filter(_._2 == "remove").map(_._3)
+      .sorted shouldBe Seq(1L, 3L)
+  }
+
+  test("merge rejects duplicate-key updates") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 5), p)
+    val s = spark
+    import s.implicits._
+    val dup = Seq((1L, "a", 0), (1L, "b", 0)).toDF("id", "body", "g")
+    val e = intercept[RuntimeException] {
+      VersionedStore.merge(spark, p, dup, Seq("id"))
+    }
+    e.getMessage should include("duplicate keys")
+  }
+
+  test("changes: row-level feed between versions nets out " +
+      "compactions and decomposes merges into delete+insert") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)           // v1
+    VersionedStore.append(batch(10 until 20), p)          // v2
+    VersionedStore.deleteWhere(spark, p, col("id") < 3)   // v3
+    VersionedStore.compact(spark, p)                      // v4
+    VersionedStore.append(batch(20 until 25), p)          // v5
+    def feed(a: Long, b: Long): (Seq[Long], Seq[Long]) = {
+      val rows = VersionedStore.changes(spark, p, a, b)
+        .select("_change", "id").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      (rows.collect { case ("insert", i) => i }.sorted.toSeq,
+        rows.collect { case ("delete", i) => i }.sorted.toSeq)
+    }
+    feed(2, 3) shouldBe (Seq.empty, Seq(0L, 1L, 2L))
+    feed(3, 4) shouldBe (Seq.empty, Seq.empty)      // compaction nets out
+    feed(2, 5) shouldBe ((20L until 25L).toSeq, Seq(0L, 1L, 2L))
+    feed(5, 5) shouldBe (Seq.empty, Seq.empty)
+    // a merge shows as delete-old + insert-new for replaced keys
+    val s = spark
+    import s.implicits._
+    VersionedStore.merge(spark, p,
+      Seq((5L, "UPD", 1)).toDF("id", "body", "g"), Seq("id"))  // v6
+    val rows = VersionedStore.changes(spark, p, 5, 6)
+      .select("_change", "id", "body").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.toSet shouldBe Set(("delete", 5L, "doc-5"), ("insert", 5L, "UPD"))
+  }
+
+  test("zone stats: statted appends prune merge's scan to " +
+      "overlapping file-groups; content is unchanged by pruning") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    // three disjoint key ranges, all statted on id
+    VersionedStore.append(batch(0 until 100), p, Some("id"))     // f1
+    VersionedStore.append(batch(100 until 200), p, Some("id"))   // f2
+    VersionedStore.append(batch(200 until 300), p, Some("id"))   // f3
+    VersionedStore.storeStatsCol(spark, p) shouldBe Some("id")
+    // the update-key span [150,160] overlaps only f2
+    VersionedStore.candidateFids(spark, p, 3L, "id", 150L,
+      160L) shouldBe Seq(2L)
+    val s = spark
+    import s.implicits._
+    val upd = Seq((150L, "UPD-150", 1), (160L, "UPD-160", 1))
+      .toDF("id", "body", "g")
+    VersionedStore.merge(spark, p, upd, Seq("id"))
+    // only f2 was rewritten; f1/f3 carried by reference
+    val hist = VersionedStore.history(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    hist.filter(_._1 == 4L).filter(_._2 == "remove")
+      .map(_._3) shouldBe Seq(2L)
+    val rows = VersionedStore.read(spark, p)
+      .select("id", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.keySet shouldBe (0L until 300L).toSet
+    rows(150L) shouldBe "UPD-150"
+    rows(149L) shouldBe "doc-149"
+    // rewritten and inserted groups re-stat themselves: the stats
+    // discipline survives the merge, so the NEXT keyed mutation
+    // still prunes
+    VersionedStore.storeStatsCol(spark, p) shouldBe Some("id")
+  }
+
+  test("zone stats: deleteWhere with a keyRange hint prunes the " +
+      "find scan; an unstatted group is always a candidate") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 100), p, Some("id"))    // f1
+    VersionedStore.append(batch(100 until 200), p, Some("id"))  // f2
+    VersionedStore.append(batch(200 until 210), p)              // f3 unstatted
+    // mixed discipline → no store-wide stats col → hint is ignored
+    // (correctness first: the scan covers everything)
+    VersionedStore.storeStatsCol(spark, p) shouldBe None
+    VersionedStore.candidateFids(spark, p, 3L, "id", 5L, 6L)
+      .toSet should contain(3L)
+    VersionedStore.deleteWhere(spark, p, col("id") === 205L,
+      keyRange = Some((205L, 205L)))
+    ids(p) shouldBe ((0L until 300L).toSeq.filter(i =>
+      i < 210 && i != 205))
+  }
+
+  test("clustered compaction: content preserved, store stats " +
+      "maintained on the folded group") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 50), p, Some("id"))
+    VersionedStore.append(batch(50 until 100), p, Some("id"))
+    VersionedStore.compact(spark, p, clusterBy = Seq("g"))
+    ids(p) shouldBe (0L until 100L)
+    VersionedStore.storeStatsCol(spark, p) shouldBe Some("id")
+  }
+
+  test("appendIdempotent: a replayed transaction is a no-op; " +
+      "distinct transactions append") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.appendIdempotent(batch(0 until 5), p, txn = 0L) shouldBe 1L
+    // replay of batch 0 (crash between sink write and checkpoint)
+    VersionedStore.appendIdempotent(batch(0 until 5), p, txn = 0L) shouldBe 1L
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    ids(p) shouldBe (0L until 5L)
+    VersionedStore.appendIdempotent(batch(5 until 9), p, txn = 1L) shouldBe 2L
+    ids(p) shouldBe (0L until 9L)
+    // untagged commits between tagged ones never collide with a txn
+    VersionedStore.append(batch(9 until 11), p) shouldBe 3L
+    VersionedStore.appendIdempotent(batch(5 until 9), p, txn = 1L) shouldBe 2L
+    ids(p) shouldBe (0L until 11L)
+  }
+
+  test("vacuum with a horizon below a live compaction retains " +
+      "every group any retained version needs") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)
+    VersionedStore.append(batch(10 until 20), p)
+    VersionedStore.compact(spark, p)
+    // retain from v2: f1 and f2 are still visible AT v2 → kept
+    VersionedStore.vacuum(spark, p, retainFrom = 2L) shouldBe Seq.empty
+    idsAt(p, 2) shouldBe (0L until 20L)
+  }
+}
