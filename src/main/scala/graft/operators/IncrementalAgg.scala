@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance over a [[VersionedStore]]: a
+  * materialized additive aggregate (per-group row count + long SUMs)
+  * kept current by applying the store's row-level change feed
+  * ([[VersionedStore.changes]]) instead of recomputing from scratch.
+  *
+  * This is the downstream half of the lakehouse loop: ingest commits
+  * batches into the store (exactly once via the streaming sink), and
+  * every dependent rollup advances by reading O(changed file-groups)
+  * of deltas and rewriting O(changed groups) of snapshot — at 100 TB
+  * the full recompute the reference's dbt models run per refresh
+  * (`my_first_dbt_model.sql` materializes the whole table each run)
+  * is exactly what this avoids.
+  *
+  * The maintained measures are count (`n`) and long sums — the
+  * additive algebra where insert = +row and delete = -row is exact
+  * (pure integer arithmetic, no float order sensitivity), so
+  * snapshot ≡ full recompute at EVERY version, which the spec
+  * witnesses step by step and q334 gates cross-engine. Non-additive
+  * aggregates (min/max, distinct) need different machinery and are
+  * deliberately out of scope.
+  *
+  * The snapshot itself is a VersionedStore: each advance is a keyed
+  * [[VersionedStore.merge]] of only the groups the delta touches
+  * (insert-only groups land as new rows; untouched groups carry by
+  * reference), followed by a [[VersionedStore.deleteWhere]] of
+  * groups whose count reached zero. Readers of the snapshot get the
+  * same atomicity/time-travel guarantees as the store — including
+  * "the rollup as of batch k" audit reads.
+  */
+object IncrementalAgg {
+
+  /** Materialize the aggregate of store version `v` as the snapshot's
+    * first content. `measures` are summed as longs (exact).
+    */
+  def init(spark: SparkSession, storePath: String, snapPath: String,
+      v: Long, groupCols: Seq[String], measures: Seq[String]): Long = {
+    val full = aggregate(
+      VersionedStore.readAt(spark, storePath, v), groupCols, measures)
+    VersionedStore.create(spark, snapPath)
+    VersionedStore.append(full, snapPath)
+  }
+
+  /** Advance the snapshot from store version `fromV` to `toV` by
+    * applying the change feed. Two atomic snapshot commits: the merge
+    * of changed-group totals, then the removal of groups whose count
+    * reached zero (between the two, vanished groups are visible as
+    * explicit n=0 rows — counts are never wrong, only explicit).
+    * Returns the snapshot's new latest version.
+    */
+  def advance(spark: SparkSession, storePath: String, snapPath: String,
+      fromV: Long, toV: Long, groupCols: Seq[String],
+      measures: Seq[String]): Long = {
+    val feed = VersionedStore.changes(spark, storePath, fromV, toV)
+    val sgn = when(col("_change") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val delta = feed.groupBy(groupCols.map(col): _*)
+      .agg(sum(sgn).as("_d_n"),
+        measures.map(m =>
+          sum(sgn * col(m).cast("long")).as(s"_d_$m")): _*)
+    if (delta.isEmpty) return VersionedStore.latestVersion(spark, snapPath)
+    val cur = VersionedStore.read(spark, snapPath)
+    // per-group new totals for exactly the groups the delta touches;
+    // groups the feed never mentions stay out of `updates` and are
+    // carried by reference inside merge
+    val updates = delta.join(cur, groupCols, "left_outer")
+      .select(groupCols.map(col) ++
+        Seq((coalesce(col("n"), lit(0L)) + col("_d_n")).as("n")) ++
+        measures.map(m =>
+          (coalesce(col(m), lit(0L)) + col(s"_d_$m")).as(m)): _*)
+    VersionedStore.merge(spark, snapPath, updates, groupCols)
+    if (updates.filter(col("n") === 0).isEmpty)
+      VersionedStore.latestVersion(spark, snapPath)
+    else VersionedStore.deleteWhere(spark, snapPath, col("n") === 0)
+  }
+
+  /** The snapshot's current content. */
+  def read(spark: SparkSession, snapPath: String): DataFrame =
+    VersionedStore.read(spark, snapPath)
+
+  /** The full (non-incremental) aggregate — init's body and the
+    * spec's equivalence witness.
+    */
+  def aggregate(df: DataFrame, groupCols: Seq[String],
+      measures: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        measures.map(m => sum(col(m).cast("long")).as(m)): _*)
+}

@@ -285,6 +285,28 @@ object VersionedStore {
   def read(spark: SparkSession, path: String): DataFrame =
     readAt(spark, path, latestVersion(spark, path))
 
+  /** Latest rows with `keyCol` in [lo, hi] — the serve-path
+    * complement of the mutation-path pruning: when the store
+    * maintains zone stats on `keyCol`, only the file-groups whose
+    * zone overlaps the range are scanned at all (plus the residual
+    * filter, which parquet min/max pushdown sharpens further inside
+    * each group); otherwise a plain filtered read. On a
+    * range-clustered store a narrow range touches O(1) groups
+    * regardless of table size.
+    */
+  def readRange(spark: SparkSession, path: String, keyCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val v = latestVersion(spark, path)
+    val resid = col(keyCol).cast("long").between(lo, hi)
+    if (storeStatsCol(spark, path).contains(keyCol)) {
+      val fids = candidateFids(spark, path, v, keyCol, lo, hi)
+      if (fids.isEmpty) readAt(spark, path, v).filter(lit(false))
+      else spark.read
+        .parquet(fids.map(dataDir(path, _).toString): _*)
+        .filter(resid)
+    } else readAt(spark, path, v).filter(resid)
+  }
+
   /** Fold every live file-group into one — remove-all + add-one in a
     * single commit record, so readers see the old file set or the
     * new one, never a mixture and never an empty gap (contrast the

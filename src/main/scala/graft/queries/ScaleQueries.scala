@@ -1254,6 +1254,76 @@ object ScaleQueries {
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
              |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Incremental view maintenance: a per-source rollup materialized
+    // at store version 2, then ADVANCED to latest by applying the
+    // change feed (insert = +row, delete = -row; pure long
+    // arithmetic) — never recomputed. The oracle is the from-scratch
+    // aggregate of the latest corpus, so a sign error, a missed
+    // delta group, a double-applied compaction, or a stale carried
+    // group all fail the hash. At 100 TB this is the refresh path
+    // for every dependent rollup: O(changed groups), not O(table).
+    QueryDef(
+      "q334_incremental_view",
+      (s, d) => {
+        import graft.operators.{IncrementalAgg, VersionedStore}
+        val snap = graft.StoreCache.rebuild("ivmsnap", d) { sp =>
+          val store = versionedDocStore(s, d, rebuild = false)
+          IncrementalAgg.init(s, store, sp, 2L,
+            Seq("source"), Seq("doc_id", "n_chars"))
+          IncrementalAgg.advance(s, store, sp, 2L,
+            VersionedStore.latestVersion(s, store),
+            Seq("source"), Seq("doc_id", "n_chars"))
+        }
+        IncrementalAgg.read(s, snap)
+          .select(col("source"), col("n"),
+            col("doc_id").as("id_sum"),
+            col("n_chars").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 3 = 2 OR doc_id % 7 <> 0
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Stats-pruned range serving: a store ingested as four disjoint
+    // doc_id quartile batches (each commit carrying its zone), read
+    // back over the upper half-range — only the overlapping groups
+    // are scanned (candidateFids), the residual filter settles
+    // exactness, and the oracle recomputes the range from the raw
+    // table. The layout+read pair is the point: range-clustered
+    // ingest makes a key-range read O(overlapping groups) at any
+    // table size.
+    QueryDef(
+      "q335_store_range_read",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val p = graft.StoreCache.rebuild("rngstore", d) { p =>
+          VersionedStore.create(s, p)
+          (0 until 4).foreach { q =>
+            VersionedStore.append(
+              docs.where(
+                expr(s"doc_id * 4 DIV ${maxId + 1} = $q")), p,
+              statsCol = Some("doc_id"))
+          }
+        }
+        VersionedStore.readRange(s, p, "doc_id", maxId / 2, maxId)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id >= (SELECT MAX(doc_id) // 2 FROM documents)
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 

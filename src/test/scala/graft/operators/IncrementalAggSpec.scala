@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Snapshot ≡ full recompute at every store version: the incremental
+  * advance over the change feed must reproduce the from-scratch
+  * aggregate after appends, targeted deletes, merges, and a
+  * compaction (whose feed nets to nothing), including a group whose
+  * count reaches zero and must leave the snapshot.
+  */
+class IncrementalAggSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/x"
+
+  private def batch(ids: Range) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, s"g${i % 3}", (i * 7L) % 100)).toDF(
+      "id", "grp", "v")
+  }
+
+  private def snapMap(snap: String): Map[String, (Long, Long)] =
+    IncrementalAgg.read(spark, snap).collect()
+      .map(r => r.getString(r.fieldIndex("grp")) ->
+        (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("v"))))
+      .toMap
+
+  private def fullMap(store: String): Map[String, (Long, Long)] =
+    IncrementalAgg.aggregate(VersionedStore.read(spark, store),
+      Seq("grp"), Seq("v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("advance tracks appends, deletes, merges, and compaction; " +
+      "a vanished group leaves the snapshot") {
+    val store = tmp("iva-store")
+    val snap = tmp("iva-snap")
+    VersionedStore.create(spark, store)
+    VersionedStore.append(batch(0 until 30), store)            // v1
+    IncrementalAgg.init(spark, store, snap, 1L, Seq("grp"), Seq("v"))
+    snapMap(snap) shouldBe fullMap(store)
+
+    def step(commit: => Long): Unit = {
+      val from = VersionedStore.latestVersion(spark, store)
+      val to = commit
+      IncrementalAgg.advance(spark, store, snap, from, to,
+        Seq("grp"), Seq("v"))
+      snapMap(snap) shouldBe fullMap(store)
+    }
+
+    step(VersionedStore.append(batch(30 until 50), store))     // v2
+    step(VersionedStore.deleteWhere(spark, store,
+      col("id") % 5 === 0))                                    // v3
+    step(VersionedStore.compact(spark, store))                 // v4: no-op feed
+    val s = spark
+    import s.implicits._
+    step(VersionedStore.merge(spark, store,
+      Seq((3L, "g0", 999L), (100L, "gNEW", 5L))
+        .toDF("id", "grp", "v"), Seq("id")))                   // v5
+    snapMap(snap).keySet should contain("gNEW")
+
+    // vanish g2 entirely: its snapshot row must be deleted, not
+    // left as a zero
+    step(VersionedStore.deleteWhere(spark, store, col("grp") === "g2"))
+    snapMap(snap).keySet should not contain "g2"
+    VersionedStore.read(spark, snap).filter(col("n") === 0)
+      .count() shouldBe 0L
+  }
+
+  test("a no-change window is a no-op advance") {
+    val store = tmp("ivb-store")
+    val snap = tmp("ivb-snap")
+    VersionedStore.create(spark, store)
+    VersionedStore.append(batch(0 until 10), store)
+    IncrementalAgg.init(spark, store, snap, 1L, Seq("grp"), Seq("v"))
+    val before = VersionedStore.latestVersion(spark, snap)
+    IncrementalAgg.advance(spark, store, snap, 1L, 1L,
+      Seq("grp"), Seq("v"))
+    VersionedStore.latestVersion(spark, snap) shouldBe before
+    snapMap(snap) shouldBe fullMap(store)
+  }
+}

@@ -287,6 +287,30 @@ class VersionedStoreSpec extends AnyFunSuite with SparkFixture
       i < 210 && i != 205))
   }
 
+  test("readRange: serves only overlapping groups with a residual " +
+      "filter; unstatted stores fall back to a full filtered read") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 100), p, Some("id"))     // f1
+    VersionedStore.append(batch(100 until 200), p, Some("id"))   // f2
+    VersionedStore.candidateFids(spark, p, 2L, "id", 150L,
+      160L) shouldBe Seq(2L)
+    VersionedStore.readRange(spark, p, "id", 150L, 160L)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe
+      (150L to 160L).toArray
+    // empty overlap → empty result, schema intact
+    val none = VersionedStore.readRange(spark, p, "id", 500L, 600L)
+    none.count() shouldBe 0L
+    none.columns shouldBe Array("id", "body", "g")
+    // a store with no uniform stats col still answers correctly
+    val p2 = freshPath()
+    VersionedStore.create(spark, p2)
+    VersionedStore.append(batch(0 until 50), p2)
+    VersionedStore.readRange(spark, p2, "id", 10L, 12L)
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(10L, 11L, 12L)
+  }
+
   test("clustered compaction: content preserved, store stats " +
       "maintained on the folded group") {
     val p = freshPath()
