@@ -54,7 +54,7 @@ object IncrementalAgg {
     */
   def advance(spark: SparkSession, storePath: String, snapPath: String,
       fromV: Long, toV: Long, groupCols: Seq[String],
-      measures: Seq[String]): Long = {
+      measures: Seq[String], txn: Long = -1L): Long = {
     val feed = VersionedStore.changes(spark, storePath, fromV, toV)
     val sgn = when(col("_change") === "insert", lit(1L))
       .otherwise(lit(-1L))
@@ -63,18 +63,33 @@ object IncrementalAgg {
         measures.map(m =>
           sum(sgn * col(m).cast("long")).as(s"_d_$m")): _*)
     if (delta.isEmpty) return VersionedStore.latestVersion(spark, snapPath)
-    val cur = VersionedStore.read(spark, snapPath)
     // per-group new totals for exactly the groups the delta touches;
     // groups the feed never mentions stay out of `updates` and are
-    // carried by reference inside merge
-    val updates = delta.join(cur, groupCols, "left_outer")
-      .select(groupCols.map(col) ++
-        Seq((coalesce(col("n"), lit(0L)) + col("_d_n")).as("n")) ++
-        measures.map(m =>
-          (coalesce(col(m), lit(0L)) + col(s"_d_$m")).as(m)): _*)
-    VersionedStore.merge(spark, snapPath, updates, groupCols)
-    if (updates.filter(col("n") === 0).isEmpty)
-      VersionedStore.latestVersion(spark, snapPath)
+    // carried by reference inside merge. An empty snapshot (the
+    // streaming rollup's first batch) takes the delta as-is.
+    val updates =
+      if (VersionedStore.isEmpty(spark, snapPath))
+        delta.select(groupCols.map(col) ++
+          Seq(col("_d_n").as("n")) ++
+          measures.map(m => col(s"_d_$m").as(m)): _*)
+      else {
+        val cur = VersionedStore.read(spark, snapPath)
+        delta.join(cur, groupCols, "left_outer")
+          .select(groupCols.map(col) ++
+            Seq((coalesce(col("n"), lit(0L)) + col("_d_n")).as("n")) ++
+            measures.map(m =>
+              (coalesce(col(m), lit(0L)) + col(s"_d_$m")).as(m)): _*)
+      }
+    // txn tags the MERGE commit (the one that must never double-
+    // apply); the trailing zero-group sweep checks the POST-merge
+    // snapshot, not `updates` — on a crash-replay the merge is
+    // skipped (txn already committed) and `updates` was computed
+    // against the already-advanced snapshot, so only the snapshot
+    // itself says whether a zero row still needs sweeping
+    val merged =
+      VersionedStore.merge(spark, snapPath, updates, groupCols, txn)
+    if (VersionedStore.read(spark, snapPath)
+        .filter(col("n") === 0).isEmpty) merged
     else VersionedStore.deleteWhere(spark, snapPath, col("n") === 0)
   }
 

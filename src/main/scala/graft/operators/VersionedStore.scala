@@ -390,7 +390,11 @@ object VersionedStore {
     * file-group. One commit record publishes the whole merge.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String], txn: Long = -1L): Long = {
+    if (txn >= 0) committedTxn(spark, path, txn) match {
+      case Some(v) => return v // replayed merge: already committed
+      case None => ()
+    }
     val dupKeys = updates.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
     if (dupKeys > 0) sys.error(
@@ -431,9 +435,9 @@ object VersionedStore {
       if (live.isEmpty) updates.columns
       else readAt(spark, path, v).columns
     val ins = updates.select(cols.map(col): _*)
-    commit(spark, path,
+    commitAt(spark, path, latestVersion(spark, path) + 1,
       rewrites.toSeq :+ writeGroup(ins, path, insFid, statsCol),
-      affected.toSeq)
+      affected.toSeq, txn)
   }
 
   /** Row-level change feed between two committed versions: what a
@@ -522,6 +526,29 @@ object VersionedStore {
         .filter(col("txn") === txn)
         .collect().headOption.map(_.getLong(0))
     }
+  }
+
+  /** True when no file-group is visible at the latest version (a
+    * just-created store, or one whose every group was removed).
+    */
+  def isEmpty(spark: SparkSession, path: String): Boolean =
+    liveFids(spark, path, latestVersion(spark, path)).isEmpty
+
+  /** Right-to-erasure: remove matching rows AND reclaim every
+    * file-group that still carries them. [[deleteWhere]] alone keeps
+    * pre-delete versions readable — for time travel that is the
+    * feature, for a removal request it is the bug: the forgotten
+    * rows would still be served by `readAt`. One delete commit
+    * followed by a vacuum at that commit's horizon makes the rows
+    * unrecoverable from this store; time travel is intentionally
+    * truncated to the erasure point, and a read below it fails
+    * loudly rather than serving forgotten data. Returns the erasure
+    * version and the reclaimed file-group ids.
+    */
+  def erase(spark: SparkSession, path: String, pred: Column,
+      keyRange: Option[(Long, Long)] = None): (Long, Seq[Long]) = {
+    val v = deleteWhere(spark, path, pred, keyRange)
+    (v, vacuum(spark, path, retainFrom = v))
   }
 
   /** Commit history as a DataFrame: (version, action, fid, n_rows)

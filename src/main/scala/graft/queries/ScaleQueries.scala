@@ -1324,6 +1324,47 @@ object ScaleQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
              |FROM documents
              |WHERE doc_id >= (SELECT MAX(doc_id) // 2 FROM documents)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Right-to-erasure: erase(pred) = targeted delete + vacuum to
+    // the erasure horizon, making the matching rows unrecoverable
+    // from the store (deleteWhere alone would keep them readable via
+    // time travel — the compliance bug). The build asserts the
+    // reclamation internally (no surviving parquet file under data/
+    // carries a forgotten row — a raw glob read, bypassing the log);
+    // the declared result is the latest content, which the oracle
+    // recomputes from the raw table.
+    QueryDef(
+      "q336_erase_rows",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val p = graft.StoreCache.rebuild("erasestore", d) { p =>
+          val docs = documents(s, d)
+          VersionedStore.create(s, p)
+          (0 until 3).foreach { i =>
+            VersionedStore.append(
+              docs.where(pmod(col("doc_id"), lit(3)) === i), p,
+              statsCol = Some("doc_id"))
+          }
+          VersionedStore.erase(s, p,
+            pmod(col("doc_id"), lit(7)) === 0)
+          val leaked = s.read.parquet(s"$p/data/f*")
+            .filter(pmod(col("doc_id"), lit(7)) === 0).count()
+          if (leaked != 0) sys.error(
+            s"q336: $leaked forgotten rows survive on disk")
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 7 <> 0
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 

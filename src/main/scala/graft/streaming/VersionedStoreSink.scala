@@ -44,4 +44,30 @@ object VersionedStoreSink {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Ingest AND maintain a dependent rollup in the same micro-batch,
+    * both exactly-once: the batch lands as a txn-tagged store commit,
+    * then [[graft.operators.IncrementalAgg.advance]] folds that one
+    * commit's change feed into the snapshot under the same txn — a
+    * crash-replay skips whichever half already committed and
+    * re-runs only the idempotent remainder. Because each micro-batch
+    * is exactly one store commit (single-writer contract), the
+    * advance window is simply (v-1, v].
+    */
+  def runAvailableNowWithRollup(streamed: DataFrame, storePath: String,
+      snapPath: String, checkpoint: String, groupCols: Seq[String],
+      measures: Seq[String],
+      statsCol: Option[String] = None): StreamingQuery =
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = VersionedStore.appendIdempotent(batch, storePath,
+          batchId, statsCol)
+        graft.operators.IncrementalAgg.advance(batch.sparkSession,
+          storePath, snapPath, v - 1, v, groupCols, measures,
+          txn = batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

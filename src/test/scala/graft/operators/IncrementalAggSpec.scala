@@ -71,6 +71,30 @@ class IncrementalAggSpec extends AnyFunSuite with SparkFixture
       .count() shouldBe 0L
   }
 
+  test("idempotent advance: a crash-replay (same txn) never " +
+      "double-applies the delta, from an empty or a primed snapshot") {
+    val store = tmp("ivc-store")
+    val snap = tmp("ivc-snap")
+    VersionedStore.create(spark, store)
+    VersionedStore.create(spark, snap)
+    // batch 0 lands; the rollup advances from an EMPTY snapshot
+    VersionedStore.append(batch(0 until 20), store)            // v1
+    IncrementalAgg.advance(spark, store, snap, 0L, 1L,
+      Seq("grp"), Seq("v"), txn = 0L)
+    snapMap(snap) shouldBe fullMap(store)
+    // the replay: identical window, identical txn — a no-op
+    IncrementalAgg.advance(spark, store, snap, 0L, 1L,
+      Seq("grp"), Seq("v"), txn = 0L)
+    snapMap(snap) shouldBe fullMap(store)
+    // next batch under the next txn advances normally
+    VersionedStore.append(batch(20 until 30), store)           // v2
+    IncrementalAgg.advance(spark, store, snap, 1L, 2L,
+      Seq("grp"), Seq("v"), txn = 1L)
+    IncrementalAgg.advance(spark, store, snap, 1L, 2L,
+      Seq("grp"), Seq("v"), txn = 1L)
+    snapMap(snap) shouldBe fullMap(store)
+  }
+
   test("a no-change window is a no-op advance") {
     val store = tmp("ivb-store")
     val snap = tmp("ivb-snap")

@@ -311,6 +311,18 @@ class VersionedStoreSpec extends AnyFunSuite with SparkFixture
       Array(10L, 11L, 12L)
   }
 
+  test("readRange's residual filter reaches the parquet scan " +
+      "(PushedFilters), so row-group min/max prunes inside groups") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 100), p, Some("id"))
+    val plan = VersionedStore.readRange(spark, p, "id", 10L, 20L)
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("GreaterThanOrEqual(id,10)")
+    plan should include("LessThanOrEqual(id,20)")
+  }
+
   test("clustered compaction: content preserved, store stats " +
       "maintained on the folded group") {
     val p = freshPath()
@@ -320,6 +332,52 @@ class VersionedStoreSpec extends AnyFunSuite with SparkFixture
     VersionedStore.compact(spark, p, clusterBy = Seq("g"))
     ids(p) shouldBe (0L until 100L)
     VersionedStore.storeStatsCol(spark, p) shouldBe Some("id")
+  }
+
+  test("erase: forgotten rows are gone from the latest version AND " +
+      "from disk; reads below the erasure horizon fail loudly") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 20), p)    // v1, f1 (has 7,14)
+    VersionedStore.append(batch(20 until 40), p)   // v2, f2 (has 21,28,35)
+    VersionedStore.append(batch(40 until 45), p)   // v3, f3 (has 42)
+    val (v, reclaimed) =
+      VersionedStore.erase(spark, p, col("id") % 7 === 0)
+    v shouldBe 4L
+    // all three groups carried matches and must be reclaimed
+    reclaimed.sorted shouldBe Seq(1L, 2L, 3L)
+    ids(p) shouldBe (0L until 45L).filter(_ % 7 != 0)
+    // strongest witness: NO surviving parquet file anywhere under
+    // data/ still carries a forgotten row
+    spark.read.parquet(s"$p/data/f*")
+      .filter(col("id") % 7 === 0).count() shouldBe 0L
+    // time travel is truncated to the erasure point
+    val e = intercept[RuntimeException] {
+      VersionedStore.readAt(spark, p, 1L)
+    }
+    e.getMessage should include("vacuumed")
+    VersionedStore.readAt(spark, p, 4L).count() shouldBe
+      (0 until 45).count(_ % 7 != 0).toLong
+  }
+
+  test("merge with a txn tag: a replayed merge is a no-op") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)
+    val s = spark
+    import s.implicits._
+    val upd = Seq((3L, "UPD", 9)).toDF("id", "body", "g")
+    val v = VersionedStore.merge(spark, p, upd, Seq("id"), txn = 7L)
+    // the replay: same txn, possibly different (stale) updates —
+    // must return the committed version and change nothing
+    val upd2 = Seq((4L, "WRONG", 9)).toDF("id", "body", "g")
+    VersionedStore.merge(spark, p, upd2, Seq("id"), txn = 7L) shouldBe v
+    VersionedStore.latestVersion(spark, p) shouldBe v
+    val rows = VersionedStore.read(spark, p)
+      .select("id", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows(3L) shouldBe "UPD"
+    rows(4L) shouldBe "doc-4"
   }
 
   test("appendIdempotent: a replayed transaction is a no-op; " +

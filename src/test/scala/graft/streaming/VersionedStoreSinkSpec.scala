@@ -68,4 +68,55 @@ class VersionedStoreSinkSpec extends AnyFlatSpec with Matchers
     // the statted waves keep key-range pruning armed store-wide
     VersionedStore.storeStatsCol(spark, store) shouldBe Some("doc_id")
   }
+
+  it should "maintain a rollup exactly-once alongside the store " +
+      "(runAvailableNowWithRollup)" in {
+    import graft.operators.IncrementalAgg
+    val s = spark
+    import s.implicits._
+    val src = tmpDir("vsr-src")
+    val store = tmpDir("vsr-store") + "/store"
+    val snap = tmpDir("vsr-snap") + "/snap"
+    val ckpt = tmpDir("vsr-ckpt")
+    VersionedStore.create(spark, store)
+    VersionedStore.create(spark, snap)
+
+    def fullAgg(): Map[String, (Long, Long)] =
+      IncrementalAgg.aggregate(VersionedStore.read(spark, store),
+        Seq("grp"), Seq("v")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    def snapAgg(): Map[String, (Long, Long)] =
+      IncrementalAgg.read(spark, snap).collect()
+        .map(r => r.getString(r.fieldIndex("grp")) ->
+          (r.getLong(r.fieldIndex("n")),
+            r.getLong(r.fieldIndex("v")))).toMap
+
+    Seq((0L, "a", 10L), (1L, "b", 20L), (2L, "a", 5L))
+      .toDF("doc_id", "grp", "v").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    VersionedStoreSink.runAvailableNowWithRollup(
+      EventStream.fileStream(spark, src, schema), store, snap, ckpt,
+      Seq("grp"), Seq("v")).awaitTermination()
+    snapAgg() shouldBe fullAgg()
+    snapAgg() shouldBe Map("a" -> (2L, 15L), "b" -> (1L, 20L))
+
+    // crash-replay of the committed batch: both halves are no-ops
+    val v1 = VersionedStore.latestVersion(spark, store)
+    VersionedStore.appendIdempotent(
+      Seq((0L, "a", 10L), (1L, "b", 20L), (2L, "a", 5L))
+        .toDF("doc_id", "grp", "v"), store, txn = 0L) shouldBe v1
+    IncrementalAgg.advance(spark, store, snap, v1 - 1, v1,
+      Seq("grp"), Seq("v"), txn = 0L)
+    snapAgg() shouldBe fullAgg()
+
+    // second wave keeps the pair in lockstep
+    Seq((3L, "b", 7L), (4L, "c", 1L))
+      .toDF("doc_id", "grp", "v").write.mode("append").parquet(src)
+    VersionedStoreSink.runAvailableNowWithRollup(
+      EventStream.fileStream(spark, src, schema), store, snap, ckpt,
+      Seq("grp"), Seq("v")).awaitTermination()
+    snapAgg() shouldBe fullAgg()
+    snapAgg()("c") shouldBe (1L, 1L)
+  }
 }
