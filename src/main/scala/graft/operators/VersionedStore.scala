@@ -528,6 +528,10 @@ object VersionedStore {
     }
   }
 
+  /** True when a store exists at `path` (its log dir is present). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark).exists(logDir(path))
+
   /** True when no file-group is visible at the latest version (a
     * just-created store, or one whose every group was removed).
     */

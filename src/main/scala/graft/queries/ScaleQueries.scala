@@ -1365,6 +1365,98 @@ object ScaleQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
              |FROM documents
              |WHERE doc_id % 7 <> 0
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // dbt's third materialization mode — INCREMENTAL, append-only
+    // strategy: two "dbt run"s over a growing staging input. The
+    // model body sees the previously materialized state (thisOpt =
+    // dbt's {{ this }} / is_incremental()) and emits only rows above
+    // the high watermark, so run 2 processes O(new rows), never the
+    // full history. The oracle is the full derived table: an off-by-
+    // one watermark (>= for >) duplicates the boundary row, a
+    // re-processed run doubles the first wave — both fail the hash.
+    QueryDef(
+      "q337_dbt_incremental_append",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        import graft.transform.{IncrementalModel, ModelRegistry}
+        val docs = documents(s, d)
+        val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val p = graft.StoreCache.rebuild("incappend", d) { sp =>
+          var staging = docs.where(col("doc_id") <= mid)
+          val reg = new ModelRegistry(s)
+          reg.register(IncrementalModel(
+            "inc_docs", sp,
+            build = (_, thisOpt) => {
+              val derived = staging.select(col("doc_id"),
+                col("source"), col("n_chars"))
+              thisOpt match {
+                case Some(t) =>
+                  val hw = t.agg(max(col("doc_id"))).head.getLong(0)
+                  derived.where(col("doc_id") > hw)
+                case None => derived
+              }
+            },
+            statsCol = Some("doc_id")))
+          reg.run()        // run 1: ids <= mid
+          staging = docs   // new data arrives
+          reg.run()        // run 2: only ids above the watermark
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // dbt incremental, MERGE strategy: run 1 materializes the first
+    // two id-classes; run 2 delivers a restatement batch — the new
+    // class plus corrections (+1000 chars for every doc_id%5=0) —
+    // upserted by unique_key. Only the file-groups carrying touched
+    // keys rewrite. The oracle recomputes the corrected corpus: a
+    // lost correction, a duplicated insert, or a correction applied
+    // to the wrong rows all shift the checksums.
+    QueryDef(
+      "q338_dbt_incremental_merge",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        import graft.transform.{IncrementalModel, ModelRegistry}
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("incmerge", d) { sp =>
+          var staging = docs.where(pmod(col("doc_id"), lit(3)) < 2)
+          val reg = new ModelRegistry(s)
+          reg.register(IncrementalModel(
+            "inc_docs_merged", sp,
+            build = (_, _) => staging,
+            uniqueKey = Seq("doc_id"),
+            statsCol = Some("doc_id")))
+          reg.run()                 // run 1: %3 in (0,1) as-is
+          staging = docs
+            .where(pmod(col("doc_id"), lit(3)) === 2 ||
+              pmod(col("doc_id"), lit(5)) === 0)
+            .withColumn("n_chars",
+              when(pmod(col("doc_id"), lit(5)) === 0,
+                col("n_chars") + 1000).otherwise(col("n_chars")))
+          reg.run()                 // run 2: restatement upsert
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars + CASE WHEN doc_id % 5 = 0
+             |    THEN 1000 ELSE 0 END) AS BIGINT) AS chars_sum
+             |FROM documents
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 

@@ -30,33 +30,94 @@ final case class Model(
     build: (String => DataFrame) => DataFrame,
     tests: Seq[Check] = Seq.empty)
 
+/** The third public dbt materialization mode — `incremental` — mapped
+  * onto [[graft.operators.VersionedStore]]. The reference's dbt
+  * project only uses table/view (dbt_project.yml:34-38), which
+  * re-materialize the WHOLE model every run; at 100 TB the refresh
+  * must process only what changed, which is exactly dbt's
+  * incremental mode: the model body sees the previously materialized
+  * state (dbt's `{{ this }}` / `is_incremental()` pair — here the
+  * explicit `thisOpt`, None on the first run or after a full
+  * refresh) and returns only the candidate rows for THIS run; the
+  * registry folds them in atomically.
+  *
+  *  - `uniqueKey` empty → append-only (dbt's default incremental
+  *    strategy): candidates land as one commit.
+  *  - `uniqueKey` set → upsert (dbt's merge strategy): candidates
+  *    replace matching keys and insert the rest, rewriting only the
+  *    file-groups the keys touch.
+  *
+  * Either way the store gives the run atomicity (one commit), an
+  * audit trail (`history`), time travel to any prior run's state,
+  * and a change feed downstream consumers can tail.
+  */
+final case class IncrementalModel(
+    name: String,
+    storePath: String,
+    build: (String => DataFrame, Option[DataFrame]) => DataFrame,
+    uniqueKey: Seq[String] = Seq.empty,
+    statsCol: Option[String] = None,
+    tests: Seq[Check] = Seq.empty)
+
 class ModelRegistry(spark: SparkSession) {
+  import graft.operators.VersionedStore
+
   private val models = mutable.LinkedHashMap.empty[String, Model]
+  private val incrementals =
+    mutable.LinkedHashMap.empty[String, IncrementalModel]
 
   def register(model: Model): this.type = {
     models(model.name) = model
     this
   }
 
+  def register(model: IncrementalModel): this.type = {
+    incrementals(model.name) = model
+    this
+  }
+
   /** Resolve a model and everything it `ref`s, memoized, with cycle
-    * detection. Materializes each model exactly once.
+    * detection. Materializes each model exactly once per run();
+    * incremental models ADVANCE their store exactly once per run()
+    * (the "dbt run" unit), and downstream refs see the post-advance
+    * content.
     */
   def run(): Map[String, DataFrame] = {
     val built = mutable.LinkedHashMap.empty[String, DataFrame]
     val inFlight = mutable.Set.empty[String]
 
     def resolve(name: String): DataFrame = built.getOrElse(name, {
-      require(models.contains(name), s"unknown model: $name")
+      require(models.contains(name) || incrementals.contains(name),
+        s"unknown model: $name")
       require(inFlight.add(name), s"cycle detected at model: $name")
-      val m = models(name)
-      val df = m.build(resolve)
-      val materialized = m.materialization match {
-        case Table =>
-          df.write.mode("overwrite").saveAsTable(m.name)
-          spark.table(m.name)
-        case View =>
-          df.createOrReplaceTempView(m.name)
-          df
+      val materialized = models.get(name) match {
+        case Some(m) =>
+          val df = m.build(resolve)
+          m.materialization match {
+            case Table =>
+              df.write.mode("overwrite").saveAsTable(m.name)
+              spark.table(m.name)
+            case View =>
+              df.createOrReplaceTempView(m.name)
+              df
+          }
+        case None =>
+          val m = incrementals(name)
+          if (!VersionedStore.exists(spark, m.storePath))
+            VersionedStore.create(spark, m.storePath)
+          val thisOpt =
+            if (VersionedStore.isEmpty(spark, m.storePath)) None
+            else Some(VersionedStore.read(spark, m.storePath))
+          val candidates = m.build(resolve, thisOpt)
+          (thisOpt, m.uniqueKey) match {
+            case (None, _) | (_, Seq()) =>
+              VersionedStore.append(candidates, m.storePath, m.statsCol)
+            case (Some(_), keys) =>
+              VersionedStore.merge(spark, m.storePath, candidates, keys)
+          }
+          val out = VersionedStore.read(spark, m.storePath)
+          out.createOrReplaceTempView(m.name)
+          out
       }
       inFlight.remove(name)
       built(name) = materialized
@@ -64,15 +125,17 @@ class ModelRegistry(spark: SparkSession) {
     })
 
     models.keys.foreach(resolve)
+    incrementals.keys.foreach(resolve)
     built.toMap
   }
 
   /** `dbt test`: every model's declared checks, single pass per model. */
   def test(): Map[String, Seq[CheckResult]] = {
     val dfs = run()
-    models.values
-      .filter(_.tests.nonEmpty)
-      .map(m => m.name -> CheckRunner.run(dfs(m.name), m.tests))
+    (models.values.map(m => (m.name, m.tests)) ++
+      incrementals.values.map(m => (m.name, m.tests)))
+      .filter(_._2.nonEmpty)
+      .map { case (n, ts) => n -> CheckRunner.run(dfs(n), ts) }
       .toMap
   }
 }

@@ -58,4 +58,61 @@ class ModelRegistrySpec extends AnyFunSuite with SparkFixture with Matchers {
       .register(Model("a", View, ref => ref("ghost")))
     an[IllegalArgumentException] should be thrownBy r.run()
   }
+
+  private def tmpStore(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  test("incremental append: the second run processes only rows " +
+      "above the watermark; downstream refs see the advanced state") {
+    val s = spark
+    import s.implicits._
+    val store = tmpStore("inc-a")
+    var staging = Seq((1L, 10), (2L, 20)).toDF("id", "v")
+    val reg = new ModelRegistry(spark)
+      .register(IncrementalModel("inc_model", store,
+        build = (_, thisOpt) => thisOpt match {
+          case Some(t) =>
+            val hw = t.agg(max(col("id"))).head.getLong(0)
+            staging.filter(col("id") > hw)
+          case None => staging
+        }))
+      .register(Model("downstream", View,
+        ref => ref("inc_model").agg(
+          count(lit(1)).as("n"), sum(col("v")).as("sv"))))
+    reg.run()
+    // "new data arrives": the staging set now ALSO re-contains the
+    // old rows — the watermark must keep them out
+    staging = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))
+      .toDF("id", "v")
+    val built = reg.run()
+    built("inc_model").count() shouldBe 4
+    built("inc_model").agg(sum(col("v"))).head.getLong(0) shouldBe 100L
+    built("downstream").head.getLong(1) shouldBe 100L
+    // two runs = two commits: run 1's state is still auditable
+    graft.operators.VersionedStore
+      .readAt(spark, store, 1L).count() shouldBe 2
+  }
+
+  test("incremental merge: a restatement batch upserts by " +
+      "unique_key without duplicating rows") {
+    val s = spark
+    import s.implicits._
+    val store = tmpStore("inc-m")
+    var staging = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "g", "v")
+    val reg = new ModelRegistry(spark)
+      .register(IncrementalModel("inc_merge", store,
+        build = (_, _) => staging,
+        uniqueKey = Seq("id"),
+        tests = Seq(Unique(Seq("id")), NotNull("id"))))
+    reg.run()
+    staging = Seq((2L, "b", 99), (3L, "c", 30)).toDF("id", "g", "v")
+    reg.run()
+    val rows = graft.operators.VersionedStore.read(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows shouldBe Map(1L -> 10, 2L -> 99, 3L -> 30)
+    // dbt test runs against the incremental model too (this run()
+    // inside test() advances once more with the same staging — the
+    // upsert is idempotent on identical candidates)
+    reg.test()("inc_merge").forall(_.passed) shouldBe true
+  }
 }
