@@ -71,6 +71,11 @@ object VersionedStore {
       sys.error(s"VersionedStore.create: cannot clear $path")
     if (!f.mkdirs(logDir(path)))
       sys.error(s"VersionedStore.create: cannot create log at $path")
+    // a re-created store restarts version numbering at the same
+    // path — cached records from the previous incarnation must not
+    // survive (the listing alone could not distinguish them)
+    logCache.synchronized { logCache.remove(path) }
+    ()
   }
 
   /** Committed versions at `path`, ascending. Tmp dirs from crashed
@@ -140,22 +145,74 @@ object VersionedStore {
     v
   }
 
-  /** All log actions up to and including `v`, collected driver-side
-    * (O(commits) metadata rows, independent of data size).
+  /** One parsed commit-record row. `txn` -1 and `stats` None for
+    * records written before those columns existed.
+    */
+  private final case class LogRec(v: Long, action: String, fid: Long,
+      rows: Long, txn: Long, stats: Option[(String, Long, Long)])
+
+  /** Driver-side incremental log cache, per JVM: the log is
+    * O(commits) of KB-scale parquet, but re-reading it through a
+    * Spark job on EVERY latestVersion/liveFids/stats lookup made each
+    * store operation pay several round-trips. The cache is keyed by
+    * the ACTUAL log listing (an FS call, the commit source of truth),
+    * so it can never serve stale state: a version set that differs
+    * from the cached one triggers a read of exactly the missing
+    * version files, and [[create]] drops the entry (same path, new
+    * store). External writers are still seen — their new version
+    * appears in the listing and is read on next access.
+    */
+  private val logCache =
+    scala.collection.mutable.Map.empty[String, (Set[Long], Seq[LogRec])]
+
+  private def logRecords(spark: SparkSession,
+      path: String): Seq[LogRec] = logCache.synchronized {
+    val vs = versions(spark, path).toSet
+    val (cachedVs, cachedRecs) =
+      logCache.getOrElse(path, (Set.empty[Long], Seq.empty[LogRec]))
+    if (cachedVs == vs) return cachedRecs
+    val keep = cachedRecs.filter(r => vs.contains(r.v))
+    val missing = (vs -- keep.map(_.v)).toSeq.sorted
+    val fresh =
+      if (missing.isEmpty) Seq.empty[LogRec]
+      else {
+        val log = spark.read.option("mergeSchema", "true")
+          .parquet(missing.map(x => s"$path/log/${versionName(x)}"): _*)
+        val hasTxn = log.columns.contains("txn")
+        val hasStats = log.columns.contains("stat_col")
+        log.select(
+          regexp_extract(input_file_name(), "v(\\d{9})", 1)
+            .cast("long").as("v"),
+          col("action"), col("fid"), col("rows"),
+          (if (hasTxn) coalesce(col("txn"), lit(-1L))
+           else lit(-1L)).as("txn"),
+          (if (hasStats) col("stat_col")
+           else lit(null).cast("string")).as("stat_col"),
+          (if (hasStats) col("stat_min")
+           else lit(null).cast("long")).as("stat_min"),
+          (if (hasStats) col("stat_max")
+           else lit(null).cast("long")).as("stat_max"))
+          .collect()
+          .map { r =>
+            val stats =
+              if (r.isNullAt(5)) None
+              else Some((r.getString(5), r.getLong(6), r.getLong(7)))
+            LogRec(r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), stats)
+          }.toSeq
+      }
+    val recs = (keep ++ fresh).sortBy(r => (r.v, r.action, r.fid))
+    logCache(path) = (vs, recs)
+    recs
+  }
+
+  /** All log actions up to and including `v` (O(commits) metadata
+    * rows, independent of data size; cache-served).
     */
   private def actions(spark: SparkSession, path: String,
-      v: Long): Seq[(Long, String, Long, Long)] = {
-    val vs = versions(spark, path).filter(_ <= v)
-    if (vs.isEmpty) Seq.empty
-    else spark.read
-      .parquet(vs.map(x => s"$path/log/${versionName(x)}"): _*)
-      .select(regexp_extract(input_file_name(), "v(\\d{9})", 1)
-        .cast("long").as("v"),
-        col("action"), col("fid"), col("rows"))
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getLong(3)))
-  }
+      v: Long): Seq[(Long, String, Long, Long)] =
+    logRecords(spark, path).filter(_.v <= v)
+      .map(r => (r.v, r.action, r.fid, r.rows))
 
   /** File-groups visible at version `v`. */
   private def liveFids(spark: SparkSession, path: String,
@@ -172,20 +229,11 @@ object VersionedStore {
     * mergeSchema → simply absent here.
     */
   private def groupStats(spark: SparkSession, path: String)
-      : Map[Long, (String, Long, Long)] = {
-    val vs = versions(spark, path)
-    if (vs.isEmpty) return Map.empty
-    val log = spark.read.option("mergeSchema", "true")
-      .parquet(vs.map(x => s"$path/log/${versionName(x)}"): _*)
-    if (!log.columns.contains("stat_col")) return Map.empty
-    log.filter(col("action") === "add" && col("stat_col").isNotNull)
-      .select(col("fid"), col("stat_col"), col("stat_min"),
-        col("stat_max"))
-      .collect()
-      .map(r => r.getLong(0) ->
-        (r.getString(1), r.getLong(2), r.getLong(3)))
+      : Map[Long, (String, Long, Long)] =
+    logRecords(spark, path)
+      .collect { case LogRec(_, "add", fid, _, _, Some(st)) =>
+        fid -> st }
       .toMap
-  }
 
   /** The store's maintained stats column, if EVERY live file-group
     * carries stats on the same column — mutators use this to keep
@@ -512,21 +560,8 @@ object VersionedStore {
     * colliding with the `txn >= 0` contract.
     */
   private def committedTxn(spark: SparkSession, path: String,
-      txn: Long): Option[Long] = {
-    val vs = versions(spark, path)
-    if (vs.isEmpty) None
-    else {
-      val log = spark.read.option("mergeSchema", "true")
-        .parquet(vs.map(x => s"$path/log/${versionName(x)}"): _*)
-      if (!log.columns.contains("txn")) None
-      else log
-        .select(regexp_extract(input_file_name(), "v(\\d{9})", 1)
-          .cast("long").as("v"),
-          coalesce(col("txn"), lit(-1L)).as("txn"))
-        .filter(col("txn") === txn)
-        .collect().headOption.map(_.getLong(0))
-    }
-  }
+      txn: Long): Option[Long] =
+    logRecords(spark, path).find(_.txn == txn).map(_.v)
 
   /** True when a store exists at `path` (its log dir is present). */
   def exists(spark: SparkSession, path: String): Boolean =
