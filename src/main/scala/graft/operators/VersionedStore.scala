@@ -100,7 +100,8 @@ object VersionedStore {
     * a candidate for any key range).
     */
   final case class GroupAdd(fid: Long, n: Long,
-      stats: Option[(String, Long, Long)] = None)
+      stats: Option[(String, Long, Long)] = None,
+      schemaJson: Option[String] = None)
 
   private def commit(spark: SparkSession, path: String,
       adds: Seq[GroupAdd], removes: Seq[Long]): Long =
@@ -129,12 +130,12 @@ object VersionedStore {
       val (sc, lo, hi) = a.stats
         .map { case (c, l, h) => (c, Some(l), Some(h)) }
         .getOrElse((null: String, None, None))
-      ("add", a.fid, a.n, txn, sc, lo, hi)
+      ("add", a.fid, a.n, txn, sc, lo, hi, a.schemaJson.orNull)
     } ++ removes.map(fid =>
       ("remove", fid, 0L, txn, null: String,
-        None: Option[Long], None: Option[Long])))
+        None: Option[Long], None: Option[Long], null: String)))
       .toDF("action", "fid", "rows", "txn",
-        "stat_col", "stat_min", "stat_max")
+        "stat_col", "stat_min", "stat_max", "schema_json")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/${versionName(v)}")
     if (f.exists(dest))
@@ -145,11 +146,13 @@ object VersionedStore {
     v
   }
 
-  /** One parsed commit-record row. `txn` -1 and `stats` None for
-    * records written before those columns existed.
+  /** One parsed commit-record row. `txn` -1, `stats` None, and
+    * `schemaJson` None for records written before those columns
+    * existed.
     */
   private final case class LogRec(v: Long, action: String, fid: Long,
-      rows: Long, txn: Long, stats: Option[(String, Long, Long)])
+      rows: Long, txn: Long, stats: Option[(String, Long, Long)],
+      schemaJson: Option[String])
 
   /** Driver-side incremental log cache, per JVM: the log is
     * O(commits) of KB-scale parquet, but re-reading it through a
@@ -178,27 +181,26 @@ object VersionedStore {
       else {
         val log = spark.read.option("mergeSchema", "true")
           .parquet(missing.map(x => s"$path/log/${versionName(x)}"): _*)
-        val hasTxn = log.columns.contains("txn")
-        val hasStats = log.columns.contains("stat_col")
+        def optCol(name: String, tpe: String) =
+          if (log.columns.contains(name)) col(name)
+          else lit(null).cast(tpe)
         log.select(
           regexp_extract(input_file_name(), "v(\\d{9})", 1)
             .cast("long").as("v"),
           col("action"), col("fid"), col("rows"),
-          (if (hasTxn) coalesce(col("txn"), lit(-1L))
-           else lit(-1L)).as("txn"),
-          (if (hasStats) col("stat_col")
-           else lit(null).cast("string")).as("stat_col"),
-          (if (hasStats) col("stat_min")
-           else lit(null).cast("long")).as("stat_min"),
-          (if (hasStats) col("stat_max")
-           else lit(null).cast("long")).as("stat_max"))
+          coalesce(optCol("txn", "long"), lit(-1L)).as("txn"),
+          optCol("stat_col", "string").as("stat_col"),
+          optCol("stat_min", "long").as("stat_min"),
+          optCol("stat_max", "long").as("stat_max"),
+          optCol("schema_json", "string").as("schema_json"))
           .collect()
           .map { r =>
             val stats =
               if (r.isNullAt(5)) None
               else Some((r.getString(5), r.getLong(6), r.getLong(7)))
+            val sj = if (r.isNullAt(8)) None else Some(r.getString(8))
             LogRec(r.getLong(0), r.getString(1), r.getLong(2),
-              r.getLong(3), r.getLong(4), stats)
+              r.getLong(3), r.getLong(4), stats, sj)
           }.toSeq
       }
     val recs = (keep ++ fresh).sortBy(r => (r.v, r.action, r.fid))
@@ -231,7 +233,7 @@ object VersionedStore {
   private def groupStats(spark: SparkSession, path: String)
       : Map[Long, (String, Long, Long)] =
     logRecords(spark, path)
-      .collect { case LogRec(_, "add", fid, _, _, Some(st)) =>
+      .collect { case LogRec(_, "add", fid, _, _, Some(st), _) =>
         fid -> st }
       .toMap
 
@@ -279,15 +281,47 @@ object VersionedStore {
     val spark = df.sparkSession
     df.write.mode("overwrite").parquet(dataDir(path, fid).toString)
     val written = spark.read.parquet(dataDir(path, fid).toString)
+    val sj = Some(df.schema.json)
     statsCol match {
       case Some(c) =>
         val r = written.agg(count(lit(1)).as("n"),
           min(col(c)).cast("long").as("lo"),
           max(col(c)).cast("long").as("hi")).head
-        if (r.getLong(0) == 0 || r.isNullAt(1)) GroupAdd(fid, r.getLong(0))
+        if (r.getLong(0) == 0 || r.isNullAt(1))
+          GroupAdd(fid, r.getLong(0), None, sj)
         else GroupAdd(fid, r.getLong(0),
-          Some((c, r.getLong(1), r.getLong(2))))
-      case None => GroupAdd(fid, written.count())
+          Some((c, r.getLong(1), r.getLong(2))), sj)
+      case None => GroupAdd(fid, written.count(), None, sj)
+    }
+  }
+
+  /** The table schema as of version `v`: the newest add record ≤ v
+    * that carries one (commits never shrink the schema — enforced in
+    * [[append]]). None for stores whose records predate schema
+    * tracking.
+    */
+  private def schemaAt(spark: SparkSession, path: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] =
+    logRecords(spark, path)
+      .filter(r => r.action == "add" && r.v <= v &&
+        r.schemaJson.isDefined)
+      .sortBy(_.v).lastOption
+      .map(r => org.apache.spark.sql.types.DataType
+        .fromJson(r.schemaJson.get)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Read file-groups under the table schema of version `v`: groups
+    * written before an additive schema evolution simply yield NULL
+    * for the columns they predate (the parquet reader fills missing
+    * columns when the scan schema is explicit — no footer-merging
+    * pass over every file, the Delta/Iceberg schema-in-log design).
+    */
+  private def readFids(spark: SparkSession, path: String,
+      fids: Seq[Long], v: Long): DataFrame = {
+    val paths = fids.map(dataDir(path, _).toString)
+    schemaAt(spark, path, v) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
     }
   }
 
@@ -303,10 +337,33 @@ object VersionedStore {
     * `statsCol` commits the group with min/max zone stats on that
     * numeric column — feed every append the same column to arm
     * key-range pruning in [[merge]]/[[deleteWhere]].
+    *
+    * Schema evolution is additive and explicit: an append whose
+    * schema adds columns to the table schema requires
+    * `evolve = true` (old file-groups then read as NULL in the new
+    * columns — the scan schema is explicit, so no footer pass);
+    * dropping a column or changing a column's type is rejected
+    * outright, because existing groups could not be read under the
+    * new schema without silent data loss.
     */
   def append(df: DataFrame, path: String,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None,
+      evolve: Boolean = false): Long = {
     val spark = df.sparkSession
+    schemaAt(spark, path, Long.MaxValue).foreach { cur =>
+      val newFields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = cur.fields.filterNot(f =>
+        newFields.get(f.name).contains(f.dataType))
+      if (missing.nonEmpty) sys.error(
+        "VersionedStore.append: batch schema drops or retypes " +
+          s"table columns ${missing.map(_.name).mkString(", ")} — " +
+          "existing file-groups could not be read under it")
+      val added = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
+      if (added.nonEmpty && !evolve) sys.error(
+        "VersionedStore.append: batch adds columns " +
+          s"${added.mkString(", ")} — pass evolve=true to evolve " +
+          "the table schema")
+    }
     val fid = nextFid(spark, path)
     commit(spark, path,
       Seq(writeGroup(df, path, fid, statsCol)), Seq.empty)
@@ -326,7 +383,7 @@ object VersionedStore {
         s"VersionedStore.readAt: file-group f$fid of version $v " +
           s"was vacuumed — raise the vacuum retention horizon")
     }
-    spark.read.parquet(fids.map(dataDir(path, _).toString): _*)
+    readFids(spark, path, fids, v)
   }
 
   /** Latest content. */
@@ -349,9 +406,7 @@ object VersionedStore {
     if (storeStatsCol(spark, path).contains(keyCol)) {
       val fids = candidateFids(spark, path, v, keyCol, lo, hi)
       if (fids.isEmpty) readAt(spark, path, v).filter(lit(false))
-      else spark.read
-        .parquet(fids.map(dataDir(path, _).toString): _*)
-        .filter(resid)
+      else readFids(spark, path, fids, v).filter(resid)
     } else readAt(spark, path, v).filter(resid)
   }
 
@@ -380,10 +435,12 @@ object VersionedStore {
       Seq(writeGroup(out, path, fid, storeStatsCol(spark, path))), old)
   }
 
-  /** The live content with each row's file-group id attached. */
+  /** The live content with each row's file-group id attached, read
+    * under the current table schema.
+    */
   private def withFidOf(spark: SparkSession, path: String,
       fids: Seq[Long]): DataFrame =
-    spark.read.parquet(fids.map(dataDir(path, _).toString): _*)
+    readFids(spark, path, fids, Long.MaxValue)
       .withColumn("_vs_fid",
         regexp_extract(input_file_name(), "/f(\\d+)/", 1)
           .cast("long"))
@@ -515,9 +572,12 @@ object VersionedStore {
         s"VersionedStore.changes: file-group f$fid was vacuumed — " +
           "raise the vacuum retention horizon")
     }
+    // both sides read under toV's table schema, so a feed spanning
+    // an additive evolution compares like with like (pre-evolution
+    // rows carry NULL in the new columns on both sides)
     def content(fids: Seq[Long]): Option[DataFrame] =
       if (fids.isEmpty) None
-      else Some(spark.read.parquet(fids.map(dataDir(path, _).toString): _*))
+      else Some(readFids(spark, path, fids, toV))
     (content(gained), content(lost)) match {
       case (None, None) =>
         // no group churn in the window → empty feed in store schema

@@ -1457,6 +1457,43 @@ object ScaleQueries {
              |  CAST(SUM(n_chars + CASE WHEN doc_id % 5 = 0
              |    THEN 1000 ELSE 0 END) AS BIGINT) AS chars_sum
              |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Additive schema evolution: a later ingest batch carries a new
+    // `quality` column (evolve=true); file-groups written before the
+    // evolution read as NULL in it — via an explicit scan schema
+    // from the commit log (the Delta/Iceberg design), never a
+    // footer-merge pass over every file. The oracle recomputes the
+    // evolved aggregate with the pre-evolution rows contributing
+    // zero: a scan that drops the new column, NULLs the wrong rows,
+    // or double-reads a group shifts q_sum and fails the hash.
+    QueryDef(
+      "q339_schema_evolution",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val p = graft.StoreCache.rebuild("evostore", d) { p =>
+          val docs = documents(s, d)
+          VersionedStore.create(s, p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(3)) < 2), p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(3)) === 2)
+              .withColumn("quality", pmod(col("n_chars"), lit(7))),
+            p, evolve = true)
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(coalesce(col("quality"), lit(0L))).cast("long")
+              .as("q_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN n_chars % 7
+             |    ELSE 0 END) AS BIGINT) AS q_sum
+             |FROM documents
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 

@@ -360,6 +360,52 @@ class VersionedStoreSpec extends AnyFunSuite with SparkFixture
       (0 until 45).count(_ % 7 != 0).toLong
   }
 
+  test("schema evolution: additive append requires evolve=true, old " +
+      "groups read as NULL in new columns, time travel keeps the " +
+      "old schema, destructive changes are rejected") {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)           // v1: (id,body,g)
+    val evolved = (10 until 15)
+      .map(i => (i.toLong, s"doc-$i", i % 5, i * 2L))
+      .toDF("id", "body", "g", "q")
+    // additive change must be explicit
+    val e1 = intercept[RuntimeException] {
+      VersionedStore.append(evolved, p)
+    }
+    e1.getMessage should include("evolve=true")
+    VersionedStore.append(evolved, p, evolve = true)      // v2
+    val rows = VersionedStore.read(spark, p)
+      .select("id", "q").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    rows(3L) shouldBe None          // pre-evolution row: NULL q
+    rows(12L) shouldBe Some(24L)
+    // time travel reads v1 under v1's schema
+    VersionedStore.readAt(spark, p, 1L).columns shouldBe
+      Array("id", "body", "g")
+    // dropping and retyping are rejected outright
+    val e2 = intercept[RuntimeException] {
+      VersionedStore.append(
+        (0 until 3).map(i => (i.toLong, i % 5)).toDF("id", "g"), p,
+        evolve = true)
+    }
+    e2.getMessage should include("drops or retypes")
+    val e3 = intercept[RuntimeException] {
+      VersionedStore.append(
+        (0 until 3).map(i => (i.toLong, s"b", "str", 1L))
+          .toDF("id", "body", "g", "q"), p, evolve = true)
+    }
+    e3.getMessage should include("drops or retypes")
+    // the change feed across the evolution window compares under the
+    // evolved schema on both sides
+    val feed = VersionedStore.changes(spark, p, 1L, 2L)
+    feed.columns shouldBe Array("id", "body", "g", "q", "_change")
+    feed.filter(col("_change") === "insert").count() shouldBe 5
+  }
+
   test("merge with a txn tag: a replayed merge is a no-op") {
     val p = freshPath()
     VersionedStore.create(spark, p)
