@@ -364,6 +364,7 @@ object VersionedStore {
           s"${added.mkString(", ")} — pass evolve=true to evolve " +
           "the table schema")
     }
+    validate(df, path)
     val fid = nextFid(spark, path)
     commit(spark, path,
       Seq(writeGroup(df, path, fid, statsCol)), Seq.empty)
@@ -505,6 +506,7 @@ object VersionedStore {
     if (dupKeys > 0) sys.error(
       "VersionedStore.merge: updates carry duplicate keys — " +
         "the merge result would be order-dependent")
+    validate(updates, path)
     val v = latestVersion(spark, path)
     val statsCol = storeStatsCol(spark, path)
     // when the store maintains zone stats ON the merge key, the
@@ -608,6 +610,7 @@ object VersionedStore {
     committedTxn(spark, path, txn) match {
       case Some(v) => v
       case None =>
+        validate(df, path)
         val fid = nextFid(spark, path)
         val add = writeGroup(df, path, fid, statsCol)
         commitAt(spark, path, latestVersion(spark, path) + 1,
@@ -626,6 +629,59 @@ object VersionedStore {
   /** True when a store exists at `path` (its log dir is present). */
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark).exists(logDir(path))
+
+  /** Persist table constraints (the Delta CHECK-constraint idea,
+    * expressed in the Check algebra): every subsequent [[append]] /
+    * [[appendIdempotent]] / [[merge]] validates the INCOMING batch in
+    * one fused aggregation pass and fails loudly before writing
+    * anything — a rejected batch leaves no trace in the log or under
+    * data/. Enforcement at the write boundary is what keeps a 100 TB
+    * table clean: validating after the fact means a full-table scan
+    * and a mess to unwind.
+    */
+  def setConstraints(spark: SparkSession, path: String,
+      checks: Seq[graft.check.Check]): Unit = {
+    import spark.implicits._
+    val f = fs(spark)
+    val tmp = new Path(s"$path/.constraints-tmp")
+    val dest = new Path(s"$path/constraints")
+    if (f.exists(tmp) && !f.delete(tmp, true))
+      sys.error(s"VersionedStore.setConstraints: cannot clear $tmp")
+    checks.map(graft.check.CheckCodec.encode)
+      .toDF("kind", "column", "args")
+      .coalesce(1).write.parquet(tmp.toString)
+    if (f.exists(dest) && !f.delete(dest, true))
+      sys.error(s"VersionedStore.setConstraints: cannot replace $dest")
+    if (!f.rename(tmp, dest))
+      sys.error(s"VersionedStore.setConstraints: cannot publish $dest")
+  }
+
+  /** The table's persisted constraints (empty if none were set). */
+  def constraintsOf(spark: SparkSession,
+      path: String): Seq[graft.check.Check] = {
+    val dest = new Path(s"$path/constraints")
+    if (!fs(spark).exists(dest)) Seq.empty
+    else spark.read.parquet(dest.toString)
+      .collect()
+      .map(r => graft.check.CheckCodec.decode(r.getString(0),
+        r.getString(1), r.getSeq[String](2)))
+      .toSeq
+  }
+
+  /** Validate an incoming batch against the table constraints; one
+    * aggregation pass over the batch, loud failure listing every
+    * violated check.
+    */
+  private def validate(df: DataFrame, path: String): Unit = {
+    val checks = constraintsOf(df.sparkSession, path)
+    if (checks.isEmpty) return
+    val failed = graft.check.CheckRunner.run(df, checks)
+      .filterNot(_.passed)
+    if (failed.nonEmpty) sys.error(
+      "VersionedStore: batch rejected by table constraints — " +
+        failed.map(r => s"${r.check}: ${r.violations} violations")
+          .mkString("; "))
+  }
 
   /** True when no file-group is visible at the latest version (a
     * just-created store, or one whose every group was removed).

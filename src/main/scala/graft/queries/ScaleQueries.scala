@@ -1494,6 +1494,89 @@ object ScaleQueries {
              |  CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN n_chars % 7
              |    ELSE 0 END) AS BIGINT) AS q_sum
              |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Constraints enforced at the write boundary (the Delta CHECK-
+    // constraint idea in the Check algebra): the store carries a
+    // persisted suite, every ingest batch is validated in one fused
+    // pass BEFORE anything lands, and a violating batch is rejected
+    // leaving no trace — asserted inside the build (version count
+    // unchanged after the rejected batch). The declared result is
+    // the cleanly ingested corpus, recomputed by the oracle.
+    QueryDef(
+      "q340_constrained_ingest",
+      (s, d) => {
+        import graft.check.{NonNegative, NotNull}
+        import graft.operators.VersionedStore
+        val p = graft.StoreCache.rebuild("consstore", d) { p =>
+          val docs = documents(s, d)
+          VersionedStore.create(s, p)
+          VersionedStore.setConstraints(s, p,
+            Seq(NotNull("source"), NotNull("lang"),
+              NonNegative("n_chars")))
+          (0 until 3).foreach { i =>
+            VersionedStore.append(
+              docs.where(pmod(col("doc_id"), lit(3)) === i), p)
+          }
+          val rejected = scala.util.Try(VersionedStore.append(
+            docs.limit(50).withColumn("n_chars",
+              -col("n_chars") - 1), p))
+          if (rejected.isSuccess) sys.error(
+            "q340: violating batch was accepted")
+          if (VersionedStore.latestVersion(s, p) != 3L) sys.error(
+            "q340: rejected batch left a commit behind")
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Training-run manifest: two stores are pinned at a chosen
+    // moment, then BOTH drift (an extra append on one). Reading
+    // THROUGH the manifest reproduces the pinned snapshot of each —
+    // union = every document exactly once. A manifest that read
+    // latest instead of pinned would double-count the post-pin
+    // append and fail the hash.
+    QueryDef(
+      "q341_training_manifest",
+      (s, d) => {
+        import graft.operators.{StoreManifest, VersionedStore}
+        val m = graft.StoreCache.rebuild("manifest", d) { m =>
+          val docs = documents(s, d)
+          val a = graft.StoreCache.pathFor("mani-a", d)
+          val b = graft.StoreCache.pathFor("mani-b", d)
+          VersionedStore.create(s, a)
+          VersionedStore.create(s, b)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), a) // a@1
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1), b) // b@1
+          StoreManifest.pin(s, Seq(a, b), s"$m/manifest")
+          // post-pin drift: a@2 re-ships b's rows — reading latest
+          // would double-count them
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1), a) // a@2
+        }
+        StoreManifest.readAll(s, s"$m/manifest").values
+          .reduce(_ unionByName _)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 

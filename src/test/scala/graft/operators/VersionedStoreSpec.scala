@@ -406,6 +406,38 @@ class VersionedStoreSpec extends AnyFunSuite with SparkFixture
     feed.filter(col("_change") === "insert").count() shouldBe 5
   }
 
+  test("table constraints: a violating batch is rejected before " +
+      "anything is written; clean batches flow; merge validates too") {
+    import graft.check.{Between, NotNull}
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.setConstraints(spark, p,
+      Seq(NotNull("body"), Between("g", 0, 4)))
+    VersionedStore.append(batch(0 until 10), p) shouldBe 1L
+    val s = spark
+    import s.implicits._
+    val bad = Seq((100L, null.asInstanceOf[String], 2),
+      (101L, "ok", 9)).toDF("id", "body", "g")
+    val e = intercept[RuntimeException] {
+      VersionedStore.append(bad, p)
+    }
+    e.getMessage should include("rejected by table constraints")
+    e.getMessage should include("notnull_body: 1")
+    e.getMessage should include("between_g: 1")
+    // nothing committed, no orphan group visible
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    ids(p) shouldBe (0L until 10L)
+    // merge runs the same gate on its updates
+    val e2 = intercept[RuntimeException] {
+      VersionedStore.merge(spark, p,
+        Seq((3L, "x", 77)).toDF("id", "body", "g"), Seq("id"))
+    }
+    e2.getMessage should include("between_g: 1")
+    // constraints round-trip through their persisted form
+    VersionedStore.constraintsOf(spark, p) shouldBe
+      Seq(NotNull("body"), Between("g", 0, 4))
+  }
+
   test("merge with a txn tag: a replayed merge is a no-op") {
     val p = freshPath()
     VersionedStore.create(spark, p)
