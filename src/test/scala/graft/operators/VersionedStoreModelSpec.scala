@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Model-based randomized check: a random lifecycle of appends,
+  * targeted deletes, keyed merges, and compactions is replayed
+  * against a pure in-memory model; after EVERY op the store's latest
+  * content must equal the model's, and at the end `readAt` must
+  * reproduce every recorded version. This is the strongest form of
+  * the q328-family gates: not one pinned lifecycle but arbitrary
+  * interleavings — an op whose commit misaccounts a carried group,
+  * re-adds a removed fid, or breaks snapshot isolation fails on some
+  * generated sequence.
+  *
+  * Append ids are globally fresh (a counter) and merge-insert ids
+  * live in a disjoint high range, so content is always keyed by id
+  * and a Map model is faithful; merges REPLACE existing rows by
+  * sampling the already-allocated id space.
+  */
+class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  private sealed trait Op
+  private case class Append(n: Int) extends Op
+  private case class Delete(mod: Int, rem: Int) extends Op
+  private case class Merge(fracs: Seq[Double], fresh: Int) extends Op
+  private case object Compact extends Op
+
+  private type Row3 = (Long, String, Long)
+
+  private def df(rows: Seq[Row3]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "body", "v")
+  }
+
+  private def contentOf(path: String): Map[Long, Row3] =
+    VersionedStore.read(spark, path).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(0), r.getString(1), r.getLong(2))).toMap
+
+  private def contentAt(path: String, v: Long): Map[Long, Row3] =
+    VersionedStore.readAt(spark, path, v).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(0), r.getString(1), r.getLong(2))).toMap
+
+  test("random lifecycles: store == model after every op, and " +
+      "readAt reproduces every recorded version") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genOp: Gen[Op] = Gen.frequency(
+      4 -> Gen.choose(1, 40).map(Append(_)),
+      3 -> (for {
+        mod <- Gen.choose(2, 7)
+        rem <- Gen.choose(0, 6)
+      } yield Delete(mod, rem min (mod - 1))),
+      3 -> (for {
+        fracs <- Gen.listOfN(4, Gen.choose(0.0, 0.999))
+        fresh <- Gen.choose(0, 3)
+      } yield Merge(fracs, fresh)),
+      1 -> Gen.const(Compact))
+    val genSeq = Gen.listOfN(6, genOp)
+
+    var run = 0
+    val prop = Prop.forAll(genSeq) { ops =>
+      run += 1
+      val p = java.nio.file.Files
+        .createTempDirectory(s"vs-model-$run").toString + "/store"
+      VersionedStore.create(spark, p)
+      var nextId = 0L
+      var nextHigh = 1000000L
+      var cur = Map.empty[Long, Row3]
+      var recorded = Map.empty[Long, Map[Long, Row3]]
+      ops.foreach { op =>
+        op match {
+          case Append(n) =>
+            val rows = (nextId until nextId + n)
+              .map(i => (i, s"a$i", i * 3))
+            nextId += n
+            VersionedStore.append(df(rows), p)
+            cur = cur ++ rows.map(r => r._1 -> r)
+          case Delete(mod, rem) =>
+            VersionedStore.deleteWhere(spark, p,
+              pmod(col("id"), lit(mod)) === rem)
+            cur = cur.filterNot { case (id, _) =>
+              ((id % mod) + mod) % mod == rem }
+          case Merge(fracs, fresh) =>
+            val existing =
+              if (nextId == 0) Seq.empty[Long]
+              else fracs.map(f => (f * nextId).toLong).distinct
+            val freshIds = (nextHigh until nextHigh + fresh)
+            nextHigh += fresh
+            val ids = (existing ++ freshIds).distinct
+            if (ids.nonEmpty) {
+              val rows = ids.map(i => (i, s"m$i", i * 7))
+              VersionedStore.merge(spark, p, df(rows), Seq("id"))
+              cur = cur ++ rows.map(r => r._1 -> r)
+            }
+          case Compact =>
+            if (!VersionedStore.isEmpty(spark, p))
+              VersionedStore.compact(spark, p)
+        }
+        val v = VersionedStore.latestVersion(spark, p)
+        if (v > 0) recorded = recorded + (v -> cur)
+        if (v > 0) contentOf(p) shouldBe cur
+      }
+      // time travel: every recorded version replays its model state
+      recorded.foreach { case (v, expected) =>
+        if (expected.nonEmpty) contentAt(p, v) shouldBe expected
+      }
+      true
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8),
+      prop).passed shouldBe true
+  }
+}
