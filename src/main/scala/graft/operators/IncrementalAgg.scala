@@ -62,11 +62,22 @@ object IncrementalAgg {
       .agg(sum(sgn).as("_d_n"),
         measures.map(m =>
           sum(sgn * col(m).cast("long")).as(s"_d_$m")): _*)
+    applyDelta(spark, snapPath, delta, groupCols, measures, txn)
+  }
+
+  /** Fold a signed per-group delta frame (groupCols + `_d_n` +
+    * `_d_<m>` columns) into the snapshot store: merge new totals for
+    * exactly the groups the delta touches (groups it never mentions
+    * are carried by reference), then sweep groups whose count
+    * reached zero. Shared by the single-store and join-view advance
+    * paths.
+    */
+  private[operators] def applyDelta(spark: SparkSession,
+      snapPath: String, delta: DataFrame, groupCols: Seq[String],
+      measures: Seq[String], txn: Long): Long = {
     if (delta.isEmpty) return VersionedStore.latestVersion(spark, snapPath)
-    // per-group new totals for exactly the groups the delta touches;
-    // groups the feed never mentions stay out of `updates` and are
-    // carried by reference inside merge. An empty snapshot (the
-    // streaming rollup's first batch) takes the delta as-is.
+    // An empty snapshot (the streaming rollup's first batch, or a
+    // join view's first advance) takes the delta as-is.
     val updates =
       if (VersionedStore.isEmpty(spark, snapPath))
         delta.select(groupCols.map(col) ++

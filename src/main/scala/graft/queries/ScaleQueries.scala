@@ -1577,7 +1577,56 @@ object ScaleQueries {
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
              |FROM documents
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Join-view IVM: a per-market-segment rollup of orders ⋈
+    // customer maintained purely from the two stores' change feeds
+    // via the signed delta rule ΔM = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB — never
+    // recomputed. The lifecycle exercises all three terms: a fact
+    // append window, then a window where the DIM loses keys while
+    // the FACT gains rows (so a sign error, a missed cross term, or
+    // a double-subtracted both-side delete shifts the totals). The
+    // oracle recomputes the final join from the raw tables.
+    QueryDef(
+      "q342_join_view_ivm",
+      (s, d) => {
+        import graft.operators.{IncrementalJoinAgg, VersionedStore}
+        val snap = graft.StoreCache.rebuild("joinivm", d) { snap =>
+          val fact = graft.StoreCache.pathFor("jivm-fact", d)
+          val dim = graft.StoreCache.pathFor("jivm-dim", d)
+          val o = orders(s, d).select(
+            col("o_orderkey"), col("o_custkey").as("custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          val c = customer(s, d).select(
+            col("c_custkey").as("custkey"), col("c_mktsegment"))
+          VersionedStore.create(s, fact)
+          VersionedStore.create(s, dim)
+          VersionedStore.create(s, snap)
+          VersionedStore.append(
+            o.where(pmod(col("o_orderkey"), lit(2)) === 0), fact)
+          VersionedStore.append(c, dim)
+          IncrementalJoinAgg.advance(s, fact, dim, snap, 0L, 1L,
+            0L, 1L, "custkey", Seq("c_mktsegment"), Seq("cents"))
+          // window 2: fact grows while the dim shrinks
+          VersionedStore.append(
+            o.where(pmod(col("o_orderkey"), lit(2)) === 1), fact)
+          VersionedStore.deleteWhere(s, dim,
+            pmod(col("custkey"), lit(10)) === 3)
+          IncrementalJoinAgg.advance(s, fact, dim, snap, 1L, 2L,
+            1L, 2L, "custkey", Seq("c_mktsegment"), Seq("cents"))
+        }
+        graft.operators.IncrementalAgg.read(s, snap)
+          .select(col("c_mktsegment"), col("n"),
+            col("cents").as("cents_sum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents_sum
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_custkey % 10 <> 3
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents
