@@ -545,6 +545,35 @@ object VersionedStore {
     commit(spark, path, adds, affected.toSeq)
   }
 
+  /** Remove every row whose key tuple appears in `keys` — the form a
+    * real removal request takes at scale: a TABLE of millions of ids,
+    * not a predicate you could spell inline ([[deleteWhere]]'s
+    * `isin` would need the whole list collected to the driver).
+    * Detection and rewrite both join against the key frame (AQE
+    * broadcasts it when small, shuffles when not); only file-groups
+    * containing matches rewrite, in one partitioned pass.
+    */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val v = latestVersion(spark, path)
+    val fids = liveFids(spark, path, v)
+    if (fids.isEmpty) return v
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    val withFid = withFidOf(spark, path, fids)
+    val affected = withFid.join(k, keyCols, "left_semi")
+      .select("_vs_fid").distinct().collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return v
+    val statsCol = storeStatsCol(spark, path)
+    val first = nextFid(spark, path)
+    val fidOf = affected.toSeq.zipWithIndex
+      .map { case (o, i) => o -> (first + i) }
+    val kept = withFid
+      .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
+      .join(k, keyCols, "left_anti")
+    val adds = rewriteGroups(spark, path, kept, fidOf, statsCol)
+    commit(spark, path, adds, affected.toSeq)
+  }
+
   /** Keyed upsert (the MERGE of SQL lakehouses): every store row
     * whose `keyCols` tuple matches a row of `updates` is REPLACED by
     * that update row; update rows matching nothing are INSERTED.
@@ -663,6 +692,26 @@ object VersionedStore {
         ins.withColumn("_change", lit("insert"))
           .unionAll(del.withColumn("_change", lit("delete")))
     }
+  }
+
+  /** Apply a change feed (the output of [[changes]], or any frame
+    * with the store schema plus a `_change` column) to ANOTHER
+    * keyed store — CDC replication: after applying source windows in
+    * order, the replica's content equals the source's at the
+    * window's end version. Deletes (including the delete half of a
+    * replaced key) land first as one keyed-delete commit, then the
+    * inserts append — so a replace never collides on its key. Two
+    * commits per window; readers of the replica see it atomically
+    * per commit as always.
+    */
+  def applyChanges(spark: SparkSession, feed: DataFrame,
+      targetPath: String, keyCols: Seq[String]): Long = {
+    val dels = feed.filter(col("_change") === "delete")
+      .select(keyCols.map(col): _*)
+    val ins = feed.filter(col("_change") === "insert").drop("_change")
+    if (!dels.isEmpty) deleteKeys(spark, targetPath, dels, keyCols)
+    if (!ins.isEmpty) append(ins, targetPath)
+    latestVersion(spark, targetPath)
   }
 
   /** [[append]] with an exactly-once transaction tag for streaming

@@ -1626,7 +1626,45 @@ object ScaleQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE c_custkey % 10 <> 3
              |GROUP BY c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // CDC replication: the q328 store's lifecycle is replayed onto a
+    // REPLICA purely from its change feed, window by window —
+    // (0,2] both ingest batches, (2,4] the removal-request deletes
+    // plus batch 2, (4,5] the compaction (which must net to nothing).
+    // Replica content must equal the source's latest, which the
+    // oracle recomputes from the raw table: a feed that misses a
+    // delete window, double-applies a replace, or leaks compaction
+    // churn shifts the checksums.
+    QueryDef(
+      "q343_cdc_replication",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val rep = graft.StoreCache.rebuild("cdcreplica", d) { rep =>
+          val src = versionedDocStore(s, d, rebuild = false)
+          VersionedStore.create(s, rep)
+          var applied = 0L
+          Seq(2L, 4L,
+            VersionedStore.latestVersion(s, src)).foreach { to =>
+            VersionedStore.applyChanges(s,
+              VersionedStore.changes(s, src, applied, to), rep,
+              Seq("doc_id"))
+            applied = to
+          }
+        }
+        VersionedStore.read(s, rep)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 3 = 2 OR doc_id % 7 <> 0
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents

@@ -406,6 +406,55 @@ class VersionedStoreSpec extends AnyFunSuite with SparkFixture
     feed.filter(col("_change") === "insert").count() shouldBe 5
   }
 
+  test("deleteKeys removes exactly the keyed rows, rewriting only " +
+      "groups that contain matches") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)    // f1
+    VersionedStore.append(batch(10 until 20), p)   // f2
+    VersionedStore.append(batch(20 until 30), p)   // f3
+    val s = spark
+    import s.implicits._
+    val removal = Seq(3L, 7L, 25L, 999L).toDF("id")  // 999 matches nothing
+    VersionedStore.deleteKeys(spark, p, removal, Seq("id"))
+    ids(p) shouldBe (0L until 30L).filterNot(Set(3L, 7L, 25L))
+    // f2 had no matching key → carried by reference, not rewritten
+    val hist = VersionedStore.history(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    hist.filter(_._1 == 4L).filter(_._2 == "remove").map(_._3)
+      .sorted shouldBe Seq(1L, 3L)
+  }
+
+  test("applyChanges replicates a keyed store window by window, " +
+      "including deletes, replaces, and compactions") {
+    val src = freshPath()
+    val rep = freshPath()
+    VersionedStore.create(spark, src)
+    VersionedStore.create(spark, rep)
+    VersionedStore.append(batch(0 until 20), src)          // v1
+    VersionedStore.append(batch(20 until 30), src)         // v2
+    VersionedStore.deleteWhere(spark, src, col("id") % 5 === 0) // v3
+    val s = spark
+    import s.implicits._
+    VersionedStore.merge(spark, src,
+      Seq((7L, "REPL", 1)).toDF("id", "body", "g"), Seq("id")) // v4
+    VersionedStore.compact(spark, src)                     // v5
+    var applied = 0L
+    Seq(2L, 4L, 5L).foreach { to =>
+      VersionedStore.applyChanges(spark,
+        VersionedStore.changes(spark, src, applied, to), rep,
+        Seq("id"))
+      applied = to
+      val srcRows = VersionedStore.readAt(spark, src, to)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val repRows = VersionedStore.read(spark, rep)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      repRows shouldBe srcRows
+    }
+    VersionedStore.read(spark, rep)
+      .filter(col("id") === 7L).head().getString(1) shouldBe "REPL"
+  }
+
   test("table constraints: a violating batch is rejected before " +
       "anything is written; clean batches flow; merge validates too") {
     import graft.check.{Between, NotNull}
