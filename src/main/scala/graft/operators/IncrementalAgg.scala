@@ -73,8 +73,14 @@ object IncrementalAgg {
     * paths.
     */
   private[operators] def applyDelta(spark: SparkSession,
-      snapPath: String, delta: DataFrame, groupCols: Seq[String],
+      snapPath: String, deltaIn: DataFrame, groupCols: Seq[String],
       measures: Seq[String], txn: Long): Long = {
+    // the delta's lineage can be expensive (the join-view's three
+    // delta terms); everything below re-derives it several times —
+    // emptiness, the merge's duplicate-key check, affected-group
+    // detection, the writes — so materialize the (group-sized) frame
+    // once and cut the upstream recomputes
+    val delta = deltaIn.localCheckpoint()
     if (delta.isEmpty) return VersionedStore.latestVersion(spark, snapPath)
     // An empty snapshot (the streaming rollup's first batch, or a
     // join view's first advance) takes the delta as-is.

@@ -55,6 +55,9 @@ object IncrementalJoinAgg {
       snapPath: String, fromFact: Long, toFact: Long, fromDim: Long,
       toDim: Long, joinKey: String, groupCols: Seq[String],
       measures: Seq[String], txn: Long = -1L): Long = {
+    // each delta feeds two terms; recomputing the (cheap, shuffle-
+    // free for append/drop windows) feed twice measured FASTER than
+    // eagerly materializing it — don't checkpoint here
     val dA = signed(
       VersionedStore.changes(spark, factPath, fromFact, toFact), "_sa")
     val dB = signed(

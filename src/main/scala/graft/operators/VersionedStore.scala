@@ -687,8 +687,18 @@ object VersionedStore {
           .withColumn("_change", lit("insert")).limit(0)
       case (g, l) =>
         val empty = (g orElse l).get.limit(0)
-        val ins = g.map(_.exceptAll(l.getOrElse(empty))).getOrElse(empty)
-        val del = l.map(_.exceptAll(g.getOrElse(empty))).getOrElse(empty)
+        // pure-append / pure-drop windows (the common case) skip the
+        // exceptAll entirely — no shuffle, the group read IS the feed
+        val ins = (g, l) match {
+          case (Some(gd), Some(ld)) => gd.exceptAll(ld)
+          case (Some(gd), None) => gd
+          case _ => empty
+        }
+        val del = (l, g) match {
+          case (Some(ld), Some(gd)) => ld.exceptAll(gd)
+          case (Some(ld), None) => ld
+          case _ => empty
+        }
         ins.withColumn("_change", lit("insert"))
           .unionAll(del.withColumn("_change", lit("delete")))
     }
