@@ -657,6 +657,12 @@ object VersionedStore {
     * pure rewrites net out), then one `exceptAll` each way turns the
     * group diff into a row diff. Cost is O(changed groups), never
     * O(table); both versions must still be within the vacuum horizon.
+    *
+    * A window that spans an [[erase]] fails loudly: erasure
+    * deliberately destroys exactly the data a row-level delete feed
+    * would need to carry, so downstream consumers (replicas,
+    * rollups) must replay the removal REQUEST itself and re-anchor —
+    * never receive the erased rows through the feed.
     */
   def changes(spark: SparkSession, path: String, fromV: Long,
       toV: Long): DataFrame = {
