@@ -840,6 +840,44 @@ object VersionedStore {
     (v, vacuum(spark, path, retainFrom = v))
   }
 
+  /** One-row operational summary (the DESCRIBE DETAIL of SQL
+    * lakehouses), computed ENTIRELY from the cached commit log — no
+    * data scan at any table size: committed version count, live
+    * file-group count, live row count (the per-group counts every
+    * commit records), schema width, stats discipline, constraint
+    * count.
+    */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val recs = logRecords(spark, path)
+    val latest = latestVersion(spark, path)
+    val live = liveFids(spark, path, latest).toSet
+    val nRows = recs.filter(r => r.action == "add" && live(r.fid))
+      .map(_.rows).sum
+    val nCols = schemaAt(spark, path, latest)
+      .map(_.fields.length.toLong).getOrElse(0L)
+    Seq((latest, recs.map(_.v).distinct.size.toLong,
+      live.size.toLong, nRows, nCols,
+      storeStatsCol(spark, path).getOrElse(""),
+      constraintsOf(spark, path).size.toLong))
+      .toDF("latest_version", "n_versions", "n_live_groups",
+        "n_rows", "n_columns", "stats_col", "n_constraints")
+  }
+
+  /** Threshold-triggered compaction — the OPTIMIZE policy a
+    * maintenance job runs after ingest: fold when fragmentation
+    * passes `maxLiveGroups` (reads degrade with file-group count;
+    * stats prune best over few well-clustered groups). Returns true
+    * when a compaction ran.
+    */
+  def maintain(spark: SparkSession, path: String, maxLiveGroups: Int,
+      clusterBy: Seq[String] = Nil): Boolean = {
+    val frag =
+      liveFids(spark, path, latestVersion(spark, path)).size
+    if (frag > maxLiveGroups) { compact(spark, path, clusterBy); true }
+    else false
+  }
+
   /** Commit history as a DataFrame: (version, action, fid, n_rows)
     * — `n_rows`, not `rows`, because ROWS is a reserved word in the
     * oracle engine's SQL.

@@ -1664,7 +1664,29 @@ object ScaleQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
              |FROM documents
              |WHERE doc_id % 3 = 2 OR doc_id % 7 <> 0
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // DESCRIBE DETAIL off the commit log alone — zero data scan at
+    // any table size: every field of the summary (versions, live
+    // groups, live ROW COUNT, schema width) is derivable from the
+    // q328 lifecycle arithmetically, so the oracle pins the log's
+    // own bookkeeping (per-commit row accounting, live-set
+    // resolution, schema tracking) against an independent
+    // computation of what it SHOULD say.
+    QueryDef(
+      "q344_store_describe",
+      (s, d) => {
+        val p = versionedDocStore(s, d, rebuild = false)
+        graft.operators.VersionedStore.describe(s, p)
+      },
+      Some("""SELECT CAST(5 AS BIGINT) AS latest_version,
+             |  CAST(5 AS BIGINT) AS n_versions,
+             |  CAST(1 AS BIGINT) AS n_live_groups,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             |   WHERE doc_id % 3 = 2 OR doc_id % 7 <> 0) AS n_rows,
+             |  CAST(5 AS BIGINT) AS n_columns,
+             |  '' AS stats_col,
+             |  CAST(0 AS BIGINT) AS n_constraints""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents

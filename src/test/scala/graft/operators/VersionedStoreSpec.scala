@@ -406,6 +406,28 @@ class VersionedStoreSpec extends AnyFunSuite with SparkFixture
     feed.filter(col("_change") === "insert").count() shouldBe 5
   }
 
+  test("describe summarizes the store from the log alone; maintain " +
+      "compacts only past the fragmentation threshold") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p, Some("id"))
+    VersionedStore.append(batch(10 until 25), p, Some("id"))
+    VersionedStore.maintain(spark, p, maxLiveGroups = 2) shouldBe false
+    VersionedStore.append(batch(25 until 30), p, Some("id"))
+    val d0 = VersionedStore.describe(spark, p).head()
+    d0.getLong(0) shouldBe 3L    // latest_version
+    d0.getLong(2) shouldBe 3L    // n_live_groups
+    d0.getLong(3) shouldBe 30L   // n_rows (from the log, no scan)
+    d0.getLong(4) shouldBe 3L    // n_columns
+    d0.getString(5) shouldBe "id"
+    VersionedStore.maintain(spark, p, maxLiveGroups = 2,
+      clusterBy = Seq("id")) shouldBe true
+    val d1 = VersionedStore.describe(spark, p).head()
+    d1.getLong(2) shouldBe 1L
+    d1.getLong(3) shouldBe 30L
+    ids(p) shouldBe (0L until 30L)
+  }
+
   test("deleteKeys removes exactly the keyed rows, rewriting only " +
       "groups that contain matches") {
     val p = freshPath()
