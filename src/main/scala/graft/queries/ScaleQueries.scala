@@ -1686,7 +1686,51 @@ object ScaleQueries {
              |   WHERE doc_id % 3 = 2 OR doc_id % 7 <> 0) AS n_rows,
              |  CAST(5 AS BIGINT) AS n_columns,
              |  '' AS stats_col,
-             |  CAST(0 AS BIGINT) AS n_constraints""".stripMargin))
+             |  CAST(0 AS BIGINT) AS n_constraints""".stripMargin)),
+
+    // Snapshot-consistent multi-store JOIN: a training run joins two
+    // pinned stores THROUGH a manifest while ingest keeps landing on
+    // both (the fact gains the odd orders, the dim loses a key
+    // class AFTER the pin). The joined result must reflect exactly
+    // the pinned moment — even orders against ALL customers — which
+    // the oracle recomputes; a read-latest leak on either side
+    // shifts the counts.
+    QueryDef(
+      "q345_snapshot_join",
+      (s, d) => {
+        import graft.operators.{StoreManifest, VersionedStore}
+        val fact = graft.StoreCache.pathFor("snapj-fact", d)
+        val dim = graft.StoreCache.pathFor("snapj-dim", d)
+        val m = graft.StoreCache.rebuild("snapjoin", d) { m =>
+          val o = orders(s, d).select(
+            col("o_orderkey"), col("o_custkey").as("custkey"))
+          val c = customer(s, d).select(
+            col("c_custkey").as("custkey"), col("c_mktsegment"))
+          VersionedStore.create(s, fact)
+          VersionedStore.create(s, dim)
+          VersionedStore.append(
+            o.where(pmod(col("o_orderkey"), lit(2)) === 0), fact)
+          VersionedStore.append(c, dim)
+          StoreManifest.pin(s, Seq(fact, dim), s"$m/manifest")
+          // post-pin drift on BOTH sides
+          VersionedStore.append(
+            o.where(pmod(col("o_orderkey"), lit(2)) === 1), fact)
+          VersionedStore.deleteWhere(s, dim,
+            pmod(col("custkey"), lit(10)) === 3)
+        }
+        val pinned = StoreManifest.readAll(s, s"$m/manifest")
+        pinned(fact).join(pinned(dim), "custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("custkey")).cast("long").as("key_sum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 2 = 0
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents
