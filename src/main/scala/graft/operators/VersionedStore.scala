@@ -878,6 +878,18 @@ object VersionedStore {
     else false
   }
 
+  /** Register the store (latest, or a pinned version) as a temp view
+    * so plain `spark.sql` works over the lakehouse table — the SQL
+    * executor surface (SURVEY §2.1 S7) over versioned storage. The
+    * view captures the version resolved AT registration (snapshot
+    * semantics, consistent with every other reader); re-register to
+    * follow new commits.
+    */
+  def registerView(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None): Unit =
+    version.map(readAt(spark, path, _)).getOrElse(read(spark, path))
+      .createOrReplaceTempView(name)
+
   /** Commit history as a DataFrame: (version, action, fid, n_rows)
     * — `n_rows`, not `rows`, because ROWS is a reserved word in the
     * oracle engine's SQL.

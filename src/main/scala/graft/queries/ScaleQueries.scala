@@ -1730,7 +1730,45 @@ object ScaleQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderkey % 2 = 0
              |GROUP BY c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // The SQL executor over the lakehouse table: the q328 store
+    // registered as a view — latest AND a pinned historical version
+    // side by side — queried with plain spark.sql, including a
+    // cross-version comparison only versioned storage can answer
+    // ("how many rows did the removal request take from each
+    // source?"). Both engines recompute the same arithmetic.
+    QueryDef(
+      "q346_sql_over_store",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val p = versionedDocStore(s, d, rebuild = false)
+        VersionedStore.registerView(s, p, "doc_store")
+        VersionedStore.registerView(s, p, "doc_store_v2",
+          version = Some(2L))
+        s.sql("""
+          SELECT cur.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_now,
+                 CAST(old.n_before AS BIGINT) AS n_before
+          FROM doc_store cur
+          JOIN (SELECT source, COUNT(*) AS n_before
+                FROM doc_store_v2 GROUP BY source) old
+            ON cur.source = old.source
+          GROUP BY cur.source, old.n_before
+          ORDER BY cur.source""")
+      },
+      Some("""WITH now AS (
+             |  SELECT source, COUNT(*) AS n_now FROM documents
+             |  WHERE doc_id % 3 = 2 OR doc_id % 7 <> 0
+             |  GROUP BY source
+             |), before AS (
+             |  SELECT source, COUNT(*) AS n_before FROM documents
+             |  WHERE doc_id % 3 IN (0, 1) GROUP BY source
+             |)
+             |SELECT now.source, CAST(n_now AS BIGINT) AS n_now,
+             |  CAST(n_before AS BIGINT) AS n_before
+             |FROM now JOIN before ON now.source = before.source
+             |ORDER BY now.source""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents
