@@ -27,6 +27,7 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
   private case class Append(n: Int) extends Op
   private case class Delete(mod: Int, rem: Int) extends Op
   private case class Merge(fracs: Seq[Double], fresh: Int) extends Op
+  private case class DeleteKeys(fracs: Seq[Double]) extends Op
   private case object Compact extends Op
 
   private type Row3 = (Long, String, Long)
@@ -60,6 +61,7 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
         fracs <- Gen.listOfN(4, Gen.choose(0.0, 0.999))
         fresh <- Gen.choose(0, 3)
       } yield Merge(fracs, fresh)),
+      2 -> Gen.listOfN(3, Gen.choose(0.0, 0.999)).map(DeleteKeys(_)),
       1 -> Gen.const(Compact))
     val genSeq = Gen.listOfN(6, genOp)
 
@@ -97,6 +99,17 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
               val rows = ids.map(i => (i, s"m$i", i * 7))
               VersionedStore.merge(spark, p, df(rows), Seq("id"))
               cur = cur ++ rows.map(r => r._1 -> r)
+            }
+          case DeleteKeys(fracs) =>
+            val ids =
+              if (nextId == 0) Seq.empty[Long]
+              else fracs.map(f => (f * nextId).toLong).distinct
+            if (ids.nonEmpty) {
+              val s = spark
+              import s.implicits._
+              VersionedStore.deleteKeys(spark, p,
+                ids.toDF("id"), Seq("id"))
+              cur = cur -- ids
             }
           case Compact =>
             if (!VersionedStore.isEmpty(spark, p))
