@@ -1768,7 +1768,40 @@ object ScaleQueries {
              |SELECT now.source, CAST(n_now AS BIGINT) AS n_now,
              |  CAST(n_before AS BIGINT) AS n_before
              |FROM now JOIN before ON now.source = before.source
-             |ORDER BY now.source""".stripMargin))
+             |ORDER BY now.source""".stripMargin)),
+
+    // The rollup's own refresh history: the q334 snapshot is itself
+    // a versioned store, so "what did the per-source rollup say
+    // BEFORE the removal request landed" is one time-travel read —
+    // snapshot v1 is the init at store-version 2 (both pre-delete
+    // batches), and the later advance never disturbed it. The oracle
+    // recomputes the v2-corpus aggregate from the raw table; a
+    // refresh that mutated history in place would fail the hash.
+    QueryDef(
+      "q347_rollup_history",
+      (s, d) => {
+        import graft.operators.{IncrementalAgg, VersionedStore}
+        // ensure the q334 build ran in this JVM (order-independent)
+        val snap = graft.StoreCache.getOrBuild("ivmsnap", d) { sp =>
+          val store = versionedDocStore(s, d, rebuild = false)
+          IncrementalAgg.init(s, store, sp, 2L,
+            Seq("source"), Seq("doc_id", "n_chars"))
+          IncrementalAgg.advance(s, store, sp, 2L,
+            VersionedStore.latestVersion(s, store),
+            Seq("source"), Seq("doc_id", "n_chars"))
+        }
+        VersionedStore.readAt(s, snap, 1L)
+          .select(col("source"), col("n"),
+            col("doc_id").as("id_sum"),
+            col("n_chars").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 3 IN (0, 1)
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents
