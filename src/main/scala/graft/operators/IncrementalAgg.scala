@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   * aggregates (min/max, distinct) need different machinery and are
   * deliberately out of scope.
   *
+  * NULL measures contribute 0 and an all-NULL group sums to 0, i.e.
+  * the maintained measure is `COALESCE(SUM(m), 0)` — the only
+  * definition the additive algebra can maintain exactly (SQL's
+  * NULL-propagating SUM cannot: deleting a group's last non-NULL
+  * row would have to turn a finite running sum back into NULL,
+  * which no signed delta can express). [[aggregate]] — the
+  * recompute witness — uses the same definition, so the invariant
+  * holds even for groups whose every measure value is NULL, and the
+  * delta fold coalesces BOTH terms (a change window that only
+  * touches NULL-measure rows has a NULL delta sum, which must read
+  * as +0, never poison the running total).
+  *
   * The snapshot itself is a VersionedStore: each advance is a keyed
   * [[VersionedStore.merge]] of only the groups the delta touches
   * (insert-only groups land as new rows; untouched groups carry by
@@ -88,14 +100,16 @@ object IncrementalAgg {
       if (VersionedStore.isEmpty(spark, snapPath))
         delta.select(groupCols.map(col) ++
           Seq(col("_d_n").as("n")) ++
-          measures.map(m => col(s"_d_$m").as(m)): _*)
+          measures.map(m =>
+            coalesce(col(s"_d_$m"), lit(0L)).as(m)): _*)
       else {
         val cur = VersionedStore.read(spark, snapPath)
         delta.join(cur, groupCols, "left_outer")
           .select(groupCols.map(col) ++
             Seq((coalesce(col("n"), lit(0L)) + col("_d_n")).as("n")) ++
             measures.map(m =>
-              (coalesce(col(m), lit(0L)) + col(s"_d_$m")).as(m)): _*)
+              (coalesce(col(m), lit(0L)) +
+                coalesce(col(s"_d_$m"), lit(0L))).as(m)): _*)
       }
     // txn tags the MERGE commit (the one that must never double-
     // apply); the trailing zero-group sweep checks the POST-merge
@@ -115,11 +129,14 @@ object IncrementalAgg {
     VersionedStore.read(spark, snapPath)
 
   /** The full (non-incremental) aggregate — init's body and the
-    * spec's equivalence witness.
+    * spec's equivalence witness. Sums are `COALESCE(SUM(m), 0)` per
+    * the NULL convention above (identical to plain SUM whenever the
+    * group has any non-NULL value).
     */
   def aggregate(df: DataFrame, groupCols: Seq[String],
       measures: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        measures.map(m => sum(col(m).cast("long")).as(m)): _*)
+        measures.map(m =>
+          coalesce(sum(col(m).cast("long")), lit(0L)).as(m)): _*)
 }

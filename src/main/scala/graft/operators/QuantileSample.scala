@@ -72,6 +72,12 @@ object QuantileSample {
     */
   def quantiles(sketch: DataFrame, groupCol: String,
       qs: Seq[(Int, Int, String)]): DataFrame = {
+    qs.foreach { case (num, den, alias) =>
+      require(den >= 1 && num >= 1 && num <= den,
+        s"QuantileSample.quantiles: quantile $alias = $num/$den " +
+          "must satisfy 1 <= num <= den (a 0th percentile would " +
+          "compute rank 0, and SQL array indices start at 1)")
+    }
     val agged = sketch.groupBy(col(groupCol))
       .agg(sort_array(collect_list(col("v"))).as("vs"),
         count(lit(1)).cast("long").as("n"))

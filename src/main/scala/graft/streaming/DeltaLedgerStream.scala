@@ -47,8 +47,13 @@ object DeltaLedgerStream {
       .select(col("doc_id").cast("long").as("doc_id"),
         md5(col("text")).as("fp"))
       .localCheckpoint() // judged AND folded below — one tokenize
+    // existence via the Hadoop FileSystem like every other store
+    // component — java.io.File would judge an HDFS/S3 store path
+    // "absent" on every batch and silently mark duplicates "kept"
+    val storeFs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
     val base =
-      if (new java.io.File(storePath).exists())
+      if (storeFs.exists(new org.apache.hadoop.fs.Path(storePath)))
         spark.read.parquet(storePath).select("fp")
       else Seq.empty[String].toDF("fp")
     val ledger = graft.llm.DedupClusters.deltaExactLedger(base, fps)

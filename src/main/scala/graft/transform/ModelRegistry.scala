@@ -109,6 +109,21 @@ class ModelRegistry(spark: SparkSession) {
             if (VersionedStore.isEmpty(spark, m.storePath)) None
             else Some(VersionedStore.read(spark, m.storePath))
           val candidates = m.build(resolve, thisOpt)
+          // a keyed model's FIRST run takes the append path (there
+          // is nothing to merge against), but must still enforce
+          // merge's duplicate-key rejection — a first batch with
+          // duplicate keys would poison the store, and the next
+          // run's merge would silently collapse each duplicated key
+          // (later runs get the check inside merge itself)
+          if (m.uniqueKey.nonEmpty && thisOpt.isEmpty) {
+            val dup = candidates.groupBy(m.uniqueKey.map(
+              org.apache.spark.sql.functions.col): _*)
+              .count().filter(org.apache.spark.sql.functions
+                .col("count") > 1).limit(1).count()
+            require(dup == 0,
+              s"incremental model ${m.name}: candidates carry " +
+                s"duplicate ${m.uniqueKey.mkString(",")} keys")
+          }
           (thisOpt, m.uniqueKey) match {
             case (None, _) | (_, Seq()) =>
               VersionedStore.append(candidates, m.storePath, m.statsCol)

@@ -95,6 +95,47 @@ class IncrementalAggSpec extends AnyFunSuite with SparkFixture
     snapMap(snap) shouldBe fullMap(store)
   }
 
+  test("NULL measures: an all-NULL change window contributes +0, " +
+      "never poisons a running sum, and an all-NULL new group sums " +
+      "to 0 — snapshot ≡ recompute throughout") {
+    val store = tmp("ivn-store")
+    val snap = tmp("ivn-snap")
+    val s = spark
+    import s.implicits._
+    VersionedStore.create(spark, store)
+    VersionedStore.append(
+      Seq((1L, "g0", Some(10L)), (2L, "g0", Some(5L)),
+        (3L, "g1", Some(7L))).toDF("id", "grp", "v"), store)   // v1
+    IncrementalAgg.init(spark, store, snap, 1L, Seq("grp"), Seq("v"))
+
+    def step(commit: => Long): Unit = {
+      val from = VersionedStore.latestVersion(spark, store)
+      val to = commit
+      IncrementalAgg.advance(spark, store, snap, from, to,
+        Seq("grp"), Seq("v"))
+      snapMap(snap) shouldBe fullMap(store)
+    }
+
+    // a window whose every row carries NULL in the measure: the
+    // delta sum is NULL and must fold as +0 (the pre-fix plan turned
+    // g0's running 15 into NULL here)
+    step(VersionedStore.append(
+      Seq((4L, "g0", None: Option[Long]),
+        (5L, "g2", None: Option[Long]),
+        (6L, "g1", None: Option[Long])).toDF("id", "grp", "v"), store))
+    snapMap(snap)("g0") shouldBe ((3L, 15L))
+    // the brand-new all-NULL group materializes as sum 0 (the
+    // COALESCE(SUM, 0) convention), matching aggregate()
+    snapMap(snap)("g2") shouldBe ((1L, 0L))
+    // deleting a group's last non-NULL row: the maintained sum
+    // returns to 0 (7 + (-7)) and the recompute witness — which
+    // coalesces its empty SUM — agrees; the group survives (its
+    // NULL-measure row keeps the count at 1)
+    step(VersionedStore.deleteWhere(spark, store,
+      col("id") === 3L))
+    snapMap(snap)("g1") shouldBe ((1L, 0L))
+  }
+
   test("a no-change window is a no-op advance") {
     val store = tmp("ivb-store")
     val snap = tmp("ivb-snap")

@@ -85,6 +85,24 @@ class QuantileSampleSpec extends AnyFunSuite with SparkFixture
     p90a should be >= trueRankVal(1, 2)
   }
 
+  test("quantile requests outside 1 <= num <= den are rejected up " +
+      "front (a 0th percentile would index element 0 of a SQL array)") {
+    val s = spark
+    import s.implicits._
+    val sk = QuantileSample.build(
+      (1 to 10).map(i => ("g", i.toLong, i.toLong))
+        .toDF("grp", "k", "x"), "grp", "k", "x", 5)
+    an[IllegalArgumentException] should be thrownBy
+      QuantileSample.quantiles(sk, "grp", Seq((0, 100, "p0")))
+    an[IllegalArgumentException] should be thrownBy
+      QuantileSample.quantiles(sk, "grp", Seq((3, 2, "p150")))
+    an[IllegalArgumentException] should be thrownBy
+      QuantileSample.quantiles(sk, "grp", Seq((1, 0, "bad")))
+    noException should be thrownBy
+      QuantileSample.quantiles(sk, "grp",
+        Seq((1, 100, "p1"), (100, 100, "p100"))).collect()
+  }
+
   test("null values are excluded and a null-free group is unaffected") {
     val s = spark
     import s.implicits._

@@ -115,4 +115,22 @@ class ModelRegistrySpec extends AnyFunSuite with SparkFixture with Matchers {
     // upsert is idempotent on identical candidates)
     reg.test()("inc_merge").forall(_.passed) shouldBe true
   }
+
+  test("incremental merge: a FIRST run with duplicate unique_key " +
+      "candidates is rejected before it can poison the store") {
+    val s = spark
+    import s.implicits._
+    val store = tmpStore("inc-d")
+    val staging = Seq((1L, "a", 10), (1L, "a2", 11), (2L, "b", 20))
+      .toDF("id", "g", "v")
+    val reg = new ModelRegistry(spark)
+      .register(IncrementalModel("inc_dup", store,
+        build = (_, _) => staging,
+        uniqueKey = Seq("id")))
+    val e = intercept[IllegalArgumentException] { reg.run() }
+    e.getMessage should include("duplicate")
+    // nothing landed: the store is still empty
+    graft.operators.VersionedStore
+      .isEmpty(spark, store) shouldBe true
+  }
 }
