@@ -24,12 +24,23 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *                             a record at its final name is the
   *                             commit point
   *
-  * Log record rows: (action "add"|"remove", fid, rows). Version v's
-  * visible content = parquet union of fids added minus removed by
-  * records ≤ v. Readers resolve the file list from the log only —
-  * NEVER by listing `data/` — so a half-written file-group from a
-  * crashed append is invisible (no log record names it) and an
-  * eventually-consistent object listing cannot corrupt a read.
+  * Log record rows: (action "add"|"remove"|"dv", fid, rows, txn,
+  * ts, zone hulls, schema). Version v's visible content = parquet
+  * union of fids added minus removed by records ≤ v, minus rows
+  * masked by live deletion-vector key groups (action "dv" — the
+  * merge-on-read cheap path for point deletes). Readers resolve the
+  * file list from the log only — NEVER by listing `data/` — so a
+  * half-written file-group from a crashed append is invisible (no
+  * log record names it) and an eventually-consistent object listing
+  * cannot corrupt a read. Every `graft.store.checkpointInterval`-th
+  * commit also publishes a CHECKPOINT (one parquet snapshot of all
+  * records so far, + a `_last_checkpoint` pointer), so a cold
+  * reader resolves the log as checkpoint + suffix instead of an
+  * O(commits) small-file replay. Commits go through optimistic
+  * concurrency ([[commitRetrying]]): a writer that loses the
+  * version rename rebases and retries when the winners touched
+  * disjoint file-groups (append vs append always lands both) and
+  * aborts loudly on a conflicting rewrite.
   *
   * What this buys over the rename-swap stores ([[WinnowIndex.compact]]):
   *  - atomic append: data lands fully before the log rename; a crash
@@ -78,81 +89,198 @@ object VersionedStore {
     ()
   }
 
-  /** Committed versions at `path`, ascending. Tmp dirs from crashed
-    * commits (`.tmp-*`) never match the `v%09d` name and are
-    * invisible here — ignoring them IS the crash recovery.
+  /** One listing of the log dir: (committed versions, checkpoint
+    * versions), both ascending. Tmp dirs from crashed commits
+    * (`.tmp-*`) match neither name pattern and are invisible here —
+    * ignoring them IS the crash recovery. Checkpoints ride in the
+    * SAME listing, so discovering them costs zero extra RPCs (the
+    * reason there is no load-bearing `_last_checkpoint` pointer: we
+    * must list the log dir anyway to learn the latest version — the
+    * pointer file is still written for operators/external tools, but
+    * readers never depend on it).
     */
-  def versions(spark: SparkSession, path: String): Seq[Long] = {
+  private def logListing(spark: SparkSession,
+      path: String): (Seq[Long], Seq[Long]) = {
     val f = fs(spark)
     val ld = logDir(path)
     if (!f.exists(ld)) sys.error(
       s"VersionedStore: no store at $path (missing log dir)")
-    f.listStatus(ld).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{9}")).map(_.drop(1).toLong).sorted
+    val names = f.listStatus(ld).toSeq.map(_.getPath.getName)
+    (names.filter(_.matches("v\\d{9}")).map(_.drop(1).toLong).sorted,
+      names.filter(_.matches("ckpt-v\\d{9}"))
+        .map(_.drop(6).toLong).sorted)
   }
+
+  /** Committed versions at `path`, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    logListing(spark, path)._1
 
   def latestVersion(spark: SparkSession, path: String): Long =
     versions(spark, path).lastOption.getOrElse(0L)
 
-  /** Per-file-group zone stats carried in the commit record: min/max
-    * of one numeric column, computed from the group's written parquet
-    * (footer-cheap) at commit time. `None` = unstatted group (always
-    * a candidate for any key range).
+  /** One column's zone in a commit record: `t` = "l" (integral —
+    * `lo`/`hi` are decimal-string longs) or "s" (string — raw
+    * values, UTF8 binary order, the order Spark's min/max aggregates
+    * use). Multi-column and string zones are what let
+    * [[readRange]]/[[readRangeStr]]/[[merge]] prune on more than one
+    * key and on string keys.
+    */
+  final case class ColZone(c: String, t: String, lo: String, hi: String)
+
+  /** Per-file-group zone stats carried in the commit record,
+    * computed from the group's written parquet (footer-cheap) at
+    * commit time. `stats` is the legacy single-numeric-column form
+    * (kept as the store's clustering discipline marker —
+    * [[storeStatsCol]]); `zones` carries any number of additional
+    * per-column (lo, hi) hulls, integral or string. Absent stats =
+    * unstatted group (always a candidate for any key range).
     */
   final case class GroupAdd(fid: Long, n: Long,
       stats: Option[(String, Long, Long)] = None,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      zones: Seq[ColZone] = Nil)
+
+  /** Thrown when a commit loses the version rename to a concurrent
+    * writer — the signal [[commitRetrying]]'s optimistic
+    * rebase-and-retry loop distinguishes from real failures.
+    */
+  private[operators] final class CommitConflict(msg: String)
+    extends RuntimeException(msg)
+
+  /** Optimistic-concurrency commit (the Delta OCC protocol's second
+    * half): attempt at latest+1; on losing the rename to a
+    * concurrent writer, re-read the log and REBASE onto the new
+    * latest when the winning commits touch disjoint file-groups —
+    * rebasing is serializable because a commit that only adds fresh
+    * groups and removes groups the winners never touched has the
+    * same effect in either commit order. Abort loudly when
+    *  - a winner touched any group this commit removes (conflicting
+    *    rewrite — the caller must redo its detection/rewrite against
+    *    the new snapshot), or
+    *  - a winner claimed one of this commit's fids (the data dir may
+    *    have been clobbered by the winner's writeGroup), or
+    *  - the retry budget is exhausted (livelock guard).
+    * Appends always rebase (fresh fids, no removes). `firstV` lets
+    * the race spec reproduce a stale first attempt deterministically.
+    */
+  private[operators] def commitRetrying(spark: SparkSession,
+      path: String, adds: Seq[GroupAdd], removes: Seq[Long],
+      txn: Long = -1L, dvs: Seq[GroupAdd] = Nil,
+      firstV: Long = -1L): Long = {
+    val maxAttempts = 5
+    var attempt = 0
+    var v =
+      if (firstV >= 0) firstV else latestVersion(spark, path) + 1
+    while (true) {
+      try return commitAt(spark, path, v, adds, removes, txn, dvs)
+      catch {
+        case _: CommitConflict =>
+          attempt += 1
+          if (attempt >= maxAttempts) sys.error(
+            s"VersionedStore: commit at $path lost $maxAttempts " +
+              "version races — giving up (livelock guard)")
+          val latest = latestVersion(spark, path)
+          val winners = logRecords(spark, path)
+            .filter(_.v >= v).map(_.fid).toSet
+          val ours = (adds ++ dvs).map(_.fid)
+          val clash = ours.filter(winners)
+          if (clash.nonEmpty) sys.error(
+            "VersionedStore: concurrent writer claimed file-group " +
+              s"fid(s) ${clash.mkString(", ")} at $path — this " +
+              "commit's data dirs may be clobbered; aborting " +
+              "(re-run the whole operation)")
+          val touched = removes.filter(winners)
+          if (touched.nonEmpty) sys.error(
+            "VersionedStore: conflicting rewrite — concurrent " +
+              s"commit(s) touched file-group(s) " +
+              s"${touched.mkString(", ")} this operation rewrites " +
+              s"at $path; aborting (redo the operation against the " +
+              "new snapshot)")
+          // schema lost-update guard: the newest add record's schema
+          // BECOMES the table schema (schemaAt), so rebasing over a
+          // winner that evolved the schema would silently revert it
+          val ourSchemas = (adds ++ dvs).flatMap(_.schemaJson).toSet
+          val winnerSchemas = logRecords(spark, path)
+            .filter(r => r.v >= v && r.action == "add")
+            .flatMap(_.schemaJson).toSet
+          if (ourSchemas.nonEmpty &&
+            winnerSchemas.exists(!ourSchemas.contains(_))) sys.error(
+            "VersionedStore: concurrent schema change — a winning " +
+              s"commit at $path carries a different table schema; " +
+              "aborting (revalidate against the evolved schema)")
+          v = latest + 1
+      }
+    }
+    -1L // unreachable
+  }
 
   private def commit(spark: SparkSession, path: String,
-      adds: Seq[GroupAdd], removes: Seq[Long]): Long =
-    commitAt(spark, path, latestVersion(spark, path) + 1, adds,
-      removes)
+      adds: Seq[GroupAdd], removes: Seq[Long],
+      dvs: Seq[GroupAdd] = Nil): Long =
+    commitRetrying(spark, path, adds, removes, -1L, dvs)
 
   /** The commit body at an EXPLICIT version — separated so the spec
     * can reproduce the two-writers race (both computed the same next
     * version; the loser's rename must fail, not clobber). `txn` tags
-    * the record for [[appendIdempotent]]; -1 = untagged. The
+    * the record for [[appendIdempotent]]; -1 = untagged. `dvs` are
+    * deletion-vector key groups (action "dv"). `ts` stamps the
+    * commit wall-clock (millis; -1 → now) for age-based retention —
+    * persisted in the record, never inferred from dir mtimes. The
     * tmp-write + rename makes the log record appear atomically;
     * rename-into-existing would NEST (the WinnowIndex lesson), so an
     * existing destination — a concurrent writer won the version —
-    * fails the commit loudly and the loser's orphan data stays
+    * raises [[CommitConflict]] and the loser's orphan data stays
     * invisible.
     */
   private[operators] def commitAt(spark: SparkSession, path: String,
       v: Long, adds: Seq[GroupAdd], removes: Seq[Long],
-      txn: Long = -1L): Long = {
+      txn: Long = -1L, dvs: Seq[GroupAdd] = Nil,
+      ts: Long = -1L): Long = {
     import spark.implicits._
     val f = fs(spark)
     val tmp = new Path(s"$path/log/.tmp-${versionName(v)}")
     if (f.exists(tmp) && !f.delete(tmp, true))
       sys.error(s"VersionedStore.commit: cannot clear stale $tmp")
-    (adds.map { a =>
+    val stamp = if (ts >= 0) ts else System.currentTimeMillis()
+    def addRow(action: String, a: GroupAdd) = {
       val (sc, lo, hi) = a.stats
         .map { case (c, l, h) => (c, Some(l), Some(h)) }
         .getOrElse((null: String, None, None))
-      ("add", a.fid, a.n, txn, sc, lo, hi, a.schemaJson.orNull)
-    } ++ removes.map(fid =>
-      ("remove", fid, 0L, txn, null: String,
-        None: Option[Long], None: Option[Long], null: String)))
+      (action, a.fid, a.n, txn, sc, lo, hi, a.schemaJson.orNull,
+        stamp, a.zones.map(_.c), a.zones.map(_.t),
+        a.zones.map(_.lo), a.zones.map(_.hi))
+    }
+    (adds.map(addRow("add", _)) ++ dvs.map(addRow("dv", _)) ++
+      removes.map(fid =>
+        ("remove", fid, 0L, txn, null: String,
+          None: Option[Long], None: Option[Long], null: String,
+          stamp, Seq.empty[String], Seq.empty[String],
+          Seq.empty[String], Seq.empty[String])))
       .toDF("action", "fid", "rows", "txn",
-        "stat_col", "stat_min", "stat_max", "schema_json")
+        "stat_col", "stat_min", "stat_max", "schema_json",
+        "ts", "zc", "zt", "zlo", "zhi")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/${versionName(v)}")
     if (f.exists(dest))
-      sys.error(s"VersionedStore.commit: version $v already " +
-        s"committed at $path — concurrent writer conflict")
+      throw new CommitConflict(
+        s"VersionedStore.commit: version $v already " +
+          s"committed at $path — concurrent writer conflict")
     if (!f.rename(tmp, dest))
-      sys.error(s"VersionedStore.commit: cannot publish $dest")
+      throw new CommitConflict(
+        s"VersionedStore.commit: cannot publish $dest — " +
+          "concurrent writer conflict")
+    maybeCheckpoint(spark, path, v)
     v
   }
 
-  /** One parsed commit-record row. `txn` -1, `stats` None, and
-    * `schemaJson` None for records written before those columns
-    * existed.
+  /** One parsed commit-record row. `txn` -1, `stats`/`zones` empty,
+    * `ts` -1, and `schemaJson` None for records written before those
+    * columns existed.
     */
   private final case class LogRec(v: Long, action: String, fid: Long,
       rows: Long, txn: Long, stats: Option[(String, Long, Long)],
-      schemaJson: Option[String])
+      schemaJson: Option[String], ts: Long = -1L,
+      zones: Seq[ColZone] = Nil)
 
   /** Driver-side incremental log cache, per JVM: the log is
     * O(commits) of KB-scale parquet, but re-reading it through a
@@ -168,45 +296,162 @@ object VersionedStore {
   private val logCache =
     scala.collection.mutable.Map.empty[String, (Set[Long], Seq[LogRec])]
 
+  /** Parse raw commit/checkpoint rows into LogRecs. `vExpr` supplies
+    * the version column (derived from the file name for commit dirs,
+    * stored explicitly in checkpoints).
+    */
+  private def parseLogRows(log: DataFrame,
+      vExpr: Column): Seq[LogRec] = {
+    def optCol(name: String, tpe: String) =
+      if (log.columns.contains(name)) col(name)
+      else lit(null).cast(tpe)
+    log.select(
+      vExpr.as("v"),
+      col("action"), col("fid"), col("rows"),
+      coalesce(optCol("txn", "long"), lit(-1L)).as("txn"),
+      optCol("stat_col", "string").as("stat_col"),
+      optCol("stat_min", "long").as("stat_min"),
+      optCol("stat_max", "long").as("stat_max"),
+      optCol("schema_json", "string").as("schema_json"),
+      coalesce(optCol("ts", "long"), lit(-1L)).as("ts"),
+      optCol("zc", "array<string>").as("zc"),
+      optCol("zt", "array<string>").as("zt"),
+      optCol("zlo", "array<string>").as("zlo"),
+      optCol("zhi", "array<string>").as("zhi"))
+      .collect()
+      .map { r =>
+        val stats =
+          if (r.isNullAt(5)) None
+          else Some((r.getString(5), r.getLong(6), r.getLong(7)))
+        val sj = if (r.isNullAt(8)) None else Some(r.getString(8))
+        val zones =
+          if (r.isNullAt(10)) Nil
+          else {
+            val (cs, tss, los, his) = (r.getSeq[String](10),
+              r.getSeq[String](11), r.getSeq[String](12),
+              r.getSeq[String](13))
+            cs.indices.map(i =>
+              ColZone(cs(i), tss(i), los(i), his(i)))
+          }
+        LogRec(r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), stats, sj, r.getLong(9),
+          zones)
+      }.toSeq
+  }
+
   private def logRecords(spark: SparkSession,
       path: String): Seq[LogRec] = logCache.synchronized {
-    val vs = versions(spark, path).toSet
+    val (vsSeq, ckpts) = logListing(spark, path)
+    val vs = vsSeq.toSet
     val (cachedVs, cachedRecs) =
       logCache.getOrElse(path, (Set.empty[Long], Seq.empty[LogRec]))
     if (cachedVs == vs) return cachedRecs
     val keep = cachedRecs.filter(r => vs.contains(r.v))
     val missing = (vs -- keep.map(_.v)).toSeq.sorted
+    // cold-read acceleration: when the cache holds nothing useful,
+    // ONE parquet read of the newest checkpoint replaces O(covered
+    // commits) per-version small-file reads; only the suffix commits
+    // past it are read from their own dirs. A WARM cache (missing =
+    // a short recent suffix) never touches a checkpoint — reading a
+    // full snapshot to extract two new commits would invert the win.
+    val ckpt =
+      if (keep.nonEmpty) None
+      else ckpts.filter(c => missing.nonEmpty &&
+        c >= missing.head && vs.contains(c)).lastOption
+    val fromCkpt = ckpt match {
+      case Some(cv) =>
+        val wanted = missing.filter(_ <= cv).toSet
+        parseLogRows(
+          spark.read.parquet(s"$path/log/ckpt-${versionName(cv)}"),
+          col("v")).filter(r => wanted.contains(r.v))
+      case None => Seq.empty[LogRec]
+    }
+    val rest = missing.filter(m => ckpt.forall(m > _))
     val fresh =
-      if (missing.isEmpty) Seq.empty[LogRec]
-      else {
-        val log = spark.read.option("mergeSchema", "true")
-          .parquet(missing.map(x => s"$path/log/${versionName(x)}"): _*)
-        def optCol(name: String, tpe: String) =
-          if (log.columns.contains(name)) col(name)
-          else lit(null).cast(tpe)
-        log.select(
-          regexp_extract(input_file_name(), "v(\\d{9})", 1)
-            .cast("long").as("v"),
-          col("action"), col("fid"), col("rows"),
-          coalesce(optCol("txn", "long"), lit(-1L)).as("txn"),
-          optCol("stat_col", "string").as("stat_col"),
-          optCol("stat_min", "long").as("stat_min"),
-          optCol("stat_max", "long").as("stat_max"),
-          optCol("schema_json", "string").as("schema_json"))
-          .collect()
-          .map { r =>
-            val stats =
-              if (r.isNullAt(5)) None
-              else Some((r.getString(5), r.getLong(6), r.getLong(7)))
-            val sj = if (r.isNullAt(8)) None else Some(r.getString(8))
-            LogRec(r.getLong(0), r.getString(1), r.getLong(2),
-              r.getLong(3), r.getLong(4), stats, sj)
-          }.toSeq
-      }
-    val recs = (keep ++ fresh).sortBy(r => (r.v, r.action, r.fid))
+      if (rest.isEmpty) Seq.empty[LogRec]
+      else parseLogRows(
+        spark.read.option("mergeSchema", "true")
+          .parquet(rest.map(x => s"$path/log/${versionName(x)}"): _*),
+        regexp_extract(input_file_name(), "/log/v(\\d{9})/[^/]*$", 1)
+          .cast("long"))
+    val recs = (keep ++ fromCkpt ++ fresh)
+      .sortBy(r => (r.v, r.action, r.fid))
     logCache(path) = (vs, recs)
     recs
   }
+
+  /** Spec hook: forget the in-JVM cache for `path`, forcing the next
+    * access to resolve cold from disk (checkpoint + suffix).
+    */
+  private[graft] def dropLogCache(path: String): Unit =
+    logCache.synchronized { logCache.remove(path); () }
+
+  /** Write a checkpoint at version `v`: ONE parquet dir holding every
+    * commit record with version ≤ v (published tmp+rename like a
+    * commit), plus a `_last_checkpoint` pointer file for external
+    * tools. Cold readers then resolve the log as checkpoint + suffix
+    * instead of replaying O(commits) per-version dirs — the
+    * `_last_checkpoint` idea of the public Delta log design; without
+    * it, cold planning at production commit counts is an O(commits)
+    * small-file storm on object storage. Checkpoints are derived
+    * data: best-effort (a failed checkpoint never fails the commit
+    * that triggered it), reconstructible, and ignored when absent.
+    */
+  def checkpoint(spark: SparkSession, path: String, v: Long): Unit = {
+    import spark.implicits._
+    val f = fs(spark)
+    val recs = logRecords(spark, path).filter(_.v <= v)
+    if (recs.isEmpty) return
+    val tmp = new Path(s"$path/log/.tmp-ckpt-${versionName(v)}")
+    if (f.exists(tmp) && !f.delete(tmp, true))
+      sys.error(s"VersionedStore.checkpoint: cannot clear $tmp")
+    recs.map { r =>
+      val (sc, lo, hi) = r.stats
+        .map { case (c, l, h) => (c, Some(l), Some(h)) }
+        .getOrElse((null: String, None, None))
+      (r.v, r.action, r.fid, r.rows, r.txn, sc, lo, hi,
+        r.schemaJson.orNull, r.ts, r.zones.map(_.c),
+        r.zones.map(_.t), r.zones.map(_.lo), r.zones.map(_.hi))
+    }.toDF("v", "action", "fid", "rows", "txn",
+      "stat_col", "stat_min", "stat_max", "schema_json",
+      "ts", "zc", "zt", "zlo", "zhi")
+      .coalesce(1).write.parquet(tmp.toString)
+    val dest = new Path(s"$path/log/ckpt-${versionName(v)}")
+    if (f.exists(dest) && !f.delete(dest, true))
+      sys.error(s"VersionedStore.checkpoint: cannot replace $dest")
+    if (!f.rename(tmp, dest))
+      sys.error(s"VersionedStore.checkpoint: cannot publish $dest")
+    // advisory pointer (readers derive the newest checkpoint from
+    // the log listing they already pay for; external tools get the
+    // standard file)
+    val ptrTmp = new Path(s"$path/.tmp-_last_checkpoint")
+    if (f.exists(ptrTmp)) f.delete(ptrTmp, true)
+    Seq(v).toDF("version").coalesce(1).write.parquet(ptrTmp.toString)
+    val ptr = new Path(s"$path/_last_checkpoint")
+    if (f.exists(ptr)) f.delete(ptr, true)
+    if (!f.rename(ptrTmp, ptr))
+      sys.error("VersionedStore.checkpoint: cannot publish pointer")
+  }
+
+  /** Checkpoint cadence: every `graft.store.checkpointInterval`-th
+    * version (session conf; default 10; 0 disables). Failures are
+    * swallowed — the commit already succeeded and a checkpoint is
+    * derived data.
+    */
+  private def maybeCheckpoint(spark: SparkSession, path: String,
+      v: Long): Unit = {
+    val interval =
+      try spark.conf.get("graft.store.checkpointInterval", "10").toInt
+      catch { case _: NumberFormatException => 10 }
+    if (interval > 0 && v % interval == 0) {
+      try checkpoint(spark, path, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Versions with a checkpoint at `path`, ascending. */
+  def checkpointVersions(spark: SparkSession,
+      path: String): Seq[Long] = logListing(spark, path)._2
 
   /** All log actions up to and including `v` (O(commits) metadata
     * rows, independent of data size; cache-served).
@@ -216,13 +461,65 @@ object VersionedStore {
     logRecords(spark, path).filter(_.v <= v)
       .map(r => (r.v, r.action, r.fid, r.rows))
 
-  /** File-groups visible at version `v`. */
+  /** Content file-groups visible at version `v` (deletion-vector key
+    * groups are NOT content — see [[liveDvFids]]).
+    */
   private def liveFids(spark: SparkSession, path: String,
       v: Long): Seq[Long] = {
     val as = actions(spark, path, v)
     val removed = as.collect { case (_, "remove", fid, _) => fid }.toSet
     as.collect { case (_, "add", fid, _) if !removed(fid) => fid }
       .sorted
+  }
+
+  /** Deletion-vector key groups in force at version `v`: each is a
+    * small parquet frame of key tuples whose matching rows are
+    * invisible at read time. A compaction (or a DV-purging merge)
+    * removes them like any other fid.
+    */
+  private def liveDvFids(spark: SparkSession, path: String,
+      v: Long): Seq[Long] = {
+    val as = actions(spark, path, v)
+    val removed = as.collect { case (_, "remove", fid, _) => fid }.toSet
+    as.collect { case (_, "dv", fid, _) if !removed(fid) => fid }
+      .sorted
+  }
+
+  /** Apply the deletion vectors in force at `v` to content carrying
+    * a `_vs_fid` column: one broadcast anti-join per live DV group on
+    * that group's OWN columns (a DV frame's schema IS its key
+    * tuple), restricted to content groups with fid < dvFid — the
+    * PRECEDENCE rule that makes re-insertion just work: a DV masks
+    * only rows that existed when it was committed, so a later
+    * append/merge-insert of the same key (higher fid) is visible
+    * with no DV bookkeeping. DV frames are KB-scale key lists; the
+    * common no-DV case folds over nothing and adds zero to the plan.
+    */
+  private def applyDvs(spark: SparkSession, path: String, v: Long,
+      df: DataFrame): DataFrame =
+    liveDvFids(spark, path, v).foldLeft(df) { (acc, dvFid) =>
+      val keys = spark.read.parquet(dataDir(path, dvFid).toString)
+      val renamed = keys.columns.foldLeft(keys)((k, c) =>
+        k.withColumnRenamed(c, s"_dv_$c"))
+      val cond = keys.columns.map(c =>
+        acc(c) <=> renamed(s"_dv_$c")).reduce(_ && _) &&
+        acc("_vs_fid") < lit(dvFid)
+      acc.join(broadcast(renamed), cond, "left_anti")
+    }
+
+  /** DV-applied visible content at `v` (fids resolved from the log;
+    * the `_vs_fid` carrier column is added only when DVs are live
+    * and dropped before returning).
+    */
+  private def visibleAt(spark: SparkSession, path: String, v: Long,
+      fids: Seq[Long]): DataFrame = {
+    val dvs = liveDvFids(spark, path, v)
+    if (dvs.isEmpty) readFids(spark, path, fids, v)
+    else applyDvs(spark, path, v,
+      readFids(spark, path, fids, v).withColumn("_vs_fid",
+        regexp_extract(input_file_name(), "/data/f(\\d+)/[^/]*$", 1)
+          .cast("long")))
+      .drop("_vs_fid")
   }
 
   /** Zone stats of every statted file-group (fids are never reused
@@ -233,8 +530,8 @@ object VersionedStore {
   private def groupStats(spark: SparkSession, path: String)
       : Map[Long, (String, Long, Long)] =
     logRecords(spark, path)
-      .collect { case LogRec(_, "add", fid, _, _, Some(st), _) =>
-        fid -> st }
+      .collect { case r if r.action == "add" && r.stats.isDefined =>
+        r.fid -> r.stats.get }
       .toMap
 
   /** The store's maintained stats column, if EVERY live file-group
@@ -252,20 +549,65 @@ object VersionedStore {
     else None
   }
 
+  /** Multi-column zones of every file-group that carries them
+    * (commit-record `zones`), keyed by fid.
+    */
+  private def groupZones(spark: SparkSession,
+      path: String): Map[Long, Seq[ColZone]] =
+    logRecords(spark, path)
+      .collect { case r if r.action == "add" && r.zones.nonEmpty =>
+        r.fid -> r.zones }
+      .toMap
+
+  /** UTF8 binary string comparison — the order Spark's string
+    * min/max aggregates use, so the driver-side pruning decision can
+    * never disagree with the stored zones.
+    */
+  private def sCmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String
+        .fromString(b))
+
   /** Live file-groups whose `keyCol` zone [min,max] overlaps
-    * [lo,hi]; unstatted groups are always candidates. This is the
-    * 100 TB lever for [[merge]]/[[deleteWhere]]: a keyed mutation
-    * against a range-clustered store touches O(overlapping groups),
-    * never O(table).
+    * [lo,hi]; unstatted groups are always candidates. Consults BOTH
+    * the legacy single-numeric stat and the multi-column zones. This
+    * is the 100 TB lever for [[merge]]/[[deleteWhere]]: a keyed
+    * mutation against a range-clustered store touches O(overlapping
+    * groups), never O(table).
     */
   private[operators] def candidateFids(spark: SparkSession,
       path: String, v: Long, keyCol: String, lo: Long,
       hi: Long): Seq[Long] = {
     val stats = groupStats(spark, path)
+    val zones = groupZones(spark, path)
     liveFids(spark, path, v).filter { fid =>
-      stats.get(fid) match {
+      val legacyOk = stats.get(fid) match {
         case Some((c, mn, mx)) if c == keyCol => mx >= lo && mn <= hi
         case _ => true
+      }
+      val zoneOk = zones.getOrElse(fid, Nil)
+        .find(z => z.c == keyCol && z.t == "l") match {
+        case Some(z) => z.hi.toLong >= lo && z.lo.toLong <= hi
+        case None => true
+      }
+      legacyOk && zoneOk
+    }
+  }
+
+  /** String-key variant of [[candidateFids]]: live groups whose
+    * `keyCol` STRING zone overlaps [lo,hi] in UTF8 binary order;
+    * groups without a string zone on the column are always
+    * candidates (sound: pruning only ever weakens).
+    */
+  private[graft] def candidateFidsStr(spark: SparkSession,
+      path: String, v: Long, keyCol: String, lo: String,
+      hi: String): Seq[Long] = {
+    val zones = groupZones(spark, path)
+    liveFids(spark, path, v).filter { fid =>
+      zones.getOrElse(fid, Nil)
+        .find(z => z.c == keyCol && z.t == "s") match {
+        case Some(z) => sCmp(z.hi, lo) >= 0 && sCmp(z.lo, hi) <= 0
+        case None => true
       }
     }
   }
@@ -276,23 +618,67 @@ object VersionedStore {
     * count is footer-cheap. An empty or all-NULL stat column commits
     * the group unstatted (always a candidate), never a bogus zone.
     */
+  /** Which zone type a column's declared dtype gets: integral (and
+    * date — days since epoch) → "l", string → "s", anything else →
+    * no zone (None). Zone bounds are engine-portable scalars, never
+    * parsed back from data.
+    */
+  private def zoneTypeOf(df: DataFrame, c: String): Option[String] = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DateType =>
+        Some("l")
+      case StringType => Some("s")
+      case _ => None
+    }
+  }
+
+  /** min/max aggregate pair for one zone column — aggregated in the
+    * column's OWN order (never on a stringified form, which would be
+    * lexicographic for numbers), then rendered to the portable
+    * string encoding.
+    */
+  private def zoneAggs(df: DataFrame, c: String): Seq[Column] = {
+    val v = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(c)).cast("long")
+      case org.apache.spark.sql.types.StringType => col(c)
+      case _ => col(c).cast("long")
+    }
+    Seq(min(v).cast("string").as(s"_zlo_$c"),
+      max(v).cast("string").as(s"_zhi_$c"))
+  }
+
   private def writeGroup(df: DataFrame, path: String, fid: Long,
-      statsCol: Option[String]): GroupAdd = {
+      statsCol: Option[String],
+      zoneCols: Seq[String] = Nil): GroupAdd = {
     val spark = df.sparkSession
     df.write.mode("overwrite").parquet(dataDir(path, fid).toString)
     val written = spark.read.parquet(dataDir(path, fid).toString)
     val sj = Some(df.schema.json)
-    statsCol match {
-      case Some(c) =>
-        val r = written.agg(count(lit(1)).as("n"),
-          min(col(c)).cast("long").as("lo"),
-          max(col(c)).cast("long").as("hi")).head
-        if (r.getLong(0) == 0 || r.isNullAt(1))
-          GroupAdd(fid, r.getLong(0), None, sj)
-        else GroupAdd(fid, r.getLong(0),
-          Some((c, r.getLong(1), r.getLong(2))), sj)
-      case None => GroupAdd(fid, written.count(), None, sj)
+    val zcs = zoneCols.distinct
+      .flatMap(c => zoneTypeOf(df, c).map(c -> _))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      statsCol.toSeq.flatMap(c => Seq(
+        min(col(c)).cast("long").as("_lo"),
+        max(col(c)).cast("long").as("_hi"))) ++
+      zcs.flatMap { case (c, _) => zoneAggs(written, c) }
+    val r = written.agg(aggs.head, aggs.tail: _*).head
+    val n = r.getLong(0)
+    val legacy = statsCol.flatMap { c =>
+      if (n == 0 || r.isNullAt(1)) None
+      else Some((c, r.getLong(1), r.getLong(2)))
     }
+    val base = 1 + (if (statsCol.isDefined) 2 else 0)
+    val zones = zcs.zipWithIndex.flatMap { case ((c, t), i) =>
+      // an empty or all-NULL column commits no zone for that column
+      // (the group stays a candidate for any range), never a bogus
+      // hull — the parquet-footer convention
+      if (n == 0 || r.isNullAt(base + 2 * i)) None
+      else Some(ColZone(c, t, r.getString(base + 2 * i),
+        r.getString(base + 2 * i + 1)))
+    }
+    GroupAdd(fid, n, legacy, sj, zones)
   }
 
   /** The table schema as of version `v`: the newest add record ≤ v
@@ -325,6 +711,34 @@ object VersionedStore {
     }
   }
 
+  /** The schema gate every mutating batch passes before anything is
+    * written: dropping or retyping a table column is always rejected
+    * (older file-groups could not be read under the new schema
+    * without silent loss — and because the newest add record's
+    * schema BECOMES the table schema via [[schemaAt]], a retyping
+    * batch would poison every later read of every older group);
+    * added columns are rejected unless the operation supports
+    * explicit evolution (`canEvolve`) and the caller asked for it —
+    * never silently projected away.
+    */
+  private def checkSchema(df: DataFrame, path: String, op: String,
+      canEvolve: Boolean): Unit =
+    schemaAt(df.sparkSession, path, Long.MaxValue).foreach { cur =>
+      val newFields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = cur.fields.filterNot(f =>
+        newFields.get(f.name).contains(f.dataType))
+      if (missing.nonEmpty) sys.error(
+        s"VersionedStore.$op: batch schema drops or retypes " +
+          s"table columns ${missing.map(_.name).mkString(", ")} — " +
+          "existing file-groups could not be read under it")
+      val added = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
+      if (added.nonEmpty && !canEvolve) sys.error(
+        s"VersionedStore.$op: batch adds columns " +
+          s"${added.mkString(", ")} — schema evolution is additive " +
+          "and explicit: append with evolve=true (never silently " +
+          "projected away)")
+    }
+
   private def nextFid(spark: SparkSession, path: String): Long = {
     val as = actions(spark, path, Long.MaxValue)
     (0L +: as.map(_._3)).max + 1
@@ -348,43 +762,59 @@ object VersionedStore {
     */
   def append(df: DataFrame, path: String,
       statsCol: Option[String] = None,
-      evolve: Boolean = false): Long = {
+      evolve: Boolean = false,
+      zoneCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    schemaAt(spark, path, Long.MaxValue).foreach { cur =>
-      val newFields = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      val missing = cur.fields.filterNot(f =>
-        newFields.get(f.name).contains(f.dataType))
-      if (missing.nonEmpty) sys.error(
-        "VersionedStore.append: batch schema drops or retypes " +
-          s"table columns ${missing.map(_.name).mkString(", ")} — " +
-          "existing file-groups could not be read under it")
-      val added = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
-      if (added.nonEmpty && !evolve) sys.error(
-        "VersionedStore.append: batch adds columns " +
-          s"${added.mkString(", ")} — pass evolve=true to evolve " +
-          "the table schema")
-    }
+    checkSchema(df, path, "append", canEvolve = evolve)
     validate(df, path)
     val fid = nextFid(spark, path)
     commit(spark, path,
-      Seq(writeGroup(df, path, fid, statsCol)), Seq.empty)
+      Seq(writeGroup(df, path, fid, statsCol,
+        zoneCols ++ storeZoneCols(spark, path))), Seq.empty)
+  }
+
+  /** Zone columns maintained by the store's LIVE groups (union of
+    * commit-record zone column names) — mutators feed these back to
+    * [[writeGroup]] so the discipline self-propagates: one statted
+    * append arms the column for every later rewrite/compaction.
+    * Unstatted groups never make pruning unsound (they are always
+    * candidates); propagation just keeps the pruning SHARP.
+    */
+  def storeZoneCols(spark: SparkSession, path: String): Seq[String] = {
+    val live = liveFids(spark, path,
+      latestVersion(spark, path)).toSet
+    groupZones(spark, path)
+      .collect { case (fid, zs) if live(fid) => zs.map(_.c) }
+      .flatten.toSeq.distinct.sorted
   }
 
   /** Content at version `v` (error if nothing is visible — an empty
     * store has no schema to return).
+    *
+    * The log is the source of truth for liveness, so a LATEST-version
+    * read issues zero per-group existence RPCs — vacuum only ever
+    * reclaims groups invisible at the latest version, so every fid
+    * the log says is live IS on disk. Only a time-travel read
+    * (`v < latestVersion`) can land below the vacuum horizon, and
+    * only those pay the existence sweep that turns a vacuumed-past
+    * read into a friendly error instead of a mid-scan failure. At
+    * object-store latency an O(groups) exists sweep on every serve
+    * read would dwarf log resolution itself.
     */
   def readAt(spark: SparkSession, path: String, v: Long): DataFrame = {
     val fids = liveFids(spark, path, v)
     if (fids.isEmpty) sys.error(
       s"VersionedStore.readAt: version $v of $path is empty " +
         "(or vacuumed past)")
-    val f = fs(spark)
-    fids.foreach { fid =>
-      if (!f.exists(dataDir(path, fid))) sys.error(
-        s"VersionedStore.readAt: file-group f$fid of version $v " +
-          s"was vacuumed — raise the vacuum retention horizon")
+    if (v < latestVersion(spark, path)) {
+      val f = fs(spark)
+      (fids ++ liveDvFids(spark, path, v)).foreach { fid =>
+        if (!f.exists(dataDir(path, fid))) sys.error(
+          s"VersionedStore.readAt: file-group f$fid of version $v " +
+            s"was vacuumed — raise the vacuum retention horizon")
+      }
     }
-    readFids(spark, path, fids, v)
+    visibleAt(spark, path, v, fids)
   }
 
   /** Latest content. */
@@ -404,10 +834,31 @@ object VersionedStore {
       lo: Long, hi: Long): DataFrame = {
     val v = latestVersion(spark, path)
     val resid = col(keyCol).cast("long").between(lo, hi)
-    if (storeStatsCol(spark, path).contains(keyCol)) {
+    val armed = storeStatsCol(spark, path).contains(keyCol) ||
+      storeZoneCols(spark, path).contains(keyCol)
+    if (armed) {
       val fids = candidateFids(spark, path, v, keyCol, lo, hi)
       if (fids.isEmpty) readAt(spark, path, v).filter(lit(false))
-      else readFids(spark, path, fids, v).filter(resid)
+      else visibleAt(spark, path, v, fids).filter(resid)
+    } else readAt(spark, path, v).filter(resid)
+  }
+
+  /** [[readRange]] on a STRING key: latest rows with `keyCol` in
+    * [lo, hi] under UTF8 binary order, scanning only the file-groups
+    * whose string zone overlaps the range (the multi-column zones in
+    * commit records are what make this possible — the store-native
+    * analog of the zone-map rule's string hulls, resolved at
+    * file-list time so freshness is automatic: the log IS the
+    * manifest, and a commit can never leave it stale).
+    */
+  def readRangeStr(spark: SparkSession, path: String, keyCol: String,
+      lo: String, hi: String): DataFrame = {
+    val v = latestVersion(spark, path)
+    val resid = col(keyCol) >= lo && col(keyCol) <= hi
+    if (storeZoneCols(spark, path).contains(keyCol)) {
+      val fids = candidateFidsStr(spark, path, v, keyCol, lo, hi)
+      if (fids.isEmpty) readAt(spark, path, v).filter(lit(false))
+      else visibleAt(spark, path, v, fids).filter(resid)
     } else readAt(spark, path, v).filter(resid)
   }
 
@@ -421,7 +872,11 @@ object VersionedStore {
   def compact(spark: SparkSession, path: String,
       clusterBy: Seq[String] = Nil): Long = {
     val v = latestVersion(spark, path)
-    val old = liveFids(spark, path, v)
+    // deletion vectors FOLD here: the rewrite reads DV-applied
+    // content and the commit removes the DV key groups along with
+    // the data groups — after compaction the store carries no
+    // deferred deletes
+    val old = liveFids(spark, path, v) ++ liveDvFids(spark, path, v)
     val cur = readAt(spark, path, v)
     // range-cluster the rewrite when asked: each part file of the
     // folded group gets a disjoint key range, so parquet min/max
@@ -433,7 +888,8 @@ object VersionedStore {
         .sortWithinPartitions(clusterBy.map(col): _*)
     val fid = nextFid(spark, path)
     commit(spark, path,
-      Seq(writeGroup(out, path, fid, storeStatsCol(spark, path))), old)
+      Seq(writeGroup(out, path, fid, storeStatsCol(spark, path),
+        storeZoneCols(spark, path))), old)
   }
 
   /** The live content with each row's file-group id attached, read
@@ -443,7 +899,7 @@ object VersionedStore {
       fids: Seq[Long]): DataFrame =
     readFids(spark, path, fids, Long.MaxValue)
       .withColumn("_vs_fid",
-        regexp_extract(input_file_name(), "/f(\\d+)/", 1)
+        regexp_extract(input_file_name(), "/data/f(\\d+)/[^/]*$", 1)
           .cast("long"))
 
   /** Rewrite every affected file-group in ONE distributed pass: the
@@ -459,7 +915,8 @@ object VersionedStore {
     */
   private def rewriteGroups(spark: SparkSession, path: String,
       kept: DataFrame, fidOf: Seq[(Long, Long)],
-      statsCol: Option[String]): Seq[GroupAdd] = {
+      statsCol: Option[String],
+      zoneCols: Seq[String] = Nil): Seq[GroupAdd] = {
     val f = fs(spark)
     val tmp = new Path(s"$path/data/.rewrite-tmp")
     if (f.exists(tmp) && !f.delete(tmp, true))
@@ -468,22 +925,31 @@ object VersionedStore {
     val salt = pmod(xxhash64(struct(dataCols.map(col): _*)), lit(8))
     val spread = kept.repartition(col("_vs_fid"), salt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zcs = zoneCols.distinct.filter(dataCols.contains)
+      .flatMap(c => zoneTypeOf(spread, c).map(c -> _))
     try {
       spread.write.partitionBy("_vs_fid").parquet(tmp.toString)
-      val statRows = (statsCol match {
-        case Some(c) => spread.groupBy(col("_vs_fid"))
-          .agg(count(lit(1)).as("n"),
-            min(col(c)).cast("long").as("lo"),
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (statsCol match {
+          case Some(c) => Seq(min(col(c)).cast("long").as("lo"),
             max(col(c)).cast("long").as("hi"))
-        case None => spread.groupBy(col("_vs_fid"))
-          .agg(count(lit(1)).as("n"),
-            lit(null).cast("long").as("lo"),
+          case None => Seq(lit(null).cast("long").as("lo"),
             lit(null).cast("long").as("hi"))
-      }).collect().map { r =>
-        r.getLong(0) -> (r.getLong(1),
-          if (r.isNullAt(2)) None
-          else Some((statsCol.get, r.getLong(2), r.getLong(3))))
-      }.toMap
+        }) ++
+        zcs.flatMap { case (c, _) => zoneAggs(spread, c) }
+      val statRows = spread.groupBy(col("_vs_fid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val legacy =
+            if (r.isNullAt(2)) None
+            else Some((statsCol.get, r.getLong(2), r.getLong(3)))
+          val zones = zcs.zipWithIndex.flatMap { case ((c, t), i) =>
+            if (r.isNullAt(4 + 2 * i)) None
+            else Some(ColZone(c, t, r.getString(4 + 2 * i),
+              r.getString(4 + 2 * i + 1)))
+          }
+          r.getLong(0) -> (r.getLong(1), legacy, zones)
+        }.toMap
       val schemaJson = Some(kept.drop("_vs_fid").schema.json)
       fidOf.map { case (oldFid, newFid) =>
         val src = new Path(s"$tmp/_vs_fid=$oldFid")
@@ -500,8 +966,9 @@ object VersionedStore {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             kept.drop("_vs_fid").schema)
             .write.parquet(dst.toString)
-        val (n, st) = statRows.getOrElse(oldFid, (0L, None))
-        GroupAdd(newFid, n, st, schemaJson)
+        val (n, st, zs) =
+          statRows.getOrElse(oldFid, (0L, None, Nil))
+        GroupAdd(newFid, n, st, schemaJson, zs)
       }
     } finally {
       spread.unpersist()
@@ -528,7 +995,11 @@ object VersionedStore {
       case _ => liveFids(spark, path, v)
     }
     if (scanFids.isEmpty) return v
-    val withFid = withFidOf(spark, path, scanFids)
+    // DV-applied view: rows already deferred-deleted neither trigger
+    // a rewrite nor survive into one (rewritten groups come out
+    // purged of their DV'd rows)
+    val withFid = applyDvs(spark, path, v,
+      withFidOf(spark, path, scanFids))
     val affected = withFid.filter(pred).select("_vs_fid")
       .distinct().collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return v
@@ -541,7 +1012,8 @@ object VersionedStore {
     val kept = withFid
       .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
       .filter(!coalesce(pred, lit(false)))
-    val adds = rewriteGroups(spark, path, kept, fidOf, statsCol)
+    val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
+      storeZoneCols(spark, path))
     commit(spark, path, adds, affected.toSeq)
   }
 
@@ -559,7 +1031,8 @@ object VersionedStore {
     val fids = liveFids(spark, path, v)
     if (fids.isEmpty) return v
     val k = keys.select(keyCols.map(col): _*).distinct()
-    val withFid = withFidOf(spark, path, fids)
+    val withFid = applyDvs(spark, path, v,
+      withFidOf(spark, path, fids))
     val affected = withFid.join(k, keyCols, "left_semi")
       .select("_vs_fid").distinct().collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return v
@@ -570,8 +1043,70 @@ object VersionedStore {
     val kept = withFid
       .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
       .join(k, keyCols, "left_anti")
-    val adds = rewriteGroups(spark, path, kept, fidOf, statsCol)
+    val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
+      storeZoneCols(spark, path))
     commit(spark, path, adds, affected.toSeq)
+  }
+
+  /** Deletion-vector (merge-on-read) point delete: commit a small
+    * key-list group (action "dv") whose matching rows become
+    * invisible at read time — NOTHING is rewritten. This is the
+    * cheap path for frequent small point deletes (the GDPR drip),
+    * where [[deleteWhere]]/[[deleteKeys]]'s copy-on-write would
+    * rewrite a whole multi-GB file-group to drop three rows; the
+    * read-side cost is one broadcast anti-join per live DV, and the
+    * next [[compact]] FOLDS every DV away (the rewrite reads
+    * DV-applied content and removes the DV groups in the same
+    * commit). A DV masks only file-groups with fid < its own
+    * (precedence), so later appends/merges of the same key are
+    * visible with no extra bookkeeping.
+    *
+    * The committed key list is the DISTINCT keys that match visible
+    * rows (found by one zone-prunable detection scan — also how the
+    * commit records the exact masked row count); re-deleting an
+    * already-masked or absent key is a no-op. NOT an erasure path:
+    * the masked rows and the key values stay on disk until a
+    * compaction + vacuum — a removal REQUEST needs [[erase]].
+    */
+  def deleteKeysDeferred(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String]): Long = {
+    val v = latestVersion(spark, path)
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    // zone-prune the detection scan exactly like merge: a single
+    // zone-armed key column bounds the scan to overlapping groups
+    val zoneCols = storeZoneCols(spark, path)
+    val statsCol = storeStatsCol(spark, path)
+    val scanFids = keyCols match {
+      case Seq(c) if statsCol.contains(c) || zoneCols.contains(c) =>
+        val isStr = k.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType
+        if (isStr) {
+          val r = k.agg(min(col(c)), max(col(c))).head
+          if (r.isNullAt(0)) Seq.empty
+          else candidateFidsStr(spark, path, v, c, r.getString(0),
+            r.getString(1))
+        } else {
+          val r = k.agg(min(col(c)).cast("long"),
+            max(col(c)).cast("long")).head
+          if (r.isNullAt(0)) Seq.empty
+          else candidateFids(spark, path, v, c, r.getLong(0),
+            r.getLong(1))
+        }
+      case _ => liveFids(spark, path, v)
+    }
+    if (scanFids.isEmpty) return v
+    val matched = applyDvs(spark, path, v,
+      withFidOf(spark, path, scanFids))
+      .join(broadcast(k), keyCols, "left_semi")
+      .select(keyCols.map(col): _*)
+      .localCheckpoint()
+    val nMasked = matched.count()
+    if (nMasked == 0) return v
+    val keyRows = matched.distinct()
+    val fid = nextFid(spark, path)
+    val dv = writeGroup(keyRows, path, fid, None)
+      .copy(n = nMasked, schemaJson = None)
+    commit(spark, path, Seq.empty, Seq.empty, dvs = Seq(dv))
   }
 
   /** Keyed upsert (the MERGE of SQL lakehouses): every store row
@@ -600,26 +1135,44 @@ object VersionedStore {
     if (dupKeys > 0) sys.error(
       "VersionedStore.merge: updates carry duplicate keys — " +
         "the merge result would be order-dependent")
+    // same write-boundary schema gate as append: a retyping update
+    // batch would otherwise become the table schema (its insert
+    // group carries the commit's highest fid) and corrupt every
+    // later read of older groups; extra columns fail loudly instead
+    // of being silently dropped by the insert projection below
+    checkSchema(updates, path, "merge", canEvolve = false)
     validate(updates, path)
     val v = latestVersion(spark, path)
     val statsCol = storeStatsCol(spark, path)
-    // when the store maintains zone stats ON the merge key, the
-    // update-key span (two scalars off the small side) prunes both
-    // the affected-group detection scan and the rewrites to the
+    val zoneCols = storeZoneCols(spark, path)
+    // when the store maintains zone stats ON the merge key (legacy
+    // single-numeric stat OR a multi-column zone, numeric or string),
+    // the update-key span (two scalars off the small side) prunes
+    // both the affected-group detection scan and the rewrites to the
     // overlapping file-groups — O(touched groups), not O(table)
-    val scanFids = statsCol match {
-      case Some(c) if keyCols == Seq(c) =>
-        val r = updates.agg(min(col(c)).cast("long"),
-          max(col(c)).cast("long")).head
-        if (r.isNullAt(0)) Seq.empty
-        else candidateFids(spark, path, v, c, r.getLong(0),
-          r.getLong(1))
+    val scanFids = keyCols match {
+      case Seq(c) if statsCol.contains(c) || zoneCols.contains(c) =>
+        val isStr = updates.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType
+        if (isStr) {
+          val r = updates.agg(min(col(c)), max(col(c))).head
+          if (r.isNullAt(0)) Seq.empty
+          else candidateFidsStr(spark, path, v, c, r.getString(0),
+            r.getString(1))
+        } else {
+          val r = updates.agg(min(col(c)).cast("long"),
+            max(col(c)).cast("long")).head
+          if (r.isNullAt(0)) Seq.empty
+          else candidateFids(spark, path, v, c, r.getLong(0),
+            r.getLong(1))
+        }
       case _ => liveFids(spark, path, v)
     }
     val keys = broadcast(updates.select(keyCols.map(col): _*))
     val withFid =
       if (scanFids.isEmpty) None
-      else Some(withFidOf(spark, path, scanFids))
+      else Some(applyDvs(spark, path, v,
+        withFidOf(spark, path, scanFids)))
     val affected = withFid.map { w =>
       w.join(keys, keyCols, "left_semi").select("_vs_fid")
         .distinct().collect().map(_.getLong(0)).sorted
@@ -633,15 +1186,22 @@ object VersionedStore {
         withFid.get
           .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
           .join(keys, keyCols, "left_anti"),
-        fidOf, statsCol)
+        fidOf, statsCol, zoneCols)
+    // note on deletion vectors: a matched row that an older DV
+    // already masks is invisible to the detection scan, so its group
+    // is not rewritten — harmless, because the masked physical row
+    // stays masked (DV precedence is by fid, and the group keeps its
+    // fid) while the update lands in the fresh insert group, whose
+    // higher fid no existing DV can mask. Re-inserting a
+    // DV-deleted key therefore just works.
     val insFid = first + affected.length
     val live = liveFids(spark, path, v)
     val cols =
       if (live.isEmpty) updates.columns
       else readAt(spark, path, v).columns
     val ins = updates.select(cols.map(col): _*)
-    commitAt(spark, path, latestVersion(spark, path) + 1,
-      rewrites :+ writeGroup(ins, path, insFid, statsCol),
+    commitRetrying(spark, path,
+      rewrites :+ writeGroup(ins, path, insFid, statsCol, zoneCols),
       affected.toSeq, txn)
   }
 
@@ -670,27 +1230,60 @@ object VersionedStore {
       s"VersionedStore.changes: fromV $fromV > toV $toV")
     val before = liveFids(spark, path, fromV).toSet
     val after = liveFids(spark, path, toV).toSet
+    val dvBefore = liveDvFids(spark, path, fromV)
+    val dvAfter = liveDvFids(spark, path, toV)
     val gained = (after -- before).toSeq.sorted
     val lost = (before -- after).toSeq.sorted
+    val newDvs = dvAfter.filterNot(dvBefore.contains)
     val f = fs(spark)
-    (gained ++ lost).foreach { fid =>
+    (gained ++ lost ++ dvBefore ++ dvAfter).distinct.foreach { fid =>
       if (!f.exists(dataDir(path, fid))) sys.error(
         s"VersionedStore.changes: file-group f$fid was vacuumed — " +
           "raise the vacuum retention horizon")
     }
-    // both sides read under toV's table schema, so a feed spanning
+    // every side reads under toV's table schema, so a feed spanning
     // an additive evolution compares like with like (pre-evolution
-    // rows carry NULL in the new columns on both sides)
-    def content(fids: Seq[Long]): Option[DataFrame] =
+    // rows carry NULL in the new columns on both sides); each side
+    // is the VISIBLE content of its version — group rows under that
+    // version's deletion vectors
+    def withFid(fids: Seq[Long]): DataFrame =
+      readFids(spark, path, fids, toV)
+        .withColumn("_vs_fid",
+          regexp_extract(input_file_name(), "/data/f(\\d+)/[^/]*$", 1)
+            .cast("long"))
+    def visible(fids: Seq[Long], v: Long): Option[DataFrame] =
       if (fids.isEmpty) None
-      else Some(readFids(spark, path, fids, toV))
-    (content(gained), content(lost)) match {
+      else Some(applyDvs(spark, path, v, withFid(fids))
+        .drop("_vs_fid"))
+    // deferred deletes on CARRIED groups: rows visible at fromV but
+    // masked at toV by a DV committed in the window. Only groups
+    // with fid below some new DV can be affected — the exceptAll of
+    // the two visibility states over that bounded set is exactly the
+    // newly-masked rows (row-identical content cancels, so the cost
+    // is O(prunable carried groups), and zero when no DV landed)
+    val dvDel: Option[DataFrame] =
+      if (newDvs.isEmpty) None
+      else {
+        val carried = (before intersect after).toSeq
+          .filter(_ < newDvs.max).sorted
+        if (carried.isEmpty) None
+        else {
+          val rows = withFid(carried)
+          Some(applyDvs(spark, path, fromV, rows)
+            .exceptAll(applyDvs(spark, path, toV, rows))
+            .drop("_vs_fid"))
+        }
+      }
+    (visible(gained, toV), visible(lost, fromV)) match {
       case (None, None) =>
-        // no group churn in the window → empty feed in store schema
         val schema = read(spark, path).schema
-        spark.createDataFrame(
+        val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val base = empty
           .withColumn("_change", lit("insert")).limit(0)
+        dvDel.map(d =>
+          base.unionAll(d.withColumn("_change", lit("delete"))))
+          .getOrElse(base)
       case (g, l) =>
         val empty = (g orElse l).get.limit(0)
         // pure-append / pure-drop windows (the common case) skip the
@@ -700,11 +1293,12 @@ object VersionedStore {
           case (Some(gd), None) => gd
           case _ => empty
         }
-        val del = (l, g) match {
+        val del0 = (l, g) match {
           case (Some(ld), Some(gd)) => ld.exceptAll(gd)
           case (Some(ld), None) => ld
           case _ => empty
         }
+        val del = dvDel.map(del0.unionAll).getOrElse(del0)
         ins.withColumn("_change", lit("insert"))
           .unionAll(del.withColumn("_change", lit("delete")))
     }
@@ -746,9 +1340,9 @@ object VersionedStore {
       case None =>
         validate(df, path)
         val fid = nextFid(spark, path)
-        val add = writeGroup(df, path, fid, statsCol)
-        commitAt(spark, path, latestVersion(spark, path) + 1,
-          Seq(add), Seq.empty, txn)
+        val add = writeGroup(df, path, fid, statsCol,
+          storeZoneCols(spark, path))
+        commitRetrying(spark, path, Seq(add), Seq.empty, txn)
     }
   }
 
@@ -852,16 +1446,26 @@ object VersionedStore {
     val recs = logRecords(spark, path)
     val latest = latestVersion(spark, path)
     val live = liveFids(spark, path, latest).toSet
+    val dvLive = liveDvFids(spark, path, latest).toSet
+    // visible rows = committed group counts minus rows masked by
+    // live deletion vectors (each DV records its masked-row count at
+    // commit time; exact unless a later partial rewrite purged some
+    // of a DV's rows before a compaction folded it — the lifecycle
+    // [[compact]] normalizes)
     val nRows = recs.filter(r => r.action == "add" && live(r.fid))
-      .map(_.rows).sum
+      .map(_.rows).sum -
+      recs.filter(r => r.action == "dv" && dvLive(r.fid))
+        .map(_.rows).sum
     val nCols = schemaAt(spark, path, latest)
       .map(_.fields.length.toLong).getOrElse(0L)
     Seq((latest, recs.map(_.v).distinct.size.toLong,
       live.size.toLong, nRows, nCols,
       storeStatsCol(spark, path).getOrElse(""),
-      constraintsOf(spark, path).size.toLong))
+      constraintsOf(spark, path).size.toLong,
+      dvLive.size.toLong))
       .toDF("latest_version", "n_versions", "n_live_groups",
-        "n_rows", "n_columns", "stats_col", "n_constraints")
+        "n_rows", "n_columns", "stats_col", "n_constraints",
+        "n_dv_groups")
   }
 
   /** Threshold-triggered compaction — the OPTIMIZE policy a
@@ -872,8 +1476,11 @@ object VersionedStore {
     */
   def maintain(spark: SparkSession, path: String, maxLiveGroups: Int,
       clusterBy: Seq[String] = Nil): Boolean = {
-    val frag =
-      liveFids(spark, path, latestVersion(spark, path)).size
+    val latest = latestVersion(spark, path)
+    // live deletion vectors count toward fragmentation: each adds an
+    // anti-join to every read until a compaction folds it
+    val frag = liveFids(spark, path, latest).size +
+      liveDvFids(spark, path, latest).size
     if (frag > maxLiveGroups) { compact(spark, path, clusterBy); true }
     else false
   }
@@ -910,8 +1517,11 @@ object VersionedStore {
       retainFrom: Long): Seq[Long] = {
     val f = fs(spark)
     val vs = versions(spark, path)
+    // deletion-vector key groups are part of a version's visibility
+    // state — reclaiming one would RESURRECT its masked rows
     val keep = vs.filter(_ >= retainFrom)
-      .flatMap(liveFids(spark, path, _)).toSet
+      .flatMap(v => liveFids(spark, path, v) ++
+        liveDvFids(spark, path, v)).toSet
     val dd = new Path(s"$path/data")
     val onDisk =
       if (!f.exists(dd)) Seq.empty[Long]
@@ -923,5 +1533,24 @@ object VersionedStore {
         sys.error(s"VersionedStore.vacuum: cannot delete f$fid")
     }
     victims
+  }
+
+  /** Age-based retention — the form production policies take ("keep
+    * 7 days", not "keep 5 versions"): reclaim file-groups visible
+    * ONLY at versions whose commit timestamp (persisted in the
+    * record, never inferred from dir mtimes) is older than
+    * `cutoffTs` millis. The latest version is always retained
+    * regardless of age, and pre-timestamp records (ts −1) are
+    * treated as infinitely old. Returns the reclaimed fids.
+    */
+  def vacuumOlderThan(spark: SparkSession, path: String,
+      cutoffTs: Long): Seq[Long] = {
+    val latest = latestVersion(spark, path)
+    val tsOf = logRecords(spark, path).groupBy(_.v)
+      .map { case (v, rs) => v -> rs.map(_.ts).max }
+    val youngEnough = versions(spark, path)
+      .filter(v => tsOf.getOrElse(v, -1L) >= cutoffTs)
+    val horizon = (youngEnough.headOption.toSeq :+ latest).min
+    vacuum(spark, path, horizon)
   }
 }

@@ -1686,7 +1686,8 @@ object ScaleQueries {
              |   WHERE doc_id % 3 = 2 OR doc_id % 7 <> 0) AS n_rows,
              |  CAST(5 AS BIGINT) AS n_columns,
              |  '' AS stats_col,
-             |  CAST(0 AS BIGINT) AS n_constraints""".stripMargin)),
+             |  CAST(0 AS BIGINT) AS n_constraints,
+             |  CAST(0 AS BIGINT) AS n_dv_groups""".stripMargin)),
 
     // Snapshot-consistent multi-store JOIN: a training run joins two
     // pinned stores THROUGH a manifest while ingest keeps landing on
@@ -1801,6 +1802,176 @@ object ScaleQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
              |FROM documents
              |WHERE doc_id % 3 IN (0, 1)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // STRING-key zone pruning (multi-column zones in commit
+    // records): the corpus lands as four source-alphabet batches,
+    // each commit carrying a STRING (lo, hi) hull on `source`; a
+    // range read over the second batch's hull scans ONLY that
+    // file-group (candidateFidsStr — asserted in the build), the
+    // residual filter settles exactness, and the oracle recomputes
+    // the range from the raw table under the same binary collation.
+    // The store-native analog of the zone-map rule's string hulls,
+    // resolved at file-list time — the log IS the manifest, so a
+    // commit can never leave the pruning stale.
+    QueryDef(
+      "q349_string_zone_read",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("strzone", d) { p =>
+          VersionedStore.create(s, p)
+          Seq(("src0", "src12"), ("src13", "src17"),
+            ("src18", "src4"), ("src5", "src9")).foreach {
+            case (lo, hi) =>
+              VersionedStore.append(
+                docs.where(col("source") >= lo &&
+                  col("source") <= hi), p,
+                zoneCols = Seq("source", "doc_id"))
+          }
+          val v = VersionedStore.latestVersion(s, p)
+          val cand = VersionedStore.candidateFidsStr(s, p, v,
+            "source", "src13", "src17")
+          if (cand != Seq(2L)) sys.error(
+            s"q349: string zones failed to prune — candidates $cand")
+        }
+        VersionedStore.readRangeStr(s, p, "source", "src13", "src17")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE source BETWEEN 'src13' AND 'src17'
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Merge-on-read deletion vectors: a small keyed point delete
+    // (the GDPR drip) commits ONE dv record and rewrites NOTHING —
+    // asserted in the build: the dv commit carries no remove/add
+    // actions, so the multi-thousand-row data groups are untouched —
+    // yet every read masks the keys. The oracle recomputes the
+    // visible content from the raw table; time travel to the
+    // pre-delete version and the fold-away compaction are pinned in
+    // DeletionVectorSpec.
+    QueryDef(
+      "q350_deletion_vector",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("dvstore", d) { p =>
+          VersionedStore.create(s, p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1), p)
+          val dvV = VersionedStore.deleteKeysDeferred(s, p,
+            docs.where(pmod(col("doc_id"), lit(97)) === 0)
+              .select("doc_id"), Seq("doc_id"))
+          val acts = VersionedStore.history(s, p)
+            .filter(col("version") === dvV)
+            .select("action").collect().map(_.getString(0)).toSeq
+          if (acts != Seq("dv")) sys.error(
+            s"q350: dv delete rewrote groups — actions $acts")
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 97 <> 0
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Checkpointed COLD log resolution: twelve commits land (the
+    // default interval checkpoints at v10), the in-JVM log cache is
+    // dropped, and the read resolves checkpoint + suffix instead of
+    // replaying twelve per-version dirs — the serve path a restarted
+    // driver takes at production commit counts, where uncheckpointed
+    // cold planning is an O(commits) small-file storm. The build
+    // asserts a checkpoint exists; the oracle recomputes the content.
+    QueryDef(
+      "q351_checkpoint_cold_read",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("ckptstore", d) { p =>
+          VersionedStore.create(s, p)
+          (0 until 12).foreach { i =>
+            VersionedStore.append(
+              docs.where(pmod(col("doc_id"), lit(12)) === i), p)
+          }
+          if (VersionedStore.checkpointVersions(s, p).isEmpty)
+            sys.error("q351: no checkpoint after 12 commits")
+        }
+        graft.operators.VersionedStore.dropLogCache(p)
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Age-based retention: vacuumOlderThan with a future cutoff is
+    // the "retention 0" policy — every version older than the cutoff
+    // ages out, the LATEST survives regardless. After an
+    // append/append/compact lifecycle the pre-compaction groups are
+    // reclaimed (asserted: time travel below the horizon fails
+    // loudly, and a far-past cutoff reclaims nothing), while the
+    // latest content — the declared result — is untouched.
+    QueryDef(
+      "q352_vacuum_by_age",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("agestore", d) { p =>
+          VersionedStore.create(s, p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1), p)
+          VersionedStore.compact(s, p)
+          // far-past cutoff: every version is young enough — nothing
+          // ages out
+          if (VersionedStore.vacuumOlderThan(s, p, 0L).nonEmpty)
+            sys.error("q352: far-past cutoff reclaimed groups")
+          // future cutoff: all versions age out; only the latest's
+          // groups survive
+          val victims = VersionedStore.vacuumOlderThan(s, p,
+            System.currentTimeMillis() + 3600 * 1000L)
+          if (victims.isEmpty) sys.error(
+            "q352: age vacuum reclaimed nothing")
+          val gone = try {
+            VersionedStore.readAt(s, p, 1L).count(); false
+          } catch { case _: RuntimeException => true }
+          if (!gone) sys.error(
+            "q352: pre-horizon version still readable after age vacuum")
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 

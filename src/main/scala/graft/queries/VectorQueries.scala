@@ -3539,7 +3539,74 @@ object VectorQueries {
               |    AS recall
               |FROM adc_top_h JOIN exact_top_h USING (qid, vec_id)
               |CROSS JOIN kt
-              |GROUP BY kt.k_total""".stripMargin))
+              |GROUP BY kt.k_total""".stripMargin)),
+
+    // Held-out TRAINED-PQ (closes the measured −28% sampled-ADC
+    // transfer gap the q323 row exposed): the codebook is TRAINED —
+    // farthest-point init + 3 exact-decimal Lloyd rounds — on the
+    // INDEX CORPUS ONLY (vec_id >= 20; the 20 panel queries never
+    // touch training), codes encoded for the corpus only, ADC@20
+    // scored against the held-out exact L2@20 truth SIDE BY SIDE
+    // with q323's sampled codebook. One row: the sampled column must
+    // reproduce q323's oracle-gated recall bit-for-bit (the anchor),
+    // and recall_trained vs recall_sampled IS the held-out
+    // sampled-vs-trained delta BASELINE.md's quality table tracks.
+    // An iterative training loop is not one SQL expression —
+    // rows-only by the q309/q317/q319 precedent, pinned in
+    // RegistrySpec.
+    QueryDef(
+      "q348_heldout_trained_pq",
+      (s, d) => {
+        graft.functions.DotExactExpr.register(s)
+        val emb = embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") >= PanelN)
+        // sampled codebook — q323's exact shape (corpus vectors
+        // 20..35), the cross-engine anchor
+        val rows = emb.filter(col("vec_id").between(PanelN, PanelN + 15))
+          .select("vec_id", "embedding").collect()
+          .sortBy(_.getLong(0))
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        require(rows.length == 16,
+          s"held-out codebook needs corpus vectors 20..35 (${rows.length})")
+        val cbS = Array.tabulate(8, 16)((m, k) =>
+          rows(k).slice(m * 8, (m + 1) * 8))
+        // trained codebook — fit on the CORPUS frame only, so the
+        // Lloyd passes never see a panel vector
+        val cbT = graft.llm.ProductQuantizer
+          .trainCodebook(corpus, numSub = 8, codesPerSub = 16,
+            iterations = 3)
+        def top20(cb: Array[Array[Array[Double]]]) =
+          graft.plans.GroupedTopK.of(
+            graft.llm.ProductQuantizer.adcDistsPanel(s, emb, cb,
+              PanelN,
+              Some(graft.llm.ProductQuantizer.encode(corpus, cb))),
+            Seq("qid"), Seq(col("adc_dist").asc, col("vec_id").asc),
+            20).select("qid", "vec_id")
+        val qs2 = panelQs(emb)
+        val diff = zip_with(col("embedding").cast("array<double>"),
+          col("q_emb").cast("array<double>"), (x, y) => x - y)
+        val exactTop = graft.plans.GroupedTopK.of(
+          corpus.crossJoin(broadcast(qs2))
+            .select(col("qid"), col("vec_id"),
+              fdot(diff, diff).as("dist2")),
+          Seq("qid"), Seq(col("dist2").asc, col("vec_id").asc), 20)
+          .select("qid", "vec_id")
+        exactTop
+          .join(top20(cbS).withColumn("in_s", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .join(top20(cbT).withColumn("in_t", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).cast("long").as("k_total"),
+            count(col("in_s")).cast("long").as("n_hit_sampled"),
+            count(col("in_t")).cast("long").as("n_hit_trained"))
+          .select(col("k_total"), col("n_hit_sampled"),
+            col("n_hit_trained"),
+            (col("n_hit_sampled").cast("double") /
+              col("k_total").cast("double")).as("recall_sampled"),
+            (col("n_hit_trained").cast("double") /
+              col("k_total").cast("double")).as("recall_trained"))
+      },
+      None)
   )
 
   /** 64-dim float vector → two 32-bit sign words (`lo` dims 1–32,

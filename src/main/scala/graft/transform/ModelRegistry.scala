@@ -57,7 +57,13 @@ final case class IncrementalModel(
     build: (String => DataFrame, Option[DataFrame]) => DataFrame,
     uniqueKey: Seq[String] = Seq.empty,
     statsCol: Option[String] = None,
-    tests: Seq[Check] = Seq.empty)
+    tests: Seq[Check] = Seq.empty,
+    /** auto-OPTIMIZE: after each run, compact the store when its
+      * live file-group count (incl. deletion vectors) exceeds this —
+      * N small incremental runs end folded without anyone calling
+      * compact. None = never self-compact.
+      */
+    autoCompact: Option[Int] = None)
 
 class ModelRegistry(spark: SparkSession) {
   import graft.operators.VersionedStore
@@ -130,6 +136,12 @@ class ModelRegistry(spark: SparkSession) {
             case (Some(_), keys) =>
               VersionedStore.merge(spark, m.storePath, candidates, keys)
           }
+          // the maintenance policy the ingest loop consults itself:
+          // past the fragmentation threshold the run ends with a
+          // compaction commit, so read amplification never grows
+          // unboundedly with run count
+          m.autoCompact.foreach(maxGroups =>
+            VersionedStore.maintain(spark, m.storePath, maxGroups))
           val out = VersionedStore.read(spark, m.storePath)
           out.createOrReplaceTempView(m.name)
           out

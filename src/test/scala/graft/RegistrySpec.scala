@@ -36,7 +36,8 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     val rowsOnly = SparkEntry.allQueries
       .filter(_.oracle.isEmpty).map(_.name).toSet
     rowsOnly shouldBe Set("q309_pq_trained_recall",
-      "q317_ivf_trained_cells", "q319_heldout_trained_cells")
+      "q317_ivf_trained_cells", "q319_heldout_trained_cells",
+      "q348_heldout_trained_pq")
   }
 
   test("README declared-query counts match the registry (no stale " +

@@ -28,7 +28,9 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
   private case class Delete(mod: Int, rem: Int) extends Op
   private case class Merge(fracs: Seq[Double], fresh: Int) extends Op
   private case class DeleteKeys(fracs: Seq[Double]) extends Op
+  private case class DvDelete(fracs: Seq[Double]) extends Op
   private case object Compact extends Op
+  private case object Checkpoint extends Op
 
   private type Row3 = (Long, String, Long)
 
@@ -62,8 +64,10 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
         fresh <- Gen.choose(0, 3)
       } yield Merge(fracs, fresh)),
       2 -> Gen.listOfN(3, Gen.choose(0.0, 0.999)).map(DeleteKeys(_)),
-      1 -> Gen.const(Compact))
-    val genSeq = Gen.listOfN(6, genOp)
+      2 -> Gen.listOfN(3, Gen.choose(0.0, 0.999)).map(DvDelete(_)),
+      1 -> Gen.const(Compact),
+      1 -> Gen.const(Checkpoint))
+    val genSeq = Gen.listOfN(7, genOp)
 
     var run = 0
     val prop = Prop.forAll(genSeq) { ops =>
@@ -111,9 +115,32 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
                 ids.toDF("id"), Seq("id"))
               cur = cur -- ids
             }
+          case DvDelete(fracs) =>
+            // merge-on-read point delete: semantically identical to
+            // DeleteKeys on the VISIBLE view, physically a mask
+            val ids =
+              if (nextId == 0) Seq.empty[Long]
+              else fracs.map(f => (f * nextId).toLong).distinct
+            if (ids.nonEmpty) {
+              val s = spark
+              import s.implicits._
+              VersionedStore.deleteKeysDeferred(spark, p,
+                ids.toDF("id"), Seq("id"))
+              cur = cur -- ids
+            }
           case Compact =>
             if (!VersionedStore.isEmpty(spark, p))
               VersionedStore.compact(spark, p)
+          case Checkpoint =>
+            // checkpoint the log at the current version and FORGET
+            // the warm cache: every later op (and the final
+            // time-travel sweep) resolves cold through checkpoint +
+            // suffix — the read path a restarted driver takes
+            val v = VersionedStore.latestVersion(spark, p)
+            if (v > 0) {
+              VersionedStore.checkpoint(spark, p, v)
+              VersionedStore.dropLogCache(p)
+            }
         }
         val v = VersionedStore.latestVersion(spark, p)
         if (v > 0) recorded = recorded + (v -> cur)

@@ -191,6 +191,31 @@ class VersionedStoreSpec extends AnyFunSuite with SparkFixture
       .sorted shouldBe Seq(1L, 3L)
   }
 
+  test("merge enforces the append schema gate: retyped columns and " +
+      "extra columns fail loudly before anything is written") {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)
+    val v1 = VersionedStore.latestVersion(spark, p)
+    // a retyping update batch must not become the table schema
+    val retyped = Seq((3L, "doc-3b", "oops")).toDF("id", "body", "g")
+    val e1 = intercept[RuntimeException] {
+      VersionedStore.merge(spark, p, retyped, Seq("id"))
+    }
+    e1.getMessage should include("drops or retypes")
+    // extra columns are rejected, never silently projected away
+    val extra = Seq((3L, "doc-3b", 1, 99L)).toDF("id", "body", "g", "x")
+    val e2 = intercept[RuntimeException] {
+      VersionedStore.merge(spark, p, extra, Seq("id"))
+    }
+    e2.getMessage should include("adds columns")
+    // nothing committed, content intact, old groups still readable
+    VersionedStore.latestVersion(spark, p) shouldBe v1
+    ids(p) shouldBe (0L until 10L)
+  }
+
   test("merge rejects duplicate-key updates") {
     val p = freshPath()
     VersionedStore.create(spark, p)

@@ -116,6 +116,31 @@ class ModelRegistrySpec extends AnyFunSuite with SparkFixture with Matchers {
     reg.test()("inc_merge").forall(_.passed) shouldBe true
   }
 
+  test("auto-OPTIMIZE: N small incremental runs end compacted " +
+      "without an explicit call once fragmentation passes the " +
+      "threshold; content is unaffected") {
+    val s = spark
+    import s.implicits._
+    val store = tmpStore("inc-c")
+    var next = 0L
+    val reg = new ModelRegistry(spark)
+      .register(IncrementalModel("inc_auto", store,
+        build = (_, _) => {
+          val b = Seq((next, next * 2)).toDF("id", "v")
+          next += 1
+          b
+        },
+        autoCompact = Some(3)))
+    (0 until 5).foreach(_ => reg.run())
+    val d = graft.operators.VersionedStore.describe(spark, store).head
+    // without auto-compact this would be 5 live groups; the policy
+    // folded at the threshold crossings
+    d.getLong(d.fieldIndex("n_live_groups")) should be <= 3L
+    graft.operators.VersionedStore.read(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      (0L until 5L).map(i => i -> i * 2).toMap
+  }
+
   test("incremental merge: a FIRST run with duplicate unique_key " +
       "candidates is rejected before it can poison the store") {
     val s = spark
