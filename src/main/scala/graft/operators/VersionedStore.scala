@@ -138,7 +138,21 @@ object VersionedStore {
   final case class GroupAdd(fid: Long, n: Long,
       stats: Option[(String, Long, Long)] = None,
       schemaJson: Option[String] = None,
-      zones: Seq[ColZone] = Nil)
+      zones: Seq[ColZone] = Nil,
+      /** Foreign data location (absolute dir) for groups this store
+        * references but does not own — how [[cloneTo]] shares a
+        * source's file-groups by METADATA only. None = the group
+        * lives under this store's own `data/f<fid>`.
+        */
+      loc: Option[String] = None,
+      /** Columns with a per-group Bloom-filter SIDECAR
+        * (`<path>/bloom/f<fid>-<col>`) — the record carries only the
+        * column names; the bits live beside the data because a
+        * production group's bloom is MBs, far too big for a log
+        * record (the same reason the public designs keep file-level
+        * indexes out of the log).
+        */
+      blooms: Seq[String] = Nil)
 
   /** Thrown when a commit loses the version rename to a concurrent
     * writer — the signal [[commitRetrying]]'s optimistic
@@ -248,17 +262,19 @@ object VersionedStore {
         .getOrElse((null: String, None, None))
       (action, a.fid, a.n, txn, sc, lo, hi, a.schemaJson.orNull,
         stamp, a.zones.map(_.c), a.zones.map(_.t),
-        a.zones.map(_.lo), a.zones.map(_.hi))
+        a.zones.map(_.lo), a.zones.map(_.hi), a.loc.orNull,
+        a.blooms)
     }
     (adds.map(addRow("add", _)) ++ dvs.map(addRow("dv", _)) ++
       removes.map(fid =>
         ("remove", fid, 0L, txn, null: String,
           None: Option[Long], None: Option[Long], null: String,
           stamp, Seq.empty[String], Seq.empty[String],
-          Seq.empty[String], Seq.empty[String])))
+          Seq.empty[String], Seq.empty[String], null: String,
+          Seq.empty[String])))
       .toDF("action", "fid", "rows", "txn",
         "stat_col", "stat_min", "stat_max", "schema_json",
-        "ts", "zc", "zt", "zlo", "zhi")
+        "ts", "zc", "zt", "zlo", "zhi", "loc", "bc")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/${versionName(v)}")
     if (f.exists(dest))
@@ -280,7 +296,8 @@ object VersionedStore {
   private final case class LogRec(v: Long, action: String, fid: Long,
       rows: Long, txn: Long, stats: Option[(String, Long, Long)],
       schemaJson: Option[String], ts: Long = -1L,
-      zones: Seq[ColZone] = Nil)
+      zones: Seq[ColZone] = Nil, loc: Option[String] = None,
+      blooms: Seq[String] = Nil)
 
   /** Driver-side incremental log cache, per JVM: the log is
     * O(commits) of KB-scale parquet, but re-reading it through a
@@ -317,7 +334,9 @@ object VersionedStore {
       optCol("zc", "array<string>").as("zc"),
       optCol("zt", "array<string>").as("zt"),
       optCol("zlo", "array<string>").as("zlo"),
-      optCol("zhi", "array<string>").as("zhi"))
+      optCol("zhi", "array<string>").as("zhi"),
+      optCol("loc", "string").as("loc"),
+      optCol("bc", "array<string>").as("bc"))
       .collect()
       .map { r =>
         val stats =
@@ -333,9 +352,12 @@ object VersionedStore {
             cs.indices.map(i =>
               ColZone(cs(i), tss(i), los(i), his(i)))
           }
+        val loc = if (r.isNullAt(14)) None else Some(r.getString(14))
+        val blooms =
+          if (r.isNullAt(15)) Nil else r.getSeq[String](15)
         LogRec(r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getLong(4), stats, sj, r.getLong(9),
-          zones)
+          zones, loc, blooms)
       }.toSeq
   }
 
@@ -411,10 +433,11 @@ object VersionedStore {
         .getOrElse((null: String, None, None))
       (r.v, r.action, r.fid, r.rows, r.txn, sc, lo, hi,
         r.schemaJson.orNull, r.ts, r.zones.map(_.c),
-        r.zones.map(_.t), r.zones.map(_.lo), r.zones.map(_.hi))
+        r.zones.map(_.t), r.zones.map(_.lo), r.zones.map(_.hi),
+        r.loc.orNull, r.blooms)
     }.toDF("v", "action", "fid", "rows", "txn",
       "stat_col", "stat_min", "stat_max", "schema_json",
-      "ts", "zc", "zt", "zlo", "zhi")
+      "ts", "zc", "zt", "zlo", "zhi", "loc", "bc")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/ckpt-${versionName(v)}")
     if (f.exists(dest) && !f.delete(dest, true))
@@ -461,16 +484,29 @@ object VersionedStore {
     logRecords(spark, path).filter(_.v <= v)
       .map(r => (r.v, r.action, r.fid, r.rows))
 
+  /** Order-aware liveness: a fid's state at version `v` is decided
+    * by its LAST log action ≤ v — a remove after an add retires the
+    * group; an add/dv record landing after a remove RE-SURFACES it
+    * (the mechanism behind [[restore]], which re-publishes an old
+    * version's records instead of copying any data). On histories
+    * that never re-publish a fid this is exactly the plain
+    * "added minus removed" rule. `kind` selects content ("add") or
+    * deletion-vector ("dv") groups — a fid is only ever one of the
+    * two (fids are never reused across [[writeGroup]] calls).
+    */
+  private def liveOf(as: Seq[(Long, String, Long, Long)],
+      kind: String): Seq[Long] =
+    as.groupBy(_._3).iterator.collect {
+      case (fid, recs) if recs.exists(_._2 == kind) &&
+        recs.maxBy(_._1)._2 != "remove" => fid
+    }.toSeq.sorted
+
   /** Content file-groups visible at version `v` (deletion-vector key
     * groups are NOT content — see [[liveDvFids]]).
     */
   private def liveFids(spark: SparkSession, path: String,
-      v: Long): Seq[Long] = {
-    val as = actions(spark, path, v)
-    val removed = as.collect { case (_, "remove", fid, _) => fid }.toSet
-    as.collect { case (_, "add", fid, _) if !removed(fid) => fid }
-      .sorted
-  }
+      v: Long): Seq[Long] =
+    liveOf(actions(spark, path, v), "add")
 
   /** Deletion-vector key groups in force at version `v`: each is a
     * small parquet frame of key tuples whose matching rows are
@@ -478,12 +514,8 @@ object VersionedStore {
     * removes them like any other fid.
     */
   private def liveDvFids(spark: SparkSession, path: String,
-      v: Long): Seq[Long] = {
-    val as = actions(spark, path, v)
-    val removed = as.collect { case (_, "remove", fid, _) => fid }.toSet
-    as.collect { case (_, "dv", fid, _) if !removed(fid) => fid }
-      .sorted
-  }
+      v: Long): Seq[Long] =
+    liveOf(actions(spark, path, v), "dv")
 
   /** Apply the deletion vectors in force at `v` to content carrying
     * a `_vs_fid` column: one broadcast anti-join per live DV group on
@@ -498,7 +530,8 @@ object VersionedStore {
   private def applyDvs(spark: SparkSession, path: String, v: Long,
       df: DataFrame): DataFrame =
     liveDvFids(spark, path, v).foldLeft(df) { (acc, dvFid) =>
-      val keys = spark.read.parquet(dataDir(path, dvFid).toString)
+      val keys = spark.read.parquet(
+        groupDir(spark, path, dvFid).toString)
       val renamed = keys.columns.foldLeft(keys)((k, c) =>
         k.withColumnRenamed(c, s"_dv_$c"))
       val cond = keys.columns.map(c =>
@@ -520,6 +553,32 @@ object VersionedStore {
         regexp_extract(input_file_name(), "/data/f(\\d+)/[^/]*$", 1)
           .cast("long")))
       .drop("_vs_fid")
+  }
+
+  /** Data directory of file-group `fid`, honoring a foreign
+    * location recorded by [[cloneTo]]: a cloned-in group resolves to
+    * the SOURCE store's dir (zero-copy), everything else to this
+    * store's own `data/f<fid>`. Writes never consult this — local
+    * mutations always mint local groups, which is what makes a clone
+    * copy-on-write.
+    */
+  private def groupDir(spark: SparkSession, path: String,
+      fid: Long): Path =
+    logRecords(spark, path)
+      .find(r => r.fid == fid && r.loc.isDefined)
+      .map(r => new Path(r.loc.get))
+      .getOrElse(dataDir(path, fid))
+
+  /** Data dirs of `fids` in order, loc-aware ([[groupDir]]), resolved
+    * with ONE pass over the cached log.
+    */
+  private def groupDirs(spark: SparkSession, path: String,
+      fids: Seq[Long]): Seq[String] = {
+    val locs = logRecords(spark, path)
+      .collect { case r if r.loc.isDefined => r.fid -> r.loc.get }
+      .toMap
+    fids.map(fid =>
+      locs.get(fid).getOrElse(dataDir(path, fid).toString))
   }
 
   /** Zone stats of every statted file-group (fids are never reused
@@ -575,7 +634,7 @@ object VersionedStore {
     * mutation against a range-clustered store touches O(overlapping
     * groups), never O(table).
     */
-  private[operators] def candidateFids(spark: SparkSession,
+  private[graft] def candidateFids(spark: SparkSession,
       path: String, v: Long, keyCol: String, lo: Long,
       hi: Long): Seq[Long] = {
     val stats = groupStats(spark, path)
@@ -649,9 +708,91 @@ object VersionedStore {
       max(v).cast("string").as(s"_zhi_$c"))
   }
 
+  /** Columns the sketch Bloom filter supports (integral and string —
+    * dates and floats have no put/mightContain form).
+    */
+  private def bloomTypeOk(df: DataFrame, c: String): Boolean = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+        StringType => true
+      case _ => false
+    }
+  }
+
+  /** Build file-group `fid`'s per-column Bloom SIDECARS
+    * (`<path>/bloom/f<fid>-<col>`, tmp+rename) from its written
+    * parquet and return the armed column names for the commit
+    * record. ~1.2 KB per 1k rows at 1% fpp — KBs at test scale, MBs
+    * for a production group, which is exactly why the bits live in a
+    * sidecar and only the column NAME rides in the log. One extra
+    * scan of the (just-written, page-cached) group per armed column;
+    * blooms are opt-in, unarmed stores pay nothing.
+    */
+  private def buildBlooms(spark: SparkSession, path: String,
+      fid: Long, n: Long, cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty || n == 0) return Nil
+    val written = spark.read.parquet(dataDir(path, fid).toString)
+    val f = fs(spark)
+    cols.distinct.filter(written.columns.contains)
+      .filter(bloomTypeOk(written, _))
+      .map { c =>
+        val bf = written.stat.bloomFilter(c, math.max(n, 1L), 0.01)
+        val tmp = new Path(s"$path/bloom/.tmp-f$fid-$c")
+        if (f.exists(tmp)) f.delete(tmp, true)
+        val out = f.create(tmp, true)
+        try bf.writeTo(out) finally out.close()
+        val dst = new Path(s"$path/bloom/f$fid-$c")
+        if (f.exists(dst) && !f.delete(dst, true)) sys.error(
+          s"VersionedStore: cannot replace bloom sidecar $dst")
+        if (!f.rename(tmp, dst)) sys.error(
+          s"VersionedStore: cannot publish bloom sidecar $dst")
+        c
+      }
+  }
+
+  /** Loc-aware sidecar path: a cloned-in group's bloom lives beside
+    * its data in the OWNING store (`loc` is `<owner>/data/f<fid>`,
+    * the sidecar `<owner>/bloom/f<fid>-<col>`).
+    */
+  private def bloomPathOf(spark: SparkSession, path: String,
+      fid: Long, c: String): Path =
+    logRecords(spark, path)
+      .find(r => r.fid == fid && r.loc.isDefined) match {
+      case Some(r) =>
+        val owner = new Path(r.loc.get).getParent.getParent
+        new Path(owner, s"bloom/f$fid-$c")
+      case None => new Path(s"$path/bloom/f$fid-$c")
+    }
+
+  /** Driver-side sidecar cache: a (store, fid, col) sidecar is
+    * immutable once its commit is visible (fids are never reused
+    * after a successful commit), so cached bits can never go stale.
+    */
+  private val bloomCache = scala.collection.mutable.Map
+    .empty[String, org.apache.spark.util.sketch.BloomFilter]
+
+  private def loadBloom(spark: SparkSession, path: String, fid: Long,
+      c: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.synchronized {
+      val bp = bloomPathOf(spark, path, fid, c)
+      bloomCache.get(bp.toString).orElse {
+        val f = fs(spark)
+        if (!f.exists(bp)) None
+        else {
+          val in = f.open(bp)
+          val bf = try org.apache.spark.util.sketch.BloomFilter
+            .readFrom(in) finally in.close()
+          bloomCache(bp.toString) = bf
+          Some(bf)
+        }
+      }
+    }
+
   private def writeGroup(df: DataFrame, path: String, fid: Long,
       statsCol: Option[String],
-      zoneCols: Seq[String] = Nil): GroupAdd = {
+      zoneCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): GroupAdd = {
     val spark = df.sparkSession
     df.write.mode("overwrite").parquet(dataDir(path, fid).toString)
     val written = spark.read.parquet(dataDir(path, fid).toString)
@@ -678,7 +819,8 @@ object VersionedStore {
       else Some(ColZone(c, t, r.getString(base + 2 * i),
         r.getString(base + 2 * i + 1)))
     }
-    GroupAdd(fid, n, legacy, sj, zones)
+    GroupAdd(fid, n, legacy, sj, zones,
+      blooms = buildBlooms(spark, path, fid, n, bloomCols))
   }
 
   /** The table schema as of version `v`: the newest add record ≤ v
@@ -704,7 +846,7 @@ object VersionedStore {
     */
   private def readFids(spark: SparkSession, path: String,
       fids: Seq[Long], v: Long): DataFrame = {
-    val paths = fids.map(dataDir(path, _).toString)
+    val paths = groupDirs(spark, path, fids)
     schemaAt(spark, path, v) match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
@@ -763,14 +905,16 @@ object VersionedStore {
   def append(df: DataFrame, path: String,
       statsCol: Option[String] = None,
       evolve: Boolean = false,
-      zoneCols: Seq[String] = Nil): Long = {
+      zoneCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     checkSchema(df, path, "append", canEvolve = evolve)
     validate(df, path)
     val fid = nextFid(spark, path)
     commit(spark, path,
       Seq(writeGroup(df, path, fid, statsCol,
-        zoneCols ++ storeZoneCols(spark, path))), Seq.empty)
+        zoneCols ++ storeZoneCols(spark, path),
+        bloomCols ++ storeBloomCols(spark, path))), Seq.empty)
   }
 
   /** Zone columns maintained by the store's LIVE groups (union of
@@ -786,6 +930,22 @@ object VersionedStore {
     groupZones(spark, path)
       .collect { case (fid, zs) if live(fid) => zs.map(_.c) }
       .flatten.toSeq.distinct.sorted
+  }
+
+  /** Bloom-armed columns across LIVE groups — like
+    * [[storeZoneCols]], mutators feed these back so one bloom-armed
+    * append keeps every later rewrite/compaction armed. Groups
+    * without a sidecar never make pruning unsound (always
+    * candidates).
+    */
+  def storeBloomCols(spark: SparkSession,
+      path: String): Seq[String] = {
+    val live = liveFids(spark, path,
+      latestVersion(spark, path)).toSet
+    logRecords(spark, path)
+      .collect { case r if r.action == "add" && live(r.fid) =>
+        r.blooms }
+      .flatten.distinct.sorted
   }
 
   /** Content at version `v` (error if nothing is visible — an empty
@@ -806,12 +966,25 @@ object VersionedStore {
     if (fids.isEmpty) sys.error(
       s"VersionedStore.readAt: version $v of $path is empty " +
         "(or vacuumed past)")
-    if (v < latestVersion(spark, path)) {
+    // FOREIGN (cloned-in) groups are swept at every version: the
+    // zero-RPC latest-read argument — "vacuum only reclaims groups
+    // invisible at the latest version" — holds for this store's own
+    // log, but a SOURCE store's vacuum never consults its clones, so
+    // a clone's latest can dangle. Non-clone stores have no foreign
+    // groups and still pay zero existence RPCs on latest reads.
+    val foreign = logRecords(spark, path)
+      .collect { case r if r.loc.isDefined => r.fid }.toSet
+    val sweep =
+      if (v < latestVersion(spark, path))
+        fids ++ liveDvFids(spark, path, v)
+      else (fids ++ liveDvFids(spark, path, v)).filter(foreign)
+    if (sweep.nonEmpty) {
       val f = fs(spark)
-      (fids ++ liveDvFids(spark, path, v)).foreach { fid =>
-        if (!f.exists(dataDir(path, fid))) sys.error(
+      sweep.foreach { fid =>
+        if (!f.exists(groupDir(spark, path, fid))) sys.error(
           s"VersionedStore.readAt: file-group f$fid of version $v " +
-            s"was vacuumed — raise the vacuum retention horizon")
+            s"was vacuumed — raise the vacuum retention horizon" +
+            (if (foreign(fid)) " on the clone SOURCE" else ""))
       }
     }
     visibleAt(spark, path, v, fids)
@@ -862,15 +1035,82 @@ object VersionedStore {
     } else readAt(spark, path, v).filter(resid)
   }
 
-  /** Fold every live file-group into one — remove-all + add-one in a
-    * single commit record, so readers see the old file set or the
-    * new one, never a mixture and never an empty gap (contrast the
+  /** File-groups a point lookup on `keyCol` = `value` must scan:
+    * zone hulls prune first (driver-side, zero I/O), then each
+    * surviving group's Bloom SIDECAR — loaded once per JVM — vetoes
+    * groups that provably don't hold the key. Groups without a
+    * sidecar are always candidates (sound). On a bloom-armed store a
+    * point lookup opens O(1 + fpp·groups) file-groups instead of
+    * every group whose zone spans the key — the file-skipping index
+    * of the public designs, carried as sidecars with only the column
+    * names in the log.
+    */
+  private[graft] def pointCandidates(spark: SparkSession,
+      path: String, v: Long, keyCol: String,
+      value: Any): Seq[Long] = {
+    val zoneCand = value match {
+      case l: Long => candidateFids(spark, path, v, keyCol, l, l)
+      case i: Int =>
+        candidateFids(spark, path, v, keyCol, i.toLong, i.toLong)
+      case s: String => candidateFidsStr(spark, path, v, keyCol, s, s)
+      case _ => liveFids(spark, path, v)
+    }
+    val probe: Any = value match {
+      case b: Byte => b.toLong
+      case sh: Short => sh.toLong
+      case i: Int => i.toLong
+      case other => other
+    }
+    val armed = logRecords(spark, path)
+      .collect { case r if r.action == "add" &&
+        r.blooms.contains(keyCol) => r.fid }.toSet
+    zoneCand.filter { fid =>
+      !armed(fid) || loadBloom(spark, path, fid, keyCol)
+        .forall(_.mightContain(probe))
+    }
+  }
+
+  /** Latest rows with `keyCol` = `value` — the point-lookup serve
+    * path ([[pointCandidates]] prunes via zones + Bloom sidecars;
+    * the residual equality settles exactness inside the few opened
+    * groups).
+    */
+  def readPoint(spark: SparkSession, path: String, keyCol: String,
+      value: Any): DataFrame = {
+    val v = latestVersion(spark, path)
+    val cand = pointCandidates(spark, path, v, keyCol, value)
+    if (cand.isEmpty) readAt(spark, path, v).filter(lit(false))
+    else visibleAt(spark, path, v, cand)
+      .filter(col(keyCol) === lit(value))
+  }
+
+  /** Fold the live file-groups — remove-all + add-new in a single
+    * commit record, so readers see the old file set or the new one,
+    * never a mixture and never an empty gap (contrast the
     * rename-swap compaction, which has to restore the live dir by
     * hand if its second rename fails). Pre-compaction versions stay
     * readable until vacuum.
+    *
+    * `numGroups > 1` with a `clusterBy` key is the OPTIMIZE-with-
+    * clustering of the SQL lakehouses: instead of one folded group,
+    * the rewrite range-partitions the content into `numGroups` new
+    * file-groups with DISJOINT cluster-key ranges — after which the
+    * per-group zone hulls in the commit records stop overlapping and
+    * [[readRange]]/[[merge]]/[[deleteKeysDeferred]] prune a narrow
+    * key range to O(1) groups instead of every group the appends
+    * interleaved the key across. One distributed write + one commit
+    * at any table size (the rewrite machinery is [[rewriteGroups]]'s
+    * partitioned single pass); at 100 TB this is the difference
+    * between a point mutation touching one group and touching all
+    * of them.
     */
   def compact(spark: SparkSession, path: String,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil, numGroups: Int = 1): Long = {
+    require(numGroups >= 1,
+      s"VersionedStore.compact: numGroups $numGroups < 1")
+    require(numGroups == 1 || clusterBy.nonEmpty,
+      "VersionedStore.compact: multi-group compaction needs a " +
+        "clusterBy key (disjoint ranges are the point)")
     val v = latestVersion(spark, path)
     // deletion vectors FOLD here: the rewrite reads DV-applied
     // content and the commit removes the DV key groups along with
@@ -878,18 +1118,36 @@ object VersionedStore {
     // deferred deletes
     val old = liveFids(spark, path, v) ++ liveDvFids(spark, path, v)
     val cur = readAt(spark, path, v)
-    // range-cluster the rewrite when asked: each part file of the
-    // folded group gets a disjoint key range, so parquet min/max
-    // pushdown (and the store's own zone stats) prune sharply after
-    // compaction — the Z-order/OPTIMIZE idea at its simplest
-    val out =
-      if (clusterBy.isEmpty) cur
-      else cur.repartitionByRange(clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
-    val fid = nextFid(spark, path)
-    commit(spark, path,
-      Seq(writeGroup(out, path, fid, storeStatsCol(spark, path),
-        storeZoneCols(spark, path))), old)
+    val statsCol = storeStatsCol(spark, path)
+    val zoneCols = (storeZoneCols(spark, path) ++ clusterBy).distinct
+    val bloomCols = storeBloomCols(spark, path)
+    if (numGroups == 1) {
+      // range-cluster the rewrite when asked: each part file of the
+      // folded group gets a disjoint key range, so parquet min/max
+      // pushdown (and the store's own zone stats) prune sharply after
+      // compaction — the Z-order/OPTIMIZE idea at its simplest
+      val out =
+        if (clusterBy.isEmpty) cur
+        else cur.repartitionByRange(clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      val fid = nextFid(spark, path)
+      commit(spark, path,
+        Seq(writeGroup(out, path, fid, statsCol, zoneCols,
+          bloomCols)), old)
+    } else {
+      val first = nextFid(spark, path)
+      val bucketed = cur
+        .repartitionByRange(numGroups, clusterBy.map(col): _*)
+        .withColumn("_vs_fid", spark_partition_id().cast("long"))
+      val fidOf = (0 until numGroups)
+        .map(b => b.toLong -> (first + b))
+      val adds = rewriteGroups(spark, path, bucketed, fidOf,
+        statsCol, zoneCols, bloomCols)
+      // range partitions can come up empty (sampling, small data):
+      // an empty bucket becomes no group at all, not a 0-row group
+      // (its already-written empty dir is an orphan vacuum reclaims)
+      commit(spark, path, adds.filter(_.n > 0), old)
+    }
   }
 
   /** The live content with each row's file-group id attached, read
@@ -916,7 +1174,8 @@ object VersionedStore {
   private def rewriteGroups(spark: SparkSession, path: String,
       kept: DataFrame, fidOf: Seq[(Long, Long)],
       statsCol: Option[String],
-      zoneCols: Seq[String] = Nil): Seq[GroupAdd] = {
+      zoneCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Seq[GroupAdd] = {
     val f = fs(spark)
     val tmp = new Path(s"$path/data/.rewrite-tmp")
     if (f.exists(tmp) && !f.delete(tmp, true))
@@ -968,7 +1227,8 @@ object VersionedStore {
             .write.parquet(dst.toString)
         val (n, st, zs) =
           statRows.getOrElse(oldFid, (0L, None, Nil))
-        GroupAdd(newFid, n, st, schemaJson, zs)
+        GroupAdd(newFid, n, st, schemaJson, zs,
+          blooms = buildBlooms(spark, path, newFid, n, bloomCols))
       }
     } finally {
       spread.unpersist()
@@ -1013,7 +1273,7 @@ object VersionedStore {
       .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
       .filter(!coalesce(pred, lit(false)))
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
-      storeZoneCols(spark, path))
+      storeZoneCols(spark, path), storeBloomCols(spark, path))
     commit(spark, path, adds, affected.toSeq)
   }
 
@@ -1044,7 +1304,7 @@ object VersionedStore {
       .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
       .join(k, keyCols, "left_anti")
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
-      storeZoneCols(spark, path))
+      storeZoneCols(spark, path), storeBloomCols(spark, path))
     commit(spark, path, adds, affected.toSeq)
   }
 
@@ -1180,13 +1440,14 @@ object VersionedStore {
     val first = nextFid(spark, path)
     val fidOf = affected.toSeq.zipWithIndex
       .map { case (o, i) => o -> (first + i) }
+    val mergeBloomCols = storeBloomCols(spark, path)
     val rewrites =
       if (affected.isEmpty) Seq.empty
       else rewriteGroups(spark, path,
         withFid.get
           .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
           .join(keys, keyCols, "left_anti"),
-        fidOf, statsCol, zoneCols)
+        fidOf, statsCol, zoneCols, mergeBloomCols)
     // note on deletion vectors: a matched row that an older DV
     // already masks is invisible to the detection scan, so its group
     // is not rewritten — harmless, because the masked physical row
@@ -1201,7 +1462,8 @@ object VersionedStore {
       else readAt(spark, path, v).columns
     val ins = updates.select(cols.map(col): _*)
     commitRetrying(spark, path,
-      rewrites :+ writeGroup(ins, path, insFid, statsCol, zoneCols),
+      rewrites :+ writeGroup(ins, path, insFid, statsCol, zoneCols,
+        mergeBloomCols),
       affected.toSeq, txn)
   }
 
@@ -1237,7 +1499,7 @@ object VersionedStore {
     val newDvs = dvAfter.filterNot(dvBefore.contains)
     val f = fs(spark)
     (gained ++ lost ++ dvBefore ++ dvAfter).distinct.foreach { fid =>
-      if (!f.exists(dataDir(path, fid))) sys.error(
+      if (!f.exists(groupDir(spark, path, fid))) sys.error(
         s"VersionedStore.changes: file-group f$fid was vacuumed — " +
           "raise the vacuum retention horizon")
     }
@@ -1354,6 +1616,14 @@ object VersionedStore {
       txn: Long): Option[Long] =
     logRecords(spark, path).find(_.txn == txn).map(_.v)
 
+  /** True when a commit tagged `txn` exists — the public probe
+    * exactly-once consumers ([[graft.streaming.StoreChangeFeed]])
+    * use to recognize a replayed window whose write half already
+    * landed.
+    */
+  def hasTxn(spark: SparkSession, path: String, txn: Long): Boolean =
+    committedTxn(spark, path, txn).isDefined
+
   /** True when a store exists at `path` (its log dir is present). */
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark).exists(logDir(path))
@@ -1452,10 +1722,12 @@ object VersionedStore {
     // commit time; exact unless a later partial rewrite purged some
     // of a DV's rows before a compaction folded it — the lifecycle
     // [[compact]] normalizes)
+    // per-FID counts, not per-record: a [[restore]] re-publishes a
+    // live fid's add record, which must not double-count its rows
     val nRows = recs.filter(r => r.action == "add" && live(r.fid))
-      .map(_.rows).sum -
+      .groupBy(_.fid).map(_._2.head.rows).sum -
       recs.filter(r => r.action == "dv" && dvLive(r.fid))
-        .map(_.rows).sum
+        .groupBy(_.fid).map(_._2.head.rows).sum
     val nCols = schemaAt(spark, path, latest)
       .map(_.fields.length.toLong).getOrElse(0L)
     Seq((latest, recs.map(_.v).distinct.size.toLong,
@@ -1475,14 +1747,15 @@ object VersionedStore {
     * when a compaction ran.
     */
   def maintain(spark: SparkSession, path: String, maxLiveGroups: Int,
-      clusterBy: Seq[String] = Nil): Boolean = {
+      clusterBy: Seq[String] = Nil, numGroups: Int = 1): Boolean = {
     val latest = latestVersion(spark, path)
     // live deletion vectors count toward fragmentation: each adds an
     // anti-join to every read until a compaction folds it
     val frag = liveFids(spark, path, latest).size +
       liveDvFids(spark, path, latest).size
-    if (frag > maxLiveGroups) { compact(spark, path, clusterBy); true }
-    else false
+    if (frag > maxLiveGroups) {
+      compact(spark, path, clusterBy, numGroups); true
+    } else false
   }
 
   /** Register the store (latest, or a pinned version) as a temp view
@@ -1508,6 +1781,112 @@ object VersionedStore {
       .orderBy("version", "action", "fid")
   }
 
+  /** Roll the table back to the exact content of version `v` as a
+    * NEW commit — the RESTORE of the public lakehouse designs, and
+    * the answer to "a bad batch landed an hour ago": nothing is
+    * copied, rewritten, or deleted. The restore commit RE-PUBLISHES
+    * version v's add/dv records (so [[liveOf]]'s last-action-wins
+    * resolution re-surfaces groups a later commit had removed) and
+    * removes every group that became live after v — the incident
+    * stays fully in history (time travel still reproduces the bad
+    * versions until vacuum), while the table serves the good
+    * snapshot again. Re-published records carry version v's
+    * schema/stats/zones verbatim, so the table schema and pruning
+    * state roll back with the content (a post-v evolved-then-removed
+    * group's schema cannot leak into [[schemaAt]]). Cost is one
+    * O(live groups) metadata commit at any table size. Fails loudly
+    * when v's groups were vacuumed away — restore can never serve
+    * partial data.
+    */
+  def restore(spark: SparkSession, path: String, v: Long): Long = {
+    val latest = latestVersion(spark, path)
+    require(v <= latest,
+      s"VersionedStore.restore: version $v of $path not committed " +
+        s"(latest is $latest)")
+    if (v == latest) return latest
+    val wantData = liveFids(spark, path, v)
+    val wantDv = liveDvFids(spark, path, v)
+    if (wantData.isEmpty) sys.error(
+      s"VersionedStore.restore: version $v of $path is empty " +
+        "(or vacuumed past)")
+    val have = (liveFids(spark, path, latest) ++
+      liveDvFids(spark, path, latest)).toSet
+    val f = fs(spark)
+    (wantData ++ wantDv).filterNot(have).foreach { fid =>
+      if (!f.exists(groupDir(spark, path, fid))) sys.error(
+        s"VersionedStore.restore: file-group f$fid of version $v " +
+          "was vacuumed — cannot restore (raise the retention " +
+          "horizon before the next incident)")
+    }
+    val removes = (have -- wantData -- wantDv).toSeq.sorted
+    val recOf = logRecords(spark, path)
+      .filter(r => r.v <= v && r.action != "remove")
+      .map(r => r.fid -> r).toMap
+    def republish(fid: Long): GroupAdd = {
+      val r = recOf(fid)
+      GroupAdd(fid, r.rows, r.stats, r.schemaJson, r.zones, r.loc,
+        r.blooms)
+    }
+    commitRetrying(spark, path, wantData.map(republish), removes,
+      dvs = wantDv.map(republish))
+  }
+
+  /** Shallow (zero-copy) clone: start a NEW store at `dstPath` whose
+    * first commit re-publishes the source's live records at `version`
+    * (latest by default) with each group's data location pointing
+    * into the SOURCE store — no data moves at any table size, the
+    * clone costs one O(live groups) metadata commit. The public
+    * lakehouse CLONE semantics:
+    *  - reads on the clone scan the source's immutable file-groups
+    *    directly (loc-aware [[groupDir]] resolution);
+    *  - writes on the clone are COPY-ON-WRITE — appends, merges, and
+    *    deletes mint local groups under the clone's own `data/`, the
+    *    source is never modified (a rewrite of a cloned-in group
+    *    replaces the reference, not the source bytes);
+    *  - [[vacuum]] on the clone only ever reclaims its own local
+    *    groups (foreign dirs are not in its listing);
+    *  - table constraints are copied at clone time (they gate the
+    *    clone's own writes independently from the source's).
+    * The one documented hazard mirrors the public designs: a vacuum
+    * on the SOURCE can reclaim groups a clone still references —
+    * reads then fail loudly via the existence sweep, never partial.
+    * The dev/test pattern this enables at 100 TB: experiment on a
+    * full-size table in seconds, throw the clone away, the source
+    * untouched.
+    */
+  def cloneTo(spark: SparkSession, srcPath: String, dstPath: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(latestVersion(spark, srcPath))
+    val data = liveFids(spark, srcPath, v)
+    val dvs = liveDvFids(spark, srcPath, v)
+    if (data.isEmpty) sys.error(
+      s"VersionedStore.cloneTo: version $v of $srcPath is empty " +
+        "(or vacuumed past)")
+    val f = fs(spark)
+    (data ++ dvs).foreach { fid =>
+      if (!f.exists(groupDir(spark, srcPath, fid))) sys.error(
+        s"VersionedStore.cloneTo: file-group f$fid of version $v " +
+          "was vacuumed — cannot clone")
+    }
+    val recOf = logRecords(spark, srcPath)
+      .filter(r => r.v <= v && r.action != "remove")
+      .map(r => r.fid -> r).toMap
+    // a clone of a clone flattens to the ORIGINAL owner's location —
+    // chains never build up path indirection
+    def asForeign(fid: Long): GroupAdd = {
+      val r = recOf(fid)
+      GroupAdd(fid, r.rows, r.stats, r.schemaJson, r.zones,
+        Some(r.loc.getOrElse(dataDir(srcPath, fid).toString)),
+        r.blooms)
+    }
+    create(spark, dstPath)
+    val cloned = commitRetrying(spark, dstPath,
+      data.map(asForeign), Seq.empty, dvs = dvs.map(asForeign))
+    val checks = constraintsOf(spark, srcPath)
+    if (checks.nonEmpty) setConstraints(spark, dstPath, checks)
+    cloned
+  }
+
   /** Reclaim file-groups not visible at any version ≥ `retainFrom`
     * — both groups removed before the horizon and orphans from
     * crashed appends. After vacuum, `readAt` below the horizon fails
@@ -1531,6 +1910,20 @@ object VersionedStore {
     victims.foreach { fid =>
       if (!f.delete(dataDir(path, fid), true))
         sys.error(s"VersionedStore.vacuum: cannot delete f$fid")
+    }
+    // reclaim the victims' Bloom sidecars (and crashed tmp files)
+    // with them — a sidecar without its group is dead weight
+    val bd = new Path(s"$path/bloom")
+    if (victims.nonEmpty && f.exists(bd)) {
+      val vset = victims.toSet
+      val fidPat = "f(\\d+)-.*".r
+      f.listStatus(bd).foreach { st =>
+        st.getPath.getName match {
+          case fidPat(fidStr) if vset(fidStr.toLong) =>
+            f.delete(st.getPath, true); ()
+          case _ => ()
+        }
+      }
     }
     victims
   }

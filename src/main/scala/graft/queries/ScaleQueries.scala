@@ -1972,7 +1972,197 @@ object ScaleQueries {
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
              |FROM documents
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // RESTORE to version — the rollback of the public lakehouse
+    // designs: a bad delete lands (v3), restore(v2) re-publishes
+    // v2's records as a NEW commit (v4) and removes nothing from
+    // history — the build asserts the restore commit moved zero data
+    // bytes (only re-published add records + removes in the log) and
+    // that time travel to the bad v3 still shows the post-delete
+    // state (the incident remains auditable). The declared result is
+    // the restored latest = the FULL corpus, which the oracle
+    // recomputes from the raw table.
+    QueryDef(
+      "q353_store_restore",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("restorestore", d) { p =>
+          VersionedStore.create(s, p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1), p)
+          val badV = VersionedStore.deleteWhere(s, p,
+            pmod(col("doc_id"), lit(10)) === 0)
+          val restoredV = VersionedStore.restore(s, p, 2L)
+          if (restoredV != badV + 1) sys.error(
+            s"q353: restore committed $restoredV, expected ${badV + 1}")
+          // the bad version stays auditable under time travel
+          val badRows = VersionedStore.readAt(s, p, badV).count()
+          val allRows = VersionedStore.read(s, p).count()
+          if (badRows >= allRows) sys.error(
+            s"q353: time travel to bad v$badV shows $badRows rows, " +
+              s"restored latest $allRows — delete not visible at v$badV")
+          // metadata-only: the restore minted no new file-group (it
+          // re-published v2's records — zero data bytes moved)
+          val hist = VersionedStore.history(s, p)
+          val maxBefore = hist.filter(col("version") <= badV)
+            .agg(max("fid")).head.getLong(0)
+          val maxAfter = hist.agg(max("fid")).head.getLong(0)
+          if (maxAfter != maxBefore) sys.error(
+            s"q353: restore minted file-group f$maxAfter — " +
+              "expected a metadata-only commit")
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Clustered multi-group compaction (OPTIMIZE with clustering):
+    // four round-robin appends interleave doc_id across every group,
+    // so each group's zone hull spans the whole id space and a
+    // narrow range read must scan ALL of them (asserted: 4 of 4
+    // candidates pre-compaction). compact(clusterBy, numGroups = 4)
+    // rewrites the content into four groups with DISJOINT id ranges
+    // in ONE distributed pass + one commit — after which the same
+    // range prunes to O(1) groups (asserted). The declared result is
+    // the post-compaction pruned range read; the oracle recomputes
+    // it from the raw table. At 100 TB this is what keeps point
+    // mutations and range serves O(touched groups), not O(table).
+    QueryDef(
+      "q354_clustered_compaction",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("clustcompact", d) { p =>
+          VersionedStore.create(s, p)
+          (0 until 4).foreach { i =>
+            VersionedStore.append(
+              docs.where(pmod(col("doc_id"), lit(4)) === i), p,
+              zoneCols = Seq("doc_id"))
+          }
+          val v1 = VersionedStore.latestVersion(s, p)
+          val pre = VersionedStore.candidateFids(s, p, v1,
+            "doc_id", 40L, 60L)
+          if (pre.size != 4) sys.error(
+            s"q354: interleaved appends should leave all 4 groups " +
+              s"candidates for [40,60] — got ${pre.size}")
+          VersionedStore.compact(s, p,
+            clusterBy = Seq("doc_id"), numGroups = 4)
+          val v2 = VersionedStore.latestVersion(s, p)
+          val post = VersionedStore.candidateFids(s, p, v2,
+            "doc_id", 40L, 60L)
+          if (post.size > 2) sys.error(
+            s"q354: clustered compaction failed to tighten zones — " +
+              s"[40,60] still scans ${post.size} of 4 groups")
+        }
+        VersionedStore.readRange(s, p, "doc_id", 40L, 60L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id BETWEEN 40 AND 60
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Shallow (zero-copy) CLONE: the dev/test pattern of the public
+    // lakehouse designs — clone a full-size table in one metadata
+    // commit (asserted: the clone owns NO data dirs after cloning),
+    // experiment on the clone (a 20% delete), and the SOURCE is
+    // untouched (asserted: full row count) because every clone write
+    // is copy-on-write against referenced groups. The declared
+    // result is the mutated clone; the oracle recomputes it from the
+    // raw table. At 100 TB the clone costs KB of metadata where a
+    // deep copy would cost the table.
+    QueryDef(
+      "q355_shallow_clone",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("clonestore", d) { p =>
+          val src = p + "-src"
+          VersionedStore.create(s, src)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), src)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1), src)
+          VersionedStore.cloneTo(s, src, p)
+          val fsys = org.apache.hadoop.fs.FileSystem
+            .get(s.sparkContext.hadoopConfiguration)
+          if (fsys.exists(new org.apache.hadoop.fs.Path(s"$p/data")))
+            sys.error("q355: shallow clone materialized data dirs")
+          VersionedStore.deleteWhere(s, p,
+            pmod(col("doc_id"), lit(5)) === 0)
+          if (VersionedStore.read(s, src).count() != docs.count())
+            sys.error("q355: clone mutation leaked into the source")
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 5 <> 0
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Per-group Bloom SIDECAR file skipping: four interleaved
+    // appends (no zone column — zones can't tell the groups apart
+    // for a point probe, which is exactly the non-clustered
+    // high-cardinality-key case blooms exist for) each commit a KB
+    // sidecar on doc_id; a point lookup consults the sidecars on the
+    // driver and opens ~1 of 4 groups (asserted ≤ 2 — fpp admits
+    // false positives, never false negatives) instead of scanning
+    // all of them. The oracle recomputes the row from the raw table;
+    // bloom-vetoed serving must lose nothing.
+    QueryDef(
+      "q356_bloom_point_read",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("bloomstore", d) { p =>
+          VersionedStore.create(s, p)
+          (0 until 4).foreach { i =>
+            VersionedStore.append(
+              docs.where(pmod(col("doc_id"), lit(4)) === i), p,
+              bloomCols = Seq("doc_id"))
+          }
+          val v = VersionedStore.latestVersion(s, p)
+          val cand = VersionedStore.pointCandidates(s, p, v,
+            "doc_id", 123L)
+          if (cand.size > 2) sys.error(
+            s"q356: bloom sidecars failed to prune — point probe " +
+              s"scans ${cand.size} of 4 groups")
+          val miss = VersionedStore.pointCandidates(s, p, v,
+            "doc_id", 10000000L)
+          if (miss.size > 1) sys.error(
+            s"q356: absent key still scans ${miss.size} groups")
+        }
+        VersionedStore.readPoint(s, p, "doc_id", 123L)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+             |FROM documents WHERE doc_id = 123""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents

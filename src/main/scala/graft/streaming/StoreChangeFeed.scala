@@ -1,0 +1,159 @@
+package graft.streaming
+
+import graft.operators.VersionedStore
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Exactly-once incremental consumption of a [[VersionedStore]]'s
+  * row-level change feed — the read-side counterpart of
+  * [[VersionedStoreSink]] and the restart-safe form of the manual
+  * `changes(from, to)` windows the q343 replication gate applies by
+  * hand. A durable CURSOR file records the last source version a
+  * consumer has fully applied; each [[replicate]] call tails
+  * `changes(cursor, latest)`, applies the window to the replica, and
+  * advances the cursor ONLY after the window landed. Restart-safety
+  * is by replay + idempotence, the same contract Structured
+  * Streaming's foreachBatch gives the sink side:
+  *
+  *  - a crash BEFORE the window lands replays the whole window:
+  *    keyed deletes of already-deleted keys are no-ops, and the
+  *    insert half is a txn-tagged commit
+  *    ([[VersionedStore.appendIdempotent]] keyed by the window's end
+  *    version) that lands at most once;
+  *  - a crash AFTER the insert half but BEFORE the cursor advance is
+  *    the subtle case: naively re-running the deletes would destroy
+  *    the replacement rows the already-landed insert carried (a
+  *    keyed delete cannot tell the old row from its replacement).
+  *    [[VersionedStore.hasTxn]] closes it — a replayed window whose
+  *    insert txn already committed skips straight to the cursor
+  *    advance (the delete half ran before that commit by
+  *    construction, since deletes always land first);
+  *  - windows with NO inserts have no txn marker and need none:
+  *    their only effect is keyed deletes, idempotent under replay.
+  *
+  * Scale shape: each window costs O(changed groups) (the
+  * [[VersionedStore.changes]] bound) plus one cursor read/write; an
+  * idle poll is two driver-side metadata reads and no Spark job. The
+  * single-writer-per-store contract applies to the REPLICA (one
+  * consumer owns it); many independent consumers can tail one source
+  * with their own cursors.
+  */
+object StoreChangeFeed {
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Last source version fully applied (0 = nothing yet). */
+  def cursorOf(spark: SparkSession, cursorPath: String): Long = {
+    val f = fs(spark)
+    val p = new Path(cursorPath)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def setCursor(spark: SparkSession, cursorPath: String,
+      v: Long): Unit = {
+    val f = fs(spark)
+    val tmp = new Path(cursorPath + ".tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(cursorPath)
+    if (f.exists(dst) && !f.delete(dst, true)) sys.error(
+      s"StoreChangeFeed: cannot replace cursor $dst")
+    if (!f.rename(tmp, dst)) sys.error(
+      s"StoreChangeFeed: cannot publish cursor $dst")
+  }
+
+  /** The WRITE-AHEAD INTENT that makes a replayed window
+    * bit-identical to its first attempt: the window's end version is
+    * chosen once, durably, BEFORE anything is applied. Without it, a
+    * crash after the insert half landed followed by new SOURCE
+    * commits would widen the replayed window — its insert set would
+    * re-carry rows the crashed attempt already landed (under a new
+    * txn, so idempotence can't catch them) and duplicate them.
+    */
+  private def intendedTo(spark: SparkSession, cursorPath: String,
+      from: Long, latest: Long): Long = {
+    val f = fs(spark)
+    val p = new Path(cursorPath + ".intent")
+    val resumed =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        val Array(iFrom, iTo) = s.split(":").map(_.toLong)
+        // an intent from an OLDER, completed window is stale noise
+        if (iFrom == from) Some(iTo) else None
+      }
+    resumed.getOrElse {
+      val tmp = new Path(cursorPath + ".intent.tmp")
+      if (f.exists(tmp)) f.delete(tmp, true)
+      val out = f.create(tmp, true)
+      try out.write(s"$from:$latest".getBytes("UTF-8"))
+      finally out.close()
+      if (f.exists(p) && !f.delete(p, true)) sys.error(
+        s"StoreChangeFeed: cannot replace intent $p")
+      if (!f.rename(tmp, p)) sys.error(
+        s"StoreChangeFeed: cannot publish intent $p")
+      latest
+    }
+  }
+
+  /** Apply every source window not yet applied to the keyed replica
+    * at `dstPath`; returns (fromVersion, toVersion) of the applied
+    * window ((v, v) = nothing new). Safe to call on any schedule —
+    * an orchestrator loop, a cron tick, or back-to-back after a
+    * crash at ANY point; the end state is the same.
+    */
+  def replicate(spark: SparkSession, srcPath: String, dstPath: String,
+      cursorPath: String, keyCols: Seq[String]): (Long, Long) = {
+    val from = cursorOf(spark, cursorPath)
+    val latest = VersionedStore.latestVersion(spark, srcPath)
+    if (latest <= from) return (from, latest)
+    val to = intendedTo(spark, cursorPath, from, latest)
+    // replayed window whose insert txn already landed: deletes ran
+    // before that commit (deletes-first order), so ONLY the cursor
+    // advance is outstanding
+    if (VersionedStore.exists(spark, dstPath) &&
+      VersionedStore.hasTxn(spark, dstPath, to)) {
+      setCursor(spark, cursorPath, to)
+      return (from, to)
+    }
+    if (!VersionedStore.exists(spark, dstPath))
+      VersionedStore.create(spark, dstPath)
+    val feed = VersionedStore.changes(spark, srcPath, from, to)
+      .localCheckpoint()
+    val dels = feed.filter(col("_change") === "delete")
+      .select(keyCols.map(col): _*)
+    if (!dels.isEmpty)
+      VersionedStore.deleteKeys(spark, dstPath, dels, keyCols)
+    val ins = feed.filter(col("_change") === "insert").drop("_change")
+    if (!ins.isEmpty)
+      VersionedStore.appendIdempotent(ins, dstPath, txn = to)
+    setCursor(spark, cursorPath, to)
+    (from, to)
+  }
+
+  /** [[replicate]] until the replica is caught up (a source that
+    * commits while we drain gets its new windows too); returns the
+    * final cursor.
+    */
+  def replicateAll(spark: SparkSession, srcPath: String,
+      dstPath: String, cursorPath: String,
+      keyCols: Seq[String]): Long = {
+    var cur = -1L
+    var next = cursorOf(spark, cursorPath)
+    while (next != cur) {
+      cur = next
+      next = replicate(spark, srcPath, dstPath, cursorPath, keyCols)._2
+    }
+    next
+  }
+}

@@ -6,14 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 /** Model-based randomized check: a random lifecycle of appends,
-  * targeted deletes, keyed merges, and compactions is replayed
-  * against a pure in-memory model; after EVERY op the store's latest
-  * content must equal the model's, and at the end `readAt` must
-  * reproduce every recorded version. This is the strongest form of
-  * the q328-family gates: not one pinned lifecycle but arbitrary
-  * interleavings — an op whose commit misaccounts a carried group,
-  * re-adds a removed fid, or breaks snapshot isolation fails on some
-  * generated sequence.
+  * targeted deletes, keyed merges, deferred (DV) deletes,
+  * compactions, checkpoints, and restores is replayed against a pure
+  * in-memory model; after EVERY op the store's latest content must
+  * equal the model's, and at the end `readAt` must reproduce every
+  * recorded version. This is the strongest form of the q328-family
+  * gates: not one pinned lifecycle but arbitrary interleavings — an
+  * op whose commit misaccounts a carried group, resurrects a
+  * retired fid outside a restore, or breaks snapshot isolation fails
+  * on some generated sequence.
   *
   * Append ids are globally fresh (a counter) and merge-insert ids
   * live in a disjoint high range, so content is always keyed by id
@@ -31,6 +32,7 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
   private case class DvDelete(fracs: Seq[Double]) extends Op
   private case object Compact extends Op
   private case object Checkpoint extends Op
+  private case class Restore(frac: Double) extends Op
 
   private type Row3 = (Long, String, Long)
 
@@ -66,7 +68,8 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
       2 -> Gen.listOfN(3, Gen.choose(0.0, 0.999)).map(DeleteKeys(_)),
       2 -> Gen.listOfN(3, Gen.choose(0.0, 0.999)).map(DvDelete(_)),
       1 -> Gen.const(Compact),
-      1 -> Gen.const(Checkpoint))
+      1 -> Gen.const(Checkpoint),
+      2 -> Gen.choose(0.0, 0.999).map(Restore(_)))
     val genSeq = Gen.listOfN(7, genOp)
 
     var run = 0
@@ -140,6 +143,18 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
             if (v > 0) {
               VersionedStore.checkpoint(spark, p, v)
               VersionedStore.dropLogCache(p)
+            }
+          case Restore(frac) =>
+            // roll back to any recorded non-empty version: the model
+            // simply becomes that version's recorded state, and every
+            // later op (incl. rewrites of re-published fids) must
+            // keep working on the re-surfaced groups
+            val targets = recorded.filter(_._2.nonEmpty).keys.toSeq.sorted
+            if (targets.nonEmpty) {
+              val tv = targets(
+                ((frac * targets.size).toInt).min(targets.size - 1))
+              VersionedStore.restore(spark, p, tv)
+              cur = recorded(tv)
             }
         }
         val v = VersionedStore.latestVersion(spark, p)

@@ -282,4 +282,246 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
     VersionedStore.vacuumOlderThan(spark, p, 100 * day) shouldBe empty
     ids(p) shouldBe (0L until 12L)
   }
+
+  // ------------------------------------- clustered multi-group opt
+
+  test("multi-group clustered compaction: disjoint per-group zone " +
+      "hulls, content preserved, deletion vectors folded, and a " +
+      "narrow range read prunes to O(1) groups") {
+    val p = freshPath()
+    val s = spark
+    import s.implicits._
+    VersionedStore.create(spark, p)
+    // interleave ids across four groups: every group's id hull spans
+    // [i, ~96+i], so any range hits all four
+    (0 until 4).foreach { i =>
+      VersionedStore.append(
+        batch(0 until 100).where(pmod(col("id"), lit(4)) === i), p,
+        zoneCols = Seq("id"))
+    }
+    VersionedStore.deleteKeysDeferred(spark, p,
+      Seq(7L, 8L).toDF("id"), Seq("id"))
+    val v1 = VersionedStore.latestVersion(spark, p)
+    VersionedStore.candidateFids(spark, p, v1, "id", 10L, 20L)
+      .size shouldBe 4
+    VersionedStore.compact(spark, p, clusterBy = Seq("id"),
+      numGroups = 4)
+    val v2 = VersionedStore.latestVersion(spark, p)
+    // content identical, DVs folded away
+    ids(p) shouldBe (0L until 100L).filterNot(Seq(7L, 8L).contains)
+    VersionedStore.describe(spark, p).head
+      .getAs[Long]("n_dv_groups") shouldBe 0L
+    // narrow ranges now prune: [10,20] hits at most 2 of the groups
+    val cand = VersionedStore.candidateFids(spark, p, v2,
+      "id", 10L, 20L)
+    cand.size should be <= 2
+    VersionedStore.readRange(spark, p, "id", 10L, 20L)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted shouldBe
+      (10L to 20L).filterNot(Seq(7L, 8L).contains)
+    // pre-compaction snapshots still time travel
+    VersionedStore.readAt(spark, p, 4L).count() shouldBe 100L
+  }
+
+  // ------------------------------------------------------- restore
+
+  test("restore rolls back content AND schema as one metadata " +
+      "commit, and the store stays fully writable afterwards") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)            // v1
+    VersionedStore.append(
+      batch(10 until 20).withColumn("extra", lit(1L)), p,
+      evolve = true)                                       // v2
+    VersionedStore.read(spark, p).columns should contain("extra")
+    VersionedStore.restore(spark, p, 1L) shouldBe 3L
+    // content and SCHEMA are v1's again — the evolved-then-removed
+    // group's schema must not leak out of schemaAt
+    ids(p) shouldBe (0L until 10L)
+    VersionedStore.read(spark, p).columns.toSeq shouldBe
+      Seq("id", "body", "g")
+    // the rolled-back schema is the write gate again: a base-schema
+    // append lands without evolve
+    VersionedStore.append(batch(20 until 25), p)           // v4
+    ids(p) shouldBe ((0L until 10L) ++ (20L until 25L))
+    // the undone version stays auditable (time travel above the
+    // restore target still reproduces it)
+    VersionedStore.readAt(spark, p, 2L).count() shouldBe 20L
+    // restore to the current latest is a no-op, not a commit
+    val latest = VersionedStore.latestVersion(spark, p)
+    VersionedStore.restore(spark, p, latest) shouldBe latest
+    VersionedStore.latestVersion(spark, p) shouldBe latest
+  }
+
+  test("restore re-surfaces deletion vectors folded by a later " +
+      "compaction, and describe never double-counts re-published " +
+      "records") {
+    val p = freshPath()
+    val s = spark
+    import s.implicits._
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 50), p)            // v1
+    VersionedStore.deleteKeysDeferred(spark, p,
+      Seq(1L, 2L, 3L).toDF("id"), Seq("id"))               // v2 (dv)
+    VersionedStore.compact(spark, p)                       // v3 folds
+    VersionedStore.restore(spark, p, 2L) shouldBe 4L
+    // the DV mask is in force again at latest
+    ids(p) shouldBe (0L until 50L).filterNot(Seq(1L, 2L, 3L).contains)
+    val d = VersionedStore.describe(spark, p).head
+    d.getAs[Long]("n_rows") shouldBe 47L
+    d.getAs[Long]("n_dv_groups") shouldBe 1L
+  }
+
+  // --------------------------------------------------------- bloom
+
+  test("bloom sidecars: a point lookup opens only the group that " +
+      "holds the key, the discipline propagates through compaction " +
+      "and merge, and unarmed groups stay sound candidates") {
+    val p = freshPath()
+    val s = spark
+    import s.implicits._
+    VersionedStore.create(spark, p)
+    // interleaved ids: zones can't tell the four groups apart for a
+    // point probe, blooms can
+    (0 until 4).foreach { i =>
+      VersionedStore.append(
+        batch(0 until 400).where(pmod(col("id"), lit(4)) === i), p,
+        bloomCols = Seq("id"))
+    }
+    val v1 = VersionedStore.latestVersion(spark, p)
+    VersionedStore.storeBloomCols(spark, p) shouldBe Seq("id")
+    // id 123 lives in exactly one group (123 % 4 = 3); fpp 1% may
+    // admit a false positive, never a false negative
+    val cand = VersionedStore.pointCandidates(spark, p, v1, "id", 123L)
+    cand.size should be <= 2
+    VersionedStore.readPoint(spark, p, "id", 123L)
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(123L)
+    // an ABSENT key prunes everything (modulo fp) and returns empty
+    VersionedStore.pointCandidates(spark, p, v1, "id", 100000L)
+      .size should be <= 1
+    VersionedStore.readPoint(spark, p, "id", 100000L)
+      .count() shouldBe 0L
+    // propagation: a merge and a compaction keep the arm without
+    // anyone re-passing bloomCols
+    VersionedStore.merge(spark, p,
+      Seq((1000L, "m", 0)).toDF("id", "body", "g"), Seq("id"))
+    VersionedStore.compact(spark, p)
+    VersionedStore.storeBloomCols(spark, p) shouldBe Seq("id")
+    VersionedStore.readPoint(spark, p, "id", 1000L)
+      .select("body").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("m")
+    // an unarmed append (bloom discipline self-propagates, so arm is
+    // kept even here) — and a fresh store with NO blooms treats all
+    // groups as candidates
+    val p2 = freshPath()
+    VersionedStore.create(spark, p2)
+    VersionedStore.append(batch(0 until 10), p2)
+    VersionedStore.pointCandidates(spark, p2,
+      VersionedStore.latestVersion(spark, p2), "id", 3L) shouldBe
+      Seq(1L)
+    VersionedStore.readPoint(spark, p2, "id", 3L).count() shouldBe 1L
+  }
+
+  test("bloom sidecars survive cloning (loc-aware sidecar " +
+      "resolution) and vacuum reclaims them with their groups") {
+    val p = freshPath()
+    val c = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 100), p,
+      bloomCols = Seq("id"))
+    VersionedStore.append(batch(100 until 200), p,
+      bloomCols = Seq("id"))
+    VersionedStore.cloneTo(spark, p, c)
+    // the clone prunes point lookups with the SOURCE's sidecars
+    val vC = VersionedStore.latestVersion(spark, c)
+    VersionedStore.pointCandidates(spark, c, vC, "id", 150L)
+      .size should be <= 1
+    VersionedStore.readPoint(spark, c, "id", 150L)
+      .count() shouldBe 1L
+    // vacuum on the source reclaims sidecars with their groups
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    VersionedStore.compact(spark, p)
+    VersionedStore.vacuum(spark, p,
+      retainFrom = VersionedStore.latestVersion(spark, p))
+    f.exists(new org.apache.hadoop.fs.Path(
+      s"$p/bloom/f1-id")) shouldBe false
+    f.exists(new org.apache.hadoop.fs.Path(
+      s"$p/bloom/f3-id")) shouldBe true
+  }
+
+  // --------------------------------------------------------- clone
+
+  test("shallow clone is metadata-only, reads the source's groups, " +
+      "and diverges copy-on-write without touching the source") {
+    val p = freshPath()
+    val c = freshPath()
+    val s = spark
+    import s.implicits._
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 30), p)
+    VersionedStore.deleteKeysDeferred(spark, p,
+      Seq(3L).toDF("id"), Seq("id"))
+    VersionedStore.cloneTo(spark, p, c) shouldBe 1L
+    // zero-copy: the clone owns NO data dirs, yet reads the source's
+    // content — including the source's deletion vector
+    f.exists(new org.apache.hadoop.fs.Path(s"$c/data")) shouldBe false
+    ids(c) shouldBe (0L until 30L).filterNot(_ == 3L)
+    // copy-on-write divergence: mutations on the clone mint LOCAL
+    // groups; the source's content and version history are untouched
+    VersionedStore.append(batch(100 until 110), c)
+    VersionedStore.deleteKeys(spark, c, Seq(5L).toDF("id"), Seq("id"))
+    ids(c) shouldBe ((0L until 30L) ++ (100L until 110L))
+      .filterNot(Seq(3L, 5L).contains)
+    ids(p) shouldBe (0L until 30L).filterNot(_ == 3L)
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+    // the rewritten cloned-in group became local; the source's dir
+    // for it still exists (the rewrite replaced the REFERENCE)
+    f.exists(new org.apache.hadoop.fs.Path(s"$p/data/f1")) shouldBe true
+    // a clone of the clone flattens foreign locations to the
+    // ORIGINAL owner: c2's refs point at p for groups c borrowed,
+    // and at c for groups c minted locally. Deleting c therefore
+    // kills both c and c2 — and c2 must fail LOUDLY on its dangling
+    // c-owned refs, never serve partial data
+    val c2 = freshPath()
+    VersionedStore.cloneTo(spark, c, c2)
+    f.delete(new org.apache.hadoop.fs.Path(c), true)
+    an[Exception] should be thrownBy ids(c)
+    an[Exception] should be thrownBy ids(c2)
+  }
+
+  test("vacuum on the clone source breaks the clone loudly, never " +
+      "partially") {
+    val p = freshPath()
+    val c = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)
+    VersionedStore.cloneTo(spark, p, c)
+    ids(c) shouldBe (0L until 10L)
+    // source compacts + vacuums: the group the clone references ages
+    // out of the SOURCE
+    VersionedStore.append(batch(10 until 20), p)
+    VersionedStore.compact(spark, p)
+    VersionedStore.vacuum(spark, p,
+      retainFrom = VersionedStore.latestVersion(spark, p))
+    val e = the[RuntimeException] thrownBy ids(c)
+    e.getMessage should include("SOURCE")
+  }
+
+  test("restore to a vacuumed version fails loudly instead of " +
+      "serving partial data") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)            // v1
+    VersionedStore.append(batch(10 until 20), p)           // v2
+    VersionedStore.compact(spark, p)                       // v3
+    VersionedStore.vacuum(spark, p, retainFrom = 3L)
+    val e = the[RuntimeException] thrownBy
+      VersionedStore.restore(spark, p, 1L)
+    e.getMessage should include("vacuumed")
+    // the failed restore committed nothing
+    VersionedStore.latestVersion(spark, p) shouldBe 3L
+    ids(p) shouldBe (0L until 20L)
+  }
 }
