@@ -1891,26 +1891,37 @@ object ScaleQueries {
              |WHERE doc_id % 97 <> 0
              |GROUP BY source ORDER BY source""".stripMargin)),
 
-    // Checkpointed COLD log resolution: twelve commits land (the
-    // default interval checkpoints at v10), the in-JVM log cache is
-    // dropped, and the read resolves checkpoint + suffix instead of
-    // replaying twelve per-version dirs — the serve path a restarted
-    // driver takes at production commit counts, where uncheckpointed
-    // cold planning is an O(commits) small-file storm. The build
-    // asserts a checkpoint exists; the oracle recomputes the content.
+    // Checkpointed COLD log resolution: five commits land at
+    // checkpoint interval 4 (auto-checkpoint at v4), the in-JVM log
+    // cache is dropped, and the read resolves checkpoint + one
+    // suffix commit instead of replaying five per-version dirs — the
+    // serve path a restarted driver takes at production commit
+    // counts, where uncheckpointed cold planning is an O(commits)
+    // small-file storm. The build asserts a checkpoint exists; the
+    // oracle recomputes the content.
     QueryDef(
       "q351_checkpoint_cold_read",
       (s, d) => {
         import graft.operators.VersionedStore
         val docs = documents(s, d)
         val p = graft.StoreCache.rebuild("ckptstore", d) { p =>
-          VersionedStore.create(s, p)
-          (0 until 12).foreach { i =>
-            VersionedStore.append(
-              docs.where(pmod(col("doc_id"), lit(12)) === i), p)
+          val prev = s.conf.getOption("graft.store.checkpointInterval")
+          s.conf.set("graft.store.checkpointInterval", "4")
+          try {
+            VersionedStore.create(s, p)
+            (0 until 5).foreach { i =>
+              VersionedStore.append(
+                docs.where(pmod(col("doc_id"), lit(5)) === i), p)
+            }
+            if (VersionedStore.checkpointVersions(s, p).isEmpty)
+              sys.error("q351: no checkpoint after 5 commits at " +
+                "interval 4")
+          } finally prev match {
+            case Some(v) =>
+              s.conf.set("graft.store.checkpointInterval", v)
+            case None =>
+              s.conf.unset("graft.store.checkpointInterval")
           }
-          if (VersionedStore.checkpointVersions(s, p).isEmpty)
-            sys.error("q351: no checkpoint after 12 commits")
         }
         graft.operators.VersionedStore.dropLogCache(p)
         VersionedStore.read(s, p)

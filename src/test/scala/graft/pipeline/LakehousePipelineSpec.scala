@@ -99,4 +99,67 @@ class LakehousePipelineSpec extends AnyFunSuite with SparkFixture
       .map(r => r.getString(0) -> r.getLong(2)).toMap shouldBe
       Map("b" -> 27L)
   }
+
+  test("clone for experimentation, restore after a bad batch, " +
+      "auto-clustered maintenance — and a change-feed replica that " +
+      "converges through all of it") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StoreChangeFeed
+    val store = tmp("lh2-store") + "/docs"
+    val sandbox = tmp("lh2-clone") + "/sandbox"
+    val rep = tmp("lh2-rep") + "/replica"
+    val cur = tmp("lh2-cur") + "/cursor"
+    def rows(p: String): Map[Long, (String, Long)] =
+      VersionedStore.read(spark, p).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    VersionedStore.create(spark, store)
+    VersionedStore.append(
+      Seq((0L, "a", 10L), (1L, "b", 20L)).toDF("id", "grp", "v"),
+      store, zoneCols = Seq("id"))                          // v1
+    VersionedStore.append(
+      Seq((2L, "a", 5L), (3L, "b", 7L)).toDF("id", "grp", "v"),
+      store)                                                // v2
+    StoreChangeFeed.replicateAll(spark, store, rep, cur,
+      Seq("id")) shouldBe 2L
+    rows(rep) shouldBe rows(store)
+
+    // a data scientist experiments on a ZERO-COPY clone; the source
+    // never notices
+    VersionedStore.cloneTo(spark, store, sandbox)
+    VersionedStore.deleteWhere(spark, sandbox, col("grp") === "a")
+    VersionedStore.read(spark, sandbox).count() shouldBe 2
+    VersionedStore.read(spark, store).count() shouldBe 4
+    VersionedStore.latestVersion(spark, store) shouldBe 2L
+
+    // a BAD batch lands on the source and even reaches the replica —
+    // then ops roll the source back with one metadata RESTORE
+    val good = VersionedStore.latestVersion(spark, store)
+    VersionedStore.append(
+      Seq((99L, "zz", 1L)).toDF("id", "grp", "v"), store)   // v3 bad
+    StoreChangeFeed.replicateAll(spark, store, rep, cur, Seq("id"))
+    rows(rep).keySet should contain(99L)
+    VersionedStore.restore(spark, store, good)              // v4
+    // the change feed across the restore window emits exactly the
+    // bad rows as deletes; the replica CONVERGES to the rollback
+    StoreChangeFeed.replicateAll(spark, store, rep, cur,
+      Seq("id")) shouldBe 4L
+    rows(rep) shouldBe rows(store)
+    rows(rep).keySet should not contain 99L
+
+    // growth triggers the self-maintenance policy: a clustered
+    // multi-group compaction folds the fragmented store. In the
+    // replica's next window the compaction NETS OUT row-for-row —
+    // only the appended rows travel the feed, never the rewritten
+    // table
+    VersionedStore.append(
+      Seq((4L, "a", 1L), (5L, "b", 2L)).toDF("id", "grp", "v"), store)
+    VersionedStore.maintain(spark, store, maxLiveGroups = 2,
+      clusterBy = Seq("id"), numGroups = 2) shouldBe true
+    StoreChangeFeed.replicateAll(spark, store, rep, cur, Seq("id"))
+    rows(rep) shouldBe rows(store)
+    // the sandbox survived everything, still serving its experiment
+    VersionedStore.read(spark, sandbox).count() shouldBe 2
+  }
 }
