@@ -1105,12 +1105,15 @@ object VersionedStore {
     * of them.
     */
   def compact(spark: SparkSession, path: String,
-      clusterBy: Seq[String] = Nil, numGroups: Int = 1): Long = {
+      clusterBy: Seq[String] = Nil, numGroups: Int = 1,
+      zorder: Boolean = false): Long = {
     require(numGroups >= 1,
       s"VersionedStore.compact: numGroups $numGroups < 1")
     require(numGroups == 1 || clusterBy.nonEmpty,
       "VersionedStore.compact: multi-group compaction needs a " +
         "clusterBy key (disjoint ranges are the point)")
+    require(!zorder || clusterBy.nonEmpty,
+      "VersionedStore.compact: zorder needs clusterBy columns")
     val v = latestVersion(spark, path)
     // deletion vectors FOLD here: the rewrite reads DV-applied
     // content and the commit removes the DV key groups along with
@@ -1136,8 +1139,43 @@ object VersionedStore {
           bloomCols)), old)
     } else {
       val first = nextFid(spark, path)
-      val bucketed = cur
-        .repartitionByRange(numGroups, clusterBy.map(col): _*)
+      // plain multi-group clustering range-partitions on the key
+      // tuple — perfect pruning on the LEADING column, none on the
+      // rest. `zorder` interleaves the keys' bits (Morton curve, the
+      // ZORDER BY of the public designs) so each group covers a
+      // small HYPER-RECTANGLE: per-group zone hulls tighten on EVERY
+      // clustered column and selective predicates on any of them
+      // prune groups. Each key is min-max scaled into the shared bit
+      // width FIRST — raw interleaving would let the
+      // larger-magnitude dimension own all the high bits and degrade
+      // to single-column clustering (measured: a 0..500 key zoomed
+      // against a 0..5000 key lost its pruning entirely). One cheap
+      // agg for the per-column ranges; all-NULL columns scale to the
+      // origin.
+      val bucketSrc =
+        if (zorder) {
+          val bits = math.min(16, 63 / clusterBy.size)
+          val aggs = clusterBy.flatMap(c => Seq(
+            min(col(c)).cast("long").as(s"_lo_$c"),
+            max(col(c)).cast("long").as(s"_hi_$c")))
+          val mm = cur.agg(aggs.head, aggs.tail: _*).head
+          val cap = (1L << bits) - 1
+          val scaled = clusterBy.zipWithIndex.map { case (c, i) =>
+            if (mm.isNullAt(2 * i)) lit(0L)
+            else {
+              val lo = mm.getLong(2 * i)
+              val span = math.max(1L, mm.getLong(2 * i + 1) - lo)
+              // integer scaling (DIV, not Column./ which is double
+              // division) keeps the bucket mapping exact
+              expr(s"CAST((CAST(`$c` AS BIGINT) - $lo) * $cap " +
+                s"DIV $span AS BIGINT)")
+            }
+          }
+          cur.withColumn("_vs_z", ZOrder.zValue(scaled, bits))
+            .repartitionByRange(numGroups, col("_vs_z"))
+            .drop("_vs_z")
+        } else cur.repartitionByRange(numGroups, clusterBy.map(col): _*)
+      val bucketed = bucketSrc
         .withColumn("_vs_fid", spark_partition_id().cast("long"))
       val fidOf = (0 until numGroups)
         .map(b => b.toLong -> (first + b))
@@ -1738,6 +1776,53 @@ object VersionedStore {
       .toDF("latest_version", "n_versions", "n_live_groups",
         "n_rows", "n_columns", "stats_col", "n_constraints",
         "n_dv_groups")
+  }
+
+  /** COUNT(*) of the latest version answered from the commit log
+    * alone — zero data scan at any table size. Exact by
+    * construction (every commit records its group's row count) as
+    * long as no deletion vector is live: a DV's masked-row count is
+    * exact at commit time but a later partial rewrite can purge some
+    * of its rows, so rather than serve a maybe-stale number this
+    * returns None and the caller falls back to a scan (a [[compact]]
+    * folds the DVs and restores the fast path).
+    */
+  def fastCount(spark: SparkSession, path: String): Option[Long] = {
+    val latest = latestVersion(spark, path)
+    if (liveDvFids(spark, path, latest).nonEmpty) return None
+    val live = liveFids(spark, path, latest).toSet
+    Some(logRecords(spark, path)
+      .filter(r => r.action == "add" && live(r.fid))
+      .groupBy(_.fid).map(_._2.head.rows).sum)
+  }
+
+  /** MIN/MAX of an integral `keyCol` at the latest version from the
+    * log's zone hulls alone — zero data scan. Sound only when EVERY
+    * live group carries the zone (a blind-spot group could hold the
+    * true extreme) and no deletion vector is live (a DV could mask
+    * the extreme row); returns None otherwise and the caller scans.
+    * Per-group hulls are exact min/max computed at write time, so
+    * the fold over them is the exact table min/max — the
+    * metadata-serving trick every warehouse plays, here O(live
+    * groups) driver work off the cached log.
+    */
+  def fastMinMax(spark: SparkSession, path: String,
+      keyCol: String): Option[(Long, Long)] = {
+    val latest = latestVersion(spark, path)
+    if (liveDvFids(spark, path, latest).nonEmpty) return None
+    val live = liveFids(spark, path, latest)
+    if (live.isEmpty) return None
+    val zones = groupZones(spark, path)
+    val stats = groupStats(spark, path)
+    val hulls = live.map { fid =>
+      zones.getOrElse(fid, Nil)
+        .find(z => z.c == keyCol && z.t == "l")
+        .map(z => (z.lo.toLong, z.hi.toLong))
+        .orElse(stats.get(fid).collect {
+          case (c, lo, hi) if c == keyCol => (lo, hi) })
+    }
+    if (hulls.exists(_.isEmpty)) None
+    else Some((hulls.map(_.get._1).min, hulls.map(_.get._2).max))
   }
 
   /** Threshold-triggered compaction — the OPTIMIZE policy a

@@ -2173,7 +2173,101 @@ object ScaleQueries {
             col("n_chars").cast("long").as("n_chars"))
       },
       Some("""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
-             |FROM documents WHERE doc_id = 123""".stripMargin))
+             |FROM documents WHERE doc_id = 123""".stripMargin)),
+
+    // Z-ORDER clustered compaction: range clustering prunes only the
+    // LEADING key; interleaving the key bits (Morton curve —
+    // `ZOrder.zValue`, plain codegen'd bit arithmetic) makes each of
+    // the 8 rewritten groups cover a small HYPER-RECTANGLE of
+    // (doc_id, n_chars) space, so narrow predicates on EITHER column
+    // prune groups (asserted on both dims; a range-clustered store
+    // would scan all 8 for any n_chars window). The declared result
+    // is a pruned doc_id range read off the z-store; the oracle
+    // recomputes it from the raw table.
+    QueryDef(
+      "q357_zorder_compaction",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("zorderstore", d) { p =>
+          VersionedStore.create(s, p)
+          (0 until 4).foreach { i =>
+            VersionedStore.append(
+              docs.where(pmod(col("doc_id"), lit(4)) === i), p,
+              zoneCols = Seq("doc_id", "n_chars"))
+          }
+          VersionedStore.compact(s, p,
+            clusterBy = Seq("doc_id", "n_chars"), numGroups = 8,
+            zorder = true)
+          val v = VersionedStore.latestVersion(s, p)
+          val nLive = VersionedStore.describe(s, p)
+            .head.getAs[Long]("n_live_groups").toInt
+          // the z-order contract: SOME pruning on EVERY clustered
+          // dim (quantile partition bounds straddle bit boundaries,
+          // so hulls are looser than range clustering's on the
+          // leading dim — the comparative sharp assertion lives in
+          // VersionedStoreScaleSpec against a range-clustered twin)
+          val docCand = VersionedStore.candidateFids(s, p, v,
+            "doc_id", 40L, 60L)
+          if (docCand.size >= nLive) sys.error(
+            s"q357: doc_id window scans ALL $nLive z-ordered " +
+              "groups — no leading-dim pruning")
+          val (mn, mx) = VersionedStore.fastMinMax(s, p, "n_chars")
+            .getOrElse(sys.error(
+              "q357: n_chars zones missing from a live group"))
+          val charCand = VersionedStore.candidateFids(s, p, v,
+            "n_chars", mn, mn + (mx - mn) / 8)
+          if (charCand.size >= nLive) sys.error(
+            s"q357: n_chars window scans ALL $nLive groups — " +
+              "z-order gave no second-dimension pruning")
+        }
+        VersionedStore.readRange(s, p, "doc_id", 40L, 60L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id BETWEEN 40 AND 60
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Log-only aggregates: COUNT(*) and MIN/MAX of a zone-armed key
+    // answered ENTIRELY from the cached commit log — zero data scan
+    // at any table size (the warehouse metadata-serving trick; the
+    // per-group counts and hulls every commit records are exact, and
+    // the fast path REFUSES — returns None — when a live deletion
+    // vector or a zone blind spot could make it wrong). The build
+    // asserts the fast path engaged; the oracle recomputes all three
+    // scalars by scanning the raw table.
+    QueryDef(
+      "q358_log_only_stats",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("logstatstore", d) { p =>
+          VersionedStore.create(s, p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), p,
+            zoneCols = Seq("doc_id"))
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1), p)
+        }
+        import s.implicits._
+        val cnt = VersionedStore.fastCount(s, p).getOrElse(
+          sys.error("q358: fastCount fell back to a scan"))
+        val (mn, mx) = VersionedStore.fastMinMax(s, p, "doc_id")
+          .getOrElse(
+            sys.error("q358: fastMinMax fell back to a scan"))
+        Seq((cnt, mn, mx)).toDF("n", "min_id", "max_id")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+             |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+             |FROM documents""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents

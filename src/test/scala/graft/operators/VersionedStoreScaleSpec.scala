@@ -371,6 +371,72 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
     d.getAs[Long]("n_dv_groups") shouldBe 1L
   }
 
+  // -------------------------------------------- zorder + log stats
+
+  test("z-order compaction prunes on BOTH clustered columns where " +
+      "range clustering prunes only the leading one") {
+    def build(zorder: Boolean): String = {
+      val p = freshPath()
+      VersionedStore.create(spark, p)
+      // two independent dims: id ascending, g cycling — interleaved
+      // appends leave every group spanning both ranges
+      (0 until 4).foreach { i =>
+        VersionedStore.append(
+          batch(0 until 400).where(pmod(col("id"), lit(4)) === i)
+            .withColumn("g", (col("id") * 37 % 400).cast("int")), p,
+          zoneCols = Seq("id", "g"))
+      }
+      VersionedStore.compact(spark, p, clusterBy = Seq("id", "g"),
+        numGroups = 8, zorder = zorder)
+      p
+    }
+    val zp = build(zorder = true)
+    val rp = build(zorder = false)
+    def cands(p: String, c: String, lo: Long, hi: Long): Int =
+      VersionedStore.candidateFids(spark, p,
+        VersionedStore.latestVersion(spark, p), c, lo, hi).size
+    def nLive(p: String): Int = VersionedStore.describe(spark, p)
+      .head.getAs[Long]("n_live_groups").toInt
+    // leading dim: both layouts prune a narrow id window
+    cands(zp, "id", 100L, 140L) should be < nLive(zp)
+    cands(rp, "id", 100L, 140L) should be < nLive(rp)
+    // SECOND dim: the z-store prunes, the range-store cannot
+    cands(zp, "g", 0L, 40L) should be < nLive(zp)
+    cands(rp, "g", 0L, 40L) shouldBe nLive(rp)
+    // content identical either way
+    VersionedStore.read(spark, zp).count() shouldBe 400L
+    VersionedStore.readRange(spark, zp, "g", 0L, 40L)
+      .count() shouldBe
+      VersionedStore.read(spark, rp)
+        .filter(col("g").between(0, 40)).count()
+  }
+
+  test("log-only COUNT/MIN/MAX are exact when sound and REFUSE " +
+      "when a DV or zone blind spot could lie") {
+    val p = freshPath()
+    val s = spark
+    import s.implicits._
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 100), p,
+      zoneCols = Seq("id"))
+    VersionedStore.append(batch(100 until 150), p)
+    VersionedStore.fastCount(spark, p) shouldBe Some(150L)
+    VersionedStore.fastMinMax(spark, p, "id") shouldBe
+      Some((0L, 149L))
+    // an unzoned column is a blind spot → refuse
+    VersionedStore.fastMinMax(spark, p, "g") shouldBe None
+    // a live DV makes counts and extremes untrustworthy → refuse;
+    // compaction folds it and restores the fast path
+    VersionedStore.deleteKeysDeferred(spark, p,
+      Seq(0L, 149L).toDF("id"), Seq("id"))
+    VersionedStore.fastCount(spark, p) shouldBe None
+    VersionedStore.fastMinMax(spark, p, "id") shouldBe None
+    VersionedStore.compact(spark, p)
+    VersionedStore.fastCount(spark, p) shouldBe Some(148L)
+    VersionedStore.fastMinMax(spark, p, "id") shouldBe
+      Some((1L, 148L))
+  }
+
   // --------------------------------------------------------- bloom
 
   test("bloom sidecars: a point lookup opens only the group that " +
