@@ -1704,6 +1704,50 @@ object VersionedStore {
       .toSeq
   }
 
+  /** Persist free-form table PROPERTIES (the TBLPROPERTIES of the
+    * public designs) beside the log — retention policies, owners,
+    * maintenance hints live WITH the table instead of in whichever
+    * job happens to run maintenance. Same tmp+rename publication as
+    * constraints; a full map replace, read-modify-write for updates.
+    */
+  def setProperties(spark: SparkSession, path: String,
+      props: Map[String, String]): Unit = {
+    import spark.implicits._
+    val f = fs(spark)
+    val tmp = new Path(s"$path/.properties-tmp")
+    val dest = new Path(s"$path/properties")
+    if (f.exists(tmp) && !f.delete(tmp, true))
+      sys.error(s"VersionedStore.setProperties: cannot clear $tmp")
+    props.toSeq.toDF("key", "value")
+      .coalesce(1).write.parquet(tmp.toString)
+    if (f.exists(dest) && !f.delete(dest, true))
+      sys.error(s"VersionedStore.setProperties: cannot replace $dest")
+    if (!f.rename(tmp, dest))
+      sys.error(s"VersionedStore.setProperties: cannot publish $dest")
+  }
+
+  /** The table's persisted properties (empty if none were set). */
+  def propertiesOf(spark: SparkSession,
+      path: String): Map[String, String] = {
+    val dest = new Path(s"$path/properties")
+    if (!fs(spark).exists(dest)) Map.empty
+    else spark.read.parquet(dest.toString).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Apply the table's OWN retention policy: [[vacuumOlderThan]] at
+    * `now − retention.ms` when the property is set, no-op otherwise.
+    * The maintenance job needs zero per-table configuration — the
+    * policy travels with the table ("keep 7 days" is
+    * `retention.ms = 604800000`). `nowMs` is injectable for tests.
+    */
+  def vacuumByPolicy(spark: SparkSession, path: String,
+      nowMs: Long = System.currentTimeMillis()): Seq[Long] =
+    propertiesOf(spark, path).get("retention.ms") match {
+      case Some(ms) => vacuumOlderThan(spark, path, nowMs - ms.toLong)
+      case None => Seq.empty
+    }
+
   /** Validate an incoming batch against the table constraints; one
     * aggregation pass over the batch, loud failure listing every
     * violated check.
@@ -1969,6 +2013,8 @@ object VersionedStore {
       data.map(asForeign), Seq.empty, dvs = dvs.map(asForeign))
     val checks = constraintsOf(spark, srcPath)
     if (checks.nonEmpty) setConstraints(spark, dstPath, checks)
+    val props = propertiesOf(spark, srcPath)
+    if (props.nonEmpty) setProperties(spark, dstPath, props)
     cloned
   }
 

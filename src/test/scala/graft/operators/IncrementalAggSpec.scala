@@ -71,6 +71,32 @@ class IncrementalAggSpec extends AnyFunSuite with SparkFixture
       .count() shouldBe 0L
   }
 
+  test("advance through a RESTORE window: the rollup follows the " +
+      "rollback (the bad batch's rows travel as feed deletes) and " +
+      "stays identical to a full recompute") {
+    val store = tmp("ivr-store")
+    val snap = tmp("ivr-snap")
+    val s = spark
+    import s.implicits._
+    VersionedStore.create(spark, store)
+    VersionedStore.append(batch(0 until 30), store)            // v1
+    IncrementalAgg.init(spark, store, snap, 1L, Seq("grp"), Seq("v"))
+    // a bad batch lands AND reaches the rollup (a new group too)
+    VersionedStore.append(
+      Seq((500L, "gBAD", 7L), (501L, "g0", 1000L))
+        .toDF("id", "grp", "v"), store)                        // v2
+    IncrementalAgg.advance(spark, store, snap, 1L, 2L,
+      Seq("grp"), Seq("v"))
+    snapMap(snap).keySet should contain("gBAD")
+    // ops restore; the rollup advances over the restore window and
+    // converges — gBAD's count hits zero and leaves the snapshot
+    val rv = VersionedStore.restore(spark, store, 1L)          // v3
+    IncrementalAgg.advance(spark, store, snap, 2L, rv,
+      Seq("grp"), Seq("v"))
+    snapMap(snap) shouldBe fullMap(store)
+    snapMap(snap).keySet should not contain "gBAD"
+  }
+
   test("idempotent advance: a crash-replay (same txn) never " +
       "double-applies the delta, from an empty or a primed snapshot") {
     val store = tmp("ivc-store")

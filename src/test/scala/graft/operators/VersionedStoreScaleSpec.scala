@@ -371,6 +371,49 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
     d.getAs[Long]("n_dv_groups") shouldBe 1L
   }
 
+  // ---------------------------------------- properties + policy
+
+  test("table properties round-trip, travel with clones, and drive " +
+      "the retention-policy vacuum") {
+    val p = freshPath()
+    val c = freshPath()
+    val day = 24L * 3600 * 1000
+    VersionedStore.create(spark, p)
+    VersionedStore.propertiesOf(spark, p) shouldBe Map.empty
+    VersionedStore.setProperties(spark, p,
+      Map("retention.ms" -> (7 * day).toString, "owner" -> "corpus"))
+    VersionedStore.propertiesOf(spark, p)("owner") shouldBe "corpus"
+    // no policy → no-op; with the table's own policy, versions older
+    // than 7 days age out (commit ts injected via commitAt)
+    def commitBatch(ids: Range, fid: Long, ts: Long): Unit = {
+      val s = spark
+      import s.implicits._
+      ids.map(i => (i.toLong, s"d$i", 0)).toDF("id", "body", "g")
+        .write.parquet(s"$p/data/f$fid")
+      VersionedStore.commitAt(spark, p,
+        VersionedStore.latestVersion(spark, p) + 1,
+        Seq(VersionedStore.GroupAdd(fid, ids.size.toLong)),
+        if (fid == 1L) Seq.empty else Seq(fid - 1), ts = ts)
+    }
+    commitBatch(0 until 5, 1L, ts = 1 * day)    // v1, old
+    commitBatch(0 until 8, 2L, ts = 20 * day)   // v2 rewrite, recent
+    // now = day 25: v1 is 24 days old (> 7), v2 is 5 days old
+    VersionedStore.vacuumByPolicy(spark, p,
+      nowMs = 25 * day) shouldBe Seq(1L)
+    an[Exception] should be thrownBy
+      VersionedStore.readAt(spark, p, 1L).count()
+    ids(p) shouldBe (0L until 8L)
+    // a table with NO policy never vacuums by policy
+    val p2 = freshPath()
+    VersionedStore.create(spark, p2)
+    VersionedStore.append(batch(0 until 5), p2)
+    VersionedStore.vacuumByPolicy(spark, p2) shouldBe empty
+    // properties travel with a shallow clone
+    VersionedStore.cloneTo(spark, p, c)
+    VersionedStore.propertiesOf(spark, c)("retention.ms") shouldBe
+      (7 * day).toString
+  }
+
   // -------------------------------------------- zorder + log stats
 
   test("z-order compaction prunes on BOTH clustered columns where " +
