@@ -252,9 +252,14 @@ object VersionedStore {
       ts: Long = -1L): Long = {
     import spark.implicits._
     val f = fs(spark)
-    val tmp = new Path(s"$path/log/.tmp-${versionName(v)}")
-    if (f.exists(tmp) && !f.delete(tmp, true))
-      sys.error(s"VersionedStore.commit: cannot clear stale $tmp")
+    // the tmp name is unique PER ATTEMPT: two writers racing for the
+    // same version must stage into disjoint dirs (a shared
+    // `.tmp-v…` name let one writer delete or rename the other's
+    // half-written record — found by the truly-concurrent append
+    // spec). Crashed tmps match no log-name pattern (invisible to
+    // readers) and are KB-scale litter.
+    val tmp = new Path(s"$path/log/.tmp-" +
+      s"${java.util.UUID.randomUUID}-${versionName(v)}")
     val stamp = if (ts >= 0) ts else System.currentTimeMillis()
     def addRow(action: String, a: GroupAdd) = {
       val (sc, lo, hi) = a.stats
@@ -277,14 +282,18 @@ object VersionedStore {
         "ts", "zc", "zt", "zlo", "zhi", "loc", "bc")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/${versionName(v)}")
-    if (f.exists(dest))
+    if (f.exists(dest)) {
+      f.delete(tmp, true)
       throw new CommitConflict(
         s"VersionedStore.commit: version $v already " +
           s"committed at $path — concurrent writer conflict")
-    if (!f.rename(tmp, dest))
+    }
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, true)
       throw new CommitConflict(
         s"VersionedStore.commit: cannot publish $dest — " +
           "concurrent writer conflict")
+    }
     maybeCheckpoint(spark, path, v)
     v
   }
@@ -424,9 +433,10 @@ object VersionedStore {
     val f = fs(spark)
     val recs = logRecords(spark, path).filter(_.v <= v)
     if (recs.isEmpty) return
-    val tmp = new Path(s"$path/log/.tmp-ckpt-${versionName(v)}")
-    if (f.exists(tmp) && !f.delete(tmp, true))
-      sys.error(s"VersionedStore.checkpoint: cannot clear $tmp")
+    // unique per attempt, like commitAt's tmp: concurrent
+    // checkpointers must never stage into each other's dir
+    val tmp = new Path(s"$path/log/.tmp-ckpt-" +
+      s"${java.util.UUID.randomUUID}-${versionName(v)}")
     recs.map { r =>
       val (sc, lo, hi) = r.stats
         .map { case (c, l, h) => (c, Some(l), Some(h)) }
@@ -447,7 +457,8 @@ object VersionedStore {
     // advisory pointer (readers derive the newest checkpoint from
     // the log listing they already pay for; external tools get the
     // standard file)
-    val ptrTmp = new Path(s"$path/.tmp-_last_checkpoint")
+    val ptrTmp = new Path(
+      s"$path/.tmp-${java.util.UUID.randomUUID}-_last_checkpoint")
     if (f.exists(ptrTmp)) f.delete(ptrTmp, true)
     Seq(v).toDF("version").coalesce(1).write.parquet(ptrTmp.toString)
     val ptr = new Path(s"$path/_last_checkpoint")
@@ -886,6 +897,54 @@ object VersionedStore {
     (0L +: as.map(_._3)).max + 1
   }
 
+  /** Atomically claim `count` fresh fids via create-no-overwrite
+    * marker files under `data/.fidclaims` — the allocation half of
+    * safe concurrency, BEFORE the commit protocol even runs: two
+    * writers racing from the same snapshot would otherwise both
+    * compute maxFid+1 and stage into the SAME data dir, the slower
+    * writeGroup silently clobbering the faster writer's (possibly
+    * already committed) bytes. With claims the slower create fails
+    * and that writer slides to the next fid, so racing mutations
+    * stage into DISJOINT dirs and [[commitRetrying]]'s rebase can
+    * land racing appends BOTH — with nothing corrupted. A crashed
+    * claim leaves a skipped fid (a harmless hole — fids are never
+    * reused); claims for fids the log already names are redundant
+    * and GC'd by [[vacuum]]. The same rename/create atomicity
+    * assumption as the commit protocol itself (HDFS-like stores).
+    */
+  /** In-JVM serialization of claim attempts: cross-PROCESS atomicity
+    * comes from HDFS's exclusive create (the same durability
+    * contract the commit rename already assumes), but a raw local
+    * filesystem's create-no-overwrite is check-then-act — two
+    * threads of ONE driver could both pass the exists check. The
+    * lock closes the in-process window everywhere; on HDFS it is
+    * merely redundant.
+    */
+  private val claimLock = new Object
+
+  private def claimFids(spark: SparkSession, path: String,
+      count: Int): Seq[Long] = claimLock.synchronized {
+    if (count == 0) return Seq.empty
+    val f = fs(spark)
+    val dir = new Path(s"$path/data/.fidclaims")
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val claimed = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("f\\d+")).map(_.drop(1).toLong)
+    var cand = ((0L +: claimed) ++
+      actions(spark, path, Long.MaxValue).map(_._3)).max + 1
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (got.size < count) {
+      val ok =
+        try {
+          val out = f.create(new Path(dir, s"f$cand"), false)
+          out.close(); true
+        } catch { case _: java.io.IOException => false }
+      if (ok) got += cand
+      cand += 1
+    }
+    got.toSeq
+  }
+
   /** Append `df` as one new immutable file-group; returns the new
     * version. A crash before the final log rename leaves an orphan
     * data dir that no reader can see (vacuum reclaims it); the
@@ -910,11 +969,12 @@ object VersionedStore {
     val spark = df.sparkSession
     checkSchema(df, path, "append", canEvolve = evolve)
     validate(df, path)
-    val fid = nextFid(spark, path)
+    val propag = storePropagation(spark, path)
+    val Seq(fid) = claimFids(spark, path, 1)
     commit(spark, path,
       Seq(writeGroup(df, path, fid, statsCol,
-        zoneCols ++ storeZoneCols(spark, path),
-        bloomCols ++ storeBloomCols(spark, path))), Seq.empty)
+        zoneCols ++ propag._1, bloomCols ++ propag._2)),
+      Seq.empty)
   }
 
   /** Zone columns maintained by the store's LIVE groups (union of
@@ -924,13 +984,24 @@ object VersionedStore {
     * Unstatted groups never make pruning unsound (they are always
     * candidates); propagation just keeps the pruning SHARP.
     */
-  def storeZoneCols(spark: SparkSession, path: String): Seq[String] = {
-    val live = liveFids(spark, path,
-      latestVersion(spark, path)).toSet
-    groupZones(spark, path)
-      .collect { case (fid, zs) if live(fid) => zs.map(_.c) }
-      .flatten.toSeq.distinct.sorted
+  /** (zone cols, bloom cols) of the LIVE groups resolved in ONE log
+    * pass — the mutators' propagation lookup. Separate
+    * `storeZoneCols` + `storeBloomCols` calls each re-list the log
+    * dir; at object-store latency per-commit metadata RPCs add up,
+    * so every internal caller goes through this fused form.
+    */
+  private def storePropagation(spark: SparkSession,
+      path: String): (Seq[String], Seq[String]) = {
+    val recs = logRecords(spark, path)
+    val live = liveOf(
+      recs.map(r => (r.v, r.action, r.fid, r.rows)), "add").toSet
+    val liveAdds = recs.filter(r => r.action == "add" && live(r.fid))
+    (liveAdds.flatMap(_.zones.map(_.c)).distinct.sorted,
+      liveAdds.flatMap(_.blooms).distinct.sorted)
   }
+
+  def storeZoneCols(spark: SparkSession, path: String): Seq[String] =
+    storePropagation(spark, path)._1
 
   /** Bloom-armed columns across LIVE groups — like
     * [[storeZoneCols]], mutators feed these back so one bloom-armed
@@ -939,14 +1010,8 @@ object VersionedStore {
     * candidates).
     */
   def storeBloomCols(spark: SparkSession,
-      path: String): Seq[String] = {
-    val live = liveFids(spark, path,
-      latestVersion(spark, path)).toSet
-    logRecords(spark, path)
-      .collect { case r if r.action == "add" && live(r.fid) =>
-        r.blooms }
-      .flatten.distinct.sorted
-  }
+      path: String): Seq[String] =
+    storePropagation(spark, path)._2
 
   /** Content at version `v` (error if nothing is visible — an empty
     * store has no schema to return).
@@ -1122,8 +1187,9 @@ object VersionedStore {
     val old = liveFids(spark, path, v) ++ liveDvFids(spark, path, v)
     val cur = readAt(spark, path, v)
     val statsCol = storeStatsCol(spark, path)
-    val zoneCols = (storeZoneCols(spark, path) ++ clusterBy).distinct
-    val bloomCols = storeBloomCols(spark, path)
+    val propag = storePropagation(spark, path)
+    val zoneCols = (propag._1 ++ clusterBy).distinct
+    val bloomCols = propag._2
     if (numGroups == 1) {
       // range-cluster the rewrite when asked: each part file of the
       // folded group gets a disjoint key range, so parquet min/max
@@ -1133,12 +1199,12 @@ object VersionedStore {
         if (clusterBy.isEmpty) cur
         else cur.repartitionByRange(clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
-      val fid = nextFid(spark, path)
+      val Seq(fid) = claimFids(spark, path, 1)
       commit(spark, path,
         Seq(writeGroup(out, path, fid, statsCol, zoneCols,
           bloomCols)), old)
     } else {
-      val first = nextFid(spark, path)
+      val newFids = claimFids(spark, path, numGroups)
       // plain multi-group clustering range-partitions on the key
       // tuple — perfect pruning on the LEADING column, none on the
       // rest. `zorder` interleaves the keys' bits (Morton curve, the
@@ -1165,10 +1231,14 @@ object VersionedStore {
             else {
               val lo = mm.getLong(2 * i)
               val span = math.max(1L, mm.getLong(2 * i + 1) - lo)
-              // integer scaling (DIV, not Column./ which is double
-              // division) keeps the bucket mapping exact
-              expr(s"CAST((CAST(`$c` AS BIGINT) - $lo) * $cap " +
-                s"DIV $span AS BIGINT)")
+              // integer scaling by a DRIVER-computed step (DIV, not
+              // Column./ which is double division). Divide-only on
+              // the row side: the multiply-first form (x−lo)·cap
+              // overflows Long for spans past ~1.4e14 — epoch-micros
+              // keys would z-order as noise (or throw under ANSI)
+              val step = span / cap + 1
+              expr(s"CAST((CAST(`$c` AS BIGINT) - $lo) " +
+                s"DIV $step AS BIGINT)")
             }
           }
           cur.withColumn("_vs_z", ZOrder.zValue(scaled, bits))
@@ -1178,7 +1248,7 @@ object VersionedStore {
       val bucketed = bucketSrc
         .withColumn("_vs_fid", spark_partition_id().cast("long"))
       val fidOf = (0 until numGroups)
-        .map(b => b.toLong -> (first + b))
+        .map(b => b.toLong -> newFids(b))
       val adds = rewriteGroups(spark, path, bucketed, fidOf,
         statsCol, zoneCols, bloomCols)
       // range partitions can come up empty (sampling, small data):
@@ -1302,16 +1372,16 @@ object VersionedStore {
       .distinct().collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return v
     val statsCol = storeStatsCol(spark, path)
-    val first = nextFid(spark, path)
-    val fidOf = affected.toSeq.zipWithIndex
-      .map { case (o, i) => o -> (first + i) }
+    val propag = storePropagation(spark, path)
+    val fidOf = affected.toSeq.zip(
+      claimFids(spark, path, affected.length))
     // groups rewritten to zero rows still commit (an empty parquet
     // dir reads fine inside a multi-path union)
     val kept = withFid
       .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
       .filter(!coalesce(pred, lit(false)))
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
-      storeZoneCols(spark, path), storeBloomCols(spark, path))
+      propag._1, propag._2)
     commit(spark, path, adds, affected.toSeq)
   }
 
@@ -1335,14 +1405,14 @@ object VersionedStore {
       .select("_vs_fid").distinct().collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return v
     val statsCol = storeStatsCol(spark, path)
-    val first = nextFid(spark, path)
-    val fidOf = affected.toSeq.zipWithIndex
-      .map { case (o, i) => o -> (first + i) }
+    val propag = storePropagation(spark, path)
+    val fidOf = affected.toSeq.zip(
+      claimFids(spark, path, affected.length))
     val kept = withFid
       .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
       .join(k, keyCols, "left_anti")
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
-      storeZoneCols(spark, path), storeBloomCols(spark, path))
+      propag._1, propag._2)
     commit(spark, path, adds, affected.toSeq)
   }
 
@@ -1401,7 +1471,7 @@ object VersionedStore {
     val nMasked = matched.count()
     if (nMasked == 0) return v
     val keyRows = matched.distinct()
-    val fid = nextFid(spark, path)
+    val Seq(fid) = claimFids(spark, path, 1)
     val dv = writeGroup(keyRows, path, fid, None)
       .copy(n = nMasked, schemaJson = None)
     commit(spark, path, Seq.empty, Seq.empty, dvs = Seq(dv))
@@ -1442,7 +1512,7 @@ object VersionedStore {
     validate(updates, path)
     val v = latestVersion(spark, path)
     val statsCol = storeStatsCol(spark, path)
-    val zoneCols = storeZoneCols(spark, path)
+    val (zoneCols, mergeBloomCols) = storePropagation(spark, path)
     // when the store maintains zone stats ON the merge key (legacy
     // single-numeric stat OR a multi-column zone, numeric or string),
     // the update-key span (two scalars off the small side) prunes
@@ -1475,10 +1545,8 @@ object VersionedStore {
       w.join(keys, keyCols, "left_semi").select("_vs_fid")
         .distinct().collect().map(_.getLong(0)).sorted
     }.getOrElse(Array.empty[Long])
-    val first = nextFid(spark, path)
-    val fidOf = affected.toSeq.zipWithIndex
-      .map { case (o, i) => o -> (first + i) }
-    val mergeBloomCols = storeBloomCols(spark, path)
+    val newFids = claimFids(spark, path, affected.length + 1)
+    val fidOf = affected.toSeq.zip(newFids)
     val rewrites =
       if (affected.isEmpty) Seq.empty
       else rewriteGroups(spark, path,
@@ -1493,7 +1561,7 @@ object VersionedStore {
     // fid) while the update lands in the fresh insert group, whose
     // higher fid no existing DV can mask. Re-inserting a
     // DV-deleted key therefore just works.
-    val insFid = first + affected.length
+    val insFid = newFids.last
     val live = liveFids(spark, path, v)
     val cols =
       if (live.isEmpty) updates.columns
@@ -1574,13 +1642,35 @@ object VersionedStore {
             .drop("_vs_fid"))
         }
       }
+    // the symmetric case: a DV REMOVED in the window without its
+    // data groups (only [[restore]] to a pre-DV version does this)
+    // makes previously-masked rows visible again — they must travel
+    // as INSERTS, or a replica tailing through the rollback would
+    // silently diverge
+    val goneDvs = dvBefore.filterNot(dvAfter.contains)
+    val dvIns: Option[DataFrame] =
+      if (goneDvs.isEmpty) None
+      else {
+        val carried = (before intersect after).toSeq
+          .filter(_ < goneDvs.max).sorted
+        if (carried.isEmpty) None
+        else {
+          val rows = withFid(carried)
+          Some(applyDvs(spark, path, toV, rows)
+            .exceptAll(applyDvs(spark, path, fromV, rows))
+            .drop("_vs_fid"))
+        }
+      }
     (visible(gained, toV), visible(lost, fromV)) match {
       case (None, None) =>
         val schema = read(spark, path).schema
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val base = empty
+        val base0 = empty
           .withColumn("_change", lit("insert")).limit(0)
+        val base = dvIns.map(d =>
+          base0.unionAll(d.withColumn("_change", lit("insert"))))
+          .getOrElse(base0)
         dvDel.map(d =>
           base.unionAll(d.withColumn("_change", lit("delete"))))
           .getOrElse(base)
@@ -1588,11 +1678,12 @@ object VersionedStore {
         val empty = (g orElse l).get.limit(0)
         // pure-append / pure-drop windows (the common case) skip the
         // exceptAll entirely — no shuffle, the group read IS the feed
-        val ins = (g, l) match {
+        val ins0 = (g, l) match {
           case (Some(gd), Some(ld)) => gd.exceptAll(ld)
           case (Some(gd), None) => gd
           case _ => empty
         }
+        val ins = dvIns.map(ins0.unionAll).getOrElse(ins0)
         val del0 = (l, g) match {
           case (Some(ld), Some(gd)) => ld.exceptAll(gd)
           case (Some(ld), None) => ld
@@ -1638,10 +1729,16 @@ object VersionedStore {
     committedTxn(spark, path, txn) match {
       case Some(v) => v
       case None =>
+        // the same write gates as append: schema compatibility and
+        // constraints, plus zone AND bloom self-propagation — a
+        // streaming replica must not silently disarm the store's
+        // pruning discipline batch by batch
+        checkSchema(df, path, "appendIdempotent", canEvolve = false)
         validate(df, path)
-        val fid = nextFid(spark, path)
+        val propag = storePropagation(spark, path)
+        val Seq(fid) = claimFids(spark, path, 1)
         val add = writeGroup(df, path, fid, statsCol,
-          storeZoneCols(spark, path))
+          propag._1, propag._2)
         commitRetrying(spark, path, Seq(add), Seq.empty, txn)
     }
   }
@@ -1782,6 +1879,16 @@ object VersionedStore {
     */
   def erase(spark: SparkSession, path: String, pred: Column,
       keyRange: Option[(Long, Long)] = None): (Long, Seq[Long]) = {
+    // deletion vectors FOLD first: a DV-masked row is invisible to
+    // deleteWhere's detection scan, so without this a previously
+    // deferred-deleted row matching `pred` would keep its bytes (and
+    // the DV frame its key values) on disk — logically gone,
+    // physically recoverable, which is exactly what erase exists to
+    // prevent. The compaction rewrites DV-applied content and the
+    // erase-horizon vacuum below then reclaims the pre-fold groups.
+    if (liveDvFids(spark, path,
+        latestVersion(spark, path)).nonEmpty)
+      compact(spark, path)
     val v = deleteWhere(spark, path, pred, keyRange)
     (v, vacuum(spark, path, retainFrom = v))
   }
@@ -2042,12 +2149,29 @@ object VersionedStore {
       if (!f.delete(dataDir(path, fid), true))
         sys.error(s"VersionedStore.vacuum: cannot delete f$fid")
     }
+    // GC fid-claim markers the log already names — a committed fid
+    // can never be a claim candidate again (nextFid is past it), so
+    // its marker is dead weight; crashed writers' claims for fids
+    // the log never names stay forever (that hole is the guarantee)
+    val cd = new Path(s"$path/data/.fidclaims")
+    if (f.exists(cd)) {
+      val committed = logRecords(spark, path).map(_.fid).toSet
+      f.listStatus(cd).foreach { st =>
+        st.getPath.getName match {
+          case n if n.matches("f\\d+") &&
+            committed(n.drop(1).toLong) =>
+            f.delete(st.getPath, false); ()
+          case _ => ()
+        }
+      }
+    }
     // reclaim the victims' Bloom sidecars (and crashed tmp files)
     // with them — a sidecar without its group is dead weight
     val bd = new Path(s"$path/bloom")
     if (victims.nonEmpty && f.exists(bd)) {
       val vset = victims.toSet
-      val fidPat = "f(\\d+)-.*".r
+      // matches published sidecars AND crashed ".tmp-f<fid>-…" files
+      val fidPat = "(?:\\.tmp-)?f(\\d+)-.*".r
       f.listStatus(bd).foreach { st =>
         st.getPath.getName match {
           case fidPat(fidStr) if vset(fidStr.toLong) =>

@@ -44,30 +44,39 @@ object StoreChangeFeed {
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** Last source version fully applied (0 = nothing yet). */
+  /** Last source version fully applied (0 = nothing yet). The
+    * cursor is a DIRECTORY of version-named marker files and the
+    * value is the max name: advancing is ONE atomic create of a new
+    * marker — nothing is deleted or renamed on the critical path, so
+    * no crash point can lose the value. (A replace-in-place cursor
+    * file has a delete-then-rename window that resets the cursor to
+    * 0; the ensuing full-history replay duplicates the replica
+    * whenever the last window carried no insert txn to catch it.)
+    * Older markers are GC'd best-effort AFTER the new one exists.
+    */
   def cursorOf(spark: SparkSession, cursorPath: String): Long = {
     val f = fs(spark)
-    val p = new Path(cursorPath)
-    if (!f.exists(p)) 0L
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
-    }
+    val d = new Path(cursorPath)
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .maxOption.getOrElse(0L)
   }
 
   private def setCursor(spark: SparkSession, cursorPath: String,
       v: Long): Unit = {
     val f = fs(spark)
-    val tmp = new Path(cursorPath + ".tmp")
-    if (f.exists(tmp)) f.delete(tmp, true)
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(cursorPath)
-    if (f.exists(dst) && !f.delete(dst, true)) sys.error(
-      s"StoreChangeFeed: cannot replace cursor $dst")
-    if (!f.rename(tmp, dst)) sys.error(
-      s"StoreChangeFeed: cannot publish cursor $dst")
+    val d = new Path(cursorPath)
+    if (!f.exists(d)) f.mkdirs(d)
+    val out = f.create(new Path(d, s"v$v"), true)
+    out.close()
+    f.listStatus(d).foreach { st =>
+      st.getPath.getName match {
+        case n if n.matches("v\\d+") && n.drop(1).toLong < v =>
+          f.delete(st.getPath, false); ()
+        case _ => ()
+      }
+    }
   }
 
   /** The WRITE-AHEAD INTENT that makes a replayed window

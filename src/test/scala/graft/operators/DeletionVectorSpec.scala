@@ -168,4 +168,34 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture
     ids(p) shouldBe ((0L until 40L)
       .filterNot(Set(1L, 2L)).filterNot(_ % 10 == 5))
   }
+
+  test("erase reaches THROUGH deletion vectors: a row that was " +
+      "DV-masked before the removal request leaves no bytes on " +
+      "disk — not in any data group, not in a DV key frame") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 50), p)
+    // the row is first deferred-deleted (logically gone, bytes kept)
+    VersionedStore.deleteKeysDeferred(spark, p, keyDf(5L), Seq("id"))
+    ids(p) should not contain 5L
+    // then the removal REQUEST arrives
+    VersionedStore.erase(spark, p, col("id") === 5L)
+    ids(p) shouldBe (0L until 50L).filterNot(_ == 5L)
+    // byte-level sweep: no parquet file anywhere under data/ still
+    // carries id 5 — neither a data group (deleteWhere alone would
+    // have skipped it: the DV hid the row from its detection scan)
+    // nor the DV key frame itself (its key VALUES are also erasure
+    // surface); pre-erase versions are vacuumed, so this listing IS
+    // the store's entire byte footprint
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$p/data"))
+      .map(_.getPath).filter(_.getName.matches("f\\d+"))
+    dirs should not be empty
+    dirs.foreach { d =>
+      val rows = spark.read.parquet(d.toString)
+      if (rows.columns.contains("id"))
+        rows.filter(col("id") === 5L).count() shouldBe 0L
+    }
+  }
 }

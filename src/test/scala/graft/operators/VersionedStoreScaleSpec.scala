@@ -371,6 +371,54 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
     d.getAs[Long]("n_dv_groups") shouldBe 1L
   }
 
+  // ------------------------------------------- real append racing
+
+  test("TRULY concurrent appends through the public API: every " +
+      "writer lands, nothing is clobbered (fid claims + OCC rebase)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    val writers = (0 until 4).map { w =>
+      Future {
+        VersionedStore.append(
+          batch(w * 100 until w * 100 + 10), p)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // all four commits landed (rebased, not failed), at four
+    // DISTINCT fids, and the content is the exact union — the old
+    // maxFid+1 allocation would have staged two writers into the
+    // same dir and corrupted one of them
+    VersionedStore.latestVersion(spark, p) shouldBe 4L
+    ids(p) shouldBe (0 until 4)
+      .flatMap(w => w * 100L until w * 100L + 10L).sorted
+    val hist = VersionedStore.history(spark, p)
+    hist.select("fid").distinct().count() shouldBe 4L
+  }
+
+  test("z-order compaction survives wide-span keys (epoch-micros " +
+      "scale) without Long overflow in the bucket scaling") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    (0 until 2).foreach { i =>
+      VersionedStore.append(
+        batch(0 until 100).where(pmod(col("id"), lit(2)) === i)
+          .withColumn("ts", col("id") * 17_000_000_000_000L), p,
+        zoneCols = Seq("ts", "g"))
+    }
+    VersionedStore.compact(spark, p, clusterBy = Seq("ts", "g"),
+      numGroups = 4, zorder = true)
+    // content intact and the wide-span dim still prunes
+    ids(p) shouldBe (0L until 100L)
+    val v = VersionedStore.latestVersion(spark, p)
+    val nLive = VersionedStore.describe(spark, p)
+      .head.getAs[Long]("n_live_groups").toInt
+    VersionedStore.candidateFids(spark, p, v, "ts",
+      0L, 10L * 17_000_000_000_000L).size should be < nLive
+  }
+
   // ---------------------------------------- properties + policy
 
   test("table properties round-trip, travel with clones, and drive " +
@@ -598,6 +646,27 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
     f.delete(new org.apache.hadoop.fs.Path(c), true)
     an[Exception] should be thrownBy ids(c)
     an[Exception] should be thrownBy ids(c2)
+  }
+
+  test("clone at a PINNED version snapshots history: the clone " +
+      "serves the pinned state while the source moves on") {
+    val p = freshPath()
+    val c = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)             // v1
+    VersionedStore.append(batch(10 until 20), p)            // v2
+    VersionedStore.deleteWhere(spark, p, col("id") < 5L)    // v3
+    VersionedStore.cloneTo(spark, p, c, version = Some(2L))
+    ids(c) shouldBe (0L until 20L)
+    // source keeps mutating; the pinned clone is unaffected
+    VersionedStore.append(batch(20 until 30), p)
+    ids(c) shouldBe (0L until 20L)
+    ids(p) shouldBe (5L until 30L)
+    // cloning an EMPTY version fails loudly
+    val e = the[RuntimeException] thrownBy
+      VersionedStore.cloneTo(spark, p, freshPath(),
+        version = Some(0L))
+    e.getMessage should include("empty")
   }
 
   test("vacuum on the clone source breaks the clone loudly, never " +

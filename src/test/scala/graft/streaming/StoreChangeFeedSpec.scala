@@ -32,15 +32,24 @@ class StoreChangeFeedSpec extends AnyFunSuite with SparkFixture
   private def hfs = org.apache.hadoop.fs.FileSystem
     .get(spark.sparkContext.hadoopConfiguration)
 
-  /** Rewind the cursor through the Hadoop FS (a raw java.io write
-    * would corrupt the LocalFileSystem checksum sidecar) —
-    * simulating a consumer that crashed before its cursor advance.
+  /** Rewind the cursor — simulating a consumer that crashed before
+    * its cursor advance: drop every marker above `v` (and make sure
+    * `v`'s own marker exists, as a completed earlier window left it
+    * or its GC'd predecessor implies it).
     */
   private def rewindCursor(cursorPath: String, v: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(cursorPath)
-    if (hfs.exists(p)) hfs.delete(p, true)
-    val out = hfs.create(p, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val d = new org.apache.hadoop.fs.Path(cursorPath)
+    if (hfs.exists(d)) hfs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("v\\d+") && n.drop(1).toLong > v)
+        hfs.delete(st.getPath, true)
+    }
+    if (v > 0) {
+      if (!hfs.exists(d)) hfs.mkdirs(d)
+      val out = hfs.create(
+        new org.apache.hadoop.fs.Path(d, s"v$v"), true)
+      out.close()
+    }
   }
 
   test("happy path: the replica tracks the source across appends, " +
@@ -113,6 +122,29 @@ class StoreChangeFeedSpec extends AnyFunSuite with SparkFixture
       Seq("id")) shouldBe 3L
     content(dst) shouldBe content(src)
     VersionedStore.read(spark, dst).count() shouldBe 30L
+  }
+
+  test("a restore past a deletion vector UN-masks rows and the " +
+      "feed carries them as inserts — the replica converges to the " +
+      "rollback instead of silently diverging") {
+    val d = freshDir()
+    val src = s"$d/src"; val dst = s"$d/dst"; val cur = s"$d/cursor"
+    val s = spark
+    import s.implicits._
+    VersionedStore.create(spark, src)
+    VersionedStore.append(batch(0 until 10), src)            // v1
+    StoreChangeFeed.replicate(spark, src, dst, cur, Seq("id"))
+    VersionedStore.deleteKeysDeferred(spark, src,
+      Seq(5L).toDF("id"), Seq("id"))                         // v2 dv
+    StoreChangeFeed.replicate(spark, src, dst, cur, Seq("id"))
+    content(dst).keySet should not contain 5L
+    // ops decide the deferred delete was wrong: restore to v1. The
+    // window (2,3] changes NO group set — only the DV vanishes —
+    // and row 5 must still travel as an insert
+    VersionedStore.restore(spark, src, 1L)                   // v3
+    StoreChangeFeed.replicate(spark, src, dst, cur, Seq("id"))
+    content(dst) shouldBe content(src)
+    content(dst).keySet should contain(5L)
   }
 
   test("pure-delete window replays are idempotent") {
