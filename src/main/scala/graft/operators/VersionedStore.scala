@@ -194,6 +194,21 @@ object VersionedStore {
             s"VersionedStore: commit at $path lost $maxAttempts " +
               "version races — giving up (livelock guard)")
           val latest = latestVersion(spark, path)
+          // idempotence guard: when this commit is txn-tagged and a
+          // WINNING commit already carries the same app transaction
+          // (two replayers of the same window raced past the
+          // committedTxn probe), this attempt must become a no-op
+          // success at the winner's version, NOT a rebase — rebasing
+          // would double-apply the window. Our claimed fid and its
+          // written data dir become unreferenced orphans vacuum
+          // reclaims. This mirrors the reference OCC design's
+          // same-app-transaction conflict rule.
+          if (txn >= 0) {
+            committedTxn(spark, path, txn) match {
+              case Some(winV) => return winV
+              case None => ()
+            }
+          }
           val winners = logRecords(spark, path)
             .filter(_.v >= v).map(_.fid).toSet
           val ours = (adds ++ dvs).map(_.fid)
@@ -289,10 +304,19 @@ object VersionedStore {
           s"committed at $path — concurrent writer conflict")
     }
     if (!f.rename(tmp, dest)) {
+      // only a version RACE is a CommitConflict (destination now
+      // occupied by the winner). A rename that fails with the
+      // destination still absent is a filesystem fault (permissions,
+      // outage) — retrying it at 5 successive versions would litter
+      // 5 orphan attempts and mask the real error as "lost races"
+      val raced = f.exists(dest)
       f.delete(tmp, true)
-      throw new CommitConflict(
+      if (raced) throw new CommitConflict(
         s"VersionedStore.commit: cannot publish $dest — " +
           "concurrent writer conflict")
+      sys.error(s"VersionedStore.commit: rename to $dest failed " +
+        "with no concurrent writer present — filesystem error, " +
+        "not a version race")
     }
     maybeCheckpoint(spark, path, v)
     v
@@ -455,12 +479,15 @@ object VersionedStore {
     if (!f.rename(tmp, dest))
       sys.error(s"VersionedStore.checkpoint: cannot publish $dest")
     // advisory pointer (readers derive the newest checkpoint from
-    // the log listing they already pay for; external tools get the
-    // standard file)
+    // the log listing they already pay for). A single small JSON
+    // FILE, matching the public Delta log's `_last_checkpoint`
+    // shape — a parquet DIRECTORY here would be consumable by no
+    // external tool
     val ptrTmp = new Path(
       s"$path/.tmp-${java.util.UUID.randomUUID}-_last_checkpoint")
-    if (f.exists(ptrTmp)) f.delete(ptrTmp, true)
-    Seq(v).toDF("version").coalesce(1).write.parquet(ptrTmp.toString)
+    val out = f.create(ptrTmp, true)
+    try out.write(s"""{"version":$v}""".getBytes("UTF-8"))
+    finally out.close()
     val ptr = new Path(s"$path/_last_checkpoint")
     if (f.exists(ptr)) f.delete(ptr, true)
     if (!f.rename(ptrTmp, ptr))
@@ -778,23 +805,48 @@ object VersionedStore {
 
   /** Driver-side sidecar cache: a (store, fid, col) sidecar is
     * immutable once its commit is visible (fids are never reused
-    * after a successful commit), so cached bits can never go stale.
+    * after a successful commit), so cached bits can never go stale —
+    * but compaction/vacuum retire fids forever, so an UNBOUNDED map
+    * of MB-scale filters leaks in a long-lived serving driver.
+    * Access-ordered LRU bounded by total filter bytes: eviction only
+    * costs a re-read on the next probe of a cold sidecar.
     */
-  private val bloomCache = scala.collection.mutable.Map
-    .empty[String, org.apache.spark.util.sketch.BloomFilter]
+  private def bloomCacheMaxBytes: Long = java.lang.Long
+    .getLong("graft.store.bloomCacheMaxBytes", 256L << 20)
+  private var bloomCacheBytes: Long = 0L
+  private val bloomCache = new java.util.LinkedHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter](16, 0.75f, true)
+
+  /** Test-only view of the sidecar cache population. */
+  private[operators] def bloomCacheSize: Int =
+    bloomCache.synchronized(bloomCache.size())
+
+  private def bloomBytes(
+      bf: org.apache.spark.util.sketch.BloomFilter): Long =
+    bf.bitSize() / 8 + 1
 
   private def loadBloom(spark: SparkSession, path: String, fid: Long,
       c: String): Option[org.apache.spark.util.sketch.BloomFilter] =
     bloomCache.synchronized {
       val bp = bloomPathOf(spark, path, fid, c)
-      bloomCache.get(bp.toString).orElse {
+      Option(bloomCache.get(bp.toString)).orElse {
         val f = fs(spark)
         if (!f.exists(bp)) None
         else {
           val in = f.open(bp)
           val bf = try org.apache.spark.util.sketch.BloomFilter
             .readFrom(in) finally in.close()
-          bloomCache(bp.toString) = bf
+          bloomCache.put(bp.toString, bf)
+          bloomCacheBytes += bloomBytes(bf)
+          val it = bloomCache.entrySet().iterator()
+          while (bloomCacheBytes > bloomCacheMaxBytes &&
+              bloomCache.size() > 1 && it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != bp.toString) {
+              bloomCacheBytes -= bloomBytes(eldest.getValue)
+              it.remove()
+            }
+          }
           Some(bf)
         }
       }
@@ -1120,18 +1172,26 @@ object VersionedStore {
       case s: String => candidateFidsStr(spark, path, v, keyCol, s, s)
       case _ => liveFids(spark, path, v)
     }
-    val probe: Any = value match {
-      case b: Byte => b.toLong
-      case sh: Short => sh.toLong
-      case i: Int => i.toLong
-      case other => other
+    // Bloom sidecars answer integral and String probes only
+    // (BloomFilter.mightContain THROWS on anything else) — an
+    // unsupported probe type (Double, Timestamp, …) on a
+    // bloom-armed column must degrade to "unpruned candidate",
+    // never crash the read path
+    val probe: Option[Any] = value match {
+      case b: Byte => Some(b.toLong)
+      case sh: Short => Some(sh.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: String => Some(s)
+      case _ => None
     }
     val armed = logRecords(spark, path)
       .collect { case r if r.action == "add" &&
         r.blooms.contains(keyCol) => r.fid }.toSet
     zoneCand.filter { fid =>
-      !armed(fid) || loadBloom(spark, path, fid, keyCol)
-        .forall(_.mightContain(probe))
+      probe.isEmpty || !armed(fid) ||
+        loadBloom(spark, path, fid, keyCol)
+          .forall(_.mightContain(probe.get))
     }
   }
 
@@ -1231,14 +1291,27 @@ object VersionedStore {
             else {
               val lo = mm.getLong(2 * i)
               val span = math.max(1L, mm.getLong(2 * i + 1) - lo)
-              // integer scaling by a DRIVER-computed step (DIV, not
-              // Column./ which is double division). Divide-only on
-              // the row side: the multiply-first form (x−lo)·cap
-              // overflows Long for spans past ~1.4e14 — epoch-micros
-              // keys would z-order as noise (or throw under ANSI)
-              val step = span / cap + 1
-              expr(s"CAST((CAST(`$c` AS BIGINT) - $lo) " +
-                s"DIV $step AS BIGINT)")
+              // integer scaling by DRIVER-computed constants (DIV,
+              // not Column./ which is double division). Multiply-
+              // first ((x−lo)·cap DIV span) both shrinks wide spans
+              // AND stretches narrow ones to fill the shared bit
+              // width — divide-only shipped once and degenerated to
+              // single-column clustering whenever spans were
+              // unbalanced (a 0..5000 key owned every high bit over
+              // a 0..500 key; pruning on the narrow key vanished).
+              // The product is ≤ span·cap, so multiply-first is safe
+              // exactly when span ≤ Long.MaxValue/cap; past that
+              // (~5.6e14 — epoch-micros keys) fall back to the
+              // divide form, which already fills the width when
+              // span ≫ cap.
+              if (span <= Long.MaxValue / cap) {
+                expr(s"CAST(((CAST(`$c` AS BIGINT) - $lo) * $cap) " +
+                  s"DIV $span AS BIGINT)")
+              } else {
+                val step = span / cap + 1
+                expr(s"CAST((CAST(`$c` AS BIGINT) - $lo) " +
+                  s"DIV $step AS BIGINT)")
+              }
             }
           }
           cur.withColumn("_vs_z", ZOrder.zValue(scaled, bits))

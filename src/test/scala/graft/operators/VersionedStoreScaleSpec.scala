@@ -47,8 +47,15 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
       VersionedStore.checkpointVersions(spark, p) shouldBe Seq(4L)
       val f = org.apache.hadoop.fs.FileSystem
         .get(spark.sparkContext.hadoopConfiguration)
-      f.exists(new org.apache.hadoop.fs.Path(
-        s"$p/_last_checkpoint")) shouldBe true
+      val ptr = new org.apache.hadoop.fs.Path(s"$p/_last_checkpoint")
+      f.exists(ptr) shouldBe true
+      // the pointer is a single plain JSON FILE (the public Delta
+      // log shape external tools can consume), not a parquet dir
+      f.getFileStatus(ptr).isFile shouldBe true
+      val in = f.open(ptr)
+      val ptrTxt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      ptrTxt shouldBe """{"version":4}"""
       // corrupt every pre-checkpoint commit record: overwrite its
       // parquet files with garbage — any attempt to read them fails
       (1 to 4).foreach { v =>
@@ -417,6 +424,41 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
       .head.getAs[Long]("n_live_groups").toInt
     VersionedStore.candidateFids(spark, p, v, "ts",
       0L, 10L * 17_000_000_000_000L).size should be < nLive
+    // ...and the NARROW dim prunes too — the assertion whose absence
+    // let the divide-only scaling regression ship: with the wide key
+    // owning every high interleave bit unshared, a point probe on g
+    // scanned every group
+    VersionedStore.candidateFids(spark, p, v, "g",
+      4L, 4L).size should be < nLive
+  }
+
+  test("z-order compaction with UNBALANCED key spans: the narrow " +
+      "dimension still prunes (multiply-first scaling stretches it " +
+      "into the shared bit width — divide-only degenerated to " +
+      "single-column clustering on the wide key)") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    val s = spark
+    import s.implicits._
+    // 0..4999 against 0..499 — the sf0.1 documents shape
+    // (doc_id 0..4999 vs n_chars 44..577) that broke q357
+    val df = (0 until 5000)
+      .map(i => (i.toLong, (i.toLong * 7919) % 500, s"doc-$i"))
+      .toDF("id", "n", "body")
+    VersionedStore.append(df, p, zoneCols = Seq("id", "n"))
+    VersionedStore.compact(spark, p, clusterBy = Seq("id", "n"),
+      numGroups = 8, zorder = true)
+    ids(p) shouldBe (0L until 5000L)
+    val v = VersionedStore.latestVersion(spark, p)
+    val nLive = VersionedStore.describe(spark, p)
+      .head.getAs[Long]("n_live_groups").toInt
+    // the wide dimension prunes (it always did)...
+    VersionedStore.candidateFids(spark, p, v, "id",
+      0L, 624L).size should be < nLive
+    // ...and the narrow one does too: an eighth-span window must
+    // skip groups whose n-hull lies elsewhere
+    VersionedStore.candidateFids(spark, p, v, "n",
+      0L, 61L).size should be < nLive
   }
 
   // ---------------------------------------- properties + policy
@@ -576,6 +618,68 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
       VersionedStore.latestVersion(spark, p2), "id", 3L) shouldBe
       Seq(1L)
     VersionedStore.readPoint(spark, p2, "id", 3L).count() shouldBe 1L
+  }
+
+  test("CONCURRENT appendIdempotent replays of the same txn land " +
+      "exactly one copy — the conflict handler recognizes a winner " +
+      "carrying the same app transaction and no-ops instead of " +
+      "rebasing a duplicate") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    // a prior commit so racing replays contend on version 2
+    VersionedStore.append(batch(500 until 510), p)
+    val replays = (0 until 4).map { _ =>
+      Future {
+        VersionedStore.appendIdempotent(batch(0 until 10), p, txn = 42L)
+      }
+    }
+    val versions =
+      Await.result(Future.sequence(replays), 120.seconds)
+    // every replayer reports the SAME committed version, the window
+    // landed once, and the store carries exactly one copy
+    versions.toSet.size shouldBe 1
+    VersionedStore.hasTxn(spark, p, 42L) shouldBe true
+    ids(p) shouldBe ((0L until 10L) ++ (500L until 510L)).sorted
+    VersionedStore.read(spark, p)
+      .where(col("id") < 10).count() shouldBe 10L
+  }
+
+  test("a point probe of an UNSUPPORTED type on a bloom-armed " +
+      "column degrades to unpruned, never crashes") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 20), p, bloomCols = Seq("id"))
+    val v = VersionedStore.latestVersion(spark, p)
+    // Double probes are outside BloomFilter.mightContain's domain:
+    // the sidecar veto must stand down (group stays a candidate)
+    // and the residual filter settles the answer
+    noException should be thrownBy
+      VersionedStore.pointCandidates(spark, p, v, "id", 3.5d)
+    VersionedStore.readPoint(spark, p, "id", 3.5d).count() shouldBe 0L
+  }
+
+  test("the bloom sidecar cache is bounded: under a tiny byte cap " +
+      "old entries are evicted, not accumulated forever") {
+    val cap = "graft.store.bloomCacheMaxBytes"
+    System.setProperty(cap, "1")
+    try {
+      val p = freshPath()
+      VersionedStore.create(spark, p)
+      (0 until 3).foreach { i =>
+        VersionedStore.append(
+          batch(i * 100 until i * 100 + 50), p, bloomCols = Seq("id"))
+      }
+      val v = VersionedStore.latestVersion(spark, p)
+      // probing across all three armed groups loads three sidecars;
+      // a 1-byte cap keeps at most one resident at a time
+      Seq(0L, 100L, 200L).foreach { k =>
+        VersionedStore.pointCandidates(spark, p, v, "id", k)
+      }
+      VersionedStore.bloomCacheSize should be <= 1
+    } finally System.clearProperty(cap)
   }
 
   test("bloom sidecars survive cloning (loc-aware sidecar " +
