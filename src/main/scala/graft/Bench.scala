@@ -38,6 +38,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -117,8 +118,17 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // lane subtotals (serve = query/read workloads, build = store/
+    // index lifecycle + training — graft.queries.Lanes): the 2×
+    // suite-total contract is dominated by deliberately-added BUILD
+    // workloads, and the split keeps that legible per round
+    def laneTotal(lane: String) = results.collect {
+      case (k, v, true)
+        if graft.queries.Lanes.laneOf(k) == lane => v
+    }.sum
+    val lanes = s""""lane_totals":{"serve":${f(laneTotal("serve"))},"build":${f(laneTotal("build"))}}"""
     val fullLine =
-      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"timed_rounds":2,"metric":"total","unit":"sec","value":${f(total)}}"""
+      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"timed_rounds":2,$lanes,"metric":"total","unit":"sec","value":${f(total)}}"""
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullOut), fullLine + "\n")
@@ -138,7 +148,7 @@ object Bench {
         }
     }
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":$errs,"detail":"$fullOut","queries":{$slowest}}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":$errs,$lanes,"detail":"$fullOut","queries":{$slowest}}""")
     spark.stop()
   }
 }

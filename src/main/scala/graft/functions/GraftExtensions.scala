@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.fingerprintDescriptor)
     ext.injectFunction(GraftExtensions.redactPiiDescriptor)
+    ext.injectResolutionRule(new graft.plans.StoreTimeTravelRule(_))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapPruneRule)

@@ -161,6 +161,33 @@ object VersionedStore {
   private[operators] final class CommitConflict(msg: String)
     extends RuntimeException(msg)
 
+  /** The installed commit-arbitration backend ([[HdfsLogStore]] by
+    * default). An S3 deployment installs an exclusive implementation
+    * backed by conditional PUT or a commit coordinator — see
+    * [[LogStore]] for the contract and README for the 100 TB note.
+    */
+  @volatile private var logStoreImpl: LogStore = HdfsLogStore
+
+  def logStore: LogStore = logStoreImpl
+
+  def setLogStore(ls: LogStore): Unit = logStoreImpl = ls
+
+  /** Every mutation calls this BEFORE writing a byte: committing
+    * through a backend that cannot pick one winner per version (raw
+    * S3 rename) would let two writers both "succeed" and silently
+    * lose a commit — the failure mode must be a loud refusal at the
+    * first write, not corruption discovered at read time.
+    */
+  private def requireExclusive(op: String): Unit = {
+    if (!logStoreImpl.exclusive) sys.error(
+      s"VersionedStore.$op: the installed LogStore " +
+        s"(${logStoreImpl.getClass.getName}) declares non-exclusive " +
+        "publication — concurrent writers could silently clobber " +
+        "each other's commits (the S3 rename trap). Install an " +
+        "exclusive implementation (conditional PUT / commit " +
+        "coordinator); see LogStore's scaladoc")
+  }
+
   /** Optimistic-concurrency commit (the Delta OCC protocol's second
     * half): attempt at latest+1; on losing the rename to a
     * concurrent writer, re-read the log and REBASE onto the new
@@ -264,8 +291,10 @@ object VersionedStore {
   private[operators] def commitAt(spark: SparkSession, path: String,
       v: Long, adds: Seq[GroupAdd], removes: Seq[Long],
       txn: Long = -1L, dvs: Seq[GroupAdd] = Nil,
-      ts: Long = -1L): Long = {
+      ts: Long = -1L,
+      rename: Option[(String, String, String)] = None): Long = {
     import spark.implicits._
+    requireExclusive("commit")
     val f = fs(spark)
     // the tmp name is unique PER ATTEMPT: two writers racing for the
     // same version must stage into disjoint dirs (a shared
@@ -283,7 +312,7 @@ object VersionedStore {
       (action, a.fid, a.n, txn, sc, lo, hi, a.schemaJson.orNull,
         stamp, a.zones.map(_.c), a.zones.map(_.t),
         a.zones.map(_.lo), a.zones.map(_.hi), a.loc.orNull,
-        a.blooms)
+        a.blooms, null: String, null: String)
     }
     (adds.map(addRow("add", _)) ++ dvs.map(addRow("dv", _)) ++
       removes.map(fid =>
@@ -291,32 +320,34 @@ object VersionedStore {
           None: Option[Long], None: Option[Long], null: String,
           stamp, Seq.empty[String], Seq.empty[String],
           Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String])))
+          Seq.empty[String], null: String, null: String)) ++
+      rename.map { case (from, to, newSchemaJson) =>
+        ("rename", -1L, 0L, txn, null: String,
+          None: Option[Long], None: Option[Long], newSchemaJson,
+          stamp, Seq.empty[String], Seq.empty[String],
+          Seq.empty[String], Seq.empty[String], null: String,
+          Seq.empty[String], from, to)
+      })
       .toDF("action", "fid", "rows", "txn",
         "stat_col", "stat_min", "stat_max", "schema_json",
-        "ts", "zc", "zt", "zlo", "zhi", "loc", "bc")
+        "ts", "zc", "zt", "zlo", "zhi", "loc", "bc",
+        "ren_from", "ren_to")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/${versionName(v)}")
-    if (f.exists(dest)) {
+    // publication is the LogStore's exclusive-winner primitive:
+    // `false` = a concurrent writer owns this version (the OCC loop
+    // rebases); a real filesystem fault (rename failing with the
+    // destination still absent) THROWS from the implementation
+    // instead — retrying it at 5 successive versions would litter 5
+    // orphan attempts and mask the error as phantom "lost races"
+    val published =
+      try logStore.publish(f, tmp, dest)
+      catch { case e: Throwable => f.delete(tmp, true); throw e }
+    if (!published) {
       f.delete(tmp, true)
       throw new CommitConflict(
         s"VersionedStore.commit: version $v already " +
           s"committed at $path — concurrent writer conflict")
-    }
-    if (!f.rename(tmp, dest)) {
-      // only a version RACE is a CommitConflict (destination now
-      // occupied by the winner). A rename that fails with the
-      // destination still absent is a filesystem fault (permissions,
-      // outage) — retrying it at 5 successive versions would litter
-      // 5 orphan attempts and mask the real error as "lost races"
-      val raced = f.exists(dest)
-      f.delete(tmp, true)
-      if (raced) throw new CommitConflict(
-        s"VersionedStore.commit: cannot publish $dest — " +
-          "concurrent writer conflict")
-      sys.error(s"VersionedStore.commit: rename to $dest failed " +
-        "with no concurrent writer present — filesystem error, " +
-        "not a version race")
     }
     maybeCheckpoint(spark, path, v)
     v
@@ -330,7 +361,11 @@ object VersionedStore {
       rows: Long, txn: Long, stats: Option[(String, Long, Long)],
       schemaJson: Option[String], ts: Long = -1L,
       zones: Seq[ColZone] = Nil, loc: Option[String] = None,
-      blooms: Seq[String] = Nil)
+      blooms: Seq[String] = Nil,
+      /** (old logical name, new logical name) of an action="rename"
+        * record — the log-carried column mapping ([[renameColumn]]).
+        */
+      ren: Option[(String, String)] = None)
 
   /** Driver-side incremental log cache, per JVM: the log is
     * O(commits) of KB-scale parquet, but re-reading it through a
@@ -369,7 +404,9 @@ object VersionedStore {
       optCol("zlo", "array<string>").as("zlo"),
       optCol("zhi", "array<string>").as("zhi"),
       optCol("loc", "string").as("loc"),
-      optCol("bc", "array<string>").as("bc"))
+      optCol("bc", "array<string>").as("bc"),
+      optCol("ren_from", "string").as("ren_from"),
+      optCol("ren_to", "string").as("ren_to"))
       .collect()
       .map { r =>
         val stats =
@@ -388,9 +425,12 @@ object VersionedStore {
         val loc = if (r.isNullAt(14)) None else Some(r.getString(14))
         val blooms =
           if (r.isNullAt(15)) Nil else r.getSeq[String](15)
+        val ren =
+          if (r.isNullAt(16) || r.isNullAt(17)) None
+          else Some((r.getString(16), r.getString(17)))
         LogRec(r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getLong(4), stats, sj, r.getLong(9),
-          zones, loc, blooms)
+          zones, loc, blooms, ren)
       }.toSeq
   }
 
@@ -468,10 +508,12 @@ object VersionedStore {
       (r.v, r.action, r.fid, r.rows, r.txn, sc, lo, hi,
         r.schemaJson.orNull, r.ts, r.zones.map(_.c),
         r.zones.map(_.t), r.zones.map(_.lo), r.zones.map(_.hi),
-        r.loc.orNull, r.blooms)
+        r.loc.orNull, r.blooms,
+        r.ren.map(_._1).orNull, r.ren.map(_._2).orNull)
     }.toDF("v", "action", "fid", "rows", "txn",
       "stat_col", "stat_min", "stat_max", "schema_json",
-      "ts", "zc", "zt", "zlo", "zhi", "loc", "bc")
+      "ts", "zc", "zt", "zlo", "zhi", "loc", "bc",
+      "ren_from", "ren_to")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/ckpt-${versionName(v)}")
     if (f.exists(dest) && !f.delete(dest, true))
@@ -566,10 +608,18 @@ object VersionedStore {
     * common no-DV case folds over nothing and adds zero to the plan.
     */
   private def applyDvs(spark: SparkSession, path: String, v: Long,
-      df: DataFrame): DataFrame =
+      df: DataFrame): DataFrame = {
+    // DV frames carry PHYSICAL key names (written like any group);
+    // the content they mask is served under LOGICAL names at `v` —
+    // translate before matching
+    lazy val inv = mappingAt(spark, path, v).map(_.swap)
     liveDvFids(spark, path, v).foldLeft(df) { (acc, dvFid) =>
-      val keys = spark.read.parquet(
+      val raw = spark.read.parquet(
         groupDir(spark, path, dvFid).toString)
+      val keys =
+        if (inv.isEmpty) raw
+        else raw.select(raw.columns.map(c =>
+          col(c).as(inv.getOrElse(c, c))): _*)
       val renamed = keys.columns.foldLeft(keys)((k, c) =>
         k.withColumnRenamed(c, s"_dv_$c"))
       val cond = keys.columns.map(c =>
@@ -577,6 +627,7 @@ object VersionedStore {
         acc("_vs_fid") < lit(dvFid)
       acc.join(broadcast(renamed), cond, "left_anti")
     }
+  }
 
   /** DV-applied visible content at `v` (fids resolved from the log;
     * the `_vs_fid` carrier column is added only when DVs are live
@@ -675,15 +726,16 @@ object VersionedStore {
   private[graft] def candidateFids(spark: SparkSession,
       path: String, v: Long, keyCol: String, lo: Long,
       hi: Long): Seq[Long] = {
+    val pk = physOf(spark, path, v, keyCol) // zones carry PHYSICAL names
     val stats = groupStats(spark, path)
     val zones = groupZones(spark, path)
     liveFids(spark, path, v).filter { fid =>
       val legacyOk = stats.get(fid) match {
-        case Some((c, mn, mx)) if c == keyCol => mx >= lo && mn <= hi
+        case Some((c, mn, mx)) if c == pk => mx >= lo && mn <= hi
         case _ => true
       }
       val zoneOk = zones.getOrElse(fid, Nil)
-        .find(z => z.c == keyCol && z.t == "l") match {
+        .find(z => z.c == pk && z.t == "l") match {
         case Some(z) => z.hi.toLong >= lo && z.lo.toLong <= hi
         case None => true
       }
@@ -699,10 +751,11 @@ object VersionedStore {
   private[graft] def candidateFidsStr(spark: SparkSession,
       path: String, v: Long, keyCol: String, lo: String,
       hi: String): Seq[Long] = {
+    val pk = physOf(spark, path, v, keyCol)
     val zones = groupZones(spark, path)
     liveFids(spark, path, v).filter { fid =>
       zones.getOrElse(fid, Nil)
-        .find(z => z.c == keyCol && z.t == "s") match {
+        .find(z => z.c == pk && z.t == "s") match {
         case Some(z) => sCmp(z.hi, lo) >= 0 && sCmp(z.lo, hi) <= 0
         case None => true
       }
@@ -857,23 +910,38 @@ object VersionedStore {
       zoneCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): GroupAdd = {
     val spark = df.sparkSession
-    df.write.mode("overwrite").parquet(dataDir(path, fid).toString)
-    val written = spark.read.parquet(dataDir(path, fid).toString)
+    // column mapping: the commit record's schema stays LOGICAL (what
+    // readers serve), but bytes on disk and all derived metadata
+    // (zones, stats, blooms) carry PHYSICAL names — uniform with
+    // every group written before any rename
+    val m0 = mappingAt(spark, path, Long.MaxValue)
+    val m = m0.filter { case (l, p) =>
+      l != p && df.columns.contains(l) }
     val sj = Some(df.schema.json)
-    val zcs = zoneCols.distinct
-      .flatMap(c => zoneTypeOf(df, c).map(c -> _))
+    val pdf =
+      if (m.isEmpty) df
+      else df.select(df.columns.map(c =>
+        col(c).as(m.getOrElse(c, c))): _*)
+    def phys(n: String) = m.getOrElse(n, n)
+    val pStatsCol = statsCol.map(phys)
+    val pZoneCols = zoneCols.map(phys)
+    val pBloomCols = bloomCols.map(phys)
+    pdf.write.mode("overwrite").parquet(dataDir(path, fid).toString)
+    val written = spark.read.parquet(dataDir(path, fid).toString)
+    val zcs = pZoneCols.distinct
+      .flatMap(c => zoneTypeOf(pdf, c).map(c -> _))
     val aggs = Seq(count(lit(1)).as("n")) ++
-      statsCol.toSeq.flatMap(c => Seq(
+      pStatsCol.toSeq.flatMap(c => Seq(
         min(col(c)).cast("long").as("_lo"),
         max(col(c)).cast("long").as("_hi"))) ++
       zcs.flatMap { case (c, _) => zoneAggs(written, c) }
     val r = written.agg(aggs.head, aggs.tail: _*).head
     val n = r.getLong(0)
-    val legacy = statsCol.flatMap { c =>
+    val legacy = pStatsCol.flatMap { c =>
       if (n == 0 || r.isNullAt(1)) None
       else Some((c, r.getLong(1), r.getLong(2)))
     }
-    val base = 1 + (if (statsCol.isDefined) 2 else 0)
+    val base = 1 + (if (pStatsCol.isDefined) 2 else 0)
     val zones = zcs.zipWithIndex.flatMap { case ((c, t), i) =>
       // an empty or all-NULL column commits no zone for that column
       // (the group stays a candidate for any range), never a bogus
@@ -883,23 +951,108 @@ object VersionedStore {
         r.getString(base + 2 * i + 1)))
     }
     GroupAdd(fid, n, legacy, sj, zones,
-      blooms = buildBlooms(spark, path, fid, n, bloomCols))
+      blooms = buildBlooms(spark, path, fid, n, pBloomCols))
   }
 
-  /** The table schema as of version `v`: the newest add record ≤ v
-    * that carries one (commits never shrink the schema — enforced in
-    * [[append]]). None for stores whose records predate schema
-    * tracking.
+  /** The table schema as of version `v`: the newest add OR rename
+    * record ≤ v that carries one (commits never shrink the schema —
+    * enforced in [[append]]; a rename record carries the full
+    * post-rename LOGICAL schema). None for stores whose records
+    * predate schema tracking.
     */
   private def schemaAt(spark: SparkSession, path: String,
       v: Long): Option[org.apache.spark.sql.types.StructType] =
     logRecords(spark, path)
-      .filter(r => r.action == "add" && r.v <= v &&
-        r.schemaJson.isDefined)
+      .filter(r => (r.action == "add" || r.action == "rename") &&
+        r.v <= v && r.schemaJson.isDefined)
       .sortBy(_.v).lastOption
       .map(r => org.apache.spark.sql.types.DataType
         .fromJson(r.schemaJson.get)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The log-carried column mapping as of version `v`: LOGICAL name
+    * → PHYSICAL name, present only for lineages some rename ≤ v
+    * touched (identity for everything else — the empty map is the
+    * no-renames fast path every pre-existing store takes). The
+    * physical name of a column is the name it was FIRST written
+    * under; renames re-point the logical name and never touch a
+    * byte of data, so every file-group — before or after any number
+    * of renames — carries the same physical column names (the
+    * Delta/Iceberg column-mapping design).
+    */
+  private def mappingAt(spark: SparkSession, path: String,
+      v: Long): Map[String, String] = {
+    val rens = logRecords(spark, path)
+      .filter(r => r.action == "rename" && r.v <= v && r.ren.isDefined)
+      .sortBy(_.v)
+    var m = Map.empty[String, String]
+    rens.foreach { r =>
+      val (from, to) = r.ren.get
+      val phys = m.getOrElse(from, from)
+      m = m - from + (to -> phys)
+    }
+    m
+  }
+
+  /** logical → physical under the mapping at `v` (identity for
+    * unmapped names — including retired and physical names, which
+    * is what lets mutators pass record-sourced physical names
+    * straight back through the write path).
+    */
+  private def physOf(spark: SparkSession, path: String, v: Long,
+      name: String): String =
+    mappingAt(spark, path, v).getOrElse(name, name)
+
+  /** Rename a column as ONE metadata commit — no file-group is read
+    * or rewritten. Old groups stay readable (they carry the physical
+    * name, which never changes), new writes keep producing the
+    * physical name, and time travel at a pre-rename version serves
+    * the OLD logical name (the schema and mapping both resolve at
+    * the read version). Reuse of any name the table has EVER carried
+    * (logical or physical) is rejected: allowing it would let a new
+    * lineage collide with retired physical names inside the shared
+    * parquet namespace. Drops and retypes stay rejected (see
+    * [[checkSchema]]).
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = schemaAt(spark, path, Long.MaxValue).getOrElse(
+        sys.error(s"VersionedStore.renameColumn: $path has no " +
+          "schema yet (append first)"))
+      require(cur.fieldNames.contains(from),
+        s"VersionedStore.renameColumn: no column `$from` at $path " +
+          s"(schema: ${cur.fieldNames.mkString(", ")})")
+      val everUsed = logRecords(spark, path)
+        .flatMap(r => r.schemaJson.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSeq).getOrElse(Nil) ++
+          r.ren.toSeq.flatMap(p => Seq(p._1, p._2)))
+        .toSet
+      require(!everUsed.contains(to),
+        s"VersionedStore.renameColumn: `$to` was already used by " +
+          s"this table's history at $path — renaming to a " +
+          "previously-used name would collide with its physical " +
+          "namespace")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        cur.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      val v = latestVersion(spark, path) + 1
+      try return commitAt(spark, path, v, Seq.empty, Seq.empty,
+        rename = Some((from, to, newSchema.json)))
+      catch {
+        case _: CommitConflict =>
+          attempt += 1
+          if (attempt >= 5) sys.error(
+            s"VersionedStore.renameColumn: lost 5 version races " +
+              s"at $path — giving up")
+        // loop: revalidate against the winner's schema and retry
+      }
+    }
+    -1L // unreachable
+  }
 
   /** Read file-groups under the table schema of version `v`: groups
     * written before an additive schema evolution simply yield NULL
@@ -911,7 +1064,20 @@ object VersionedStore {
       fids: Seq[Long], v: Long): DataFrame = {
     val paths = groupDirs(spark, path, fids)
     schemaAt(spark, path, v) match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case Some(s) =>
+        val m = mappingAt(spark, path, v)
+        if (m.isEmpty) spark.read.schema(s).parquet(paths: _*)
+        else {
+          // column mapping: scan under PHYSICAL names (what every
+          // group actually carries), serve LOGICAL names at `v` —
+          // one zero-cost projection, no data touched
+          val phys = org.apache.spark.sql.types.StructType(
+            s.fields.map(f =>
+              f.copy(name = m.getOrElse(f.name, f.name))))
+          spark.read.schema(phys).parquet(paths: _*)
+            .select(s.fields.map(f =>
+              col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+        }
       case None => spark.read.parquet(paths: _*)
     }
   }
@@ -942,6 +1108,16 @@ object VersionedStore {
           s"${added.mkString(", ")} — schema evolution is additive " +
           "and explicit: append with evolve=true (never silently " +
           "projected away)")
+      // column mapping: an added column may not reuse a RETIRED
+      // physical name — the new lineage would collide with the old
+      // one inside the shared parquet namespace
+      val retiredPhys = mappingAt(df.sparkSession, path,
+        Long.MaxValue).collect { case (l, p) if l != p => p }.toSet
+      val reuse = added.filter(retiredPhys)
+      if (reuse.nonEmpty) sys.error(
+        s"VersionedStore.$op: added column(s) " +
+          s"${reuse.mkString(", ")} reuse a renamed-away physical " +
+          "column name — pick a name this table has never carried")
     }
 
   private def nextFid(spark: SparkSession, path: String): Long = {
@@ -977,6 +1153,7 @@ object VersionedStore {
   private def claimFids(spark: SparkSession, path: String,
       count: Int): Seq[Long] = claimLock.synchronized {
     if (count == 0) return Seq.empty
+    requireExclusive("claimFids")
     val f = fs(spark)
     val dir = new Path(s"$path/data/.fidclaims")
     if (!f.exists(dir)) f.mkdirs(dir)
@@ -986,11 +1163,8 @@ object VersionedStore {
       actions(spark, path, Long.MaxValue).map(_._3)).max + 1
     val got = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (got.size < count) {
-      val ok =
-        try {
-          val out = f.create(new Path(dir, s"f$cand"), false)
-          out.close(); true
-        } catch { case _: java.io.IOException => false }
+      val ok = logStoreImpl
+        .createExclusive(f, new Path(dir, s"f$cand"))
       if (ok) got += cand
       cand += 1
     }
@@ -1185,12 +1359,13 @@ object VersionedStore {
       case s: String => Some(s)
       case _ => None
     }
+    val pk = physOf(spark, path, v, keyCol) // sidecars: PHYSICAL names
     val armed = logRecords(spark, path)
       .collect { case r if r.action == "add" &&
-        r.blooms.contains(keyCol) => r.fid }.toSet
+        r.blooms.contains(pk) => r.fid }.toSet
     zoneCand.filter { fid =>
       probe.isEmpty || !armed(fid) ||
-        loadBloom(spark, path, fid, keyCol)
+        loadBloom(spark, path, fid, pk)
           .forall(_.mightContain(probe.get))
     }
   }
@@ -1361,16 +1536,31 @@ object VersionedStore {
     val tmp = new Path(s"$path/data/.rewrite-tmp")
     if (f.exists(tmp) && !f.delete(tmp, true))
       sys.error(s"VersionedStore.rewriteGroups: cannot clear $tmp")
-    val dataCols = kept.columns.filter(_ != "_vs_fid")
+    // column mapping, same discipline as writeGroup: the rewritten
+    // bytes and their derived metadata carry PHYSICAL names; the
+    // commit record's schema stays LOGICAL
+    val m0 = mappingAt(spark, path, Long.MaxValue)
+    val mm = m0.filter { case (l, p) =>
+      l != p && kept.columns.contains(l) }
+    def phys(n: String) = mm.getOrElse(n, n)
+    val logicalSchema = kept.drop("_vs_fid").schema
+    val kept2 =
+      if (mm.isEmpty) kept
+      else kept.select(kept.columns.map(c =>
+        col(c).as(phys(c))): _*)
+    val statsColP = statsCol.map(phys)
+    val zoneColsP = zoneCols.map(phys)
+    val bloomColsP = bloomCols.map(phys)
+    val dataCols = kept2.columns.filter(_ != "_vs_fid")
     val salt = pmod(xxhash64(struct(dataCols.map(col): _*)), lit(8))
-    val spread = kept.repartition(col("_vs_fid"), salt)
+    val spread = kept2.repartition(col("_vs_fid"), salt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val zcs = zoneCols.distinct.filter(dataCols.contains)
+    val zcs = zoneColsP.distinct.filter(dataCols.contains)
       .flatMap(c => zoneTypeOf(spread, c).map(c -> _))
     try {
       spread.write.partitionBy("_vs_fid").parquet(tmp.toString)
       val aggs = Seq(count(lit(1)).as("n")) ++
-        (statsCol match {
+        (statsColP match {
           case Some(c) => Seq(min(col(c)).cast("long").as("lo"),
             max(col(c)).cast("long").as("hi"))
           case None => Seq(lit(null).cast("long").as("lo"),
@@ -1382,7 +1572,7 @@ object VersionedStore {
         .collect().map { r =>
           val legacy =
             if (r.isNullAt(2)) None
-            else Some((statsCol.get, r.getLong(2), r.getLong(3)))
+            else Some((statsColP.get, r.getLong(2), r.getLong(3)))
           val zones = zcs.zipWithIndex.flatMap { case ((c, t), i) =>
             if (r.isNullAt(4 + 2 * i)) None
             else Some(ColZone(c, t, r.getString(4 + 2 * i),
@@ -1390,7 +1580,7 @@ object VersionedStore {
           }
           r.getLong(0) -> (r.getLong(1), legacy, zones)
         }.toMap
-      val schemaJson = Some(kept.drop("_vs_fid").schema.json)
+      val schemaJson = Some(logicalSchema.json)
       fidOf.map { case (oldFid, newFid) =>
         val src = new Path(s"$tmp/_vs_fid=$oldFid")
         val dst = dataDir(path, newFid)
@@ -1404,12 +1594,12 @@ object VersionedStore {
           // parquet dir keeps multi-path reads working
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            kept.drop("_vs_fid").schema)
+            kept2.drop("_vs_fid").schema)
             .write.parquet(dst.toString)
         val (n, st, zs) =
           statRows.getOrElse(oldFid, (0L, None, Nil))
         GroupAdd(newFid, n, st, schemaJson, zs,
-          blooms = buildBlooms(spark, path, newFid, n, bloomCols))
+          blooms = buildBlooms(spark, path, newFid, n, bloomColsP))
       }
     } finally {
       spread.unpersist()
@@ -1518,7 +1708,10 @@ object VersionedStore {
     val zoneCols = storeZoneCols(spark, path)
     val statsCol = storeStatsCol(spark, path)
     val scanFids = keyCols match {
-      case Seq(c) if statsCol.contains(c) || zoneCols.contains(c) =>
+      // zone/stat/bloom metadata carries PHYSICAL names — compare
+      // the (logical) key through the mapping
+      case Seq(c) if statsCol.contains(physOf(spark, path, v, c)) ||
+          zoneCols.contains(physOf(spark, path, v, c)) =>
         val isStr = k.schema(c).dataType ==
           org.apache.spark.sql.types.StringType
         if (isStr) {
@@ -1592,7 +1785,10 @@ object VersionedStore {
     // both the affected-group detection scan and the rewrites to the
     // overlapping file-groups — O(touched groups), not O(table)
     val scanFids = keyCols match {
-      case Seq(c) if statsCol.contains(c) || zoneCols.contains(c) =>
+      // zone/stat/bloom metadata carries PHYSICAL names — compare
+      // the (logical) key through the mapping
+      case Seq(c) if statsCol.contains(physOf(spark, path, v, c)) ||
+          zoneCols.contains(physOf(spark, path, v, c)) =>
         val isStr = updates.schema(c).dataType ==
           org.apache.spark.sql.types.StringType
         if (isStr) {
@@ -1768,21 +1964,60 @@ object VersionedStore {
     }
   }
 
-  /** Apply a change feed (the output of [[changes]], or any frame
-    * with the store schema plus a `_change` column) to ANOTHER
-    * keyed store — CDC replication: after applying source windows in
-    * order, the replica's content equals the source's at the
-    * window's end version. Deletes (including the delete half of a
-    * replaced key) land first as one keyed-delete commit, then the
-    * inserts append — so a replace never collides on its key. Two
-    * commits per window; readers of the replica see it atomically
-    * per commit as always.
+  /** [[changes]] with UPDATE pre/post-images: rows whose key appears
+    * on both sides of the window are a keyed rewrite — the same row
+    * identity before and after — and consumers (audit feeds,
+    * incremental rollups that subtract-then-add, replicas that want
+    * update semantics) need to see them as one update, not an
+    * unrelated delete+insert pair. The tags follow the public Delta
+    * CDF vocabulary: `_change` ∈ insert | delete |
+    * `update_preimage` (the old row) | `update_postimage` (the new
+    * row); keys on only one side keep their plain tag.
+    *
+    * Scale shape: the pairing is two key-projections + one join over
+    * the ALREADY-BOUNDED feed (O(changed rows), never O(table));
+    * unchanged rows cancelled inside [[changes]] before any of this
+    * runs. [[applyChanges]] and the change-feed consumer accept both
+    * vocabularies, so either feed flavor replicates identically.
+    */
+  def changesKeyed(spark: SparkSession, path: String, fromV: Long,
+      toV: Long, keyCols: Seq[String]): DataFrame = {
+    val feed = changes(spark, path, fromV, toV)
+    val delKeys = feed.filter(col("_change") === "delete")
+      .select(keyCols.map(col): _*).distinct()
+    val insKeys = feed.filter(col("_change") === "insert")
+      .select(keyCols.map(col): _*).distinct()
+    val updKeys = delKeys.join(insKeys, keyCols, "inner")
+      .withColumn("_vs_upd", lit(true))
+    feed.join(updKeys, keyCols, "left")
+      .withColumn("_change",
+        when(col("_vs_upd") && col("_change") === "delete",
+          lit("update_preimage"))
+          .when(col("_vs_upd") && col("_change") === "insert",
+            lit("update_postimage"))
+          .otherwise(col("_change")))
+      .select(feed.columns.map(col): _*)
+  }
+
+  /** Apply a change feed (the output of [[changes]] or
+    * [[changesKeyed]], or any frame with the store schema plus a
+    * `_change` column) to ANOTHER keyed store — CDC replication:
+    * after applying source windows in order, the replica's content
+    * equals the source's at the window's end version. Removals
+    * (deletes and update pre-images) land first as one keyed-delete
+    * commit, then the additions (inserts and update post-images)
+    * append — so a replace never collides on its key. Two commits
+    * per window; readers of the replica see it atomically per
+    * commit as always.
     */
   def applyChanges(spark: SparkSession, feed: DataFrame,
       targetPath: String, keyCols: Seq[String]): Long = {
-    val dels = feed.filter(col("_change") === "delete")
+    val dels = feed.filter(
+      col("_change").isin("delete", "update_preimage"))
       .select(keyCols.map(col): _*)
-    val ins = feed.filter(col("_change") === "insert").drop("_change")
+    val ins = feed.filter(
+      col("_change").isin("insert", "update_postimage"))
+      .drop("_change")
     if (!dels.isEmpty) deleteKeys(spark, targetPath, dels, keyCols)
     if (!ins.isEmpty) append(ins, targetPath)
     latestVersion(spark, targetPath)
@@ -2036,14 +2271,15 @@ object VersionedStore {
     if (liveDvFids(spark, path, latest).nonEmpty) return None
     val live = liveFids(spark, path, latest)
     if (live.isEmpty) return None
+    val pk = physOf(spark, path, latest, keyCol)
     val zones = groupZones(spark, path)
     val stats = groupStats(spark, path)
     val hulls = live.map { fid =>
       zones.getOrElse(fid, Nil)
-        .find(z => z.c == keyCol && z.t == "l")
+        .find(z => z.c == pk && z.t == "l")
         .map(z => (z.lo.toLong, z.hi.toLong))
         .orElse(stats.get(fid).collect {
-          case (c, lo, hi) if c == keyCol => (lo, hi) })
+          case (c, lo, hi) if c == pk => (lo, hi) })
     }
     if (hulls.exists(_.isEmpty)) None
     else Some((hulls.map(_.get._1).min, hulls.map(_.get._2).max))
@@ -2078,6 +2314,47 @@ object VersionedStore {
       version: Option[Long] = None): Unit =
     version.map(readAt(spark, path, _)).getOrElse(read(spark, path))
       .createOrReplaceTempView(name)
+
+  /** Register `name` as a SQL-addressable store table: the bare
+    * name serves the LATEST version (resolved fresh at every query,
+    * never the stale snapshot a temp view would pin), and the
+    * parser's native `VERSION AS OF n` / `TIMESTAMP AS OF ts`
+    * suffix serves any retained version — both resolved by
+    * [[graft.plans.StoreTimeTravelRule]] on sessions built with
+    * `spark.sql.extensions = graft.functions.GraftExtensions`.
+    * Deliberately NOT a temp view: the builtin analyzer rejects time
+    * travel over temp views before any extension rule runs, and a
+    * view would freeze "latest" at registration time.
+    */
+  def registerTable(spark: SparkSession, path: String,
+      name: String): Unit =
+    sqlTables.put(name.toLowerCase(java.util.Locale.ROOT), path)
+
+  /** view name (lowercased) → store path, for the time-travel rule. */
+  private val sqlTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def registeredPath(name: String): Option[String] =
+    Option(sqlTables.get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  /** version → commit wall-clock millis, from the log records. */
+  def commitTimestamps(spark: SparkSession,
+      path: String): Map[Long, Long] =
+    logRecords(spark, path).groupBy(_.v)
+      .map { case (v, rs) => v -> rs.map(_.ts).max }
+
+  /** The newest version committed at or before wall-clock `ms` —
+    * `TIMESTAMP AS OF` resolution from the log's persisted commit
+    * timestamps (one cached log read, no data scan).
+    */
+  def versionAtTimestamp(spark: SparkSession, path: String,
+      ms: Long): Long = {
+    val vs = logRecords(spark, path).filter(_.ts <= ms).map(_.v)
+    if (vs.isEmpty) sys.error(
+      s"VersionedStore.versionAtTimestamp: no commit at or before " +
+        s"$ms at $path")
+    vs.max
+  }
 
   /** Commit history as a DataFrame: (version, action, fid, n_rows)
     * — `n_rows`, not `rows`, because ROWS is a reserved word in the

@@ -694,14 +694,21 @@ object ScaleQueries {
         // the receipt is the rule's OWN decision on the query's
         // optimized condition (collectFirst is pre-order: the TOP
         // Filter is the original predicate, above the injected IN)
+        // with the rule active in the MAIN optimizer (the
+        // extensions path), an all-files-pruned IN () folds the
+        // whole plan to an empty LocalRelation — no Filter survives.
+        // That is the rule's strongest outcome: zero files read.
         val cond = q.queryExecution.optimizedPlan.collectFirst {
           case org.apache.spark.sql.catalyst.plans.logical
               .Filter(c, _) => c
-        }.get
+        }
         val nTotal = entry.stats.length.toLong
-        val nRead = graft.plans.ZoneMapPruneRule
-          .survivorsForCond(entry, cond)
-          .map(_.length).getOrElse(entry.stats.length).toLong
+        val nRead = cond match {
+          case Some(c) => graft.plans.ZoneMapPruneRule
+            .survivorsForCond(entry, c)
+            .map(_.length).getOrElse(entry.stats.length).toLong
+          case None => 0L
+        }
         q.agg(count(lit(1)).cast("long").as("n_rows"),
             graft.queries.Exact.dsum(col("qty")).as("sum_qty"))
           .select(col("n_rows"), col("sum_qty"),
@@ -786,14 +793,19 @@ object ScaleQueries {
         val q = tbl.filter(
           (col("lang") === "en" && col("source").like("src1%")) ||
             col("lang") === "de")
+        // None = the rule pruned EVERY file and the plan folded
+        // to an empty LocalRelation (see q320's receipt note)
         val cond = q.queryExecution.optimizedPlan.collectFirst {
           case org.apache.spark.sql.catalyst.plans.logical
               .Filter(c, _) => c
-        }.get
+        }
         val nTotal = entry.stats.length.toLong
-        val nRead = graft.plans.ZoneMapPruneRule
-          .survivorsForCond(entry, cond)
-          .map(_.length).getOrElse(entry.stats.length).toLong
+        val nRead = cond match {
+          case Some(c) => graft.plans.ZoneMapPruneRule
+            .survivorsForCond(entry, c)
+            .map(_.length).getOrElse(entry.stats.length).toLong
+          case None => 0L
+        }
         q.agg(count(lit(1)).cast("long").as("n_rows"),
             sum(col("n_chars")).cast("long").as("sum_chars"))
           .select(col("n_rows"), col("sum_chars"),
@@ -863,14 +875,19 @@ object ScaleQueries {
               graft.plans.BloomSkipRule
         }
         val q = tbl.filter(col("doc_id").isin(42L, 123L, 321L))
+        // None = the rule pruned EVERY file and the plan folded
+        // to an empty LocalRelation (see q320's receipt note)
         val cond = q.queryExecution.optimizedPlan.collectFirst {
           case org.apache.spark.sql.catalyst.plans.logical
               .Filter(c, _) => c
-        }.get
+        }
         val nTotal = entry.files.length.toLong
-        val nRead = graft.plans.BloomSkipRule
-          .survivorsForCond(entry, cond)
-          .map(_.length).getOrElse(entry.files.length).toLong
+        val nRead = cond match {
+          case Some(c) => graft.plans.BloomSkipRule
+            .survivorsForCond(entry, c)
+            .map(_.length).getOrElse(entry.files.length).toLong
+          case None => 0L
+        }
         q.agg(count(lit(1)).cast("long").as("n_rows"),
             sum(col("n_chars")).cast("long").as("sum_chars"))
           .select(col("n_rows"), col("sum_chars"),
@@ -1744,16 +1761,18 @@ object ScaleQueries {
       (s, d) => {
         import graft.operators.VersionedStore
         val p = versionedDocStore(s, d, rebuild = false)
-        VersionedStore.registerView(s, p, "doc_store")
-        VersionedStore.registerView(s, p, "doc_store_v2",
-          version = Some(2L))
+        // one registration serves latest AND any pinned version: the
+        // historical side is selected with the parser's native
+        // VERSION AS OF syntax (StoreTimeTravelRule), not a second
+        // hand-registered view
+        VersionedStore.registerTable(s, p, "doc_store")
         s.sql("""
           SELECT cur.source,
                  CAST(COUNT(*) AS BIGINT) AS n_now,
                  CAST(old.n_before AS BIGINT) AS n_before
           FROM doc_store cur
           JOIN (SELECT source, COUNT(*) AS n_before
-                FROM doc_store_v2 GROUP BY source) old
+                FROM doc_store VERSION AS OF 2 GROUP BY source) old
             ON cur.source = old.source
           GROUP BY cur.source, old.n_before
           ORDER BY cur.source""")
@@ -2267,7 +2286,113 @@ object ScaleQueries {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
              |  CAST(MAX(doc_id) AS BIGINT) AS max_id
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // CDC with UPDATE pre/post-images (the Delta CDF vocabulary):
+    // a window spanning a MERGE and a standalone keyed delete must
+    // decompose into exactly four change kinds — keys rewritten by
+    // the merge travel as update_preimage (the original row) +
+    // update_postimage (the merged row), keys removed travel as
+    // plain deletes with their ORIGINAL content (including keys that
+    // were updated and then deleted — the net effect of the window),
+    // and fresh keys as plain inserts. The oracle recomputes all
+    // four sets arithmetically; a preimage carrying post-merge
+    // content, an update split into unrelated delete+insert, or a
+    // deleted post-image leaking through all shift a checksum.
+    QueryDef(
+      "q359_cdc_update_images",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("cdcupd", d) { p =>
+          VersionedStore.create(s, p)
+          VersionedStore.append(docs, p,
+            statsCol = Some("doc_id"))                       // v1
+          val upd = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+            .withColumn("source", lit("merged"))
+            .withColumn("n_chars", col("n_chars") + 1000)
+            .unionByName(
+              docs.where(pmod(col("doc_id"), lit(11)) === 0)
+                .select((col("doc_id") + 10000000L).as("doc_id"),
+                  lit("").as("text"), lit("xx").as("lang"),
+                  lit("inserted").as("source"),
+                  pmod(col("doc_id"), lit(997)).as("n_chars")))
+          VersionedStore.merge(s, p, upd, Seq("doc_id"))      // v2
+          VersionedStore.deleteKeys(s, p,
+            docs.where(pmod(col("doc_id"), lit(7)) === 1)
+              .select(col("doc_id")), Seq("doc_id"))          // v3
+        }
+        VersionedStore.changesKeyed(s, p, 1L,
+          VersionedStore.latestVersion(s, p), Seq("doc_id"))
+          .groupBy(col("_change"), col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy(col("_change"), col("source"))
+      },
+      Some("""WITH dels AS (
+             |  SELECT source, doc_id, n_chars FROM documents
+             |  WHERE doc_id % 7 = 1
+             |), upds AS (
+             |  SELECT source, doc_id, n_chars FROM documents
+             |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 1
+             |), feed AS (
+             |  SELECT 'delete' AS ck, source, doc_id, n_chars
+             |  FROM dels
+             |  UNION ALL
+             |  SELECT 'update_preimage', source, doc_id, n_chars
+             |  FROM upds
+             |  UNION ALL
+             |  SELECT 'update_postimage', 'merged', doc_id,
+             |    n_chars + 1000
+             |  FROM upds
+             |  UNION ALL
+             |  SELECT 'insert', 'inserted', doc_id + 10000000,
+             |    doc_id % 997
+             |  FROM documents WHERE doc_id % 11 = 0
+             |)
+             |SELECT ck AS "_change", source,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM feed GROUP BY ck, source
+             |ORDER BY ck, source""".stripMargin)),
+
+    // Column rename as log-carried column mapping: half the corpus
+    // lands under the ORIGINAL name, the column is renamed in one
+    // metadata commit (no rewrite), the other half lands under the
+    // NEW name — and a latest read must serve every row's value
+    // under the new name. A broken mapping reads the pre-rename
+    // groups' column as NULL (their physical name no longer matches)
+    // and shifts len_sum; the oracle recomputes from the raw table.
+    QueryDef(
+      "q360_rename_evolution",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("renstore", d) { p =>
+          VersionedStore.create(s, p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), p,
+            zoneCols = Seq("doc_id"))                         // v1
+          VersionedStore.renameColumn(s, p, "n_chars", "len") // v2
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1)
+              .withColumnRenamed("n_chars", "len"), p,
+            zoneCols = Seq("doc_id"))                         // v3
+        }
+        VersionedStore.read(s, p)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("len")).cast("long").as("len_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS len_sum
+             |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents

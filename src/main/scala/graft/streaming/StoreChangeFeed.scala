@@ -137,18 +137,63 @@ object StoreChangeFeed {
     }
     if (!VersionedStore.exists(spark, dstPath))
       VersionedStore.create(spark, dstPath)
+    // both feed vocabularies replicate identically: update
+    // pre-images remove like deletes, post-images land like inserts
+    // (changesKeyed's tags compose through the same two commits)
     val feed = VersionedStore.changes(spark, srcPath, from, to)
       .localCheckpoint()
-    val dels = feed.filter(col("_change") === "delete")
+    val dels = feed.filter(
+      col("_change").isin("delete", "update_preimage"))
       .select(keyCols.map(col): _*)
     if (!dels.isEmpty)
       VersionedStore.deleteKeys(spark, dstPath, dels, keyCols)
-    val ins = feed.filter(col("_change") === "insert").drop("_change")
+    val ins = feed.filter(
+      col("_change").isin("insert", "update_postimage"))
+      .drop("_change")
     if (!ins.isEmpty)
       VersionedStore.appendIdempotent(ins, dstPath, txn = to)
     setCursor(spark, cursorPath, to)
     (from, to)
   }
+
+  /** The change feed as a STRUCTURED STREAMING input: a micro-batch
+    * query whose every trigger tick runs one [[replicate]] window
+    * through the cursor + write-ahead-intent protocol. Returns the
+    * running [[org.apache.spark.sql.streaming.StreamingQuery]];
+    * `stop()` it like any stream — exactly-once across stop/kill/
+    * restart at ANY point is carried by the store-side protocol
+    * (cursor, intent, txn-tagged inserts), NOT by the streaming
+    * checkpoint, so killing the query mid-window and restarting with
+    * a fresh checkpoint still lands every window exactly once (the
+    * property [[StoreChangeFeedSpec]] pins per crash point, and the
+    * streaming spec pins end-to-end).
+    *
+    * Mechanics: the driver is a 1-row-per-second `rate` source the
+    * batch function never touches — Structured Streaming owns the
+    * scheduling (trigger cadence, restart, listener/metrics surface)
+    * while the feed owns correctness. Cost of an IDLE tick: the two
+    * driver-side metadata reads of [[replicate]]'s fast path (cursor
+    * listing + source log listing) and zero Spark jobs — cheap
+    * enough for sub-second polling against a 100 TB store, because
+    * neither read touches data.
+    */
+  def stream(spark: SparkSession, srcPath: String, dstPath: String,
+      cursorPath: String, keyCols: Seq[String],
+      checkpointDir: String,
+      intervalMs: Long = 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          replicate(spark, srcPath, dstPath, cursorPath, keyCols)
+          ()
+      }
+      .start()
 
   /** [[replicate]] until the replica is caught up (a source that
     * commits while we drain gets its new windows too); returns the

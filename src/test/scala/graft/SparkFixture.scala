@@ -17,6 +17,7 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
 object SparkFixture {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")

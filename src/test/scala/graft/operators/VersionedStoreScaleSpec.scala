@@ -570,6 +570,50 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
       Some((1L, 148L))
   }
 
+  test("changesKeyed tags keyed rewrites as update pre/post images " +
+      "with the right content on each side, and BOTH feed " +
+      "vocabularies replicate to the same end state") {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 40), p)                 // v1
+    val upd = batch(0 until 40).where(col("id") % 4 === 0)
+      .withColumn("g", lit(9))
+      .unionByName(batch(100 until 105))
+    VersionedStore.merge(spark, p, upd, Seq("id"))              // v2
+    VersionedStore.deleteKeys(spark, p,
+      Seq(1L, 2L).toDF("id"), Seq("id"))                        // v3
+    val feed = VersionedStore
+      .changesKeyed(spark, p, 1L, 3L, Seq("id")).cache()
+    def idsOf(kind: String): Seq[Long] =
+      feed.filter(col("_change") === kind)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    val updated = (0L until 40L).filter(_ % 4 == 0)
+    idsOf("update_preimage") shouldBe updated
+    idsOf("update_postimage") shouldBe updated
+    idsOf("delete") shouldBe Seq(1L, 2L)
+    idsOf("insert") shouldBe (100L until 105L)
+    // the preimage carries the ORIGINAL row, the postimage the new
+    feed.filter(col("_change") === "update_preimage")
+      .collect().foreach(r =>
+        r.getAs[Int]("g") shouldBe (r.getAs[Long]("id") % 5).toInt)
+    feed.filter(col("_change") === "update_postimage")
+      .collect().foreach(_.getAs[Int]("g") shouldBe 9)
+    // replication composes identically from either vocabulary
+    val plain = VersionedStore.changes(spark, p, 1L, 3L)
+    val want = VersionedStore.read(spark, p)
+      .orderBy("id").collect().toSeq
+    Seq(feed, plain).foreach { fd =>
+      val r = freshPath()
+      VersionedStore.create(spark, r)
+      VersionedStore.append(batch(0 until 40), r) // replica at v1
+      VersionedStore.applyChanges(spark, fd, r, Seq("id"))
+      VersionedStore.read(spark, r)
+        .orderBy("id").collect().toSeq shouldBe want
+    }
+  }
+
   // --------------------------------------------------------- bloom
 
   test("bloom sidecars: a point lookup opens only the group that " +
