@@ -80,5 +80,12 @@ object HdfsLogStore extends LogStore {
 
   def createExclusive(f: FileSystem, p: Path): Boolean =
     try { f.create(p, false).close(); true }
-    catch { case _: java.io.IOException => false }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      // same fault discipline as publish: only "already exists" is
+      // a lost claim; a persistent filesystem fault must THROW, or
+      // the claim loop would spin on it forever as phantom losses
+      case e: java.io.IOException =>
+        if (f.exists(p)) false else throw e
+    }
 }

@@ -207,13 +207,33 @@ object VersionedStore {
   private[operators] def commitRetrying(spark: SparkSession,
       path: String, adds: Seq[GroupAdd], removes: Seq[Long],
       txn: Long = -1L, dvs: Seq[GroupAdd] = Nil,
-      firstV: Long = -1L): Long = {
+      firstV: Long = -1L,
+      renames: Seq[(String, String, String)] = Nil): Long = {
     val maxAttempts = 5
     var attempt = 0
     var v =
-      if (firstV >= 0) firstV else latestVersion(spark, path) + 1
+      if (firstV >= 0) firstV
+      else {
+        // ONE log snapshot decides both the idempotence probe and
+        // the attempt version: a txn-tagged winner either committed
+        // before this snapshot (the probe returns it) or occupies a
+        // version >= our attempt (versions are dense, so the attempt
+        // CONFLICTS and the handler's re-probe catches it). Separate
+        // probe/version reads had a window where a winner landing
+        // between them let a replay win a later version cleanly —
+        // a double-applied window with no conflict ever raised.
+        val recs = logRecords(spark, path)
+        if (txn >= 0) {
+          recs.find(_.txn == txn) match {
+            case Some(r) => return r.v
+            case None => ()
+          }
+        }
+        recs.map(_.v).maxOption.getOrElse(0L) + 1
+      }
     while (true) {
-      try return commitAt(spark, path, v, adds, removes, txn, dvs)
+      try return commitAt(spark, path, v, adds, removes, txn, dvs,
+        renames = renames)
       catch {
         case _: CommitConflict =>
           attempt += 1
@@ -256,8 +276,11 @@ object VersionedStore {
           // BECOMES the table schema (schemaAt), so rebasing over a
           // winner that evolved the schema would silently revert it
           val ourSchemas = (adds ++ dvs).flatMap(_.schemaJson).toSet
+          // rename commits also carry the table schema — a rebase
+          // over a winning rename would silently revert it
           val winnerSchemas = logRecords(spark, path)
-            .filter(r => r.v >= v && r.action == "add")
+            .filter(r => r.v >= v &&
+              (r.action == "add" || r.action == "rename"))
             .flatMap(_.schemaJson).toSet
           if (ourSchemas.nonEmpty &&
             winnerSchemas.exists(!ourSchemas.contains(_))) sys.error(
@@ -292,7 +315,7 @@ object VersionedStore {
       v: Long, adds: Seq[GroupAdd], removes: Seq[Long],
       txn: Long = -1L, dvs: Seq[GroupAdd] = Nil,
       ts: Long = -1L,
-      rename: Option[(String, String, String)] = None): Long = {
+      renames: Seq[(String, String, String)] = Nil): Long = {
     import spark.implicits._
     requireExclusive("commit")
     val f = fs(spark)
@@ -321,7 +344,7 @@ object VersionedStore {
           stamp, Seq.empty[String], Seq.empty[String],
           Seq.empty[String], Seq.empty[String], null: String,
           Seq.empty[String], null: String, null: String)) ++
-      rename.map { case (from, to, newSchemaJson) =>
+      renames.map { case (from, to, newSchemaJson) =>
         ("rename", -1L, 0L, txn, null: String,
           None: Option[Long], None: Option[Long], newSchemaJson,
           stamp, Seq.empty[String], Seq.empty[String],
@@ -516,10 +539,16 @@ object VersionedStore {
       "ren_from", "ren_to")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/ckpt-${versionName(v)}")
+    // derived data, but still published through the LogStore so an
+    // object-store deployment gets an atomic (never torn) snapshot;
+    // losing the publish race to a concurrent checkpointer is
+    // benign — both staged EQUIVALENT content for this version
     if (f.exists(dest) && !f.delete(dest, true))
       sys.error(s"VersionedStore.checkpoint: cannot replace $dest")
-    if (!f.rename(tmp, dest))
-      sys.error(s"VersionedStore.checkpoint: cannot publish $dest")
+    if (!logStore.publish(f, tmp, dest)) {
+      f.delete(tmp, true)
+      return
+    }
     // advisory pointer (readers derive the newest checkpoint from
     // the log listing they already pay for). A single small JSON
     // FILE, matching the public Delta log's `_last_checkpoint`
@@ -532,8 +561,10 @@ object VersionedStore {
     finally out.close()
     val ptr = new Path(s"$path/_last_checkpoint")
     if (f.exists(ptr)) f.delete(ptr, true)
-    if (!f.rename(ptrTmp, ptr))
-      sys.error("VersionedStore.checkpoint: cannot publish pointer")
+    if (!logStore.publish(f, ptrTmp, ptr)) {
+      f.delete(ptrTmp, true) // raced a concurrent checkpointer: fine
+      ()
+    }
   }
 
   /** Checkpoint cadence: every `graft.store.checkpointInterval`-th
@@ -1041,7 +1072,7 @@ object VersionedStore {
           if (f.name == from) f.copy(name = to) else f))
       val v = latestVersion(spark, path) + 1
       try return commitAt(spark, path, v, Seq.empty, Seq.empty,
-        rename = Some((from, to, newSchema.json)))
+        renames = Seq((from, to, newSchema.json)))
       catch {
         case _: CommitConflict =>
           attempt += 1
@@ -1982,7 +2013,9 @@ object VersionedStore {
     */
   def changesKeyed(spark: SparkSession, path: String, fromV: Long,
       toV: Long, keyCols: Seq[String]): DataFrame = {
-    val feed = changes(spark, path, fromV, toV)
+    // the window diff is reused three times (two key projections +
+    // the tagging join) — materialize it once, as replicate() does
+    val feed = changes(spark, path, fromV, toV).localCheckpoint()
     val delKeys = feed.filter(col("_change") === "delete")
       .select(keyCols.map(col): _*).distinct()
     val insKeys = feed.filter(col("_change") === "insert")
@@ -2327,8 +2360,19 @@ object VersionedStore {
     * view would freeze "latest" at registration time.
     */
   def registerTable(spark: SparkSession, path: String,
-      name: String): Unit =
+      name: String): Unit = {
+    // the name only resolves through the injected analyzer rule;
+    // extensions cannot be retrofitted onto a built session, so a
+    // session without them must learn it HERE, not as a cryptic
+    // TABLE_OR_VIEW_NOT_FOUND at first query
+    val ext = spark.conf.get("spark.sql.extensions", "")
+    if (!ext.contains("GraftExtensions")) sys.error(
+      "VersionedStore.registerTable: this session was not built " +
+        "with spark.sql.extensions=graft.functions.GraftExtensions " +
+        "— SQL over store tables (and VERSION AS OF) cannot " +
+        "resolve. Use registerView for a plain temp view instead")
     sqlTables.put(name.toLowerCase(java.util.Locale.ROOT), path)
+  }
 
   /** view name (lowercased) → store path, for the time-travel rule. */
   private val sqlTables =
@@ -2413,8 +2457,19 @@ object VersionedStore {
       GroupAdd(fid, r.rows, r.stats, r.schemaJson, r.zones, r.loc,
         r.blooms)
     }
+    // the COLUMN MAPPING of the restored version rides along as
+    // re-published rename records (schema-less: the add records
+    // carry the schema) — one pair per renamed lineage, physical →
+    // logical-at-v, so a restore across a LATER rename re-points
+    // every logical name back to its physical lineage. Pairs map
+    // distinct lineages, so replay order within the commit is
+    // irrelevant. Without this, a restore to a post-rename version
+    // served that version's logical schema against the LATEST
+    // mapping and read the renamed column as all-NULL.
+    val mapRens = mappingAt(spark, path, v).toSeq.sortBy(_._1)
+      .map { case (l, phys) => (phys, l, null: String) }
     commitRetrying(spark, path, wantData.map(republish), removes,
-      dvs = wantDv.map(republish))
+      dvs = wantDv.map(republish), renames = mapRens)
   }
 
   /** Shallow (zero-copy) clone: start a NEW store at `dstPath` whose
@@ -2466,8 +2521,15 @@ object VersionedStore {
         r.blooms)
     }
     create(spark, dstPath)
+    // the source's column mapping at `v` travels with the clone
+    // (same pairs as restore's republication): the cloned-in groups
+    // carry the source's PHYSICAL column names, and without the
+    // mapping the clone would read every renamed column as NULL
+    val mapRens = mappingAt(spark, srcPath, v).toSeq.sortBy(_._1)
+      .map { case (l, phys) => (phys, l, null: String) }
     val cloned = commitRetrying(spark, dstPath,
-      data.map(asForeign), Seq.empty, dvs = dvs.map(asForeign))
+      data.map(asForeign), Seq.empty, dvs = dvs.map(asForeign),
+      renames = mapRens)
     val checks = constraintsOf(spark, srcPath)
     if (checks.nonEmpty) setConstraints(spark, dstPath, checks)
     val props = propertiesOf(spark, srcPath)

@@ -152,6 +152,79 @@ class RenameEvolutionSpec extends AnyFunSuite with SparkFixture
     r.where(col("extra").isNull).count() shouldBe 5L
   }
 
+  test("restore to a POST-rename version carries the mapping: the " +
+      "renamed column serves every value, never NULLs (the restore " +
+      "commit re-publishes the version's physical→logical pairs)") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)                 // v1
+    VersionedStore.renameColumn(spark, p, "g", "grp")           // v2
+    VersionedStore.append(batch(10 until 20)
+      .withColumnRenamed("g", "grp"), p)                        // v3
+    VersionedStore.renameColumn(spark, p, "grp", "bucket")      // v4
+    VersionedStore.restore(spark, p, 3L)                        // v5
+    val r = VersionedStore.read(spark, p)
+    r.columns.toSeq shouldBe Seq("id", "body", "grp")
+    r.count() shouldBe 20L
+    // the bug this pins: a restore that ignored the mapping read
+    // physical column `g` under logical `grp` as all-NULL
+    r.where(col("grp").isNull).count() shouldBe 0L
+    r.where(col("grp") === 1).count() shouldBe 4L
+    // the store stays fully writable under the restored name
+    VersionedStore.merge(spark, p,
+      { val s = spark; import s.implicits._
+        Seq((3L, "u", 8)).toDF("id", "body", "grp") }, Seq("id"))
+    VersionedStore.read(spark, p)
+      .where(col("id") === 3).select("grp").head.getInt(0) shouldBe 8
+  }
+
+  test("a clone of a renamed store carries the source's mapping: " +
+      "cloned-in groups (physical names) serve the logical schema, " +
+      "and copy-on-write writes compose") {
+    val src = freshPath(); val dst = freshPath()
+    VersionedStore.create(spark, src)
+    VersionedStore.append(batch(0 until 10), src)
+    VersionedStore.renameColumn(spark, src, "g", "grp")
+    VersionedStore.append(batch(10 until 20)
+      .withColumnRenamed("g", "grp"), src)
+    VersionedStore.cloneTo(spark, src, dst)
+    val r = VersionedStore.read(spark, dst)
+    r.columns.toSeq shouldBe Seq("id", "body", "grp")
+    r.count() shouldBe 20L
+    r.where(col("grp").isNull).count() shouldBe 0L
+    // clone diverges copy-on-write without touching the source
+    VersionedStore.merge(spark, dst,
+      { val s = spark; import s.implicits._
+        Seq((0L, "clone-only", 9)).toDF("id", "body", "grp") },
+      Seq("id"))
+    VersionedStore.read(spark, dst)
+      .where(col("id") === 0).select("grp").head.getInt(0) shouldBe 9
+    VersionedStore.read(spark, src)
+      .where(col("id") === 0).select("grp").head.getInt(0) shouldBe 0
+  }
+
+  test("OCC: an append rebasing over a WINNING rename aborts " +
+      "loudly instead of silently reverting the rename's schema") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 5), p)                  // v1
+    // writer A stages a group under v1's schema (still names `g`)…
+    val oldSchema = batch(0 until 1).schema.json
+    batch(5 until 10).write.parquet(s"$p/data/f50")
+    // …and a rename WINS version 2 first
+    VersionedStore.renameColumn(spark, p, "g", "grp")           // v2
+    // A's stale attempt at v2 must abort on the schema guard during
+    // its rebase — not land schema (…, g) over the rename
+    val e = intercept[Exception] {
+      VersionedStore.commitRetrying(spark, p,
+        Seq(VersionedStore.GroupAdd(50L, 5L,
+          schemaJson = Some(oldSchema))), Seq.empty, firstV = 2L)
+    }
+    e.getMessage should include("concurrent schema change")
+    VersionedStore.read(spark, p).columns
+      .toSeq shouldBe Seq("id", "body", "grp")
+  }
+
   test("renames chain: two successive renames keep ONE physical " +
       "lineage, and every epoch's time travel serves its own name") {
     val p = freshPath()
