@@ -72,7 +72,21 @@ object HdfsLogStore extends LogStore {
 
   def publish(f: FileSystem, tmp: Path, dest: Path): Boolean =
     if (f.exists(dest)) false
-    else if (f.rename(tmp, dest)) true
+    else if (f.rename(tmp, dest)) {
+      // rename-into-existing-DIRECTORY detection: if a concurrent
+      // winner published dest between our exists check and our
+      // rename, POSIX-y filesystems (local, HDFS) do not fail the
+      // rename — they move tmp INSIDE dest as a child. The "winner"
+      // illusion loses a whole commit: the nested record is
+      // invisible to readers and the version count comes up short
+      // (caught live by the 4-writer race spec once optimizer
+      // changes tightened the timing). tmp names are UUID-unique,
+      // so dest/<tmpName> can only be OUR nested dir: remove it and
+      // report the loss honestly.
+      val nested = new Path(dest, tmp.getName)
+      if (f.exists(nested)) { f.delete(nested, true); false }
+      else true
+    }
     else if (f.exists(dest)) false // lost the rename race itself
     else sys.error(s"LogStore: rename to $dest failed with no " +
       "concurrent writer present — filesystem error, not a " +

@@ -296,8 +296,21 @@ object BloomSkipRule extends Rule[LogicalPlan] with PredicateHelper {
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child) =>
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // cheap rejects, because this rule now runs GLOBALLY (the
+    // extensions path) inside the main optimizer: no registrations
+    // means no work at all, and a registered table is an analyzed
+    // raw relation (a LEAF after project-stripping) — paying
+    // sameResult's full canonicalization of an arbitrary query
+    // subtree under every Filter measurably taxed the big
+    // vector/retrieval plans (q250 1.7x) for matches that could
+    // never succeed.
+    if (entries.isEmpty) return plan
+    plan.transformUp {
+    case f @ Filter(cond, child)
+        if stripProjects(child)
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+            .LeafNode] =>
       val stripped = stripProjects(child)
       val it = entries.iterator()
       var done: Option[Filter] = None
@@ -325,5 +338,6 @@ object BloomSkipRule extends Rule[LogicalPlan] with PredicateHelper {
         }
       }
       done.getOrElse(f)
+    }
   }
 }

@@ -74,8 +74,16 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(_, _, child, _) =>
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // same cheap rejects as ZoneMapPruneRule: the rule runs globally
+    // now, and a registered fact is a leaf relation — skip the
+    // canonicalization tax on aggregates over arbitrary subtrees
+    if (entries.isEmpty) return plan
+    plan.transformUp {
+    case agg @ Aggregate(_, _, child, _)
+        if stripProjects(child)
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+            .LeafNode] =>
       val stripped = stripProjects(child)
       val it = entries.iterator()
       var done: Option[Aggregate] = None
@@ -84,6 +92,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         if (stripped.sameResult(e.factPlan)) done = tryRewrite(agg, e)
       }
       done.getOrElse(agg)
+    }
   }
 
   private def tryRewrite(agg: Aggregate, e: Entry): Option[Aggregate] = {
