@@ -129,6 +129,38 @@ class LogStoreSpec extends AnyFunSuite with SparkFixture
     } finally VersionedStore.setLogStore(HdfsLogStore)
   }
 
+  test("rename-into-existing-directory race is DETECTED: a loser " +
+      "whose exists-check missed the winner does not nest its " +
+      "record inside the winner's dir and call it success") {
+    val raw = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(freshPath()); raw.mkdirs(base)
+    val dest = new Path(base, "v7")
+    def stage(n: String): Path = {
+      val d = new Path(base, n)
+      raw.mkdirs(d)
+      raw.create(new Path(d, "record.parquet"), true).close()
+      d
+    }
+    // the winner publishes normally
+    HdfsLogStore.publish(raw, stage("tmp-winner"), dest) shouldBe true
+    // the loser's filesystem LIES once about dest (simulating the
+    // exists→rename window): POSIX-y rename then moves the loser's
+    // tmp INSIDE dest instead of failing — the silent-lost-commit
+    // shape the detection exists for
+    val blindFs = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      private var blind = true
+      override def exists(p: Path): Boolean =
+        if (blind && p == dest) { blind = false; false }
+        else super.exists(p)
+    }
+    val loserTmp = stage("tmp-loser")
+    HdfsLogStore.publish(blindFs, loserTmp, dest) shouldBe false
+    // the winner's record is intact, nothing nested, loser cleaned
+    raw.exists(new Path(dest, "record.parquet")) shouldBe true
+    raw.exists(new Path(dest, "tmp-loser")) shouldBe false
+    raw.listStatus(dest).length shouldBe 1
+  }
+
   test("HdfsLogStore classifies outcomes: lost race = false, " +
       "filesystem fault = thrown error (never a phantom conflict)") {
     val f = FileSystem.get(spark.sparkContext.hadoopConfiguration)
