@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
 sealed trait Check {
   /** Stable identifier used as the result column name. */
   def id: String
+
+  /** Columns this check reads — schema-evolution gates (e.g.
+    * `VersionedStore.dropColumn`) refuse to retire a column a live
+    * constraint still references.
+    */
+  def referencedColumns: Seq[String] = this match {
+    case NotNull(c) => Seq(c)
+    case InSet(c, _) => Seq(c)
+    case NonNegative(c) => Seq(c)
+    case MatchesRegex(c, _) => Seq(c)
+    case Malformed(c) => Seq(c)
+    case Between(c, _, _) => Seq(c)
+    case Unique(cs) => cs
+    case ColumnsMatchOrdered(cs) => cs
+  }
 }
 
 /** Row-level checks compile to a violation-counting aggregate column. */

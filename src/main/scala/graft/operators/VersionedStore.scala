@@ -208,7 +208,8 @@ object VersionedStore {
       path: String, adds: Seq[GroupAdd], removes: Seq[Long],
       txn: Long = -1L, dvs: Seq[GroupAdd] = Nil,
       firstV: Long = -1L,
-      renames: Seq[(String, String, String)] = Nil): Long = {
+      renames: Seq[(String, String, String)] = Nil,
+      schemaAnchor: Option[String] = None): Long = {
     val maxAttempts = 5
     var attempt = 0
     var v =
@@ -233,7 +234,7 @@ object VersionedStore {
       }
     while (true) {
       try return commitAt(spark, path, v, adds, removes, txn, dvs,
-        renames = renames)
+        renames = renames, schemaAnchor = schemaAnchor)
       catch {
         case _: CommitConflict =>
           attempt += 1
@@ -276,11 +277,12 @@ object VersionedStore {
           // BECOMES the table schema (schemaAt), so rebasing over a
           // winner that evolved the schema would silently revert it
           val ourSchemas = (adds ++ dvs).flatMap(_.schemaJson).toSet
-          // rename commits also carry the table schema — a rebase
-          // over a winning rename would silently revert it
+          // rename/drop/anchor commits also carry the table schema —
+          // a rebase over a winning one would silently revert it
           val winnerSchemas = logRecords(spark, path)
-            .filter(r => r.v >= v &&
-              (r.action == "add" || r.action == "rename"))
+            .filter(r => r.v >= v && (r.action == "add" ||
+              r.action == "rename" || r.action == "drop" ||
+              r.action == "schema"))
             .flatMap(_.schemaJson).toSet
           if (ourSchemas.nonEmpty &&
             winnerSchemas.exists(!ourSchemas.contains(_))) sys.error(
@@ -315,7 +317,9 @@ object VersionedStore {
       v: Long, adds: Seq[GroupAdd], removes: Seq[Long],
       txn: Long = -1L, dvs: Seq[GroupAdd] = Nil,
       ts: Long = -1L,
-      renames: Seq[(String, String, String)] = Nil): Long = {
+      renames: Seq[(String, String, String)] = Nil,
+      drops: Seq[(String, String, String)] = Nil,
+      schemaAnchor: Option[String] = None): Long = {
     import spark.implicits._
     requireExclusive("commit")
     val f = fs(spark)
@@ -350,6 +354,26 @@ object VersionedStore {
           stamp, Seq.empty[String], Seq.empty[String],
           Seq.empty[String], Seq.empty[String], null: String,
           Seq.empty[String], from, to)
+      } ++
+      drops.map { case (logical, phys, newSchemaJson) =>
+        ("drop", -1L, 0L, txn, null: String,
+          None: Option[Long], None: Option[Long], newSchemaJson,
+          stamp, Seq.empty[String], Seq.empty[String],
+          Seq.empty[String], Seq.empty[String], null: String,
+          Seq.empty[String], logical, phys)
+      } ++
+      // the anchor rides LAST so [[schemaAt]]'s within-commit
+      // last-record-wins resolution lands on it — restore/clone pin
+      // the restored version's exact table schema with it (their
+      // republished add records carry each group's ORIGINAL schema,
+      // which is stale whenever the newest schema-bearing commit at
+      // the restored version was a pure-metadata rename/drop)
+      schemaAnchor.toSeq.map { sj =>
+        ("schema", -1L, 0L, txn, null: String,
+          None: Option[Long], None: Option[Long], sj,
+          stamp, Seq.empty[String], Seq.empty[String],
+          Seq.empty[String], Seq.empty[String], null: String,
+          Seq.empty[String], null: String, null: String)
       })
       .toDF("action", "fid", "rows", "txn",
         "stat_col", "stat_min", "stat_max", "schema_json",
@@ -954,8 +978,12 @@ object VersionedStore {
       else df.select(df.columns.map(c =>
         col(c).as(m.getOrElse(c, c))): _*)
     def phys(n: String) = m.getOrElse(n, n)
-    val pStatsCol = statsCol.map(phys)
-    val pZoneCols = zoneCols.map(phys)
+    // propagated zone/stat columns may name a since-DROPPED lineage
+    // (storePropagation unions LIVE group records, which keep their
+    // pre-drop names) — a batch no longer carries them, so they are
+    // filtered, never aggregated against a missing column
+    val pStatsCol = statsCol.map(phys).filter(pdf.columns.contains)
+    val pZoneCols = zoneCols.map(phys).filter(pdf.columns.contains)
     val pBloomCols = bloomCols.map(phys)
     pdf.write.mode("overwrite").parquet(dataDir(path, fid).toString)
     val written = spark.read.parquet(dataDir(path, fid).toString)
@@ -985,21 +1013,41 @@ object VersionedStore {
       blooms = buildBlooms(spark, path, fid, n, pBloomCols))
   }
 
-  /** The table schema as of version `v`: the newest add OR rename
-    * record ≤ v that carries one (commits never shrink the schema —
-    * enforced in [[append]]; a rename record carries the full
-    * post-rename LOGICAL schema). None for stores whose records
-    * predate schema tracking.
+  /** The table schema as of version `v`: the newest schema-bearing
+    * record ≤ v — an add, a rename/drop (each carries the full
+    * post-change LOGICAL schema), or a restore/clone's explicit
+    * `schema` anchor. MUTATING batches never shrink it (enforced in
+    * [[checkSchema]]); only the explicit [[dropColumn]] metadata
+    * commit does. None for stores whose records predate schema
+    * tracking. sortBy is stable, so within one commit the LAST
+    * schema-bearing record wins — [[commitAt]] orders adds before
+    * renames/drops before the anchor deliberately.
     */
   private def schemaAt(spark: SparkSession, path: String,
       v: Long): Option[org.apache.spark.sql.types.StructType] =
     logRecords(spark, path)
-      .filter(r => (r.action == "add" || r.action == "rename") &&
+      .filter(r => (r.action == "add" || r.action == "rename" ||
+        r.action == "drop" || r.action == "schema") &&
         r.v <= v && r.schemaJson.isDefined)
       .sortBy(_.v).lastOption
       .map(r => org.apache.spark.sql.types.DataType
         .fromJson(r.schemaJson.get)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Every column name this table has EVER carried — logical or
+    * physical, current or retired (renamed-away, dropped). New
+    * lineages may not reuse any of them: the parquet namespace is
+    * shared across all file-groups ever written, so a reused name
+    * would read an old lineage's bytes as the new column's values.
+    */
+  private def everUsedNames(spark: SparkSession,
+      path: String): Set[String] =
+    logRecords(spark, path).flatMap(r =>
+      r.schemaJson.map(j => org.apache.spark.sql.types.DataType
+        .fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq).getOrElse(Nil) ++
+        r.ren.toSeq.flatMap(p => Seq(p._1, p._2))).toSet
 
   /** The log-carried column mapping as of version `v`: LOGICAL name
     * → PHYSICAL name, present only for lineages some rename ≤ v
@@ -1055,14 +1103,7 @@ object VersionedStore {
       require(cur.fieldNames.contains(from),
         s"VersionedStore.renameColumn: no column `$from` at $path " +
           s"(schema: ${cur.fieldNames.mkString(", ")})")
-      val everUsed = logRecords(spark, path)
-        .flatMap(r => r.schemaJson.map(j =>
-          org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-            .fieldNames.toSeq).getOrElse(Nil) ++
-          r.ren.toSeq.flatMap(p => Seq(p._1, p._2)))
-        .toSet
-      require(!everUsed.contains(to),
+      require(!everUsedNames(spark, path).contains(to),
         s"VersionedStore.renameColumn: `$to` was already used by " +
           s"this table's history at $path — renaming to a " +
           "previously-used name would collide with its physical " +
@@ -1078,6 +1119,61 @@ object VersionedStore {
           attempt += 1
           if (attempt >= 5) sys.error(
             s"VersionedStore.renameColumn: lost 5 version races " +
+              s"at $path — giving up")
+        // loop: revalidate against the winner's schema and retry
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Drop a column as ONE metadata commit — the dual of
+    * [[renameColumn]] under the same log-carried column mapping: no
+    * file-group is read or rewritten; the column's bytes stay in
+    * place (old groups keep their physical schema), the table schema
+    * shrinks, and every read at the current version simply never
+    * scans the column (parquet column pruning — dropping a 100 TB
+    * table's widest column costs one KB-scale commit). Time travel
+    * at a pre-drop version still serves it, until [[vacuum]] retires
+    * the pre-drop versions; [[restore]] across the drop resurrects
+    * it (the schema anchor). The dropped name — like every name the
+    * table ever carried — can never be reused ([[checkSchema]]):
+    * re-adding it would read the retired lineage's surviving bytes
+    * in old groups as the new column's values.
+    *
+    * Columns referenced by a table constraint must be released from
+    * the constraint first — otherwise every later append would fail
+    * its validation against a column that no longer exists.
+    */
+  def dropColumn(spark: SparkSession, path: String,
+      name: String): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = schemaAt(spark, path, Long.MaxValue).getOrElse(
+        sys.error(s"VersionedStore.dropColumn: $path has no " +
+          "schema yet (append first)"))
+      require(cur.fieldNames.contains(name),
+        s"VersionedStore.dropColumn: no column `$name` at $path " +
+          s"(schema: ${cur.fieldNames.mkString(", ")})")
+      require(cur.fields.length > 1,
+        s"VersionedStore.dropColumn: `$name` is the only column " +
+          s"at $path — a table cannot have zero columns")
+      val gated = constraintsOf(spark, path)
+        .filter(_.referencedColumns.exists(_.equalsIgnoreCase(name)))
+      require(gated.isEmpty,
+        s"VersionedStore.dropColumn: column `$name` at $path is " +
+          s"referenced by ${gated.size} table constraint(s) — " +
+          "release them via setConstraints first")
+      val phys = physOf(spark, path, Long.MaxValue, name)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        cur.fields.filterNot(_.name == name))
+      val v = latestVersion(spark, path) + 1
+      try return commitAt(spark, path, v, Seq.empty, Seq.empty,
+        drops = Seq((name, phys, newSchema.json)))
+      catch {
+        case _: CommitConflict =>
+          attempt += 1
+          if (attempt >= 5) sys.error(
+            s"VersionedStore.dropColumn: lost 5 version races " +
               s"at $path — giving up")
         // loop: revalidate against the winner's schema and retry
       }
@@ -1139,16 +1235,18 @@ object VersionedStore {
           s"${added.mkString(", ")} — schema evolution is additive " +
           "and explicit: append with evolve=true (never silently " +
           "projected away)")
-      // column mapping: an added column may not reuse a RETIRED
-      // physical name — the new lineage would collide with the old
-      // one inside the shared parquet namespace
-      val retiredPhys = mappingAt(df.sparkSession, path,
-        Long.MaxValue).collect { case (l, p) if l != p => p }.toSet
-      val reuse = added.filter(retiredPhys)
+      // column mapping: an added column may not reuse ANY name this
+      // table has ever carried (a renamed-away physical name, a
+      // dropped column) — the new lineage would collide with the old
+      // one's bytes inside the shared parquet namespace
+      val retired = everUsedNames(df.sparkSession, path) --
+        cur.fieldNames
+      val reuse = added.filter(retired)
       if (reuse.nonEmpty) sys.error(
         s"VersionedStore.$op: added column(s) " +
-          s"${reuse.mkString(", ")} reuse a renamed-away physical " +
-          "column name — pick a name this table has never carried")
+          s"${reuse.mkString(", ")} reuse a renamed-away or " +
+          "dropped column name — pick a name this table has never " +
+          "carried")
     }
 
   private def nextFid(spark: SparkSession, path: String): Long = {
@@ -1579,10 +1677,13 @@ object VersionedStore {
       if (mm.isEmpty) kept
       else kept.select(kept.columns.map(c =>
         col(c).as(phys(c))): _*)
-    val statsColP = statsCol.map(phys)
+    val dataCols0 = kept2.columns.filter(_ != "_vs_fid")
+    // same dropped-lineage guard as writeGroup: propagated metadata
+    // columns absent from the rewritten frame are skipped
+    val statsColP = statsCol.map(phys).filter(dataCols0.contains)
     val zoneColsP = zoneCols.map(phys)
     val bloomColsP = bloomCols.map(phys)
-    val dataCols = kept2.columns.filter(_ != "_vs_fid")
+    val dataCols = dataCols0
     val salt = pmod(xxhash64(struct(dataCols.map(col): _*)), lit(8))
     val spread = kept2.repartition(col("_vs_fid"), salt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2468,8 +2569,16 @@ object VersionedStore {
     // mapping and read the renamed column as all-NULL.
     val mapRens = mappingAt(spark, path, v).toSeq.sortBy(_._1)
       .map { case (l, phys) => (phys, l, null: String) }
+    // the restored version's EXACT table schema rides as the
+    // commit's schema anchor: the republished add records carry
+    // each group's ORIGINAL schema, which is stale whenever the
+    // newest schema-bearing commit at v was a pure-metadata
+    // rename/drop (no add after it to refresh the group schemas) —
+    // without the anchor such a restore resurrected the pre-rename
+    // name / pre-drop column
     commitRetrying(spark, path, wantData.map(republish), removes,
-      dvs = wantDv.map(republish), renames = mapRens)
+      dvs = wantDv.map(republish), renames = mapRens,
+      schemaAnchor = schemaAt(spark, path, v).map(_.json))
   }
 
   /** Shallow (zero-copy) clone: start a NEW store at `dstPath` whose
@@ -2527,9 +2636,13 @@ object VersionedStore {
     // mapping the clone would read every renamed column as NULL
     val mapRens = mappingAt(spark, srcPath, v).toSeq.sortBy(_._1)
       .map { case (l, phys) => (phys, l, null: String) }
+    // same schema anchor as restore: the source's exact table schema
+    // at `v` (the cloned-in records carry their groups' original,
+    // possibly pre-rename/pre-drop schemas)
     val cloned = commitRetrying(spark, dstPath,
       data.map(asForeign), Seq.empty, dvs = dvs.map(asForeign),
-      renames = mapRens)
+      renames = mapRens,
+      schemaAnchor = schemaAt(spark, srcPath, v).map(_.json))
     val checks = constraintsOf(spark, srcPath)
     if (checks.nonEmpty) setConstraints(spark, dstPath, checks)
     val props = propertiesOf(spark, srcPath)

@@ -2392,6 +2392,46 @@ object ScaleQueries {
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
              |  CAST(SUM(n_chars) AS BIGINT) AS len_sum
              |FROM documents
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Column drop as log-carried column mapping, the dual of q360:
+    // half the corpus lands WITH the `lang` column, the column is
+    // dropped in one metadata commit (no rewrite — the bytes stay in
+    // the old groups), the other half lands under the shrunk schema
+    // — and a latest read must serve every row under the post-drop
+    // schema. The `ncols` output pins the schema shrinkage in the
+    // hash gate (a drop that silently kept or resurrected the
+    // column shifts it); the row aggregates pin that the PRE-drop
+    // groups' remaining columns still serve every value.
+    QueryDef(
+      "q361_drop_evolution",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        val p = graft.StoreCache.rebuild("dropstore", d) { p =>
+          VersionedStore.create(s, p)
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), p,
+            zoneCols = Seq("doc_id"))                        // v1
+          VersionedStore.dropColumn(s, p, "lang")            // v2
+          VersionedStore.append(
+            docs.where(pmod(col("doc_id"), lit(2)) === 1)
+              .drop("lang"), p,
+            zoneCols = Seq("doc_id"))                        // v3
+        }
+        val cur = VersionedStore.read(s, p)
+        cur.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("chars_sum"),
+            lit(cur.columns.length).cast("int").as("ncols"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+             |  CAST(4 AS INTEGER) AS ncols
+             |FROM documents
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 

@@ -142,7 +142,7 @@ class RenameEvolutionSpec extends AnyFunSuite with SparkFixture
       VersionedStore.append(
         (5 until 6).map(i => (i.toLong, "b", 1, 0))
           .toDF("id", "body", "grp", "g"), p, evolve = true)
-    }.getMessage should include("physical column name")
+    }.getMessage should include("renamed-away or dropped")
     // a GENUINELY fresh evolved column still works
     VersionedStore.append(
       (5 until 6).map(i => (i.toLong, "b", 1, 0))
