@@ -1034,6 +1034,15 @@ object VersionedStore {
         .fromJson(r.schemaJson.get)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** The CURRENT table schema (logical names), None for a store with
+    * no schema-bearing commit yet — the empty-store case SQL INSERT
+    * needs to distinguish (its first insert DEFINES the schema, the
+    * same contract as the API's first append).
+    */
+  def tableSchema(spark: SparkSession,
+      path: String): Option[org.apache.spark.sql.types.StructType] =
+    schemaAt(spark, path, Long.MaxValue)
+
   /** Every column name this table has EVER carried — logical or
     * physical, current or retired (renamed-away, dropped). New
     * lineages may not reuse any of them: the parquet namespace is
@@ -1775,6 +1784,66 @@ object VersionedStore {
     val kept = withFid
       .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
       .filter(!coalesce(pred, lit(false)))
+    val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
+      propag._1, propag._2)
+    commit(spark, path, adds, affected.toSeq)
+  }
+
+  /** Copy-on-write UPDATE — the predicate form of DML the keyed
+    * [[merge]] cannot express (`merge` upserts BY KEY from a batch;
+    * this transforms rows IN PLACE by predicate): rewrite only the
+    * file-groups containing matching rows, applying `sets` to the
+    * matches and carrying every other row through byte-identical,
+    * as ONE commit. All SET expressions and the predicate evaluate
+    * against the PRE-update row (one projection over the original
+    * attributes — `SET a = b, b = a` swaps), and each SET result is
+    * cast to the column's existing type, so the table schema can
+    * never drift through an update. Groups without matches are not
+    * read past the detection scan; `keyRange` prunes the detection
+    * scan itself through zones/stats like [[deleteWhere]]'s. Time
+    * travel below the returned version serves the pre-update rows
+    * (the rewritten groups are NEW fids; the old ones retire).
+    */
+  def updateWhere(spark: SparkSession, path: String, pred: Column,
+      sets: Seq[(String, Column)],
+      keyRange: Option[(Long, Long)] = None): Long = {
+    val v = latestVersion(spark, path)
+    val cur = schemaAt(spark, path, v)
+    sets.foreach { case (c, _) =>
+      require(cur.forall(_.fieldNames.contains(c)),
+        s"VersionedStore.updateWhere: no column `$c` at $path " +
+          s"(schema: ${cur.map(_.fieldNames.mkString(", "))
+            .getOrElse("untracked")})")
+    }
+    val scanFids = (keyRange, storeStatsCol(spark, path)) match {
+      case (Some((lo, hi)), Some(c)) =>
+        candidateFids(spark, path, v, c, lo, hi)
+      case _ => liveFids(spark, path, v)
+    }
+    if (scanFids.isEmpty) return v
+    val withFid = applyDvs(spark, path, v,
+      withFidOf(spark, path, scanFids))
+    val affected = withFid.filter(pred).select("_vs_fid")
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return v
+    val statsCol = storeStatsCol(spark, path)
+    val propag = storePropagation(spark, path)
+    val fidOf = affected.toSeq.zip(
+      claimFids(spark, path, affected.length))
+    val hit = coalesce(pred, lit(false))
+    val setOf = sets.toMap
+    val touched = withFid
+      .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
+    // ONE projection against the original attributes: every SET and
+    // the predicate see the pre-update row
+    val kept = touched.select(touched.columns.map { c =>
+      setOf.get(c) match {
+        case Some(e) =>
+          val dt = touched.schema(c).dataType
+          when(hit, e.cast(dt)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
       propag._1, propag._2)
     commit(spark, path, adds, affected.toSeq)

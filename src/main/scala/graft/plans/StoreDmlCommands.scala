@@ -1,0 +1,170 @@
+package graft.plans
+
+import graft.operators.VersionedStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.StoreSqlShims
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.Row
+
+/** SQL DML over [[VersionedStore]] tables registered through
+  * `registerTable` — `INSERT INTO` / `DELETE FROM` / `UPDATE`
+  * resolve (via [[StoreTimeTravelRule]]) into these driver-side
+  * commands, each of which is exactly one store API call and
+  * therefore ONE atomic commit with the store's full discipline
+  * (schema gate, constraints, zone/bloom propagation, OCC). Each
+  * returns the committed version as its result row.
+  *
+  * The commands are LEAVES: the carried predicate / SET expressions
+  * and the insert's source plan deliberately stay OUTSIDE the
+  * analyzer's tree (an unresolved attribute inside a resolved
+  * operator fails CheckAnalysis) — they resolve at RUN time against
+  * the store's own DataFrame, the same late binding `functions.expr`
+  * gives every API caller.
+  */
+sealed trait StoreDmlCommand extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** Opaque carrier that keeps an UNRESOLVED parser expression out of
+  * `QueryPlan.expressions` (which recurses through Option/Seq
+  * product elements): CheckAnalysis would reject the resolved
+  * command for the unresolved attributes inside — but these
+  * expressions resolve at RUN time against the store DataFrame, by
+  * design.
+  */
+final class SqlExpr(val e: Expression) extends Serializable {
+  override def toString: String = e.sql
+}
+
+/** `INSERT INTO <store table> [(cols)] <query>` → one
+  * [[VersionedStore.append]]. SQL inserts are BY POSITION: the query
+  * output is renamed to the target schema (or to the user-specified
+  * column list, remaining columns NULL) and cast to the target
+  * types, so a reordered SELECT cannot silently land values in the
+  * wrong columns. Partitioned/overwrite inserts are rejected — the
+  * store has no partition spec, and an atomic INSERT OVERWRITE is
+  * `restore`/`deleteWhere`+append territory, not a silent two-commit
+  * sequence.
+  */
+case class StoreInsertCommand(path: String, query: LogicalPlan,
+    userCols: Seq[String]) extends StoreDmlCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = StoreSqlShims.ofRows(spark, query)
+    val tgt = VersionedStore.tableSchema(spark, path).getOrElse {
+      // EMPTY store: the first insert defines the schema (the same
+      // contract as the API's first append) — names come from the
+      // query output, or the full column list when one is given
+      require(userCols.isEmpty ||
+        userCols.length == src.columns.length,
+        s"INSERT INTO empty store table at $path: the column list " +
+          "must name every query output column (there is no table " +
+          "schema to fill from yet)")
+      val named =
+        if (userCols.isEmpty) src
+        else src.toDF(userCols.toIndexedSeq: _*)
+      return Seq(Row(VersionedStore.append(named, path)))
+    }
+    val aligned =
+      if (userCols.isEmpty) {
+        require(src.columns.length == tgt.fields.length,
+          s"INSERT INTO store table at $path: query produces " +
+            s"${src.columns.length} columns, table has " +
+            s"${tgt.fields.length}")
+        src.toDF(tgt.fieldNames.toIndexedSeq: _*)
+      } else {
+        require(src.columns.length == userCols.length,
+          s"INSERT INTO store table at $path: query produces " +
+            s"${src.columns.length} columns, column list names " +
+            s"${userCols.length}")
+        val missing = userCols.filterNot(tgt.fieldNames.contains)
+        require(missing.isEmpty,
+          s"INSERT INTO store table at $path: unknown column(s) " +
+            missing.mkString(", "))
+        val named = src.toDF(userCols.toIndexedSeq: _*)
+        named.select(tgt.fields.map(f =>
+          if (userCols.contains(f.name)) col(f.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      }
+    val typed = aligned.select(tgt.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    Seq(Row(VersionedStore.append(typed, path)))
+  }
+}
+
+/** `DELETE FROM <store table> WHERE <pred>` → one
+  * [[VersionedStore.deleteWhere]] (copy-on-write, only matching
+  * file-groups rewrite). An unconditional DELETE is rejected —
+  * truncation should be spelled as itself, not reached by a dropped
+  * WHERE clause.
+  */
+case class StoreDeleteCommand(path: String,
+    cond: Option[SqlExpr]) extends StoreDmlCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = cond.getOrElse(sys.error(
+      s"DELETE FROM store table at $path requires a WHERE clause " +
+        "(unconditional truncation must be explicit: deleteWhere " +
+        "with a literal true)"))
+    Seq(Row(VersionedStore.deleteWhere(spark, path,
+      StoreSqlShims.column(pred.e))))
+  }
+}
+
+/** `UPDATE <store table> SET c = e, … [WHERE <pred>]` → one
+  * [[VersionedStore.updateWhere]] (copy-on-write, one commit, SETs
+  * and predicate all evaluated against the pre-update row).
+  */
+case class StoreUpdateCommand(path: String,
+    sets: Seq[(String, SqlExpr)],
+    cond: Option[SqlExpr]) extends StoreDmlCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = cond.map(h => StoreSqlShims.column(h.e))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Seq(Row(VersionedStore.updateWhere(spark, path, pred,
+      sets.map { case (c, h) => c -> StoreSqlShims.column(h.e) })))
+  }
+}
+
+/** `MERGE INTO <store table> USING <source> ON <equi keys>` in the
+  * two canonical forms the store's keyed primitives express exactly:
+  *
+  *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    → one [[VersionedStore.merge]] (atomic keyed upsert: matched
+  *    keys replaced, new keys appended, one commit);
+  *  - `WHEN MATCHED THEN DELETE` (alone) →
+  *    one [[VersionedStore.deleteKeys]].
+  *
+  * Source columns bind BY NAME to the target schema (the SQL `*`
+  * vocabulary) and cast to the target types. Conditional or
+  * per-column action forms are rejected loudly with the supported
+  * shapes named — never approximated.
+  */
+case class StoreMergeCommand(path: String, source: LogicalPlan,
+    keyCols: Seq[String], upsert: Boolean) extends StoreDmlCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = StoreSqlShims.ofRows(spark, source)
+    if (!upsert) {
+      val missing = keyCols.filterNot(src.columns.contains)
+      require(missing.isEmpty,
+        s"MERGE INTO store table at $path: source lacks key " +
+          s"column(s) ${missing.mkString(", ")}")
+      return Seq(Row(VersionedStore.deleteKeys(spark, path,
+        src.select(keyCols.map(col): _*), keyCols)))
+    }
+    val tgt = VersionedStore.read(spark, path).schema
+    val missing = tgt.fieldNames.filterNot(src.columns.contains)
+    require(missing.isEmpty,
+      s"MERGE INTO store table at $path: INSERT * binds source " +
+        s"columns by name, and the source lacks " +
+        s"${missing.mkString(", ")}")
+    val aligned = src.select(tgt.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    Seq(Row(VersionedStore.merge(spark, path, aligned, keyCols)))
+  }
+}

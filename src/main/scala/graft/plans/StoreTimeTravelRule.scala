@@ -34,9 +34,117 @@ import org.apache.spark.sql.types.TimestampType
 class StoreTimeTravelRule(session: SparkSession)
     extends Rule[LogicalPlan] {
   import graft.operators.VersionedStore
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+    DeleteFromTable, InsertIntoStatement, UpdateTable}
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 
+  private def pathOf(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+      VersionedStore.registeredPath(u.multipartIdentifier.head)
+    case org.apache.spark.sql.catalyst.plans.logical
+      .SubqueryAlias(_, child) => pathOf(child) // MERGE INTO t AS tgt
+    case _ => None
+  }
+
+  /** The equi-key list of a MERGE condition: a conjunction of
+    * `<side>.k = <side>.k` equalities over IDENTICALLY-NAMED columns
+    * (the only join shape the store's keyed merge expresses). Any
+    * other condition → None, and the caller rejects with the
+    * supported forms named.
+    */
+  private def mergeKeys(cond: org.apache.spark.sql.catalyst
+      .expressions.Expression): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    cond match {
+      case And(l, r) =>
+        for { a <- mergeKeys(l); b <- mergeKeys(r) } yield a ++ b
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last == b.nameParts.last =>
+        Some(Seq(a.nameParts.last))
+      case _ => None
+    }
+  }
+
+  /** TOP-DOWN, so a DML statement over a registered name is
+    * intercepted while its table child is still an
+    * [[UnresolvedRelation]] — bottom-up would resolve the child to
+    * the store relation first and the builtin analyzer would then
+    * reject "DELETE is only supported with v2 tables" before this
+    * rule ever saw the statement.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    plan.resolveOperatorsDown {
+      // ---- SQL DML over registered store tables: each statement
+      // ---- becomes ONE driver-side command = one atomic store
+      // ---- commit (StoreDmlCommands). Predicates/SETs/source stay
+      // ---- unresolved inside the leaf command and bind at run time.
+      case InsertIntoStatement(t, partSpec, userCols, query,
+          overwrite, ifPartitionNotExists, byName)
+          if pathOf(t).isDefined =>
+        if (partSpec.nonEmpty) sys.error(
+          "INSERT into a store table takes no PARTITION spec — the " +
+            "store has no partition columns (zones/z-order cluster " +
+            "instead)")
+        if (overwrite) sys.error(
+          "INSERT OVERWRITE is not supported on store tables — " +
+            "spell the intent explicitly (deleteWhere + append, or " +
+            "restore)")
+        if (byName) sys.error(
+          "INSERT BY NAME is not supported on store tables — SQL " +
+            "inserts are by position (or name a column list)")
+        val _ = ifPartitionNotExists
+        StoreInsertCommand(pathOf(t).get, query, userCols)
+      case DeleteFromTable(t, cond) if pathOf(t).isDefined =>
+        // an absent WHERE arrives as a literal TRUE from the parser
+        val real = Option(cond).filterNot(
+          _ == org.apache.spark.sql.catalyst.expressions.Literal
+            .TrueLiteral)
+        StoreDeleteCommand(pathOf(t).get, real.map(new SqlExpr(_)))
+      case m: org.apache.spark.sql.catalyst.plans.logical
+          .MergeIntoTable if pathOf(m.targetTable).isDefined =>
+        import org.apache.spark.sql.catalyst.plans.logical.{
+          DeleteAction, InsertStarAction, UpdateStarAction}
+        val keys = mergeKeys(m.mergeCondition).getOrElse(sys.error(
+          "MERGE INTO a store table: the ON condition must be a " +
+            "conjunction of equalities over identically-named key " +
+            "columns (t.k = s.k [AND …])"))
+        if (m.withSchemaEvolution || m.notMatchedBySourceActions
+          .nonEmpty) sys.error(
+          "MERGE INTO a store table supports neither WITH SCHEMA " +
+            "EVOLUTION nor WHEN NOT MATCHED BY SOURCE")
+        val src = m.sourceTable match {
+          case org.apache.spark.sql.catalyst.plans.logical
+            .SubqueryAlias(_, child) => child
+          case other => other
+        }
+        (m.matchedActions, m.notMatchedActions) match {
+          case (Seq(UpdateStarAction(None)),
+              Seq(InsertStarAction(None))) =>
+            StoreMergeCommand(pathOf(m.targetTable).get, src,
+              keys.distinct, upsert = true)
+          case (Seq(DeleteAction(None)), Seq()) =>
+            StoreMergeCommand(pathOf(m.targetTable).get, src,
+              keys.distinct, upsert = false)
+          case _ => sys.error(
+            "MERGE INTO a store table supports exactly two forms: " +
+              "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+              "THEN INSERT * (keyed upsert), or WHEN MATCHED THEN " +
+              "DELETE alone (keyed delete) — conditional or " +
+              "per-column actions are not expressible as one " +
+              "atomic store commit")
+        }
+      case UpdateTable(t, assignments, cond)
+          if pathOf(t).isDefined =>
+        val sets = assignments.map {
+          case Assignment(k: UnresolvedAttribute, v) =>
+            (k.nameParts.last, new SqlExpr(v))
+          case a => sys.error(
+            s"UPDATE on a store table: unsupported SET target " +
+              s"${a.key.sql} (name a plain column)")
+        }
+        StoreUpdateCommand(pathOf(t).get, sets,
+          cond.map(new SqlExpr(_)))
+
       // the bare registered name = LATEST, resolved fresh per query
       // (builtin rules run first each iteration, so a real catalog
       // table or temp view of the same name wins over the registry)

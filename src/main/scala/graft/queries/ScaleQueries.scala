@@ -2432,7 +2432,79 @@ object ScaleQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
              |  CAST(4 AS INTEGER) AS ncols
              |FROM documents
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // SQL DML over a registered store table: the corpus lands via
+    // INSERT INTO ... SELECT (one append commit, by-position with
+    // casts), a tenth of it is transformed via UPDATE ... SET (one
+    // copy-on-write commit — only matching file-groups rewrite), a
+    // seventh removed via DELETE FROM ... WHERE (one commit), an
+    // eleventh rewritten + a thirteenth's shifted copies added via
+    // MERGE INTO (one keyed-upsert commit), and the result is read
+    // back through plain SQL over the same name. The `final_v`
+    // output pins the commit count at exactly four — a DML path that
+    // splits into extra commits (or silently skips one) shifts it;
+    // the aggregates pin the row-level semantics of all four
+    // statements end to end.
+    QueryDef(
+      "q362_sql_dml",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        documents(s, d).createOrReplaceTempView("q362_docs")
+        val p = graft.StoreCache.rebuild("dmlstore", d) { p =>
+          VersionedStore.create(s, p)
+          VersionedStore.registerTable(s, p, "q362_store")
+          s.sql("INSERT INTO q362_store SELECT doc_id, text, " +
+            "lang, source, n_chars FROM q362_docs")          // v1
+          s.sql("UPDATE q362_store SET n_chars = n_chars + 1000 " +
+            "WHERE doc_id % 10 = 0")                         // v2
+          s.sql("DELETE FROM q362_store WHERE doc_id % 7 = 3") // v3
+          // keyed upsert via SQL MERGE: rewrite every %11=5 doc as a
+          // 'merged'-source row and add a shifted fresh copy per
+          // %13=6 doc — one atomic commit for the whole statement
+          s.sql("""MERGE INTO q362_store AS t USING (
+            SELECT doc_id, text, lang, 'merged' AS source,
+              n_chars + 7 AS n_chars
+            FROM q362_docs WHERE doc_id % 11 = 5
+            UNION ALL
+            SELECT doc_id + 10000000, text, lang,
+              'inserted' AS source, n_chars
+            FROM q362_docs WHERE doc_id % 13 = 6) AS s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")               // v4
+        }
+        VersionedStore.registerTable(s, p, "q362_store")
+        s.sql("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+          FROM q362_store GROUP BY source""")
+          .withColumn("final_v",
+            lit(VersionedStore.latestVersion(s, p)))
+          .orderBy(col("source"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT doc_id, source,
+             |    n_chars + CASE WHEN doc_id % 10 = 0
+             |      THEN 1000 ELSE 0 END AS nc
+             |  FROM documents
+             |  WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+             |), merged AS (
+             |  SELECT doc_id, 'merged' AS source, n_chars + 7 AS nc
+             |  FROM documents WHERE doc_id % 11 = 5
+             |), ins AS (
+             |  SELECT doc_id + 10000000 AS doc_id,
+             |    'inserted' AS source, n_chars AS nc
+             |  FROM documents WHERE doc_id % 13 = 6
+             |), base AS (
+             |  SELECT * FROM kept UNION ALL SELECT * FROM merged
+             |  UNION ALL SELECT * FROM ins
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(nc) AS BIGINT) AS chars_sum,
+             |  CAST(4 AS BIGINT) AS final_v
+             |FROM base GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents

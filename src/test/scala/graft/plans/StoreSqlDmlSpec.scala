@@ -1,0 +1,200 @@
+package graft.plans
+
+import graft.SparkFixture
+import graft.operators.VersionedStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** SQL DML over registered store tables: INSERT INTO / DELETE FROM /
+  * UPDATE each resolve ([[StoreTimeTravelRule]]) into ONE driver-side
+  * command = one atomic store commit, with the store's full write
+  * discipline (schema gate, constraints, OCC) — and each returns the
+  * committed version as its result row.
+  */
+class StoreSqlDmlSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-dml").toString +
+      "/store"
+
+  private def mkStore(name: String): String = {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(
+      (0 until 10).map(i => (i.toLong, s"doc-$i", (i % 5).toLong))
+        .toDF("id", "body", "g"), p)
+    VersionedStore.registerTable(spark, p, name)
+    p
+  }
+
+  test("INSERT INTO ... SELECT appends by position with casts; the " +
+      "result row is the committed version") {
+    val p = mkStore("dml_ins")
+    val out = spark.sql(
+      "INSERT INTO dml_ins SELECT 100, 'via-sql', 9").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    val r = spark.sql(
+      "SELECT body, g FROM dml_ins WHERE id = 100").head
+    (r.getString(0), r.getLong(1)) shouldBe (("via-sql", 9L))
+    // by-position: a reordered SELECT cannot silently land values in
+    // the wrong columns — the int literal casts to the LONG column
+    VersionedStore.read(spark, p).schema("g").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    // arity mismatch is rejected before anything is written
+    intercept[Exception] {
+      spark.sql("INSERT INTO dml_ins SELECT 1, 'x'")
+    }
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+  }
+
+  test("INSERT INTO with a column list fills unnamed columns with " +
+      "typed NULLs") {
+    val p = mkStore("dml_inscols")
+    spark.sql("INSERT INTO dml_inscols (id, g) SELECT 200, 7")
+    val r = spark.sql(
+      "SELECT body, g FROM dml_inscols WHERE id = 200").head
+    r.isNullAt(0) shouldBe true
+    r.getLong(1) shouldBe 7L
+    intercept[Exception] {
+      spark.sql("INSERT INTO dml_inscols (id, nope) SELECT 1, 2")
+    }.getMessage should include("unknown column")
+    val _ = p
+  }
+
+  test("DELETE FROM ... WHERE is one copy-on-write commit; a " +
+      "missing WHERE is rejected, never a silent truncation") {
+    val p = mkStore("dml_del")
+    val out = spark.sql(
+      "DELETE FROM dml_del WHERE g = 2 OR id >= 8").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    spark.sql("SELECT count(*) AS n FROM dml_del")
+      .head.getLong(0) shouldBe 6L // lost 2,7 (g=2) and 8,9
+    intercept[Exception] {
+      spark.sql("DELETE FROM dml_del")
+    }.getMessage should include("WHERE")
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+  }
+
+  test("UPDATE ... SET evaluates every SET and the predicate " +
+      "against the pre-update row, in one commit") {
+    val p = mkStore("dml_upd")
+    val out = spark.sql(
+      "UPDATE dml_upd SET g = g + 100, body = concat(body, '!') " +
+        "WHERE id < 3").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    val r = spark.sql(
+      "SELECT id, body, g FROM dml_upd WHERE id < 3 ORDER BY id")
+      .collect()
+    r.map(_.getString(1)).toSeq shouldBe
+      Seq("doc-0!", "doc-1!", "doc-2!")
+    r.map(_.getLong(2)).toSeq shouldBe Seq(100L, 101L, 102L)
+    // untouched rows untouched
+    spark.sql("SELECT g FROM dml_upd WHERE id = 7")
+      .head.getLong(0) shouldBe 2L
+    // and time travel below the update serves the pre-update rows
+    spark.sql("SELECT g FROM dml_upd VERSION AS OF 1 WHERE id = 0")
+      .head.getLong(0) shouldBe 0L
+    val _ = p
+  }
+
+  test("DML composes with the store's write discipline: an INSERT " +
+      "violating a table constraint aborts with nothing committed") {
+    val p = mkStore("dml_con")
+    VersionedStore.setConstraints(spark, p,
+      Seq(graft.check.NonNegative("g")))
+    intercept[Exception] {
+      spark.sql("INSERT INTO dml_con SELECT 300, 'bad', -1")
+    }
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    spark.sql("SELECT count(*) AS n FROM dml_con")
+      .head.getLong(0) shouldBe 10L
+  }
+
+  test("MERGE INTO upsert form: matched keys replaced, new keys " +
+      "appended, ONE commit; source binds by name with casts") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_merge")
+    // source deliberately reorders columns — by-name binding
+    Seq((0L, 100L, "replaced"), (500L, 9L, "fresh"))
+      .toDF("id", "g", "body")
+      .createOrReplaceTempView("dml_merge_src")
+    val out = spark.sql(
+      """MERGE INTO dml_merge AS t USING dml_merge_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    spark.sql("SELECT count(*) AS n FROM dml_merge")
+      .head.getLong(0) shouldBe 11L
+    val r0 = spark.sql(
+      "SELECT body, g FROM dml_merge WHERE id = 0").head
+    (r0.getString(0), r0.getLong(1)) shouldBe (("replaced", 100L))
+    spark.sql("SELECT body FROM dml_merge WHERE id = 500")
+      .head.getString(0) shouldBe "fresh"
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+  }
+
+  test("MERGE INTO delete form removes matched keys; unsupported " +
+      "action shapes and non-equi ON conditions are rejected " +
+      "loudly, nothing committed") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_mdel")
+    Seq(1L, 3L, 999L).toDF("id")
+      .createOrReplaceTempView("dml_mdel_src")
+    spark.sql(
+      """MERGE INTO dml_mdel t USING dml_mdel_src s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    spark.sql("SELECT count(*) AS n FROM dml_mdel")
+      .head.getLong(0) shouldBe 8L
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_mdel t USING dml_mdel_src s ON t.id < s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }.getMessage should include("conjunction of equalities")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_mdel t USING dml_mdel_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET g = 1""".stripMargin)
+    }.getMessage should include("exactly two forms")
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+  }
+
+  test("the FIRST insert into an empty store defines the schema — " +
+      "the same contract as the API's first append") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.registerTable(spark, p, "dml_empty")
+    spark.sql("INSERT INTO dml_empty (id, body) " +
+      "SELECT 1L, 'first'")
+    VersionedStore.read(spark, p).columns.toSeq shouldBe
+      Seq("id", "body")
+    spark.sql("SELECT body FROM dml_empty WHERE id = 1")
+      .head.getString(0) shouldBe "first"
+    // and the SECOND insert goes through the schema gate as usual
+    intercept[Exception] {
+      spark.sql("INSERT INTO dml_empty SELECT 2L")
+    }
+  }
+
+  test("a temp view of the same name shadows the registered table " +
+      "for DML too — the registry never hijacks a real relation") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_shadow")
+    Seq((1L, "v", 0L)).toDF("id", "body", "g")
+      .createOrReplaceTempView("dml_shadow")
+    // DELETE against a temp view must fail with Spark's own error,
+    // not route to the store
+    intercept[Exception] {
+      spark.sql("DELETE FROM dml_shadow WHERE id = 1")
+    }
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    spark.catalog.dropTempView("dml_shadow")
+  }
+}
