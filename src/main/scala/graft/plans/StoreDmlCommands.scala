@@ -163,6 +163,14 @@ case class StoreMergeCommand(path: String, source: LogicalPlan,
       s"MERGE INTO store table at $path: INSERT * binds source " +
         s"columns by name, and the source lacks " +
         s"${missing.mkString(", ")}")
+    // a source column the target does not carry would be SILENTLY
+    // dropped by the projection below — data loss the writer never
+    // asked for; reject it (evolve the table first)
+    val extra = src.columns.filterNot(tgt.fieldNames.contains)
+    require(extra.isEmpty,
+      s"MERGE INTO store table at $path: source carries column(s) " +
+        s"${extra.mkString(", ")} the table does not — evolve the " +
+        "table first (append with evolve=true), never silently drop")
     val aligned = src.select(tgt.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     Seq(Row(VersionedStore.merge(spark, path, aligned, keyCols)))

@@ -46,6 +46,29 @@ class StoreTimeTravelRule(session: SparkSession)
     case _ => None
   }
 
+  /** The alias a DML target was given (`DELETE FROM t AS x`), if
+    * any — its qualifier must be stripped from the statement's
+    * attributes before they can bind against the store DataFrame
+    * (which carries no alias at run time).
+    */
+  private def aliasOf(p: LogicalPlan): Option[String] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical
+      .SubqueryAlias(ident, _) => Some(ident.name)
+    case _ => None
+  }
+
+  private def stripQual(alias: Option[String],
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    alias match {
+      case None => e
+      case Some(a) => e.transform {
+        case u: UnresolvedAttribute if u.nameParts.size > 1 &&
+            u.nameParts.head.equalsIgnoreCase(a) =>
+          UnresolvedAttribute(u.nameParts.tail)
+      }
+    }
+
   /** The equi-key list of a MERGE condition: a conjunction of
     * `<side>.k = <side>.k` equalities over IDENTICALLY-NAMED columns
     * (the only join shape the store's keyed merge expresses). Any
@@ -99,7 +122,8 @@ class StoreTimeTravelRule(session: SparkSession)
         val real = Option(cond).filterNot(
           _ == org.apache.spark.sql.catalyst.expressions.Literal
             .TrueLiteral)
-        StoreDeleteCommand(pathOf(t).get, real.map(new SqlExpr(_)))
+        StoreDeleteCommand(pathOf(t).get,
+          real.map(e => new SqlExpr(stripQual(aliasOf(t), e))))
       case m: org.apache.spark.sql.catalyst.plans.logical
           .MergeIntoTable if pathOf(m.targetTable).isDefined =>
         import org.apache.spark.sql.catalyst.plans.logical.{
@@ -135,15 +159,16 @@ class StoreTimeTravelRule(session: SparkSession)
         }
       case UpdateTable(t, assignments, cond)
           if pathOf(t).isDefined =>
+        val al = aliasOf(t)
         val sets = assignments.map {
           case Assignment(k: UnresolvedAttribute, v) =>
-            (k.nameParts.last, new SqlExpr(v))
+            (k.nameParts.last, new SqlExpr(stripQual(al, v)))
           case a => sys.error(
             s"UPDATE on a store table: unsupported SET target " +
               s"${a.key.sql} (name a plain column)")
         }
         StoreUpdateCommand(pathOf(t).get, sets,
-          cond.map(new SqlExpr(_)))
+          cond.map(e => new SqlExpr(stripQual(al, e))))
 
       // the bare registered name = LATEST, resolved fresh per query
       // (builtin rules run first each iteration, so a real catalog

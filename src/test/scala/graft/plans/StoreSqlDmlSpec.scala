@@ -165,6 +165,38 @@ class StoreSqlDmlSpec extends AnyFunSuite with SparkFixture
     VersionedStore.latestVersion(spark, p) shouldBe 2L
   }
 
+  test("an ALIASED target's qualifier binds: DELETE FROM t AS x " +
+      "WHERE x.id / UPDATE t AS x SET g = x.g + 1 both resolve " +
+      "against the store") {
+    val p = mkStore("dml_alias")
+    spark.sql("DELETE FROM dml_alias AS x WHERE x.id = 9")
+    spark.sql("SELECT count(*) AS n FROM dml_alias")
+      .head.getLong(0) shouldBe 9L
+    spark.sql(
+      "UPDATE dml_alias AS x SET g = x.g + 50 WHERE x.id = 0")
+    spark.sql("SELECT g FROM dml_alias WHERE id = 0")
+      .head.getLong(0) shouldBe 50L
+    VersionedStore.latestVersion(spark, p) shouldBe 3L
+  }
+
+  test("MERGE upsert rejects a source carrying columns the table " +
+      "does not — never a silent projection-away") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_mextra")
+    Seq((0L, "x", 1L, "surprise"))
+      .toDF("id", "body", "g", "extra_col")
+      .createOrReplaceTempView("dml_mextra_src")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_mextra t USING dml_mextra_src s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }.getMessage should include("extra_col")
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+  }
+
   test("the FIRST insert into an empty store defines the schema — " +
       "the same contract as the API's first append") {
     val p = freshPath()
