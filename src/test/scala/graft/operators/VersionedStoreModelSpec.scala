@@ -7,10 +7,15 @@ import org.scalatest.matchers.should.Matchers
 
 /** Model-based randomized check: a random lifecycle of appends,
   * targeted deletes, keyed merges, deferred (DV) deletes,
-  * compactions, checkpoints, and restores is replayed against a pure
+  * copy-on-write predicate updates, column renames, compactions,
+  * checkpoints, and restores is replayed against a pure
   * in-memory model; after EVERY op the store's latest content must
   * equal the model's, and at the end `readAt` must reproduce every
-  * recorded version. This is the strongest form of the q328-family
+  * recorded version. Renames track the value column's CURRENT
+  * logical name (content is compared positionally, so the model
+  * stays a plain Map); a restore reverts the name to the restored
+  * version's — exercising the schema anchor against arbitrary
+  * later writes. This is the strongest form of the q328-family
   * gates: not one pinned lifecycle but arbitrary interleavings — an
   * op whose commit misaccounts a carried group, resurrects a
   * retired fid outside a restore, or breaks snapshot isolation fails
@@ -33,6 +38,9 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
   private case object Compact extends Op
   private case object Checkpoint extends Op
   private case class Restore(frac: Double) extends Op
+  private case class UpdateWhere(mod: Int, rem: Int, delta: Long)
+    extends Op
+  private case object Rename extends Op
 
   private type Row3 = (Long, String, Long)
 
@@ -69,7 +77,13 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
       2 -> Gen.listOfN(3, Gen.choose(0.0, 0.999)).map(DvDelete(_)),
       1 -> Gen.const(Compact),
       1 -> Gen.const(Checkpoint),
-      2 -> Gen.choose(0.0, 0.999).map(Restore(_)))
+      2 -> Gen.choose(0.0, 0.999).map(Restore(_)),
+      2 -> (for {
+        mod <- Gen.choose(2, 7)
+        rem <- Gen.choose(0, 6)
+        delta <- Gen.choose(1L, 9L)
+      } yield UpdateWhere(mod, rem min (mod - 1), delta)),
+      1 -> Gen.const(Rename))
     val genSeq = Gen.listOfN(7, genOp)
 
     var run = 0
@@ -82,13 +96,23 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
       var nextHigh = 1000000L
       var cur = Map.empty[Long, Row3]
       var recorded = Map.empty[Long, Map[Long, Row3]]
+      // the CURRENT logical name of the third column — renames
+      // re-point it, and a restore reverts it to the restored
+      // version's name (the schema anchor), so writes must always
+      // speak the name of the version they land on
+      var vName = "v"
+      var renameK = run * 1000 // fresh names across runs AND restores
+      var recordedName = Map.empty[Long, String]
+      def wdf(rows: Seq[Row3]) =
+        if (vName == "v") df(rows)
+        else df(rows).withColumnRenamed("v", vName)
       ops.foreach { op =>
         op match {
           case Append(n) =>
             val rows = (nextId until nextId + n)
               .map(i => (i, s"a$i", i * 3))
             nextId += n
-            VersionedStore.append(df(rows), p)
+            VersionedStore.append(wdf(rows), p)
             cur = cur ++ rows.map(r => r._1 -> r)
           case Delete(mod, rem) =>
             VersionedStore.deleteWhere(spark, p,
@@ -104,7 +128,7 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
             val ids = (existing ++ freshIds).distinct
             if (ids.nonEmpty) {
               val rows = ids.map(i => (i, s"m$i", i * 7))
-              VersionedStore.merge(spark, p, df(rows), Seq("id"))
+              VersionedStore.merge(spark, p, wdf(rows), Seq("id"))
               cur = cur ++ rows.map(r => r._1 -> r)
             }
           case DeleteKeys(fracs) =>
@@ -155,10 +179,30 @@ class VersionedStoreModelSpec extends AnyFunSuite with SparkFixture
                 ((frac * targets.size).toInt).min(targets.size - 1))
               VersionedStore.restore(spark, p, tv)
               cur = recorded(tv)
+              // the restored version's schema (anchor) serves ITS
+              // column name — later writes must speak it
+              vName = recordedName(tv)
+            }
+          case UpdateWhere(mod, rem, delta) =>
+            VersionedStore.updateWhere(spark, p,
+              pmod(col("id"), lit(mod)) === rem,
+              Seq(vName -> (col(vName) + delta)))
+            cur = cur.map { case (id, r) =>
+              if (((id % mod) + mod) % mod == rem)
+                id -> (r._1, r._2, r._3 + delta)
+              else id -> r
+            }
+          case Rename =>
+            if (!VersionedStore.isEmpty(spark, p)) {
+              renameK += 1
+              val fresh = s"v$renameK"
+              VersionedStore.renameColumn(spark, p, vName, fresh)
+              vName = fresh // model content is positional: unchanged
             }
         }
         val v = VersionedStore.latestVersion(spark, p)
         if (v > 0) recorded = recorded + (v -> cur)
+        if (v > 0) recordedName = recordedName + (v -> vName)
         if (v > 0) contentOf(p) shouldBe cur
       }
       // time travel: every recorded version replays its model state
