@@ -84,8 +84,11 @@ object VersionedStore {
       sys.error(s"VersionedStore.create: cannot create log at $path")
     // a re-created store restarts version numbering at the same
     // path — cached records from the previous incarnation must not
-    // survive (the listing alone could not distinguish them)
+    // survive (the listing alone could not distinguish them), and
+    // neither must the previous incarnation's claim high-water mark
+    // (fid numbering would start inflated at a fresh store)
     logCache.synchronized { logCache.remove(path) }
+    claimHighWater.remove(path)
     ()
   }
 
@@ -1288,17 +1291,39 @@ object VersionedStore {
     */
   private val claimLock = new Object
 
+  /** Per-JVM high-water mark of claimed fids, per store path. The
+    * claims-dir LISTING below is only a fast-start hint (correctness
+    * is carried entirely by the exclusive create: starting too low
+    * just fails forward over taken fids, starting too high just
+    * leaves harmless holes) — so after the first claim, this JVM's
+    * own mark replaces the listing and a multi-commit build pays ONE
+    * metadata RPC per claim instead of an O(claims) listing per
+    * commit (the q337/q338 dbt-incremental cost the r15 close-out
+    * flagged). A concurrent claimer from another process costs this
+    * JVM a few extra failed creates (slide-forward), exactly as a
+    * stale listing would.
+    */
+  private val claimHighWater =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]
+
   private def claimFids(spark: SparkSession, path: String,
       count: Int): Seq[Long] = claimLock.synchronized {
     if (count == 0) return Seq.empty
     requireExclusive("claimFids")
     val f = fs(spark)
     val dir = new Path(s"$path/data/.fidclaims")
-    if (!f.exists(dir)) f.mkdirs(dir)
-    val claimed = f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.matches("f\\d+")).map(_.drop(1).toLong)
-    var cand = ((0L +: claimed) ++
-      actions(spark, path, Long.MaxValue).map(_._3)).max + 1
+    val logMax =
+      (0L +: actions(spark, path, Long.MaxValue).map(_._3)).max
+    val hint = Option(claimHighWater.get(path)) match {
+      case Some(h) => math.max(h, logMax)
+      case None =>
+        if (!f.exists(dir)) f.mkdirs(dir)
+        val claimed = f.listStatus(dir).toSeq
+          .map(_.getPath.getName)
+          .filter(_.matches("f\\d+")).map(_.drop(1).toLong)
+        ((0L +: claimed) :+ logMax).max
+    }
+    var cand = hint + 1
     val got = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (got.size < count) {
       val ok = logStoreImpl
@@ -1306,6 +1331,7 @@ object VersionedStore {
       if (ok) got += cand
       cand += 1
     }
+    claimHighWater.put(path, got.max)
     got.toSeq
   }
 

@@ -2504,7 +2504,43 @@ object ScaleQueries {
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
              |  CAST(SUM(nc) AS BIGINT) AS chars_sum,
              |  CAST(4 AS BIGINT) AS final_v
-             |FROM base GROUP BY source ORDER BY source""".stripMargin))
+             |FROM base GROUP BY source ORDER BY source""".stripMargin)),
+
+    // SQL observability surface, serve lane: the CDC window of
+    // q332 consumed purely through SQL — the store_changes
+    // table-valued function composes with GROUP BY like any
+    // relation (the public `table_changes` shape). Same oracle as
+    // q332: the feed is exactly "inserts = batch %3=2, deletes =
+    // the removal-request rows", recomputed independently.
+    QueryDef(
+      "q363_sql_tvf_changes",
+      (s, d) => {
+        val p = versionedDocStore(s, d, rebuild = false)
+        import graft.operators.VersionedStore
+        VersionedStore.registerTable(s, p, "q363_store")
+        val to = VersionedStore.latestVersion(s, p)
+        s.sql(s"""SELECT _change, source,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+          FROM store_changes('q363_store', 2, $to)
+          GROUP BY _change, source
+          ORDER BY _change, source""")
+      },
+      Some("""SELECT 'delete' AS "_change", source,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents
+             |WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 = 0
+             |GROUP BY source
+             |UNION ALL
+             |SELECT 'insert', source, CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(doc_id) AS BIGINT),
+             |  CAST(SUM(n_chars) AS BIGINT)
+             |FROM documents WHERE doc_id % 3 = 2
+             |GROUP BY source
+             |ORDER BY "_change", source""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents

@@ -30,8 +30,13 @@ class LanesSpec extends AnyFunSuite with Matchers {
           .findAllMatchIn(noComments).map(_.group(1)).toSeq
           .zip("QueryDef\\(\\s*\\n?\\s*\"".r
             .split(noComments).drop(1).toSeq)
-          .collect { case (name, body)
-            if body.contains("StoreCache.rebuild") => name }
+          .collect { case (name, body0)
+            // the file's LAST body segment runs to EOF and would
+            // swallow trailing private helpers (whose own rebuild
+            // calls are charged to getOrBuild callers too) — cut
+            // each segment at the first member definition
+            if body0.split("\n  private def ").head
+              .contains("StoreCache.rebuild") => name }
       }.toSet
     rebuilds.filterNot(Lanes.build) shouldBe empty
   }
