@@ -15,7 +15,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * SELECT * FROM store_history('doc_store')
   * SELECT * FROM store_describe('doc_store')
   * SELECT * FROM store_changes('doc_store', 2, 5)
+  * SELECT * FROM store_changes_keyed('doc_store', 2, 5, 'id')
   * }}}
+  *
+  * `store_changes_keyed` is the update-image flavor: rows whose key
+  * appears on both sides of the window pair into
+  * `update_preimage`/`update_postimage` (the public CDF vocabulary)
+  * instead of an unrelated delete+insert.
   *
   * The argument names a `registerTable` registration, or is a raw
   * store path (registrations win). All three are driver-side log
@@ -100,6 +106,28 @@ object StoreTvfs {
         .queryExecution.analyzed
     })
 
+  val changesKeyedDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("store_changes_keyed"),
+    new ExpressionInfo(VersionedStore.getClass.getName,
+      "store_changes_keyed"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 4,
+        s"store_changes_keyed expects (table, fromVersion, " +
+          s"toVersion, 'k1[,k2…]'), got ${exprs.length} argument(s)")
+      val spark = SparkSession.active
+      val keys = strLit(exprs(3), "store_changes_keyed", "key list")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty,
+        "store_changes_keyed: the key list must name at least one " +
+          "column")
+      VersionedStore.changesKeyed(spark,
+        pathFor(strLit(exprs(0), "store_changes_keyed", "table")),
+        longLit(exprs(1), "store_changes_keyed", "fromVersion"),
+        longLit(exprs(2), "store_changes_keyed", "toVersion"), keys)
+        .queryExecution.analyzed
+    })
+
   val all = Seq(historyDescriptor, describeDescriptor,
-    changesDescriptor)
+    changesDescriptor, changesKeyedDescriptor)
 }

@@ -53,6 +53,36 @@ class StoreTvfSpec extends AnyFunSuite with SparkFixture
     r.getLong(1) shouldBe 11L // 8 survivors + 3 late
   }
 
+  test("store_changes_keyed pairs rewritten keys into update " +
+      "pre/post-images (the CDF vocabulary), straight from SQL") {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(
+      (0 until 6).map(i => (i.toLong, s"d$i")).toDF("id", "body"),
+      p)                                                     // v1
+    VersionedStore.merge(spark, p,
+      Seq((2L, "updated"), (100L, "fresh")).toDF("id", "body"),
+      Seq("id"))                                             // v2
+    VersionedStore.registerTable(spark, p, "tvf_ck")
+    val rows = spark.sql(
+      "SELECT _change, CAST(count(*) AS BIGINT) AS n " +
+        "FROM store_changes_keyed('tvf_ck', 1, 2, 'id') " +
+        "GROUP BY _change ORDER BY _change").collect()
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("insert", 1L), ("update_postimage", 1L),
+        ("update_preimage", 1L))
+    spark.sql(
+      "SELECT body FROM store_changes_keyed('tvf_ck', 1, 2, 'id') " +
+        "WHERE _change = 'update_postimage'")
+      .head.getString(0) shouldBe "updated"
+    intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM store_changes_keyed('tvf_ck', 1, 2, '')")
+    }
+  }
+
   test("store_changes is the CDC window as a relation — filterable " +
       "and aggregatable like any table") {
     build("tvf_c")
