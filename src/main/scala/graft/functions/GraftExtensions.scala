@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapPruneRule)
     ext.injectOptimizerRule(_ => graft.plans.BloomSkipRule)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    // SQL maintenance verbs (OPTIMIZE / VACUUM / RESTORE) over
+    // registered store tables; everything else delegates verbatim
+    ext.injectParser((_, parser) =>
+      new graft.plans.GraftSqlParser(parser))
   }
 }
 

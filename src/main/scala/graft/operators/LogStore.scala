@@ -103,3 +103,114 @@ object HdfsLogStore extends LogStore {
         if (f.exists(p)) false else throw e
     }
 }
+
+/** The one-winner-per-key primitive an object-store deployment
+  * supplies from OUTSIDE the filesystem — the semantic of an S3
+  * conditional PUT (`If-None-Match: *`) or a DynamoDB
+  * `attribute_not_exists` conditional write (the arbitration layer
+  * of the public S3 + coordinator-table LogStore design). The claim
+  * carries a WRITE-AHEAD INTENT value (the staged tmp location), so
+  * any process that finds a claimed-but-unmaterialized destination
+  * can COMPLETE the crashed winner's publication from its durable
+  * staging — the recovery rule that makes claim-then-copy safe on a
+  * backend whose copy is not atomic.
+  */
+trait CommitArbiter {
+  /** Atomically claim `key`, recording `intent`. `None` = this
+    * caller won the key; `Some(existingIntent)` = already claimed
+    * (the stored intent of the winner, for recovery). MUST be
+    * atomic across every process sharing the store.
+    */
+  def claim(key: String, intent: String): Option[String]
+}
+
+/** In-process CAS arbiter — the test/simulation stand-in for a
+  * conditional PUT. Per-JVM only: a multi-process deployment must
+  * supply an arbiter backed by a genuinely shared primitive (the
+  * refusal story for forgetting to do so does not exist at this
+  * layer — the arbiter IS the exclusivity, so a per-JVM arbiter in
+  * a multi-JVM deployment is exactly the raw-S3 corruption; deploy
+  * accordingly).
+  */
+final class InMemoryCommitArbiter extends CommitArbiter {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def claim(key: String, intent: String): Option[String] =
+    Option(m.putIfAbsent(key, intent))
+}
+
+/** [[LogStore]] for object storage (raw S3 semantics: no atomic
+  * rename, no exclusive create) — winner election happens in the
+  * [[CommitArbiter]], and only then does data move:
+  *
+  *  1. the caller stages the full record under `tmp` (durable);
+  *  2. `claim(dest, tmp)` elects AT MOST ONE winner per destination
+  *     and write-ahead-logs the winner's staging location;
+  *  3. the winner materializes `tmp` → `dest` — non-atomic is fine
+  *     HERE because the claim already serialized the destination:
+  *     no concurrent writer targets `dest`, and crash-in-the-middle
+  *     is recoverable from the logged intent;
+  *  4. a LOSER that observes a claimed-but-missing destination
+  *     completes the crashed winner's copy from that winner's
+  *     intent before reporting its own loss — a version is never
+  *     left half-published (the recovery rule of the public
+  *     S3 + DynamoDB LogStore).
+  *
+  * The protocol above this class (OCC rebase, fid claims,
+  * checkpoint publication) is unchanged — LogStoreSpec runs the
+  * same 4-writer race through this implementation and through
+  * [[HdfsLogStore]].
+  */
+final class ObjectStoreLogStore(arbiter: CommitArbiter)
+    extends LogStore {
+  def exclusive: Boolean = true
+
+  def publish(f: FileSystem, tmp: Path, dest: Path): Boolean =
+    arbiter.claim(dest.toString, tmp.toString) match {
+      case None =>
+        // we own dest. A loser may ALREADY have completed our copy
+        // (it saw our claim while we were paused): dest present
+        // means our content landed — publication succeeded.
+        if (f.exists(dest)) true
+        else if (f.rename(tmp, dest)) {
+          // rename-into-existing-directory guard (same trap as
+          // HdfsLogStore): if a loser materialized dest from OUR
+          // intent between our check and our rename, tmp nests
+          // inside dest — remove the duplicate; dest still carries
+          // exactly our content, so we won either way
+          val nested = new Path(dest, tmp.getName)
+          if (f.exists(nested)) f.delete(nested, true)
+          true
+        }
+        else if (f.exists(dest)) true // loser recovery moved our tmp
+        else sys.error(s"ObjectStoreLogStore: claimed $dest but " +
+          "could not materialize it and no recovery completed it — " +
+          "filesystem fault, not a version race")
+      case Some(intent) =>
+        // lost the claim. Complete a crashed winner's publication
+        // from its write-ahead intent if its destination is still
+        // missing; harmless if the winner is merely mid-flight (its
+        // own rename finding dest present self-resolves via the
+        // nested-dir guard above).
+        if (!f.exists(dest)) {
+          val w = new Path(intent)
+          if (f.exists(w) && f.rename(w, dest)) {
+            val nested = new Path(dest, w.getName)
+            if (f.exists(nested)) f.delete(nested, true)
+          }
+        }
+        false
+    }
+
+  def createExclusive(f: FileSystem, p: Path): Boolean =
+    arbiter.claim(p.toString, "marker") match {
+      case None =>
+        // we own p; overwrite-create is safe and makes the marker
+        // visible to filesystem-side observers (describe/debug) —
+        // exclusivity itself lives in the arbiter, so a crash
+        // BEFORE this create merely burns the claim (the claimer
+        // protocol slides to the next candidate on false)
+        f.create(p, true).close(); true
+      case Some(_) => false
+    }
+}

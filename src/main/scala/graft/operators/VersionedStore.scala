@@ -365,8 +365,9 @@ object VersionedStore {
           Seq.empty[String], Seq.empty[String], null: String,
           Seq.empty[String], logical, phys)
       } ++
-      // the anchor rides LAST so [[schemaAt]]'s within-commit
-      // last-record-wins resolution lands on it — restore/clone pin
+      // the anchor's supremacy is enforced by [[actionPriority]]
+      // (action "schema" sorts above every other record within a
+      // version), not by this physical write order — restore/clone pin
       // the restored version's exact table schema with it (their
       // republished add records carry each group's ORIGINAL schema,
       // which is stale whenever the newest schema-bearing commit at
@@ -520,9 +521,31 @@ object VersionedStore {
         regexp_extract(input_file_name(), "/log/v(\\d{9})/[^/]*$", 1)
           .cast("long"))
     val recs = (keep ++ fromCkpt ++ fresh)
-      .sortBy(r => (r.v, r.action, r.fid))
+      .sortBy(r => (r.v, actionPriority(r.action), r.fid))
     logCache(path) = (vs, recs)
     recs
+  }
+
+  /** EXPLICIT within-version record ordering — the resolution order
+    * every last-record-wins consumer ([[schemaAt]], [[mappingAt]])
+    * depends on. This used to be `sortBy(r.action)`, which put the
+    * restore/clone `schema` anchor last only because "schema" sorts
+    * alphabetically after "add"/"drop"/"rename" — an accident a
+    * future action name would silently break. The order mirrors the
+    * semantic application order inside one commit: data records,
+    * then column-mapping changes (renames before drops, the order
+    * [[commitAt]] writes them), then the explicit schema anchor,
+    * which must always win. Unknown future actions sort BETWEEN the
+    * mapping records and the anchor, so they can never displace it.
+    */
+  private def actionPriority(action: String): Int = action match {
+    case "add" => 0
+    case "dv" => 1
+    case "remove" => 2
+    case "rename" => 3
+    case "drop" => 4
+    case "schema" => 9
+    case _ => 5
   }
 
   /** Spec hook: forget the in-JVM cache for `path`, forcing the next
@@ -963,6 +986,18 @@ object VersionedStore {
       }
     }
 
+  /** Loud API-boundary check that caller-supplied stats/zone/bloom
+    * column names exist in the batch (logical names).
+    */
+  private def requireCols(df: DataFrame, op: String,
+      cols: Seq[String]): Unit = {
+    val missing = cols.distinct.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"VersionedStore.$op: stats/zone/bloom column(s) " +
+        s"${missing.mkString(", ")} not in the batch schema " +
+        s"(${df.columns.mkString(", ")})")
+  }
+
   private def writeGroup(df: DataFrame, path: String, fid: Long,
       statsCol: Option[String],
       zoneCols: Seq[String] = Nil,
@@ -1022,9 +1057,11 @@ object VersionedStore {
     * `schema` anchor. MUTATING batches never shrink it (enforced in
     * [[checkSchema]]); only the explicit [[dropColumn]] metadata
     * commit does. None for stores whose records predate schema
-    * tracking. sortBy is stable, so within one commit the LAST
-    * schema-bearing record wins — [[commitAt]] orders adds before
-    * renames/drops before the anchor deliberately.
+    * tracking. Within one commit the LAST schema-bearing record
+    * wins, and "last" is defined by [[actionPriority]]'s explicit
+    * within-version ordering (adds, then renames/drops, then the
+    * `schema` anchor — which therefore always wins), not by the
+    * physical write order or any alphabetical accident.
     */
   private def schemaAt(spark: SparkSession, path: String,
       v: Long): Option[org.apache.spark.sql.types.StructType] =
@@ -1357,6 +1394,12 @@ object VersionedStore {
       zoneCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
+    // caller-supplied metadata columns must exist in the batch —
+    // writeGroup's silent filter is for INTERNALLY propagated names
+    // (which may legitimately name a since-dropped lineage), and
+    // letting a caller typo through it would silently disarm
+    // stats/zone/bloom pruning for this append
+    requireCols(df, "append", statsCol.toSeq ++ zoneCols ++ bloomCols)
     checkSchema(df, path, "append", canEvolve = evolve)
     validate(df, path)
     val propag = storePropagation(spark, path)
@@ -1870,6 +1913,12 @@ object VersionedStore {
         case None => col(c)
       }
     }: _*)
+    // the same write discipline every other mutator enforces: the
+    // post-update rows must satisfy the table constraints, else
+    // `UPDATE t SET g = -5` would commit rows an append/merge of the
+    // identical values rejects. Scoped to the rewritten groups —
+    // untouched groups already passed at their own write.
+    validate(kept.drop("_vs_fid"), path)
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
       propag._1, propag._2)
     commit(spark, path, adds, affected.toSeq)
@@ -2067,6 +2116,253 @@ object VersionedStore {
       rewrites :+ writeGroup(ins, path, insFid, statsCol, zoneCols,
         mergeBloomCols),
       affected.toSeq, txn)
+  }
+
+  /** One action of [[mergeInto]]'s WHEN MATCHED list. `cond` (over
+    * the joined namespace: target columns by name, source columns as
+    * `_src_<name>`) gates the action; empty `sets` = `UPDATE SET *`
+    * (every non-key target column takes the source's same-named
+    * column).
+    */
+  sealed trait MergeMatchedAction {
+    def cond: Option[Column]
+  }
+  final case class MergeUpdate(cond: Option[Column],
+    sets: Seq[(String, Column)]) extends MergeMatchedAction
+  final case class MergeDelete(cond: Option[Column])
+    extends MergeMatchedAction
+
+  /** One action of [[mergeInto]]'s WHEN NOT MATCHED list. `cond`
+    * and `values` evaluate against the SOURCE row (plain column
+    * names — an unmatched row has no target side); empty `values` =
+    * `INSERT *`; columns a `values` list leaves out land as typed
+    * NULLs.
+    */
+  final case class MergeInsert(cond: Option[Column],
+    values: Seq[(String, Column)])
+
+  /** General MERGE — the conditional / per-column forms the keyed
+    * [[merge]] (wholesale upsert) and [[deleteKeys]] cannot express:
+    *
+    * {{{
+    * WHEN MATCHED [AND c1] THEN UPDATE SET a = expr, …  (or SET *)
+    * WHEN MATCHED [AND c2] THEN DELETE
+    * WHEN NOT MATCHED [AND c3] THEN INSERT (cols) VALUES (…) (or *)
+    * }}}
+    *
+    * as ONE atomic commit. Matched actions apply FIRST-MATCH-WINS
+    * per target row (the SQL MERGE contract); a matched row whose
+    * every condition is false carries through byte-identical, and
+    * only file-groups containing a fired row rewrite (copy-on-write,
+    * [[updateWhere]]'s shape generalized to a source join). All SET
+    * expressions and conditions evaluate against the PRE-merge row
+    * joined with its source match — target columns under their own
+    * names, source columns as `_src_<name>` — and every produced
+    * value casts to the column's existing type, so the schema cannot
+    * drift. Unmatched source rows route through the first
+    * not-matched action whose condition holds and land in one fresh
+    * insert group. The rewritten and inserted rows run the same
+    * constraint gate as every other mutator.
+    *
+    * Scale shape: detection scans prune through zone/stat metadata
+    * on a single join key exactly like [[merge]]'s (the source key
+    * span bounds where matches can live); the anti-join for inserts
+    * is a column-pruned key scan; rewrites touch only affected
+    * groups. Duplicate source keys are rejected when any matched
+    * action exists — the result would be order-dependent.
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], matched: Seq[MergeMatchedAction],
+      notMatched: Seq[MergeInsert]): Long = {
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "VersionedStore.mergeInto: no actions")
+    val v = latestVersion(spark, path)
+    val tgtSchema = schemaAt(spark, path, v).getOrElse(sys.error(
+      s"VersionedStore.mergeInto: no table schema at $path"))
+    keyCols.foreach { k =>
+      require(tgtSchema.fieldNames.contains(k),
+        s"VersionedStore.mergeInto: key `$k` not in table schema")
+      require(source.columns.contains(k),
+        s"VersionedStore.mergeInto: key `$k` not in source")
+    }
+    val srcCols = source.columns.toSeq
+    // star forms bind by name: they need the source to carry every
+    // (non-key) target column — checked loudly up front
+    val starUpd = matched.exists {
+      case MergeUpdate(_, s) => s.isEmpty; case _ => false }
+    val starIns = notMatched.exists(_.values.isEmpty)
+    if (starUpd || starIns) {
+      val need = tgtSchema.fieldNames.filterNot(srcCols.contains)
+        .filterNot(c => starUpd && !starIns && keyCols.contains(c))
+      require(need.isEmpty,
+        "VersionedStore.mergeInto: a SET */INSERT * action binds " +
+          s"by name and the source lacks ${need.mkString(", ")}")
+    }
+    matched.foreach {
+      case MergeUpdate(_, sets) => sets.foreach { case (c, _) =>
+        require(tgtSchema.fieldNames.contains(c),
+          s"VersionedStore.mergeInto: UPDATE SET names unknown " +
+            s"column `$c`") }
+      case _ => ()
+    }
+    notMatched.foreach(a => a.values.foreach { case (c, _) =>
+      require(tgtSchema.fieldNames.contains(c),
+        s"VersionedStore.mergeInto: INSERT names unknown column " +
+          s"`$c`") })
+    if (matched.nonEmpty) {
+      val dup = source.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dup > 0) sys.error(
+        "VersionedStore.mergeInto: source carries duplicate keys — " +
+          "matched-action results would be order-dependent")
+    }
+    val statsCol = storeStatsCol(spark, path)
+    val propag = storePropagation(spark, path)
+    // detection pruning, merge's rule: with zones/stats armed on a
+    // single join key, the source key span bounds where matches live
+    val scanFids = keyCols match {
+      case Seq(c) if statsCol.contains(physOf(spark, path, v, c)) ||
+          propag._1.contains(physOf(spark, path, v, c)) =>
+        val isStr = source.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType
+        if (isStr) {
+          val r = source.agg(min(col(c)), max(col(c))).head
+          if (r.isNullAt(0)) Seq.empty
+          else candidateFidsStr(spark, path, v, c, r.getString(0),
+            r.getString(1))
+        } else {
+          val r = source.agg(min(col(c)).cast("long"),
+            max(col(c)).cast("long")).head
+          if (r.isNullAt(0)) Seq.empty
+          else candidateFids(spark, path, v, c, r.getLong(0),
+            r.getLong(1))
+        }
+      case _ => liveFids(spark, path, v)
+    }
+    val srcPref = source.select(
+      (keyCols.map(col) ++ srcCols.filterNot(keyCols.contains)
+        .map(c => col(c).as(s"_src_$c"))): _*)
+      .withColumn("_src_matched", lit(true))
+    // first-match-wins action index per joined row (-1 = carry)
+    val fired = matched.zipWithIndex.foldRight(lit(-1)) {
+      case ((a, i), acc) =>
+        when(coalesce(col("_src_matched"), lit(false)) &&
+          coalesce(a.cond.getOrElse(lit(true)), lit(false)),
+          lit(i)).otherwise(acc)
+    }
+    val joined =
+      if (matched.isEmpty || scanFids.isEmpty) None
+      else Some(applyDvs(spark, path, v,
+        withFidOf(spark, path, scanFids))
+        // no broadcast hint: AQE broadcasts a small source and
+        // shuffles a large one — a forced broadcast would OOM on a
+        // table-sized source
+        .join(srcPref, keyCols, "left")
+        .withColumn("_fired", fired))
+    val affected = joined.map {
+      _.filter(col("_fired") >= 0).select("_vs_fid")
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    }.getOrElse(Seq.empty)
+    // unmatched source rows → first applicable insert action
+    val insFired = notMatched.zipWithIndex.foldRight(lit(-1)) {
+      case ((a, i), acc) =>
+        when(coalesce(a.cond.getOrElse(lit(true)), lit(false)),
+          lit(i)).otherwise(acc)
+    }
+    val allLive = liveFids(spark, path, v)
+    val insRows =
+      if (notMatched.isEmpty) None
+      else {
+        val unmatched =
+          if (allLive.isEmpty) source
+          else source.join(
+            applyDvs(spark, path, v, withFidOf(spark, path, allLive))
+              .select(keyCols.map(col): _*),
+            keyCols, "left_anti")
+        val picked = unmatched.withColumn("_fired", insFired)
+          .filter(col("_fired") >= 0)
+        val projected = picked.select(tgtSchema.fields.map { f =>
+          notMatched.zipWithIndex.foldRight(
+            lit(null).cast(f.dataType)) { case ((a, i), acc) =>
+            val value =
+              if (a.values.isEmpty)
+                if (srcCols.contains(f.name)) Some(col(f.name))
+                else None
+              else a.values.toMap.get(f.name)
+            value match {
+              case Some(e) => when(col("_fired") === i,
+                e.cast(f.dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(f.name)
+        }.toIndexedSeq: _*)
+        if (projected.isEmpty) None else Some(projected)
+      }
+    if (affected.isEmpty && insRows.isEmpty) return v
+    val deleteIdxs = matched.zipWithIndex.collect {
+      case (MergeDelete(_), i) => i }
+    val updateActs = matched.zipWithIndex.collect {
+      case (u: MergeUpdate, i) => (u, i) }
+    val newFids = claimFids(spark, path,
+      affected.length + (if (insRows.isDefined) 1 else 0))
+    val fidOf = affected.zip(newFids)
+    val rewrites =
+      if (affected.isEmpty) Seq.empty
+      else {
+        val touched = joined.get
+          .filter(col("_vs_fid").isin(affected.map(Long.box): _*))
+        val surviving =
+          if (deleteIdxs.isEmpty) touched
+          else touched.filter(
+            !col("_fired").isin(deleteIdxs.map(Int.box): _*))
+        // ONE projection over the pre-merge attributes: every SET
+        // and condition sees the original row (+ its source match)
+        val kept = surviving.select((tgtSchema.fields.map { f =>
+          updateActs.foldRight(col(f.name)) { case ((u, i), acc) =>
+            val value =
+              if (u.sets.isEmpty)
+                if (keyCols.contains(f.name)) None // key equal anyway
+                else Some(col(s"_src_${f.name}"))
+              else u.sets.toMap.get(f.name)
+            value match {
+              case Some(e) => when(col("_fired") === i,
+                e.cast(f.dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(f.name)
+        } :+ col("_vs_fid")).toIndexedSeq: _*)
+        validate(kept.drop("_vs_fid"), path)
+        rewriteGroups(spark, path, kept, fidOf, statsCol,
+          propag._1, propag._2)
+      }
+    val insAdds = insRows.map { r =>
+      validate(r, path)
+      writeGroup(r, path, newFids.last, statsCol,
+        propag._1, propag._2)
+    }.toSeq
+    commit(spark, path, rewrites ++ insAdds, affected)
+  }
+
+  /** Zero-copy plan for a PURE-APPEND change window — the common
+    * streaming case: when every log record in `(from, to]` is a
+    * plain add under the current schema with no live column
+    * mapping, the window's feed is exactly the added groups' files
+    * tagged `insert`, and a streaming source can read them in place
+    * (no derivation job, no staging copy). Any rewrite, delete, DV,
+    * restore, or schema/mapping change in the window → None, and
+    * the caller derives the netted feed via [[changes]].
+    */
+  private[graft] def appendOnlyWindow(spark: SparkSession,
+      path: String, from: Long, to: Long): Option[Seq[String]] = {
+    val recs = logRecords(spark, path)
+      .filter(r => r.v > from && r.v <= to)
+    val cur = schemaAt(spark, path, to).map(_.json)
+    if (recs.isEmpty) Some(Nil)
+    else if (mappingAt(spark, path, to).isEmpty &&
+      recs.forall(r => r.action == "add" && r.schemaJson == cur))
+      Some(recs.map(r =>
+        r.loc.getOrElse(dataDir(path, r.fid).toString)))
+    else None
   }
 
   /** Row-level change feed between two committed versions: what a
@@ -2270,6 +2566,7 @@ object VersionedStore {
         // constraints, plus zone AND bloom self-propagation — a
         // streaming replica must not silently disarm the store's
         // pruning discipline batch by batch
+        requireCols(df, "appendIdempotent", statsCol.toSeq)
         checkSchema(df, path, "appendIdempotent", canEvolve = false)
         validate(df, path)
         val propag = storePropagation(spark, path)
@@ -2567,6 +2864,11 @@ object VersionedStore {
         "with spark.sql.extensions=graft.functions.GraftExtensions " +
         "— SQL over store tables (and VERSION AS OF) cannot " +
         "resolve. Use registerView for a plain temp view instead")
+    // one- or two-part (`db.table`) names; deeper nesting is not a
+    // store concept (no catalog hierarchy behind the registry)
+    require(name.count(_ == '.') <= 1,
+      s"VersionedStore.registerTable: `$name` has more than two " +
+        "name parts — register `table` or `db.table`")
     sqlTables.put(name.toLowerCase(java.util.Locale.ROOT), path)
   }
 

@@ -1,15 +1,15 @@
 package graft.plans
 
 import graft.operators.VersionedStore
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute,
-  AttributeReference, Expression}
+  AttributeReference, Cast, EvalMode, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.StoreSqlShims
-import org.apache.spark.sql.types.LongType
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** SQL DML over [[VersionedStore]] tables registered through
   * `registerTable` — `INSERT INTO` / `DELETE FROM` / `UPDATE`
@@ -42,12 +42,47 @@ final class SqlExpr(val e: Expression) extends Serializable {
   override def toString: String = e.sql
 }
 
+private[plans] object StoreDml {
+  /** Coerce `src`'s columns to the target schema under ANSI
+    * store-assignment semantics — the discipline Spark's own
+    * `INSERT` applies under the default
+    * `storeAssignmentPolicy=ANSI`. A permissive `Column.cast` here
+    * would turn an incompatible positional value (a string landed
+    * into a LONG column by a reordered SELECT) into a silent NULL;
+    * instead, statically-unreasonable coercions (string→numeric,
+    * double→boolean, …) are rejected at plan time via
+    * [[Cast.canANSIStoreAssign]], and legal-but-lossy ones
+    * (long→int) cast in ANSI eval mode so overflow fails loudly at
+    * run time.
+    */
+  def ansiAlign(src: DataFrame, tgt: StructType, path: String,
+      stmt: String): DataFrame = {
+    val cols = tgt.fields.map { f =>
+      val sdt = src.schema(f.name).dataType
+      if (sdt == f.dataType) col(f.name)
+      else {
+        require(Cast.canANSIStoreAssign(sdt, f.dataType),
+          s"$stmt store table at $path: cannot assign column " +
+            s"`${f.name}` from ${sdt.simpleString} to " +
+            s"${f.dataType.simpleString} under ANSI store " +
+            "assignment — cast the source value explicitly if the " +
+            "coercion is intended")
+        StoreSqlShims.column(Cast(UnresolvedAttribute(Seq(f.name)),
+          f.dataType, None, EvalMode.ANSI)).as(f.name)
+      }
+    }
+    src.select(cols.toIndexedSeq: _*)
+  }
+}
+
 /** `INSERT INTO <store table> [(cols)] <query>` → one
   * [[VersionedStore.append]]. SQL inserts are BY POSITION: the query
   * output is renamed to the target schema (or to the user-specified
-  * column list, remaining columns NULL) and cast to the target
-  * types, so a reordered SELECT cannot silently land values in the
-  * wrong columns. Partitioned/overwrite inserts are rejected — the
+  * column list, remaining columns NULL) and coerced to the target
+  * types under ANSI store assignment ([[StoreDml.ansiAlign]]), so a
+  * reordered SELECT cannot silently land values in the wrong
+  * columns — unreasonable coercions fail at plan time, lossy ones
+  * at run time, never as silent NULLs. Partitioned/overwrite inserts are rejected — the
   * store has no partition spec, and an atomic INSERT OVERWRITE is
   * `restore`/`deleteWhere`+append territory, not a silent two-commit
   * sequence.
@@ -92,8 +127,7 @@ case class StoreInsertCommand(path: String, query: LogicalPlan,
           else org.apache.spark.sql.functions.lit(null)
             .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       }
-    val typed = aligned.select(tgt.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val typed = StoreDml.ansiAlign(aligned, tgt, path, "INSERT INTO")
     Seq(Row(VersionedStore.append(typed, path)))
   }
 }
@@ -171,8 +205,45 @@ case class StoreMergeCommand(path: String, source: LogicalPlan,
       s"MERGE INTO store table at $path: source carries column(s) " +
         s"${extra.mkString(", ")} the table does not — evolve the " +
         "table first (append with evolve=true), never silently drop")
-    val aligned = src.select(tgt.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val aligned = StoreDml.ansiAlign(src, tgt, path, "MERGE INTO")
     Seq(Row(VersionedStore.merge(spark, path, aligned, keyCols)))
+  }
+}
+
+/** One WHEN-clause of a general SQL MERGE, carried from the parser
+  * with its expressions already rebased onto the run-time binding
+  * namespace ([[StoreTimeTravelRule]] rewrites target-qualified
+  * attributes to plain names and source-qualified ones to
+  * `_src_<name>` for matched actions / plain names for insert
+  * actions). `star` marks `UPDATE SET *` / `INSERT *`.
+  */
+final case class StoreMergeActionSpec(kind: String,
+  cond: Option[SqlExpr], sets: Seq[(String, SqlExpr)], star: Boolean)
+
+/** The general `MERGE INTO <store table>` — conditional and
+  * per-column WHEN clauses → one [[VersionedStore.mergeInto]] call
+  * = ONE atomic commit (first-match-wins across clauses, the SQL
+  * MERGE contract). The canonical `UPDATE SET * / INSERT *` and
+  * bare-DELETE forms keep their dedicated fast paths
+  * ([[StoreMergeCommand]]).
+  */
+case class StoreMergeIntoCommand(path: String, source: LogicalPlan,
+    keyCols: Seq[String], matched: Seq[StoreMergeActionSpec],
+    notMatched: Seq[StoreMergeActionSpec]) extends StoreDmlCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import VersionedStore.{MergeDelete, MergeInsert, MergeUpdate}
+    val src = StoreSqlShims.ofRows(spark, source)
+    def c(h: Option[SqlExpr]) = h.map(x => StoreSqlShims.column(x.e))
+    def sets(a: StoreMergeActionSpec) =
+      a.sets.map { case (k, h) => k -> StoreSqlShims.column(h.e) }
+    val m = matched.map {
+      case a if a.kind == "update" =>
+        MergeUpdate(c(a.cond), if (a.star) Nil else sets(a))
+      case a => MergeDelete(c(a.cond))
+    }
+    val nm = notMatched.map(a =>
+      MergeInsert(c(a.cond), if (a.star) Nil else sets(a)))
+    Seq(Row(VersionedStore.mergeInto(spark, path, src, keyCols,
+      m, nm)))
   }
 }

@@ -1,0 +1,150 @@
+package graft.plans
+
+import graft.operators.VersionedStore
+import org.apache.spark.sql.catalyst.{FunctionIdentifier,
+  TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** SQL maintenance verbs over registered store tables — the
+  * statements a warehouse operator types, routed to the existing
+  * lifecycle APIs (each is the API call's exact semantics, one
+  * commit where the API commits once):
+  *
+  * {{{
+  * OPTIMIZE t                           -- compact to one group
+  * OPTIMIZE t ZORDER BY (c1, c2)        -- z-order clustered compaction
+  * VACUUM t                             -- policy/default retention
+  * VACUUM t RETAIN 48 HOURS             -- age horizon
+  * RESTORE t TO VERSION AS OF 3         -- one restore commit
+  * }}}
+  *
+  * Parsed by [[GraftSqlParser]], a delegating parser
+  * (`injectParser`): the three verb shapes are matched against the
+  * registry-resolved table name; EVERYTHING else — including these
+  * verbs over names that are not registered store tables — falls
+  * through verbatim to Spark's own parser, so no existing SQL
+  * changes meaning. Malformed store-verb statements fail loudly
+  * with the supported grammar named, never a silent fall-through to
+  * a confusing catalog error.
+  */
+object StoreMaintenanceSql {
+
+  /** `OPTIMIZE <name> [ZORDER BY (c1, …)]` — recognized only AFTER
+    * the name resolves through the store registry.
+    */
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  /** The store-verb plan for `sqlText`, if it is one over a
+    * REGISTERED name; None falls through to the delegate parser.
+    */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(name, zcols) =>
+      VersionedStore.registeredPath(name).map { p =>
+        val cols = Option(zcols).toSeq.flatMap(
+          _.split(',').map(_.trim).filter(_.nonEmpty))
+        StoreOptimizeCommand(p, cols)
+      }
+    case VacuumRe(name, hours) =>
+      VersionedStore.registeredPath(name).map(p =>
+        StoreVacuumCommand(p, Option(hours).map(_.toLong)))
+    case RestoreRe(name, v) =>
+      VersionedStore.registeredPath(name).map(p =>
+        StoreRestoreCommand(p, v.toLong))
+    case _ => None
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (…)]` → one [[VersionedStore.compact]]
+  * commit: plain = fold to one group; ZORDER BY = z-order clustered
+  * compaction over the named columns (8 range-disjoint groups, the
+  * q357 shape). Returns the compaction's committed version.
+  */
+case class StoreOptimizeCommand(path: String,
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v =
+      if (zorderBy.isEmpty) VersionedStore.compact(spark, path)
+      else VersionedStore.compact(spark, path, clusterBy = zorderBy,
+        numGroups = 8, zorder = true)
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS]` → [[VersionedStore.vacuumOlderThan]]
+  * at the age horizon (or [[VersionedStore.vacuumByPolicy]] under
+  * the table's retention property when no RETAIN is given; a table
+  * with no policy vacuums nothing — never a silent
+  * everything-but-latest reclaim). Returns the reclaimed group
+  * count.
+  */
+case class StoreVacuumCommand(path: String,
+    retainHours: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("reclaimed_groups", LongType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val reclaimed = retainHours match {
+      case Some(h) => VersionedStore.vacuumOlderThan(spark, path,
+        System.currentTimeMillis() - h * 3600000L)
+      case None => VersionedStore.vacuumByPolicy(spark, path,
+        System.currentTimeMillis())
+    }
+    Seq(Row(reclaimed.length.toLong))
+  }
+}
+
+/** `RESTORE t TO VERSION AS OF n` → one [[VersionedStore.restore]]
+  * commit (the rollback-as-new-commit contract: history is never
+  * rewritten). Returns the restore's committed version.
+  */
+case class StoreRestoreCommand(path: String,
+    toVersion: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedStore.restore(spark, path, toVersion)))
+}
+
+/** Delegating session parser: store maintenance verbs over
+  * REGISTERED names parse to their commands; every other statement
+  * — and the entire non-plan parser surface — delegates verbatim.
+  */
+class GraftSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    StoreMaintenanceSql.parse(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(
+      sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(
+      sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(
+      sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}

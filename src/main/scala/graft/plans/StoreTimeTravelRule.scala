@@ -38,9 +38,16 @@ class StoreTimeTravelRule(session: SparkSession)
     DeleteFromTable, InsertIntoStatement, UpdateTable}
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 
+  /** Registry lookup for a one- or two-part (`db.table`) relation
+    * name — the registry key is the dot-joined lowercase name.
+    */
+  private def regPath(u: UnresolvedRelation): Option[String] =
+    if (u.multipartIdentifier.size <= 2)
+      VersionedStore.registeredPath(u.multipartIdentifier.mkString("."))
+    else None
+
   private def pathOf(p: LogicalPlan): Option[String] = p match {
-    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
-      VersionedStore.registeredPath(u.multipartIdentifier.head)
+    case u: UnresolvedRelation => regPath(u)
     case org.apache.spark.sql.catalyst.plans.logical
       .SubqueryAlias(_, child) => pathOf(child) // MERGE INTO t AS tgt
     case _ => None
@@ -69,21 +76,94 @@ class StoreTimeTravelRule(session: SparkSession)
       }
     }
 
+  /** The qualifier names a MERGE side can carry in the ON clause:
+    * its alias when one was given, else its bare relation name.
+    */
+  private def qualsOf(p: LogicalPlan): Set[String] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical
+      .SubqueryAlias(ident, _) => Set(ident.name.toLowerCase)
+    case u: UnresolvedRelation =>
+      Set(u.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** Rebase a matched-action expression (UPDATE SET value, WHEN
+    * MATCHED condition) onto [[graft.operators.VersionedStore
+    * .mergeInto]]'s joined namespace: target-qualified attributes
+    * bind plainly, source-qualified ones as `_src_<name>`.
+    * Unqualified names bind against the target (the joined frame
+    * carries target columns under their own names); an unknown
+    * qualifier is left as-is and fails analysis loudly.
+    */
+  private def matchedExpr(tq: Set[String], sq: Set[String],
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    e.transform {
+      case u: UnresolvedAttribute if u.nameParts.size > 1 =>
+        val q = u.nameParts.head.toLowerCase
+        if (sq.contains(q) && !tq.contains(q))
+          UnresolvedAttribute(Seq(s"_src_${u.nameParts.last}"))
+        else if (tq.contains(q) && !sq.contains(q))
+          UnresolvedAttribute(Seq(u.nameParts.last))
+        else u
+    }
+
+  /** Rebase a not-matched-action expression (INSERT value / WHEN
+    * NOT MATCHED condition) onto the SOURCE row: source-qualified
+    * attributes bind plainly; a target-qualified attribute is a
+    * semantic error (an unmatched row has no target side).
+    */
+  private def sourceExpr(tq: Set[String], sq: Set[String],
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    e.transform {
+      case u: UnresolvedAttribute if u.nameParts.size > 1 =>
+        val q = u.nameParts.head.toLowerCase
+        if (sq.contains(q) && !tq.contains(q))
+          UnresolvedAttribute(Seq(u.nameParts.last))
+        else if (tq.contains(q) && !sq.contains(q)) sys.error(
+          "MERGE INTO a store table: a NOT MATCHED action can " +
+            s"reference only the source row, got ${u.sql}")
+        else u
+    }
+
   /** The equi-key list of a MERGE condition: a conjunction of
-    * `<side>.k = <side>.k` equalities over IDENTICALLY-NAMED columns
-    * (the only join shape the store's keyed merge expresses). Any
-    * other condition → None, and the caller rejects with the
-    * supported forms named.
+    * `t.k = s.k` equalities over IDENTICALLY-NAMED columns with the
+    * two attributes on OPPOSITE sides (the only join shape the
+    * store's keyed merge expresses). Each equality must reference
+    * one target-side and one source-side attribute — qualified by
+    * the respective alias/name, or unqualified; a same-side
+    * equality (`ON s.id = s.id`) or an unknown qualifier → None,
+    * and the caller rejects with the supported forms named, never
+    * silently reinterprets it as a keyed merge.
     */
   private def mergeKeys(cond: org.apache.spark.sql.catalyst
-      .expressions.Expression): Option[Seq[String]] = {
+        .expressions.Expression, tgtQuals: Set[String],
+      srcQuals: Set[String]): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    // 0 = unqualified, 1 = target, 2 = source, -1 = unknown/ambiguous
+    def side(u: UnresolvedAttribute): Int =
+      if (u.nameParts.size <= 1) 0
+      else {
+        val q = u.nameParts.head.toLowerCase
+        (tgtQuals.contains(q), srcQuals.contains(q)) match {
+          case (true, false) => 1
+          case (false, true) => 2
+          case _ => -1
+        }
+      }
     cond match {
       case And(l, r) =>
-        for { a <- mergeKeys(l); b <- mergeKeys(r) } yield a ++ b
+        for {
+          a <- mergeKeys(l, tgtQuals, srcQuals)
+          b <- mergeKeys(r, tgtQuals, srcQuals)
+        } yield a ++ b
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.last == b.nameParts.last =>
-        Some(Seq(a.nameParts.last))
+        val (sa, sb) = (side(a), side(b))
+        if (sa < 0 || sb < 0) None
+        else if (sa != 0 && sa == sb) None // ON s.id = s.id
+        else Some(Seq(a.nameParts.last))
       case _ => None
     }
   }
@@ -127,11 +207,15 @@ class StoreTimeTravelRule(session: SparkSession)
       case m: org.apache.spark.sql.catalyst.plans.logical
           .MergeIntoTable if pathOf(m.targetTable).isDefined =>
         import org.apache.spark.sql.catalyst.plans.logical.{
-          DeleteAction, InsertStarAction, UpdateStarAction}
-        val keys = mergeKeys(m.mergeCondition).getOrElse(sys.error(
+          Assignment, DeleteAction, InsertAction, InsertStarAction,
+          UpdateAction, UpdateStarAction}
+        val keys = mergeKeys(m.mergeCondition,
+          qualsOf(m.targetTable), qualsOf(m.sourceTable))
+          .getOrElse(sys.error(
           "MERGE INTO a store table: the ON condition must be a " +
             "conjunction of equalities over identically-named key " +
-            "columns (t.k = s.k [AND …])"))
+            "columns with one target-side and one source-side " +
+            "attribute each (t.k = s.k [AND …])"))
         if (m.withSchemaEvolution || m.notMatchedBySourceActions
           .nonEmpty) sys.error(
           "MERGE INTO a store table supports neither WITH SCHEMA " +
@@ -149,13 +233,66 @@ class StoreTimeTravelRule(session: SparkSession)
           case (Seq(DeleteAction(None)), Seq()) =>
             StoreMergeCommand(pathOf(m.targetTable).get, src,
               keys.distinct, upsert = false)
-          case _ => sys.error(
-            "MERGE INTO a store table supports exactly two forms: " +
-              "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
-              "THEN INSERT * (keyed upsert), or WHEN MATCHED THEN " +
-              "DELETE alone (keyed delete) — conditional or " +
-              "per-column actions are not expressible as one " +
-              "atomic store commit")
+          case (ma, nma) =>
+            // the GENERAL forms — conditional and per-column WHEN
+            // clauses, first-match-wins — routed to mergeInto as
+            // one atomic commit. Expressions rebase onto the
+            // run-time namespace here: matched-side exprs see
+            // target columns plainly and source columns as
+            // `_src_<name>`; insert-side exprs see the SOURCE row
+            // only.
+            val tq = qualsOf(m.targetTable)
+            val sq = qualsOf(m.sourceTable)
+            def matchedSpec(a: Any): StoreMergeActionSpec = a match {
+              case UpdateStarAction(c) => StoreMergeActionSpec(
+                "update", c.map(e =>
+                  new SqlExpr(matchedExpr(tq, sq, e))), Nil,
+                star = true)
+              case UpdateAction(c, assigns, _) =>
+                val sets = assigns.map {
+                  case Assignment(k: UnresolvedAttribute, value) =>
+                    (k.nameParts.last,
+                      new SqlExpr(matchedExpr(tq, sq, value)))
+                  case other => sys.error(
+                    "MERGE INTO a store table: unsupported SET " +
+                      s"target ${other.key.sql} (name a plain " +
+                      "column)")
+                }
+                StoreMergeActionSpec("update", c.map(e =>
+                  new SqlExpr(matchedExpr(tq, sq, e))), sets,
+                  star = false)
+              case DeleteAction(c) => StoreMergeActionSpec(
+                "delete", c.map(e =>
+                  new SqlExpr(matchedExpr(tq, sq, e))), Nil,
+                star = false)
+              case other => sys.error(
+                s"MERGE INTO a store table: unsupported matched " +
+                  s"action $other")
+            }
+            def insertSpec(a: Any): StoreMergeActionSpec = a match {
+              case InsertStarAction(c) => StoreMergeActionSpec(
+                "insert", c.map(e =>
+                  new SqlExpr(sourceExpr(tq, sq, e))), Nil,
+                star = true)
+              case InsertAction(c, assigns) =>
+                val values = assigns.map {
+                  case Assignment(k: UnresolvedAttribute, value) =>
+                    (k.nameParts.last,
+                      new SqlExpr(sourceExpr(tq, sq, value)))
+                  case other => sys.error(
+                    "MERGE INTO a store table: unsupported INSERT " +
+                      s"column ${other.key.sql}")
+                }
+                StoreMergeActionSpec("insert", c.map(e =>
+                  new SqlExpr(sourceExpr(tq, sq, e))), values,
+                  star = false)
+              case other => sys.error(
+                s"MERGE INTO a store table: unsupported not-matched " +
+                  s"action $other")
+            }
+            StoreMergeIntoCommand(pathOf(m.targetTable).get, src,
+              keys.distinct, ma.map(matchedSpec),
+              nma.map(insertSpec))
         }
       case UpdateTable(t, assignments, cond)
           if pathOf(t).isDefined =>
@@ -173,19 +310,13 @@ class StoreTimeTravelRule(session: SparkSession)
       // the bare registered name = LATEST, resolved fresh per query
       // (builtin rules run first each iteration, so a real catalog
       // table or temp view of the same name wins over the registry)
-      case u: UnresolvedRelation
-          if u.multipartIdentifier.size == 1 &&
-            VersionedStore
-              .registeredPath(u.multipartIdentifier.head).isDefined =>
-        VersionedStore.read(session,
-          VersionedStore.registeredPath(u.multipartIdentifier.head).get)
+      case u: UnresolvedRelation if regPath(u).isDefined =>
+        VersionedStore.read(session, regPath(u).get)
           .queryExecution.analyzed
       case RelationTimeTravel(u: UnresolvedRelation, ts, v)
-          if u.multipartIdentifier.size == 1 &&
-            VersionedStore
-              .registeredPath(u.multipartIdentifier.head).isDefined =>
-        val name = u.multipartIdentifier.head
-        val path = VersionedStore.registeredPath(name).get
+          if regPath(u).isDefined =>
+        val name = u.multipartIdentifier.mkString(".")
+        val path = regPath(u).get
         val version = (v, ts) match {
           case (Some(vs), _) =>
             try vs.toLong

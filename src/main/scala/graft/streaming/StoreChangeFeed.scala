@@ -168,22 +168,28 @@ object StoreChangeFeed {
     * property [[StoreChangeFeedSpec]] pins per crash point, and the
     * streaming spec pins end-to-end).
     *
-    * Mechanics: the driver is a 1-row-per-second `rate` source the
-    * batch function never touches — Structured Streaming owns the
-    * scheduling (trigger cadence, restart, listener/metrics surface)
-    * while the feed owns correctness. Cost of an IDLE tick: the two
-    * driver-side metadata reads of [[replicate]]'s fast path (cursor
-    * listing + source log listing) and zero Spark jobs — cheap
-    * enough for sub-second polling against a 100 TB store, because
-    * neither read touches data.
+    * Mechanics: the driver is the [[StoreChangesSource]] DSv2 source
+    * in its `feed = versions` shape — offsets are STORE VERSIONS, so
+    * `StreamingQueryProgress.sources` reports exactly which version
+    * window each tick covered and an idle source schedules NO batch
+    * at all (a trigger with no new commits is two driver-side
+    * metadata reads and zero Spark jobs — cheap enough for
+    * sub-second polling against a 100 TB store). Structured
+    * Streaming owns the scheduling/metrics surface while the feed
+    * owns correctness; consumers who want the change ROWS as a
+    * stream read `format("graft-store-changes")` directly.
     */
   def stream(spark: SparkSession, srcPath: String, dstPath: String,
       cursorPath: String, keyCols: Seq[String],
       checkpointDir: String,
       intervalMs: Long = 1000L)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", 1).load()
+    spark.readStream.format("graft-store-changes")
+      .option("path", srcPath)
+      .option("feed", "versions")
+      .option("startingVersion",
+        cursorOf(spark, cursorPath).toString)
+      .load()
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(intervalMs))

@@ -130,4 +130,42 @@ class UpdateWhereSpec extends AnyFunSuite with SparkFixture
     v shouldBe 1L
     VersionedStore.latestVersion(spark, p) shouldBe 1L
   }
+
+  test("updateWhere enforces table constraints like every other " +
+      "mutator: a violating SET aborts before anything commits") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(batch(0 until 10), p)
+    VersionedStore.setConstraints(spark, p,
+      Seq(graft.check.NonNegative("g")))
+    intercept[Exception] {
+      VersionedStore.updateWhere(spark, p, col("id") < 3,
+        Seq("g" -> lit(-5L)))
+    }.getMessage should include("constraint")
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    VersionedStore.read(spark, p)
+      .where(col("g") < 0).count() shouldBe 0L
+    // carried-through rows in the rewritten groups do not trip the
+    // gate; a compliant update still commits
+    VersionedStore.updateWhere(spark, p, col("id") < 3,
+      Seq("g" -> lit(5L)))
+    VersionedStore.read(spark, p)
+      .where(col("g") === 5).count() shouldBe 3L
+  }
+
+  test("a caller-supplied stats/zone column typo fails loudly at " +
+      "the append boundary instead of silently disarming pruning") {
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    intercept[Exception] {
+      VersionedStore.append(batch(0 until 5), p,
+        statsCol = Some("idd"))
+    }.getMessage should include("idd")
+    intercept[Exception] {
+      VersionedStore.append(batch(0 until 5), p,
+        zoneCols = Seq("nope"))
+    }.getMessage should include("nope")
+    // nothing committed by either rejected append
+    VersionedStore.latestVersion(spark, p) shouldBe 0L
+  }
 }

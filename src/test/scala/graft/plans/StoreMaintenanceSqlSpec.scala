@@ -1,0 +1,103 @@
+package graft.plans
+
+import graft.SparkFixture
+import graft.operators.VersionedStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** SQL maintenance verbs ([[GraftSqlParser]] via `injectParser`):
+  * OPTIMIZE / VACUUM / RESTORE over registered store tables route
+  * to the lifecycle APIs with their exact semantics; unregistered
+  * names and all other SQL fall through to Spark's parser verbatim.
+  */
+class StoreMaintenanceSqlSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-maint").toString +
+      "/store"
+
+  private def mk(name: String, batches: Int = 3): String = {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    (0 until batches).foreach { b =>
+      VersionedStore.append(
+        (0 until 10).map(i => (b * 100L + i, (i % 4).toLong))
+          .toDF("id", "g"), p, statsCol = Some("id"))
+    }
+    VersionedStore.registerTable(spark, p, name)
+    p
+  }
+
+  test("OPTIMIZE folds the store to one group in one commit; " +
+      "ZORDER BY runs the clustered compaction; content identical") {
+    val p = mk("maint_opt")
+    val before = spark.sql(
+      "SELECT * FROM maint_opt ORDER BY id").collect().toSeq
+    val out = spark.sql("OPTIMIZE maint_opt").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(4L) // 3 appends + 1
+    val h = VersionedStore.history(spark, p)
+      .where(col("version") === 4)
+    h.where(col("action") === "add").count() shouldBe 1L
+    h.where(col("action") === "remove").count() shouldBe 3L
+    spark.sql("SELECT * FROM maint_opt ORDER BY id")
+      .collect().toSeq shouldBe before
+    // z-order form: clustered multi-group compaction, one commit
+    spark.sql("OPTIMIZE maint_opt ZORDER BY (id, g)")
+      .head.getLong(0) shouldBe 5L
+    spark.sql("SELECT * FROM maint_opt ORDER BY id")
+      .collect().toSeq shouldBe before
+    val h5 = VersionedStore.history(spark, p)
+      .where(col("version") === 5 && col("action") === "add")
+    h5.count() should be >= 1L
+  }
+
+  test("VACUUM RETAIN reclaims groups behind the age horizon; a " +
+      "bare VACUUM without a retention policy reclaims NOTHING") {
+    val p = mk("maint_vac")
+    // no policy, no RETAIN: refuses to guess — zero reclaimed
+    spark.sql("VACUUM maint_vac").head.getLong(0) shouldBe 0L
+    spark.sql("OPTIMIZE maint_vac")
+    // RETAIN 0 HOURS: everything behind the latest version goes
+    val reclaimed = spark.sql("VACUUM maint_vac RETAIN 0 HOURS")
+      .head.getLong(0)
+    reclaimed shouldBe 3L // the three pre-compaction groups
+    spark.sql("SELECT COUNT(*) AS n FROM maint_vac")
+      .head.getLong(0) shouldBe 30L
+  }
+
+  test("RESTORE TO VERSION AS OF rolls the table back as a NEW " +
+      "commit — history is never rewritten") {
+    val p = mk("maint_res")
+    spark.sql("DELETE FROM maint_res WHERE id < 100")     // v4
+    spark.sql("SELECT COUNT(*) AS n FROM maint_res")
+      .head.getLong(0) shouldBe 20L
+    val v = spark.sql("RESTORE maint_res TO VERSION AS OF 3")
+      .head.getLong(0)
+    v shouldBe 5L
+    spark.sql("SELECT COUNT(*) AS n FROM maint_res")
+      .head.getLong(0) shouldBe 30L
+    // the bad version is still inspectable below the restore
+    spark.sql(
+      "SELECT COUNT(*) AS n FROM maint_res VERSION AS OF 4")
+      .head.getLong(0) shouldBe 20L
+    val _ = p
+  }
+
+  test("unregistered names and ordinary SQL fall through to " +
+      "Spark's parser verbatim") {
+    // ordinary SQL is untouched
+    spark.sql("SELECT 1 AS one").head.getInt(0) shouldBe 1
+    // the verb over an unregistered name reaches Spark's parser,
+    // which rejects it as the unknown syntax it is there
+    intercept[Exception] {
+      spark.sql("OPTIMIZE not_a_registered_store")
+    }
+    intercept[Exception] {
+      spark.sql("RESTORE not_a_registered_store TO VERSION AS OF 1")
+    }
+  }
+}

@@ -160,8 +160,9 @@ class StoreSqlDmlSpec extends AnyFunSuite with SparkFixture
     intercept[Exception] {
       spark.sql(
         """MERGE INTO dml_mdel t USING dml_mdel_src s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET g = 1""".stripMargin)
-    }.getMessage should include("exactly two forms")
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }.getMessage should include("NOT MATCHED BY SOURCE")
     VersionedStore.latestVersion(spark, p) shouldBe 2L
   }
 
@@ -228,5 +229,107 @@ class StoreSqlDmlSpec extends AnyFunSuite with SparkFixture
     }
     VersionedStore.latestVersion(spark, p) shouldBe 1L
     spark.catalog.dropTempView("dml_shadow")
+  }
+
+  test("INSERT coerces under ANSI store assignment: a string landed " +
+      "in a LONG column by a reordered SELECT fails loudly, never a " +
+      "silent NULL") {
+    val p = mkStore("dml_ansi")
+    // columns reordered: 'doc-x' (string) would land in id (long)
+    intercept[Exception] {
+      spark.sql("INSERT INTO dml_ansi SELECT 'doc-x', 300, 1")
+    }.getMessage should include("ANSI store assignment")
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    // a REASONABLE widening (int literal → long column) still works
+    spark.sql("INSERT INTO dml_ansi SELECT 300, 'ok', 1")
+    spark.sql("SELECT count(*) AS n FROM dml_ansi WHERE id = 300")
+      .head.getLong(0) shouldBe 1L
+  }
+
+  test("UPDATE runs the same constraint gate as INSERT/MERGE: a SET " +
+      "that violates a table CHECK aborts with nothing committed") {
+    val p = mkStore("dml_updcon")
+    VersionedStore.setConstraints(spark, p,
+      Seq(graft.check.NonNegative("g")))
+    intercept[Exception] {
+      spark.sql("UPDATE dml_updcon SET g = -5 WHERE id = 0")
+    }.getMessage should include("constraint")
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    spark.sql("SELECT g FROM dml_updcon WHERE id = 0")
+      .head.getLong(0) shouldBe 0L
+    // a compliant UPDATE through the same gate still commits
+    spark.sql("UPDATE dml_updcon SET g = 5 WHERE id = 0")
+    spark.sql("SELECT g FROM dml_updcon WHERE id = 0")
+      .head.getLong(0) shouldBe 5L
+  }
+
+  test("MERGE ON must join the two sides: a same-side equality " +
+      "(s.id = s.id) is rejected, never reinterpreted as a keyed " +
+      "merge") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_sameside")
+    Seq((0L, "x", 1L)).toDF("id", "body", "g")
+      .createOrReplaceTempView("dml_sameside_src")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_sameside AS t USING dml_sameside_src AS s
+          |ON s.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }.getMessage should include("target-side")
+    // a redundant same-side conjunct poisons the whole condition too
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_sameside AS t USING dml_sameside_src AS s
+          |ON t.id = s.id AND t.g = t.g
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }.getMessage should include("target-side")
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    // bare relation names qualify a side exactly like aliases
+    spark.sql(
+      """MERGE INTO dml_sameside USING dml_sameside_src
+        |ON dml_sameside.id = dml_sameside_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("SELECT body FROM dml_sameside WHERE id = 0")
+      .head.getString(0) shouldBe "x"
+  }
+
+  test("general MERGE: conditional per-column UPDATE, conditional " +
+      "DELETE, and conditional column-list INSERT compose " +
+      "first-match-wins in ONE atomic commit") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_gen")
+    // target rows 0..9 have g = id % 5; source hits 0,1,2,3 + fresh
+    Seq((0L, 50L), (1L, 0L), (2L, 1L), (3L, 100L), (500L, 4L),
+      (501L, 3L))
+      .toDF("id", "sg").createOrReplaceTempView("dml_gen_src")
+    val out = spark.sql(
+      """MERGE INTO dml_gen AS t USING dml_gen_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.sg > t.g THEN
+        |  UPDATE SET g = s.sg + t.g, body = concat(t.body, '+')
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.sg % 2 = 0 THEN
+        |  INSERT (id, g) VALUES (s.id, s.sg * 10)""".stripMargin)
+      .collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L) // ONE commit
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+    val r = spark.sql(
+      "SELECT id, body, g FROM dml_gen ORDER BY id").collect()
+    // 10 - 2 deleted (ids 1, 2: update cond false) + 1 inserted
+    r.length shouldBe 9
+    val byId = r.map(x => x.getLong(0) ->
+      (Option(x.getString(1)), x.getLong(2))).toMap
+    byId(0L) shouldBe ((Some("doc-0+"), 50L))   // 50 + 0, body marked
+    byId(3L) shouldBe ((Some("doc-3+"), 103L))  // 100 + 3
+    byId.contains(1L) shouldBe false            // first-match DELETE
+    byId.contains(2L) shouldBe false
+    byId(500L) shouldBe ((None, 40L))           // body = typed NULL
+    byId.contains(501L) shouldBe false          // insert cond false
+    byId(7L) shouldBe ((Some("doc-7"), 2L))     // untouched carries
   }
 }

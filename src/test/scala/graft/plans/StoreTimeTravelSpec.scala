@@ -61,4 +61,44 @@ class StoreTimeTravelSpec extends AnyFunSuite with SparkFixture
     }
     e.getMessage should include("numeric commit version")
   }
+
+  test("two-part (db.table) names resolve through the registry: " +
+      "reads, time travel, DML, and TVFs all accept lake.docs") {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    def b(r: Range) = r.map(i => (i.toLong, s"d$i")).toDF("id", "body")
+    VersionedStore.append(b(0 until 10), p)                     // v1
+    VersionedStore.append(b(10 until 30), p)                    // v2
+    VersionedStore.registerTable(spark, p, "lake.docs")
+    spark.sql("SELECT COUNT(*) AS n FROM lake.docs")
+      .head.getLong(0) shouldBe 30L
+    spark.sql(
+      "SELECT COUNT(*) AS n FROM lake.docs VERSION AS OF 1")
+      .head.getLong(0) shouldBe 10L
+    spark.sql("DELETE FROM lake.docs WHERE id = 5")             // v3
+    spark.sql("SELECT COUNT(*) AS n FROM lake.docs")
+      .head.getLong(0) shouldBe 29L
+    spark.sql("UPDATE lake.docs SET body = 'patched' WHERE id = 6")
+    spark.sql("SELECT body FROM lake.docs WHERE id = 6")
+      .head.getString(0) shouldBe "patched"
+    // TVF args are plain strings — the same registry key works
+    spark.sql("SELECT MAX(version) AS v FROM " +
+      "store_history('lake.docs')").head.getLong(0) shouldBe 4L
+    // MERGE with the two-part target (alias-qualified ON)
+    Seq((6L, "merged"), (999L, "fresh")).toDF("id", "body")
+      .createOrReplaceTempView("lake_docs_src")
+    spark.sql(
+      """MERGE INTO lake.docs AS t USING lake_docs_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("SELECT COUNT(*) AS n FROM lake.docs")
+      .head.getLong(0) shouldBe 30L
+    // three or more parts are rejected at registration
+    intercept[Exception] {
+      VersionedStore.registerTable(spark, p, "a.b.c")
+    }.getMessage should include("two name parts")
+  }
 }
