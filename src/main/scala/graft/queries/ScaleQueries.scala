@@ -2304,10 +2304,16 @@ object ScaleQueries {
       (s, d) => {
         import graft.operators.VersionedStore
         val docs = documents(s, d)
+        // v1 is a zero-copy CLONE of the shared statted base corpus
+        // (one metadata commit; the base builds once per JVM) — the
+        // timed work is the merge + keyed delete + change-feed
+        // decode, not a fourth parquet copy of the corpus
+        val base = graft.StoreCache.getOrBuild("basedocs", d) { bp =>
+          VersionedStore.create(s, bp)
+          VersionedStore.append(docs, bp, statsCol = Some("doc_id"))
+        }
         val p = graft.StoreCache.rebuild("cdcupd", d) { p =>
-          VersionedStore.create(s, p)
-          VersionedStore.append(docs, p,
-            statsCol = Some("doc_id"))                       // v1
+          VersionedStore.cloneTo(s, base, p)                 // v1
           val upd = docs.where(pmod(col("doc_id"), lit(5)) === 0)
             .withColumn("source", lit("merged"))
             .withColumn("n_chars", col("n_chars") + 1000)
@@ -2540,7 +2546,78 @@ object ScaleQueries {
              |  CAST(SUM(n_chars) AS BIGINT)
              |FROM documents WHERE doc_id % 3 = 2
              |GROUP BY source
-             |ORDER BY "_change", source""".stripMargin))
+             |ORDER BY "_change", source""".stripMargin)),
+
+    // GENERAL SQL MERGE — the conditional / per-column WHEN-clause
+    // forms (first-match-wins): matched docs either get a
+    // per-column conditional UPDATE referencing BOTH sides
+    // (`SET n_chars = s.nc + t.n_chars`) or fall through to DELETE;
+    // unmatched source rows pass a conditional column-list INSERT
+    // (unnamed columns land as typed NULLs). The whole statement is
+    // ONE copy-on-write commit (final_v pins it at exactly 2: the
+    // zero-copy clone + the merge); the oracle recomputes the
+    // update/delete/insert partition arithmetically from the raw
+    // table. v1 is a clone of the shared statted base corpus — the
+    // timed work is the merge itself.
+    QueryDef(
+      "q364_sql_merge_general",
+      (s, d) => {
+        import graft.operators.VersionedStore
+        val docs = documents(s, d)
+        documents(s, d).createOrReplaceTempView("q364_docs")
+        val base = graft.StoreCache.getOrBuild("basedocs", d) { bp =>
+          VersionedStore.create(s, bp)
+          VersionedStore.append(docs, bp, statsCol = Some("doc_id"))
+        }
+        val p = graft.StoreCache.rebuild("genmrg", d) { p =>
+          VersionedStore.cloneTo(s, base, p)                 // v1
+          VersionedStore.registerTable(s, p, "q364_store")
+          s.sql("""MERGE INTO q364_store AS t USING (
+            SELECT doc_id, n_chars + 5 AS nc
+            FROM q364_docs WHERE doc_id % 9 = 2
+            UNION ALL
+            SELECT doc_id + 20000000, n_chars
+            FROM q364_docs WHERE doc_id % 9 = 5) AS s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED AND s.nc % 3 = 0 THEN
+              UPDATE SET n_chars = s.nc + t.n_chars,
+                source = 'boosted'
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND s.nc % 2 = 0 THEN
+              INSERT (doc_id, source, n_chars)
+              VALUES (s.doc_id, 'fresh', s.nc)""")           // v2
+        }
+        VersionedStore.registerTable(s, p, "q364_store")
+        s.sql("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+          FROM q364_store GROUP BY source""")
+          .withColumn("final_v",
+            lit(VersionedStore.latestVersion(s, p)))
+          .orderBy(col("source"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT doc_id, source, n_chars AS nc
+             |  FROM documents WHERE doc_id % 9 <> 2
+             |), upd AS (
+             |  SELECT doc_id, 'boosted' AS source,
+             |    2 * n_chars + 5 AS nc
+             |  FROM documents
+             |  WHERE doc_id % 9 = 2 AND (n_chars + 5) % 3 = 0
+             |), ins AS (
+             |  SELECT doc_id + 20000000 AS doc_id,
+             |    'fresh' AS source, n_chars AS nc
+             |  FROM documents
+             |  WHERE doc_id % 9 = 5 AND n_chars % 2 = 0
+             |), base AS (
+             |  SELECT * FROM kept UNION ALL SELECT * FROM upd
+             |  UNION ALL SELECT * FROM ins
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(nc) AS BIGINT) AS chars_sum,
+             |  CAST(2 AS BIGINT) AS final_v
+             |FROM base GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents
