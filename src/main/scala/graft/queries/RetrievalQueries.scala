@@ -69,6 +69,26 @@ object RetrievalQueries {
     s.read.parquet(dir)
   }
 
+  /** The FULL BM25 ranked run — every scored (query, doc) pair with
+    * its rank under the canonical tie-break and the query's
+    * candidate count, stored once per corpus. Rank-position metrics
+    * (MRR) read this; [[bm25Run]] is its top-20 slice for fusion.
+    */
+  private def bm25AllRun(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = graft.StoreCache.getOrBuild("bm25allrun", d) { p =>
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val nW = Window.partitionBy("query_id")
+      Bm25.scoreCoreStored(s, bm25Store(s, d),
+          canonicalQueries(s, d))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(nW))
+        .coalesce(4).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
   /** The canonical QL-Dirichlet run file (top-10), same contract as
     * [[bm25Run]] — q303 prices the live scorer; consumers of the
     * RANKING (q304's agreement join) read the stored run.
@@ -747,18 +767,11 @@ object RetrievalQueries {
     QueryDef(
       "q233_retrieval_mrr",
       (s, d) => {
-        val docs = documents(s, d)
-        val queries = docs
-          .filter(col("doc_id") % 100 === 7)
-          .select(col("doc_id").as("query_id"),
-            slice(words(col("text")), 1, 3).as("terms"))
-        val all = Bm25.scoreCoreStored(s, bm25Store(s, d), queries)
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        val nW = Window.partitionBy("query_id")
-        all
-          .withColumn("r", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(nW))
+        // metric stage over the FULL ranked run (rank and
+        // per-query candidate count materialized at run-write time,
+        // the same tie-break as every run file) — MRR is a lookup
+        // of the self doc's stored rank, not a re-scoring pass
+        bm25AllRun(s, d)
           .filter(col("doc_id") === col("query_id"))
           .select(col("query_id"),
             col("n").cast("long").as("n_scored"),

