@@ -2197,6 +2197,15 @@ object VersionedStore {
       require(need.isEmpty,
         "VersionedStore.mergeInto: a SET */INSERT * action binds " +
           s"by name and the source lacks ${need.mkString(", ")}")
+      // and the dual: a source column the star projection would
+      // silently DROP is rejected (same contract as the canonical
+      // upsert) — explicit value lists may carry extra columns, the
+      // star vocabulary may not
+      val extra = srcCols.filterNot(tgtSchema.fieldNames.contains)
+      require(extra.isEmpty,
+        "VersionedStore.mergeInto: SET */INSERT * would silently " +
+          s"drop source column(s) ${extra.mkString(", ")} — name " +
+          "the columns explicitly or evolve the table first")
     }
     matched.foreach {
       case MergeUpdate(_, sets) => sets.foreach { case (c, _) =>

@@ -45,6 +45,14 @@ object StoreMaintenanceSql {
   private val RestoreRe =
     """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
+  /** A store verb with a registered name but a malformed tail —
+    * falling through would surface as Spark's own "unknown syntax"
+    * error with no hint at the supported grammar; reject loudly
+    * here instead.
+    */
+  private val VerbHeadRe =
+    """(?is)\s*(OPTIMIZE|VACUUM|RESTORE)\s+([\w.]+)\b.*""".r
+
   /** The store-verb plan for `sqlText`, if it is one over a
     * REGISTERED name; None falls through to the delegate parser.
     */
@@ -61,6 +69,13 @@ object StoreMaintenanceSql {
     case RestoreRe(name, v) =>
       VersionedStore.registeredPath(name).map(p =>
         StoreRestoreCommand(p, v.toLong))
+    case VerbHeadRe(verb, name)
+        if VersionedStore.registeredPath(name).isDefined =>
+      sys.error(
+        s"${verb.toUpperCase} over store table `$name`: malformed " +
+          "statement — supported forms: OPTIMIZE t [ZORDER BY " +
+          "(c1, …)]; VACUUM t [RETAIN n HOURS]; RESTORE t TO " +
+          "VERSION AS OF n")
     case _ => None
   }
 }

@@ -147,6 +147,13 @@ class MergeIntoSpec extends AnyFunSuite with SparkFixture
         matched = Seq(MergeUpdate(None, Seq("nope" -> lit(1L)))),
         notMatched = Nil)
     }.getMessage should include("nope")
+    // star forms never silently drop a source column
+    intercept[Exception] {
+      VersionedStore.mergeInto(spark, p,
+        Seq((999L, "x", 1L, 7L)).toDF("id", "body", "g", "extra"),
+        Seq("id"),
+        matched = Nil, notMatched = Seq(MergeInsert(None, Nil)))
+    }.getMessage should include("extra")
     VersionedStore.latestVersion(spark, p) shouldBe before
     VersionedStore.read(spark, p).count() shouldBe 10L
   }

@@ -100,4 +100,18 @@ class StoreMaintenanceSqlSpec extends AnyFunSuite with SparkFixture
       spark.sql("RESTORE not_a_registered_store TO VERSION AS OF 1")
     }
   }
+
+  test("a malformed verb over a REGISTERED name fails loudly with " +
+      "the supported grammar, not a confusing catalog error") {
+    mk("maint_mal")
+    intercept[Exception] {
+      spark.sql("OPTIMIZE maint_mal ZORDER BY id") // missing parens
+    }.getMessage should include("supported forms")
+    intercept[Exception] {
+      spark.sql("RESTORE maint_mal TO VERSION 3") // missing AS OF
+    }.getMessage should include("supported forms")
+    intercept[Exception] {
+      spark.sql("VACUUM maint_mal RETAIN 2 DAYS") // HOURS only
+    }.getMessage should include("supported forms")
+  }
 }
