@@ -112,6 +112,28 @@ class MergeIntoSpec extends AnyFunSuite with SparkFixture
     VersionedStore.latestVersion(spark, p) shouldBe before
   }
 
+  test("mergeInto binds through a column-mapping RENAME: logical " +
+      "names in SETs/conds/inserts, physical bytes untouched") {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(target(0 until 10), p)
+    VersionedStore.renameColumn(spark, p, "g", "grp")
+    VersionedStore.mergeInto(spark, p,
+      Seq((1L, 100L), (999L, 7L)).toDF("id", "sg"), Seq("id"),
+      matched = Seq(MergeUpdate(Some(col("_src_sg") > col("grp")),
+        Seq("grp" -> (col("_src_sg") + col("grp"))))),
+      notMatched = Seq(MergeInsert(None,
+        Seq("id" -> col("id"), "grp" -> col("sg")))))
+    val r = VersionedStore.read(spark, p)
+    r.where(col("id") === 1).select("grp").head.getLong(0) shouldBe 101L
+    r.where(col("id") === 999).select("grp").head.getLong(0) shouldBe 7L
+    r.count() shouldBe 11L
+    // pre-rename groups still serve under the new logical name
+    r.where(col("id") === 5).select("grp").head.getLong(0) shouldBe 0L
+  }
+
   test("discipline: duplicate source keys rejected with matched " +
       "actions; constraint-violating updates and inserts abort " +
       "with nothing committed; unknown SET/INSERT columns rejected") {

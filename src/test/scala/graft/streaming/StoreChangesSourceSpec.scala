@@ -150,6 +150,46 @@ class StoreChangesSourceSpec extends AnyFunSuite with SparkFixture
       .map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L, 3L)
   }
 
+  test("the executor-side reader handles the store's full column " +
+      "shapes: float arrays (embeddings), timestamps, doubles, " +
+      "booleans — bit-equal to the batch feed") {
+    val s = spark
+    import s.implicits._
+    val d = freshDir()
+    val src = s"$d/src"
+    VersionedStore.create(spark, src)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 8 + j) / 10.0f),
+        java.sql.Timestamp.valueOf(s"2026-01-0${i % 9 + 1} 12:00:00"),
+        i / 3.0, i % 2 == 0)
+    }
+    VersionedStore.append(rows.toDF(
+      "id", "emb", "ts", "score", "flag"), src)             // v1
+    // a rewrite window too, so BOTH reader paths (zero-copy group
+    // files AND staged derivation files) cover the shapes
+    VersionedStore.deleteKeys(spark, src,
+      Seq(7L).toDF("id"), Seq("id"))                         // v2
+    val latest = VersionedStore.latestVersion(spark, src)
+    val expected = VersionedStore.changes(spark, src, 0L, latest)
+      .selectExpr("id", "cast(emb as string)", "cast(ts as string)",
+        "score", "flag", "_change")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val q = spark.readStream.format("graft-store-changes")
+      .option("path", src).load()
+      .writeStream.format("memory").queryName("dsv2_shapes")
+      .option("checkpointLocation", s"$d/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try drainTo(q, "dsv2_shapes", expected.length.toLong)
+    finally if (q.isActive) q.stop()
+    spark.table("dsv2_shapes")
+      .selectExpr("id", "cast(emb as string)", "cast(ts as string)",
+        "score", "flag", "_change")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      .toSeq shouldBe expected.toSeq
+  }
+
   test("zero-copy window planner soundness: pure-append windows " +
       "plan in place; any rewrite, DV, or schema change in the " +
       "window falls back to derivation") {
