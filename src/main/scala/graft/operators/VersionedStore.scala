@@ -1410,6 +1410,39 @@ object VersionedStore {
       Seq.empty)
   }
 
+  /** Atomic full replace — the INSERT OVERWRITE semantic as ONE
+    * commit: the incoming batch lands as a fresh group and every
+    * live data group AND deletion vector retires in the same log
+    * record, so a reader serves either the entire old content or
+    * the entire new content, never a truncated middle (the
+    * two-commit delete-then-append spelling has exactly that
+    * window). Time travel below the returned version still serves
+    * the old content until vacuum. The batch passes the same write
+    * gates as [[append]]: schema compatibility (additive evolution
+    * only, behind `evolve`), constraints, stats/zone/bloom arming +
+    * propagation.
+    */
+  def overwrite(df: DataFrame, path: String,
+      statsCol: Option[String] = None,
+      evolve: Boolean = false,
+      zoneCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    requireCols(df, "overwrite",
+      statsCol.toSeq ++ zoneCols ++ bloomCols)
+    checkSchema(df, path, "overwrite", canEvolve = evolve)
+    validate(df, path)
+    val v = latestVersion(spark, path)
+    val retire = liveFids(spark, path, v) ++
+      liveDvFids(spark, path, v)
+    val propag = storePropagation(spark, path)
+    val Seq(fid) = claimFids(spark, path, 1)
+    commit(spark, path,
+      Seq(writeGroup(df, path, fid, statsCol,
+        zoneCols ++ propag._1, bloomCols ++ propag._2)),
+      retire)
+  }
+
   /** Zone columns maintained by the store's LIVE groups (union of
     * commit-record zone column names) — mutators feed these back to
     * [[writeGroup]] so the discipline self-propagates: one statted

@@ -82,15 +82,21 @@ private[plans] object StoreDml {
   * types under ANSI store assignment ([[StoreDml.ansiAlign]]), so a
   * reordered SELECT cannot silently land values in the wrong
   * columns — unreasonable coercions fail at plan time, lossy ones
-  * at run time, never as silent NULLs. Partitioned/overwrite inserts are rejected — the
-  * store has no partition spec, and an atomic INSERT OVERWRITE is
-  * `restore`/`deleteWhere`+append territory, not a silent two-commit
-  * sequence.
+  * at run time, never as silent NULLs. `INSERT OVERWRITE` is ONE
+  * atomic [[VersionedStore.overwrite]] commit — the fresh group
+  * lands and every live group (and deletion vector) retires in the
+  * same log record, never a two-commit truncation window.
+  * Partitioned inserts are rejected — the store has no partition
+  * spec (zones/z-order cluster instead).
   */
 case class StoreInsertCommand(path: String, query: LogicalPlan,
-    userCols: Seq[String]) extends StoreDmlCommand {
+    userCols: Seq[String],
+    overwrite: Boolean = false) extends StoreDmlCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = StoreSqlShims.ofRows(spark, query)
+    def land(df: org.apache.spark.sql.DataFrame): Long =
+      if (overwrite) VersionedStore.overwrite(df, path)
+      else VersionedStore.append(df, path)
     val tgt = VersionedStore.tableSchema(spark, path).getOrElse {
       // EMPTY store: the first insert defines the schema (the same
       // contract as the API's first append) — names come from the
@@ -103,7 +109,7 @@ case class StoreInsertCommand(path: String, query: LogicalPlan,
       val named =
         if (userCols.isEmpty) src
         else src.toDF(userCols.toIndexedSeq: _*)
-      return Seq(Row(VersionedStore.append(named, path)))
+      return Seq(Row(land(named)))
     }
     val aligned =
       if (userCols.isEmpty) {
@@ -128,7 +134,7 @@ case class StoreInsertCommand(path: String, query: LogicalPlan,
             .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       }
     val typed = StoreDml.ansiAlign(aligned, tgt, path, "INSERT INTO")
-    Seq(Row(VersionedStore.append(typed, path)))
+    Seq(Row(land(typed)))
   }
 }
 

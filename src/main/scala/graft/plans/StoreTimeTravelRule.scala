@@ -188,15 +188,12 @@ class StoreTimeTravelRule(session: SparkSession)
           "INSERT into a store table takes no PARTITION spec — the " +
             "store has no partition columns (zones/z-order cluster " +
             "instead)")
-        if (overwrite) sys.error(
-          "INSERT OVERWRITE is not supported on store tables — " +
-            "spell the intent explicitly (deleteWhere + append, or " +
-            "restore)")
         if (byName) sys.error(
           "INSERT BY NAME is not supported on store tables — SQL " +
             "inserts are by position (or name a column list)")
         val _ = ifPartitionNotExists
-        StoreInsertCommand(pathOf(t).get, query, userCols)
+        StoreInsertCommand(pathOf(t).get, query, userCols,
+          overwrite = overwrite)
       case DeleteFromTable(t, cond) if pathOf(t).isDefined =>
         // an absent WHERE arrives as a literal TRUE from the parser
         val real = Option(cond).filterNot(

@@ -297,6 +297,37 @@ class StoreSqlDmlSpec extends AnyFunSuite with SparkFixture
       .head.getString(0) shouldBe "x"
   }
 
+  test("INSERT OVERWRITE is ONE atomic commit: the fresh content " +
+      "lands and every live group AND deletion vector retires in " +
+      "the same log record; time travel still serves the old rows") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_ovr")
+    // a deferred delete arms a DV — overwrite must retire it too
+    graft.operators.VersionedStore.deleteKeysDeferred(spark, p,
+      Seq(3L).toDF("id"), Seq("id"))                          // v2
+    spark.sql("SELECT count(*) AS n FROM dml_ovr")
+      .head.getLong(0) shouldBe 9L
+    val out = spark.sql(
+      "INSERT OVERWRITE dml_ovr SELECT 1000, 'fresh', 1").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(3L) // ONE commit
+    spark.sql("SELECT id, body, g FROM dml_ovr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq shouldBe Seq((1000L, "fresh", 1L))
+    // the v3 log record carries every retirement: 10-row group + DV
+    val h = VersionedStore.history(spark, p)
+      .where(col("version") === 3)
+    h.where(col("action") === "add").count() shouldBe 1L
+    h.where(col("action") === "remove").count() shouldBe 2L
+    // pre-overwrite content (with the DV applied) via time travel
+    VersionedStore.readAt(spark, p, 2L).count() shouldBe 9L
+    // the write gates still apply: a retyped overwrite is rejected
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE dml_ovr SELECT 'a', 'b', 'c'")
+    }
+    VersionedStore.latestVersion(spark, p) shouldBe 3L
+  }
+
   test("general MERGE: conditional per-column UPDATE, conditional " +
       "DELETE, and conditional column-list INSERT compose " +
       "first-match-wins in ONE atomic commit") {
