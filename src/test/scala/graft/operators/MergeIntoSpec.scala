@@ -112,6 +112,34 @@ class MergeIntoSpec extends AnyFunSuite with SparkFixture
     VersionedStore.latestVersion(spark, p) shouldBe before
   }
 
+  test("detection-scan pruning: with zone stats armed on the join " +
+      "key, a narrow source key span rewrites ONLY the overlapping " +
+      "group — merge's O(touched groups) contract holds for the " +
+      "general form") {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(target(0 until 10), p,
+      statsCol = Some("id"))                                 // f1
+    VersionedStore.append(target(100 until 110), p,
+      statsCol = Some("id"))                                 // f2
+    VersionedStore.append(target(200 until 210), p,
+      statsCol = Some("id"))                                 // f3
+    // source keys live entirely inside f2's hull
+    VersionedStore.mergeInto(spark, p,
+      Seq((103L, 1L), (105L, 2L)).toDF("id", "sg"), Seq("id"),
+      matched = Seq(MergeUpdate(None, Seq("g" -> lit(77L)))),
+      notMatched = Nil)
+    val h = VersionedStore.history(spark, p)
+      .where(col("version") === 4)
+    h.where(col("action") === "remove").count() shouldBe 1L
+    h.where(col("action") === "add").count() shouldBe 1L
+    val r = VersionedStore.read(spark, p)
+    r.where(col("g") === 77).count() shouldBe 2L
+    r.count() shouldBe 30L
+  }
+
   test("mergeInto binds through a column-mapping RENAME: logical " +
       "names in SETs/conds/inserts, physical bytes untouched") {
     val s = spark
