@@ -1805,7 +1805,7 @@ object AnalyticsQueries {
           keys.groupBy("k")
             .agg(count(lit(1)).as("na"),
               count_if(col("recent")).as("nb"))
-            .coalesce(4).write.mode("overwrite").parquet(s"$p/freq")
+            .write.mode("overwrite").parquet(s"$p/freq")
         }
         val est = s.read.parquet(s"$dir/sketch")
           .groupBy("row")

@@ -84,7 +84,7 @@ object RetrievalQueries {
           canonicalQueries(s, d))
         .withColumn("r", row_number().over(w))
         .withColumn("n", count(lit(1)).over(nW))
-        .coalesce(4).write.mode("overwrite").parquet(p)
+        .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(dir)
   }

@@ -293,7 +293,7 @@ object TextQueries {
   private def jaccardRun(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val dir = graft.StoreCache.getOrBuild("jacrun", d) { p =>
-      jaccardPairs(s, d).coalesce(1).write.mode("overwrite")
+      jaccardPairs(s, d).write.mode("overwrite")
         .parquet(p)
     }
     s.read.parquet(dir)
@@ -336,7 +336,7 @@ object TextQueries {
   private def simhashRun(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val dir = graft.StoreCache.getOrBuild("shrun", d) { p =>
-      simhashPairs(s, d).coalesce(1).write.mode("overwrite")
+      simhashPairs(s, d).write.mode("overwrite")
         .parquet(p)
     }
     s.read.parquet(dir)
@@ -1779,7 +1779,7 @@ object TextQueries {
             .agg(sum(col("runlen")).cast("long").as("n_matched"),
               (max(col("runlen")) + lit(2L)).cast("long")
                 .as("longest_run_words"))
-            .coalesce(1).write.mode("overwrite").parquet(p)
+            .write.mode("overwrite").parquet(p)
         }
         s.read.parquet(dir).orderBy("a_id", "b_id")
       },
