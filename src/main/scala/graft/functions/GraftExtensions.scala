@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fingerprintDescriptor)
     ext.injectFunction(GraftExtensions.redactPiiDescriptor)
     ext.injectResolutionRule(new graft.plans.StoreTimeTravelRule(_))
+    ext.injectResolutionRule(new graft.plans.GraftCatalogRule(_))
     graft.plans.StoreTvfs.all.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)

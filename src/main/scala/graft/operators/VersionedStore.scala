@@ -92,6 +92,19 @@ object VersionedStore {
     ()
   }
 
+  /** Commit an explicit schema anchor — the CREATE TABLE shape: a
+    * freshly-created EMPTY store declares its schema before any
+    * data arrives (one action-"schema" record, the same anchor
+    * restore/clone commits carry), so the catalog and readers serve
+    * the declared shape immediately and the first insert must MATCH
+    * it through [[checkSchema]] instead of defining the table by
+    * accident. Returns the committed version.
+    */
+  def declareSchema(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Long =
+    commitRetrying(spark, path, Nil, Nil,
+      schemaAnchor = Some(schema.json))
+
   /** One listing of the log dir: (committed versions, checkpoint
     * versions), both ascending. Tmp dirs from crashed commits
     * (`.tmp-*`) match neither name pattern and are invisible here —
@@ -206,15 +219,51 @@ object VersionedStore {
     *  - the retry budget is exhausted (livelock guard).
     * Appends always rebase (fresh fids, no removes). `firstV` lets
     * the race spec reproduce a stale first attempt deterministically.
+    *
+    * `guard` extends the rebase rule to DETECTION-BASED
+    * copy-on-write commands (updateWhere / deleteWhere / merge /
+    * mergeInto / deleteKeys), whose correctness depends on what
+    * their detection scan SAW, not just on which groups they
+    * rewrite: `guard = Some((baseV, safe))` re-validates the
+    * detection snapshot against every commit that landed after
+    * `baseV` — before the first attempt (commits in the
+    * detection-to-commit window raise no version conflict at all)
+    * and again at each rebase. The winners must all be PLAIN
+    * APPENDS (a concurrent rewrite/DV/restore restructures rows the
+    * detection may have read — abort, redo against the new
+    * snapshot), and `safe(winnerFids)` must confirm the appended
+    * groups contain no row the detection would have matched
+    * (predicate hit for UPDATE/DELETE, key overlap for the merges).
+    * This is the public Delta conflict rule: blind appends rebase
+    * freely; an append that could change a read-based command's
+    * outcome is a ConcurrentAppend conflict.
     */
   private[operators] def commitRetrying(spark: SparkSession,
       path: String, adds: Seq[GroupAdd], removes: Seq[Long],
       txn: Long = -1L, dvs: Seq[GroupAdd] = Nil,
       firstV: Long = -1L,
       renames: Seq[(String, String, String)] = Nil,
-      schemaAnchor: Option[String] = None): Long = {
+      schemaAnchor: Option[String] = None,
+      guard: Option[(Long, Seq[Long] => Boolean)] = None): Long = {
     val maxAttempts = 5
     var attempt = 0
+    def guardCheck(): Unit = guard.foreach { case (baseV, safe) =>
+      val laters = logRecords(spark, path).filter(_.v > baseV)
+      if (laters.nonEmpty) {
+        val structural = laters.filter(_.action != "add")
+        if (structural.nonEmpty) sys.error(
+          "VersionedStore: concurrent commit(s) restructured the " +
+            s"table after this operation's snapshot v$baseV at " +
+            s"$path (${structural.map(_.action).distinct
+              .mkString(", ")}) — aborting (redo the operation " +
+            "against the new snapshot)")
+        if (!safe(laters.map(_.fid))) sys.error(
+          "VersionedStore: concurrent append(s) after snapshot " +
+            s"v$baseV at $path carry rows this operation's " +
+            "detection scan would have matched — aborting (redo " +
+            "the operation against the new snapshot)")
+      }
+    }
     var v =
       if (firstV >= 0) firstV
       else {
@@ -235,6 +284,10 @@ object VersionedStore {
         }
         recs.map(_.v).maxOption.getOrElse(0L) + 1
       }
+    // the detection-to-commit window: commits that landed after the
+    // caller's snapshot but before this attempt raise no version
+    // conflict, so the guard must run BEFORE the first attempt too
+    guardCheck()
     while (true) {
       try return commitAt(spark, path, v, adds, removes, txn, dvs,
         renames = renames, schemaAnchor = schemaAnchor)
@@ -292,6 +345,8 @@ object VersionedStore {
             "VersionedStore: concurrent schema change — a winning " +
               s"commit at $path carries a different table schema; " +
               "aborting (revalidate against the evolved schema)")
+          guardCheck() // re-validate the detection snapshot against
+                       // the winner before rebasing over it
           v = latest + 1
       }
     }
@@ -300,8 +355,10 @@ object VersionedStore {
 
   private def commit(spark: SparkSession, path: String,
       adds: Seq[GroupAdd], removes: Seq[Long],
-      dvs: Seq[GroupAdd] = Nil): Long =
-    commitRetrying(spark, path, adds, removes, -1L, dvs)
+      dvs: Seq[GroupAdd] = Nil,
+      guard: Option[(Long, Seq[Long] => Boolean)] = None): Long =
+    commitRetrying(spark, path, adds, removes, -1L, dvs,
+      guard = guard)
 
   /** The commit body at an EXPLICIT version — separated so the spec
     * can reproduce the two-writers race (both computed the same next
@@ -998,6 +1055,30 @@ object VersionedStore {
         s"(${df.columns.mkString(", ")})")
   }
 
+  /** The logical schema a mutating batch RECORDS: its own fields,
+    * except a column the table already carries never TIGHTENS its
+    * nullability through an incidental batch property (a literal
+    * INSERT's non-null output, a rewrite projection's inference
+    * would otherwise flip the column to required and make every
+    * later partial INSERT's NULL fill illegal) — the recorded flag
+    * is the OR of table and batch. A real nullability contract is
+    * the constraint system's job, never a side effect of one
+    * batch's shape.
+    */
+  private def recordedSchema(spark: SparkSession, path: String,
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    schemaAt(spark, path, Long.MaxValue) match {
+      case None => s
+      case Some(cur) =>
+        val curN = cur.fields.map(f => f.name -> f.nullable).toMap
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          curN.get(f.name) match {
+            case Some(n) => f.copy(nullable = n || f.nullable)
+            case None => f
+          }))
+    }
+
   private def writeGroup(df: DataFrame, path: String, fid: Long,
       statsCol: Option[String],
       zoneCols: Seq[String] = Nil,
@@ -1010,7 +1091,7 @@ object VersionedStore {
     val m0 = mappingAt(spark, path, Long.MaxValue)
     val m = m0.filter { case (l, p) =>
       l != p && df.columns.contains(l) }
-    val sj = Some(df.schema.json)
+    val sj = Some(recordedSchema(spark, path, df.schema).json)
     val pdf =
       if (m.isEmpty) df
       else df.select(df.columns.map(c =>
@@ -1494,9 +1575,18 @@ object VersionedStore {
     */
   def readAt(spark: SparkSession, path: String, v: Long): DataFrame = {
     val fids = liveFids(spark, path, v)
-    if (fids.isEmpty) sys.error(
-      s"VersionedStore.readAt: version $v of $path is empty " +
-        "(or vacuumed past)")
+    if (fids.isEmpty)
+      // a version with no live groups but a TRACKED schema (a
+      // declared-schema CREATE TABLE before its first insert, an
+      // overwritten-empty window) serves the empty relation in the
+      // declared shape; schema-less emptiness stays a loud error
+      return schemaAt(spark, path, v) match {
+        case Some(sch) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        case None => sys.error(
+          s"VersionedStore.readAt: version $v of $path is empty " +
+            "(or vacuumed past)")
+      }
     // FOREIGN (cloned-in) groups are swept at every version: the
     // zero-RPC latest-read argument — "vacuum only reclaims groups
     // invisible at the latest version" — holds for this store's own
@@ -1675,9 +1765,14 @@ object VersionedStore {
         else cur.repartitionByRange(clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       val Seq(fid) = claimFids(spark, path, 1)
+      // structural guard only: concurrent APPENDS commute with a
+      // compaction (their groups are untouched), but a concurrent
+      // DV could mask rows of the groups being folded — the
+      // compacted group's fresh (higher) fid would escape the mask
+      // and resurrect deleted rows
       commit(spark, path,
         Seq(writeGroup(out, path, fid, statsCol, zoneCols,
-          bloomCols)), old)
+          bloomCols)), old, guard = Some((v, _ => true)))
     } else {
       val newFids = claimFids(spark, path, numGroups)
       // plain multi-group clustering range-partitions on the key
@@ -1742,7 +1837,8 @@ object VersionedStore {
       // range partitions can come up empty (sampling, small data):
       // an empty bucket becomes no group at all, not a 0-row group
       // (its already-written empty dir is an orphan vacuum reclaims)
-      commit(spark, path, adds.filter(_.n > 0), old)
+      commit(spark, path, adds.filter(_.n > 0), old,
+        guard = Some((v, _ => true))) // same DV-resurrection guard
     }
   }
 
@@ -1783,7 +1879,8 @@ object VersionedStore {
     val mm = m0.filter { case (l, p) =>
       l != p && kept.columns.contains(l) }
     def phys(n: String) = mm.getOrElse(n, n)
-    val logicalSchema = kept.drop("_vs_fid").schema
+    val logicalSchema =
+      recordedSchema(spark, path, kept.drop("_vs_fid").schema)
     val kept2 =
       if (mm.isEmpty) kept
       else kept.select(kept.columns.map(c =>
@@ -1861,8 +1958,10 @@ object VersionedStore {
     * the store maintains zone stats.
     */
   def deleteWhere(spark: SparkSession, path: String, pred: Column,
-      keyRange: Option[(Long, Long)] = None): Long = {
-    val v = latestVersion(spark, path)
+      keyRange: Option[(Long, Long)] = None,
+      snapshotV: Long = -1L): Long = {
+    val v = if (snapshotV >= 0) snapshotV
+      else latestVersion(spark, path)
     val scanFids = (keyRange, storeStatsCol(spark, path)) match {
       case (Some((lo, hi)), Some(c)) =>
         candidateFids(spark, path, v, c, lo, hi)
@@ -1888,7 +1987,9 @@ object VersionedStore {
       .filter(!coalesce(pred, lit(false)))
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
       propag._1, propag._2)
-    commit(spark, path, adds, affected.toSeq)
+    commit(spark, path, adds, affected.toSeq,
+      guard = Some((v, winFids =>
+        withFidOf(spark, path, winFids).filter(pred).isEmpty)))
   }
 
   /** Copy-on-write UPDATE — the predicate form of DML the keyed
@@ -1905,11 +2006,20 @@ object VersionedStore {
     * scan itself through zones/stats like [[deleteWhere]]'s. Time
     * travel below the returned version serves the pre-update rows
     * (the rewritten groups are NEW fids; the old ones retire).
+    *
+    * Concurrency: the commit carries a detection guard — a
+    * concurrent append whose rows do NOT match `pred` rebases and
+    * both land; a matching append or any concurrent rewrite/DV
+    * aborts loudly (redo against the new snapshot). `snapshotV`
+    * pins the detection snapshot for the race specs (mirrors
+    * `firstV`); production callers never pass it.
     */
   def updateWhere(spark: SparkSession, path: String, pred: Column,
       sets: Seq[(String, Column)],
-      keyRange: Option[(Long, Long)] = None): Long = {
-    val v = latestVersion(spark, path)
+      keyRange: Option[(Long, Long)] = None,
+      snapshotV: Long = -1L): Long = {
+    val v = if (snapshotV >= 0) snapshotV
+      else latestVersion(spark, path)
     val cur = schemaAt(spark, path, v)
     sets.foreach { case (c, _) =>
       require(cur.forall(_.fieldNames.contains(c)),
@@ -1954,7 +2064,9 @@ object VersionedStore {
     validate(kept.drop("_vs_fid"), path)
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
       propag._1, propag._2)
-    commit(spark, path, adds, affected.toSeq)
+    commit(spark, path, adds, affected.toSeq,
+      guard = Some((v, winFids =>
+        withFidOf(spark, path, winFids).filter(pred).isEmpty)))
   }
 
   /** Remove every row whose key tuple appears in `keys` — the form a
@@ -1985,7 +2097,9 @@ object VersionedStore {
       .join(k, keyCols, "left_anti")
     val adds = rewriteGroups(spark, path, kept, fidOf, statsCol,
       propag._1, propag._2)
-    commit(spark, path, adds, affected.toSeq)
+    commit(spark, path, adds, affected.toSeq,
+      guard = Some((v, winFids => withFidOf(spark, path, winFids)
+        .join(k, keyCols, "left_semi").isEmpty)))
   }
 
   /** Deletion-vector (merge-on-read) point delete: commit a small
@@ -2148,7 +2262,9 @@ object VersionedStore {
     commitRetrying(spark, path,
       rewrites :+ writeGroup(ins, path, insFid, statsCol, zoneCols,
         mergeBloomCols),
-      affected.toSeq, txn)
+      affected.toSeq, txn,
+      guard = Some((v, winFids => withFidOf(spark, path, winFids)
+        .join(keys, keyCols, "left_semi").isEmpty)))
   }
 
   /** One action of [[mergeInto]]'s WHEN MATCHED list. `cond` (over
@@ -2174,6 +2290,33 @@ object VersionedStore {
   final case class MergeInsert(cond: Option[Column],
     values: Seq[(String, Column)])
 
+  /** ANSI store assignment for merge-produced values — the same
+    * discipline SQL INSERT INTO and the keyed MERGE apply
+    * (`storeAssignmentPolicy=ANSI`): resolve the value's type
+    * against its binding frame, reject statically-unreasonable
+    * assignments (string→numeric, double→boolean) at plan time, and
+    * run legal-but-lossy coercions (long→int) through an ANSI-mode
+    * cast so an out-of-range value fails loudly at run time — never
+    * a permissive cast's silent NULL.
+    */
+  private def ansiAssign(frame: DataFrame, e: Column,
+      f: org.apache.spark.sql.types.StructField,
+      what: String): Column = {
+    val dt = frame.select(e).schema.head.dataType
+    if (dt == f.dataType) e
+    else {
+      require(org.apache.spark.sql.catalyst.expressions.Cast
+        .canANSIStoreAssign(dt, f.dataType),
+        s"VersionedStore.mergeInto: $what cannot assign a " +
+          s"${dt.simpleString} value to column `${f.name}` " +
+          s"(${f.dataType.simpleString}) under ANSI store " +
+          "assignment — cast the value explicitly if the " +
+          "coercion is intended")
+      org.apache.spark.sql.graft.StoreSqlShims.ansiCast(e, f.dataType)
+    }
+  }
+
+
   /** General MERGE — the conditional / per-column forms the keyed
     * [[merge]] (wholesale upsert) and [[deleteKeys]] cannot express:
     *
@@ -2191,8 +2334,10 @@ object VersionedStore {
     * expressions and conditions evaluate against the PRE-merge row
     * joined with its source match — target columns under their own
     * names, source columns as `_src_<name>` — and every produced
-    * value casts to the column's existing type, so the schema cannot
-    * drift. Unmatched source rows route through the first
+    * value lands under ANSI store assignment ([[ansiAssign]]:
+    * unreasonable coercions rejected at plan time, lossy ones cast
+    * in ANSI eval mode), so the schema cannot drift and a bad value
+    * can never become a silent NULL. Unmatched source rows route through the first
     * not-matched action whose condition holds and land in one fresh
     * insert group. The rewritten and inserted rows run the same
     * constraint gate as every other mutator.
@@ -2203,13 +2348,23 @@ object VersionedStore {
     * is a column-pruned key scan; rewrites touch only affected
     * groups. Duplicate source keys are rejected when any matched
     * action exists — the result would be order-dependent.
+    *
+    * Concurrency: the commit carries a detection guard
+    * ([[commitRetrying]]'s `guard`) — key-disjoint concurrent
+    * appends rebase and BOTH land; an append carrying any source
+    * key, or any concurrent rewrite/DV, aborts loudly (redo against
+    * the new snapshot). `snapshotV` pins the detection snapshot for
+    * the race specs (mirrors `firstV`); production callers never
+    * pass it.
     */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], matched: Seq[MergeMatchedAction],
-      notMatched: Seq[MergeInsert]): Long = {
+      notMatched: Seq[MergeInsert],
+      snapshotV: Long = -1L): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty,
       "VersionedStore.mergeInto: no actions")
-    val v = latestVersion(spark, path)
+    val v = if (snapshotV >= 0) snapshotV
+      else latestVersion(spark, path)
     val tgtSchema = schemaAt(spark, path, v).getOrElse(sys.error(
       s"VersionedStore.mergeInto: no table schema at $path"))
     keyCols.foreach { k =>
@@ -2333,7 +2488,8 @@ object VersionedStore {
               else a.values.toMap.get(f.name)
             value match {
               case Some(e) => when(col("_fired") === i,
-                e.cast(f.dataType)).otherwise(acc)
+                ansiAssign(picked, e, f,
+                  "a WHEN NOT MATCHED INSERT value")).otherwise(acc)
               case None => acc
             }
           }.as(f.name)
@@ -2368,7 +2524,8 @@ object VersionedStore {
               else u.sets.toMap.get(f.name)
             value match {
               case Some(e) => when(col("_fired") === i,
-                e.cast(f.dataType)).otherwise(acc)
+                ansiAssign(surviving, e, f,
+                  "a WHEN MATCHED UPDATE SET value")).otherwise(acc)
               case None => acc
             }
           }.as(f.name)
@@ -2382,7 +2539,14 @@ object VersionedStore {
       writeGroup(r, path, newFids.last, statsCol,
         propag._1, propag._2)
     }.toSeq
-    commit(spark, path, rewrites ++ insAdds, affected)
+    // OCC guard: a concurrent append whose rows carry any SOURCE
+    // key would change this merge's matched/unmatched classification
+    // (a missed update, or a duplicate key from an insert action) —
+    // conflict; key-disjoint appends rebase freely
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    commit(spark, path, rewrites ++ insAdds, affected,
+      guard = Some((v, winFids => withFidOf(spark, path, winFids)
+        .join(broadcast(srcKeys), keyCols, "left_semi").isEmpty)))
   }
 
   /** Zero-copy plan for a PURE-APPEND change window — the common
@@ -2920,6 +3084,21 @@ object VersionedStore {
 
   private[graft] def registeredPath(name: String): Option[String] =
     Option(sqlTables.get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  /** Data locations OUTSIDE this store that its LIVE groups (and
+    * live deletion vectors) reference — a zero-copy clone's
+    * borrowed data dirs. The dependency a catalog DROP must honor
+    * in reverse: removing a path that appears here for any sibling
+    * table would dangle that sibling's reads.
+    */
+  def foreignRefs(spark: SparkSession, path: String): Seq[String] = {
+    val v = latestVersion(spark, path)
+    val live =
+      (liveFids(spark, path, v) ++ liveDvFids(spark, path, v)).toSet
+    logRecords(spark, path)
+      .filter(r => live(r.fid) && r.loc.isDefined)
+      .map(_.loc.get).distinct
+  }
 
   /** version → commit wall-clock millis, from the log records. */
   def commitTimestamps(spark: SparkSession,

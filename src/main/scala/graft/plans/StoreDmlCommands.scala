@@ -82,21 +82,62 @@ private[plans] object StoreDml {
   * types under ANSI store assignment ([[StoreDml.ansiAlign]]), so a
   * reordered SELECT cannot silently land values in the wrong
   * columns — unreasonable coercions fail at plan time, lossy ones
-  * at run time, never as silent NULLs. `INSERT OVERWRITE` is ONE
-  * atomic [[VersionedStore.overwrite]] commit — the fresh group
-  * lands and every live group (and deletion vector) retires in the
-  * same log record, never a two-commit truncation window.
-  * Partitioned inserts are rejected — the store has no partition
-  * spec (zones/z-order cluster instead).
+  * at run time, never as silent NULLs. `INSERT INTO ... BY NAME`
+  * resolves the query's OUTPUT NAMES against the table schema
+  * instead (case-insensitively, like the analyzer): matched columns
+  * land under their names in any order, absent NULLABLE columns
+  * fill with a typed NULL, an absent non-nullable column or a
+  * source column the table does not carry is rejected loudly.
+  * `INSERT OVERWRITE` is ONE atomic [[VersionedStore.overwrite]]
+  * commit — the fresh group lands and every live group (and
+  * deletion vector) retires in the same log record, never a
+  * two-commit truncation window. Partitioned inserts are rejected —
+  * the store has no partition spec (zones/z-order cluster instead).
   */
 case class StoreInsertCommand(path: String, query: LogicalPlan,
     userCols: Seq[String],
-    overwrite: Boolean = false) extends StoreDmlCommand {
+    overwrite: Boolean = false,
+    byName: Boolean = false) extends StoreDmlCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = StoreSqlShims.ofRows(spark, query)
     def land(df: org.apache.spark.sql.DataFrame): Long =
       if (overwrite) VersionedStore.overwrite(df, path)
       else VersionedStore.append(df, path)
+    if (byName) {
+      require(userCols.isEmpty, // the grammar already forbids it
+        "INSERT BY NAME takes no column list")
+      VersionedStore.tableSchema(spark, path) match {
+        case None =>
+          // empty store: the first insert defines the schema, and
+          // by-name is trivially the source's own naming
+          return Seq(Row(land(src)))
+        case Some(tgt) =>
+          def srcCol(f: String): Option[String] =
+            src.columns.find(_.equalsIgnoreCase(f))
+          val extra = src.columns.filterNot(c =>
+            tgt.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(extra.isEmpty,
+            s"INSERT BY NAME into store table at $path: the table " +
+              s"carries no column(s) ${extra.mkString(", ")} — " +
+              "evolve the table first, never silently drop")
+          val noFill = tgt.fields.filter(f =>
+            srcCol(f.name).isEmpty && !f.nullable)
+          require(noFill.isEmpty,
+            s"INSERT BY NAME into store table at $path: non-" +
+              s"nullable column(s) ${noFill.map(_.name)
+                .mkString(", ")} absent from the query output " +
+              "cannot fill with NULL")
+          val aligned = src.select(tgt.fields.map { f =>
+            srcCol(f.name) match {
+              case Some(c) => col(c).as(f.name)
+              case None => org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+            }
+          }.toIndexedSeq: _*)
+          return Seq(Row(land(StoreDml.ansiAlign(aligned, tgt,
+            path, "INSERT BY NAME into"))))
+      }
+    }
     val tgt = VersionedStore.tableSchema(spark, path).getOrElse {
       // EMPTY store: the first insert defines the schema (the same
       // contract as the API's first append) — names come from the

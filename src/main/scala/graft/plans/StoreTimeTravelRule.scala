@@ -93,7 +93,11 @@ class StoreTimeTravelRule(session: SparkSession)
     * bind plainly, source-qualified ones as `_src_<name>`.
     * Unqualified names bind against the target (the joined frame
     * carries target columns under their own names); an unknown
-    * qualifier is left as-is and fails analysis loudly.
+    * qualifier is left as-is and fails analysis loudly. A reference
+    * DEEPER than the qualifier (`t.addr.city`) keeps its full
+    * remaining path — only the alias strips, so struct-field access
+    * rebases to the joined column's nested field, never to a
+    * wrongly-flattened name.
     */
   private def matchedExpr(tq: Set[String], sq: Set[String],
       e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -102,9 +106,10 @@ class StoreTimeTravelRule(session: SparkSession)
       case u: UnresolvedAttribute if u.nameParts.size > 1 =>
         val q = u.nameParts.head.toLowerCase
         if (sq.contains(q) && !tq.contains(q))
-          UnresolvedAttribute(Seq(s"_src_${u.nameParts.last}"))
+          UnresolvedAttribute(
+            s"_src_${u.nameParts(1)}" +: u.nameParts.drop(2))
         else if (tq.contains(q) && !sq.contains(q))
-          UnresolvedAttribute(Seq(u.nameParts.last))
+          UnresolvedAttribute(u.nameParts.tail)
         else u
     }
 
@@ -120,7 +125,7 @@ class StoreTimeTravelRule(session: SparkSession)
       case u: UnresolvedAttribute if u.nameParts.size > 1 =>
         val q = u.nameParts.head.toLowerCase
         if (sq.contains(q) && !tq.contains(q))
-          UnresolvedAttribute(Seq(u.nameParts.last))
+          UnresolvedAttribute(u.nameParts.tail)
         else if (tq.contains(q) && !sq.contains(q)) sys.error(
           "MERGE INTO a store table: a NOT MATCHED action can " +
             s"reference only the source row, got ${u.sql}")
@@ -163,6 +168,9 @@ class StoreTimeTravelRule(session: SparkSession)
         val (sa, sb) = (side(a), side(b))
         if (sa < 0 || sb < 0) None
         else if (sa != 0 && sa == sb) None // ON s.id = s.id
+        else if (sa == 0 && sb == 0) None // ON id = id: a tautology
+          // (or an ambiguous reference), never silently a key join —
+          // qualify at least one side (t.id = id / t.id = s.id)
         else Some(Seq(a.nameParts.last))
       case _ => None
     }
@@ -188,12 +196,9 @@ class StoreTimeTravelRule(session: SparkSession)
           "INSERT into a store table takes no PARTITION spec — the " +
             "store has no partition columns (zones/z-order cluster " +
             "instead)")
-        if (byName) sys.error(
-          "INSERT BY NAME is not supported on store tables — SQL " +
-            "inserts are by position (or name a column list)")
         val _ = ifPartitionNotExists
         StoreInsertCommand(pathOf(t).get, query, userCols,
-          overwrite = overwrite)
+          overwrite = overwrite, byName = byName)
       case DeleteFromTable(t, cond) if pathOf(t).isDefined =>
         // an absent WHERE arrives as a literal TRUE from the parser
         val real = Option(cond).filterNot(

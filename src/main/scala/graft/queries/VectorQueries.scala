@@ -102,21 +102,54 @@ object VectorQueries {
     * q317 measures the recall cost of switching. Same footprint
     * class: K×dim doubles collected once, Lloyd rounds are full
     * corpus passes with decimal means (deterministic end to end).
+    * Consumers read the cells through [[cachedTrainedCells]].
     */
-  private def trainedCentroidArrays(s: org.apache.spark.sql.SparkSession,
-      d: String, k: Int = 10): Seq[(Int, Array[Double])] =
-    trainedCentroidArraysOf(embeddings(s, d), k)
+  /** Train-once Lloyd codebooks — the run-file doctrine applied to
+    * trained models: training is deterministic end to end
+    * (farthest-point init + exact-decimal Lloyd rounds), so a
+    * codebook is a PURE FUNCTION of (corpus frame, numSub, k) and
+    * the consumer rungs (q317/q319/q348) read it back from a
+    * StoreCache'd parquet instead of re-running ~5 s of full-corpus
+    * Lloyd passes per invocation — values bit-identical by
+    * determinism. q309 keeps the family's ONE live priced training
+    * row (the BASELINE one-live-row rule), so the build lane still
+    * measures real training cost.
+    */
+  private def cachedCodebook(s: org.apache.spark.sql.SparkSession,
+      d: String, corpusTag: String,
+      emb: => org.apache.spark.sql.DataFrame, numSub: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    val path = graft.StoreCache.getOrBuild(
+      s"pqcb-$corpusTag-$numSub-$k", d) { p =>
+      val cb = graft.llm.ProductQuantizer
+        .trainCodebook(emb, numSub = numSub, codesPerSub = k,
+          iterations = 3)
+      val rows = for {
+        (sub, m) <- cb.toSeq.zipWithIndex
+        (cent, c) <- sub.toSeq.zipWithIndex
+        (x, i) <- cent.toSeq.zipWithIndex
+      } yield (m, c, i, x)
+      import s.implicits._
+      rows.toDF("sub", "code", "i", "x")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    val rows = s.read.parquet(path).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    Array.tabulate(numSub) { m =>
+      val byCode = bySub(m).groupBy(_.getInt(1))
+      Array.tabulate(k)(c =>
+        byCode(c).sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+    }
+  }
 
-  /** [[trainedCentroidArrays]] over an explicit vector frame — q319
-    * trains cells on the index corpus ONLY (held-out queries never
-    * touch the training set).
+  /** Trained cells (numSub = 1 codebook rows) served from the
+    * codebook cache — the q317/q319 consumer shape.
     */
-  private def trainedCentroidArraysOf(
-      emb: org.apache.spark.sql.DataFrame, k: Int)
+  private def cachedTrainedCells(s: org.apache.spark.sql.SparkSession,
+      d: String, corpusTag: String,
+      emb: => org.apache.spark.sql.DataFrame, k: Int)
       : Seq[(Int, Array[Double])] =
-    graft.llm.ProductQuantizer
-      .trainCodebook(emb, numSub = 1, codesPerSub = k,
-        iterations = 3)(0)
+    cachedCodebook(s, d, corpusTag, emb, numSub = 1, k = k)(0)
       .zipWithIndex.map { case (c, i) => i -> c }.toSeq
 
   /** DuckDB CTEs mirroring [[centroidArrays]] + the per-(vector,
@@ -3061,8 +3094,9 @@ object VectorQueries {
     // UNSUPERVISED IVF cells vs the labeled crutch (the r13 verdict's
     // item 6 — the last label-supervised piece of the ANN stack):
     // train K = 10 coarse-quantizer cells with NO labels
-    // (trainedCentroidArrays — farthest-point init + 3 exact-decimal
-    // Lloyd rounds at numSub = 1) and score the q209 panel recall
+    // (cachedTrainedCells — farthest-point init + 3 exact-decimal
+    // Lloyd rounds at numSub = 1, train-once cached) and score the
+    // q209 panel recall
     // curve side by side with the label-mean cells at the same K and
     // the same max-dot assignment rule, plus each side's candidate
     // fraction (probe cost — recall alone can hide a skewed cell map
@@ -3114,7 +3148,10 @@ object VectorQueries {
           }
         }
         val lab = curve(centroidArrays(s, d), "labeled")
-        val trn = curve(trainedCentroidArrays(s, d, 10), "trained")
+        // trained cells from the train-once codebook cache (q309
+        // carries the family's live priced training row)
+        val trn = curve(cachedTrainedCells(s, d, "corpus",
+          embeddings(s, d), 10), "trained")
         lab.zip(trn).map { case ((n, l), (_, t)) =>
           l.crossJoin(t).crossJoin(broadcast(kTot))
             .crossJoin(broadcast(nPairs))
@@ -3373,7 +3410,8 @@ object VectorQueries {
           }
         }
         val lab = curve(centroidArraysOf(corpus), "labeled")
-        val trn = curve(trainedCentroidArraysOf(corpus, 10), "trained")
+        val trn = curve(cachedTrainedCells(s, d, "heldout",
+          corpus, 10), "trained")
         lab.zip(trn).map { case ((n, l), (_, t)) =>
           l.crossJoin(t).crossJoin(broadcast(kTot))
             .select(lit(n).as("nprobe"), col("k_total"),
@@ -3572,9 +3610,8 @@ object VectorQueries {
           rows(k).slice(m * 8, (m + 1) * 8))
         // trained codebook — fit on the CORPUS frame only, so the
         // Lloyd passes never see a panel vector
-        val cbT = graft.llm.ProductQuantizer
-          .trainCodebook(corpus, numSub = 8, codesPerSub = 16,
-            iterations = 3)
+        val cbT = cachedCodebook(s, d, "heldout", corpus,
+          numSub = 8, k = 16)
         def top20(cb: Array[Array[Array[Double]]]) =
           graft.plans.GroupedTopK.of(
             graft.llm.ProductQuantizer.adcDistsPanel(s, emb, cb,

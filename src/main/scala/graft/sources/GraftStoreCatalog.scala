@@ -1,0 +1,337 @@
+package graft.sources
+
+import graft.operators.VersionedStore
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Identifier,
+  SupportsNamespaces, SupportsRead, SupportsWrite, Table,
+  TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation,
+  InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** [[VersionedStore]]s as REAL catalog tables — a Data Source V2
+  * [[TableCatalog]] whose warehouse is one directory tree of stores:
+  *
+  * {{{
+  * spark.sql.catalog.lake      = graft.sources.GraftStoreCatalog
+  * spark.sql.catalog.lake.root = /warehouse
+  *
+  * CREATE TABLE lake.docs (id BIGINT, body STRING) USING `graft-store`
+  * SHOW TABLES IN lake
+  * INSERT INTO lake.docs SELECT ...        -- full write discipline
+  * SELECT * FROM lake.docs VERSION AS OF 3 -- native v2 time travel
+  * df.writeTo("lake.docs").append()
+  * DROP TABLE lake.docs                    -- refuses if cloned-from
+  * }}}
+  *
+  * A table named `lake.ns.t` IS the store at `<root>/ns/t` — the
+  * identifier maps to the path, the store's commit log is the
+  * single source of truth (no secondary metastore to drift), and a
+  * directory with a `log/` subdir is a table, so `SHOW TABLES`
+  * equals reality even after out-of-band store creation. This
+  * mirrors the reference's convention of deriving lake paths from
+  * entity names (reference: utils/get_src_tgt_folders.py) — made a
+  * first-class catalog instead of string-gluing paths.
+  *
+  * WRITES keep the store's whole write discipline (schema gate,
+  * ANSI assignment via Spark's own v2 output resolution,
+  * constraints, zone/bloom propagation, OCC): the write builder is
+  * a [[V1Write]], so every v2 write path — `INSERT INTO`,
+  * `INSERT OVERWRITE` (truncate), `df.writeTo(...).append()`,
+  * CTAS — lands as ONE `VersionedStore.append`/`overwrite` commit
+  * on the driver, never a per-task file dump that would bypass the
+  * commit log.
+  *
+  * READS resolve through [[graft.plans.GraftCatalogRule]] when the
+  * session runs GraftExtensions: the v2 relation swaps to the
+  * store's native parquet plan (column pruning, zone-map and bloom
+  * pruning, DV anti-joins — identical to registry reads). Without
+  * extensions, the [[V1Scan]] fallback in [[GraftStoreTable]] still
+  * serves correct rows.
+  *
+  * `CREATE TABLE` anchors the DECLARED schema as the empty store's
+  * first commit ([[VersionedStore.declareSchema]]) — the first
+  * insert must match it, instead of defining the table by accident.
+  * `DROP TABLE` refuses while any sibling table's LIVE groups
+  * borrow the dropped store's data (a zero-copy clone) — dropping
+  * the source would dangle the clone's reads.
+  */
+class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(sys.error(
+      s"GraftStoreCatalog `$name`: set spark.sql.catalog.$name" +
+        ".root to the warehouse directory"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirOf(ns: Seq[String]): Path =
+    ns.foldLeft(new Path(root))((p, n) => new Path(p, n))
+
+  /** `lake.ns.t` ↔ `<root>/ns/t`; one namespace level (the store
+    * registry's `db.table` shape) — deeper nesting is rejected, not
+    * silently flattened.
+    */
+  private def pathOf(ident: Identifier): String = {
+    require(ident.namespace().length <= 1,
+      s"GraftStoreCatalog: `${ident}` nests " +
+        s"${ident.namespace().length} namespace levels — tables " +
+        "live at <root>/[ns/]table")
+    new Path(dirOf(ident.namespace().toSeq),
+      ident.name()).toString
+  }
+
+  private def isStore(p: Path): Boolean =
+    fs(p).exists(new Path(p, "log"))
+
+  override def listTables(
+      namespace: Array[String]): Array[Identifier] = {
+    val d = dirOf(namespace.toSeq)
+    val f = fs(d)
+    if (!f.exists(d)) throw new org.apache.spark.sql.catalyst
+      .analysis.NoSuchNamespaceException(
+        catalogName +: namespace.toSeq)
+    f.listStatus(d).filter(st => st.isDirectory &&
+        isStore(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length <= 1 && isStore(new Path(pathOf(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!isStore(new Path(p)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(
+          (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    GraftStoreTable(p, None)
+  }
+
+  /** `VERSION AS OF n` over a catalog table — Spark's native v2
+    * time-travel resolution calls this overload; the pinned table's
+    * scan serves [[VersionedStore.readAt]].
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => sys.error(
+          s"GraftStoreCatalog: VERSION AS OF over `$ident` expects " +
+            s"a numeric commit version, got '$version'")
+      }
+    GraftStoreTable(p, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — micros since epoch from the analyzer,
+    * resolved to the newest version committed at or before it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    GraftStoreTable(p, Some(VersionedStore.versionAtTimestamp(
+      spark, p, timestamp / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "GraftStoreCatalog: store tables take no PARTITIONED BY — " +
+        "cluster with OPTIMIZE ... ZORDER BY instead")
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+    require(provider.forall(pv => pv.equalsIgnoreCase("graft-store") ||
+      pv.equalsIgnoreCase("graft_store")),
+      s"GraftStoreCatalog: unsupported provider ${provider.get} — " +
+        "tables in this catalog are USING graft-store")
+    val p = pathOf(ident)
+    if (isStore(new Path(p)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    VersionedStore.create(spark, p)
+    if (schema.nonEmpty) VersionedStore.declareSchema(spark, p, schema)
+    GraftStoreTable(p, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = sys.error(
+    "GraftStoreCatalog: ALTER TABLE is not routed through the " +
+      "catalog — use the store's explicit evolution API " +
+      "(append(evolve=true), renameColumn, dropColumn)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathOf(ident))
+    if (!isStore(p)) return false
+    // refuse while any sibling's LIVE groups borrow this store's
+    // data (zero-copy clone): dropping the source dangles the clone
+    val target = p.toString
+    namespaces().foreach { ns =>
+      listTables(ns).foreach { other =>
+        val op = pathOf(other)
+        if (op != target && VersionedStore
+            .foreignRefs(spark, op).exists(_.startsWith(target)))
+          sys.error(
+            s"GraftStoreCatalog: cannot drop `$ident` — table " +
+              s"`$other` is cloned from it (live file-groups " +
+              "reference its data). Drop or compact the clone first")
+      }
+    }
+    fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = sys.error(
+    "GraftStoreCatalog: RENAME TABLE is not supported — tables are " +
+      "path-addressed and zero-copy clones reference those paths; " +
+      "CLONE to the new name and drop the old table instead")
+
+  // ---- namespaces: one directory level under the root ----
+
+  private def namespaces(): Seq[Array[String]] = {
+    val r = new Path(root)
+    val f = fs(r)
+    Array.empty[String] +: (if (!f.exists(r)) Seq.empty
+    else f.listStatus(r).toSeq
+      .filter(st => st.isDirectory && !isStore(st.getPath))
+      .map(st => Array(st.getPath.getName)))
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    namespaces().filter(_.nonEmpty).toArray
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (namespace.length == 1 && {
+      val d = dirOf(namespace.toSeq)
+      fs(d).exists(d) && !isStore(d)
+    })
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace))
+      java.util.Collections.emptyMap()
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      "GraftStoreCatalog: one namespace level (<root>/ns)")
+    val d = dirOf(namespace.toSeq)
+    if (!fs(d).mkdirs(d)) sys.error(
+      s"GraftStoreCatalog: cannot create namespace dir $d")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog
+        .NamespaceChange*): Unit = sys.error(
+    "GraftStoreCatalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = dirOf(namespace.toSeq)
+    if (!namespaceExists(namespace) || namespace.isEmpty)
+      return false
+    if (!cascade && listTables(namespace).nonEmpty) sys.error(
+      s"GraftStoreCatalog: namespace ${namespace.mkString(".")} " +
+        "is not empty (use CASCADE)")
+    fs(d).delete(d, true)
+  }
+}
+
+/** One catalog table = one [[VersionedStore]] (optionally pinned at
+  * a version for time travel). Reads prefer the analyzer swap to
+  * the store's native parquet plan ([[graft.plans
+  * .GraftCatalogRule]]); the [[V1Scan]] here is the
+  * correct-anywhere fallback. Writes are [[V1Write]]: one atomic
+  * store commit with the full write discipline, for every v2 write
+  * path (INSERT / INSERT OVERWRITE / writeTo.append / CTAS).
+  */
+final case class GraftStoreTable(path: String,
+    pinnedVersion: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  private[graft] def readDf: DataFrame = pinnedVersion match {
+    case Some(v) => VersionedStore.readAt(spark, path, v)
+    case None => VersionedStore.read(spark, path)
+  }
+
+  override def name(): String =
+    s"graft-store $path" +
+      pinnedVersion.map(v => s" @v$v").getOrElse("")
+
+  override def schema(): StructType = pinnedVersion match {
+    case Some(_) => readDf.schema
+    case None => VersionedStore.tableSchema(spark, path)
+      .getOrElse(StructType(Nil))
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType =
+          GraftStoreTable.this.schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = readSchema()
+            override def buildScan()
+                : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              readDf.rdd
+          }.asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      require(pinnedVersion.isEmpty,
+        "GraftStoreTable: cannot write to a time-travel snapshot")
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwrite: Boolean): Unit = {
+              if (replace || overwrite)
+                VersionedStore.overwrite(data, path)
+              else VersionedStore.append(data, path)
+              ()
+            }
+          }
+      }
+    }
+}

@@ -63,10 +63,11 @@ import org.apache.spark.util.SerializableConfiguration
   * protocol, layered above this source.
   *
   * Executor-side reading uses parquet-hadoop's Group API (no
-  * SparkSession on executors): primitives, strings, binary,
-  * dates, INT64/INT96 timestamps, and one-level arrays of
-  * primitives — the store's supported column shapes; anything else
-  * fails loudly at read, never a silent null.
+  * SparkSession on executors): primitives, strings, binary, dates,
+  * MILLIS/MICROS/INT96 timestamps, decimals (all three parquet
+  * encodings), structs, and arrays of any of these — the store's
+  * supported column shapes; anything else fails loudly at read,
+  * never a silent null.
   */
 final class StoreChangesSource extends TableProvider
     with DataSourceRegister {
@@ -253,9 +254,9 @@ private[streaming] final class StoreChangesReaderFactory(
 
 /** Executor-side parquet → InternalRow via parquet-hadoop's Group
   * API (no SparkSession on executors). Supports the store's column
-  * shapes — primitives, strings/binary, dates, INT64 and INT96
-  * timestamps, one-level arrays of primitives — and fails loudly on
-  * anything else.
+  * shapes — primitives, strings/binary, dates, MILLIS/MICROS/INT96
+  * timestamps, decimals in all three parquet encodings, structs,
+  * and arrays of any of these — and fails loudly on anything else.
   */
 private[streaming] final class GroupParquetReader(file: String,
     schema: StructType, insertTag: Boolean, conf: Configuration)
@@ -315,11 +316,66 @@ private[streaming] final class GroupParquetReader(file: String,
       case BinaryType => g.getBinary(gi, 0).getBytes
       case DateType => g.getInteger(gi, 0)
       case TimestampType =>
-        val prim = g.getType.getType(gi).asPrimitiveType()
-          .getPrimitiveTypeName.toString
-        if (prim == "INT96")
+        val pt = g.getType.getType(gi).asPrimitiveType()
+        if (pt.getPrimitiveTypeName.toString == "INT96")
           int96Micros(g.getInt96(gi, 0).getBytes)
-        else g.getLong(gi, 0)
+        else {
+          // the INT64 unit comes from the column's logical type —
+          // a file written under outputTimestampType=TIMESTAMP_MILLIS
+          // decoded as micros would be silently 1000x off
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          val raw = g.getLong(gi, 0)
+          pt.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  raw * 1000L
+                case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                case other => sys.error(
+                  s"graft-store-changes: unsupported timestamp " +
+                    s"unit $other")
+              }
+            case null => raw // plain INT64: Spark's default micros
+            case other => sys.error(
+              s"graft-store-changes: unexpected logical type " +
+                s"$other on a timestamp column")
+          }
+        }
+      case d: DecimalType =>
+        // Spark's three decimal encodings by precision: INT32
+        // (p<=9), INT64 (p<=18), fixed/binary big-endian unscaled
+        val pt = g.getType.getType(gi).asPrimitiveType()
+          .getPrimitiveTypeName.toString
+        pt match {
+          case "INT32" =>
+            Decimal(g.getInteger(gi, 0).toLong, d.precision, d.scale)
+          case "INT64" =>
+            Decimal(g.getLong(gi, 0), d.precision, d.scale)
+          case "FIXED_LEN_BYTE_ARRAY" | "BINARY" =>
+            val unscaled = new java.math.BigInteger(
+              g.getBinary(gi, 0).getBytes)
+            Decimal(new java.math.BigDecimal(unscaled, d.scale),
+              d.precision, d.scale)
+          case other => sys.error(
+            s"graft-store-changes: unsupported decimal encoding " +
+              s"$other")
+        }
+      case st: StructType =>
+        // nested group, converted field-recursively (structs of
+        // structs/arrays/decimals come free through convert)
+        val sub = g.getGroup(gi, 0)
+        val out = new Array[Any](st.length)
+        var j = 0
+        while (j < st.length) {
+          val sf = st(j)
+          val sgi = sub.getType.getFieldIndex(sf.name)
+          out(j) =
+            if (sub.getFieldRepetitionCount(sgi) == 0) null
+            else convert(sub, sgi, sf.dataType)
+          j += 1
+        }
+        new GenericInternalRow(out)
       case ArrayType(elem, _) =>
         // Spark's 3-level list layout: group (LIST) { repeated
         // group list { element } }
@@ -331,25 +387,14 @@ private[streaming] final class GroupParquetReader(file: String,
           val el = lst.getGroup(0, j)
           out(j) =
             if (el.getFieldRepetitionCount(0) == 0) null
-            else elem match {
-              case FloatType => el.getFloat(0, 0)
-              case DoubleType => el.getDouble(0, 0)
-              case LongType => el.getLong(0, 0)
-              case IntegerType => el.getInteger(0, 0)
-              case BooleanType => el.getBoolean(0, 0)
-              case StringType =>
-                UTF8String.fromBytes(el.getBinary(0, 0).getBytes)
-              case other => sys.error(
-                s"graft-store-changes: unsupported array element " +
-                  s"type $other")
-            }
+            else convert(el, 0, elem) // any supported element type
           j += 1
         }
         new GenericArrayData(out)
       case other => sys.error(
         s"graft-store-changes: unsupported column type $other — " +
           "the store feed reader handles primitives, strings, " +
-          "binary, dates, timestamps, and primitive arrays")
+          "binary, dates, timestamps, decimals, structs, and arrays")
     }
 
   override def close(): Unit = reader.close()

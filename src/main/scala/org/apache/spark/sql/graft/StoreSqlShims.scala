@@ -29,4 +29,18 @@ object StoreSqlShims {
 
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Re-wrap a [[Column]]'s expression in an ANSI-eval-mode cast —
+    * the runtime half of ANSI store assignment (an out-of-range or
+    * malformed value fails loudly instead of landing as NULL). The
+    * plan-time half (`Cast.canANSIStoreAssign`) stays with the
+    * callers; this shim only supplies the `Column` ↔ `Expression`
+    * bridge.
+    */
+  def ansiCast(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column =
+    column(org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.classic.ExpressionUtils.expression(c),
+      dt, None, org.apache.spark.sql.catalyst.expressions
+        .EvalMode.ANSI))
 }

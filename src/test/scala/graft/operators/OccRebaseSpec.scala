@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** OCC rebase for DETECTION-BASED copy-on-write commands
+  * (mergeInto / updateWhere): a concurrent append whose rows cannot
+  * change what the detection scan saw REBASES and both commits
+  * land; an append carrying matching rows, or any concurrent
+  * rewrite/DV, ABORTS loudly — the public Delta conflict rule
+  * (blind appends rebase, ConcurrentAppend when the added files
+  * could match the command's read). The deterministic legs pin the
+  * detection snapshot via `snapshotV` (the `firstV` pattern); the
+  * live leg races real threads through the public API.
+  */
+class OccRebaseSpec extends AnyFunSuite with SparkFixture
+    with Matchers {
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-occ").toString +
+      "/store"
+
+  private def mkStore(): String = {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(
+      (0 until 10).map(i => (i.toLong, s"doc-$i", (i % 5).toLong))
+        .toDF("id", "body", "g"), p)
+    p
+  }
+
+  private def rows(p: String): Map[Long, (String, Long)] =
+    VersionedStore.read(spark, p).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+
+  test("a key-disjoint append in the detection-to-commit window " +
+      "rebases: the mergeInto and the append BOTH land, neither " +
+      "effect lost") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore() // v1
+    // the merge's detection snapshot is v1; the append lands at v2
+    // INSIDE the window (no version conflict is ever raised — the
+    // guard alone must validate the rebase)
+    val src = Seq((0L, 99L), (500L, 7L)).toDF("id", "sg")
+    VersionedStore.append(
+      (1000 until 1010).map(i => (i.toLong, s"late-$i", 0L))
+        .toDF("id", "body", "g"), p)                         // v2
+    val v = VersionedStore.mergeInto(spark, p, src, Seq("id"),
+      matched = Seq(VersionedStore.MergeUpdate(None,
+        Seq("g" -> col("_src_sg")))),
+      notMatched = Seq(VersionedStore.MergeInsert(None,
+        Seq("id" -> col("id"), "g" -> col("sg")))),
+      snapshotV = 1L)
+    v shouldBe 3L
+    val byId = rows(p)
+    byId(0L)._2 shouldBe 99L                  // merge's update
+    byId(500L)._2 shouldBe 7L                 // merge's insert
+    (1000L until 1010L).foreach(i =>          // append intact
+      byId(i)._1 shouldBe s"late-${i}")
+    byId.size shouldBe 21
+  }
+
+  test("an append CARRYING a source key in the window aborts the " +
+      "merge loudly — a missed update or duplicate key never " +
+      "lands; the append survives untouched") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore() // v1
+    VersionedStore.append(
+      Seq((500L, "raced", 1L)).toDF("id", "body", "g"), p)   // v2
+    val src = Seq((0L, 99L), (500L, 7L)).toDF("id", "sg")
+    val e = intercept[RuntimeException] {
+      VersionedStore.mergeInto(spark, p, src, Seq("id"),
+        matched = Seq(VersionedStore.MergeUpdate(None,
+          Seq("g" -> col("_src_sg")))),
+        notMatched = Seq(VersionedStore.MergeInsert(None,
+          Seq("id" -> col("id"), "g" -> col("sg")))),
+        snapshotV = 1L)
+    }
+    e.getMessage should include("concurrent append")
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+    rows(p)(500L) shouldBe (("raced", 1L))    // nothing half-landed
+    rows(p)(0L)._2 shouldBe 0L
+  }
+
+  test("two OVERLAPPING merges race: the first commits, the " +
+      "second (stale snapshot, shared key) aborts as a structural " +
+      "conflict — exactly one wins, the winner's effect intact") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore() // v1
+    VersionedStore.mergeInto(spark, p,
+      Seq((0L, 11L), (1L, 12L)).toDF("id", "sg"), Seq("id"),
+      matched = Seq(VersionedStore.MergeUpdate(None,
+        Seq("g" -> col("_src_sg")))),
+      notMatched = Nil)                                      // v2
+    val e = intercept[RuntimeException] {
+      VersionedStore.mergeInto(spark, p,
+        Seq((1L, 70L), (2L, 71L)).toDF("id", "sg"), Seq("id"),
+        matched = Seq(VersionedStore.MergeUpdate(None,
+          Seq("g" -> col("_src_sg")))),
+        notMatched = Nil, snapshotV = 1L)
+    }
+    e.getMessage should include("restructured")
+    VersionedStore.latestVersion(spark, p) shouldBe 2L
+    rows(p)(0L)._2 shouldBe 11L
+    rows(p)(1L)._2 shouldBe 12L
+    rows(p)(2L)._2 shouldBe 2L                // loser fully undone
+  }
+
+  test("updateWhere under the same guard: a non-matching append " +
+      "rebases (both land), a matching one aborts") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore() // v1
+    VersionedStore.append(
+      Seq((100L, "x", 50L)).toDF("id", "body", "g"), p)      // v2
+    // pred g = 2 — the appended row (g = 50) cannot match: rebase
+    VersionedStore.updateWhere(spark, p, col("g") === 2L,
+      Seq("body" -> lit("hit")), snapshotV = 1L) shouldBe 3L
+    rows(p)(2L)._1 shouldBe "hit"
+    rows(p)(100L)._1 shouldBe "x"
+    // pred g >= 50 WOULD match the appended row: abort
+    VersionedStore.append(
+      Seq((101L, "y", 60L)).toDF("id", "body", "g"), p)      // v4
+    val e = intercept[RuntimeException] {
+      VersionedStore.updateWhere(spark, p, col("g") >= 50L,
+        Seq("body" -> lit("late")), snapshotV = 3L)
+    }
+    e.getMessage should include("concurrent append")
+    rows(p)(100L)._1 shouldBe "x"
+    rows(p)(101L)._1 shouldBe "y"
+  }
+
+  test("LIVE race: mergeInto and a key-disjoint append on real " +
+      "threads — both land regardless of interleaving") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s = spark
+    import s.implicits._
+    val p = mkStore() // v1
+    val merge = Future {
+      VersionedStore.mergeInto(spark, p,
+        Seq((0L, 99L), (600L, 8L)).toDF("id", "sg"), Seq("id"),
+        matched = Seq(VersionedStore.MergeUpdate(None,
+          Seq("g" -> col("_src_sg")))),
+        notMatched = Seq(VersionedStore.MergeInsert(None,
+          Seq("id" -> col("id"), "g" -> col("sg")))))
+    }
+    val app = Future {
+      VersionedStore.append(
+        (2000 until 2010).map(i => (i.toLong, s"t-$i", 1L))
+          .toDF("id", "body", "g"), p)
+    }
+    Await.result(Future.sequence(Seq(merge, app)), 120.seconds)
+    VersionedStore.latestVersion(spark, p) shouldBe 3L
+    val byId = rows(p)
+    byId(0L)._2 shouldBe 99L
+    byId(600L)._2 shouldBe 8L
+    (2000L until 2010L).foreach(i => byId.contains(i) shouldBe true)
+    byId.size shouldBe 21
+  }
+}

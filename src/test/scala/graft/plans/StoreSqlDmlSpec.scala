@@ -363,4 +363,120 @@ class StoreSqlDmlSpec extends AnyFunSuite with SparkFixture
     byId.contains(501L) shouldBe false          // insert cond false
     byId(7L) shouldBe ((Some("doc-7"), 2L))     // untouched carries
   }
+
+  test("INSERT INTO ... BY NAME resolves the query's output names " +
+      "against the table schema: reordered and partial column " +
+      "sets land under their names (absent nullable columns fill " +
+      "typed NULL, case-insensitively), extras are loud") {
+    val p = mkStore("dml_byname") // schema: id LONG, body STR, g LONG
+    // reordered full set — by position this would garble columns
+    spark.sql("INSERT INTO dml_byname BY NAME " +
+      "SELECT 50 AS g, 'rex' AS body, 100 AS id")
+    // partial set: body absent → typed NULL; names case-insensitive
+    spark.sql("INSERT INTO dml_byname BY NAME " +
+      "SELECT 101 AS ID, 60 AS G")
+    val got = spark.sql(
+      "SELECT id, body, g FROM dml_byname WHERE id >= 100 " +
+        "ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    got.toSeq shouldBe Seq((100L, Some("rex"), 50L),
+      (101L, None, 60L))
+    // a source column the table does not carry is rejected loudly
+    intercept[Exception] {
+      spark.sql("INSERT INTO dml_byname BY NAME " +
+        "SELECT 102 AS id, 1 AS zz")
+    }.getMessage should include("zz")
+    VersionedStore.latestVersion(spark, p) shouldBe 3L
+    // ANSI store assignment still gates the values
+    intercept[Exception] {
+      spark.sql("INSERT INTO dml_byname BY NAME " +
+        "SELECT 103 AS id, 'abc' AS g")
+    }.getMessage should include("ANSI store assignment")
+  }
+
+  test("general MERGE applies ANSI store assignment to produced " +
+      "values: an incompatible SET/INSERT type rejects at plan " +
+      "time, a lossy coercion overflow fails loudly at run time — " +
+      "nothing committed either way") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_mansi")
+    Seq((0L, "abc")).toDF("id", "v")
+      .createOrReplaceTempView("dml_mansi_src")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_mansi t USING dml_mansi_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET g = s.v""".stripMargin)
+    }.getMessage should include("ANSI store assignment")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_mansi t USING dml_mansi_src s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT (id, g) VALUES (s.id, s.v)
+          |""".stripMargin)
+    }.getMessage should include("ANSI store assignment")
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    // legal-but-lossy (long → int) casts in ANSI eval mode: an
+    // out-of-range value fails the job loudly, never a silent NULL
+    val p2 = freshPath()
+    VersionedStore.create(spark, p2)
+    VersionedStore.append(Seq((0L, 1)).toDF("id", "n"), p2)
+    VersionedStore.registerTable(spark, p2, "dml_mansi_int")
+    Seq((0L, 5000000000L)).toDF("id", "big")
+      .createOrReplaceTempView("dml_mansi_int_src")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_mansi_int t USING dml_mansi_int_src s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET n = s.big""".stripMargin)
+    }
+    VersionedStore.latestVersion(spark, p2) shouldBe 1L
+    spark.sql("SELECT n FROM dml_mansi_int WHERE id = 0")
+      .head.getInt(0) shouldBe 1
+  }
+
+  test("merge expressions preserve struct-field paths: " +
+      "s.payload.f keeps its nested path through the qualifier " +
+      "rebase instead of collapsing to the last name part") {
+    val s = spark
+    import s.implicits._
+    val p = freshPath()
+    VersionedStore.create(spark, p)
+    VersionedStore.append(Seq((0L, 10L)).toDF("id", "g"), p)
+    VersionedStore.registerTable(spark, p, "dml_struct")
+    Seq((0L, (7L, "z")), (1L, (3L, "y"))).toDF("id", "payload")
+      .createOrReplaceTempView("dml_struct_src")
+    spark.sql(
+      """MERGE INTO dml_struct t USING dml_struct_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET g = s.payload._1 + t.g
+        |WHEN NOT MATCHED AND s.payload._2 = 'y' THEN
+        |  INSERT (id, g) VALUES (s.id, s.payload._1)""".stripMargin)
+    val byId = spark.sql("SELECT id, g FROM dml_struct")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId shouldBe Map(0L -> 17L, 1L -> 3L)
+  }
+
+  test("MERGE ON id = id (both sides unqualified) is rejected as " +
+      "a tautology; one qualified side with an unqualified other " +
+      "stays a legal key join") {
+    val s = spark
+    import s.implicits._
+    val p = mkStore("dml_taut")
+    Seq((3L, "fresh", 9L)).toDF("id", "body", "g")
+      .createOrReplaceTempView("dml_taut_src")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_taut t USING dml_taut_src s ON id = id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }.getMessage should include("target-side")
+    VersionedStore.latestVersion(spark, p) shouldBe 1L
+    spark.sql(
+      """MERGE INTO dml_taut t USING dml_taut_src s ON t.id = id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("SELECT body FROM dml_taut WHERE id = 3")
+      .head.getString(0) shouldBe "fresh"
+  }
 }

@@ -190,6 +190,79 @@ class StoreChangesSourceSpec extends AnyFunSuite with SparkFixture
       .toSeq shouldBe expected.toSeq
   }
 
+  test("decimals (all three parquet encodings), structs, and " +
+      "MILLIS-unit timestamps replicate bit-exact through BOTH " +
+      "reader paths — zero-copy group files and staged derivation") {
+    val s = spark
+    import s.implicits._
+    val d = freshDir()
+    val src = s"$d/src"
+    VersionedStore.create(spark, src)
+    val base = (0 until 40).map(i => (i.toLong, BigDecimal(i * 7) / 4,
+      java.sql.Timestamp.valueOf(
+        s"2026-02-0${i % 9 + 1} 08:30:0${i % 10}.${i % 10}")))
+      .toDF("id", "dec", "ts")
+      .select(col("id"),
+        col("dec").cast("decimal(7,2)").as("d32"),     // INT32
+        col("dec").cast("decimal(15,4)").as("d64"),    // INT64
+        col("dec").cast("decimal(28,8)").as("dbig"),   // FLBA
+        col("ts"),
+        struct((col("id") * 3).as("a"),
+          when(col("id") % 7 === 0, lit(null))
+            .otherwise(concat(lit("s"), col("id"))).as("b"))
+          .as("pay"))
+    // v1's group file carries MILLIS-unit INT64 timestamps — the
+    // 1000x-silent-skew trap if the reader assumed micros
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MILLIS")
+    try VersionedStore.append(base, src)                     // v1
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "id", "cast(d32 as string)", "cast(d64 as string)",
+      "cast(dbig as string)", "cast(ts as string)",
+      "cast(pay as string)", "_change")
+      .collect().map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r.last.toString))
+      .toSeq
+    val q = spark.readStream.format("graft-store-changes")
+      .option("path", src).load()
+      .writeStream.format("memory").queryName("dsv2_rich")
+      .option("checkpointLocation", s"$d/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try {
+      // batch 1: pure-append window (0,1] → ZERO-COPY over the
+      // MILLIS group file
+      drainToCount(q, "dsv2_rich", 40L)
+      // batch 2: a rewrite window → STAGED derivation files
+      // (written MICROS — both units live in one stream)
+      VersionedStore.deleteKeys(spark, src,
+        Seq(5L).toDF("id"), Seq("id"))                       // v2
+      drainToCount(q, "dsv2_rich", 41L)
+    } finally if (q.isActive) q.stop()
+    val expected =
+      canon(VersionedStore.changes(spark, src, 0L, 1L)) ++
+        canon(VersionedStore.changes(spark, src, 1L, 2L))
+    canon(spark.table("dsv2_rich")) shouldBe
+      expected.sortBy(r => (r.head.asInstanceOf[Long],
+        r.last.toString))
+  }
+
+  /** Poll the sink to `n` rows WITHOUT stopping the query (the
+    * drain-and-continue shape the two-path test needs).
+    */
+  private def drainToCount(q: org.apache.spark.sql.streaming
+      .StreamingQuery, table: String, n: Long): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (spark.table(table).count() < n &&
+      System.currentTimeMillis() - t0 < 60000) Thread.sleep(100)
+    Thread.sleep(500)
+    spark.table(table).count() shouldBe n
+    val _ = q
+  }
+
   test("zero-copy window planner soundness: pure-append windows " +
       "plan in place; any rewrite, DV, or schema change in the " +
       "window falls back to derivation") {
