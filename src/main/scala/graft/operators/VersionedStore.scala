@@ -101,9 +101,48 @@ object VersionedStore {
     * accident. Returns the committed version.
     */
   def declareSchema(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): Long =
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    require(latestVersion(spark, path) == 0L,
+      s"VersionedStore.declareSchema: $path already has commits — " +
+        "declaring is the CREATE TABLE shape; evolve a live table " +
+        "through addColumns / renameColumn / dropColumn (an " +
+        "arbitrary anchor could silently drop or retype columns)")
     commitRetrying(spark, path, Nil, Nil,
       schemaAnchor = Some(schema.json))
+  }
+
+  /** Metadata-only ADD COLUMNS — the ALTER TABLE shape: ONE schema-
+    * anchor commit widens the table; nothing rewrites, old groups
+    * serve the new columns as NULL through the read path's explicit
+    * schema (the rule evolve-by-append already relies on). Additive
+    * and nullable only (old rows have no value to backfill);
+    * retired (renamed-away/dropped) names can never return — the
+    * same lineage-collision guard as the append boundary.
+    */
+  def addColumns(spark: SparkSession, path: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(cols.nonEmpty, "VersionedStore.addColumns: no columns")
+    val cur = schemaAt(spark, path, Long.MaxValue).getOrElse(
+      sys.error(s"VersionedStore.addColumns: no table schema at " +
+        s"$path — declare or append first"))
+    cols.foreach { f =>
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"VersionedStore.addColumns: column `${f.name}` already " +
+          "exists")
+      require(f.nullable,
+        s"VersionedStore.addColumns: new column `${f.name}` must " +
+          "be nullable — existing rows have no value to backfill")
+    }
+    val retired = everUsedNames(spark, path) -- cur.fieldNames
+    val reuse = cols.map(_.name).filter(retired)
+    require(reuse.isEmpty,
+      s"VersionedStore.addColumns: ${reuse.mkString(", ")} reuse " +
+        "a renamed-away or dropped column name — pick a name this " +
+        "table has never carried")
+    commitRetrying(spark, path, Nil, Nil,
+      schemaAnchor = Some(org.apache.spark.sql.types.StructType(
+        cur.fields ++ cols).json))
+  }
 
   /** One listing of the log dir: (committed versions, checkpoint
     * versions), both ascending. Tmp dirs from crashed commits
@@ -2438,7 +2477,12 @@ object VersionedStore {
     }
     val srcPref = source.select(
       (keyCols.map(col) ++ srcCols.filterNot(keyCols.contains)
-        .map(c => col(c).as(s"_src_$c"))): _*)
+        .map(c => col(c).as(s"_src_$c"))
+        // keys ALSO ride under their `_src_` names: a SET or
+        // condition may reference the source key (`SET id = s.id`
+        // from an analyzer-expanded SET *, `AND s.id > 5`) — equal
+        // to the target key by the join, but it must RESOLVE
+        ++ keyCols.map(c => col(c).as(s"_src_$c"))): _*)
       .withColumn("_src_matched", lit(true))
     // first-match-wins action index per joined row (-1 = carry)
     val fired = matched.zipWithIndex.foldRight(lit(-1)) {

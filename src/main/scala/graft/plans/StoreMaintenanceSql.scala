@@ -53,24 +53,35 @@ object StoreMaintenanceSql {
   private val VerbHeadRe =
     """(?is)\s*(OPTIMIZE|VACUUM|RESTORE)\s+([\w.]+)\b.*""".r
 
+  /** Registry name or catalog table (`lake[.ns].t` of a configured
+    * [[graft.sources.GraftStoreCatalog]]) → store path; None falls
+    * through to the delegate parser.
+    */
+  private def storePath(name: String): Option[String] =
+    VersionedStore.registeredPath(name).orElse(
+      scala.util.Try(SparkSession.active).toOption.flatMap(s =>
+        graft.sources.GraftStoreCatalog.resolvePath(s,
+          name.split('.').toSeq)))
+
   /** The store-verb plan for `sqlText`, if it is one over a
-    * REGISTERED name; None falls through to the delegate parser.
+    * registered or catalog name; None falls through to the
+    * delegate parser.
     */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(name, zcols) =>
-      VersionedStore.registeredPath(name).map { p =>
+      storePath(name).map { p =>
         val cols = Option(zcols).toSeq.flatMap(
           _.split(',').map(_.trim).filter(_.nonEmpty))
         StoreOptimizeCommand(p, cols)
       }
     case VacuumRe(name, hours) =>
-      VersionedStore.registeredPath(name).map(p =>
+      storePath(name).map(p =>
         StoreVacuumCommand(p, Option(hours).map(_.toLong)))
     case RestoreRe(name, v) =>
-      VersionedStore.registeredPath(name).map(p =>
+      storePath(name).map(p =>
         StoreRestoreCommand(p, v.toLong))
     case VerbHeadRe(verb, name)
-        if VersionedStore.registeredPath(name).isDefined =>
+        if storePath(name).isDefined =>
       sys.error(
         s"${verb.toUpperCase} over store table `$name`: malformed " +
           "statement — supported forms: OPTIMIZE t [ZORDER BY " +

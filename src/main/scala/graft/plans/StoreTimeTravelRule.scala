@@ -46,8 +46,29 @@ class StoreTimeTravelRule(session: SparkSession)
       VersionedStore.registeredPath(u.multipartIdentifier.mkString("."))
     else None
 
+  /** DML target resolution: the registry first, then catalog
+    * tables (`lake[.ns].t` of a configured
+    * [[graft.sources.GraftStoreCatalog]]) — so DELETE/UPDATE/MERGE
+    * work on catalog tables through the SAME one-commit commands,
+    * instead of failing Spark's SupportsRowLevelOperations
+    * requirement. Bare reads of catalog names deliberately do NOT
+    * resolve here — they stay on the native v2 relation path
+    * ([[GraftCatalogRule]] swaps the plan).
+    */
   private def pathOf(p: LogicalPlan): Option[String] = p match {
-    case u: UnresolvedRelation => regPath(u)
+    case u: UnresolvedRelation =>
+      regPath(u).orElse(graft.sources.GraftStoreCatalog
+        .resolvePath(session, u.multipartIdentifier))
+    // a catalog target usually arrives ALREADY RESOLVED: builtin
+    // resolution runs before injected rules within each analyzer
+    // iteration, so the DML statement's child is the v2 relation by
+    // the time this rule sees it (registry names stay unresolved —
+    // the builtins don't know them). Never a pinned snapshot.
+    case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.GraftStoreTable] =>
+      val t = r.table.asInstanceOf[graft.sources.GraftStoreTable]
+      if (t.pinnedVersion.isEmpty) Some(t.path) else None
     case org.apache.spark.sql.catalyst.plans.logical
       .SubqueryAlias(_, child) => pathOf(child) // MERGE INTO t AS tgt
     case _ => None
@@ -66,15 +87,25 @@ class StoreTimeTravelRule(session: SparkSession)
 
   private def stripQual(alias: Option[String],
       e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : org.apache.spark.sql.catalyst.expressions.Expression =
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    // a catalog target's expressions arrive RESOLVED (builtin
+    // resolution precedes injected rules): re-open them to plain
+    // names — UPDATE/DELETE bind one frame, so the qualifier is
+    // noise and the exprIds would never bind against the store's
+    // own DataFrame at run time
+    val reopened = e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }
     alias match {
-      case None => e
-      case Some(a) => e.transform {
+      case None => reopened
+      case Some(a) => reopened.transform {
         case u: UnresolvedAttribute if u.nameParts.size > 1 &&
             u.nameParts.head.equalsIgnoreCase(a) =>
           UnresolvedAttribute(u.nameParts.tail)
       }
     }
+  }
 
   /** The qualifier names a MERGE side can carry in the ON clause:
     * its alias when one was given, else its bare relation name.
@@ -84,6 +115,9 @@ class StoreTimeTravelRule(session: SparkSession)
       .SubqueryAlias(ident, _) => Set(ident.name.toLowerCase)
     case u: UnresolvedRelation =>
       Set(u.multipartIdentifier.last.toLowerCase)
+    case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation => // unaliased resolved catalog target
+      r.identifier.map(_.name.toLowerCase).toSet
     case _ => Set.empty
   }
 
@@ -100,6 +134,7 @@ class StoreTimeTravelRule(session: SparkSession)
     * wrongly-flattened name.
     */
   private def matchedExpr(tq: Set[String], sq: Set[String],
+      tgtIds: Set[Long], srcIds: Set[Long],
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     e.transform {
@@ -111,6 +146,15 @@ class StoreTimeTravelRule(session: SparkSession)
         else if (tq.contains(q) && !sq.contains(q))
           UnresolvedAttribute(u.nameParts.tail)
         else u
+      // already-resolved references (catalog targets): the side is
+      // the EXPRESSION ID's owner, not a name-qualifier guess
+      case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference =>
+        if (tgtIds.contains(a.exprId.id))
+          UnresolvedAttribute(Seq(a.name))
+        else if (srcIds.contains(a.exprId.id))
+          UnresolvedAttribute(Seq(s"_src_${a.name}"))
+        else a
     }
 
   /** Rebase a not-matched-action expression (INSERT value / WHEN
@@ -119,6 +163,7 @@ class StoreTimeTravelRule(session: SparkSession)
     * semantic error (an unmatched row has no target side).
     */
   private def sourceExpr(tq: Set[String], sq: Set[String],
+      tgtIds: Set[Long], srcIds: Set[Long],
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     e.transform {
@@ -130,6 +175,14 @@ class StoreTimeTravelRule(session: SparkSession)
           "MERGE INTO a store table: a NOT MATCHED action can " +
             s"reference only the source row, got ${u.sql}")
         else u
+      case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference =>
+        if (srcIds.contains(a.exprId.id))
+          UnresolvedAttribute(Seq(a.name))
+        else if (tgtIds.contains(a.exprId.id)) sys.error(
+          "MERGE INTO a store table: a NOT MATCHED action can " +
+            s"reference only the source row, got ${a.sql}")
+        else a
     }
 
   /** The equi-key list of a MERGE condition: a conjunction of
@@ -144,34 +197,53 @@ class StoreTimeTravelRule(session: SparkSession)
     */
   private def mergeKeys(cond: org.apache.spark.sql.catalyst
         .expressions.Expression, tgtQuals: Set[String],
-      srcQuals: Set[String]): Option[Seq[String]] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+      srcQuals: Set[String], tgtIds: Set[Long],
+      srcIds: Set[Long]): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And,
+      AttributeReference, EqualTo, Expression}
     // 0 = unqualified, 1 = target, 2 = source, -1 = unknown/ambiguous
-    def side(u: UnresolvedAttribute): Int =
-      if (u.nameParts.size <= 1) 0
-      else {
-        val q = u.nameParts.head.toLowerCase
-        (tgtQuals.contains(q), srcQuals.contains(q)) match {
+    def side(e: Expression): Int = e match {
+      case u: UnresolvedAttribute =>
+        if (u.nameParts.size <= 1) 0
+        else {
+          val q = u.nameParts.head.toLowerCase
+          (tgtQuals.contains(q), srcQuals.contains(q)) match {
+            case (true, false) => 1
+            case (false, true) => 2
+            case _ => -1
+          }
+        }
+      // resolved reference (catalog target): the side is the
+      // expression id's owner — exact, no qualifier guessing
+      case a: AttributeReference =>
+        (tgtIds.contains(a.exprId.id),
+          srcIds.contains(a.exprId.id)) match {
           case (true, false) => 1
           case (false, true) => 2
           case _ => -1
         }
-      }
+      case _ => -1
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
     cond match {
       case And(l, r) =>
         for {
-          a <- mergeKeys(l, tgtQuals, srcQuals)
-          b <- mergeKeys(r, tgtQuals, srcQuals)
+          a <- mergeKeys(l, tgtQuals, srcQuals, tgtIds, srcIds)
+          b <- mergeKeys(r, tgtQuals, srcQuals, tgtIds, srcIds)
         } yield a ++ b
-      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-          if a.nameParts.last == b.nameParts.last =>
+      case EqualTo(a, b)
+          if nameOf(a).isDefined && nameOf(a) == nameOf(b) =>
         val (sa, sb) = (side(a), side(b))
         if (sa < 0 || sb < 0) None
         else if (sa != 0 && sa == sb) None // ON s.id = s.id
         else if (sa == 0 && sb == 0) None // ON id = id: a tautology
           // (or an ambiguous reference), never silently a key join —
           // qualify at least one side (t.id = id / t.id = s.id)
-        else Some(Seq(a.nameParts.last))
+        else Some(Seq(nameOf(a).get))
       case _ => None
     }
   }
@@ -211,8 +283,14 @@ class StoreTimeTravelRule(session: SparkSession)
         import org.apache.spark.sql.catalyst.plans.logical.{
           Assignment, DeleteAction, InsertAction, InsertStarAction,
           UpdateAction, UpdateStarAction}
+        def outIds(p: LogicalPlan): Set[Long] =
+          if (p.resolved) p.output.map(_.exprId.id).toSet
+          else Set.empty
+        val tgtIds = outIds(m.targetTable)
+        val srcIds = outIds(m.sourceTable)
         val keys = mergeKeys(m.mergeCondition,
-          qualsOf(m.targetTable), qualsOf(m.sourceTable))
+          qualsOf(m.targetTable), qualsOf(m.sourceTable),
+          tgtIds, srcIds)
           .getOrElse(sys.error(
           "MERGE INTO a store table: the ON condition must be a " +
             "conjunction of equalities over identically-named key " +
@@ -248,24 +326,29 @@ class StoreTimeTravelRule(session: SparkSession)
             def matchedSpec(a: Any): StoreMergeActionSpec = a match {
               case UpdateStarAction(c) => StoreMergeActionSpec(
                 "update", c.map(e =>
-                  new SqlExpr(matchedExpr(tq, sq, e))), Nil,
+                  new SqlExpr(matchedExpr(tq, sq, tgtIds, srcIds, e))), Nil,
                 star = true)
               case UpdateAction(c, assigns, _) =>
                 val sets = assigns.map {
                   case Assignment(k: UnresolvedAttribute, value) =>
                     (k.nameParts.last,
-                      new SqlExpr(matchedExpr(tq, sq, value)))
+                      new SqlExpr(matchedExpr(tq, sq, tgtIds,
+                        srcIds, value)))
+                  case Assignment(k: org.apache.spark.sql.catalyst
+                      .expressions.AttributeReference, value) =>
+                    (k.name, new SqlExpr(matchedExpr(tq, sq,
+                      tgtIds, srcIds, value)))
                   case other => sys.error(
                     "MERGE INTO a store table: unsupported SET " +
                       s"target ${other.key.sql} (name a plain " +
                       "column)")
                 }
                 StoreMergeActionSpec("update", c.map(e =>
-                  new SqlExpr(matchedExpr(tq, sq, e))), sets,
+                  new SqlExpr(matchedExpr(tq, sq, tgtIds, srcIds, e))), sets,
                   star = false)
               case DeleteAction(c) => StoreMergeActionSpec(
                 "delete", c.map(e =>
-                  new SqlExpr(matchedExpr(tq, sq, e))), Nil,
+                  new SqlExpr(matchedExpr(tq, sq, tgtIds, srcIds, e))), Nil,
                 star = false)
               case other => sys.error(
                 s"MERGE INTO a store table: unsupported matched " +
@@ -274,19 +357,24 @@ class StoreTimeTravelRule(session: SparkSession)
             def insertSpec(a: Any): StoreMergeActionSpec = a match {
               case InsertStarAction(c) => StoreMergeActionSpec(
                 "insert", c.map(e =>
-                  new SqlExpr(sourceExpr(tq, sq, e))), Nil,
+                  new SqlExpr(sourceExpr(tq, sq, tgtIds, srcIds, e))), Nil,
                 star = true)
               case InsertAction(c, assigns) =>
                 val values = assigns.map {
                   case Assignment(k: UnresolvedAttribute, value) =>
                     (k.nameParts.last,
-                      new SqlExpr(sourceExpr(tq, sq, value)))
+                      new SqlExpr(sourceExpr(tq, sq, tgtIds,
+                        srcIds, value)))
+                  case Assignment(k: org.apache.spark.sql.catalyst
+                      .expressions.AttributeReference, value) =>
+                    (k.name, new SqlExpr(sourceExpr(tq, sq,
+                      tgtIds, srcIds, value)))
                   case other => sys.error(
                     "MERGE INTO a store table: unsupported INSERT " +
                       s"column ${other.key.sql}")
                 }
                 StoreMergeActionSpec("insert", c.map(e =>
-                  new SqlExpr(sourceExpr(tq, sq, e))), values,
+                  new SqlExpr(sourceExpr(tq, sq, tgtIds, srcIds, e))), values,
                   star = false)
               case other => sys.error(
                 s"MERGE INTO a store table: unsupported not-matched " +
@@ -302,6 +390,9 @@ class StoreTimeTravelRule(session: SparkSession)
         val sets = assignments.map {
           case Assignment(k: UnresolvedAttribute, v) =>
             (k.nameParts.last, new SqlExpr(stripQual(al, v)))
+          case Assignment(k: org.apache.spark.sql.catalyst
+              .expressions.AttributeReference, v) =>
+            (k.name, new SqlExpr(stripQual(al, v)))
           case a => sys.error(
             s"UPDATE on a store table: unsupported SET target " +
               s"${a.key.sql} (name a plain column)")

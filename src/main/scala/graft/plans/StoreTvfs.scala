@@ -57,7 +57,12 @@ object StoreTvfs {
   }
 
   private def pathFor(nameOrPath: String): String =
-    VersionedStore.registeredPath(nameOrPath).getOrElse(nameOrPath)
+    VersionedStore.registeredPath(nameOrPath)
+      .orElse(scala.util.Try(
+          org.apache.spark.sql.SparkSession.active).toOption
+        .flatMap(s => graft.sources.GraftStoreCatalog
+          .resolvePath(s, nameOrPath.split('.').toSeq)))
+      .getOrElse(nameOrPath)
 
   val historyDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan) = (

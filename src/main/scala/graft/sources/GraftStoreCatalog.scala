@@ -171,11 +171,52 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
     GraftStoreTable(p, None)
   }
 
+  /** `ALTER TABLE` routed to the store's own evolution commits —
+    * each change is ONE metadata commit, nothing rewrites:
+    * `ADD COLUMNS` → [[VersionedStore.addColumns]] (schema-anchor
+    * widening; old groups serve NULL), `RENAME COLUMN` →
+    * [[VersionedStore.renameColumn]] (log-carried column mapping),
+    * `DROP COLUMN` → [[VersionedStore.dropColumn]]. Nested fields,
+    * column positions, retypes, and property changes are rejected
+    * loudly — never approximated.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = sys.error(
-    "GraftStoreCatalog: ALTER TABLE is not routed through the " +
-      "catalog — use the store's explicit evolution API " +
-      "(append(evolve=true), renameColumn, dropColumn)")
+      changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!isStore(new Path(p)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(
+          (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "GraftStoreCatalog: ADD COLUMNS adds top-level columns " +
+            s"only, got ${add.fieldNames().mkString(".")}")
+        require(add.position() == null,
+          "GraftStoreCatalog: column positions are not supported — " +
+            "new columns append at the end")
+        VersionedStore.addColumns(spark, p, Seq(
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(),
+            nullable = add.isNullable)))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "GraftStoreCatalog: RENAME COLUMN renames top-level " +
+            s"columns only, got ${rn.fieldNames().mkString(".")}")
+        VersionedStore.renameColumn(spark, p,
+          rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "GraftStoreCatalog: DROP COLUMN drops top-level columns " +
+            s"only, got ${del.fieldNames().mkString(".")}")
+        VersionedStore.dropColumn(spark, p, del.fieldNames()(0))
+      case other => sys.error(
+        s"GraftStoreCatalog: unsupported ALTER TABLE change $other " +
+          "— supported: ADD COLUMNS (nullable, top-level), RENAME " +
+          "COLUMN, DROP COLUMN")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
@@ -260,6 +301,34 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
       s"GraftStoreCatalog: namespace ${namespace.mkString(".")} " +
         "is not empty (use CASCADE)")
     fs(d).delete(d, true)
+  }
+}
+
+object GraftStoreCatalog {
+  /** Resolve `catalog[.ns].table` name parts to a store path when
+    * the head names a session catalog CONFIGURED as a
+    * [[GraftStoreCatalog]] (`spark.sql.catalog.<name>` +
+    * `.root`) and the directory is a store — the bridge that lets
+    * the registry-born SQL surfaces (DML commands, maintenance
+    * verbs, TVF string args) accept catalog tables uniformly.
+    * Pure conf + filesystem probe, never throws: an unknown name,
+    * a non-graft catalog, or a missing table is None and the
+    * caller falls through to its own path.
+    */
+  def resolvePath(session: SparkSession,
+      parts: Seq[String]): Option[String] = {
+    if (parts.length < 2 || parts.length > 3) return None
+    val cname = parts.head
+    if (!session.conf.getOption(s"spark.sql.catalog.$cname")
+        .contains(classOf[GraftStoreCatalog].getName)) return None
+    session.conf.getOption(s"spark.sql.catalog.$cname.root")
+      .flatMap { root =>
+        val p = parts.tail.foldLeft(new Path(root))(new Path(_, _))
+        val log = new Path(p, "log")
+        val f = log.getFileSystem(
+          session.sparkContext.hadoopConfiguration)
+        if (f.exists(log)) Some(p.toString) else None
+      }
   }
 }
 

@@ -75,11 +75,15 @@ final class StoreChangesSource extends TableProvider
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val name = Option(options.get("table"))
-      .map(t => VersionedStore.registeredPath(t).getOrElse(
-        sys.error(s"graft-store-changes: no registered table `$t`")))
+      .map(t => VersionedStore.registeredPath(t)
+        .orElse(graft.sources.GraftStoreCatalog.resolvePath(
+          SparkSession.active, t.split('.').toSeq))
+        .getOrElse(sys.error(
+          s"graft-store-changes: `$t` is neither a registered " +
+            "table nor a catalog table")))
     name.orElse(Option(options.get("path"))).getOrElse(
       sys.error("graft-store-changes: set option `path` (store " +
-        "path) or `table` (registered name)"))
+        "path) or `table` (registered or catalog name)"))
   }
 
   override def inferSchema(

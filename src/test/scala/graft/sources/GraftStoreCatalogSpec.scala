@@ -18,9 +18,9 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
   private lazy val root: String = {
     val r = java.nio.file.Files
       .createTempDirectory("graft-catalog-wh").toString
-    spark.conf.set("spark.sql.catalog.lake",
+    spark.conf.set("spark.sql.catalog.glake",
       "graft.sources.GraftStoreCatalog")
-    spark.conf.set("spark.sql.catalog.lake.root", r)
+    spark.conf.set("spark.sql.catalog.glake.root", r)
     r
   }
 
@@ -28,47 +28,47 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
       "the empty store's first commit; SHOW TABLES lists it; the " +
       "first INSERT must MATCH the declared schema (one commit)") {
     root
-    spark.sql("CREATE TABLE lake.docs (id BIGINT, body STRING, " +
+    spark.sql("CREATE TABLE glake.docs (id BIGINT, body STRING, " +
       "g BIGINT) USING `graft-store`")
-    spark.sql("SHOW TABLES IN lake").collect()
+    spark.sql("SHOW TABLES IN glake").collect()
       .map(_.getString(1)) should contain("docs")
     // v1 = the schema anchor; the empty table serves its shape
     VersionedStore.latestVersion(spark, s"$root/docs") shouldBe 1L
-    val empty = spark.table("lake.docs")
+    val empty = spark.table("glake.docs")
     empty.schema.fieldNames.toSeq shouldBe Seq("id", "body", "g")
     empty.count() shouldBe 0L
     // CREATE over an existing table is loud
     intercept[Exception] {
-      spark.sql("CREATE TABLE lake.docs (x INT) USING `graft-store`")
+      spark.sql("CREATE TABLE glake.docs (x INT) USING `graft-store`")
     }
     spark.sql(
-      "INSERT INTO lake.docs VALUES (0, 'a', 10), (1, 'b', 20)")
+      "INSERT INTO glake.docs VALUES (0, 'a', 10), (1, 'b', 20)")
     VersionedStore.latestVersion(spark, s"$root/docs") shouldBe 2L
-    spark.sql("SELECT sum(g) FROM lake.docs").head.getLong(0)
+    spark.sql("SELECT sum(g) FROM glake.docs").head.getLong(0)
       .shouldBe(30L)
     // a wrong-shape insert is rejected by the declared schema
     intercept[Exception] {
-      spark.sql("INSERT INTO lake.docs VALUES (2, 'c')")
+      spark.sql("INSERT INTO glake.docs VALUES (2, 'c')")
     }
     VersionedStore.latestVersion(spark, s"$root/docs") shouldBe 2L
   }
 
   test("namespaces are directory levels: CREATE NAMESPACE / " +
-      "qualified tables / SHOW TABLES IN lake.ns / DROP NAMESPACE") {
+      "qualified tables / SHOW TABLES IN glake.ns / DROP NAMESPACE") {
     root
-    spark.sql("CREATE NAMESPACE lake.ns1")
+    spark.sql("CREATE NAMESPACE glake.ns1")
     spark.sql(
-      "CREATE TABLE lake.ns1.t1 (id BIGINT) USING `graft-store`")
-    spark.sql("SHOW TABLES IN lake.ns1").collect()
+      "CREATE TABLE glake.ns1.t1 (id BIGINT) USING `graft-store`")
+    spark.sql("SHOW TABLES IN glake.ns1").collect()
       .map(_.getString(1)).toSeq shouldBe Seq("t1")
-    spark.sql("INSERT INTO lake.ns1.t1 VALUES (7)")
-    spark.table("lake.ns1.t1").collect()
+    spark.sql("INSERT INTO glake.ns1.t1 VALUES (7)")
+    spark.table("glake.ns1.t1").collect()
       .map(_.getLong(0)).toSeq shouldBe Seq(7L)
     intercept[Exception] { // non-empty namespace needs CASCADE
-      spark.sql("DROP NAMESPACE lake.ns1")
+      spark.sql("DROP NAMESPACE glake.ns1")
     }
-    spark.sql("DROP NAMESPACE lake.ns1 CASCADE")
-    spark.sql("SHOW TABLES IN lake").collect()
+    spark.sql("DROP NAMESPACE glake.ns1 CASCADE")
+    spark.sql("SHOW TABLES IN glake").collect()
       .map(_.getString(1)) should not contain "t1"
   }
 
@@ -78,26 +78,26 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
     root
     val s = spark
     import s.implicits._
-    spark.sql("CREATE TABLE lake.wt (id BIGINT, body STRING) " +
+    spark.sql("CREATE TABLE glake.wt (id BIGINT, body STRING) " +
       "USING `graft-store`")
     val p = s"$root/wt"
     Seq((1L, "x"), (2L, "y")).toDF("id", "body")
-      .writeTo("lake.wt").append()
+      .writeTo("glake.wt").append()
     VersionedStore.latestVersion(spark, p) shouldBe 2L // anchor + 1
     // v2 writes resolve BY NAME: reordered columns land correctly
-    Seq(("z", 3L)).toDF("body", "id").writeTo("lake.wt").append()
+    Seq(("z", 3L)).toDF("body", "id").writeTo("glake.wt").append()
     VersionedStore.latestVersion(spark, p) shouldBe 3L
-    spark.table("lake.wt").collect()
+    spark.table("glake.wt").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
       Map(1L -> "x", 2L -> "y", 3L -> "z")
     // INSERT OVERWRITE: ONE atomic commit replaces the content
-    spark.sql("INSERT OVERWRITE lake.wt VALUES (9, 'only')")
+    spark.sql("INSERT OVERWRITE glake.wt VALUES (9, 'only')")
     VersionedStore.latestVersion(spark, p) shouldBe 4L
-    spark.table("lake.wt").collect()
+    spark.table("glake.wt").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
       Seq((9L, "only"))
     // time travel below the overwrite serves the old rows
-    spark.sql("SELECT count(*) FROM lake.wt VERSION AS OF 3")
+    spark.sql("SELECT count(*) FROM glake.wt VERSION AS OF 3")
       .head.getLong(0) shouldBe 3L
   }
 
@@ -105,18 +105,18 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
       "write path: a violating INSERT aborts with nothing " +
       "committed") {
     root
-    spark.sql("CREATE TABLE lake.con (id BIGINT, g BIGINT) " +
+    spark.sql("CREATE TABLE glake.con (id BIGINT, g BIGINT) " +
       "USING `graft-store`")
     val p = s"$root/con"
     VersionedStore.setConstraints(spark, p,
       Seq(graft.check.NonNegative("g")))
-    spark.sql("INSERT INTO lake.con VALUES (1, 5)")
+    spark.sql("INSERT INTO glake.con VALUES (1, 5)")
     val before = VersionedStore.latestVersion(spark, p)
     intercept[Exception] {
-      spark.sql("INSERT INTO lake.con VALUES (2, -3)")
+      spark.sql("INSERT INTO glake.con VALUES (2, -3)")
     }.getMessage.toLowerCase should include("constraint")
     VersionedStore.latestVersion(spark, p) shouldBe before
-    spark.table("lake.con").count() shouldBe 1L
+    spark.table("glake.con").count() shouldBe 1L
   }
 
   test("catalog reads run the store's NATIVE parquet plan (the " +
@@ -124,11 +124,11 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
     root
     val s = spark
     import s.implicits._
-    spark.sql("CREATE TABLE lake.planned (id BIGINT, g BIGINT) " +
+    spark.sql("CREATE TABLE glake.planned (id BIGINT, g BIGINT) " +
       "USING `graft-store`")
     Seq((1L, 2L), (3L, 4L)).toDF("id", "g")
-      .writeTo("lake.planned").append()
-    val df = spark.table("lake.planned").where("g > 2").select("id")
+      .writeTo("glake.planned").append()
+    val df = spark.table("glake.planned").where("g > 2").select("id")
     val plan = df.queryExecution.executedPlan.toString
     plan should include("parquet")       // native file scan
     (plan should not).include("RowDataSourceScan") // the V1 fallback
@@ -138,9 +138,9 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
   test("CTAS: CREATE TABLE ... USING `graft-store` AS SELECT lands " +
       "as a store with the query's rows and ONE data commit") {
     root
-    spark.sql("CREATE TABLE lake.ctas USING `graft-store` AS " +
+    spark.sql("CREATE TABLE glake.ctas USING `graft-store` AS " +
       "SELECT id, id * 2 AS dbl FROM range(5)")
-    spark.table("lake.ctas").collect()
+    spark.table("glake.ctas").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe
       (0L until 5L).map(i => (i, i * 2))
     VersionedStore.latestVersion(spark, s"$root/ctas") should be <= 2L
@@ -149,33 +149,99 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
   test("DROP TABLE refuses while a sibling is cloned from it; " +
       "dropping the clone first releases the source") {
     root
-    spark.sql("CREATE TABLE lake.src (id BIGINT) USING `graft-store`")
-    spark.sql("INSERT INTO lake.src VALUES (1), (2), (3)")
+    spark.sql("CREATE TABLE glake.src (id BIGINT) USING `graft-store`")
+    spark.sql("INSERT INTO glake.src VALUES (1), (2), (3)")
     VersionedStore.cloneTo(spark, s"$root/src", s"$root/cl")
-    spark.sql("SHOW TABLES IN lake").collect()
+    spark.sql("SHOW TABLES IN glake").collect()
       .map(_.getString(1)) should contain("cl")
     intercept[Exception] {
-      spark.sql("DROP TABLE lake.src")
+      spark.sql("DROP TABLE glake.src")
     }.getMessage should include("cloned")
-    spark.table("lake.src").count() shouldBe 3L // refusal = no-op
-    spark.sql("DROP TABLE lake.cl")
-    spark.sql("DROP TABLE lake.src")
-    spark.sql("SHOW TABLES IN lake").collect()
+    spark.table("glake.src").count() shouldBe 3L // refusal = no-op
+    spark.sql("DROP TABLE glake.cl")
+    spark.sql("DROP TABLE glake.src")
+    spark.sql("SHOW TABLES IN glake").collect()
       .map(_.getString(1)) should contain noneOf ("src", "cl")
+  }
+
+  test("ALTER TABLE routes to the store's evolution commits: ADD " +
+      "COLUMNS widens by one metadata commit (old rows serve " +
+      "NULL), RENAME/DROP COLUMN ride the column mapping; NOT " +
+      "NULL adds and retypes are loud") {
+    root
+    spark.sql("CREATE TABLE glake.alt (id BIGINT, body STRING) " +
+      "USING `graft-store`")
+    val p = s"$root/alt"
+    spark.sql("INSERT INTO glake.alt VALUES (1, 'a')")       // v2
+    spark.sql("ALTER TABLE glake.alt ADD COLUMNS (score BIGINT)")
+    VersionedStore.latestVersion(spark, p) shouldBe 3L // metadata only
+    spark.table("glake.alt").schema.fieldNames.toSeq shouldBe
+      Seq("id", "body", "score")
+    spark.sql("SELECT score FROM glake.alt WHERE id = 1")
+      .head.isNullAt(0) shouldBe true                 // NULL-filled
+    spark.sql("INSERT INTO glake.alt VALUES (2, 'b', 9)")    // v4
+    spark.sql("ALTER TABLE glake.alt RENAME COLUMN body TO doc")
+    spark.sql("SELECT doc FROM glake.alt WHERE id = 2")
+      .head.getString(0) shouldBe "b"
+    spark.sql("ALTER TABLE glake.alt DROP COLUMN score")
+    spark.table("glake.alt").schema.fieldNames.toSeq shouldBe
+      Seq("id", "doc")
+    // time travel serves each version's own shape
+    spark.sql("SELECT * FROM glake.alt VERSION AS OF 2")
+      .schema.fieldNames.toSeq shouldBe Seq("id", "body")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE glake.alt ADD COLUMNS (x INT NOT NULL)")
+    }.getMessage should include("nullable")
+    intercept[Exception] { // retired names never return
+      spark.sql("ALTER TABLE glake.alt ADD COLUMNS (score BIGINT)")
+    }.getMessage should include("never carried")
+  }
+
+  test("row-level SQL DML, maintenance verbs, and TVFs accept " +
+      "catalog tables through the same one-commit store commands " +
+      "— no SupportsRowLevelOperations wall") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE glake.dml (id BIGINT, g BIGINT) " +
+      "USING `graft-store`")
+    val p = s"$root/dml"
+    spark.sql("INSERT INTO glake.dml VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("UPDATE glake.dml SET g = g + 1 WHERE id = 1")
+    spark.sql("DELETE FROM glake.dml WHERE id = 2")
+    Seq((3L, 99L), (4L, 40L)).toDF("id", "g")
+      .createOrReplaceTempView("dml_cat_src")
+    spark.sql(
+      """MERGE INTO glake.dml t USING dml_cat_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.table("glake.dml").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 11L, 3L -> 99L, 4L -> 40L)
+    // one commit per statement: anchor + insert + update + delete
+    // + merge = 5
+    VersionedStore.latestVersion(spark, p) shouldBe 5L
+    spark.sql("OPTIMIZE glake.dml")                          // v6
+    VersionedStore.latestVersion(spark, p) shouldBe 6L
+    spark.sql("SELECT count(*) FROM store_history('glake.dml')")
+      .head.getLong(0) should be >= 6L
+    // time travel still serves the pre-DML shape
+    spark.sql("SELECT count(*) FROM glake.dml VERSION AS OF 2")
+      .head.getLong(0) shouldBe 3L
   }
 
   test("time travel through the catalog's versioned loadTable: " +
       "VERSION AS OF and TIMESTAMP AS OF resolve store versions") {
     root
-    spark.sql("CREATE TABLE lake.tt (id BIGINT) USING `graft-store`")
-    spark.sql("INSERT INTO lake.tt VALUES (1)")   // v2
-    spark.sql("INSERT INTO lake.tt VALUES (2)")   // v3
-    spark.sql("SELECT count(*) FROM lake.tt VERSION AS OF 2")
+    spark.sql("CREATE TABLE glake.tt (id BIGINT) USING `graft-store`")
+    spark.sql("INSERT INTO glake.tt VALUES (1)")   // v2
+    spark.sql("INSERT INTO glake.tt VALUES (2)")   // v3
+    spark.sql("SELECT count(*) FROM glake.tt VERSION AS OF 2")
       .head.getLong(0) shouldBe 1L
-    spark.sql("SELECT count(*) FROM lake.tt VERSION AS OF 3")
+    spark.sql("SELECT count(*) FROM glake.tt VERSION AS OF 3")
       .head.getLong(0) shouldBe 2L
     // TIMESTAMP AS OF now = latest
-    spark.sql("SELECT count(*) FROM lake.tt TIMESTAMP AS OF " +
+    spark.sql("SELECT count(*) FROM glake.tt TIMESTAMP AS OF " +
       "current_timestamp()").head.getLong(0) shouldBe 2L
   }
 }
