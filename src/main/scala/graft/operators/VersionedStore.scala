@@ -3144,6 +3144,16 @@ object VersionedStore {
       .map(_.loc.get).distinct
   }
 
+  /** (action, schemaJson) of version `v`'s log records — the
+    * streaming row feed uses it to recognize pure-metadata no-op
+    * commits (a CREATE TABLE schema anchor contributes no rows and
+    * is not a change commit).
+    */
+  private[graft] def versionActions(spark: SparkSession,
+      path: String, v: Long): Seq[(String, Option[String])] =
+    logRecords(spark, path).filter(_.v == v)
+      .map(r => (r.action, r.schemaJson))
+
   /** version → commit wall-clock millis, from the log records. */
   def commitTimestamps(spark: SparkSession,
       path: String): Map[Long, Long] =

@@ -168,6 +168,24 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
           (catalogName +: ident.namespace().toSeq) :+ ident.name())
     VersionedStore.create(spark, p)
     if (schema.nonEmpty) VersionedStore.declareSchema(spark, p, schema)
+    // user TBLPROPERTIES persist WITH the table (retention.ms
+    // drives policy vacuum, owners/hints travel on clone) — the
+    // engine-reserved keys the analyzer injects are not user state
+    val reserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+    val userProps = {
+      val it = properties.entrySet().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        if (!reserved.contains(e.getKey) &&
+          !e.getKey.startsWith("option.")) b += e.getKey -> e.getValue
+      }
+      b.result()
+    }
+    if (userProps.nonEmpty)
+      VersionedStore.setProperties(spark, p, userProps)
     GraftStoreTable(p, None)
   }
 
@@ -210,6 +228,13 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
           "GraftStoreCatalog: DROP COLUMN drops top-level columns " +
             s"only, got ${del.fieldNames().mkString(".")}")
         VersionedStore.dropColumn(spark, p, del.fieldNames()(0))
+      case setp: TableChange.SetProperty =>
+        VersionedStore.setProperties(spark, p,
+          VersionedStore.propertiesOf(spark, p) +
+            (setp.property() -> setp.value()))
+      case rmp: TableChange.RemoveProperty =>
+        VersionedStore.setProperties(spark, p,
+          VersionedStore.propertiesOf(spark, p) - rmp.property())
       case other => sys.error(
         s"GraftStoreCatalog: unsupported ALTER TABLE change $other " +
           "— supported: ADD COLUMNS (nullable, top-level), RENAME " +
@@ -363,7 +388,22 @@ final case class GraftStoreTable(path: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** DESCRIBE EXTENDED / SHOW TBLPROPERTIES serve the store's own
+    * persisted properties (retention policy, owner — the state that
+    * travels with the table), plus the provider tag.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put(org.apache.spark.sql.connector.catalog.TableCatalog
+      .PROP_PROVIDER, "graft-store")
+    VersionedStore.propertiesOf(spark, path).foreach {
+      case (k, v) => m.put(k, v); ()
+    }
+    m
+  }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -380,6 +420,17 @@ final case class GraftStoreTable(path: String,
                 : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
               readDf.rdd
           }.asInstanceOf[T]
+        // `spark.readStream.table("lake.t")` — the append row feed
+        // with offsets = store versions; rewrite commits fail
+        // loudly unless skipChangeCommits=true (the CDC feed
+        // remains format("graft-store-changes"))
+        override def toMicroBatchStream(
+            checkpointLocation: String): org.apache.spark.sql
+            .connector.read.streaming.MicroBatchStream =
+          new graft.streaming.StoreTableRowStream(path,
+            GraftStoreTable.this.schema(),
+            options.getBoolean("skipChangeCommits", false),
+            Option(options.get("startingVersion")).map(_.toLong))
       }
     }
 

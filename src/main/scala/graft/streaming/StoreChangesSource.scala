@@ -129,7 +129,7 @@ private[streaming] final class StoreChangesTable(path: String,
 }
 
 /** Offset = store commit version (monotone long). */
-private[streaming] final case class StoreVersionOffset(v: Long)
+private[graft] final case class StoreVersionOffset(v: Long)
     extends Offset {
   override def json(): String = v.toString
 }
@@ -234,10 +234,10 @@ private[streaming] final case class VersionTickPartition(from: Long,
   * window, reader synthesizes `_change = insert`) or a staged feed
   * file (carries its own `_change`).
   */
-private[streaming] final case class ChangeFilePartition(file: String,
+private[graft] final case class ChangeFilePartition(file: String,
   insertTag: Boolean) extends InputPartition
 
-private[streaming] final class StoreChangesReaderFactory(
+private[graft] final class StoreChangesReaderFactory(
     schema: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(
@@ -402,4 +402,79 @@ private[streaming] final class GroupParquetReader(file: String,
     }
 
   override def close(): Unit = reader.close()
+}
+
+/** The ROW feed of a store/catalog table as a streaming source —
+  * `spark.readStream.table("lake.t")` (the Delta-style shape):
+  * each micro-batch serves the rows of the APPEND commits in its
+  * version window, ZERO-COPY over the store's own group files, with
+  * offsets = store versions. A rewrite/delete/DV/schema commit is
+  * not expressible as bare rows: the stream FAILS loudly on it
+  * unless `skipChangeCommits=true` (skip those commits entirely —
+  * the public CDF vocabulary's escape hatch), and the full
+  * delete+insert feed remains `format("graft-store-changes")`.
+  * No staging, no derivation jobs: every planned window is either
+  * in-place group files or skipped.
+  */
+private[graft] final class StoreTableRowStream(path: String,
+    schema: StructType, skipChangeCommits: Boolean,
+    startingVersion: Option[Long]) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private val confSer = new SerializableConfiguration(
+    spark.sparkContext.hadoopConfiguration)
+
+  override def initialOffset(): Offset =
+    StoreVersionOffset(startingVersion.getOrElse(0L))
+  override def latestOffset(): Offset =
+    StoreVersionOffset(VersionedStore.latestVersion(spark, path))
+  override def deserializeOffset(json: String): Offset =
+    StoreVersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[StoreVersionOffset].v
+    val to = end.asInstanceOf[StoreVersionOffset].v
+    if (to <= from) return Array.empty
+    def filesUnder(dir: String): Seq[String] = {
+      val f = FileSystem.get(new Path(dir).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      val d = new Path(dir)
+      if (!f.exists(d)) Seq.empty
+      else f.listStatus(d).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    }
+    // per-VERSION decomposition (not per-window): a window mixing
+    // an append and a rewrite must still serve the append and skip
+    // only the rewrite
+    (from + 1 to to).flatMap { v =>
+      VersionedStore.appendOnlyWindow(spark, path, v - 1, v) match {
+        case Some(groupDirs) =>
+          groupDirs.flatMap(filesUnder)
+            .map(f => ChangeFilePartition(f, insertTag = true))
+        // a pure schema ANCHOR of the stream's own schema (the
+        // CREATE TABLE commit) contributes no rows and changes
+        // nothing — a no-op version, not a change commit
+        case None if {
+          val recs = VersionedStore.versionActions(spark, path, v)
+          recs.forall(_._1 == "schema") &&
+            recs.flatMap(_._2).forall(_ == schema.json)
+        } => Seq.empty
+        case None if skipChangeCommits => Seq.empty
+        case None => sys.error(
+          s"readStream.table over store at $path: commit v$v is a " +
+            "rewrite/delete/DV/restore/schema change, which a bare " +
+            "row feed cannot express — set " +
+            "option(\"skipChangeCommits\", \"true\") to skip such " +
+            "commits, or stream format(\"graft-store-changes\") " +
+            "for the full delete+insert change feed")
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StoreChangesReaderFactory(schema, confSer)
+
+  override def commit(end: Offset): Unit = () // nothing staged
+  override def stop(): Unit = ()
 }

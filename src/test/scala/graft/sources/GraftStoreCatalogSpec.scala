@@ -230,6 +230,80 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
       .head.getLong(0) shouldBe 3L
   }
 
+  test("TBLPROPERTIES travel with the store: CREATE lands them, " +
+      "SHOW TBLPROPERTIES serves them, ALTER SET/UNSET updates " +
+      "them — engine-reserved keys stay out of user state") {
+    root
+    spark.sql("CREATE TABLE glake.props (id BIGINT) USING " +
+      "`graft-store` TBLPROPERTIES ('team'='ingest', " +
+      "'retention.ms'='86400000')")
+    val p = s"$root/props"
+    VersionedStore.propertiesOf(spark, p) shouldBe
+      Map("team" -> "ingest", "retention.ms" -> "86400000")
+    spark.sql("SHOW TBLPROPERTIES glake.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap should
+      contain("team" -> "ingest")
+    spark.sql(
+      "ALTER TABLE glake.props SET TBLPROPERTIES ('team'='search')")
+    VersionedStore.propertiesOf(spark, p)("team") shouldBe "search"
+    spark.sql(
+      "ALTER TABLE glake.props UNSET TBLPROPERTIES ('retention.ms')")
+    VersionedStore.propertiesOf(spark, p)
+      .contains("retention.ms") shouldBe false
+  }
+
+  test("spark.readStream.table streams committed appends " +
+      "zero-copy with offsets = versions; a rewrite commit fails " +
+      "the stream loudly, and skipChangeCommits skips it") {
+    root
+    spark.sql("CREATE TABLE glake.rs (id BIGINT, body STRING) " +
+      "USING `graft-store`")
+    spark.sql("INSERT INTO glake.rs VALUES (1, 'a'), (2, 'b')")
+    def poll(table: String, n: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (spark.table(table).count() < n &&
+        System.currentTimeMillis() - t0 < 60000) Thread.sleep(100)
+      spark.table(table).count() shouldBe n
+    }
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-cat-rs").toString
+    val q = spark.readStream.table("glake.rs")
+      .writeStream.format("memory").queryName("cat_rows")
+      .option("checkpointLocation", s"$ck/c1")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try {
+      poll("cat_rows", 2L) // the CREATE anchor is a no-op version
+      spark.sql("INSERT INTO glake.rs VALUES (3, 'c')")
+      poll("cat_rows", 3L)
+      // a rewrite commit cannot be expressed as bare rows → the
+      // stream FAILS with the escape hatch named
+      spark.sql("DELETE FROM glake.rs WHERE id = 1")
+      val t0 = System.currentTimeMillis()
+      while (q.exception.isEmpty &&
+        System.currentTimeMillis() - t0 < 60000) Thread.sleep(100)
+      q.exception.isDefined shouldBe true
+      q.exception.get.getMessage should include("skipChangeCommits")
+    } finally if (q.isActive) q.stop()
+    // skipChangeCommits: the delete commit is skipped entirely;
+    // appends before and after it flow
+    val q2 = spark.readStream
+      .option("skipChangeCommits", "true").table("glake.rs")
+      .writeStream.format("memory").queryName("cat_rows2")
+      .option("checkpointLocation", s"$ck/c2")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try {
+      poll("cat_rows2", 3L) // v2 (2 rows) + v3 (1) + v4 skipped
+      spark.sql("INSERT INTO glake.rs VALUES (4, 'd')")
+      poll("cat_rows2", 4L)
+      spark.table("cat_rows2").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    } finally if (q2.isActive) q2.stop()
+  }
+
   test("time travel through the catalog's versioned loadTable: " +
       "VERSION AS OF and TIMESTAMP AS OF resolve store versions") {
     root
