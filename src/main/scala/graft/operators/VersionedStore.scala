@@ -1171,6 +1171,74 @@ object VersionedStore {
       blooms = buildBlooms(spark, path, fid, n, pBloomCols))
   }
 
+  /** Adopt executor-staged parquet files as ONE txn-tagged commit —
+    * the DSv2 streaming-write path (`df.writeStream.toTable`): the
+    * rows were written by per-task stagers and never visit the
+    * driver; this claims a fresh group, MOVES the files into its
+    * data dir (renames — no copy), then applies the full write
+    * discipline over the read-back group (schema gate, constraints,
+    * stats/zone/bloom propagation) and commits one add record under
+    * `txn` (= the epoch id), so a post-crash epoch replay is a
+    * no-op. Stores with a live column mapping are refused loudly —
+    * staged bytes carry logical names, and adopted files cannot be
+    * rewritten to the physical namespace without copying.
+    */
+  private[graft] def adoptStreamEpoch(spark: SparkSession,
+      path: String, staged: Seq[String], txn: Long): Long = {
+    committedTxn(spark, path, txn) match {
+      case Some(v) => return v // replayed epoch: already committed
+      case None => ()
+    }
+    if (staged.isEmpty) return latestVersion(spark, path)
+    require(mappingAt(spark, path, Long.MaxValue).isEmpty,
+      s"VersionedStore.adoptStreamEpoch: $path carries a live " +
+        "column mapping (renamed columns) — the streaming staged " +
+        "writer emits logical names; stream into an unmapped store")
+    val f = fs(spark)
+    val Seq(fid) = claimFids(spark, path, 1)
+    val dst = dataDir(path, fid)
+    if (f.exists(dst) && !f.delete(dst, true)) sys.error(
+      s"VersionedStore.adoptStreamEpoch: cannot clear orphan $dst")
+    if (!f.mkdirs(dst)) sys.error(
+      s"VersionedStore.adoptStreamEpoch: cannot create $dst")
+    staged.zipWithIndex.foreach { case (p0, i) =>
+      if (!f.rename(new Path(p0),
+        new Path(dst, f"part-$i%05d.parquet"))) sys.error(
+        s"VersionedStore.adoptStreamEpoch: cannot adopt $p0")
+    }
+    val written = spark.read.parquet(dst.toString)
+    checkSchema(written, path, "adoptStreamEpoch", canEvolve = false)
+    validate(written, path)
+    val statsCol = storeStatsCol(spark, path)
+      .filter(written.columns.contains)
+    val propag = storePropagation(spark, path)
+    val zoneCols = propag._1.filter(written.columns.contains)
+    val bloomCols = propag._2
+    val sj = Some(recordedSchema(spark, path, written.schema).json)
+    val zcs = zoneCols.distinct
+      .flatMap(c => zoneTypeOf(written, c).map(c -> _))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      statsCol.toSeq.flatMap(c => Seq(
+        min(col(c)).cast("long").as("_lo"),
+        max(col(c)).cast("long").as("_hi"))) ++
+      zcs.flatMap { case (c, _) => zoneAggs(written, c) }
+    val r = written.agg(aggs.head, aggs.tail: _*).head
+    val n = r.getLong(0)
+    val legacy = statsCol.flatMap { c =>
+      if (n == 0 || r.isNullAt(1)) None
+      else Some((c, r.getLong(1), r.getLong(2)))
+    }
+    val base = 1 + (if (statsCol.isDefined) 2 else 0)
+    val zones = zcs.zipWithIndex.flatMap { case ((c, t), i) =>
+      if (n == 0 || r.isNullAt(base + 2 * i)) None
+      else Some(ColZone(c, t, r.getString(base + 2 * i),
+        r.getString(base + 2 * i + 1)))
+    }
+    commitRetrying(spark, path, Seq(GroupAdd(fid, n, legacy, sj,
+      zones, blooms = buildBlooms(spark, path, fid, n, bloomCols))),
+      Nil, txn)
+  }
+
   /** The table schema as of version `v`: the newest schema-bearing
     * record ≤ v — an add, a rename/drop (each carries the full
     * post-change LOGICAL schema), or a restore/clone's explicit

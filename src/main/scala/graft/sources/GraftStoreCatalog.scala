@@ -389,7 +389,8 @@ final case class GraftStoreTable(path: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   /** DESCRIBE EXTENDED / SHOW TBLPROPERTIES serve the store's own
     * persisted properties (retention policy, owner — the state that
@@ -452,6 +453,18 @@ final case class GraftStoreTable(path: String,
               ()
             }
           }
+        // `df.writeStream.toTable("lake.t")` — per-task staged
+        // parquet, one txn-tagged store commit per epoch (replay =
+        // no-op): the exactly-once sink behind the STANDARD API
+        override def toStreaming: org.apache.spark.sql.connector
+            .write.streaming.StreamingWrite = {
+          require(!replace,
+            "GraftStoreTable: streaming writes append only")
+          new graft.streaming.StoreStreamingWrite(path,
+            info.schema(), info.queryId(),
+            new org.apache.spark.util.SerializableConfiguration(
+              SparkSession.active.sparkContext.hadoopConfiguration))
+        }
       }
     }
 }

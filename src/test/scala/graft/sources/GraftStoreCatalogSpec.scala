@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkFixture
 import graft.operators.VersionedStore
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -302,6 +303,100 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
       spark.table("cat_rows2").select("id").collect()
         .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L)
     } finally if (q2.isActive) q2.stop()
+  }
+
+  test("df.writeStream.toTable is exactly-once into the commit " +
+      "log: per-task staged parquet, ONE txn-tagged commit per " +
+      "epoch, re-runs add nothing, write discipline intact") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE glake.ws (id BIGINT, body STRING) " +
+      "USING `graft-store`")
+    val p = s"$root/ws"
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-ws-in").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-ws-ck").toString
+    def drop(r: Range, tag: String): Unit =
+      r.map(i => (i.toLong, s"$tag$i")).toDF("id", "body")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id BIGINT, body STRING").parquet(in)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .AvailableNow())
+        .toTable("glake.ws")
+      q.awaitTermination(60000) shouldBe true
+    }
+    drop(0 until 5, "a")
+    runOnce()
+    spark.table("glake.ws").count() shouldBe 5L
+    VersionedStore.latestVersion(spark, p) shouldBe 2L // anchor + 1
+    drop(5 until 8, "b")
+    runOnce() // only the new files → one more epoch commit
+    spark.table("glake.ws").count() shouldBe 8L
+    VersionedStore.latestVersion(spark, p) shouldBe 3L
+    runOnce() // nothing new → nothing committed
+    VersionedStore.latestVersion(spark, p) shouldBe 3L
+    spark.table("glake.ws").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe (0L until 8L)
+    // a violating epoch aborts with nothing committed (the adopt
+    // path runs the same constraint gate as every mutator)
+    spark.sql("CREATE TABLE glake.wsc (id BIGINT, g BIGINT) " +
+      "USING `graft-store`")
+    VersionedStore.setConstraints(spark, s"$root/wsc",
+      Seq(graft.check.NonNegative("g")))
+    val in2 = java.nio.file.Files
+      .createTempDirectory("graft-ws-in2").toString
+    Seq((1L, -5L)).toDF("id", "g")
+      .coalesce(1).write.mode("append").parquet(in2)
+    val bad = spark.readStream.schema("id BIGINT, g BIGINT")
+      .parquet(in2)
+      .writeStream.option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-ws-ck2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("glake.wsc")
+    intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { bad.awaitTermination() }
+    VersionedStore.latestVersion(spark, s"$root/wsc") shouldBe 1L
+  }
+
+  test("the streaming staged writer round-trips the store's full " +
+      "column shapes — decimals (FLBA), float arrays, structs, " +
+      "timestamps — bit-equal through writeStream.toTable") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE glake.wsr (id BIGINT, d DECIMAL(22,4), " +
+      "emb ARRAY<FLOAT>, pay STRUCT<a: BIGINT, b: STRING>, " +
+      "ts TIMESTAMP) USING `graft-store`")
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-wsr-in").toString
+    val src = (0 until 30).map { i =>
+      (i.toLong, BigDecimal(i * 31) / 8,
+        Array.tabulate(4)(j => (i * 4 + j) / 7.0f),
+        (i.toLong * 3, if (i % 5 == 0) null else s"s$i"),
+        java.sql.Timestamp.valueOf(
+          s"2026-03-0${i % 9 + 1} 10:0${i % 6}:07.${i % 10}"))
+    }.toDF("id", "d", "emb", "pay", "ts")
+      .select(col("id"), col("d").cast("decimal(22,4)").as("d"),
+        col("emb"), col("pay").cast("struct<a: bigint, b: string>")
+          .as("pay"), col("ts"))
+    src.coalesce(2).write.mode("overwrite").parquet(in)
+    val q = spark.readStream.schema(src.schema).parquet(in)
+      .writeStream.option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-wsr-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("glake.wsr")
+    q.awaitTermination(60000) shouldBe true
+    def canon(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "id", "cast(d as string)", "cast(emb as string)",
+      "cast(pay as string)", "cast(ts as string)")
+      .collect().map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long]).toSeq
+    canon(spark.table("glake.wsr")) shouldBe canon(src)
   }
 
   test("time travel through the catalog's versioned loadTable: " +
