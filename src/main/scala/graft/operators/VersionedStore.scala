@@ -1625,10 +1625,16 @@ object VersionedStore {
       liveDvFids(spark, path, v)
     val propag = storePropagation(spark, path)
     val Seq(fid) = claimFids(spark, path, 1)
+    // structural guard, same rule as compact: a concurrent APPEND
+    // commutes (overwrite-then-append keeps its rows — a
+    // serializable order), but a concurrent DV would outlive the
+    // retirement list computed at this snapshot and could mask the
+    // FRESH group's rows (DV precedence is by fid, and the claim
+    // order is unknowable) — abort, redo against the new snapshot
     commit(spark, path,
       Seq(writeGroup(df, path, fid, statsCol,
         zoneCols ++ propag._1, bloomCols ++ propag._2)),
-      retire)
+      retire, guard = Some((v, _ => true)))
   }
 
   /** Zone columns maintained by the store's LIVE groups (union of
