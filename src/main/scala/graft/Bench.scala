@@ -63,9 +63,20 @@ object Bench {
       "q76_dedup_corpus")
     val benched = SparkEntry.allQueries.filterNot(q => apiGates(q.name))
 
+    // Adjudication hook (the q274 in-run-context watch): move the
+    // named queries to the FRONT of the suite (comma-separated), so
+    // the same plan can be timed early vs at its natural slot inside
+    // the same full-bench context — a pure reorder, nothing skipped.
+    val firstNames = sys.env.getOrElse("SPARK_GRAFT_FIRST", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val ordered =
+      if (firstNames.isEmpty) benched
+      else benched.filter(q => firstNames(q.name)) ++
+        benched.filterNot(q => firstNames(q.name))
+
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
     if (new java.io.File(warmDir).isDirectory)
-      benched.foreach { q =>
+      ordered.foreach { q =>
         try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
       }
@@ -76,14 +87,33 @@ object Bench {
     // identical code), which pollutes the round-over-round signal. The
     // min of two warm rounds is the steady-state number; a genuine
     // regression slows BOTH rounds and still shows.
-    def timedPass(): Seq[(String, Double, Boolean)] = benched.map { q =>
+    // Per-query JVM context probes (driver == executors at local[*]):
+    // GC time, JIT compilation time, and code-cache occupancy deltas
+    // name the in-run-context effects isolated timing can never see
+    // (a row that is flat like-for-like but inflates only inside the
+    // full suite — the q274 adjudication). BENCH_FULL.json only.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    def jitMs(): Long = ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+    def codeCacheUsed(): Long = ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum
+
+    final case class Timing(name: String, sec: Double, ok: Boolean,
+      gcMs: Long, jitMs: Long, ccUsed: Long)
+    def timedPass(): Seq[Timing] = ordered.map { q =>
+      val (g0, j0) = (gcMs(), jitMs())
       val t0 = System.nanoTime()
       val ok =
         try {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           true
         } catch { case scala.util.control.NonFatal(_) => false }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      Timing(q.name, (System.nanoTime() - t0) / 1e9, ok,
+        gcMs() - g0, jitMs() - j0, codeCacheUsed())
     }
     // A full-GC settle between passes keeps round-2 from paying
     // round-1's accumulated garbage (the per-query min only helps
@@ -95,8 +125,13 @@ object Bench {
     val r1 = timedPass()
     settle()
     val r2 = timedPass()
-    val results = r1.zip(r2).map { case ((k, v1, ok1), (_, v2, ok2)) =>
-      (k, math.min(v1, v2), ok1 && ok2)
+    val results = r1.zip(r2).map { case (a, b) =>
+      (a.name, math.min(a.sec, b.sec), a.ok && b.ok)
+    }
+    // context probes of the round whose time the min kept (ties → r1)
+    val probes = r1.zip(r2).map { case (a, b) =>
+      val w = if (a.sec <= b.sec) a else b
+      (w.name, w.gcMs, w.jitMs, w.ccUsed)
     }
     // The harness that captures this output keeps only a bounded tail
     // (~2000 chars) of stdout, and the full per-query map for ~90
@@ -127,8 +162,11 @@ object Bench {
         if graft.queries.Lanes.laneOf(k) == lane => v
     }.sum
     val lanes = s""""lane_totals":{"serve":${f(laneTotal("serve"))},"build":${f(laneTotal("build"))}}"""
+    val gcJson = probes.map { case (k, g, j, c) =>
+      "\"" + k + s"\":[$g,$j,$c]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"timed_rounds":2,$lanes,"metric":"total","unit":"sec","value":${f(total)}}"""
+      s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"timed_rounds":2,$lanes,"context_probes":$gcJson,"metric":"total","unit":"sec","value":${f(total)}}"""
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullOut), fullLine + "\n")

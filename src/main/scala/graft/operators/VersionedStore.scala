@@ -283,7 +283,8 @@ object VersionedStore {
       firstV: Long = -1L,
       renames: Seq[(String, String, String)] = Nil,
       schemaAnchor: Option[String] = None,
-      guard: Option[(Long, Seq[Long] => Boolean)] = None): Long = {
+      guard: Option[(Long, Seq[Long] => Boolean)] = None,
+      txnApp: Option[String] = None): Long = {
     val maxAttempts = 5
     var attempt = 0
     def guardCheck(): Unit = guard.foreach { case (baseV, safe) =>
@@ -301,6 +302,22 @@ object VersionedStore {
             s"v$baseV at $path carry rows this operation's " +
             "detection scan would have matched — aborting (redo " +
             "the operation against the new snapshot)")
+        // schema lost-update, in the DETECTION-TO-COMMIT window the
+        // row checks above cover: a concurrent EVOLVE-BY-APPEND
+        // winner is action "add" and row-safe (key-disjoint), but
+        // this commit's add records carry the pre-evolution schema —
+        // schemaAt takes the newest add, so committing them would
+        // silently revert the table schema (drop the concurrently
+        // added column). Same rule as the rebase path's schema
+        // check; it must also run when no version CONFLICT is raised
+        val ourSchemas = (adds ++ dvs).flatMap(_.schemaJson)
+        val laterSchemas = laters.flatMap(_.schemaJson)
+        if (ourSchemas.nonEmpty &&
+          schemasDiverge(ourSchemas, laterSchemas)) sys.error(
+          "VersionedStore: concurrent schema change — a commit " +
+            s"after this operation's snapshot v$baseV at $path " +
+            "carries a different table schema; aborting " +
+            "(revalidate against the evolved schema)")
       }
     }
     var v =
@@ -316,7 +333,7 @@ object VersionedStore {
         // a double-applied window with no conflict ever raised.
         val recs = logRecords(spark, path)
         if (txn >= 0) {
-          recs.find(_.txn == txn) match {
+          recs.find(r => r.txn == txn && r.txnApp == txnApp) match {
             case Some(r) => return r.v
             case None => ()
           }
@@ -329,7 +346,8 @@ object VersionedStore {
     guardCheck()
     while (true) {
       try return commitAt(spark, path, v, adds, removes, txn, dvs,
-        renames = renames, schemaAnchor = schemaAnchor)
+        renames = renames, schemaAnchor = schemaAnchor,
+        txnApp = txnApp)
       catch {
         case _: CommitConflict =>
           attempt += 1
@@ -347,7 +365,7 @@ object VersionedStore {
           // reclaims. This mirrors the reference OCC design's
           // same-app-transaction conflict rule.
           if (txn >= 0) {
-            committedTxn(spark, path, txn) match {
+            committedTxn(spark, path, txn, txnApp) match {
               case Some(winV) => return winV
               case None => ()
             }
@@ -371,16 +389,16 @@ object VersionedStore {
           // schema lost-update guard: the newest add record's schema
           // BECOMES the table schema (schemaAt), so rebasing over a
           // winner that evolved the schema would silently revert it
-          val ourSchemas = (adds ++ dvs).flatMap(_.schemaJson).toSet
+          val ourSchemas = (adds ++ dvs).flatMap(_.schemaJson)
           // rename/drop/anchor commits also carry the table schema —
           // a rebase over a winning one would silently revert it
           val winnerSchemas = logRecords(spark, path)
             .filter(r => r.v >= v && (r.action == "add" ||
               r.action == "rename" || r.action == "drop" ||
               r.action == "schema"))
-            .flatMap(_.schemaJson).toSet
+            .flatMap(_.schemaJson)
           if (ourSchemas.nonEmpty &&
-            winnerSchemas.exists(!ourSchemas.contains(_))) sys.error(
+            schemasDiverge(ourSchemas, winnerSchemas)) sys.error(
             "VersionedStore: concurrent schema change — a winning " +
               s"commit at $path carries a different table schema; " +
               "aborting (revalidate against the evolved schema)")
@@ -390,6 +408,24 @@ object VersionedStore {
       }
     }
     -1L // unreachable
+  }
+
+  /** True when any of `winners`' schemas names a different COLUMN
+    * SET or column TYPE than every one of `ours` — the schema
+    * lost-update test, compared structurally (name → dataType), not
+    * on raw schema JSON: nullability flags legitimately differ
+    * between equivalent batches (recordedSchema ORs them at the
+    * next write), and aborting on those would turn every
+    * key-disjoint concurrent append into a false conflict.
+    */
+  private def schemasDiverge(ours: Seq[String],
+      winners: Seq[String]): Boolean = {
+    def shape(j: String): Map[String, String] =
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val ourShapes = ours.map(shape).toSet
+    winners.map(shape).exists(!ourShapes.contains(_))
   }
 
   private def commit(spark: SparkSession, path: String,
@@ -418,10 +454,12 @@ object VersionedStore {
       ts: Long = -1L,
       renames: Seq[(String, String, String)] = Nil,
       drops: Seq[(String, String, String)] = Nil,
-      schemaAnchor: Option[String] = None): Long = {
+      schemaAnchor: Option[String] = None,
+      txnApp: Option[String] = None): Long = {
     import spark.implicits._
     requireExclusive("commit")
     val f = fs(spark)
+    val app = txnApp.orNull
     // the tmp name is unique PER ATTEMPT: two writers racing for the
     // same version must stage into disjoint dirs (a shared
     // `.tmp-v…` name let one writer delete or rename the other's
@@ -438,7 +476,7 @@ object VersionedStore {
       (action, a.fid, a.n, txn, sc, lo, hi, a.schemaJson.orNull,
         stamp, a.zones.map(_.c), a.zones.map(_.t),
         a.zones.map(_.lo), a.zones.map(_.hi), a.loc.orNull,
-        a.blooms, null: String, null: String)
+        a.blooms, null: String, null: String, app)
     }
     (adds.map(addRow("add", _)) ++ dvs.map(addRow("dv", _)) ++
       removes.map(fid =>
@@ -446,20 +484,20 @@ object VersionedStore {
           None: Option[Long], None: Option[Long], null: String,
           stamp, Seq.empty[String], Seq.empty[String],
           Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String], null: String, null: String)) ++
+          Seq.empty[String], null: String, null: String, app)) ++
       renames.map { case (from, to, newSchemaJson) =>
         ("rename", -1L, 0L, txn, null: String,
           None: Option[Long], None: Option[Long], newSchemaJson,
           stamp, Seq.empty[String], Seq.empty[String],
           Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String], from, to)
+          Seq.empty[String], from, to, app)
       } ++
       drops.map { case (logical, phys, newSchemaJson) =>
         ("drop", -1L, 0L, txn, null: String,
           None: Option[Long], None: Option[Long], newSchemaJson,
           stamp, Seq.empty[String], Seq.empty[String],
           Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String], logical, phys)
+          Seq.empty[String], logical, phys, app)
       } ++
       // the anchor's supremacy is enforced by [[actionPriority]]
       // (action "schema" sorts above every other record within a
@@ -473,12 +511,12 @@ object VersionedStore {
           None: Option[Long], None: Option[Long], sj,
           stamp, Seq.empty[String], Seq.empty[String],
           Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String], null: String, null: String)
+          Seq.empty[String], null: String, null: String, app)
       })
       .toDF("action", "fid", "rows", "txn",
         "stat_col", "stat_min", "stat_max", "schema_json",
         "ts", "zc", "zt", "zlo", "zhi", "loc", "bc",
-        "ren_from", "ren_to")
+        "ren_from", "ren_to", "txn_app")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/${versionName(v)}")
     // publication is the LogStore's exclusive-winner primitive:
@@ -512,7 +550,15 @@ object VersionedStore {
       /** (old logical name, new logical name) of an action="rename"
         * record — the log-carried column mapping ([[renameColumn]]).
         */
-      ren: Option[(String, String)] = None)
+      ren: Option[(String, String)] = None,
+      /** The application/query id scoping `txn` — streaming writers
+        * tag each epoch commit with their queryId so a SECOND query
+        * (or the same pipeline restarted under a fresh checkpoint,
+        * whose epoch ids reset to 0) never mistakes another writer's
+        * epochs for its own replays. None for batch txns and all
+        * records written before the column existed.
+        */
+      txnApp: Option[String] = None)
 
   /** Driver-side incremental log cache, per JVM: the log is
     * O(commits) of KB-scale parquet, but re-reading it through a
@@ -553,7 +599,8 @@ object VersionedStore {
       optCol("loc", "string").as("loc"),
       optCol("bc", "array<string>").as("bc"),
       optCol("ren_from", "string").as("ren_from"),
-      optCol("ren_to", "string").as("ren_to"))
+      optCol("ren_to", "string").as("ren_to"),
+      optCol("txn_app", "string").as("txn_app"))
       .collect()
       .map { r =>
         val stats =
@@ -575,9 +622,11 @@ object VersionedStore {
         val ren =
           if (r.isNullAt(16) || r.isNullAt(17)) None
           else Some((r.getString(16), r.getString(17)))
+        val app =
+          if (r.isNullAt(18)) None else Some(r.getString(18))
         LogRec(r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getLong(4), stats, sj, r.getLong(9),
-          zones, loc, blooms, ren)
+          zones, loc, blooms, ren, app)
       }.toSeq
   }
 
@@ -678,11 +727,12 @@ object VersionedStore {
         r.schemaJson.orNull, r.ts, r.zones.map(_.c),
         r.zones.map(_.t), r.zones.map(_.lo), r.zones.map(_.hi),
         r.loc.orNull, r.blooms,
-        r.ren.map(_._1).orNull, r.ren.map(_._2).orNull)
+        r.ren.map(_._1).orNull, r.ren.map(_._2).orNull,
+        r.txnApp.orNull)
     }.toDF("v", "action", "fid", "rows", "txn",
       "stat_col", "stat_min", "stat_max", "schema_json",
       "ts", "zc", "zt", "zlo", "zhi", "loc", "bc",
-      "ren_from", "ren_to")
+      "ren_from", "ren_to", "txn_app")
       .coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$path/log/ckpt-${versionName(v)}")
     // derived data, but still published through the LogStore so an
@@ -1171,6 +1221,17 @@ object VersionedStore {
       blooms = buildBlooms(spark, path, fid, n, pBloomCols))
   }
 
+  /** The live logical→physical column mapping of the store at
+    * `path` (empty when no column was ever renamed) — the streaming
+    * write path stages parquet under PHYSICAL names so its files are
+    * uniform with every batch-written group; physical names never
+    * change, so the staged bytes stay correct even when a rename
+    * lands mid-stream.
+    */
+  private[graft] def columnMapping(spark: SparkSession,
+      path: String): Map[String, String] =
+    mappingAt(spark, path, Long.MaxValue)
+
   /** Adopt executor-staged parquet files as ONE txn-tagged commit —
     * the DSv2 streaming-write path (`df.writeStream.toTable`): the
     * rows were written by per-task stagers and never visit the
@@ -1178,22 +1239,23 @@ object VersionedStore {
     * data dir (renames — no copy), then applies the full write
     * discipline over the read-back group (schema gate, constraints,
     * stats/zone/bloom propagation) and commits one add record under
-    * `txn` (= the epoch id), so a post-crash epoch replay is a
-    * no-op. Stores with a live column mapping are refused loudly —
-    * staged bytes carry logical names, and adopted files cannot be
-    * rewritten to the physical namespace without copying.
+    * `(app, txn)` — app = the streaming queryId, txn = the epoch id
+    * — so a post-crash epoch replay is a no-op while a DIFFERENT
+    * query's (or a re-checkpointed restart's) colliding epoch ids
+    * still commit. Staged bytes carry PHYSICAL column names
+    * ([[columnMapping]] resolved by the driver at query start), so
+    * rename-mapped stores adopt without copying; the schema gate and
+    * constraints run over the LOGICAL projection.
     */
   private[graft] def adoptStreamEpoch(spark: SparkSession,
-      path: String, staged: Seq[String], txn: Long): Long = {
-    committedTxn(spark, path, txn) match {
+      path: String, staged: Seq[String], txn: Long,
+      app: String): Long = {
+    val appOpt = Option(app)
+    committedTxn(spark, path, txn, appOpt) match {
       case Some(v) => return v // replayed epoch: already committed
       case None => ()
     }
     if (staged.isEmpty) return latestVersion(spark, path)
-    require(mappingAt(spark, path, Long.MaxValue).isEmpty,
-      s"VersionedStore.adoptStreamEpoch: $path carries a live " +
-        "column mapping (renamed columns) — the streaming staged " +
-        "writer emits logical names; stream into an unmapped store")
     val f = fs(spark)
     val Seq(fid) = claimFids(spark, path, 1)
     val dst = dataDir(path, fid)
@@ -1207,14 +1269,23 @@ object VersionedStore {
         s"VersionedStore.adoptStreamEpoch: cannot adopt $p0")
     }
     val written = spark.read.parquet(dst.toString)
-    checkSchema(written, path, "adoptStreamEpoch", canEvolve = false)
-    validate(written, path)
+    // the staged files carry physical names; gates and the recorded
+    // schema speak LOGICAL — one zero-cost projection, no data moves
+    val inv = columnMapping(spark, path).map(_.swap)
+    val logical =
+      if (inv.isEmpty) written
+      else written.select(written.columns.map(c =>
+        col(c).as(inv.getOrElse(c, c))): _*)
+    checkSchema(logical, path, "adoptStreamEpoch", canEvolve = false)
+    validate(logical, path)
     val statsCol = storeStatsCol(spark, path)
       .filter(written.columns.contains)
     val propag = storePropagation(spark, path)
-    val zoneCols = propag._1.filter(written.columns.contains)
+    val zoneCols = (propag._1 ++ clusterByOf(spark, path)
+      .map(c => columnMapping(spark, path).getOrElse(c, c)))
+      .distinct.filter(written.columns.contains)
     val bloomCols = propag._2
-    val sj = Some(recordedSchema(spark, path, written.schema).json)
+    val sj = Some(recordedSchema(spark, path, logical.schema).json)
     val zcs = zoneCols.distinct
       .flatMap(c => zoneTypeOf(written, c).map(c -> _))
     val aggs = Seq(count(lit(1)).as("n")) ++
@@ -1236,7 +1307,7 @@ object VersionedStore {
     }
     commitRetrying(spark, path, Seq(GroupAdd(fid, n, legacy, sj,
       zones, blooms = buildBlooms(spark, path, fid, n, bloomCols))),
-      Nil, txn)
+      Nil, txn, txnApp = appOpt)
   }
 
   /** The table schema as of version `v`: the newest schema-bearing
@@ -1418,6 +1489,66 @@ object VersionedStore {
     -1L // unreachable
   }
 
+  /** True when retyping `from` → `to` is lineage-safe: every value
+    * representable under `from` is exactly representable under `to`,
+    * and the parquet reader serves old-typed groups under the new
+    * type natively (Spark 4's widening type promotions in the
+    * vectorized reader — verified by RetypeEvolutionSpec). Integral
+    * upcasts, float→double, and decimal growth that never shrinks
+    * scale or integer digits qualify; everything else is refused.
+    */
+  private def isWideningRetype(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          (t.precision - t.scale) >= (f.precision - f.scale)
+      case _ => false
+    }
+  }
+
+  /** Widen a column's type as ONE metadata commit — the
+    * `ALTER TABLE … ALTER COLUMN … TYPE` shape for the
+    * lineage-safe widening family (int→long, float→double, decimal
+    * precision/scale growth): no file-group is read or rewritten.
+    * Old groups keep their physical bytes and read under the new
+    * type through the parquet reader's widening promotion (the scan
+    * schema is explicit); new writes produce the new type; time
+    * travel below the retype serves the version's OWN (narrow) type,
+    * because [[schemaAt]] resolves per version. Narrowing,
+    * cross-family, and nested retypes are refused loudly — they
+    * cannot be served without rewriting or silent loss.
+    */
+  def retypeColumn(spark: SparkSession, path: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    val cur = schemaAt(spark, path, Long.MaxValue).getOrElse(
+      sys.error(s"VersionedStore.retypeColumn: $path has no " +
+        "schema yet (append first)"))
+    require(cur.fieldNames.contains(name),
+      s"VersionedStore.retypeColumn: no column `$name` at $path " +
+        s"(schema: ${cur.fieldNames.mkString(", ")})")
+    val from = cur(name).dataType
+    if (from == to) return latestVersion(spark, path)
+    require(isWideningRetype(from, to),
+      s"VersionedStore.retypeColumn: ${from.simpleString} → " +
+        s"${to.simpleString} on `$name` is not a lineage-safe " +
+        "widening (supported: byte/short/int upcasts to wider " +
+        "integers, float→double, decimal growth that shrinks " +
+        "neither scale nor integer digits) — rewrite the table " +
+        "through CTAS for anything else")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      cur.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f))
+    commitRetrying(spark, path, Nil, Nil,
+      schemaAnchor = Some(newSchema.json))
+  }
+
   /** Read file-groups under the table schema of version `v`: groups
     * written before an additive schema evolution simply yield NULL
     * for the columns they predate (the parquet reader fills missing
@@ -1430,7 +1561,7 @@ object VersionedStore {
     schemaAt(spark, path, v) match {
       case Some(s) =>
         val m = mappingAt(spark, path, v)
-        if (m.isEmpty) spark.read.schema(s).parquet(paths: _*)
+        if (m.isEmpty) zonePrunedScan(spark, path, fids, s)
         else {
           // column mapping: scan under PHYSICAL names (what every
           // group actually carries), serve LOGICAL names at `v` —
@@ -1438,12 +1569,42 @@ object VersionedStore {
           val phys = org.apache.spark.sql.types.StructType(
             s.fields.map(f =>
               f.copy(name = m.getOrElse(f.name, f.name))))
-          spark.read.schema(phys).parquet(paths: _*)
+          zonePrunedScan(spark, path, fids, phys)
             .select(s.fields.map(f =>
               col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
         }
       case None => spark.read.parquet(paths: _*)
     }
+  }
+
+  /** The multi-group parquet scan behind every schema-tracked store
+    * read. Groups carrying ZONE HULLS plan through a
+    * [[graft.sources.GroupZoneFileIndex]] — the query's pushed data
+    * filters prune whole file-groups at PLAN time (the lakehouse
+    * file-skipping design; `WHERE day = 5` over a day-clustered
+    * table scans only the surviving groups). Stores with no zones
+    * anywhere keep the plain multi-path scan — identical plans, zero
+    * new overhead on the unclustered majority.
+    */
+  private def zonePrunedScan(spark: SparkSession, path: String,
+      fids: Seq[Long],
+      scanSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dirs = groupDirs(spark, path, fids)
+    val zones = groupZones(spark, path)
+    if (fids.forall(fid => zones.getOrElse(fid, Nil).isEmpty))
+      return spark.read.schema(scanSchema).parquet(dirs: _*)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val groups = fids.zip(dirs).map { case (fid, dir) =>
+      val d = new Path(dir)
+      val f = d.getFileSystem(conf)
+      val files =
+        if (!f.exists(d)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+        else f.listStatus(d).toSeq.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      graft.sources.GroupZoneFileIndex.GroupFiles(dir, files,
+        zones.getOrElse(fid, Nil))
+    }
+    graft.sources.GroupZoneFileIndex.scan(spark, groups, scanSchema)
   }
 
   /** The schema gate every mutating batch passes before anything is
@@ -1614,27 +1775,113 @@ object VersionedStore {
       statsCol: Option[String] = None,
       evolve: Boolean = false,
       zoneCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     requireCols(df, "overwrite",
-      statsCol.toSeq ++ zoneCols ++ bloomCols)
+      statsCol.toSeq ++ zoneCols ++ bloomCols ++ clusterBy)
     checkSchema(df, path, "overwrite", canEvolve = evolve)
     validate(df, path)
     val v = latestVersion(spark, path)
     val retire = liveFids(spark, path, v) ++
       liveDvFids(spark, path, v)
     val propag = storePropagation(spark, path)
-    val Seq(fid) = claimFids(spark, path, 1)
     // structural guard, same rule as compact: a concurrent APPEND
     // commutes (overwrite-then-append keeps its rows — a
     // serializable order), but a concurrent DV would outlive the
     // retirement list computed at this snapshot and could mask the
     // FRESH group's rows (DV precedence is by fid, and the claim
     // order is unknowable) — abort, redo against the new snapshot
-    commit(spark, path,
-      Seq(writeGroup(df, path, fid, statsCol,
-        zoneCols ++ propag._1, bloomCols ++ propag._2)),
-      retire, guard = Some((v, _ => true)))
+    val adds =
+      if (clusterBy.nonEmpty)
+        clusteredAdds(df, path, clusterBy, 64, statsCol)
+      else {
+        val Seq(fid) = claimFids(spark, path, 1)
+        Seq(writeGroup(df, path, fid, statsCol,
+          zoneCols ++ propag._1, bloomCols ++ propag._2))
+      }
+    commit(spark, path, adds, retire, guard = Some((v, _ => true)))
+  }
+
+  /** Table property carrying the declared clustering columns — the
+    * catalog's `CREATE TABLE … PARTITIONED BY (c1, c2)` records its
+    * identity transforms here, and every write path consults it:
+    * batch inserts land range-clustered on these columns
+    * ([[appendClustered]]), `OPTIMIZE` defaults its layout to them,
+    * and the streaming sink arms zone stats on them. This maps the
+    * standard partitioning DDL onto the store's clustered layout +
+    * zone pruning (the engine's answer to the reference's
+    * date-partitioned year/month/day tree —
+    * reference: partitioner.py:7-25) without the small-files
+    * pathology of one physical directory per value.
+    */
+  private[graft] val ClusterByProp = "graft.cluster-by"
+
+  /** The declared clustering columns (LOGICAL names), empty when the
+    * table was created without PARTITIONED BY.
+    */
+  def clusterByOf(spark: SparkSession, path: String): Seq[String] =
+    propertiesOf(spark, path).get(ClusterByProp).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
+  /** [[append]] with the batch range-clustered on `clusterBy` into
+    * up to `maxGroups` file-groups in ONE commit: each group covers
+    * a disjoint key range with its own zone hull, so a predicate on
+    * the clustering columns prunes whole groups of this batch — the
+    * Hive-partitioned-insert semantic expressed as clustering, with
+    * the group count bounded (a high-cardinality clustering column
+    * can never explode into one directory per value; at 100 TB the
+    * file-count cap is the difference between a listing and a
+    * listing storm). Batches with few distinct keys get one group
+    * per key (exact pruning); the same write gates as [[append]].
+    */
+  def appendClustered(df: DataFrame, path: String,
+      clusterBy: Seq[String],
+      maxGroups: Int = 64,
+      statsCol: Option[String] = None): Long = {
+    require(clusterBy.nonEmpty,
+      "VersionedStore.appendClustered: clusterBy is empty")
+    val spark = df.sparkSession
+    requireCols(df, "appendClustered", clusterBy ++ statsCol.toSeq)
+    checkSchema(df, path, "appendClustered", canEvolve = false)
+    validate(df, path)
+    val adds = clusteredAdds(df, path, clusterBy, maxGroups, statsCol)
+    commit(spark, path, adds, Seq.empty)
+  }
+
+  /** Write `df` as up to `maxGroups` range-clustered groups and
+    * return their adds — the shared body of [[appendClustered]] and
+    * the clustered [[overwrite]]. Zone stats are armed on the
+    * clustering columns plus everything the live groups already
+    * propagate.
+    */
+  private def clusteredAdds(df: DataFrame, path: String,
+      clusterBy: Seq[String], maxGroups: Int,
+      statsCol: Option[String]): Seq[GroupAdd] = {
+    val spark = df.sparkSession
+    val propag = storePropagation(spark, path)
+    val zoneCols = (clusterBy ++ propag._1).distinct
+    // one cheap probe bounds the group count by the batch's actual
+    // key cardinality: a batch of 3 dates lands as 3 groups (exact
+    // per-value pruning), a batch of 10k keys as maxGroups ranges
+    val distinct = df.select(clusterBy.map(col): _*)
+      .distinct().limit(maxGroups + 1).count().toInt
+    val numGroups = math.max(1, math.min(distinct, maxGroups))
+    if (numGroups == 1) {
+      val Seq(fid) = claimFids(spark, path, 1)
+      return Seq(writeGroup(
+        df.sortWithinPartitions(clusterBy.map(col): _*), path, fid,
+        statsCol, zoneCols, propag._2))
+    }
+    val newFids = claimFids(spark, path, numGroups)
+    val bucketed = df
+      .repartitionByRange(numGroups, clusterBy.map(col): _*)
+      .sortWithinPartitions(clusterBy.map(col): _*)
+      .withColumn("_vs_fid", spark_partition_id().cast("long"))
+    val fidOf = (0 until numGroups).map(b => b.toLong -> newFids(b))
+    // empty range buckets (sampling, small batches) become no group
+    rewriteGroups(spark, path, bucketed, fidOf, statsCol, zoneCols,
+      propag._2).filter(_.n > 0)
   }
 
   /** Zone columns maintained by the store's LIVE groups (union of
@@ -2676,6 +2923,21 @@ object VersionedStore {
     * restore, or schema/mapping change in the window → None, and
     * the caller derives the netted feed via [[changes]].
     */
+  /** The LIVE content of version `v` as bare in-place group files —
+    * the row stream's vacuum-safe INITIAL SNAPSHOT plan
+    * (`readStream.table` starts from the CURRENT state, never from
+    * the original append history whose pre-compaction files the
+    * next vacuum deletes). None when the snapshot is not expressible
+    * as raw files: live deletion vectors (masked rows would
+    * resurrect) or a live column mapping (files carry physical
+    * names the stream's logical schema cannot bind positionally).
+    */
+  private[graft] def snapshotFiles(spark: SparkSession,
+      path: String, v: Long): Option[Seq[String]] =
+    if (mappingAt(spark, path, v).nonEmpty ||
+      liveDvFids(spark, path, v).nonEmpty) None
+    else Some(groupDirs(spark, path, liveFids(spark, path, v)))
+
   private[graft] def appendOnlyWindow(spark: SparkSession,
       path: String, from: Long, to: Long): Option[Seq[String]] = {
     val recs = logRecords(spark, path)
@@ -2901,21 +3163,29 @@ object VersionedStore {
     }
   }
 
-  /** The version that committed transaction `txn`, if any. Old
-    * commit records (pre-txn schema) read as txn NULL → -1, never
-    * colliding with the `txn >= 0` contract.
+  /** The version that committed transaction `txn` under scope
+    * `app`, if any. Old commit records (pre-txn schema) read as txn
+    * NULL → -1, never colliding with the `txn >= 0` contract; a
+    * missing txn_app column reads as None, matching only unscoped
+    * probes. Scoping matters for STREAMING writers: two queries into
+    * one table — or one pipeline restarted under a fresh checkpoint,
+    * whose epoch ids restart at 0 — must never mistake each other's
+    * epoch tags for their own replays (the public delta design's
+    * (txnAppId, txnVersion) pair).
     */
   private def committedTxn(spark: SparkSession, path: String,
-      txn: Long): Option[Long] =
-    logRecords(spark, path).find(_.txn == txn).map(_.v)
+      txn: Long, app: Option[String] = None): Option[Long] =
+    logRecords(spark, path)
+      .find(r => r.txn == txn && r.txnApp == app).map(_.v)
 
-  /** True when a commit tagged `txn` exists — the public probe
-    * exactly-once consumers ([[graft.streaming.StoreChangeFeed]])
-    * use to recognize a replayed window whose write half already
-    * landed.
+  /** True when a commit tagged `txn` (scoped by `app` when given)
+    * exists — the public probe exactly-once consumers
+    * ([[graft.streaming.StoreChangeFeed]]) use to recognize a
+    * replayed window whose write half already landed.
     */
-  def hasTxn(spark: SparkSession, path: String, txn: Long): Boolean =
-    committedTxn(spark, path, txn).isDefined
+  def hasTxn(spark: SparkSession, path: String, txn: Long,
+      app: Option[String] = None): Boolean =
+    committedTxn(spark, path, txn, app).isDefined
 
   /** True when a store exists at `path` (its log dir is present). */
   def exists(spark: SparkSession, path: String): Boolean =

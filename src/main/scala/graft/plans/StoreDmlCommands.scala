@@ -100,8 +100,14 @@ case class StoreInsertCommand(path: String, query: LogicalPlan,
     byName: Boolean = false) extends StoreDmlCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = StoreSqlShims.ofRows(spark, query)
+    // a PARTITIONED BY table lands every insert range-clustered on
+    // its declared columns (same as the v2 write path)
+    val cluster = VersionedStore.clusterByOf(spark, path)
     def land(df: org.apache.spark.sql.DataFrame): Long =
-      if (overwrite) VersionedStore.overwrite(df, path)
+      if (overwrite)
+        VersionedStore.overwrite(df, path, clusterBy = cluster)
+      else if (cluster.nonEmpty)
+        VersionedStore.appendClustered(df, path, cluster)
       else VersionedStore.append(df, path)
     if (byName) {
       require(userCols.isEmpty, // the grammar already forbids it

@@ -17,11 +17,14 @@ import org.apache.spark.sql.{Row, SparkSession}
   * commit where the API commits once):
   *
   * {{{
-  * OPTIMIZE t                           -- compact to one group
+  * OPTIMIZE t                           -- compact (declared clustering)
   * OPTIMIZE t ZORDER BY (c1, c2)        -- z-order clustered compaction
   * VACUUM t                             -- policy/default retention
   * VACUUM t RETAIN 48 HOURS             -- age horizon
   * RESTORE t TO VERSION AS OF 3         -- one restore commit
+  * SHOW CREATE TABLE t                  -- reproducible DDL
+  * DESCRIBE DETAIL t                    -- store_describe's summary
+  * DESCRIBE HISTORY t                   -- store_history's commit log
   * }}}
   *
   * Parsed by [[GraftSqlParser]], a delegating parser
@@ -44,6 +47,12 @@ object StoreMaintenanceSql {
     """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+  private val DescDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val DescHistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
   /** A store verb with a registered name but a malformed tail —
     * falling through would surface as Spark's own "unknown syntax"
@@ -80,6 +89,18 @@ object StoreMaintenanceSql {
     case RestoreRe(name, v) =>
       storePath(name).map(p =>
         StoreRestoreCommand(p, v.toLong))
+    // observability sugar over the existing TVF surfaces — the verbs
+    // a warehouse user actually types. Over non-store names all
+    // three fall through verbatim (SHOW CREATE TABLE / DESCRIBE are
+    // real Spark statements elsewhere).
+    case ShowCreateRe(name) =>
+      storePath(name).map(p => StoreShowCreateCommand(name, p))
+    case DescDetailRe(name) =>
+      storePath(name).map(p => VersionedStore
+        .describe(SparkSession.active, p).queryExecution.analyzed)
+    case DescHistoryRe(name) =>
+      storePath(name).map(p => VersionedStore
+        .history(SparkSession.active, p).queryExecution.analyzed)
     case VerbHeadRe(verb, name)
         if storePath(name).isDefined =>
       sys.error(
@@ -92,20 +113,57 @@ object StoreMaintenanceSql {
 }
 
 /** `OPTIMIZE t [ZORDER BY (…)]` → one [[VersionedStore.compact]]
-  * commit: plain = fold to one group; ZORDER BY = z-order clustered
-  * compaction over the named columns (8 range-disjoint groups, the
-  * q357 shape). Returns the compaction's committed version.
+  * commit: ZORDER BY = z-order clustered compaction over the named
+  * columns (8 range-disjoint groups, the q357 shape); plain
+  * OPTIMIZE follows the table's DECLARED clustering (the
+  * `PARTITIONED BY` property — range for one column, z-order for
+  * several) and only a table with neither folds to one group.
+  * Returns the compaction's committed version.
   */
 case class StoreOptimizeCommand(path: String,
     zorderBy: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val cluster =
+      if (zorderBy.nonEmpty) zorderBy
+      else VersionedStore.clusterByOf(spark, path)
     val v =
-      if (zorderBy.isEmpty) VersionedStore.compact(spark, path)
-      else VersionedStore.compact(spark, path, clusterBy = zorderBy,
-        numGroups = 8, zorder = true)
+      if (cluster.isEmpty) VersionedStore.compact(spark, path)
+      else VersionedStore.compact(spark, path, clusterBy = cluster,
+        numGroups = 8, zorder = zorderBy.nonEmpty || cluster.size > 1)
     Seq(Row(v))
+  }
+}
+
+/** `SHOW CREATE TABLE t` over a store/catalog table — the
+  * reproducible DDL: declared schema, provider, the clustered
+  * layout as its PARTITIONED BY origin, and the persisted
+  * TBLPROPERTIES. One row, Spark's own `createtab_stmt` shape.
+  */
+case class StoreShowCreateCommand(name: String,
+    path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = VersionedStore.tableSchema(spark, path)
+      .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+    val cols = schema.fields.map(f =>
+      s"  `${f.name}` ${f.dataType.sql}" +
+        (if (f.nullable) "" else " NOT NULL")).mkString(",\n")
+    val cluster = VersionedStore.clusterByOf(spark, path)
+    val props = VersionedStore.propertiesOf(spark, path) -
+      VersionedStore.ClusterByProp
+    val sb = new StringBuilder
+    sb ++= s"CREATE TABLE $name (\n$cols)\nUSING graft-store"
+    if (cluster.nonEmpty)
+      sb ++= cluster.mkString("\nPARTITIONED BY (", ", ", ")")
+    if (props.nonEmpty)
+      sb ++= props.toSeq.sorted
+        .map { case (k, v) => s"  '$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
+    Seq(Row(sb.result()))
   }
 }
 

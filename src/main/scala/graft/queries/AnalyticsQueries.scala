@@ -2505,9 +2505,21 @@ object AnalyticsQueries {
     QueryDef(
       "q314_edge_stores_build",
       (s, d) => {
+        // ONE wedge join builds all three quantity slices: the base
+        // tags every edge with the highest threshold it survives
+        // (max over shared orders of least(endpoint max-quantities)),
+        // so copurch25/30/35 are FILTERS of one store instead of
+        // three self-joins — the r18 verdict's build-lane trim. The
+        // slice stores' content is bit-identical to the inline form
+        // (the oracle still gates each store's counts).
+        val baseDir = graft.StoreCache.rebuild("copurchbase", d) { p =>
+          coPurchaseBaseInline(s, d, 25)
+            .write.mode("overwrite").parquet(p)
+        }
+        val base = s.read.parquet(baseDir)
         val co = Seq(25, 30, 35).map { q =>
           val dir = graft.StoreCache.rebuild(s"copurch$q", d) { p =>
-            coPurchaseEdgesInline(s, d, q)
+            base.filter(col("maxq") >= q).select("u", "v")
               .write.mode("overwrite").parquet(p)
           }
           val e = s.read.parquet(dir)
@@ -2651,6 +2663,31 @@ object AnalyticsQueries {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+  }
+
+  /** Threshold-tagged co-purchase edge base — ONE wedge join for
+    * EVERY quantity slice at or above `floor`: per (order, part) the
+    * max quantity survives the floor filter, the wedge join tags
+    * each pair with `least` of the endpoint maxima, and the edge
+    * keeps the MAX tag over shared orders. An edge belongs to slice
+    * `t ≥ floor` iff `maxq ≥ t`, so the three copurch stores become
+    * filters of this base (each slice's content identical to its own
+    * inline self-join) and the build lane pays the wedge join once.
+    */
+  private[queries] def coPurchaseBaseInline(
+      s: org.apache.spark.sql.SparkSession,
+      d: String, floor: Int): org.apache.spark.sql.DataFrame = {
+    val li = lineitem(s, d)
+      .filter(col("l_quantity") >= floor)
+      .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .agg(max(col("l_quantity")).as("mq"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"),
+        least(col("a.mq"), col("b.mq")).as("t"))
+      .groupBy("u", "v")
+      .agg(max(col("t")).as("maxq"))
   }
 
   /** Co-purchase edges served from the per-session StoreCache: the

@@ -84,18 +84,13 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
   private def dirOf(ns: Seq[String]): Path =
     ns.foldLeft(new Path(root))((p, n) => new Path(p, n))
 
-  /** `lake.ns.t` ↔ `<root>/ns/t`; one namespace level (the store
-    * registry's `db.table` shape) — deeper nesting is rejected, not
-    * silently flattened.
+  /** `lake.a.b.t` ↔ `<root>/a/b/t` — namespaces nest arbitrarily
+    * deep as plain directories; a table is any directory with a
+    * `log/` subdir.
     */
-  private def pathOf(ident: Identifier): String = {
-    require(ident.namespace().length <= 1,
-      s"GraftStoreCatalog: `${ident}` nests " +
-        s"${ident.namespace().length} namespace levels — tables " +
-        "live at <root>/[ns/]table")
+  private def pathOf(ident: Identifier): String =
     new Path(dirOf(ident.namespace().toSeq),
       ident.name()).toString
-  }
 
   private def isStore(p: Path): Boolean =
     fs(p).exists(new Path(p, "log"))
@@ -114,7 +109,7 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace().length <= 1 && isStore(new Path(pathOf(ident)))
+    isStore(new Path(pathOf(ident)))
 
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
@@ -153,9 +148,31 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "GraftStoreCatalog: store tables take no PARTITIONED BY — " +
-        "cluster with OPTIMIZE ... ZORDER BY instead")
+    // PARTITIONED BY (c1, c2) maps onto the store's CLUSTERED
+    // layout: the identity transforms persist as the cluster-by
+    // property, every insert lands range-clustered on them with
+    // per-group zone hulls, and predicates on them prune whole
+    // groups — partition pruning without one directory per value
+    // (the reference's date-partitioned year/month/day tree,
+    // partitioner.py:7-25, served by zones instead of paths).
+    // Bucket/days/truncate transforms are refused, not approximated.
+    val clusterCols = partitions.toSeq.map {
+      case t if t.name() == "identity" &&
+          t.references().length == 1 =>
+        val fn = t.references()(0).fieldNames()
+        require(fn.length == 1,
+          "GraftStoreCatalog: PARTITIONED BY supports top-level " +
+            s"columns only, got ${fn.mkString(".")}")
+        fn(0)
+      case other => sys.error(
+        s"GraftStoreCatalog: PARTITIONED BY transform $other is " +
+          "not supported — name plain columns (identity); they " +
+          "become the store's clustered layout")
+    }
+    clusterCols.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"GraftStoreCatalog: PARTITIONED BY column `$c` is not in " +
+        "the table schema"))
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
     require(provider.forall(pv => pv.equalsIgnoreCase("graft-store") ||
       pv.equalsIgnoreCase("graft_store")),
@@ -184,8 +201,12 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
       }
       b.result()
     }
-    if (userProps.nonEmpty)
-      VersionedStore.setProperties(spark, p, userProps)
+    val withCluster =
+      if (clusterCols.isEmpty) userProps
+      else userProps + (VersionedStore.ClusterByProp ->
+        clusterCols.mkString(","))
+    if (withCluster.nonEmpty)
+      VersionedStore.setProperties(spark, p, withCluster)
     GraftStoreTable(p, None)
   }
 
@@ -235,31 +256,55 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
       case rmp: TableChange.RemoveProperty =>
         VersionedStore.setProperties(spark, p,
           VersionedStore.propertiesOf(spark, p) - rmp.property())
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "GraftStoreCatalog: ALTER COLUMN TYPE retypes top-level " +
+            s"columns only, got ${ut.fieldNames().mkString(".")}")
+        VersionedStore.retypeColumn(spark, p, ut.fieldNames()(0),
+          ut.newDataType())
       case other => sys.error(
         s"GraftStoreCatalog: unsupported ALTER TABLE change $other " +
           "— supported: ADD COLUMNS (nullable, top-level), RENAME " +
-          "COLUMN, DROP COLUMN")
+          "COLUMN, DROP COLUMN, ALTER COLUMN TYPE (widening)")
     }
     loadTable(ident)
   }
 
+  /** `ref` points into the tree rooted at `target` — compared by
+    * PATH COMPONENTS, so a sibling table whose name merely extends
+    * `target`'s (`/wh/ns/t` vs `/wh/ns/t2`) never false-positives.
+    */
+  private def refUnder(ref: String, target: String): Boolean =
+    ref == target || ref.startsWith(target + "/")
+
+  /** Tables whose LIVE groups borrow data from under `target`
+    * (zero-copy clones) — every table in the warehouse is scanned
+    * except those under `exclude` (a doomed namespace's own members
+    * may freely borrow from each other). Shared by [[dropTable]] and
+    * the cascade path of [[dropNamespace]].
+    */
+  private def cloneDependents(target: String,
+      exclude: Option[String]): Seq[Identifier] =
+    (Array.empty[String] +: allNamespaces()).flatMap { ns =>
+      listTables(ns.toArray).filter { other =>
+        val op = pathOf(other)
+        !refUnder(op, target) &&
+          exclude.forall(e => !refUnder(op, e)) &&
+          VersionedStore.foreignRefs(spark, op)
+            .exists(refUnder(_, target))
+      }
+    }.toSeq
+
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
     if (!isStore(p)) return false
-    // refuse while any sibling's LIVE groups borrow this store's
+    // refuse while any other table's LIVE groups borrow this store's
     // data (zero-copy clone): dropping the source dangles the clone
-    val target = p.toString
-    namespaces().foreach { ns =>
-      listTables(ns).foreach { other =>
-        val op = pathOf(other)
-        if (op != target && VersionedStore
-            .foreignRefs(spark, op).exists(_.startsWith(target)))
-          sys.error(
-            s"GraftStoreCatalog: cannot drop `$ident` — table " +
-              s"`$other` is cloned from it (live file-groups " +
-              "reference its data). Drop or compact the clone first")
-      }
-    }
+    cloneDependents(p.toString, None).headOption.foreach(other =>
+      sys.error(
+        s"GraftStoreCatalog: cannot drop `$ident` — table " +
+          s"`$other` is cloned from it (live file-groups " +
+          "reference its data). Drop or compact the clone first"))
     fs(p).delete(p, true)
   }
 
@@ -269,32 +314,45 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
       "path-addressed and zero-copy clones reference those paths; " +
       "CLONE to the new name and drop the old table instead")
 
-  // ---- namespaces: one directory level under the root ----
+  // ---- namespaces: the directory tree under the root, nested ----
 
-  private def namespaces(): Seq[Array[String]] = {
+  /** Every namespace in the warehouse, nested — each non-store
+    * directory under the root is one (`<root>/a/b` ↔ `lake.a.b`);
+    * store directories terminate the recursion (a table's internal
+    * dirs are not namespaces).
+    */
+  private def allNamespaces(): Seq[Array[String]] = {
     val r = new Path(root)
     val f = fs(r)
-    Array.empty[String] +: (if (!f.exists(r)) Seq.empty
-    else f.listStatus(r).toSeq
-      .filter(st => st.isDirectory && !isStore(st.getPath))
-      .map(st => Array(st.getPath.getName)))
+    def walk(d: Path, prefix: Seq[String]): Seq[Array[String]] =
+      f.listStatus(d).toSeq
+        .filter(st => st.isDirectory && !isStore(st.getPath))
+        .flatMap { st =>
+          val ns = prefix :+ st.getPath.getName
+          ns.toArray +: walk(st.getPath, ns)
+        }
+    if (!f.exists(r)) Seq.empty else walk(r, Seq.empty)
   }
 
   override def listNamespaces(): Array[Array[String]] =
-    namespaces().filter(_.nonEmpty).toArray
+    allNamespaces().filter(_.length == 1).toArray
 
   override def listNamespaces(
       namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else if (namespaceExists(namespace)) Array.empty
-    else throw new org.apache.spark.sql.catalyst.analysis
+    else if (namespaceExists(namespace)) {
+      val d = dirOf(namespace.toSeq)
+      fs(d).listStatus(d)
+        .filter(st => st.isDirectory && !isStore(st.getPath))
+        .map(st => namespace :+ st.getPath.getName)
+    } else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchNamespaceException(catalogName +: namespace.toSeq)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || (namespace.length == 1 && {
+    namespace.isEmpty || {
       val d = dirOf(namespace.toSeq)
       fs(d).exists(d) && !isStore(d)
-    })
+    }
 
   override def loadNamespaceMetadata(namespace: Array[String])
       : java.util.Map[String, String] =
@@ -305,8 +363,8 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
-    require(namespace.length == 1,
-      "GraftStoreCatalog: one namespace level (<root>/ns)")
+    require(namespace.nonEmpty,
+      "GraftStoreCatalog: empty namespace")
     val d = dirOf(namespace.toSeq)
     if (!fs(d).mkdirs(d)) sys.error(
       s"GraftStoreCatalog: cannot create namespace dir $d")
@@ -317,14 +375,36 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
         .NamespaceChange*): Unit = sys.error(
     "GraftStoreCatalog: namespaces carry no mutable metadata")
 
+  /** Tables under a namespace AND all its nested namespaces. */
+  private def tablesUnder(
+      namespace: Array[String]): Seq[Identifier] =
+    listTables(namespace).toSeq ++
+      allNamespaces().filter(ns =>
+        ns.length > namespace.length &&
+          ns.startsWith(namespace)).flatMap(ns =>
+        listTables(ns.toArray))
+
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     val d = dirOf(namespace.toSeq)
     if (!namespaceExists(namespace) || namespace.isEmpty)
       return false
-    if (!cascade && listTables(namespace).nonEmpty) sys.error(
+    val members = tablesUnder(namespace)
+    if (!cascade && members.nonEmpty) sys.error(
       s"GraftStoreCatalog: namespace ${namespace.mkString(".")} " +
         "is not empty (use CASCADE)")
+    // cascade gets the SAME clone-dependency discipline as dropTable:
+    // a table OUTSIDE the doomed namespace whose live groups borrow
+    // data from inside it would be left with dangling reads. Members
+    // borrowing from each other die together — no check needed.
+    members.foreach { t =>
+      cloneDependents(pathOf(t), Some(d.toString)).headOption
+        .foreach(other => sys.error(
+          s"GraftStoreCatalog: cannot drop namespace " +
+            s"${namespace.mkString(".")} — table `$other` outside " +
+            s"it is cloned from `$t` (live file-groups reference " +
+            "its data). Drop or compact the clone first"))
+    }
     fs(d).delete(d, true)
   }
 }
@@ -342,7 +422,7 @@ object GraftStoreCatalog {
     */
   def resolvePath(session: SparkSession,
       parts: Seq[String]): Option[String] = {
-    if (parts.length < 2 || parts.length > 3) return None
+    if (parts.length < 2) return None
     val cname = parts.head
     if (!session.conf.getOption(s"spark.sql.catalog.$cname")
         .contains(classOf[GraftStoreCatalog].getName)) return None
@@ -447,8 +527,15 @@ final case class GraftStoreTable(path: String,
           new InsertableRelation {
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
+              // a PARTITIONED BY table lands every insert
+              // range-clustered on its declared columns (per-group
+              // zone hulls → partition-pruned reads)
+              val cluster = VersionedStore.clusterByOf(spark, path)
               if (replace || overwrite)
-                VersionedStore.overwrite(data, path)
+                VersionedStore.overwrite(data, path,
+                  clusterBy = cluster)
+              else if (cluster.nonEmpty)
+                VersionedStore.appendClustered(data, path, cluster)
               else VersionedStore.append(data, path)
               ()
             }

@@ -310,9 +310,20 @@ private[streaming] final class GroupParquetReader(file: String,
 
   private def convert(g: Group, gi: Int, dt: DataType): Any =
     dt match {
-      case LongType => g.getLong(gi, 0)
+      // widening promotions mirror the batch reader's (retypeColumn:
+      // groups written before a widening retype keep their narrow
+      // physical encoding and read under the wide requested type)
+      case LongType =>
+        val pt = g.getType.getType(gi).asPrimitiveType()
+          .getPrimitiveTypeName.toString
+        if (pt == "INT32") g.getInteger(gi, 0).toLong
+        else g.getLong(gi, 0)
       case IntegerType => g.getInteger(gi, 0)
-      case DoubleType => g.getDouble(gi, 0)
+      case DoubleType =>
+        val pt = g.getType.getType(gi).asPrimitiveType()
+          .getPrimitiveTypeName.toString
+        if (pt == "FLOAT") g.getFloat(gi, 0).toDouble
+        else g.getDouble(gi, 0)
       case FloatType => g.getFloat(gi, 0)
       case BooleanType => g.getBoolean(gi, 0)
       case StringType =>
@@ -348,19 +359,27 @@ private[streaming] final class GroupParquetReader(file: String,
         }
       case d: DecimalType =>
         // Spark's three decimal encodings by precision: INT32
-        // (p<=9), INT64 (p<=18), fixed/binary big-endian unscaled
-        val pt = g.getType.getType(gi).asPrimitiveType()
-          .getPrimitiveTypeName.toString
-        pt match {
-          case "INT32" =>
-            Decimal(g.getInteger(gi, 0).toLong, d.precision, d.scale)
-          case "INT64" =>
-            Decimal(g.getLong(gi, 0), d.precision, d.scale)
+        // (p<=9), INT64 (p<=18), fixed/binary big-endian unscaled.
+        // The unscaled value is at the FILE's declared scale (which
+        // a widening retype can leave below the requested scale) —
+        // rescaling to the requested type is exact, scale only grows
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val prim = g.getType.getType(gi).asPrimitiveType()
+        val fileScale = prim.getLogicalTypeAnnotation match {
+          case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            a.getScale
+          case _ => d.scale
+        }
+        def mk(unscaled: java.math.BigInteger): Decimal =
+          Decimal(new java.math.BigDecimal(unscaled, fileScale)
+            .setScale(d.scale), d.precision, d.scale)
+        prim.getPrimitiveTypeName.toString match {
+          case "INT32" => mk(java.math.BigInteger
+            .valueOf(g.getInteger(gi, 0).toLong))
+          case "INT64" => mk(java.math.BigInteger
+            .valueOf(g.getLong(gi, 0)))
           case "FIXED_LEN_BYTE_ARRAY" | "BINARY" =>
-            val unscaled = new java.math.BigInteger(
-              g.getBinary(gi, 0).getBytes)
-            Decimal(new java.math.BigDecimal(unscaled, d.scale),
-              d.precision, d.scale)
+            mk(new java.math.BigInteger(g.getBinary(gi, 0).getBytes))
           case other => sys.error(
             s"graft-store-changes: unsupported decimal encoding " +
               s"$other")
@@ -405,16 +424,21 @@ private[streaming] final class GroupParquetReader(file: String,
 }
 
 /** The ROW feed of a store/catalog table as a streaming source —
-  * `spark.readStream.table("lake.t")` (the Delta-style shape):
-  * each micro-batch serves the rows of the APPEND commits in its
-  * version window, ZERO-COPY over the store's own group files, with
-  * offsets = store versions. A rewrite/delete/DV/schema commit is
-  * not expressible as bare rows: the stream FAILS loudly on it
-  * unless `skipChangeCommits=true` (skip those commits entirely —
-  * the public CDF vocabulary's escape hatch), and the full
+  * `spark.readStream.table("lake.t")` (the Delta-style shape): the
+  * FIRST micro-batch serves the table's CURRENT snapshot (the live
+  * group files at the version where the stream starts — vacuum-safe,
+  * where replaying the original append history would read
+  * pre-compaction files the next vacuum deletes), then each
+  * micro-batch serves the rows of the APPEND commits in its version
+  * window, ZERO-COPY over the store's own group files, with offsets
+  * = store versions. A rewrite/delete/DV/schema commit is not
+  * expressible as bare rows: the stream FAILS loudly on it unless
+  * `skipChangeCommits=true` (skip those commits entirely — the
+  * public CDF vocabulary's escape hatch), and the full
   * delete+insert feed remains `format("graft-store-changes")`.
-  * No staging, no derivation jobs: every planned window is either
-  * in-place group files or skipped.
+  * `startingVersion` opts out of the snapshot into explicit history
+  * replay (0 = from the beginning). No staging, no derivation jobs:
+  * every planned window is either in-place group files or skipped.
   */
 private[graft] final class StoreTableRowStream(path: String,
     schema: StructType, skipChangeCommits: Boolean,
@@ -424,8 +448,13 @@ private[graft] final class StoreTableRowStream(path: String,
   private val confSer = new SerializableConfiguration(
     spark.sparkContext.hadoopConfiguration)
 
+  /** -1 = "initial snapshot pending": the first planned window
+    * (-1, v] serves the live files AT v instead of a version range.
+    * Persisted through the checkpoint like any offset, so a crash
+    * before the first commit replans the same snapshot.
+    */
   override def initialOffset(): Offset =
-    StoreVersionOffset(startingVersion.getOrElse(0L))
+    StoreVersionOffset(startingVersion.getOrElse(-1L))
   override def latestOffset(): Offset =
     StoreVersionOffset(VersionedStore.latestVersion(spark, path))
   override def deserializeOffset(json: String): Offset =
@@ -444,6 +473,19 @@ private[graft] final class StoreTableRowStream(path: String,
       else f.listStatus(d).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.toString)
     }
+    if (from < 0)
+      return VersionedStore.snapshotFiles(spark, path, to) match {
+        case Some(dirs) => dirs.flatMap(filesUnder)
+          .map(f => ChangeFilePartition(f, insertTag = true)).toArray
+        case None => sys.error(
+          s"readStream.table over store at $path: the initial " +
+            "snapshot carries live deletion vectors or renamed " +
+            "columns, which a bare row feed cannot serve zero-copy " +
+            "— OPTIMIZE the table first (folds DVs), or stream " +
+            "format(\"graft-store-changes\") for the full change " +
+            "feed, or set startingVersion for explicit history " +
+            "replay")
+      }
     // per-VERSION decomposition (not per-window): a window mixing
     // an append and a rewrite must still serve the append and skip
     // only the rewrite

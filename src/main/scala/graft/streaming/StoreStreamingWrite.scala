@@ -19,21 +19,28 @@ import org.apache.spark.util.SerializableConfiguration
   *  - executors stage each task's rows as parquet under
   *    `<store>/data/.stream-stage/<queryId>/<epoch>/` (the commit
   *    log never names staged files, so readers cannot see them and
-  *    a crashed task leaves invisible litter);
+  *    a crashed task leaves invisible litter). Staged columns carry
+  *    the store's PHYSICAL names (the driver resolves the column
+  *    mapping at query start), uniform with batch-written groups —
+  *    so rename-mapped tables stream without copying, and physical
+  *    names never change, so even a rename landing MID-STREAM
+  *    leaves the staged bytes correct;
   *  - the driver's per-epoch `commit` ADOPTS the staged files as
-  *    ONE txn-tagged store commit (txn = epochId —
-  *    [[VersionedStore.adoptStreamEpoch]]: claim fid, move files
-  *    into the group dir, schema gate + constraints + stats/zone/
-  *    bloom discipline, one log record). A post-crash replay of the
-  *    same epoch finds the committed txn and is a NO-OP — the same
-  *    idempotence [[VersionedStoreSink]]'s foreachBatch form rides,
-  *    now behind `writeStream.toTable` instead of a custom helper.
+  *    ONE txn-tagged store commit (txn = epochId SCOPED BY the
+  *    streaming queryId — [[VersionedStore.adoptStreamEpoch]]:
+  *    claim fid, move files into the group dir, schema gate +
+  *    constraints + stats/zone/bloom discipline, one log record).
+  *    A post-crash replay of the same epoch finds the committed
+  *    (queryId, epochId) txn and is a NO-OP, while a SECOND query
+  *    into the same table — or this pipeline restarted under a
+  *    fresh checkpoint, whose epoch ids restart at 0 — commits its
+  *    own epochs instead of mistaking the old tags for replays
+  *    (the public delta (txnAppId, txnVersion) idempotence scope).
   *
   * Scale shape: rows never visit the driver — each task writes its
   * own staged file, and the driver move is O(files) renames plus
   * one stats pass over the new group only. Single-writer per store
-  * path, as everywhere (epoch ids from two checkpoints would
-  * collide on txn).
+  * path, as everywhere.
   *
   * The executor writer mirrors [[GroupParquetReader]] (parquet-
   * hadoop Group API, no SparkSession on executors): primitives,
@@ -47,9 +54,21 @@ final class StoreStreamingWrite(path: String, schema: StructType,
   private def spark = SparkSession.active
   private def stagingRoot = s"$path/data/.stream-stage/$queryId"
 
+  /** The staged (physical-name) schema: logical stream columns
+    * re-pointed through the store's live column mapping, resolved
+    * ONCE on the driver. Physical names are write-once, so this
+    * stays correct for the life of the query.
+    */
+  private val physSchema: StructType = {
+    val m = VersionedStore.columnMapping(spark, path)
+    if (m.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = m.getOrElse(f.name, f.name))))
+  }
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new StoreStreamWriterFactory(stagingRoot, schema, conf)
+    new StoreStreamWriterFactory(stagingRoot, physSchema, conf)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -57,7 +76,7 @@ final class StoreStreamingWrite(path: String, schema: StructType,
       case m: StagedFilesMessage => m.files
     }.flatten.toSeq
     VersionedStore.adoptStreamEpoch(spark, path, staged,
-      txn = epochId)
+      txn = epochId, app = queryId)
     // the epoch's staging dir is spent either way (adopted, or a
     // replayed no-op whose re-staged files must not accumulate)
     val f = FileSystem.get(new Path(path).toUri, conf.value)

@@ -101,6 +101,45 @@ class StoreMaintenanceSqlSpec extends AnyFunSuite with SparkFixture
     }
   }
 
+  test("SHOW CREATE TABLE / DESCRIBE DETAIL / DESCRIBE HISTORY " +
+      "over a registered store serve the DDL and the TVF surfaces; " +
+      "the verbs over other names fall through to Spark") {
+    val p = mk("maint_ddl")
+    VersionedStore.setProperties(spark, p,
+      Map("retention.ms" -> "86400000"))
+    val stmt = spark.sql("SHOW CREATE TABLE maint_ddl")
+      .head.getString(0)
+    stmt should include("CREATE TABLE maint_ddl")
+    stmt should include("`id` BIGINT")
+    stmt should include("`g` BIGINT")
+    stmt should include("USING graft-store")
+    stmt should include("'retention.ms' = '86400000'")
+    stmt should not include "PARTITIONED BY" // none declared
+    // DESCRIBE DETAIL = store_describe's one-row summary
+    val detail = spark.sql("DESCRIBE DETAIL maint_ddl")
+    detail.columns.toSeq should contain allOf
+      ("latest_version", "n_live_groups", "n_rows")
+    detail.head.getAs[Long]("n_rows") shouldBe 30L
+    detail.collect() shouldBe
+      spark.sql("SELECT * FROM store_describe('maint_ddl')").collect()
+    // DESCRIBE HISTORY = store_history's commit log
+    val hist = spark.sql("DESCRIBE HISTORY maint_ddl")
+    hist.count() shouldBe
+      spark.sql("SELECT count(*) FROM store_history('maint_ddl')")
+        .head.getLong(0)
+    hist.columns should contain("version")
+    // over a non-store name the verbs reach Spark's own parser
+    intercept[Exception] {
+      spark.sql("DESCRIBE DETAIL not_a_registered_store")
+    }
+    intercept[Exception] {
+      spark.sql("SHOW CREATE TABLE not_a_registered_store")
+    }
+    // plain DESCRIBE of ordinary relations is untouched
+    spark.sql("SELECT 1 AS one").createOrReplaceTempView("plain_v")
+    spark.sql("DESCRIBE plain_v").count() should be >= 1L
+  }
+
   test("a malformed verb over a REGISTERED name fails loudly with " +
       "the supported grammar, not a confusing catalog error") {
     mk("maint_mal")

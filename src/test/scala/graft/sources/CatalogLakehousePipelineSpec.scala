@@ -113,15 +113,16 @@ class CatalogLakehousePipelineSpec extends AnyFunSuite
       .start()
     try {
       val t0 = System.currentTimeMillis()
-      // appends v2+v3 flow; the merge/compaction commits skip
-      while (spark.table("plake_tail").count() < 60L &&
+      // the fresh tail's first batch is the CURRENT snapshot (61
+      // live rows — vacuum-safe, no history replay), then appends
+      while (spark.table("plake_tail").count() < 61L &&
         System.currentTimeMillis() - t0 < 60000) Thread.sleep(100)
-      spark.table("plake_tail").count() shouldBe 60L
+      spark.table("plake_tail").count() shouldBe 61L
       spark.sql("INSERT INTO plake.events VALUES (901, 'fresh', 9)")
       val t1 = System.currentTimeMillis()
-      while (spark.table("plake_tail").count() < 61L &&
+      while (spark.table("plake_tail").count() < 62L &&
         System.currentTimeMillis() - t1 < 60000) Thread.sleep(100)
-      spark.table("plake_tail").count() shouldBe 61L
+      spark.table("plake_tail").count() shouldBe 62L
     } finally if (tail.isActive) tail.stop()
 
     // 8. teardown through the catalog

@@ -196,6 +196,26 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
     intercept[Exception] { // retired names never return
       spark.sql("ALTER TABLE glake.alt ADD COLUMNS (score BIGINT)")
     }.getMessage should include("never carried")
+    // widening ALTER COLUMN TYPE is one metadata commit; narrowing
+    // and cross-family stay loud
+    spark.sql("CREATE TABLE glake.rt (k INT, f FLOAT) " +
+      "USING `graft-store`")
+    spark.sql("INSERT INTO glake.rt VALUES (1, CAST(1.5 AS FLOAT))")
+    val vPre = VersionedStore.latestVersion(spark, s"$root/rt")
+    spark.sql("ALTER TABLE glake.rt ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE glake.rt ALTER COLUMN f TYPE DOUBLE")
+    VersionedStore.latestVersion(spark, s"$root/rt") shouldBe vPre + 2
+    val r = spark.table("glake.rt").head
+    r.getLong(0) shouldBe 1L
+    r.getDouble(1) shouldBe 1.5d
+    spark.sql("INSERT INTO glake.rt VALUES (3000000000, 2.5)")
+    spark.sql("SELECT max(k) FROM glake.rt").head.getLong(0)
+      .shouldBe(3000000000L)
+    // narrowing is rejected before the catalog even sees it —
+    // Spark's own v2 analyzer enforces upcast-only column changes
+    intercept[Exception] {
+      spark.sql("ALTER TABLE glake.rt ALTER COLUMN k TYPE INT")
+    }.getMessage should include("NOT_SUPPORTED_CHANGE_COLUMN")
   }
 
   test("row-level SQL DML, maintenance verbs, and TVFs accept " +
@@ -287,8 +307,9 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
       q.exception.isDefined shouldBe true
       q.exception.get.getMessage should include("skipChangeCommits")
     } finally if (q.isActive) q.stop()
-    // skipChangeCommits: the delete commit is skipped entirely;
-    // appends before and after it flow
+    // a FRESH stream starts from the CURRENT snapshot (vacuum-safe —
+    // and the deleted row must NOT resurrect through history
+    // replay): first batch = live rows {2, 3}, then new appends flow
     val q2 = spark.readStream
       .option("skipChangeCommits", "true").table("glake.rs")
       .writeStream.format("memory").queryName("cat_rows2")
@@ -297,12 +318,29 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
         .ProcessingTime(100L))
       .start()
     try {
-      poll("cat_rows2", 3L) // v2 (2 rows) + v3 (1) + v4 skipped
+      poll("cat_rows2", 2L) // the post-DELETE live snapshot
       spark.sql("INSERT INTO glake.rs VALUES (4, 'd')")
-      poll("cat_rows2", 4L)
+      poll("cat_rows2", 3L)
       spark.table("cat_rows2").select("id").collect()
-        .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+        .map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L, 3L, 4L)
     } finally if (q2.isActive) q2.stop()
+    // startingVersion = explicit history replay (the old default,
+    // now opt-in): every append commit streams, the delete commit
+    // is skipped — the deleted row DOES appear (that is what
+    // replaying history means)
+    val q3 = spark.readStream
+      .option("skipChangeCommits", "true")
+      .option("startingVersion", "0").table("glake.rs")
+      .writeStream.format("memory").queryName("cat_rows3")
+      .option("checkpointLocation", s"$ck/c3")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try {
+      poll("cat_rows3", 4L) // v2 (2) + v3 (1) + v4 skipped + v5 (1)
+      spark.table("cat_rows3").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    } finally if (q3.isActive) q3.stop()
   }
 
   test("df.writeStream.toTable is exactly-once into the commit " +
@@ -397,6 +435,64 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
       .collect().map(_.toSeq)
       .sortBy(_.head.asInstanceOf[Long]).toSeq
     canon(spark.table("glake.wsr")) shouldBe canon(src)
+  }
+
+  test("writeStream.toTable survives ALTER TABLE RENAME COLUMN: " +
+      "epochs stage under PHYSICAL names, batch reads and the CDC " +
+      "feed bind through the mapping") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE glake.rn (id BIGINT, body STRING) " +
+      "USING `graft-store`")
+    spark.sql("INSERT INTO glake.rn VALUES (1, 'pre')")
+    spark.sql("ALTER TABLE glake.rn RENAME COLUMN body TO txt")
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-rn-in").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-rn-ck").toString
+    Seq((2L, "post")).toDF("id", "txt")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q = spark.readStream.schema("id BIGINT, txt STRING")
+      .parquet(in)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("glake.rn")
+    q.awaitTermination(60000) shouldBe true
+    // batch read binds both groups through the mapping
+    spark.table("glake.rn").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq shouldBe Seq((1L, "pre"), (2L, "post"))
+    // the streamed group's FILES carry the physical name — uniform
+    // with the pre-rename group (that is what makes the adopt a
+    // zero-copy rename)
+    val latest = VersionedStore.latestVersion(spark, s"$root/rn")
+    val feed = VersionedStore.changes(spark, s"$root/rn",
+      latest - 1, latest)
+    feed.columns should contain("txt")
+    feed.filter(col("_change") === "insert").select("id", "txt")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq shouldBe Seq((2L, "post"))
+    // a SECOND rename, then another epoch from a fresh query under
+    // the new logical name: both stage onto the SAME physical
+    // lineage (physical names never change)
+    spark.sql("ALTER TABLE glake.rn RENAME COLUMN txt TO content")
+    val in2 = java.nio.file.Files
+      .createTempDirectory("graft-rn-in2").toString
+    Seq((3L, "again")).toDF("id", "content")
+      .coalesce(1).write.mode("append").parquet(in2)
+    val q2 = spark.readStream.schema("id BIGINT, content STRING")
+      .parquet(in2)
+      .writeStream.option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-rn-ck2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("glake.rn")
+    q2.awaitTermination(60000) shouldBe true
+    spark.table("glake.rn").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "pre"), (2L, "post"), (3L, "again"))
+    spark.table("glake.rn").columns.toSeq shouldBe
+      Seq("id", "content")
   }
 
   test("time travel through the catalog's versioned loadTable: " +
