@@ -1591,7 +1591,21 @@ object VersionedStore {
       scanSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val dirs = groupDirs(spark, path, fids)
     val zones = groupZones(spark, path)
-    if (fids.forall(fid => zones.getOrElse(fid, Nil).isEmpty))
+    // the legacy single-numeric stat (statsCol) is a one-column "l"
+    // hull — fold it in so stat-armed-but-zone-less stores (the
+    // older discipline) prune identically. Zones win on a name
+    // collision (they are the newer, typed record).
+    val stats = groupStats(spark, path)
+    def hulls(fid: Long): Seq[ColZone] = {
+      val z = zones.getOrElse(fid, Nil)
+      stats.get(fid) match {
+        case Some((c, lo, hi))
+            if !z.exists(_.c.equalsIgnoreCase(c)) =>
+          z :+ ColZone(c, "l", lo.toString, hi.toString)
+        case _ => z
+      }
+    }
+    if (fids.forall(fid => hulls(fid).isEmpty))
       return spark.read.schema(scanSchema).parquet(dirs: _*)
     val conf = spark.sparkContext.hadoopConfiguration
     val groups = fids.zip(dirs).map { case (fid, dir) =>
@@ -1602,7 +1616,7 @@ object VersionedStore {
         else f.listStatus(d).toSeq.filter(st =>
           st.isFile && st.getPath.getName.endsWith(".parquet"))
       graft.sources.GroupZoneFileIndex.GroupFiles(dir, files,
-        zones.getOrElse(fid, Nil))
+        hulls(fid))
     }
     graft.sources.GroupZoneFileIndex.scan(spark, groups, scanSchema)
   }
