@@ -2366,6 +2366,69 @@ object VersionedStore {
         withFidOf(spark, path, winFids).filter(pred).isEmpty)))
   }
 
+  /** Atomic REPLACE WHERE — the partition-overwrite semantic (the
+    * public Delta `replaceWhere`; the reference's idempotent
+    * re-ingest of a dated partition, reference: partitioner.py:7-25,
+    * where re-running a day must replace that day, not duplicate
+    * it): in ONE commit every live row matching `pred` is deleted
+    * and `df`'s rows land. `df` is REQUIRED to satisfy `pred`
+    * row-for-row — a batch straying outside the replaced region is
+    * a bug surfaced loudly, never an implicit widening. Affected
+    * groups rewrite keeping only non-matching rows (DV-applied);
+    * untouched groups are carried by reference; the new batch lands
+    * range-clustered when the table declares clustering (so a
+    * day-partitioned table's replaced day stays one prunable
+    * group). Readers serve the old region or the new one, never a
+    * mixture; time travel below the returned version serves the
+    * old. Concurrency: the same detection guard as [[deleteWhere]]
+    * — non-matching concurrent appends rebase (both land), matching
+    * appends and structural winners abort.
+    */
+  def replaceWhere(df: DataFrame, path: String, pred: Column,
+      clusterBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    requireCols(df, "replaceWhere", clusterBy)
+    checkSchema(df, path, "replaceWhere", canEvolve = false)
+    validate(df, path)
+    val stray = df.filter(!coalesce(pred, lit(false))).limit(1)
+    if (stray.count() > 0) sys.error(
+      s"VersionedStore.replaceWhere at $path: the batch carries " +
+        "row(s) NOT matching the replace predicate — rows may only " +
+        "land inside the region they replace (row sample: " +
+        s"${stray.head.toString.take(200)})")
+    val v = latestVersion(spark, path)
+    val scanFids = liveFids(spark, path, v)
+    val statsCol = storeStatsCol(spark, path)
+    val propag = storePropagation(spark, path)
+    val affected: Seq[Long] =
+      if (scanFids.isEmpty) Nil
+      else applyDvs(spark, path, v, withFidOf(spark, path, scanFids))
+        .filter(pred).select("_vs_fid")
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val rewriteAdds =
+      if (affected.isEmpty) Seq.empty[GroupAdd]
+      else {
+        val fidOf = affected.zip(
+          claimFids(spark, path, affected.length))
+        val kept = applyDvs(spark, path, v,
+          withFidOf(spark, path, affected))
+          .filter(!coalesce(pred, lit(false)))
+        rewriteGroups(spark, path, kept, fidOf, statsCol,
+          propag._1, propag._2)
+      }
+    val newAdds =
+      if (clusterBy.nonEmpty)
+        clusteredAdds(df, path, clusterBy, 64, statsCol)
+      else {
+        val Seq(fid) = claimFids(spark, path, 1)
+        Seq(writeGroup(df, path, fid, statsCol, propag._1,
+          propag._2))
+      }
+    commit(spark, path, rewriteAdds ++ newAdds, affected,
+      guard = Some((v, winFids =>
+        withFidOf(spark, path, winFids).filter(pred).isEmpty)))
+  }
+
   /** Copy-on-write UPDATE — the predicate form of DML the keyed
     * [[merge]] cannot express (`merge` upserts BY KEY from a batch;
     * this transforms rows IN PLACE by predicate): rewrite only the

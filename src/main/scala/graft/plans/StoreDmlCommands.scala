@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute,
   AttributeReference, Cast, EvalMode, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.StoreSqlShims
 import org.apache.spark.sql.types.{LongType, StructType}
 
@@ -182,6 +182,114 @@ case class StoreInsertCommand(path: String, query: LogicalPlan,
       }
     val typed = StoreDml.ansiAlign(aligned, tgt, path, "INSERT INTO")
     Seq(Row(land(typed)))
+  }
+}
+
+/** `INSERT [OVERWRITE] <store table> PARTITION (c1=v1[, …]) <query>`
+  * — the STATIC partition spec over a store table. The spec columns
+  * are filled with the literal values (standard Spark semantics:
+  * the query supplies the remaining columns by position), and:
+  *
+  *  - OVERWRITE → ONE atomic [[VersionedStore.replaceWhere]] commit:
+  *    exactly the rows matching the spec are deleted and the batch
+  *    lands — the reference's idempotent dated-partition re-ingest
+  *    (re-running a day replaces that day, never duplicates it);
+  *  - plain INSERT → an append of the spec-filled batch (clustered
+  *    when the table declares clustering).
+  *
+  * Dynamic specs (`PARTITION (c1)` with no value) are refused
+  * loudly — spell dynamic overwrite as
+  * `df.writeTo(t).overwritePartitions()`.
+  */
+case class StoreReplacePartitionCommand(path: String,
+    query: LogicalPlan, spec: Seq[(String, String)],
+    overwrite: Boolean) extends StoreDmlCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = StoreSqlShims.ofRows(spark, query)
+    val tgt = VersionedStore.tableSchema(spark, path).getOrElse(
+      sys.error(s"INSERT ... PARTITION into store table at $path: " +
+        "the table has no schema yet — declare or insert plainly " +
+        "first"))
+    val specMap = spec.toMap
+    spec.foreach { case (c, _) =>
+      require(tgt.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"INSERT ... PARTITION into store table at $path: unknown " +
+          s"partition column `$c`")
+    }
+    val rest = tgt.fields.filterNot(f =>
+      specMap.keys.exists(_.equalsIgnoreCase(f.name)))
+    require(src.columns.length == rest.length,
+      s"INSERT ... PARTITION into store table at $path: query " +
+        s"produces ${src.columns.length} columns, table needs " +
+        s"${rest.length} beyond the partition spec")
+    val named = src.toDF(rest.map(_.name).toIndexedSeq: _*)
+    val full = named.select(tgt.fields.map { f =>
+      specMap.collectFirst {
+        case (c, v) if c.equalsIgnoreCase(f.name) =>
+          lit(v).cast(f.dataType).as(f.name)
+      }.getOrElse(col(f.name))
+    }.toIndexedSeq: _*)
+    val typed = StoreDml.ansiAlign(full, tgt, path,
+      "INSERT ... PARTITION into")
+    val cluster = VersionedStore.clusterByOf(spark, path)
+    val v =
+      if (overwrite) {
+        val pred = spec.map { case (c, lv) =>
+          val f = tgt.fields.find(_.name.equalsIgnoreCase(c)).get
+          col(f.name) === lit(lv).cast(f.dataType)
+        }.reduce(_ && _)
+        VersionedStore.replaceWhere(typed, path, pred,
+          clusterBy = cluster)
+      } else if (cluster.nonEmpty)
+        VersionedStore.appendClustered(typed, path, cluster)
+      else VersionedStore.append(typed, path)
+    Seq(Row(v))
+  }
+}
+
+/** `df.writeTo(t).overwritePartitions()` — DYNAMIC partition
+  * overwrite over a clustered store table: replace exactly the
+  * clustered keys PRESENT in the batch, as ONE
+  * [[VersionedStore.replaceWhere]] commit (Spark ships no V1Write
+  * fallback for this node, so the analyzer routes it here). The
+  * batch aligns BY NAME (the writeTo contract); the key list is
+  * driver-bounded — a batch spraying over 1000 distinct keys should
+  * spell its region as `overwrite(condition)` instead.
+  */
+case class StoreDynamicOverwriteCommand(path: String,
+    query: LogicalPlan) extends StoreDmlCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = StoreSqlShims.ofRows(spark, query)
+    val tgt = VersionedStore.tableSchema(spark, path).getOrElse(
+      sys.error(s"overwritePartitions into store table at $path: " +
+        "the table has no schema yet"))
+    val cluster = VersionedStore.clusterByOf(spark, path)
+    require(cluster.nonEmpty,
+      s"overwritePartitions into store table at $path: dynamic " +
+        "partition overwrite needs a PARTITIONED BY table — use " +
+        "overwrite(condition) or a plain append")
+    def srcCol(f: String): Option[String] =
+      src.columns.find(_.equalsIgnoreCase(f))
+    val missing = tgt.fieldNames.filter(srcCol(_).isEmpty)
+    require(missing.isEmpty,
+      s"overwritePartitions into store table at $path: the batch " +
+        s"is missing column(s) ${missing.mkString(", ")}")
+    val aligned = src.select(tgt.fields.map(f =>
+      col(srcCol(f.name).get).as(f.name)).toIndexedSeq: _*)
+    val typed = StoreDml.ansiAlign(aligned, tgt, path,
+      "overwritePartitions into")
+    val keys = typed.select(cluster.map(col): _*)
+      .distinct().limit(1001).collect()
+    require(keys.length <= 1000,
+      s"overwritePartitions into store table at $path: the batch " +
+        "carries over 1000 distinct partition keys — spell the " +
+        "region as overwrite(condition)")
+    val pred = keys.map(k => cluster.zipWithIndex.map {
+      case (c, i) => col(c) <=> lit(k.get(i))
+    }.reduce(_ && _)).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    Seq(Row(VersionedStore.replaceWhere(typed, path, pred,
+      clusterBy = cluster)))
   }
 }
 

@@ -264,13 +264,39 @@ class StoreTimeTravelRule(session: SparkSession)
       case InsertIntoStatement(t, partSpec, userCols, query,
           overwrite, ifPartitionNotExists, byName)
           if pathOf(t).isDefined =>
-        if (partSpec.nonEmpty) sys.error(
-          "INSERT into a store table takes no PARTITION spec — the " +
-            "store has no partition columns (zones/z-order cluster " +
-            "instead)")
         val _ = ifPartitionNotExists
-        StoreInsertCommand(pathOf(t).get, query, userCols,
+        if (partSpec.nonEmpty) {
+          // STATIC spec only: every partition column carries a
+          // literal. OVERWRITE replaces exactly that region as one
+          // replaceWhere commit; plain INSERT appends the
+          // spec-filled batch. A dynamic spec is refused, not
+          // guessed (dynamic overwrite is
+          // df.writeTo(t).overwritePartitions()).
+          val dyn = partSpec.collect {
+            case (c, None) => c
+          }
+          if (dyn.nonEmpty) sys.error(
+            "INSERT ... PARTITION over a store table: dynamic " +
+              s"partition column(s) ${dyn.mkString(", ")} carry no " +
+              "value — use a static spec (c = value), or " +
+              "df.writeTo(t).overwritePartitions() for dynamic " +
+              "overwrite")
+          require(userCols.isEmpty && !byName,
+            "INSERT ... PARTITION over a store table takes no " +
+              "column list / BY NAME (the spec fixes the partition " +
+              "columns; the query supplies the rest by position)")
+          StoreReplacePartitionCommand(pathOf(t).get, query,
+            partSpec.toSeq.map { case (c, v) => (c, v.get) },
+            overwrite = overwrite)
+        } else StoreInsertCommand(pathOf(t).get, query, userCols,
           overwrite = overwrite, byName = byName)
+      // df.writeTo(t).overwritePartitions(): Spark has no V1Write
+      // fallback for dynamic overwrite, so the resolved node routes
+      // here instead — replace exactly the clustered keys present
+      // in the batch, one replaceWhere commit
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic if pathOf(o.table).isDefined =>
+        StoreDynamicOverwriteCommand(pathOf(o.table).get, o.query)
       case DeleteFromTable(t, cond) if pathOf(t).isDefined =>
         // an absent WHERE arrives as a literal TRUE from the parser
         val real = Option(cond).filterNot(

@@ -39,7 +39,7 @@ object Lanes {
     "q359_cdc_update_images", "q360_rename_evolution",
     "q361_drop_evolution", "q362_sql_dml",
     "q364_sql_merge_general", "q365_partitioned_catalog",
-    "q366_retype_widening",
+    "q366_retype_widening", "q367_replace_partition",
     // training gates (hand-tagged: Lloyd iterations ARE the cost)
     "q309_pq_trained_recall", "q317_ivf_trained_cells",
     "q319_heldout_trained_cells", "q348_heldout_trained_pq")

@@ -2717,7 +2717,66 @@ object ScaleQueries {
              |    ELSE n_chars + 3000000000 END) AS BIGINT) AS nc_max,
              |  true AS narrow_v1,
              |  CAST(3 AS BIGINT) AS final_v
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Atomic REPLACE WHERE — the idempotent dated-partition
+    // re-ingest (the reference's own ingest loop: re-running a day
+    // must replace that day, reference: partitioner.py:7-25 +
+    // dags/ingest_bundesliga_match_scores.py's copy-into-dated-
+    // partition): a year-partitioned catalog table takes its 1994
+    // region twice via INSERT OVERWRITE ... PARTITION — the second
+    // load replaces the first (no duplicates), other years'
+    // groups are untouched, and the whole replace is ONE commit
+    // (final_v pins create + full insert + 2 replaces = 4). The
+    // oracle recomputes the final content: non-1994 rows original,
+    // 1994 rows the re-ingested (boosted) batch.
+    QueryDef(
+      "q367_replace_partition",
+      (s, d) => {
+        val root = graft.StoreCache.rebuild("rpwh", d) { p =>
+          val f = new org.apache.hadoop.fs.Path(p).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          f.delete(new org.apache.hadoop.fs.Path(p), true)
+          f.mkdirs(new org.apache.hadoop.fs.Path(p))
+          ()
+        }
+        s.conf.set("spark.sql.catalog.q367lake",
+          "graft.sources.GraftStoreCatalog")
+        s.conf.set("spark.sql.catalog.q367lake.root", root)
+        lineitem(s, d).createOrReplaceTempView("q367_li")
+        s.sql("CREATE TABLE q367lake.ev (qty BIGINT, fl STRING, " +
+          "yr BIGINT) USING `graft-store` PARTITIONED BY (yr)")
+        s.sql("""INSERT INTO q367lake.ev
+          SELECT CAST(l_quantity AS BIGINT),
+            l_returnflag, CAST(year(l_shipdate) AS BIGINT)
+          FROM q367_li""")
+        def reload(boost: Int): Unit = {
+          s.sql(s"""INSERT OVERWRITE q367lake.ev PARTITION (yr = 1994)
+            SELECT CAST(l_quantity AS BIGINT) + $boost, l_returnflag
+            FROM q367_li WHERE year(l_shipdate) = 1994""")
+          ()
+        }
+        reload(50) // first dated re-ingest
+        reload(100) // the IDEMPOTENT re-run: replaces, never dupes
+        val finalV = graft.operators.VersionedStore.latestVersion(
+          s, s"$root/ev")
+        s.sql("""SELECT fl, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(qty) AS BIGINT) AS qty_sum
+          FROM q367lake.ev GROUP BY fl""")
+          .withColumn("final_v", lit(finalV))
+          .orderBy("fl")
+      },
+      Some("""WITH cur AS (
+             |  SELECT l_returnflag AS fl,
+             |    CASE WHEN year(l_shipdate) = 1994
+             |      THEN CAST(l_quantity AS BIGINT) + 100
+             |      ELSE CAST(l_quantity AS BIGINT) END AS qty
+             |  FROM lineitem
+             |)
+             |SELECT fl, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(qty) AS BIGINT) AS qty_sum,
+             |  CAST(4 AS BIGINT) AS final_v
+             |FROM cur GROUP BY fl ORDER BY fl""".stripMargin))
   )
 
   /** Build (or reuse — per-JVM StoreCache) the versioned documents

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation,
   InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -445,6 +446,42 @@ object GraftStoreCatalog {
   * store commit with the full write discipline, for every v2 write
   * path (INSERT / INSERT OVERWRITE / writeTo.append / CTAS).
   */
+object GraftStoreTable {
+  /** v1 [[org.apache.spark.sql.sources.Filter]] → [[Column]] for the
+    * conditional-overwrite region — exact translations only; an
+    * untranslatable shape is refused loudly (an over-broad region
+    * would silently delete rows, an under-broad one would duplicate).
+    */
+  private[sources] def filterToColumn(path: String,
+      f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(l, r) =>
+        filterToColumn(path, l) && filterToColumn(path, r)
+      case Or(l, r) =>
+        filterToColumn(path, l) || filterToColumn(path, r)
+      case Not(c) => not(filterToColumn(path, c))
+      case AlwaysTrue => lit(true)
+      case AlwaysFalse => lit(false)
+      case other => sys.error(
+        s"GraftStoreTable: overwrite condition $other over the " +
+          s"store at $path cannot be translated exactly — use a " +
+          "comparison/IN/AND/OR/NOT condition over table columns")
+    }
+  }
+}
+
 final case class GraftStoreTable(path: String,
     pinnedVersion: Option[Long]) extends Table
     with SupportsRead with SupportsWrite {
@@ -470,7 +507,8 @@ final case class GraftStoreTable(path: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** DESCRIBE EXTENDED / SHOW TBLPROPERTIES serve the store's own
     * persisted properties (retention policy, owner — the state that
@@ -517,11 +555,38 @@ final case class GraftStoreTable(path: String,
 
   override def newWriteBuilder(
       info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write
+          .SupportsDynamicOverwrite {
       require(pinnedVersion.isEmpty,
         "GraftStoreTable: cannot write to a time-travel snapshot")
       private var replace = false
+      /** A conditional overwrite region (`writeTo(...).overwrite(c)`
+        * / `INSERT OVERWRITE` with a static PARTITION spec routed by
+        * Spark's v2 resolution) — one atomic
+        * [[VersionedStore.replaceWhere]] commit.
+        */
+      private var replaceCond: Option[
+        org.apache.spark.sql.Column] = None
+      /** Dynamic partition overwrite: replace exactly the clustered
+        * keys PRESENT in the batch.
+        */
+      private var dynamic = false
       override def truncate(): WriteBuilder = { replace = true; this }
+      override def overwrite(filters: Array[
+          org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(
+          _ == org.apache.spark.sql.sources.AlwaysTrue)) {
+          replace = true
+        } else replaceCond = Some(filters.map(
+          GraftStoreTable.filterToColumn(path, _)).reduce(_ && _))
+        this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -531,12 +596,41 @@ final case class GraftStoreTable(path: String,
               // range-clustered on its declared columns (per-group
               // zone hulls → partition-pruned reads)
               val cluster = VersionedStore.clusterByOf(spark, path)
-              if (replace || overwrite)
-                VersionedStore.overwrite(data, path,
+              if (dynamic) {
+                // replace exactly the clustered keys in the batch —
+                // the INSERT OVERWRITE semantic of a partitioned
+                // table under dynamic partition mode. The key list
+                // is driver-bounded: a batch spraying thousands of
+                // keys should use a conditional overwrite instead.
+                require(cluster.nonEmpty,
+                  "GraftStoreTable: dynamic partition overwrite " +
+                    "needs a PARTITIONED BY table (no clustered " +
+                    "columns declared)")
+                val keys = data.select(cluster.map(col): _*)
+                  .distinct().limit(1001).collect()
+                require(keys.length <= 1000,
+                  "GraftStoreTable: dynamic partition overwrite " +
+                    "batch carries over 1000 distinct partition " +
+                    "keys — use writeTo(...).overwrite(condition)")
+                val pred = keys.map(k => cluster.zipWithIndex.map {
+                  case (c, i) => col(c) <=> lit(k.get(i))
+                }.reduce(_ && _)).reduceOption(_ || _)
+                  .getOrElse(lit(false))
+                VersionedStore.replaceWhere(data, path, pred,
                   clusterBy = cluster)
-              else if (cluster.nonEmpty)
-                VersionedStore.appendClustered(data, path, cluster)
-              else VersionedStore.append(data, path)
+              } else replaceCond match {
+                case Some(c) =>
+                  VersionedStore.replaceWhere(data, path, c,
+                    clusterBy = cluster)
+                case None =>
+                  if (replace || overwrite)
+                    VersionedStore.overwrite(data, path,
+                      clusterBy = cluster)
+                  else if (cluster.nonEmpty)
+                    VersionedStore.appendClustered(data, path,
+                      cluster)
+                  else VersionedStore.append(data, path)
+              }
               ()
             }
           }

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkFixture
 import graft.operators.VersionedStore
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -144,6 +145,64 @@ class PartitionedCatalogSpec extends AnyFunSuite with SparkFixture
     spark.sql("DROP NAMESPACE plat.a CASCADE")
     spark.sql("SHOW NAMESPACES IN plat").collect()
       .map(_.getString(0)) should not contain "a"
+  }
+
+  test("INSERT OVERWRITE ... PARTITION replaces exactly that " +
+      "region in ONE commit (idempotent re-ingest); writeTo " +
+      "overwrite(cond) and overwritePartitions ride the same " +
+      "replaceWhere; stray rows are refused") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE plat.rw (id BIGINT, day BIGINT) " +
+      "USING `graft-store` PARTITIONED BY (day)")
+    val p = s"$root/rw"
+    spark.sql("INSERT INTO plat.rw VALUES " +
+      (0 until 30).map(i => s"($i, ${i % 3})").mkString(", "))
+    val v0 = VersionedStore.latestVersion(spark, p)
+    // static partition overwrite: day 1 replaced, days 0/2 untouched
+    spark.sql("INSERT OVERWRITE plat.rw PARTITION (day = 1) " +
+      "VALUES (100), (101)")
+    VersionedStore.latestVersion(spark, p) shouldBe v0 + 1 // ONE commit
+    spark.sql("SELECT day, count(*) AS n FROM plat.rw GROUP BY day")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 10L, 1L -> 2L, 2L -> 10L)
+    // idempotent: re-running the same load replaces, never duplicates
+    spark.sql("INSERT OVERWRITE plat.rw PARTITION (day = 1) " +
+      "VALUES (100), (101)")
+    spark.sql("SELECT count(*) FROM plat.rw WHERE day = 1")
+      .head.getLong(0) shouldBe 2L
+    // plain INSERT ... PARTITION appends with the spec filled
+    spark.sql("INSERT INTO plat.rw PARTITION (day = 7) VALUES (700)")
+    spark.sql("SELECT count(*) FROM plat.rw WHERE day = 7")
+      .head.getLong(0) shouldBe 1L
+    // v2 conditional overwrite
+    Seq((200L, 2L), (201L, 2L)).toDF("id", "day")
+      .writeTo("plat.rw").overwrite(col("day") === 2L)
+    spark.sql("SELECT count(*) FROM plat.rw WHERE day = 2")
+      .head.getLong(0) shouldBe 2L
+    spark.sql("SELECT count(*) FROM plat.rw WHERE day = 0")
+      .head.getLong(0) shouldBe 10L
+    // v2 dynamic partition overwrite: replaces day 0, adds day 9
+    Seq((300L, 0L), (301L, 9L)).toDF("id", "day")
+      .writeTo("plat.rw").overwritePartitions()
+    spark.sql("SELECT day, count(*) AS n FROM plat.rw GROUP BY day")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 7L -> 1L, 9L -> 1L)
+    // a batch straying outside the replaced region is refused with
+    // nothing committed
+    val vPre = VersionedStore.latestVersion(spark, p)
+    val e = intercept[Exception] {
+      Seq((400L, 1L), (401L, 5L)).toDF("id", "day")
+        .writeTo("plat.rw").overwrite(col("day") === 1L)
+    }
+    e.getMessage should include("NOT matching the replace predicate")
+    VersionedStore.latestVersion(spark, p) shouldBe vPre
+    // dynamic spec through SQL is refused, not guessed
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE plat.rw PARTITION (day) " +
+        "VALUES (500, 5)")
+    }.getMessage should include("overwritePartitions")
   }
 
   test("DROP NAMESPACE CASCADE runs the clone-dependency check: a " +
