@@ -1161,11 +1161,21 @@ object VersionedStore {
       case None => s
       case Some(cur) =>
         val curN = cur.fields.map(f => f.name -> f.nullable).toMap
-        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        val adjusted = s.fields.map(f =>
           curN.get(f.name) match {
             case Some(n) => f.copy(nullable = n || f.nullable)
             case None => f
-          }))
+          })
+        // the record's field ORDER follows the TABLE's declared
+        // order, not the batch's own (the newest add becomes the
+        // table schema via schemaAt, so a batch written column-
+        // reordered — or any append after an explicit moveColumn —
+        // must not silently flip the served order); evolve-added
+        // columns append after the existing ones, batch-relative
+        // order kept (stable sort)
+        val orderOf = cur.fieldNames.zipWithIndex.toMap
+        org.apache.spark.sql.types.StructType(adjusted.sortBy(f =>
+          orderOf.getOrElse(f.name, Int.MaxValue)))
     }
 
   private def writeGroup(df: DataFrame, path: String, fid: Long,
@@ -1547,6 +1557,41 @@ object VersionedStore {
         if (f.name == name) f.copy(dataType = to) else f))
     commitRetrying(spark, path, Nil, Nil,
       schemaAnchor = Some(newSchema.json))
+  }
+
+  /** Reorder a column as ONE metadata commit — the
+    * `ALTER TABLE … ALTER COLUMN … FIRST / AFTER other` shape:
+    * nothing rewrites (groups read by explicit per-name scan
+    * schemas, so physical field order inside any file never
+    * mattered), the table schema simply serves the new order from
+    * this version on, and time travel serves each version's own
+    * order. `after` None = FIRST.
+    */
+  def moveColumn(spark: SparkSession, path: String, name: String,
+      after: Option[String]): Long = {
+    val cur = schemaAt(spark, path, Long.MaxValue).getOrElse(
+      sys.error(s"VersionedStore.moveColumn: $path has no schema " +
+        "yet (append first)"))
+    require(cur.fieldNames.contains(name),
+      s"VersionedStore.moveColumn: no column `$name` at $path " +
+        s"(schema: ${cur.fieldNames.mkString(", ")})")
+    after.foreach(a => require(
+      cur.fieldNames.contains(a) && a != name,
+      s"VersionedStore.moveColumn: AFTER column `$a` at $path is " +
+        "not a different existing column"))
+    val f = cur.fields.find(_.name == name).get
+    val rest = cur.fields.filterNot(_.name == name)
+    val newFields = after match {
+      case None => f +: rest
+      case Some(a) =>
+        val i = rest.indexWhere(_.name == a)
+        (rest.take(i + 1) :+ f) ++ rest.drop(i + 1)
+    }
+    if (newFields.map(_.name).toSeq == cur.fieldNames.toSeq)
+      return latestVersion(spark, path)
+    commitRetrying(spark, path, Nil, Nil,
+      schemaAnchor = Some(org.apache.spark.sql.types
+        .StructType(newFields).json))
   }
 
   /** Read file-groups under the table schema of version `v`: groups

@@ -216,8 +216,11 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
     * `ADD COLUMNS` → [[VersionedStore.addColumns]] (schema-anchor
     * widening; old groups serve NULL), `RENAME COLUMN` →
     * [[VersionedStore.renameColumn]] (log-carried column mapping),
-    * `DROP COLUMN` → [[VersionedStore.dropColumn]]. Nested fields,
-    * column positions, retypes, and property changes are rejected
+    * `DROP COLUMN` → [[VersionedStore.dropColumn]],
+    * `ALTER COLUMN … TYPE` → [[VersionedStore.retypeColumn]]
+    * (widening family only), `ALTER COLUMN … FIRST/AFTER` →
+    * [[VersionedStore.moveColumn]], SET/UNSET TBLPROPERTIES →
+    * [[VersionedStore.setProperties]]. Nested fields are rejected
     * loudly — never approximated.
     */
   override def alterTable(ident: Identifier,
@@ -263,6 +266,19 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
             s"columns only, got ${ut.fieldNames().mkString(".")}")
         VersionedStore.retypeColumn(spark, p, ut.fieldNames()(0),
           ut.newDataType())
+      case up: TableChange.UpdateColumnPosition =>
+        require(up.fieldNames().length == 1,
+          "GraftStoreCatalog: ALTER COLUMN FIRST/AFTER moves " +
+            s"top-level columns only, got ${up.fieldNames()
+              .mkString(".")}")
+        val after = up.position() match {
+          case _: TableChange.First => None
+          case a: TableChange.After => Some(a.column())
+          case other => sys.error(
+            s"GraftStoreCatalog: unsupported column position $other")
+        }
+        VersionedStore.moveColumn(spark, p, up.fieldNames()(0),
+          after)
       case other => sys.error(
         s"GraftStoreCatalog: unsupported ALTER TABLE change $other " +
           "— supported: ADD COLUMNS (nullable, top-level), RENAME " +

@@ -216,6 +216,19 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
     intercept[Exception] {
       spark.sql("ALTER TABLE glake.rt ALTER COLUMN k TYPE INT")
     }.getMessage should include("NOT_SUPPORTED_CHANGE_COLUMN")
+    // column positions: one metadata commit reorders the served
+    // schema; old groups read by name, a later append cannot flip
+    // the order back
+    spark.sql("ALTER TABLE glake.rt ALTER COLUMN f FIRST")
+    spark.table("glake.rt").columns.toSeq shouldBe Seq("f", "k")
+    spark.sql("INSERT INTO glake.rt VALUES (9.5, 7)")
+    spark.table("glake.rt").columns.toSeq shouldBe Seq("f", "k")
+    spark.sql("SELECT k FROM glake.rt WHERE f = 9.5")
+      .head.getLong(0) shouldBe 7L
+    spark.sql("ALTER TABLE glake.rt ALTER COLUMN f AFTER k")
+    spark.table("glake.rt").columns.toSeq shouldBe Seq("k", "f")
+    spark.sql("SELECT sum(k) FROM glake.rt").head.getLong(0)
+      .shouldBe(3000000008L)
   }
 
   test("row-level SQL DML, maintenance verbs, and TVFs accept " +
