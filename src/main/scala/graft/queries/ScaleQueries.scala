@@ -1365,8 +1365,27 @@ object ScaleQueries {
           }
           VersionedStore.erase(s, p,
             pmod(col("doc_id"), lit(7)) === 0)
-          val leaked = s.read.parquet(s"$p/data/f*")
-            .filter(pmod(col("doc_id"), lit(7)) === 0).count()
+          // leak audit by EXPLICIT listing, not a glob: a raw
+          // `data/f*` glob read throws when it matches nothing,
+          // and zero surviving files IS a clean verdict (one
+          // warmup-transient FileNotFound in r19 came from exactly
+          // that glob). Bypassing the log is the point — no
+          // surviving parquet byte may carry a forgotten row.
+          val fsys = new org.apache.hadoop.fs.Path(p).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          val dataDir = new org.apache.hadoop.fs.Path(s"$p/data")
+          val leftover =
+            if (!fsys.exists(dataDir)) Seq.empty[String]
+            else fsys.listStatus(dataDir).toSeq
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.matches("f\\d+"))
+              .flatMap(st => fsys.listStatus(st.getPath).toSeq)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath.toString)
+          val leaked =
+            if (leftover.isEmpty) 0L
+            else s.read.parquet(leftover: _*)
+              .filter(pmod(col("doc_id"), lit(7)) === 0).count()
           if (leaked != 0) sys.error(
             s"q336: $leaked forgotten rows survive on disk")
         }

@@ -205,6 +205,42 @@ class PartitionedCatalogSpec extends AnyFunSuite with SparkFixture
     }.getMessage should include("overwritePartitions")
   }
 
+  test("writeStream.toTable into a PARTITIONED BY table arms zone " +
+      "hulls on the clustering columns: per-epoch groups prune " +
+      "under a partition predicate") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE plat.sev (id BIGINT, day BIGINT) " +
+      "USING `graft-store` PARTITIONED BY (day)")
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-sev-in").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-sev-ck").toString
+    def epoch(rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("id", "day").coalesce(1)
+        .write.mode("append").parquet(in)
+      val q = spark.readStream.schema("id BIGINT, day BIGINT")
+        .parquet(in)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .AvailableNow())
+        .toTable("plat.sev")
+      q.awaitTermination(60000) shouldBe true
+    }
+    epoch((0 until 20).map(i => (i.toLong, 1L)))
+    epoch((20 until 40).map(i => (i.toLong, 2L)))
+    spark.table("plat.sev").count() shouldBe 40L
+    val full = filesRead(spark.table("plat.sev"))
+    val pruned = filesRead(
+      spark.sql("SELECT * FROM plat.sev WHERE day = 2"))
+    withClue(s"full=$full pruned=$pruned: ") {
+      pruned should be < full
+    }
+    spark.sql("SELECT count(*) FROM plat.sev WHERE day = 2")
+      .head.getLong(0) shouldBe 20L
+  }
+
   test("DROP NAMESPACE CASCADE runs the clone-dependency check: a " +
       "table OUTSIDE the namespace cloned from one inside refuses " +
       "the drop; sibling-prefix names never false-positive dropTable") {
