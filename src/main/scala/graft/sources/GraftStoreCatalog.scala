@@ -235,13 +235,22 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
         require(add.fieldNames().length == 1,
           "GraftStoreCatalog: ADD COLUMNS adds top-level columns " +
             s"only, got ${add.fieldNames().mkString(".")}")
-        require(add.position() == null,
-          "GraftStoreCatalog: column positions are not supported — " +
-            "new columns append at the end")
+        val name = add.fieldNames()(0)
         VersionedStore.addColumns(spark, p, Seq(
           org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(),
-            nullable = add.isNullable)))
+            name, add.dataType(), nullable = add.isNullable)))
+        // an explicit position is a second metadata commit on top
+        // of the widening anchor (both KB-scale; nothing rewrites)
+        add.position() match {
+          case null => ()
+          case _: TableChange.First =>
+            VersionedStore.moveColumn(spark, p, name, None)
+          case a: TableChange.After =>
+            VersionedStore.moveColumn(spark, p, name,
+              Some(a.column()))
+          case other => sys.error(
+            s"GraftStoreCatalog: unsupported column position $other")
+        }
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames().length == 1,
           "GraftStoreCatalog: RENAME COLUMN renames top-level " +
@@ -325,11 +334,39 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
     fs(p).delete(p, true)
   }
 
+  /** `ALTER TABLE … RENAME TO …` — one directory move: the store's
+    * log travels with its data, so the renamed table serves every
+    * version immediately. Safe under exactly [[dropTable]]'s
+    * contract: a table some OTHER table is cloned from cannot move
+    * (the clone's log references these data paths absolutely);
+    * a table that itself borrows from others CAN (its foreign `loc`
+    * records are absolute paths elsewhere, untouched by the move).
+    */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = sys.error(
-    "GraftStoreCatalog: RENAME TABLE is not supported — tables are " +
-      "path-addressed and zero-copy clones reference those paths; " +
-      "CLONE to the new name and drop the old table instead")
+      newIdent: Identifier): Unit = {
+    val src = new Path(pathOf(oldIdent))
+    if (!isStore(src))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(
+          (catalogName +: oldIdent.namespace().toSeq) :+
+            oldIdent.name())
+    val dst = new Path(pathOf(newIdent))
+    if (isStore(dst))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: newIdent.namespace().toSeq) :+
+            newIdent.name())
+    require(namespaceExists(newIdent.namespace()),
+      s"GraftStoreCatalog: target namespace " +
+        s"${newIdent.namespace().mkString(".")} does not exist")
+    cloneDependents(src.toString, None).headOption.foreach(other =>
+      sys.error(
+        s"GraftStoreCatalog: cannot rename `$oldIdent` — table " +
+          s"`$other` is cloned from it (live file-groups reference " +
+          "its data paths). Drop or compact the clone first"))
+    if (!fs(src).rename(src, dst)) sys.error(
+      s"GraftStoreCatalog: cannot move $src to $dst")
+  }
 
   // ---- namespaces: the directory tree under the root, nested ----
 

@@ -241,6 +241,38 @@ class PartitionedCatalogSpec extends AnyFunSuite with SparkFixture
       .head.getLong(0) shouldBe 20L
   }
 
+  test("ALTER TABLE RENAME TO moves the whole store (log travels " +
+      "with data — every version serves under the new name); a " +
+      "cloned-from table refuses; ADD COLUMNS honors FIRST/AFTER") {
+    root
+    spark.sql("CREATE TABLE plat.old (id BIGINT, v BIGINT) " +
+      "USING `graft-store`")
+    spark.sql("INSERT INTO plat.old VALUES (1, 10), (2, 20)")
+    spark.sql("DELETE FROM plat.old WHERE id = 2")
+    spark.sql("ALTER TABLE plat.old RENAME TO fresh")
+    spark.sql("SHOW TABLES IN plat").collect().map(_.getString(1))
+      .toSeq should (contain("fresh") and not contain "old")
+    spark.table("plat.fresh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 10L))
+    // history traveled with the move: pre-delete version intact
+    spark.sql("SELECT count(*) FROM plat.fresh VERSION AS OF 2")
+      .head.getLong(0) shouldBe 2L
+    // a table someone is cloned FROM cannot move
+    VersionedStore.cloneTo(spark, s"$root/fresh", s"$root/leech")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE plat.fresh RENAME TO gone")
+    }.getMessage should include("cloned")
+    spark.sql("DROP TABLE plat.leech")
+    // ADD COLUMNS with a position: widening anchor + move
+    spark.sql("ALTER TABLE plat.fresh ADD COLUMNS (tag STRING " +
+      "AFTER id)")
+    spark.table("plat.fresh").columns.toSeq shouldBe
+      Seq("id", "tag", "v")
+    spark.sql("SELECT tag FROM plat.fresh").head.isNullAt(0)
+      .shouldBe(true)
+  }
+
   test("DROP NAMESPACE CASCADE runs the clone-dependency check: a " +
       "table OUTSIDE the namespace cloned from one inside refuses " +
       "the drop; sibling-prefix names never false-positive dropTable") {
