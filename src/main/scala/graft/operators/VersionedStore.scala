@@ -144,6 +144,61 @@ object VersionedStore {
         cur.fields ++ cols).json))
   }
 
+  /** Nested ADD COLUMNS — `ALTER TABLE t ADD COLUMNS (pay.c LONG)`:
+    * ONE schema-anchor commit widens a STRUCT column in place.
+    * Nothing rewrites; groups written before the anchor serve the
+    * new field as NULL through the read path's clipped parquet
+    * schema (batch) and the feed reader's missing-field guard
+    * (streaming) — the same contract as top-level [[addColumns]].
+    * `parent` names the struct (possibly multi-level, every step a
+    * StructType); additive and nullable only. Renames/drops/retypes
+    * INSIDE structs remain refused — nested fields have no column-
+    * mapping lineage, so only the operation with no old bytes to
+    * re-bind (add) is safe.
+    */
+  def addNestedField(spark: SparkSession, path: String,
+      parent: Seq[String],
+      col: org.apache.spark.sql.types.StructField): Long = {
+    import org.apache.spark.sql.types.StructType
+    require(parent.nonEmpty, "VersionedStore.addNestedField: " +
+      "empty parent path — use addColumns for top-level columns")
+    require(col.nullable,
+      s"VersionedStore.addNestedField: new field `${col.name}` " +
+        "must be nullable — existing rows have no value to backfill")
+    val cur = schemaAt(spark, path, Long.MaxValue).getOrElse(
+      sys.error(s"VersionedStore.addNestedField: no table schema " +
+        s"at $path — declare or append first"))
+    def insert(st: StructType, p: Seq[String],
+        seen: Seq[String]): StructType = {
+      val idx = st.fields.indexWhere(
+        _.name.equalsIgnoreCase(p.head))
+      require(idx >= 0, "VersionedStore.addNestedField: no column " +
+        s"`${(seen :+ p.head).mkString(".")}`")
+      val f = st.fields(idx)
+      val updated = f.dataType match {
+        case inner: StructType if p.length == 1 =>
+          require(!inner.fieldNames
+            .exists(_.equalsIgnoreCase(col.name)),
+            "VersionedStore.addNestedField: field " +
+              s"`${(seen :+ p.head :+ col.name).mkString(".")}` " +
+              "already exists")
+          f.copy(dataType = StructType(inner.fields :+ col))
+        case inner: StructType =>
+          f.copy(dataType = insert(inner, p.tail, seen :+ p.head))
+        case other => sys.error(
+          "VersionedStore.addNestedField: " +
+            s"`${(seen :+ p.head).mkString(".")}` is " +
+            s"${other.simpleString}, not a struct — nested ADD " +
+            "COLUMNS targets struct fields (arrays/maps of structs " +
+            "are refused: their element shape is part of the " +
+            "column type old groups were written under)")
+      }
+      StructType(st.fields.updated(idx, updated))
+    }
+    commitRetrying(spark, path, Nil, Nil,
+      schemaAnchor = Some(insert(cur, parent, Nil).json))
+  }
+
   /** One listing of the log dir: (committed versions, checkpoint
     * versions), both ascending. Tmp dirs from crashed commits
     * (`.tmp-*`) match neither name pattern and are invisible here —

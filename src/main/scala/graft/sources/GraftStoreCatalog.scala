@@ -214,14 +214,16 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
   /** `ALTER TABLE` routed to the store's own evolution commits —
     * each change is ONE metadata commit, nothing rewrites:
     * `ADD COLUMNS` → [[VersionedStore.addColumns]] (schema-anchor
-    * widening; old groups serve NULL), `RENAME COLUMN` →
+    * widening; old groups serve NULL) or, for a dotted name like
+    * `pay.c`, [[VersionedStore.addNestedField]] (widen a struct in
+    * place, same NULL contract), `RENAME COLUMN` →
     * [[VersionedStore.renameColumn]] (log-carried column mapping),
     * `DROP COLUMN` → [[VersionedStore.dropColumn]],
     * `ALTER COLUMN … TYPE` → [[VersionedStore.retypeColumn]]
     * (widening family only), `ALTER COLUMN … FIRST/AFTER` →
     * [[VersionedStore.moveColumn]], SET/UNSET TBLPROPERTIES →
-    * [[VersionedStore.setProperties]]. Nested fields are rejected
-    * loudly — never approximated.
+    * [[VersionedStore.setProperties]]. Nested renames / drops /
+    * retypes are rejected loudly — never approximated.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -231,10 +233,22 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
         .NoSuchTableException(
           (catalogName +: ident.namespace().toSeq) :+ ident.name())
     changes.foreach {
+      case add: TableChange.AddColumn if
+          add.fieldNames().length > 1 =>
+        // nested add — widen a struct column in place (one anchor
+        // commit; old groups serve the new field as NULL). Position
+        // inside the struct is refused: nested fields append at the
+        // struct's end (no nested moveColumn lineage to keep).
+        require(add.position() == null,
+          "GraftStoreCatalog: ADD COLUMNS FIRST/AFTER is not " +
+            "supported inside structs — nested fields append at " +
+            s"the struct's end (${add.fieldNames().mkString(".")})")
+        VersionedStore.addNestedField(spark, p,
+          add.fieldNames().init.toSeq,
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames().last, add.dataType(),
+            nullable = add.isNullable))
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          "GraftStoreCatalog: ADD COLUMNS adds top-level columns " +
-            s"only, got ${add.fieldNames().mkString(".")}")
         val name = add.fieldNames()(0)
         VersionedStore.addColumns(spark, p, Seq(
           org.apache.spark.sql.types.StructField(
@@ -290,8 +304,9 @@ class GraftStoreCatalog extends TableCatalog with SupportsNamespaces {
           after)
       case other => sys.error(
         s"GraftStoreCatalog: unsupported ALTER TABLE change $other " +
-          "— supported: ADD COLUMNS (nullable, top-level), RENAME " +
-          "COLUMN, DROP COLUMN, ALTER COLUMN TYPE (widening)")
+          "— supported: ADD COLUMNS (nullable; top-level or nested " +
+          "struct field), RENAME COLUMN, DROP COLUMN, ALTER COLUMN " +
+          "TYPE (widening)")
     }
     loadTable(ident)
   }

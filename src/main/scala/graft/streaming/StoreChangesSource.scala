@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData,
+  GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -260,7 +261,8 @@ private[graft] final class StoreChangesReaderFactory(
   * API (no SparkSession on executors). Supports the store's column
   * shapes — primitives, strings/binary, dates, MILLIS/MICROS/INT96
   * timestamps, decimals in all three parquet encodings, structs,
-  * and arrays of any of these — and fails loudly on anything else.
+  * arrays, and maps of any of these — and fails loudly on anything
+  * else.
   */
 private[streaming] final class GroupParquetReader(file: String,
     schema: StructType, insertTag: Boolean, conf: Configuration)
@@ -285,6 +287,12 @@ private[streaming] final class GroupParquetReader(file: String,
       vals(i) =
         if (insertTag && f.name == "_change")
           UTF8String.fromString("insert")
+        else if (!g.getType.containsField(f.name))
+          // snapshot-first windows serve live group files of mixed
+          // vintages: a group written before an ADD COLUMN evolution
+          // has no such field — the column is NULL for those rows,
+          // exactly as the batch reader serves it
+          null
         else {
           val gi = g.getType.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(gi) == 0) null
@@ -392,10 +400,13 @@ private[streaming] final class GroupParquetReader(file: String,
         var j = 0
         while (j < st.length) {
           val sf = st(j)
-          val sgi = sub.getType.getFieldIndex(sf.name)
           out(j) =
-            if (sub.getFieldRepetitionCount(sgi) == 0) null
-            else convert(sub, sgi, sf.dataType)
+            if (!sub.getType.containsField(sf.name)) null
+            else {
+              val sgi = sub.getType.getFieldIndex(sf.name)
+              if (sub.getFieldRepetitionCount(sgi) == 0) null
+              else convert(sub, sgi, sf.dataType)
+            }
           j += 1
         }
         new GenericInternalRow(out)
@@ -414,10 +425,31 @@ private[streaming] final class GroupParquetReader(file: String,
           j += 1
         }
         new GenericArrayData(out)
+      case MapType(kt, vt, _) =>
+        // Spark's map layout: group (MAP) { repeated group key_value
+        // { required key; optional value } } — accessed by POSITION
+        // (field 0 = key, 1 = value) so legacy `map`-named inner
+        // groups read identically
+        val m = g.getGroup(gi, 0)
+        val n = m.getFieldRepetitionCount(0)
+        val keys = new Array[Any](n)
+        val vals = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val kv = m.getGroup(0, j)
+          keys(j) = convert(kv, 0, kt) // keys are required, non-null
+          vals(j) =
+            if (kv.getFieldRepetitionCount(1) == 0) null
+            else convert(kv, 1, vt)
+          j += 1
+        }
+        new ArrayBasedMapData(
+          new GenericArrayData(keys), new GenericArrayData(vals))
       case other => sys.error(
         s"graft-store-changes: unsupported column type $other — " +
           "the store feed reader handles primitives, strings, " +
-          "binary, dates, timestamps, decimals, structs, and arrays")
+          "binary, dates, timestamps, decimals, structs, arrays, " +
+          "and maps")
     }
 
   override def close(): Unit = reader.close()
@@ -486,6 +518,20 @@ private[graft] final class StoreTableRowStream(path: String,
             "feed, or set startingVersion for explicit history " +
             "replay")
       }
+    // A rename-mapped table's group files carry PHYSICAL column
+    // names: replayed pre-rename appends would bind the renamed
+    // column to nothing and the missing-field guard would serve
+    // silent NULLs — refuse loudly instead (the same contract as the
+    // snapshot path's snapshotFiles refusal; the mapping-aware
+    // change feed remains the escape hatch)
+    if (VersionedStore.columnMapping(spark, path).nonEmpty)
+      sys.error(
+        s"readStream.table over store at $path: the table has " +
+          "renamed columns, which history replay over a bare row " +
+          "feed cannot bind — stream " +
+          "format(\"graft-store-changes\") for the mapping-aware " +
+          "change feed, or drop startingVersion for the current-" +
+          "snapshot default")
     // per-VERSION decomposition (not per-window): a window mixing
     // an append and a rewrite must still serve the append and skip
     // only the rewrite

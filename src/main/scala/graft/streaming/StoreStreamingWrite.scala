@@ -137,44 +137,56 @@ private[streaming] final class GroupParquetWriter(file: String,
     n
   }
 
-  private def parquetField(name: String, dt: DataType): Type =
+  private def parquetField(name: String, dt: DataType,
+      rep: Type.Repetition = Type.Repetition.OPTIONAL): Type =
     dt match {
-      case LongType => Types.optional(INT64).named(name)
-      case IntegerType => Types.optional(INT32).named(name)
-      case DoubleType => Types.optional(DOUBLE).named(name)
-      case FloatType => Types.optional(FLOAT).named(name)
-      case BooleanType => Types.optional(BOOLEAN).named(name)
-      case StringType => Types.optional(BINARY)
+      case LongType => Types.primitive(INT64, rep).named(name)
+      case IntegerType => Types.primitive(INT32, rep).named(name)
+      case DoubleType => Types.primitive(DOUBLE, rep).named(name)
+      case FloatType => Types.primitive(FLOAT, rep).named(name)
+      case BooleanType => Types.primitive(BOOLEAN, rep).named(name)
+      case StringType => Types.primitive(BINARY, rep)
         .as(LogicalTypeAnnotation.stringType()).named(name)
-      case BinaryType => Types.optional(BINARY).named(name)
-      case DateType => Types.optional(INT32)
+      case BinaryType => Types.primitive(BINARY, rep).named(name)
+      case DateType => Types.primitive(INT32, rep)
         .as(LogicalTypeAnnotation.dateType()).named(name)
-      case TimestampType => Types.optional(INT64)
+      case TimestampType => Types.primitive(INT64, rep)
         .as(LogicalTypeAnnotation.timestampType(true,
           LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
       case d: DecimalType =>
         val ann = LogicalTypeAnnotation
           .decimalType(d.scale, d.precision)
         if (d.precision <= 9)
-          Types.optional(INT32).as(ann).named(name)
+          Types.primitive(INT32, rep).as(ann).named(name)
         else if (d.precision <= 18)
-          Types.optional(INT64).as(ann).named(name)
-        else Types.optional(FIXED_LEN_BYTE_ARRAY)
+          Types.primitive(INT64, rep).as(ann).named(name)
+        else Types.primitive(FIXED_LEN_BYTE_ARRAY, rep)
           .length(decimalBytes(d.precision)).as(ann).named(name)
       case ArrayType(et, _) =>
-        Types.optionalGroup()
+        Types.buildGroup(rep)
           .as(LogicalTypeAnnotation.listType())
           .addField(Types.repeatedGroup()
             .addField(parquetField("element", et)).named("list"))
           .named(name)
       case st: StructType =>
-        st.fields.foldLeft(Types.optionalGroup()) { (b, f) =>
+        st.fields.foldLeft(Types.buildGroup(rep)) { (b, f) =>
           b.addField(parquetField(f.name, f.dataType))
         }.named(name)
+      case MapType(kt, vt, _) =>
+        // Spark's standard parquet map layout: group (MAP) {
+        // repeated group key_value { required key; optional value } }
+        Types.buildGroup(rep)
+          .as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetField("key", kt,
+              Type.Repetition.REQUIRED))
+            .addField(parquetField("value", vt))
+            .named("key_value"))
+          .named(name)
       case other => sys.error(
         s"graft streaming write: unsupported column type $other — " +
           "the staged writer handles primitives, strings, binary, " +
-          "dates, timestamps, decimals, structs, and arrays")
+          "dates, timestamps, decimals, structs, arrays, and maps")
     }
 
   private lazy val msgType: MessageType = {
@@ -234,6 +246,19 @@ private[streaming] final class GroupParquetWriter(file: String,
       while (j < arr.numElements()) {
         val el = lst.addGroup("list")
         if (!arr.isNullAt(j)) setScalar(el, "element", et, arr, j)
+        j += 1
+      }
+      ()
+    case MapType(kt, vt, _) =>
+      val grp = g.addGroup(name)
+      val m = src.getMap(i)
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      var j = 0
+      while (j < m.numElements()) {
+        val kv = grp.addGroup("key_value")
+        setScalar(kv, "key", kt, keys, j) // map keys are never null
+        if (!vals.isNullAt(j)) setScalar(kv, "value", vt, vals, j)
         j += 1
       }
       ()

@@ -356,6 +356,45 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
     } finally if (q3.isActive) q3.stop()
   }
 
+  test("readStream.table snapshot serves mixed-vintage group " +
+      "files: rows written before an ADD COLUMN evolution stream " +
+      "with NULL in the added column") {
+    root
+    spark.sql("CREATE TABLE glake.rsev (id BIGINT, body STRING) " +
+      "USING `graft-store`")
+    spark.sql("INSERT INTO glake.rsev VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE glake.rsev ADD COLUMN extra BIGINT")
+    spark.sql("INSERT INTO glake.rsev VALUES (3, 'c', 30)")
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-cat-rsev").toString
+    val q = spark.readStream.table("glake.rsev")
+      .writeStream.format("memory").queryName("cat_rsev")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("cat_rsev").count() < 3 &&
+        System.currentTimeMillis() - t0 < 60000) {
+        q.exception.foreach(throw _)
+        Thread.sleep(100)
+      }
+      spark.table("cat_rsev").count() shouldBe 3L
+      spark.sql("INSERT INTO glake.rsev VALUES (4, 'd', 40)")
+      val t1 = System.currentTimeMillis()
+      while (spark.table("cat_rsev").count() < 4 &&
+        System.currentTimeMillis() - t1 < 60000) Thread.sleep(100)
+      val rows = spark.table("cat_rsev")
+        .select("id", "extra").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .sortBy(_._1).toSeq
+      rows shouldBe Seq((1L, None), (2L, None),
+        (3L, Some(30L)), (4L, Some(40L)))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("df.writeStream.toTable is exactly-once into the commit " +
       "log: per-task staged parquet, ONE txn-tagged commit per " +
       "epoch, re-runs add nothing, write discipline intact") {
@@ -422,7 +461,7 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
     import s.implicits._
     spark.sql("CREATE TABLE glake.wsr (id BIGINT, d DECIMAL(22,4), " +
       "emb ARRAY<FLOAT>, pay STRUCT<a: BIGINT, b: STRING>, " +
-      "ts TIMESTAMP) USING `graft-store`")
+      "ts TIMESTAMP, m MAP<STRING, BIGINT>) USING `graft-store`")
     val in = java.nio.file.Files
       .createTempDirectory("graft-wsr-in").toString
     val src = (0 until 30).map { i =>
@@ -430,11 +469,13 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
         Array.tabulate(4)(j => (i * 4 + j) / 7.0f),
         (i.toLong * 3, if (i % 5 == 0) null else s"s$i"),
         java.sql.Timestamp.valueOf(
-          s"2026-03-0${i % 9 + 1} 10:0${i % 6}:07.${i % 10}"))
-    }.toDF("id", "d", "emb", "pay", "ts")
+          s"2026-03-0${i % 9 + 1} 10:0${i % 6}:07.${i % 10}"),
+        if (i % 7 == 0) Map.empty[String, Long]
+        else Map(s"k$i" -> i.toLong, "shared" -> (i * 2).toLong))
+    }.toDF("id", "d", "emb", "pay", "ts", "m")
       .select(col("id"), col("d").cast("decimal(22,4)").as("d"),
         col("emb"), col("pay").cast("struct<a: bigint, b: string>")
-          .as("pay"), col("ts"))
+          .as("pay"), col("ts"), col("m"))
     src.coalesce(2).write.mode("overwrite").parquet(in)
     val q = spark.readStream.schema(src.schema).parquet(in)
       .writeStream.option("checkpointLocation", java.nio.file.Files
@@ -444,10 +485,47 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
     q.awaitTermination(60000) shouldBe true
     def canon(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
       "id", "cast(d as string)", "cast(emb as string)",
-      "cast(pay as string)", "cast(ts as string)")
+      "cast(pay as string)", "cast(ts as string)",
+      "cast(map_entries(m) as string)")
       .collect().map(_.toSeq)
       .sortBy(_.head.asInstanceOf[Long]).toSeq
     canon(spark.table("glake.wsr")) shouldBe canon(src)
+  }
+
+  test("readStream.table serves map columns from batch-written " +
+      "group files (snapshot and append vintages alike)") {
+    root
+    spark.sql("CREATE TABLE glake.rsmap (id BIGINT, " +
+      "m MAP<STRING, BIGINT>) USING `graft-store`")
+    spark.sql("INSERT INTO glake.rsmap VALUES " +
+      "(1, map('a', 10, 'b', 20)), (2, map()), (3, NULL)")
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-cat-rsmap").toString
+    val q = spark.readStream.table("glake.rsmap")
+      .writeStream.format("memory").queryName("cat_rsmap")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("cat_rsmap").count() < 3 &&
+        System.currentTimeMillis() - t0 < 60000) {
+        q.exception.foreach(throw _)
+        Thread.sleep(100)
+      }
+      spark.sql( // an APPEND-window vintage, not just the snapshot
+        "INSERT INTO glake.rsmap VALUES (4, map('z', 4))")
+      val t1 = System.currentTimeMillis()
+      while (spark.table("cat_rsmap").count() < 4 &&
+        System.currentTimeMillis() - t1 < 60000) Thread.sleep(100)
+      val got = spark.table("cat_rsmap")
+        .selectExpr("id", "cast(map_entries(m) as string)")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      got shouldBe Seq((1L, "[{a, 10}, {b, 20}]"), (2L, "[]"),
+        (3L, null), (4L, "[{z, 4}]"))
+    } finally if (q.isActive) q.stop()
   }
 
   test("writeStream.toTable survives ALTER TABLE RENAME COLUMN: " +
@@ -506,6 +584,76 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
       Seq((1L, "pre"), (2L, "post"), (3L, "again"))
     spark.table("glake.rn").columns.toSeq shouldBe
       Seq("id", "content")
+    // history replay over a bare ROW feed cannot bind the renamed
+    // column (pre-rename files carry the physical name; a silent
+    // NULL would be wrong) — refuses loudly, naming the
+    // mapping-aware change feed as the escape hatch
+    val rq = spark.readStream.option("startingVersion", "0")
+      .table("glake.rn")
+      .writeStream.format("memory").queryName("rn_replay")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-rn-ck3").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try {
+      val t0 = System.currentTimeMillis()
+      while (rq.exception.isEmpty &&
+        System.currentTimeMillis() - t0 < 60000) Thread.sleep(100)
+      rq.exception.isDefined shouldBe true
+      rq.exception.get.getMessage should include("graft-store-changes")
+    } finally if (rq.isActive) rq.stop()
+  }
+
+  test("ALTER TABLE ADD COLUMNS (pay.c) widens a struct in place " +
+      "through SQL: old rows serve NULL, the snapshot stream " +
+      "spans the vintages, nested rename/drop refuse loudly") {
+    root
+    spark.sql("CREATE TABLE glake.ne (id BIGINT, " +
+      "pay STRUCT<a: BIGINT, b: STRING>) USING `graft-store`")
+    spark.sql("INSERT INTO glake.ne VALUES " +
+      "(1, named_struct('a', 10L, 'b', 'x'))")
+    spark.sql("ALTER TABLE glake.ne ADD COLUMNS (pay.c BIGINT)")
+    spark.table("glake.ne").schema("pay").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq shouldBe Seq("a", "b", "c")
+    spark.sql("INSERT INTO glake.ne VALUES " +
+      "(2, named_struct('a', 20L, 'b', 'y', 'c', 99L))")
+    spark.table("glake.ne").selectExpr("id", "pay.c").orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq shouldBe
+      Seq((1L, -1L), (2L, 99L))
+    // the snapshot-first ROW stream serves BOTH vintages (the
+    // pre-evolution group lacks pay.c on disk — the executor
+    // reader's nested missing-field guard serves NULL)
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-cat-ne").toString
+    val q = spark.readStream.table("glake.ne")
+      .writeStream.format("memory").queryName("cat_ne")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+      .start()
+    try {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("cat_ne").count() < 2 &&
+        System.currentTimeMillis() - t0 < 60000) {
+        q.exception.foreach(throw _)
+        Thread.sleep(100)
+      }
+      spark.table("cat_ne").selectExpr("id", "pay.b", "pay.c")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(_._1).toSeq shouldBe
+        Seq((1L, "x", -1L), (2L, "y", 99L))
+    } finally if (q.isActive) q.stop()
+    // nested rename / drop / retype stay loud refusals
+    intercept[Exception] {
+      spark.sql("ALTER TABLE glake.ne RENAME COLUMN pay.a TO z")
+    }.getMessage should include("top-level")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE glake.ne DROP COLUMN pay.a")
+    }.getMessage should include("top-level")
   }
 
   test("time travel through the catalog's versioned loadTable: " +
