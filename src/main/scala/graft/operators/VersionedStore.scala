@@ -145,21 +145,26 @@ object VersionedStore {
   }
 
   /** Nested ADD COLUMNS — `ALTER TABLE t ADD COLUMNS (pay.c LONG)`:
-    * ONE schema-anchor commit widens a STRUCT column in place.
+    * ONE schema-anchor commit widens a STRUCT shape in place.
     * Nothing rewrites; groups written before the anchor serve the
     * new field as NULL through the read path's clipped parquet
     * schema (batch) and the feed reader's missing-field guard
     * (streaming) — the same contract as top-level [[addColumns]].
-    * `parent` names the struct (possibly multi-level, every step a
-    * StructType); additive and nullable only. Renames/drops/retypes
-    * INSIDE structs remain refused — nested fields have no column-
-    * mapping lineage, so only the operation with no old bytes to
-    * re-bind (add) is safe.
+    * `parent` names the struct to widen: struct fields by name,
+    * plus the standard pseudo-steps `element` (into an array) and
+    * `value` (into a map's values) — so `arr.element.x` and
+    * `m.value.x` widen structs inside collections. `key` is
+    * refused (map keys are identity — a new key field would change
+    * what old rows' keys MEAN). Additive and nullable only.
+    * Renames/drops/retypes INSIDE structs remain refused — nested
+    * fields have no column-mapping lineage, so only the operation
+    * with no old bytes to re-bind (add) is safe.
     */
   def addNestedField(spark: SparkSession, path: String,
       parent: Seq[String],
       col: org.apache.spark.sql.types.StructField): Long = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{ArrayType, MapType,
+      StructType, DataType}
     require(parent.nonEmpty, "VersionedStore.addNestedField: " +
       "empty parent path — use addColumns for top-level columns")
     require(col.nullable,
@@ -168,35 +173,40 @@ object VersionedStore {
     val cur = schemaAt(spark, path, Long.MaxValue).getOrElse(
       sys.error(s"VersionedStore.addNestedField: no table schema " +
         s"at $path — declare or append first"))
-    def insert(st: StructType, p: Seq[String],
-        seen: Seq[String]): StructType = {
-      val idx = st.fields.indexWhere(
-        _.name.equalsIgnoreCase(p.head))
-      require(idx >= 0, "VersionedStore.addNestedField: no column " +
-        s"`${(seen :+ p.head).mkString(".")}`")
-      val f = st.fields(idx)
-      val updated = f.dataType match {
-        case inner: StructType if p.length == 1 =>
-          require(!inner.fieldNames
-            .exists(_.equalsIgnoreCase(col.name)),
-            "VersionedStore.addNestedField: field " +
-              s"`${(seen :+ p.head :+ col.name).mkString(".")}` " +
-              "already exists")
-          f.copy(dataType = StructType(inner.fields :+ col))
-        case inner: StructType =>
-          f.copy(dataType = insert(inner, p.tail, seen :+ p.head))
-        case other => sys.error(
-          "VersionedStore.addNestedField: " +
-            s"`${(seen :+ p.head).mkString(".")}` is " +
-            s"${other.simpleString}, not a struct — nested ADD " +
-            "COLUMNS targets struct fields (arrays/maps of structs " +
-            "are refused: their element shape is part of the " +
-            "column type old groups were written under)")
-      }
-      StructType(st.fields.updated(idx, updated))
+    def addTo(dt: DataType, p: Seq[String],
+        seen: Seq[String]): DataType = (dt, p) match {
+      case (st: StructType, Nil) =>
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(col.name)),
+          "VersionedStore.addNestedField: field " +
+            s"`${(seen :+ col.name).mkString(".")}` already exists")
+        StructType(st.fields :+ col)
+      case (st: StructType, head +: tail) =>
+        val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
+        require(idx >= 0, "VersionedStore.addNestedField: no " +
+          s"column `${(seen :+ head).mkString(".")}`")
+        val f = st.fields(idx)
+        StructType(st.fields.updated(idx, f.copy(dataType =
+          addTo(f.dataType, tail, seen :+ head))))
+      case (ArrayType(et, n), head +: tail)
+          if head.equalsIgnoreCase("element") =>
+        ArrayType(addTo(et, tail, seen :+ "element"), n)
+      case (MapType(k, v, n), head +: tail)
+          if head.equalsIgnoreCase("value") =>
+        MapType(k, addTo(v, tail, seen :+ "value"), n)
+      case (_: MapType, head +: _)
+          if head.equalsIgnoreCase("key") => sys.error(
+        "VersionedStore.addNestedField: cannot add fields inside " +
+          s"map KEYS (`${(seen :+ "key").mkString(".")}`) — keys " +
+          "are row identity; old rows' keys cannot grow a field")
+      case (other, _) => sys.error(
+        "VersionedStore.addNestedField: " +
+          s"`${seen.mkString(".")}` is ${other.simpleString}, not " +
+          "a struct — nested ADD COLUMNS targets struct fields " +
+          "(step into collections with `element` / `value`)")
     }
     commitRetrying(spark, path, Nil, Nil,
-      schemaAnchor = Some(insert(cur, parent, Nil).json))
+      schemaAnchor = Some(addTo(cur, parent, Nil)
+        .asInstanceOf[StructType].json))
   }
 
   /** One listing of the log dir: (committed versions, checkpoint
@@ -1737,10 +1747,36 @@ object VersionedStore {
       val newFields = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val missing = cur.fields.filterNot(f =>
         newFields.get(f.name).contains(f.dataType))
-      if (missing.nonEmpty) sys.error(
-        s"VersionedStore.$op: batch schema drops or retypes " +
-          s"table columns ${missing.map(_.name).mkString(", ")} — " +
-          "existing file-groups could not be read under it")
+      if (missing.nonEmpty) {
+        // a batch whose STRUCT column lacks fields the (possibly
+        // nested-evolved) table schema carries is the common near
+        // miss — name the real fix instead of "drops or retypes"
+        val narrowed = missing.flatMap { f =>
+          (f.dataType, newFields.get(f.name)) match {
+            case (t: org.apache.spark.sql.types.StructType,
+                Some(b: org.apache.spark.sql.types.StructType))
+                if b.fieldNames.toSet.subsetOf(
+                  t.fieldNames.toSet) &&
+                  b.fields.forall(bf =>
+                    t.find(_.name == bf.name)
+                      .exists(_.dataType == bf.dataType)) =>
+              Some(s"${f.name} (batch lacks nested field(s) " +
+                s"${(t.fieldNames.toSet -- b.fieldNames.toSet)
+                  .toSeq.sorted.mkString(", ")})")
+            case _ => None
+          }
+        }
+        if (narrowed.nonEmpty) sys.error(
+          s"VersionedStore.$op: batch struct column(s) " +
+            s"${narrowed.mkString("; ")} are narrower than the " +
+            "table schema — supply the full struct (missing nested " +
+            "fields are never silently NULL-padded; cast the batch " +
+            "to the table's struct type with explicit NULLs)")
+        sys.error(
+          s"VersionedStore.$op: batch schema drops or retypes " +
+            s"table columns ${missing.map(_.name).mkString(", ")} — " +
+            "existing file-groups could not be read under it")
+      }
       val added = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
       if (added.nonEmpty && !canEvolve) sys.error(
         s"VersionedStore.$op: batch adds columns " +

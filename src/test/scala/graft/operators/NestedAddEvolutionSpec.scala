@@ -86,6 +86,63 @@ class NestedAddEvolutionSpec extends AnyFunSuite with SparkFixture
       Seq((1L, "x", -1L), (2L, "Y", 200L), (3L, "z", 300L))
   }
 
+  test("a post-evolution batch carrying the NARROW struct is " +
+      "refused with the nested fields named (never NULL-padded)") {
+    val p = store("narrow")
+    VersionedStore.create(spark, p)
+    VersionedStore.append(payDf(Seq((1L, 10L, "x"))), p)
+    VersionedStore.addNestedField(spark, p, Seq("pay"),
+      StructField("c", LongType, nullable = true))
+    val e = intercept[Exception] {
+      VersionedStore.append(payDf(Seq((2L, 20L, "y"))), p)
+    }
+    e.getMessage should include("narrower than the table schema")
+    e.getMessage should include("pay")
+    e.getMessage should include("c")
+  }
+
+  test("element / value pseudo-steps widen structs inside arrays " +
+      "and map values; map keys are refused") {
+    val p = store("coll")
+    VersionedStore.create(spark, p)
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(5L, 6L))).toDF("k", "xs").selectExpr("k",
+      "cast(transform(xs, x -> named_struct('x', x)) as " +
+        "array<struct<x: bigint>>) as arr",
+      "cast(map('a', named_struct('v', 7L)) as " +
+        "map<string, struct<v: bigint>>) as m")
+    VersionedStore.append(df, p)
+    VersionedStore.addNestedField(spark, p, Seq("arr", "element"),
+      StructField("y", StringType, nullable = true))
+    VersionedStore.addNestedField(spark, p, Seq("m", "value"),
+      StructField("w", LongType, nullable = true))
+    // old rows serve the new fields as NULL inside the collections
+    val row = VersionedStore.read(spark, p)
+      .selectExpr("arr[0].x", "arr[0].y", "m['a'].v", "m['a'].w")
+      .head
+    row.getLong(0) shouldBe 5L
+    row.isNullAt(1) shouldBe true
+    row.getLong(2) shouldBe 7L
+    row.isNullAt(3) shouldBe true
+    // a post-anchor append carries the wide element shape
+    val wide = Seq((2L, 8L, "tag", 9L, 10L))
+      .toDF("k", "x", "y", "v", "w").selectExpr("k",
+        "cast(array(named_struct('x', x, 'y', y)) as " +
+          "array<struct<x: bigint, y: string>>) as arr",
+        "cast(map('b', named_struct('v', v, 'w', w)) as " +
+          "map<string, struct<v: bigint, w: bigint>>) as m")
+    VersionedStore.append(wide, p)
+    VersionedStore.read(spark, p).selectExpr("k", "arr[0].y")
+      .orderBy("k").collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq shouldBe Seq((1L, null), (2L, "tag"))
+    intercept[Exception] {
+      VersionedStore.addNestedField(spark, p, Seq("m", "key"),
+        StructField("z", LongType, nullable = true))
+    }.getMessage should include("map KEYS")
+  }
+
   test("multi-level parents widen in place; refusals: non-struct " +
       "parent, missing parent, duplicate field, non-nullable") {
     val p = store("deep")

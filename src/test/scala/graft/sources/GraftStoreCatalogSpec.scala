@@ -654,6 +654,16 @@ class GraftStoreCatalogSpec extends AnyFunSuite with SparkFixture
     intercept[Exception] {
       spark.sql("ALTER TABLE glake.ne DROP COLUMN pay.a")
     }.getMessage should include("top-level")
+    // the element pseudo-step reaches structs inside arrays via SQL
+    spark.sql("ALTER TABLE glake.ne ADD COLUMNS " +
+      "(tags ARRAY<STRUCT<x: BIGINT>>)")
+    spark.sql("ALTER TABLE glake.ne ADD COLUMNS " +
+      "(tags.element.y STRING)")
+    spark.table("glake.ne").schema("tags").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq shouldBe Seq("x", "y")
   }
 
   test("time travel through the catalog's versioned loadTable: " +
