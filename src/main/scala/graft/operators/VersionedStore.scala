@@ -2458,6 +2458,24 @@ object VersionedStore {
     }
   }
 
+  /** TRUNCATE TABLE — ONE metadata commit retiring every live
+    * file-group and deletion vector. No data file is read or
+    * written (O(metadata), unlike `deleteWhere(lit(true))`'s
+    * per-group rewrite); the schema, properties, constraints,
+    * clustering declaration, and column-mapping lineage all stay;
+    * time travel below the returned version serves the old content
+    * until vacuum. Concurrency: a concurrent APPEND commutes (the
+    * serializable order is truncate-then-append — its rows
+    * survive); a concurrent rewrite/DV/restore aborts via the
+    * standard structural guard.
+    */
+  def truncate(spark: SparkSession, path: String): Long = {
+    val v = latestVersion(spark, path)
+    val retire = liveFids(spark, path, v) ++ liveDvFids(spark, path, v)
+    if (retire.isEmpty) return v // already empty: no-op, no commit
+    commit(spark, path, Nil, retire, guard = Some((v, _ => true)))
+  }
+
   /** Remove the rows matching `pred`, rewriting ONLY the file-groups
     * that contain matches (one scan finds them via the file path of
     * each matching row); untouched groups are carried over by

@@ -22,6 +22,7 @@ import org.apache.spark.sql.{Row, SparkSession}
   * VACUUM t                             -- policy/default retention
   * VACUUM t RETAIN 48 HOURS             -- age horizon
   * RESTORE t TO VERSION AS OF 3         -- one restore commit
+  * TRUNCATE TABLE t                     -- one retire-all commit
   * SHOW CREATE TABLE t                  -- reproducible DDL
   * DESCRIBE DETAIL t                    -- store_describe's summary
   * DESCRIBE HISTORY t                   -- store_history's commit log
@@ -47,6 +48,8 @@ object StoreMaintenanceSql {
     """(?is)\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val TruncateRe =
+    """(?is)\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val ShowCreateRe =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val DescDetailRe =
@@ -89,6 +92,12 @@ object StoreMaintenanceSql {
     case RestoreRe(name, v) =>
       storePath(name).map(p =>
         StoreRestoreCommand(p, v.toLong))
+    // TRUNCATE is a real Spark statement over non-store names
+    // (falls through); over a store/catalog name it is the store's
+    // one retire-all commit. A PARTITION-spec TRUNCATE does not
+    // match and falls through to Spark's own v2 refusal.
+    case TruncateRe(name) =>
+      storePath(name).map(p => StoreTruncateCommand(p))
     // observability sugar over the existing TVF surfaces — the verbs
     // a warehouse user actually types. Over non-store names all
     // three fall through verbatim (SHOW CREATE TABLE / DESCRIBE are
@@ -165,6 +174,18 @@ case class StoreShowCreateCommand(name: String,
         .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
     Seq(Row(sb.result()))
   }
+}
+
+/** `TRUNCATE TABLE t` → ONE [[VersionedStore.truncate]] retire-all
+  * commit: schema, properties, and lineage stay; time travel below
+  * the commit serves the old content until vacuum.
+  */
+case class StoreTruncateCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedStore.truncate(spark, path)))
 }
 
 /** `VACUUM t [RETAIN n HOURS]` → [[VersionedStore.vacuumOlderThan]]

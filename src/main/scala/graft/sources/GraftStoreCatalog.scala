@@ -552,7 +552,20 @@ object GraftStoreTable {
 
 final case class GraftStoreTable(path: String,
     pinnedVersion: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE lake.t` — one O(metadata) retire-all store
+    * commit ([[VersionedStore.truncate]]); schema/properties/
+    * lineage stay, time travel below the commit still serves the
+    * old content until vacuum.
+    */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      "GraftStoreTable: cannot TRUNCATE a time-travel snapshot")
+    VersionedStore.truncate(spark, path)
+    true
+  }
 
   private def spark = SparkSession.active
 

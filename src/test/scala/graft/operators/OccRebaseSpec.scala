@@ -206,4 +206,29 @@ class OccRebaseSpec extends AnyFunSuite with SparkFixture
     (2000L until 2010L).foreach(i => byId.contains(i) shouldBe true)
     byId.size shouldBe 21
   }
+
+  test("LIVE race: TRUNCATE and an append on real threads — the " +
+      "outcome is one of the two serial orders (appended rows " +
+      "survive a truncate-then-append, or everything is gone under " +
+      "append-then-truncate), NEVER a mixture with old rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s = spark
+    import s.implicits._
+    val p = mkStore() // ids 0-9 live
+    val tr = Future { VersionedStore.truncate(spark, p) }
+    val app = Future {
+      VersionedStore.append(
+        (5000 until 5010).map(i => (i.toLong, s"n-$i", 1L))
+          .toDF("id", "body", "g"), p)
+    }
+    Await.result(Future.sequence(Seq(tr, app)), 120.seconds)
+    val ids = rows(p).keySet
+    // old rows are gone in EVERY legal serialization
+    (0L until 10L).foreach(i => ids.contains(i) shouldBe false)
+    // and the appended batch is all-or-nothing
+    val appended = (5000L until 5010L).toSet
+    (ids == appended || ids.isEmpty) shouldBe true
+  }
 }

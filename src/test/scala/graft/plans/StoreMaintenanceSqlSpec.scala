@@ -69,6 +69,27 @@ class StoreMaintenanceSqlSpec extends AnyFunSuite with SparkFixture
       .head.getLong(0) shouldBe 30L
   }
 
+  test("TRUNCATE TABLE over a registered name is ONE retire-all " +
+      "commit; schema survives, time travel serves the old rows") {
+    val p = mk("maint_trunc")
+    val vBefore = VersionedStore.latestVersion(spark, p)
+    spark.sql("TRUNCATE TABLE maint_trunc")
+      .head.getLong(0) shouldBe vBefore + 1
+    spark.sql("SELECT COUNT(*) AS n FROM maint_trunc")
+      .head.getLong(0) shouldBe 0L
+    VersionedStore.readAt(spark, p, vBefore).count() shouldBe 30L
+    // idempotent on the empty table: no new commit
+    spark.sql("TRUNCATE TABLE maint_trunc")
+      .head.getLong(0) shouldBe vBefore + 1
+    // the table accepts fresh appends under the surviving schema
+    val s2 = spark
+    import s2.implicits._
+    VersionedStore.append(Seq((900L, 1L)).toDF("id", "g"), p,
+      statsCol = Some("id"))
+    spark.sql("SELECT COUNT(*) AS n FROM maint_trunc")
+      .head.getLong(0) shouldBe 1L
+  }
+
   test("RESTORE TO VERSION AS OF rolls the table back as a NEW " +
       "commit — history is never rewritten") {
     val p = mk("maint_res")
