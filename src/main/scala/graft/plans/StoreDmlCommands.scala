@@ -296,7 +296,8 @@ case class StoreDynamicOverwriteCommand(path: String,
 /** `DELETE FROM <store table> WHERE <pred>` → one
   * [[VersionedStore.deleteWhere]] (copy-on-write, only matching
   * file-groups rewrite). An unconditional DELETE is rejected —
-  * truncation should be spelled as itself, not reached by a dropped
+  * truncation should be spelled as itself (`TRUNCATE TABLE t`,
+  * one O(metadata) retire-all commit), not reached by a dropped
   * WHERE clause.
   */
 case class StoreDeleteCommand(path: String,
@@ -304,8 +305,9 @@ case class StoreDeleteCommand(path: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val pred = cond.getOrElse(sys.error(
       s"DELETE FROM store table at $path requires a WHERE clause " +
-        "(unconditional truncation must be explicit: deleteWhere " +
-        "with a literal true)"))
+        "— unconditional truncation must be spelled as itself: " +
+        "TRUNCATE TABLE t (one O(metadata) retire-all commit, " +
+        "no per-group rewrite)"))
     Seq(Row(VersionedStore.deleteWhere(spark, path,
       StoreSqlShims.column(pred.e))))
   }
