@@ -3890,6 +3890,26 @@ object VersionedStore {
       data.map(asForeign), Seq.empty, dvs = dvs.map(asForeign),
       renames = mapRens,
       schemaAnchor = schemaAt(spark, srcPath, v).map(_.json))
+    // borrow markers IN THE OWNER'S TREE, one per borrowed group
+    // (`<owner>/data/.borrows/f<fid>-<hash(dst)>`, content = the
+    // borrower's path): the owner's vacuum consults them so a
+    // compact-then-vacuum on the source can never reclaim bytes a
+    // live clone still reads. Written AFTER the clone commit — a
+    // crash in between leaves a stale marker, which vacuum GCs on
+    // contact (the safe order; the reverse could free a committed
+    // clone's data). Markers go to the ORIGINAL owner (loc is
+    // flattened), so clone chains all pin the same tree.
+    (data.map(asForeign) ++ dvs.map(asForeign)).foreach { ga =>
+      val locDir = new Path(ga.loc.get)
+      val markerDir = new Path(locDir.getParent, ".borrows")
+      f.mkdirs(markerDir)
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dstPath.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val out = f.create(
+        new Path(markerDir, s"${locDir.getName}-$h"), true)
+      try out.write(dstPath.getBytes("UTF-8")) finally out.close()
+    }
     val checks = constraintsOf(spark, srcPath)
     if (checks.nonEmpty) setConstraints(spark, dstPath, checks)
     val props = propertiesOf(spark, srcPath)
@@ -3916,7 +3936,43 @@ object VersionedStore {
       if (!f.exists(dd)) Seq.empty[Long]
       else f.listStatus(dd).toSeq.map(_.getPath.getName)
         .filter(_.matches("f\\d+")).map(_.drop(1).toLong)
+    // borrow guard: a zero-copy clone references this store's group
+    // dirs by absolute path — reclaiming one would break the
+    // borrower's reads FOREVER (its data lives here). Markers under
+    // data/.borrows (written by cloneTo) name each borrower; a
+    // group is spared while any marker's borrower still EXISTS and
+    // still LIVE-references it, and stale markers (borrower
+    // dropped, or compacted away from the borrowed group) are GC'd
+    // on contact. ONE extra listing per vacuum, nothing per group.
+    val borrowDir = new Path(dd, ".borrows")
+    val markerPat = "f(\\d+)-\\w+".r
+    val borrowMarkers: Map[Long, Seq[Path]] =
+      if (!f.exists(borrowDir)) Map.empty
+      else f.listStatus(borrowDir).toSeq.map(_.getPath)
+        .flatMap(p => p.getName match {
+          case markerPat(fid) => Some(fid.toLong -> p)
+          case _ => None
+        }).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def stillBorrowed(fid: Long): Boolean =
+      borrowMarkers.getOrElse(fid, Nil).exists { m =>
+        val borrower = {
+          val in = f.open(m)
+          try {
+            val buf = new Array[Byte](4096)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8")
+          } finally in.close()
+        }
+        val live = borrower.nonEmpty &&
+          f.exists(logDir(borrower)) &&
+          foreignRefs(spark, borrower)
+            .contains(dataDir(path, fid).toString)
+        if (!live) { f.delete(m, false); () } // stale: GC the marker
+        live
+      }
     val victims = onDisk.filterNot(keep).sorted
+      .filterNot(fid => borrowMarkers.contains(fid) &&
+        stillBorrowed(fid))
     victims.foreach { fid =>
       if (!f.delete(dataDir(path, fid), true))
         sys.error(s"VersionedStore.vacuum: cannot delete f$fid")

@@ -742,9 +742,12 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
       .size should be <= 1
     VersionedStore.readPoint(spark, c, "id", 150L)
       .count() shouldBe 1L
-    // vacuum on the source reclaims sidecars with their groups
+    // vacuum on the source reclaims sidecars with their groups —
+    // after the borrower is gone (a live clone's borrow markers
+    // would spare the groups, sidecars and all)
     val f = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(c), true)
     VersionedStore.compact(spark, p)
     VersionedStore.vacuum(spark, p,
       retainFrom = VersionedStore.latestVersion(spark, p))
@@ -817,22 +820,32 @@ class VersionedStoreScaleSpec extends AnyFunSuite with SparkFixture
     e.getMessage should include("empty")
   }
 
-  test("vacuum on the clone source breaks the clone loudly, never " +
-      "partially") {
+  test("vacuum on the clone source SPARES the borrowed groups " +
+      "while the clone lives (borrow markers), and reclaims them " +
+      "once the borrower is gone") {
     val p = freshPath()
     val c = freshPath()
     VersionedStore.create(spark, p)
     VersionedStore.append(batch(0 until 10), p)
     VersionedStore.cloneTo(spark, p, c)
     ids(c) shouldBe (0L until 10L)
-    // source compacts + vacuums: the group the clone references ages
-    // out of the SOURCE
+    // source compacts + vacuums: the borrowed group is the natural
+    // victim, but the live clone's borrow marker spares it — the
+    // clone keeps reading (historically this vacuum DELETED the
+    // clone's bytes; CloneVacuumSpec pins the full contract)
     VersionedStore.append(batch(10 until 20), p)
     VersionedStore.compact(spark, p)
     VersionedStore.vacuum(spark, p,
       retainFrom = VersionedStore.latestVersion(spark, p))
-    val e = the[RuntimeException] thrownBy ids(c)
-    e.getMessage should include("SOURCE")
+    ids(c) shouldBe (0L until 10L)
+    ids(p) shouldBe (0L until 20L)
+    // borrower gone → the next vacuum reclaims
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(c), true)
+    VersionedStore.vacuum(spark, p,
+      retainFrom = VersionedStore.latestVersion(spark, p))
+      .length should be >= 1
   }
 
   test("restore to a vacuumed version fails loudly instead of " +
