@@ -25,9 +25,13 @@ object StoreManifest {
   /** Pin each store's CURRENT latest version into a manifest at
     * `manifestPath`. Returns the pinned (store → version) map.
     */
+  private val cols = Seq(
+    MetaParquet.Col("store_path", "string"),
+    MetaParquet.Col("version", "long"))
+  private val schema = MetaParquet.schemaOf("graft_manifest", cols)
+
   def pin(spark: SparkSession, stores: Seq[String],
       manifestPath: String): Map[String, Long] = {
-    import spark.implicits._
     val pinned = stores.map(p =>
       p -> VersionedStore.latestVersion(spark, p))
     val f = org.apache.hadoop.fs.FileSystem
@@ -36,8 +40,11 @@ object StoreManifest {
     val dest = new Path(manifestPath)
     if (f.exists(tmp) && !f.delete(tmp, true))
       sys.error(s"StoreManifest.pin: cannot clear $tmp")
-    pinned.toDF("store_path", "version")
-      .coalesce(1).write.parquet(tmp.toString)
+    // KB-scale metadata: driver-side parquet write (same layout the
+    // previous coalesce(1) Spark write produced), no Spark job
+    MetaParquet.write(spark.sparkContext.hadoopConfiguration, tmp,
+      schema, cols, pinned.map { case (p, v) =>
+        Map[String, Any]("store_path" -> p, "version" -> v) })
     if (f.exists(dest) && !f.delete(dest, true))
       sys.error(s"StoreManifest.pin: cannot replace $dest")
     if (!f.rename(tmp, dest))
@@ -47,9 +54,14 @@ object StoreManifest {
 
   /** The pinned versions recorded in a manifest. */
   def versions(spark: SparkSession,
-      manifestPath: String): Map[String, Long] =
-    spark.read.parquet(manifestPath).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      manifestPath: String): Map[String, Long] = {
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    MetaParquet.read(f, spark.sparkContext.hadoopConfiguration,
+        new Path(manifestPath))
+      .map(m => m("store_path").asInstanceOf[String] ->
+        m("version").asInstanceOf[Long]).toMap
+  }
 
   /** Each pinned store's content AT its pinned version — unaffected
     * by anything committed since the pin.

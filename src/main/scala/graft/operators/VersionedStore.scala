@@ -349,7 +349,8 @@ object VersionedStore {
       renames: Seq[(String, String, String)] = Nil,
       schemaAnchor: Option[String] = None,
       guard: Option[(Long, Seq[Long] => Boolean)] = None,
-      txnApp: Option[String] = None): Long = {
+      txnApp: Option[String] = None,
+      neutral: Boolean = false): Long = {
     val maxAttempts = 5
     var attempt = 0
     def guardCheck(): Unit = guard.foreach { case (baseV, safe) =>
@@ -412,7 +413,7 @@ object VersionedStore {
     while (true) {
       try return commitAt(spark, path, v, adds, removes, txn, dvs,
         renames = renames, schemaAnchor = schemaAnchor,
-        txnApp = txnApp)
+        txnApp = txnApp, neutral = neutral)
       catch {
         case _: CommitConflict =>
           attempt += 1
@@ -496,9 +497,10 @@ object VersionedStore {
   private def commit(spark: SparkSession, path: String,
       adds: Seq[GroupAdd], removes: Seq[Long],
       dvs: Seq[GroupAdd] = Nil,
-      guard: Option[(Long, Seq[Long] => Boolean)] = None): Long =
+      guard: Option[(Long, Seq[Long] => Boolean)] = None,
+      neutral: Boolean = false): Long =
     commitRetrying(spark, path, adds, removes, -1L, dvs,
-      guard = guard)
+      guard = guard, neutral = neutral)
 
   /** The commit body at an EXPLICIT version — separated so the spec
     * can reproduce the two-writers race (both computed the same next
@@ -520,11 +522,10 @@ object VersionedStore {
       renames: Seq[(String, String, String)] = Nil,
       drops: Seq[(String, String, String)] = Nil,
       schemaAnchor: Option[String] = None,
-      txnApp: Option[String] = None): Long = {
-    import spark.implicits._
+      txnApp: Option[String] = None,
+      neutral: Boolean = false): Long = {
     requireExclusive("commit")
     val f = fs(spark)
-    val app = txnApp.orNull
     // the tmp name is unique PER ATTEMPT: two writers racing for the
     // same version must stage into disjoint dirs (a shared
     // `.tmp-v…` name let one writer delete or rename the other's
@@ -534,35 +535,34 @@ object VersionedStore {
     val tmp = new Path(s"$path/log/.tmp-" +
       s"${java.util.UUID.randomUUID}-${versionName(v)}")
     val stamp = if (ts >= 0) ts else System.currentTimeMillis()
-    def addRow(action: String, a: GroupAdd) = {
-      val (sc, lo, hi) = a.stats
-        .map { case (c, l, h) => (c, Some(l), Some(h)) }
-        .getOrElse((null: String, None, None))
-      (action, a.fid, a.n, txn, sc, lo, hi, a.schemaJson.orNull,
-        stamp, a.zones.map(_.c), a.zones.map(_.t),
-        a.zones.map(_.lo), a.zones.map(_.hi), a.loc.orNull,
-        a.blooms, null: String, null: String, app)
-    }
-    (adds.map(addRow("add", _)) ++ dvs.map(addRow("dv", _)) ++
-      removes.map(fid =>
-        ("remove", fid, 0L, txn, null: String,
-          None: Option[Long], None: Option[Long], null: String,
-          stamp, Seq.empty[String], Seq.empty[String],
-          Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String], null: String, null: String, app)) ++
+    def baseRow(action: String): Map[String, Any] =
+      Map[String, Any]("action" -> action, "fid" -> -1L,
+        "rows" -> 0L, "txn" -> txn, "ts" -> stamp,
+        "zc" -> Nil, "zt" -> Nil, "zlo" -> Nil, "zhi" -> Nil,
+        "bc" -> Nil) ++ txnApp.map("txn_app" -> _) ++
+        (if (neutral) Seq("neutral" -> 1L) else Nil)
+    def addRow(action: String, a: GroupAdd): Map[String, Any] =
+      baseRow(action) ++ Map[String, Any](
+        "fid" -> a.fid, "rows" -> a.n,
+        "zc" -> a.zones.map(_.c), "zt" -> a.zones.map(_.t),
+        "zlo" -> a.zones.map(_.lo), "zhi" -> a.zones.map(_.hi),
+        "bc" -> a.blooms) ++
+        a.stats.toSeq.flatMap { case (c, l, h) =>
+          Seq("stat_col" -> c, "stat_min" -> l, "stat_max" -> h) } ++
+        a.schemaJson.map("schema_json" -> _) ++
+        a.loc.map("loc" -> _)
+    val rows: Seq[Map[String, Any]] =
+      adds.map(addRow("add", _)) ++ dvs.map(addRow("dv", _)) ++
+      removes.map(fid => baseRow("remove") + ("fid" -> fid)) ++
       renames.map { case (from, to, newSchemaJson) =>
-        ("rename", -1L, 0L, txn, null: String,
-          None: Option[Long], None: Option[Long], newSchemaJson,
-          stamp, Seq.empty[String], Seq.empty[String],
-          Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String], from, to, app)
+        baseRow("rename") ++ Map[String, Any](
+          "schema_json" -> newSchemaJson,
+          "ren_from" -> from, "ren_to" -> to)
       } ++
       drops.map { case (logical, phys, newSchemaJson) =>
-        ("drop", -1L, 0L, txn, null: String,
-          None: Option[Long], None: Option[Long], newSchemaJson,
-          stamp, Seq.empty[String], Seq.empty[String],
-          Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String], logical, phys, app)
+        baseRow("drop") ++ Map[String, Any](
+          "schema_json" -> newSchemaJson,
+          "ren_from" -> logical, "ren_to" -> phys)
       } ++
       // the anchor's supremacy is enforced by [[actionPriority]]
       // (action "schema" sorts above every other record within a
@@ -571,18 +571,13 @@ object VersionedStore {
       // republished add records carry each group's ORIGINAL schema,
       // which is stale whenever the newest schema-bearing commit at
       // the restored version was a pure-metadata rename/drop)
-      schemaAnchor.toSeq.map { sj =>
-        ("schema", -1L, 0L, txn, null: String,
-          None: Option[Long], None: Option[Long], sj,
-          stamp, Seq.empty[String], Seq.empty[String],
-          Seq.empty[String], Seq.empty[String], null: String,
-          Seq.empty[String], null: String, null: String, app)
-      })
-      .toDF("action", "fid", "rows", "txn",
-        "stat_col", "stat_min", "stat_max", "schema_json",
-        "ts", "zc", "zt", "zlo", "zhi", "loc", "bc",
-        "ren_from", "ren_to", "txn_app")
-      .coalesce(1).write.parquet(tmp.toString)
+      schemaAnchor.toSeq.map(sj =>
+        baseRow("schema") + ("schema_json" -> sj))
+    // driver-side metadata write: same parquet layout as the previous
+    // coalesce(1) Spark write (one part file in the record dir), at
+    // file-I/O latency instead of a Spark job per commit
+    MetaParquet.write(spark.sparkContext.hadoopConfiguration, tmp,
+      logSchema, logCols, rows)
     val dest = new Path(s"$path/log/${versionName(v)}")
     // publication is the LogStore's exclusive-winner primitive:
     // `false` = a concurrent writer owns this version (the OCC loop
@@ -623,7 +618,17 @@ object VersionedStore {
         * epochs for its own replays. None for batch txns and all
         * records written before the column existed.
         */
-      txnApp: Option[String] = None)
+      txnApp: Option[String] = None,
+      /** True for records of a DATA-NEUTRAL commit — a compaction /
+        * OPTIMIZE rewrite that preserves the table's visible content
+        * by construction. [[changes]] serves an all-neutral window
+        * as the empty feed without reading a byte (the Delta CDF
+        * rule: OPTIMIZE commits are excluded from the change feed);
+        * records written before the column existed read as
+        * non-neutral, which is always sound (the exceptAll netting
+        * still cancels them).
+        */
+      neutral: Boolean = false)
 
   /** Driver-side incremental log cache, per JVM: the log is
     * O(commits) of KB-scale parquet, but re-reading it through a
@@ -639,60 +644,63 @@ object VersionedStore {
   private val logCache =
     scala.collection.mutable.Map.empty[String, (Set[Long], Seq[LogRec])]
 
-  /** Parse raw commit/checkpoint rows into LogRecs. `vExpr` supplies
-    * the version column (derived from the file name for commit dirs,
-    * stored explicitly in checkpoints).
+  /** Column spec of a commit-log record — the single source of truth
+    * for both the driver-side writer ([[commitAt]] / [[checkpoint]])
+    * and the driver-side reader ([[logRecords]]). The LAYOUT on disk
+    * is unchanged from the original Spark-written records (snappy
+    * parquet, standard lists), so stores written by earlier builds —
+    * and records a SPEC writes with Spark — read identically.
     */
-  private def parseLogRows(log: DataFrame,
-      vExpr: Column): Seq[LogRec] = {
-    def optCol(name: String, tpe: String) =
-      if (log.columns.contains(name)) col(name)
-      else lit(null).cast(tpe)
-    log.select(
-      vExpr.as("v"),
-      col("action"), col("fid"), col("rows"),
-      coalesce(optCol("txn", "long"), lit(-1L)).as("txn"),
-      optCol("stat_col", "string").as("stat_col"),
-      optCol("stat_min", "long").as("stat_min"),
-      optCol("stat_max", "long").as("stat_max"),
-      optCol("schema_json", "string").as("schema_json"),
-      coalesce(optCol("ts", "long"), lit(-1L)).as("ts"),
-      optCol("zc", "array<string>").as("zc"),
-      optCol("zt", "array<string>").as("zt"),
-      optCol("zlo", "array<string>").as("zlo"),
-      optCol("zhi", "array<string>").as("zhi"),
-      optCol("loc", "string").as("loc"),
-      optCol("bc", "array<string>").as("bc"),
-      optCol("ren_from", "string").as("ren_from"),
-      optCol("ren_to", "string").as("ren_to"),
-      optCol("txn_app", "string").as("txn_app"))
-      .collect()
-      .map { r =>
-        val stats =
-          if (r.isNullAt(5)) None
-          else Some((r.getString(5), r.getLong(6), r.getLong(7)))
-        val sj = if (r.isNullAt(8)) None else Some(r.getString(8))
-        val zones =
-          if (r.isNullAt(10)) Nil
-          else {
-            val (cs, tss, los, his) = (r.getSeq[String](10),
-              r.getSeq[String](11), r.getSeq[String](12),
-              r.getSeq[String](13))
-            cs.indices.map(i =>
-              ColZone(cs(i), tss(i), los(i), his(i)))
-          }
-        val loc = if (r.isNullAt(14)) None else Some(r.getString(14))
-        val blooms =
-          if (r.isNullAt(15)) Nil else r.getSeq[String](15)
-        val ren =
-          if (r.isNullAt(16) || r.isNullAt(17)) None
-          else Some((r.getString(16), r.getString(17)))
-        val app =
-          if (r.isNullAt(18)) None else Some(r.getString(18))
-        LogRec(r.getLong(0), r.getString(1), r.getLong(2),
-          r.getLong(3), r.getLong(4), stats, sj, r.getLong(9),
-          zones, loc, blooms, ren, app)
-      }.toSeq
+  private val logCols = Seq(
+    MetaParquet.Col("action", "string"),
+    MetaParquet.Col("fid", "long"),
+    MetaParquet.Col("rows", "long"),
+    MetaParquet.Col("txn", "long"),
+    MetaParquet.Col("stat_col", "string"),
+    MetaParquet.Col("stat_min", "long"),
+    MetaParquet.Col("stat_max", "long"),
+    MetaParquet.Col("schema_json", "string"),
+    MetaParquet.Col("ts", "long"),
+    MetaParquet.Col("zc", "strings"),
+    MetaParquet.Col("zt", "strings"),
+    MetaParquet.Col("zlo", "strings"),
+    MetaParquet.Col("zhi", "strings"),
+    MetaParquet.Col("loc", "string"),
+    MetaParquet.Col("bc", "strings"),
+    MetaParquet.Col("ren_from", "string"),
+    MetaParquet.Col("ren_to", "string"),
+    MetaParquet.Col("txn_app", "string"),
+    MetaParquet.Col("neutral", "long"))
+  private val logSchema = MetaParquet.schemaOf("graft_log", logCols)
+  private val ckptCols = MetaParquet.Col("v", "long") +: logCols
+  private val ckptSchema = MetaParquet.schemaOf("graft_ckpt", ckptCols)
+
+  /** Decode one raw metadata row (name→value map; absent = NULL,
+    * including columns the file predates) into a [[LogRec]] at
+    * version `v`.
+    */
+  private def recOf(m: Map[String, Any], v: Long): LogRec = {
+    def str(n: String) = m.get(n).map(_.asInstanceOf[String])
+    def lng(n: String) = m.get(n).map(_.asInstanceOf[Long])
+    def strs(n: String) = m.get(n) match {
+      case Some(s: Seq[_]) => s.map(_.asInstanceOf[String])
+      case _ => Nil
+    }
+    val stats = str("stat_col").flatMap(c =>
+      for (l <- lng("stat_min"); h <- lng("stat_max"))
+        yield (c, l, h))
+    val (zc, zt, zlo, zhi) =
+      (strs("zc"), strs("zt"), strs("zlo"), strs("zhi"))
+    val zones = zc.indices.map(i =>
+      ColZone(zc(i), zt(i), zlo(i), zhi(i)))
+    val ren = for (f <- str("ren_from"); t <- str("ren_to"))
+      yield (f, t)
+    LogRec(v, str("action").getOrElse(
+        sys.error(s"VersionedStore: log record without action at v$v")),
+      lng("fid").getOrElse(-1L), lng("rows").getOrElse(0L),
+      lng("txn").getOrElse(-1L), stats, str("schema_json"),
+      lng("ts").getOrElse(-1L), zones, str("loc"), strs("bc"),
+      ren, str("txn_app"), lng("neutral").exists(_ == 1L))
   }
 
   private def logRecords(spark: SparkSession,
@@ -714,22 +722,30 @@ object VersionedStore {
       if (keep.nonEmpty) None
       else ckpts.filter(c => missing.nonEmpty &&
         c >= missing.head && vs.contains(c)).lastOption
+    // driver-side reads: a version dir is KBs of parquet — reading it
+    // through a Spark job paid scheduling + codegen per commit; the
+    // direct read costs file I/O only (same bytes, same tolerance for
+    // records written before a column existed)
+    val f = fs(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
     val fromCkpt = ckpt match {
       case Some(cv) =>
         val wanted = missing.filter(_ <= cv).toSet
-        parseLogRows(
-          spark.read.parquet(s"$path/log/ckpt-${versionName(cv)}"),
-          col("v")).filter(r => wanted.contains(r.v))
+        MetaParquet.read(f, conf,
+            new Path(s"$path/log/ckpt-${versionName(cv)}"))
+          .map(m => recOf(m, m.get("v") match {
+            case Some(v: Long) => v
+            case _ => sys.error(
+              s"VersionedStore: checkpoint row without version at $path")
+          }))
+          .filter(r => wanted.contains(r.v))
       case None => Seq.empty[LogRec]
     }
     val rest = missing.filter(m => ckpt.forall(m > _))
-    val fresh =
-      if (rest.isEmpty) Seq.empty[LogRec]
-      else parseLogRows(
-        spark.read.option("mergeSchema", "true")
-          .parquet(rest.map(x => s"$path/log/${versionName(x)}"): _*),
-        regexp_extract(input_file_name(), "/log/v(\\d{9})/[^/]*$", 1)
-          .cast("long"))
+    val fresh = rest.flatMap(x =>
+      MetaParquet.read(f, conf,
+          new Path(s"$path/log/${versionName(x)}"))
+        .map(recOf(_, x)))
     val recs = (keep ++ fromCkpt ++ fresh)
       .sortBy(r => (r.v, actionPriority(r.action), r.fid))
     logCache(path) = (vs, recs)
@@ -776,7 +792,6 @@ object VersionedStore {
     * that triggered it), reconstructible, and ignored when absent.
     */
   def checkpoint(spark: SparkSession, path: String, v: Long): Unit = {
-    import spark.implicits._
     val f = fs(spark)
     val recs = logRecords(spark, path).filter(_.v <= v)
     if (recs.isEmpty) return
@@ -784,21 +799,24 @@ object VersionedStore {
     // checkpointers must never stage into each other's dir
     val tmp = new Path(s"$path/log/.tmp-ckpt-" +
       s"${java.util.UUID.randomUUID}-${versionName(v)}")
-    recs.map { r =>
-      val (sc, lo, hi) = r.stats
-        .map { case (c, l, h) => (c, Some(l), Some(h)) }
-        .getOrElse((null: String, None, None))
-      (r.v, r.action, r.fid, r.rows, r.txn, sc, lo, hi,
-        r.schemaJson.orNull, r.ts, r.zones.map(_.c),
-        r.zones.map(_.t), r.zones.map(_.lo), r.zones.map(_.hi),
-        r.loc.orNull, r.blooms,
-        r.ren.map(_._1).orNull, r.ren.map(_._2).orNull,
-        r.txnApp.orNull)
-    }.toDF("v", "action", "fid", "rows", "txn",
-      "stat_col", "stat_min", "stat_max", "schema_json",
-      "ts", "zc", "zt", "zlo", "zhi", "loc", "bc",
-      "ren_from", "ren_to", "txn_app")
-      .coalesce(1).write.parquet(tmp.toString)
+    val rows: Seq[Map[String, Any]] = recs.map { r =>
+      Map[String, Any]("v" -> r.v, "action" -> r.action,
+        "fid" -> r.fid, "rows" -> r.rows, "txn" -> r.txn,
+        "ts" -> r.ts,
+        "zc" -> r.zones.map(_.c), "zt" -> r.zones.map(_.t),
+        "zlo" -> r.zones.map(_.lo), "zhi" -> r.zones.map(_.hi),
+        "bc" -> r.blooms) ++
+        r.stats.toSeq.flatMap { case (c, l, h) =>
+          Seq("stat_col" -> c, "stat_min" -> l, "stat_max" -> h) } ++
+        r.schemaJson.map("schema_json" -> _) ++
+        r.loc.map("loc" -> _) ++
+        r.ren.toSeq.flatMap { case (from, to) =>
+          Seq("ren_from" -> from, "ren_to" -> to) } ++
+        r.txnApp.map("txn_app" -> _) ++
+        (if (r.neutral) Seq("neutral" -> 1L) else Nil)
+    }
+    MetaParquet.write(spark.sparkContext.hadoopConfiguration, tmp,
+      ckptSchema, ckptCols, rows)
     val dest = new Path(s"$path/log/ckpt-${versionName(v)}")
     // derived data, but still published through the LogStore so an
     // object-store deployment gets an atomic (never torn) snapshot;
@@ -1108,30 +1126,53 @@ object VersionedStore {
     * parquet and return the armed column names for the commit
     * record. ~1.2 KB per 1k rows at 1% fpp — KBs at test scale, MBs
     * for a production group, which is exactly why the bits live in a
-    * sidecar and only the column NAME rides in the log. One extra
-    * scan of the (just-written, page-cached) group per armed column;
-    * blooms are opt-in, unarmed stores pay nothing.
+    * sidecar and only the column NAME rides in the log. ONE extra
+    * scan of the (just-written, page-cached) group builds ALL armed
+    * columns' filters together (`stat.bloomFilter` is one full pass
+    * PER column; the fused pass puts each row's k values into k
+    * filters — same create(n, fpp) sizing, same put() encoding, so
+    * the sidecar bits are identical); blooms are opt-in, unarmed
+    * stores pay nothing.
     */
   private def buildBlooms(spark: SparkSession, path: String,
       fid: Long, n: Long, cols: Seq[String]): Seq[String] = {
     if (cols.isEmpty || n == 0) return Nil
     val written = spark.read.parquet(dataDir(path, fid).toString)
-    val f = fs(spark)
-    cols.distinct.filter(written.columns.contains)
+    val armed = cols.distinct.filter(written.columns.contains)
       .filter(bloomTypeOk(written, _))
-      .map { c =>
-        val bf = written.stat.bloomFilter(c, math.max(n, 1L), 0.01)
-        val tmp = new Path(s"$path/bloom/.tmp-f$fid-$c")
-        if (f.exists(tmp)) f.delete(tmp, true)
-        val out = f.create(tmp, true)
-        try bf.writeTo(out) finally out.close()
-        val dst = new Path(s"$path/bloom/f$fid-$c")
-        if (f.exists(dst) && !f.delete(dst, true)) sys.error(
-          s"VersionedStore: cannot replace bloom sidecar $dst")
-        if (!f.rename(tmp, dst)) sys.error(
-          s"VersionedStore: cannot publish bloom sidecar $dst")
-        c
-      }
+    if (armed.isEmpty) return Nil
+    import org.apache.spark.util.sketch.BloomFilter
+    val expected = math.max(n, 1L)
+    val zero = armed.map(_ =>
+      BloomFilter.create(expected, 0.01)).toArray
+    val merged = written.select(armed.map(col): _*).rdd
+      .treeAggregate(zero)(
+        (bfs, row) => {
+          var i = 0
+          while (i < bfs.length) {
+            if (!row.isNullAt(i)) bfs(i).put(row.get(i))
+            i += 1
+          }
+          bfs
+        },
+        (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i).mergeInPlace(b(i)); i += 1 }
+          a
+        })
+    val f = fs(spark)
+    armed.zip(merged).map { case (c, bf) =>
+      val tmp = new Path(s"$path/bloom/.tmp-f$fid-$c")
+      if (f.exists(tmp)) f.delete(tmp, true)
+      val out = f.create(tmp, true)
+      try bf.writeTo(out) finally out.close()
+      val dst = new Path(s"$path/bloom/f$fid-$c")
+      if (f.exists(dst) && !f.delete(dst, true)) sys.error(
+        s"VersionedStore: cannot replace bloom sidecar $dst")
+      if (!f.rename(tmp, dst)) sys.error(
+        s"VersionedStore: cannot publish bloom sidecar $dst")
+      c
+    }
   }
 
   /** Loc-aware sidecar path: a cloned-in group's bloom lives beside
@@ -1268,29 +1309,39 @@ object VersionedStore {
     val pStatsCol = statsCol.map(phys).filter(pdf.columns.contains)
     val pZoneCols = zoneCols.map(phys).filter(pdf.columns.contains)
     val pBloomCols = bloomCols.map(phys)
-    pdf.write.mode("overwrite").parquet(dataDir(path, fid).toString)
-    val written = spark.read.parquet(dataDir(path, fid).toString)
     val zcs = pZoneCols.distinct
       .flatMap(c => zoneTypeOf(pdf, c).map(c -> _))
+    // count/stats/zone hulls ride the WRITE job itself as observed
+    // metrics (CollectMetrics) instead of a second read-back job per
+    // group: the metrics see exactly the rows the writer persists
+    // (parquet round-trips every supported type losslessly, so the
+    // values equal the old read-back's), and a group write costs ONE
+    // job. Blooms — RDD-level sketch aggregation, not expressible as
+    // an observed metric — keep their (single, multi-column) pass.
     val aggs = Seq(count(lit(1)).as("n")) ++
       pStatsCol.toSeq.flatMap(c => Seq(
         min(col(c)).cast("long").as("_lo"),
         max(col(c)).cast("long").as("_hi"))) ++
-      zcs.flatMap { case (c, _) => zoneAggs(written, c) }
-    val r = written.agg(aggs.head, aggs.tail: _*).head
-    val n = r.getLong(0)
+      zcs.flatMap { case (c, _) => zoneAggs(pdf, c) }
+    val obs = org.apache.spark.sql.Observation(
+      s"vs-write-$fid-${java.util.UUID.randomUUID}")
+    pdf.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(dataDir(path, fid).toString)
+    val r = obs.get
+    val n = r("n").asInstanceOf[Long]
     val legacy = pStatsCol.flatMap { c =>
-      if (n == 0 || r.isNullAt(1)) None
-      else Some((c, r.getLong(1), r.getLong(2)))
+      if (n == 0 || r("_lo") == null) None
+      else Some((c, r("_lo").asInstanceOf[Long],
+        r("_hi").asInstanceOf[Long]))
     }
-    val base = 1 + (if (pStatsCol.isDefined) 2 else 0)
-    val zones = zcs.zipWithIndex.flatMap { case ((c, t), i) =>
+    val zones = zcs.flatMap { case (c, t) =>
       // an empty or all-NULL column commits no zone for that column
       // (the group stays a candidate for any range), never a bogus
       // hull — the parquet-footer convention
-      if (n == 0 || r.isNullAt(base + 2 * i)) None
-      else Some(ColZone(c, t, r.getString(base + 2 * i),
-        r.getString(base + 2 * i + 1)))
+      val lo = r(s"_zlo_$c")
+      if (n == 0 || lo == null) None
+      else Some(ColZone(c, t, lo.asInstanceOf[String],
+        r(s"_zhi_$c").asInstanceOf[String]))
     }
     GroupAdd(fid, n, legacy, sj, zones,
       blooms = buildBlooms(spark, path, fid, n, pBloomCols))
@@ -2282,7 +2333,8 @@ object VersionedStore {
       // and resurrect deleted rows
       commit(spark, path,
         Seq(writeGroup(out, path, fid, statsCol, zoneCols,
-          bloomCols)), old, guard = Some((v, _ => true)))
+          bloomCols)), old, guard = Some((v, _ => true)),
+        neutral = true)
     } else {
       val newFids = claimFids(spark, path, numGroups)
       // plain multi-group clustering range-partitions on the key
@@ -2348,7 +2400,8 @@ object VersionedStore {
       // an empty bucket becomes no group at all, not a 0-row group
       // (its already-written empty dir is an orphan vacuum reclaims)
       commit(spark, path, adds.filter(_.n > 0), old,
-        guard = Some((v, _ => true))) // same DV-resurrection guard
+        guard = Some((v, _ => true)), // same DV-resurrection guard
+        neutral = true)
     }
   }
 
@@ -2778,11 +2831,33 @@ object VersionedStore {
       case Some(v) => return v // replayed merge: already committed
       case None => ()
     }
-    val dupKeys = updates.groupBy(keyCols.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).count()
-    if (dupKeys > 0) sys.error(
-      "VersionedStore.merge: updates carry duplicate keys — " +
-        "the merge result would be order-dependent")
+    // fused pre-pass (ONE job where it used to be two): per-key
+    // counts give the duplicate gate, and for single-key merges the
+    // same pass carries the key SPAN the zone-pruned detection scan
+    // needs — the span of the distinct keys equals the span of the
+    // raw updates
+    val keySpan = keyCols match {
+      case Seq(c) =>
+        val isStr = updates.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType
+        val (mn, mx) =
+          if (isStr) (min(col(c)), max(col(c)))
+          else (min(col(c)).cast("long"), max(col(c)).cast("long"))
+        val r = updates.groupBy(col(c))
+          .agg(count(lit(1)).as("_cnt"))
+          .agg(max(col("_cnt")), mn, mx).head
+        if (!r.isNullAt(0) && r.getLong(0) > 1) sys.error(
+          "VersionedStore.merge: updates carry duplicate keys — " +
+            "the merge result would be order-dependent")
+        Some(r)
+      case _ =>
+        val dupKeys = updates.groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        if (dupKeys > 0) sys.error(
+          "VersionedStore.merge: updates carry duplicate keys — " +
+            "the merge result would be order-dependent")
+        None
+    }
     // same write-boundary schema gate as append: a retyping update
     // batch would otherwise become the table schema (its insert
     // group carries the commit's highest fid) and corrupt every
@@ -2805,18 +2880,13 @@ object VersionedStore {
           zoneCols.contains(physOf(spark, path, v, c)) =>
         val isStr = updates.schema(c).dataType ==
           org.apache.spark.sql.types.StringType
-        if (isStr) {
-          val r = updates.agg(min(col(c)), max(col(c))).head
-          if (r.isNullAt(0)) Seq.empty
-          else candidateFidsStr(spark, path, v, c, r.getString(0),
-            r.getString(1))
-        } else {
-          val r = updates.agg(min(col(c)).cast("long"),
-            max(col(c)).cast("long")).head
-          if (r.isNullAt(0)) Seq.empty
-          else candidateFids(spark, path, v, c, r.getLong(0),
-            r.getLong(1))
-        }
+        val r = keySpan.get // single-key: span rode the dup-gate pass
+        if (r.isNullAt(1)) Seq.empty
+        else if (isStr)
+          candidateFidsStr(spark, path, v, c, r.getString(1),
+            r.getString(2))
+        else candidateFids(spark, path, v, c, r.getLong(1),
+          r.getLong(2))
       case _ => liveFids(spark, path, v)
     }
     val keys = broadcast(updates.select(keyCols.map(col): _*))
@@ -3205,6 +3275,23 @@ object VersionedStore {
       toV: Long): DataFrame = {
     require(fromV <= toV,
       s"VersionedStore.changes: fromV $fromV > toV $toV")
+    // a window whose EVERY commit is data-neutral (compaction /
+    // OPTIMIZE — content-preserving by construction, and the commit
+    // says so) is the empty feed with zero data read. Without the
+    // marker the exceptAll below still nets such a window to zero
+    // rows — at the price of shuffling the ENTIRE table's content
+    // twice, which at 100 TB makes every OPTIMIZE a full-table tax
+    // on all CDC consumers (the Delta CDF rule: data-neutral
+    // commits are excluded from the feed). Mixed windows (neutral +
+    // real commits interleaved) keep the exceptAll netting.
+    val winVs = logRecords(spark, path)
+      .filter(r => r.v > fromV && r.v <= toV)
+    if (winVs.nonEmpty && winVs.forall(_.neutral)) {
+      val schema = read(spark, path).schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("_change", lit("insert")).limit(0)
+    }
     val before = liveFids(spark, path, fromV).toSet
     val after = liveFids(spark, path, toV).toSet
     val dvBefore = liveDvFids(spark, path, fromV)
@@ -3431,17 +3518,26 @@ object VersionedStore {
     * table clean: validating after the fact means a full-table scan
     * and a mess to unwind.
     */
+  private val constraintCols = Seq(
+    MetaParquet.Col("kind", "string"),
+    MetaParquet.Col("column", "string"),
+    MetaParquet.Col("args", "strings"))
+  private val constraintSchema =
+    MetaParquet.schemaOf("graft_constraints", constraintCols)
+
   def setConstraints(spark: SparkSession, path: String,
       checks: Seq[graft.check.Check]): Unit = {
-    import spark.implicits._
     val f = fs(spark)
     val tmp = new Path(s"$path/.constraints-tmp")
     val dest = new Path(s"$path/constraints")
     if (f.exists(tmp) && !f.delete(tmp, true))
       sys.error(s"VersionedStore.setConstraints: cannot clear $tmp")
-    checks.map(graft.check.CheckCodec.encode)
-      .toDF("kind", "column", "args")
-      .coalesce(1).write.parquet(tmp.toString)
+    MetaParquet.write(spark.sparkContext.hadoopConfiguration, tmp,
+      constraintSchema, constraintCols,
+      checks.map(graft.check.CheckCodec.encode).map {
+        case (kind, column, args) => Map[String, Any](
+          "kind" -> kind, "column" -> column, "args" -> args)
+      })
     if (f.exists(dest) && !f.delete(dest, true))
       sys.error(s"VersionedStore.setConstraints: cannot replace $dest")
     if (!f.rename(tmp, dest))
@@ -3452,12 +3548,17 @@ object VersionedStore {
   def constraintsOf(spark: SparkSession,
       path: String): Seq[graft.check.Check] = {
     val dest = new Path(s"$path/constraints")
-    if (!fs(spark).exists(dest)) Seq.empty
-    else spark.read.parquet(dest.toString)
-      .collect()
-      .map(r => graft.check.CheckCodec.decode(r.getString(0),
-        r.getString(1), r.getSeq[String](2)))
-      .toSeq
+    val f = fs(spark)
+    if (!f.exists(dest)) Seq.empty
+    else MetaParquet.read(f,
+        spark.sparkContext.hadoopConfiguration, dest)
+      .map(m => graft.check.CheckCodec.decode(
+        m("kind").asInstanceOf[String],
+        m("column").asInstanceOf[String],
+        m.get("args") match {
+          case Some(s: Seq[_]) => s.map(_.asInstanceOf[String])
+          case _ => Nil
+        }))
   }
 
   /** Persist free-form table PROPERTIES (the TBLPROPERTIES of the
@@ -3466,16 +3567,23 @@ object VersionedStore {
     * job happens to run maintenance. Same tmp+rename publication as
     * constraints; a full map replace, read-modify-write for updates.
     */
+  private val propCols = Seq(
+    MetaParquet.Col("key", "string"),
+    MetaParquet.Col("value", "string"))
+  private val propSchema =
+    MetaParquet.schemaOf("graft_properties", propCols)
+
   def setProperties(spark: SparkSession, path: String,
       props: Map[String, String]): Unit = {
-    import spark.implicits._
     val f = fs(spark)
     val tmp = new Path(s"$path/.properties-tmp")
     val dest = new Path(s"$path/properties")
     if (f.exists(tmp) && !f.delete(tmp, true))
       sys.error(s"VersionedStore.setProperties: cannot clear $tmp")
-    props.toSeq.toDF("key", "value")
-      .coalesce(1).write.parquet(tmp.toString)
+    MetaParquet.write(spark.sparkContext.hadoopConfiguration, tmp,
+      propSchema, propCols,
+      props.toSeq.map { case (k, v) =>
+        Map[String, Any]("key" -> k, "value" -> v) })
     if (f.exists(dest) && !f.delete(dest, true))
       sys.error(s"VersionedStore.setProperties: cannot replace $dest")
     if (!f.rename(tmp, dest))
@@ -3486,9 +3594,12 @@ object VersionedStore {
   def propertiesOf(spark: SparkSession,
       path: String): Map[String, String] = {
     val dest = new Path(s"$path/properties")
-    if (!fs(spark).exists(dest)) Map.empty
-    else spark.read.parquet(dest.toString).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val f = fs(spark)
+    if (!f.exists(dest)) Map.empty
+    else MetaParquet.read(f,
+        spark.sparkContext.hadoopConfiguration, dest)
+      .map(m => m("key").asInstanceOf[String] ->
+        m("value").asInstanceOf[String]).toMap
   }
 
   /** Apply the table's OWN retention policy: [[vacuumOlderThan]] at
