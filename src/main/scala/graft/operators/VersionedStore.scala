@@ -2064,9 +2064,14 @@ object VersionedStore {
     val zoneCols = (clusterBy ++ propag._1).distinct
     // one cheap probe bounds the group count by the batch's actual
     // key cardinality: a batch of 3 dates lands as 3 groups (exact
-    // per-value pruning), a batch of 10k keys as maxGroups ranges
-    val distinct = df.select(clusterBy.map(col): _*)
-      .distinct().limit(maxGroups + 1).count().toInt
+    // per-value pruning), a batch of 10k keys as maxGroups ranges.
+    // The probe COLLECTS the (≤ maxGroups+1) key values, not just
+    // their count: when the full key set is in hand, groups are
+    // assigned by VALUE below — no range-sampling job, no range
+    // exchange (rewriteGroups' salt shuffle is the only one).
+    val probed = df.select(clusterBy.map(col): _*)
+      .distinct().limit(maxGroups + 1).collect()
+    val distinct = probed.length
     val numGroups = math.max(1, math.min(distinct, maxGroups))
     if (numGroups == 1) {
       val Seq(fid) = claimFids(spark, path, 1)
@@ -2075,10 +2080,30 @@ object VersionedStore {
         statsCol, zoneCols, propag._2))
     }
     val newFids = claimFids(spark, path, numGroups)
-    val bucketed = df
-      .repartitionByRange(numGroups, clusterBy.map(col): _*)
-      .sortWithinPartitions(clusterBy.map(col): _*)
-      .withColumn("_vs_fid", spark_partition_id().cast("long"))
+    // no sortWithinPartitions here: rewriteGroups' salt repartition
+    // redistributes each bucket over writer tasks anyway, so a
+    // pre-sort is pure wasted work — group membership (and therefore
+    // every zone hull) is fixed by the bucket assignment alone
+    val bucketed =
+      if (distinct <= maxGroups) {
+        // exact per-value buckets from the probed key set. The when-
+        // chain is total by construction (the probe enumerated every
+        // distinct value); zone hulls are aggregated from each
+        // group's ACTUAL written content, so pruning stays sound
+        // regardless of which bucket a row lands in.
+        val ordered = probed.sortBy(_.toString)
+        val conds = ordered.zipWithIndex.map { case (r, i) =>
+          (clusterBy.zipWithIndex.map { case (c, j) =>
+            col(c) <=> lit(r.get(j)) }.reduce(_ && _), i)
+        }
+        val idx = conds.init.tail.foldLeft(
+          when(conds.head._1, lit(0))) { case (acc, (cond, i)) =>
+            acc.when(cond, lit(i)) }
+          .otherwise(lit(conds.last._2))
+        df.withColumn("_vs_fid", idx.cast("long"))
+      } else df
+        .repartitionByRange(numGroups, clusterBy.map(col): _*)
+        .withColumn("_vs_fid", spark_partition_id().cast("long"))
     val fidOf = (0 until numGroups).map(b => b.toLong -> newFids(b))
     // empty range buckets (sampling, small batches) become no group
     rewriteGroups(spark, path, bucketed, fidOf, statsCol, zoneCols,
@@ -2457,11 +2482,22 @@ object VersionedStore {
     val dataCols = dataCols0
     val salt = pmod(xxhash64(struct(dataCols.map(col): _*)), lit(8))
     val spread = kept2.repartition(col("_vs_fid"), salt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zcs = zoneColsP.distinct.filter(dataCols.contains)
-      .flatMap(c => zoneTypeOf(spread, c).map(c -> _))
+      .flatMap(c => zoneTypeOf(kept2, c).map(c -> _))
     try {
       spread.write.partitionBy("_vs_fid").parquet(tmp.toString)
+      // per-group counts/stats/zones come from a COLUMN-PRUNED read
+      // of the parquet just written (guide §1.4/§6): the write job is
+      // the only full computation of the kept rows — no
+      // persist-everything pass, and the stats job reads only the
+      // statted columns of compact columnar files. Values equal the
+      // old cached-frame aggregation's: parquet round-trips every
+      // supported type losslessly. An all-empty rewrite writes no
+      // files at all (partitionBy emits nothing), so the stats read
+      // is skipped and every group records n = 0.
+      val wrote = f.exists(tmp) && f.listStatus(tmp)
+        .exists(s => s.isDirectory &&
+          s.getPath.getName.startsWith("_vs_fid="))
       val aggs = Seq(count(lit(1)).as("n")) ++
         (statsColP match {
           case Some(c) => Seq(min(col(c)).cast("long").as("lo"),
@@ -2469,10 +2505,13 @@ object VersionedStore {
           case None => Seq(lit(null).cast("long").as("lo"),
             lit(null).cast("long").as("hi"))
         }) ++
-        zcs.flatMap { case (c, _) => zoneAggs(spread, c) }
-      val statRows = spread.groupBy(col("_vs_fid"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect().map { r =>
+        zcs.flatMap { case (c, _) => zoneAggs(kept2, c) }
+      val statRows = (if (!wrote) Array.empty[org.apache.spark.sql.Row]
+        else spark.read.parquet(tmp.toString)
+          .withColumn("_vs_fid", col("_vs_fid").cast("long"))
+          .groupBy(col("_vs_fid"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()).map { r =>
           val legacy =
             if (r.isNullAt(2)) None
             else Some((statsColP.get, r.getLong(2), r.getLong(3)))
@@ -2505,7 +2544,6 @@ object VersionedStore {
           blooms = buildBlooms(spark, path, newFid, n, bloomColsP))
       }
     } finally {
-      spread.unpersist()
       f.delete(tmp, true)
       ()
     }
