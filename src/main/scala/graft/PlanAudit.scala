@@ -15,10 +15,27 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Internal build-path frames: the expensive pass of an index/store
+    // BUILD lives inside a write job, not in the declared query's
+    // returned DataFrame — these pseudo-names expose those frames so
+    // their plans can be audited like any query's.
+    val internal: Map[String, SparkSession => org.apache.spark.sql.DataFrame] = Map(
+      "winnow_fingerprints" -> (s =>
+        graft.operators.Winnowing.fingerprints(
+          graft.Tables.documents(s, sfDir))),
+      "bm25_index_postings" -> (s =>
+        graft.llm.Bm25.index(graft.Tables.documents(s, sfDir)).postings),
+      "dupspan_duplicated_positions" -> (s =>
+        graft.llm.DuplicateSpans.duplicatedPositions(
+          graft.Tables.documents(s, sfDir), 12)))
     args.foreach { name =>
       println(s"======== $name ========")
-      SparkEntry.allQueries.find(_.name == name).get.run(spark, sfDir)
-        .explain("formatted")
+      internal.get(name) match {
+        case Some(f) => f(spark).explain("formatted")
+        case None =>
+          SparkEntry.allQueries.find(_.name == name).get.run(spark, sfDir)
+            .explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -20,12 +20,23 @@ object TimeSome {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = SparkEntry.allQueries.filter(q => args.contains(q.name))
-    for (round <- 0 to 1; q <- qs) {
+    // Bench methodology in miniature: round 0 warms codegen/JIT and
+    // pays StoreCache builds; rounds 1-2 are timed and the per-query
+    // MIN is reported (single warm runs spike 2-6× on random JIT/GC
+    // pauses — the min of two is the steady state, as in Bench).
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (round <- 0 to 2; q <- qs) {
+      // Bench's settle(): without it, garbage from a prior query's
+      // pass (decimal folds, broadcast builds) storms a random later
+      // query's GC and poisons the comparison.
+      if (qs.headOption.contains(q)) { System.gc(); Thread.sleep(2000) }
       val t0 = System.nanoTime()
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      if (round == 1) println(f"TIME ${q.name} $dt%.2f")
+      if (round >= 1)
+        best(q.name) = math.min(best.getOrElse(q.name, dt), dt)
     }
+    qs.foreach(q => println(f"TIME ${q.name} ${best(q.name)}%.2f"))
     spark.stop()
   }
 }

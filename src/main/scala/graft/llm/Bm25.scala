@@ -53,16 +53,30 @@ object Bm25 {
     */
   final case class Bm25Index(postings: DataFrame, docLens: DataFrame)
 
-  /** Whitespace tokenization, matching the corpus-wide convention. */
+  /** Whitespace tokenization, matching the corpus-wide convention.
+    *
+    * The (id, text) rows are hash-repartitioned by doc id before the
+    * explode: the test corpus is one parquet split, so without it the
+    * tokenize + explode + partial tf-aggregation runs in ONE scan
+    * task. Partitioning by doc_id parallelizes the pass AND satisfies
+    * the postings aggregate's ClusteredDistribution (doc_id ⊆ {term,
+    * doc_id}), so the exploded term rows are never exchanged — the
+    * one shuffle carries document rows, not terms. Both index halves
+    * share the exchange (ReusedExchange). Same rows out: tf counts
+    * and lengths are keyed aggregations, order-free.
+    */
   def index(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Bm25Index = {
-    val ws = split(col(textCol), " ")
-    val postings = docs
-      .select(col(idCol).as("doc_id"), explode(ws).as("term"))
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(col("doc_id"))
+    val ws = split(col("__text"), " ")
+    val postings = base
+      .select(col("doc_id"), explode(ws).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
-    val docLens = docs
-      .select(col(idCol).as("doc_id"), size(ws).cast("long").as("dl"))
+    val docLens = base
+      .select(col("doc_id"), size(ws).cast("long").as("dl"))
     Bm25Index(postings, docLens)
   }
 

@@ -49,6 +49,14 @@ object DuplicateSpans {
     docs
       .select(col("doc_id"), words(col("text")).as("__ws"))
       .filter(size(ws) >= k)
+      // Hash-repartition the (id, tokens) rows before the explode:
+      // the test corpus is one parquet split, so the per-gram md5 HOF
+      // (the expensive pass — and [[duplicatedPositions]] computes it
+      // on BOTH sides of its join-back) otherwise runs in ONE scan
+      // task. Document rows shuffle once, the gram pass runs on every
+      // core; all consumers re-key by gh or doc_id downstream, so
+      // rows are identical.
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(1), size(ws) - lit(k - 1)),

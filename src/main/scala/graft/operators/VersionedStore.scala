@@ -3479,10 +3479,18 @@ object VersionedStore {
     */
   def applyChanges(spark: SparkSession, feed: DataFrame,
       targetPath: String, keyCols: Seq[String]): Long = {
-    val dels = feed.filter(
+    // Pin the feed once: it may embed exceptAll netting over carried
+    // groups, and it is consumed by up to SIX downstream actions (two
+    // emptiness gates, the delete's detection scan + rewrite + OCC
+    // guard, the append's constraint validation + write) — without
+    // the checkpoint each action re-runs the whole netting (q343
+    // profiled 20 s of task time for 2 s of useful work). O(changed
+    // rows) blocks, freed with the plan; content unchanged.
+    val f = feed.localCheckpoint()
+    val dels = f.filter(
       col("_change").isin("delete", "update_preimage"))
       .select(keyCols.map(col): _*)
-    val ins = feed.filter(
+    val ins = f.filter(
       col("_change").isin("insert", "update_postimage"))
       .drop("_change")
     if (!dels.isEmpty) deleteKeys(spark, targetPath, dels, keyCols)

@@ -62,6 +62,18 @@ object Winnowing {
       .select(col(idCol),
         graft.functions.TextFunctions.words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 3)
+      // Hash-repartition the (id, tokens) rows BEFORE the explode:
+      // the test corpus arrives as one parquet split, so without this
+      // the tokenize + per-trigram md5 — the expensive pass — runs in
+      // ONE scan task, and the window exchange then shuffles the
+      // EXPLODED trigram rows (~40× the bytes of the document rows).
+      // Partitioning by the document id up front parallelizes the
+      // hash pass across the session's cores AND already satisfies
+      // the selection window's ClusteredDistribution(id) (and the
+      // final distinct's, id ⊆ its keys), so the exploded rows are
+      // never exchanged at all — strictly fewer shuffled bytes, same
+      // rows (everything downstream is keyed agg/window/distinct).
+      .repartition(col(idCol))
       .select(col(idCol), posexplode(
         graft.functions.TextFunctions.trigrams(col("__ws"))))
       .select(col(idCol), col("pos"),

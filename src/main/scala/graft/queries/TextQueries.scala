@@ -163,6 +163,24 @@ object TextQueries {
     graft.operators.WinnowIndex.read(s, path)
   }
 
+  /** The winnow-build ladder's declared stats row (n_fps, n_keys,
+    * n_docs, max_pos) over a stored index — spelled as per-column
+    * aggregation subtrees crossJoined (the q249 plan shape): TWO
+    * countDistincts in one aggregate trigger Spark's multi-distinct
+    * EXPAND rewrite (×3 rows through the exchange — measured, the
+    * dominant post-build cost of q240/q310/q312), while each split
+    * subtree scans ONE pruned parquet column and aggregates without
+    * expansion. Same single-row result, same column order and types.
+    */
+  private def winnowIndexStats(idx: org.apache.spark.sql.DataFrame) =
+    idx.agg(count(lit(1)).cast("long").as("n_fps"))
+      .crossJoin(idx.select("fph")
+        .agg(countDistinct(col("fph")).as("n_keys")))
+      .crossJoin(idx.select("doc_id")
+        .agg(countDistinct(col("doc_id")).as("n_docs")))
+      .crossJoin(idx.select("pos")
+        .agg(max(col("pos")).cast("long").as("max_pos")))
+
   /** The winnowing CTE chain shared by q207/q208's oracles: `winn` is
     * the distinct (doc_id, pos, fph) selection.
     */
@@ -1848,11 +1866,7 @@ object TextQueries {
         val dir = graft.StoreCache.rebuild("winnow", d) { p =>
           graft.operators.WinnowIndex.build(documents(s, d), p)
         }
-        graft.operators.WinnowIndex.read(s, dir)
-          .agg(count(lit(1)).cast("long").as("n_fps"),
-            countDistinct(col("fph")).as("n_keys"),
-            countDistinct(col("doc_id")).as("n_docs"),
-            max(col("pos")).cast("long").as("max_pos"))
+        winnowIndexStats(graft.operators.WinnowIndex.read(s, dir))
       },
       Some(s"""$winnowCte
               |SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
@@ -1880,11 +1894,7 @@ object TextQueries {
           graft.operators.WinnowIndex.build(base, p)
           graft.operators.WinnowIndex.addDelta(batch, p)
         }
-        graft.operators.WinnowIndex.read(s, dir)
-          .agg(count(lit(1)).cast("long").as("n_fps"),
-            countDistinct(col("fph")).as("n_keys"),
-            countDistinct(col("doc_id")).as("n_docs"),
-            max(col("pos")).cast("long").as("max_pos"))
+        winnowIndexStats(graft.operators.WinnowIndex.read(s, dir))
       },
       Some(s"""$winnowCte
               |SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
@@ -1913,11 +1923,7 @@ object TextQueries {
           graft.operators.WinnowIndex.addDelta(batch, p)
           graft.operators.WinnowIndex.compact(s, p)
         }
-        graft.operators.WinnowIndex.read(s, dir)
-          .agg(count(lit(1)).cast("long").as("n_fps"),
-            countDistinct(col("fph")).as("n_keys"),
-            countDistinct(col("doc_id")).as("n_docs"),
-            max(col("pos")).cast("long").as("max_pos"))
+        winnowIndexStats(graft.operators.WinnowIndex.read(s, dir))
       },
       Some(s"""$winnowCte
               |SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
